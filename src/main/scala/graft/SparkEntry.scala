@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{Extensions, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator registers a named query here; where the
@@ -17,9 +17,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs
+    Relational.defs ++ Extensions.defs
 
   /** DuckDB-runnable oracle per query; omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ Extensions.oracles
 }

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines (SURVEY §2.9): exact,
+  * normalized-exact, MinHash+LSH, SimHash, and shared hashing helpers.
+  *
+  * Scale design (100 TB): every variant is blocking-based — candidates
+  * come from an equality join on a compact key (text hash, LSH band,
+  * SimHash byte-band), never from an all-pairs comparison. The only
+  * shuffles are groupBy/join on those keys, and signatures are computed
+  * in one narrow codegen'd pass. Hashes are md5-derived (not Spark's
+  * Murmur3) so a SQL oracle can reproduce them bit-for-bit.
+  */
+object Dedup {
+
+  /** Modulus for the MinHash permutation family (2^31 − 1, prime). */
+  val P = 2147483647L
+  /** Permutation j: h → (a(j)·h + b(j)) mod P. Coefficients small enough
+    * that a(j)·h stays < 2^63 for 32-bit shingle hashes. */
+  def hashA(j: Int): Long = 999983L * j + 12345L
+  def hashB(j: Int): Long = 424243L * j + 7L
+
+  /** 32-bit hash of a string via the first 8 hex chars of md5 — chosen
+    * (over Murmur3) because DuckDB computes the identical value. */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Aggressive text normalization: lowercase, strip non-alphanumerics,
+    * collapse whitespace. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), "\\s+", " "))
+
+  /** Exact duplicate groups by content hash: (text_hash, n_copies,
+    * keeper = min id). Hash-groupBy — one shuffle on the 16-byte hash,
+    * never on the document body. */
+  def exactDuplicates(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(md5(col(text).cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(id)).as("keeper"))
+      .filter(col("n_copies") > 1)
+
+  /** Like [[exactDuplicates]] but over [[normalizeText]]. */
+  def normalizedDuplicates(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(md5(normalizeText(col(text)).cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(id)).as("keeper"))
+      .filter(col("n_copies") > 1)
+
+  /** Candidate near-dup pairs via MinHash + LSH banding, verified with
+    * exact Jaccard on the shingle-hash sets:
+    * (doc_a, doc_b, jaccard) with jaccard ≥ jaccardMin.
+    *
+    * numHashes signatures in `bands` bands of numHashes/bands rows — a
+    * pair collides iff some band's signature matches exactly, so the
+    * join key is (band_idx, band_signature): pure equality shuffle,
+    * bucket sizes bounded by true duplicate-cluster sizes. */
+  def minhashPairs(df: DataFrame, id: String, text: String,
+                   numHashes: Int = 16, bands: Int = 4,
+                   jaccardMin: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sh = shingleHashesFlat(df, id, text).filter(size(col("hs")) > 0)
+    val withMins = (0 until numHashes).foldLeft(sh) { (d, j) =>
+      d.withColumn(s"m$j",
+        expr(s"array_min(transform(hs, x -> (${hashA(j)}L * x + ${hashB(j)}L) % ${P}L))"))
+    }
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws("_", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+    }
+    val banded = withMins
+      .select(col("doc_id"), col("hs"),
+        posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+    val l = banded.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+      col("band_idx"), col("band_key"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+      col("band_idx"), col("band_key"))
+    l.join(r, Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("ha")) + size(col("hb")) - col("inter")), 6))
+      .filter(col("jaccard") >= jaccardMin)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** (doc_id, hs: array<bigint>) — distinct hashed 3-gram shingles. */
+  def shingleHashesFlat(df: DataFrame, id: String, text: String): DataFrame =
+    df.withColumn("__t", TextOps.tokens(col(text)))
+      .withColumn("__sh", when(size(col("__t")) >= 3,
+        expr("array_distinct(transform(sequence(1, size(__t) - 2), " +
+          "i -> concat_ws(' ', element_at(__t, i), element_at(__t, i+1), " +
+          "element_at(__t, i+2))))"))
+        .otherwise(array().cast("array<string>")))
+      .select(col(id).as("doc_id"),
+        expr("array_distinct(transform(__sh, s -> " +
+          "cast(conv(substring(md5(cast(s as binary)), 1, 8), 16, 10) as bigint)))")
+          .as("hs"))
+
+  /** 32-bit SimHash per document over distinct 3-gram shingle hashes:
+    * (doc_id, simhash). Bit j of the signature is the sign of Σ±1 over
+    * feature-hash bit j. Shingles (not unigrams) as features: with a
+    * small shared vocabulary, token-level SimHash collapses the whole
+    * corpus into one Hamming ball. */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    val tok = shingleHashesFlat(df, id, text)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val bitSums = (0 until 32).map(j =>
+      sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1).otherwise(-1)).as(s"s$j"))
+    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32)
+      .map(j => s"(case when s$j > 0 then ${1L << j}L else 0L end)")
+      .mkString(" + ")
+    sums.select(col("doc_id"), expr(sig).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming (≤ 3), found
+    * via 4-byte band blocking: distance ≤ 3 ⇒ at least one of the four
+    * signature bytes matches exactly (pigeonhole), so candidates come
+    * from an equality join on (byte_idx, byte) — no all-pairs scan. */
+  def simhashPairs(df: DataFrame, id: String, text: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band blocking is only exact for distance <= 3")
+    val sig = simhash(df, id, text)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(expr("array(simhash & 255, shiftright(simhash, 8) & 255, " +
+        "shiftright(simhash, 16) & 255, shiftright(simhash, 24) & 255)"))
+        .as(Seq("band_idx", "byte")))
+    val l = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
+      col("band_idx"), col("byte"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
+      col("band_idx"), col("byte"))
+    l.join(r, Seq("band_idx", "byte"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sa", "sb").distinct()
+      .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as int)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

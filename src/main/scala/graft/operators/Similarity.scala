@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`) — SURVEY
+  * §2.9: brute-force cosine top-k as the exactness baseline, and a
+  * deterministic sign-LSH (random-hyperplane style) bucketing as the
+  * scale path (candidates from an equality join on the bucket key).
+  *
+  * All arithmetic is element-wise float→double with a sequential fold,
+  * so a SQL oracle reproduces the exact IEEE result; similarities are
+  * rounded to 6 dp and ties broken by id for total determinism.
+  */
+object Similarity {
+
+  /** cosine(a, b) = dot / sqrt(|a|²·|b|²), computed in double. */
+  def cosine(a: String, b: String): Column = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> cast(p as double) * cast(q as double)), " +
+        "cast(0 as double), (acc, v) -> acc + v)"
+    expr(s"${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)})")
+  }
+
+  /** Deterministic hyperplane weight for (dim i, bit j) — a fixed integer
+    * lattice in [-3, 3] shared with the SQL oracle (no RNG, so every
+    * engine computes identical buckets). */
+  def weightExpr(j: Int): String =
+    s"aggregate(transform(sequence(0, size(embedding) - 1), " +
+      s"i -> cast(element_at(embedding, i + 1) as double) * " +
+      s"cast(((i * 31 + $j * 17) % 7) - 3 as double)), " +
+      "cast(0 as double), (acc, v) -> acc + v)"
+
+  /** Sign-LSH bucket id from `bits` hyperplane signs. */
+  def withBucket(df: DataFrame, bits: Int): DataFrame = {
+    val bucket = (0 until bits)
+      .map(j => s"(case when (${weightExpr(j)}) >= 0 then ${1L << j}L else 0L end)")
+      .mkString(" + ")
+    df.withColumn("bucket", expr(bucket))
+  }
+
+  /** Exact top-k neighbours for each query vector (brute force): one
+    * broadcast of the query set, one narrow scan of the corpus, one
+    * shuffle on query id for the top-k window. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qv")))
+    val scored = corpus.select(col("vec_id"), col("embedding").as("v"))
+      .join(q, col("qid") =!= col("vec_id"))
+      .withColumn("sim", round(cosine("qv", "v"), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+  }
+
+  /** Approximate top-k: candidates restricted to the query's sign-LSH
+    * bucket (equality join on the bucket key — at corpus scale this is
+    * the difference between scanning everything per query and probing
+    * one bucket). Recall trades off with `bits`. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bits: Int = 8): DataFrame = {
+    val c = withBucket(corpus.select(col("vec_id"), col("embedding")), bits)
+      .select(col("vec_id"), col("embedding").as("v"), col("bucket"))
+    val q = broadcast(
+      withBucket(queries.select(col("vec_id"), col("embedding")), bits)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("bucket")))
+    val scored = c.join(q, Seq("bucket")).filter(col("qid") =!= col("vec_id"))
+      .withColumn("sim", round(cosine("qv", "v"), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+  }
+
+  /** Near-duplicate vector pairs: sign-LSH blocking then exact cosine ≥
+    * cosMin within each bucket. */
+  def embeddingPairs(df: DataFrame, bits: Int = 8,
+                     cosMin: Double = 0.3): DataFrame = {
+    val b = withBucket(df.select(col("vec_id"), col("embedding")), bits)
+    val l = b.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("bucket"))
+    val r = b.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("bucket"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine("va", "vb"), 6))
+      .filter(col("cos") >= cosMin)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

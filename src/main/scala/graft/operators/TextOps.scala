@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY §2.9): language
+  * ID, quality scoring, token counting, document fingerprinting. All pure
+  * Column expressions (codegen'd, no UDFs) — each scales as a single
+  * narrow map over the corpus, no shuffle until the final aggregate.
+  */
+object TextOps {
+
+  /** Whitespace tokenization; drops empty tokens (leading/trailing/double
+    * spaces). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Language-marker stopword sets for the n-gram-free heuristic ID.
+    * Deliberately tiny + deterministic so the oracle can mirror them. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Per-language marker hit counts, as (lang, count) columns. */
+  def langScores(toks: Column): Seq[(String, Column)] =
+    langMarkers.map { case (l, ws) => l -> markerCount(toks, ws) }
+
+  /** Heuristic language ID: argmax of marker counts, alphabetical
+    * tie-break, 'und' when no marker hits. */
+  def langId(toks: Column): Column = {
+    val scores = langScores(toks)
+    val mx = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((l, c), acc) =>
+      when(mx > 0 && c === mx, lit(l)).otherwise(acc)
+    } // foldRight ⇒ first (alphabetical) winner takes the tie
+  }
+
+  /** Stopword set for the quality score — the `en` marker list. */
+  val stopwords: Seq[String] = langMarkers.toMap.apply("en")
+
+  /** Mean token length, 6-dp. Caller guarantees non-empty token array. */
+  def avgTokenLen(toks: Column): Column =
+    round(aggregate(toks, lit(0), (acc, t) => acc + length(t))
+      .cast("double") / size(toks), 6)
+
+  /** Fraction of tokens that are stopwords, 6-dp. */
+  def stopwordRatio(toks: Column): Column =
+    round(size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+      .cast("double") / size(toks), 6)
+
+  /** Simple deterministic quality score in [0,1]: length prior ×
+    * (1 − stopword density). */
+  def qualityScore(toks: Column): Column =
+    round(least(lit(1.0), size(toks).cast("double") / 100.0) *
+      (lit(1.0) - size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+        .cast("double") / size(toks)), 6)
+
+  /** OpenRefine-style fingerprint key: sorted distinct tokens re-joined —
+    * collapses word-order/duplication variants into one cluster key. */
+  def fingerprint(toks: Column): Column =
+    concat_ws(" ", array_sort(array_distinct(toks)))
+}

@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.{Dedup, Similarity, TextOps}
+import graft.sources.Tables
+
+/** Extension surface (SURVEY §2.9): LLM-data-pipeline operators — dedup,
+  * similarity search, text analysis, event-time windows, multimodal
+  * metadata — over the `documents`/`embeddings`/`events` tables.
+  *
+  * The DuckDB oracles are GENERATED from the same constants (hash
+  * coefficients, LSH weights, marker word lists) as the Spark plans, so
+  * both engines compute bit-identical signatures.
+  */
+object Extensions {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def sumDec(c: org.apache.spark.sql.Column, scale: Int) =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  // DuckDB fragment: whitespace tokens, empties dropped.
+  private val duckTokens =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  private def duckMarkerCount(words: Seq[String]): String =
+    s"CAST(len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INTEGER)"
+
+  val defs: Map[String, Q] = Map(
+    // ---- text analysis ----
+    "text_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("__t", TextOps.tokens(col("text")))
+        .select(col("doc_id"), size(col("__t")).as("n_tokens"),
+          size(array_distinct(col("__t"))).as("n_unique"))),
+    "text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("__t", TextOps.tokens(col("text")))
+        .filter(size(col("__t")) > 0)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_m"),
+          size(col("__t")).as("n_tokens"),
+          TextOps.avgTokenLen(col("__t")).as("avg_token_len"),
+          TextOps.stopwordRatio(col("__t")).as("stop_ratio"),
+          TextOps.qualityScore(col("__t")).as("score"))),
+    "text_langid" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("__t", TextOps.tokens(col("text")))
+      val scored = TextOps.langScores(col("__t")).foldLeft(base) {
+        case (df, (l, c)) => df.withColumn(s"c_$l", c)
+      }
+      scored.select(col("doc_id"), TextOps.langId(col("__t")).as("lang_pred"),
+        col("c_de"), col("c_en"), col("c_es"), col("c_fr"))
+    }),
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))),
+
+    // ---- deduplication ----
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", "text")),
+    "dedup_norm" -> ((s, d) =>
+      Dedup.normalizedDuplicates(Tables.documents(s, d), "doc_id", "text")),
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text")),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")),
+    "dedup_embedding" -> ((s, d) =>
+      Similarity.embeddingPairs(Tables.embeddings(s, d))),
+
+    // ---- similarity search ----
+    "sim_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), 10)
+    }),
+    "sim_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), 10)
+    }),
+
+    // ---- event-time windows (batch; streaming variants in graft.streaming) ----
+    "q_tumbling_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value"), 2).as("total"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("total"))),
+    "q_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value"), 2).as("total"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("n"), col("total"))),
+    "q_session_window" -> ((s, d) =>
+      // second-truncated event time on both sides: the oracle's ns clock
+      // vs Spark's µs clock would otherwise disagree on gap boundaries.
+      Tables.events(s, d)
+        .withColumn("tsec", date_trunc("second", col("ts")))
+        .groupBy(col("user_id"), session_window(col("tsec"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), sumDec(col("value"), 2).as("total"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("total"))),
+
+    // ---- multimodal: opaque binary payload + typed metadata ----
+    "mm_binary_meta" -> ((s, d) =>
+      // payload plumbing for image/audio columns: the decode itself is
+      // stubbed (see graft.operators.Multimodal), but the schema, hashing
+      // and per-record feature shape are real.
+      Tables.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          sha2(col("payload"), 256).as("sha"),
+          when(length(col("text")) > 0,
+            expr("aggregate(transform(sequence(1, length(text)), " +
+              "i -> ascii(substring(text, i, 1))), 0, (acc, x) -> acc + x)"))
+            .otherwise(0).as("byte_sum")))
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------------
+
+  private val minhashOracle: String = {
+    val mins = (0 until 16).map(j =>
+      s"list_aggregate(list_transform(hs, x -> (${Dedup.hashA(j)} * x + ${Dedup.hashB(j)}) % ${Dedup.P}), 'min') AS m$j")
+      .mkString(",\n             ")
+    val bandSelects = (0 until 4).map { b =>
+      val ms = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, concat_ws('_', $ms) AS band_key FROM mh"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                 THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                 ELSE []::VARCHAR[] END AS shs
+             FROM tok),
+      hsx AS (SELECT doc_id,
+               list_distinct(list_transform(shs, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs
+             FROM sh WHERE len(shs) > 0),
+      mh AS (SELECT doc_id, hs, $mins FROM hsx),
+      bands AS ($bandSelects),
+      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id),
+      jac AS (SELECT doc_a, doc_b,
+                len(list_intersect(x.hs, y.hs)) AS li,
+                len(x.hs) + len(y.hs) AS lu
+              FROM pairs JOIN hsx x ON x.doc_id = doc_a
+                         JOIN hsx y ON y.doc_id = doc_b)
+      SELECT doc_a, doc_b, round(li / CAST(lu - li AS DOUBLE), 6) AS jaccard
+      FROM jac WHERE round(li / CAST(lu - li AS DOUBLE), 6) >= 0.5"""
+  }
+
+  private val simhashOracle: String = {
+    val sums = (0 until 32).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n             ")
+    val sig = (0 until 32).map(j =>
+      s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""
+      WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                 THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                 ELSE []::VARCHAR[] END AS shs
+             FROM tok),
+      h AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(shs, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT))) AS h
+            FROM sh),
+      s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+      sg AS (SELECT doc_id, CAST($sig AS BIGINT) AS sim FROM s)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+      FROM sg a JOIN sg b
+        ON a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3"""
+  }
+
+  // dot product of two list<float> columns, elementwise in double,
+  // sequential sum — mirrors Similarity.cosine exactly.
+  private def duckDot(x: String, y: String): String =
+    s"list_aggregate(list_transform(generate_series(1, len($x)), " +
+      s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), 'sum')"
+
+  private def duckCos(x: String, y: String): String =
+    s"round(${duckDot(x, y)} / sqrt(${duckDot(x, x)} * ${duckDot(y, y)}), 6)"
+
+  // sign-LSH bucket — mirrors Similarity.withBucket (weights
+  // ((i*31 + j*17) % 7) - 3 with 0-based dim i).
+  private val duckBucket: String = (0 until 8).map { j =>
+    val proj = "list_aggregate(list_transform(generate_series(1, len(embedding)), " +
+      s"i -> CAST(embedding[i] AS DOUBLE) * CAST((((i-1) * 31 + $j * 17) % 7) - 3 AS DOUBLE)), 'sum')"
+    s"(CASE WHEN ($proj) >= 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" -> s"""
+      SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+             CAST(len(list_distinct(t)) AS INTEGER) AS n_unique
+      FROM (SELECT doc_id, $duckTokens AS t FROM documents) x""",
+    "text_quality" -> {
+      val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""
+      SELECT doc_id,
+             CAST(length(text) AS INTEGER) AS n_chars_m,
+             CAST(len(t) AS INTEGER) AS n_tokens,
+             round(CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+                   / len(t), 6) AS avg_token_len,
+             round(CAST(len(list_filter(t, x -> x IN ($stop))) AS DOUBLE) / len(t), 6)
+               AS stop_ratio,
+             round(least(CAST(1.0 AS DOUBLE), len(t) / CAST(100 AS DOUBLE)) *
+                   (1.0 - CAST(len(list_filter(t, x -> x IN ($stop))) AS DOUBLE) / len(t)), 6)
+               AS score
+      FROM (SELECT doc_id, text, $duckTokens AS t FROM documents) x
+      WHERE len(t) > 0"""
+    },
+    "text_langid" -> {
+      val counts = TextOps.langMarkers.map { case (l, ws) =>
+        s"${duckMarkerCount(ws)} AS c_$l"
+      }.mkString(",\n             ")
+      s"""
+      SELECT doc_id,
+             CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                  WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+                  WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+                  WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+                  ELSE 'fr' END AS lang_pred,
+             c_de, c_en, c_es, c_fr
+      FROM (SELECT doc_id, $counts
+            FROM (SELECT doc_id, $duckTokens AS t FROM documents) y) x"""
+    },
+    "text_fingerprint" -> s"""
+      SELECT array_to_string(list_sort(list_distinct(t)), ' ') AS fp,
+             COUNT(1) AS n_docs, MIN(doc_id) AS keeper
+      FROM (SELECT doc_id, $duckTokens AS t FROM documents) x
+      GROUP BY 1""",
+    "dedup_exact" -> """
+      SELECT md5(text) AS text_hash, COUNT(1) AS n_copies, MIN(doc_id) AS keeper
+      FROM documents GROUP BY 1 HAVING COUNT(1) > 1""",
+    "dedup_norm" -> """
+      SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                     '\s+', ' ', 'g'))) AS text_hash,
+             COUNT(1) AS n_copies, MIN(doc_id) AS keeper
+      FROM documents GROUP BY 1 HAVING COUNT(1) > 1""",
+    "dedup_minhash" -> minhashOracle,
+    "dedup_simhash" -> simhashOracle,
+    "dedup_embedding" -> s"""
+      WITH b AS (SELECT vec_id, embedding, CAST($duckBucket AS BIGINT) AS bucket
+                 FROM embeddings)
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             ${duckCos("a.embedding", "c.embedding")} AS cos
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE ${duckCos("a.embedding", "c.embedding")} >= 0.3""",
+    "sim_topk" -> s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      scored AS (SELECT qid, vec_id, ${duckCos("qv", "embedding")} AS sim
+                 FROM embeddings CROSS JOIN q WHERE qid <> vec_id)
+      SELECT qid, vec_id, sim, rk
+      FROM (SELECT qid, vec_id, sim,
+                   CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rk
+            FROM scored) t
+      WHERE rk <= 10""",
+    "sim_ann" -> s"""
+      WITH b AS (SELECT vec_id, embedding, CAST($duckBucket AS BIGINT) AS bucket
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id < 5),
+      scored AS (SELECT qid, b.vec_id, ${duckCos("qv", "b.embedding")} AS sim
+                 FROM b JOIN q USING (bucket) WHERE qid <> b.vec_id)
+      SELECT qid, vec_id, sim, rk
+      FROM (SELECT qid, vec_id, sim,
+                   CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rk
+            FROM scored) t
+      WHERE rk <= 10""",
+    "q_tumbling_window" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type, COUNT(1) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2""",
+    "q_sliding_window" -> """
+      SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(1) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM (SELECT make_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - off)
+                                  * 1000000) AS win, value
+            FROM events, (SELECT unnest([0, 1800]) AS off) o) t
+      GROUP BY 1""",
+    "q_session_window" -> """
+      WITH e AS (SELECT user_id, date_trunc('second', ts) AS t, value FROM events),
+      m AS (SELECT user_id, t, value,
+              CASE WHEN lag(t) OVER w IS NULL
+                     OR t - lag(t) OVER w >= INTERVAL 30 MINUTE
+                   THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                                     ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      SELECT user_id,
+             strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(MAX(t) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+             COUNT(1) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM g GROUP BY user_id, sid""",
+    "mm_binary_meta" -> """
+      SELECT doc_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+             sha256(text) AS sha,
+             CAST(CASE WHEN length(text) > 0
+               THEN list_aggregate(list_transform(generate_series(1, length(text)),
+                      i -> ascii(substr(text, i, 1))), 'sum')
+               ELSE 0 END AS INTEGER) AS byte_sum
+      FROM documents"""
+  )
+}
