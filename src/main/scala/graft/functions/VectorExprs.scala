@@ -1,0 +1,212 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the signature/similarity hot paths.
+  *
+  * The same semantics are expressible with higher-order built-ins
+  * (`transform`/`aggregate`/`zip_with`), but those evaluate interpreted
+  * lambdas with per-element boxing — profiled at ~10s for the MinHash
+  * signature pass at sf0.1. These expressions run tight primitive loops
+  * (and `CosineSim` participates in whole-stage codegen via a static
+  * helper call), while computing BIT-IDENTICAL results to the SQL
+  * oracles: same hash constants, same sequential double summation.
+  */
+object VectorOps {
+
+  /** cosine(a, b) = dot/sqrt(|a|²·|b|²), float inputs, double math,
+    * sequential accumulation (oracle-identical). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0d; var na = 0d; var nb = 0d
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  /** Sign-LSH bucket: bit j = sign of Σ_i v(i) · w(i,j) with the fixed
+    * integer lattice w(i,j) = ((i·31 + j·17) % 7) − 3 (0-based i). */
+  def signLshBucket(v: ArrayData, bits: Int): Long = {
+    val n = v.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < bits) {
+      var acc = 0d
+      var i = 0
+      while (i < n) {
+        acc += v.getFloat(i).toDouble * (((i * 31 + j * 17) % 7) - 3).toDouble
+        i += 1
+      }
+      if (acc >= 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+}
+
+/** Exact cosine similarity between two `array<float>` columns. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Sign-LSH bucket id (`bits` hyperplane signs) of an `array<float>`. */
+case class SignLshBucket(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.signLshBucket(v.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.VectorOps.signLshBucket($v, $bits)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** MinHash signature of an `array<bigint>` feature-hash set: element j is
+  * min over features of (a(j)·h + b(j)) mod P — identical constants to
+  * `graft.operators.Dedup` and the DuckDB oracle. */
+case class MinHashSig(child: Expression, numHashes: Int,
+                      aCoef: Long, bCoef: Long, aBase: Long, bBase: Long,
+                      p: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val out = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      val a = aCoef * j + aBase
+      val b = bCoef * j + bBase
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val x = (a * hs.getLong(i) + b) % p
+        if (x < mn) mn = x
+        i += 1
+      }
+      out(j) = mn
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** 32-bit SimHash of an `array<bigint>` feature-hash set: bit j set iff
+  * strictly more features have bit j set than clear. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData]
+    SimHash32.compute(hs)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.SimHash32.compute($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object SimHash32 {
+  def compute(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 32) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** Distinct hashed word n-gram shingles of a text column, in one pass:
+  * whitespace tokenize → n-gram shingles → 32-bit md5-prefix hash →
+  * distinct. Semantics match the composed built-ins
+  * (`split`/`transform`/`md5`/`conv`) and the DuckDB oracle
+  * (`('0x' || substr(md5(s),1,8))::BIGINT`) exactly — but those evaluate
+  * interpreted lambdas, and Catalyst's alias substitution (e.g. a
+  * downstream `filter(size(hs) > 0)`) re-evaluates the whole chain per
+  * reference: profiled ~8s vs <1s at sf0.1. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleHashes.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.ShingleHashes.compute($v, $n)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object ShingleHashes {
+  private val md = ThreadLocal.withInitial(() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val digest = md.get()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+      digest.reset()
+      val d = digest.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 hex chars of md5 = first 4 digest bytes, big-endian
+      val h = ((d(0) & 255L) << 24) | ((d(1) & 255L) << 16) |
+        ((d(2) & 255L) << 8) | (d(3) & 255L)
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Column-level entry points (Spark 4: Column ⇄ catalyst Expression via
+  * `org.apache.spark.sql.classic.ExpressionUtils`). */
+object exprs {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
+  def sign_lsh_bucket(c: Column, bits: Int): Column =
+    column(SignLshBucket(expression(c), bits))
+  def minhash_sig(c: Column, numHashes: Int, aCoef: Long, bCoef: Long,
+                  aBase: Long, bBase: Long, p: Long): Column =
+    column(MinHashSig(expression(c), numHashes, aCoef, bCoef, aBase, bBase, p))
+  def simhash32(c: Column): Column = column(SimHash32(expression(c)))
+  def shingle_hashes(c: Column, n: Int): Column =
+    column(ShingleHashes(expression(c), n))
+}

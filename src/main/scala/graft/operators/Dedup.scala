@@ -59,12 +59,18 @@ object Dedup {
                    jaccardMin: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
     val sh = shingleHashesFlat(df, id, text).filter(size(col("hs")) > 0)
-    val withMins = (0 until numHashes).foldLeft(sh) { (d, j) =>
-      d.withColumn(s"m$j",
-        expr(s"array_min(transform(hs, x -> (${hashA(j)}L * x + ${hashB(j)}L) % ${P}L))"))
-    }
+    // Signature pass as one custom primitive-loop expression (the
+    // transform/array_min composition evaluates interpreted lambdas with
+    // per-element boxing — profiled ~10× slower). Materialized: both
+    // sides of the band self-join and the Jaccard verify reuse it. At
+    // cluster scale this is the standard "write signatures, then join"
+    // shape.
+    val withMins = sh.select(col("doc_id"), col("hs"),
+      graft.functions.exprs.minhash_sig(col("hs"), numHashes,
+        999983L, 424243L, 12345L, 7L, P).as("sig")).persist()
     val bandKeys = (0 until bands).map { b =>
-      concat_ws("_", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+      concat_ws("_",
+        (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
     }
     val banded = withMins
       .select(col("doc_id"), col("hs"),
@@ -83,35 +89,23 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** (doc_id, hs: array<bigint>) — distinct hashed 3-gram shingles. */
+  /** (doc_id, hs: array<bigint>) — distinct hashed 3-gram shingles, via
+    * the single-pass [[graft.functions.ShingleHashes]] expression. */
   def shingleHashesFlat(df: DataFrame, id: String, text: String): DataFrame =
-    df.withColumn("__t", TextOps.tokens(col(text)))
-      .withColumn("__sh", when(size(col("__t")) >= 3,
-        expr("array_distinct(transform(sequence(1, size(__t) - 2), " +
-          "i -> concat_ws(' ', element_at(__t, i), element_at(__t, i+1), " +
-          "element_at(__t, i+2))))"))
-        .otherwise(array().cast("array<string>")))
-      .select(col(id).as("doc_id"),
-        expr("array_distinct(transform(__sh, s -> " +
-          "cast(conv(substring(md5(cast(s as binary)), 1, 8), 16, 10) as bigint)))")
-          .as("hs"))
+    df.select(col(id).as("doc_id"),
+      graft.functions.exprs.shingle_hashes(col(text), 3).as("hs"))
 
   /** 32-bit SimHash per document over distinct 3-gram shingle hashes:
     * (doc_id, simhash). Bit j of the signature is the sign of Σ±1 over
     * feature-hash bit j. Shingles (not unigrams) as features: with a
     * small shared vocabulary, token-level SimHash collapses the whole
     * corpus into one Hamming ball. */
-  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
-    val tok = shingleHashesFlat(df, id, text)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-    val bitSums = (0 until 32).map(j =>
-      sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1).otherwise(-1)).as(s"s$j"))
-    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 32)
-      .map(j => s"(case when s$j > 0 then ${1L << j}L else 0L end)")
-      .mkString(" + ")
-    sums.select(col("doc_id"), expr(sig).as("simhash"))
-  }
+  def simhash(df: DataFrame, id: String, text: String): DataFrame =
+    // one codegen'd pass per document — no explode + 32-column aggregate
+    shingleHashesFlat(df, id, text)
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        graft.functions.exprs.simhash32(col("hs")).as("simhash"))
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming (≤ 3), found
     * via 4-byte band blocking: distance ≤ 3 ⇒ at least one of the four
@@ -120,7 +114,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: String, text: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band blocking is only exact for distance <= 3")
-    val sig = simhash(df, id, text)
+    // materialized: the band self-join would otherwise recompute the
+    // full shingle+aggregate pipeline for each side
+    val sig = simhash(df, id, text).persist()
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(expr("array(simhash & 255, shiftright(simhash, 8) & 255, " +
         "shiftright(simhash, 16) & 255, shiftright(simhash, 24) & 255)"))

@@ -15,30 +15,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** cosine(a, b) = dot / sqrt(|a|²·|b|²), computed in double. */
-  def cosine(a: String, b: String): Column = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> cast(p as double) * cast(q as double)), " +
-        "cast(0 as double), (acc, v) -> acc + v)"
-    expr(s"${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)})")
-  }
+  /** cosine(a, b) over `array<float>` — custom codegen'd expression
+    * ([[graft.functions.CosineSim]]): double math, sequential
+    * accumulation, bit-identical to the SQL oracle's elementwise form. */
+  def cosine(a: String, b: String): Column =
+    graft.functions.exprs.cosine_sim(col(a), col(b))
 
-  /** Deterministic hyperplane weight for (dim i, bit j) — a fixed integer
-    * lattice in [-3, 3] shared with the SQL oracle (no RNG, so every
-    * engine computes identical buckets). */
-  def weightExpr(j: Int): String =
-    s"aggregate(transform(sequence(0, size(embedding) - 1), " +
-      s"i -> cast(element_at(embedding, i + 1) as double) * " +
-      s"cast(((i * 31 + $j * 17) % 7) - 3 as double)), " +
-      "cast(0 as double), (acc, v) -> acc + v)"
-
-  /** Sign-LSH bucket id from `bits` hyperplane signs. */
-  def withBucket(df: DataFrame, bits: Int): DataFrame = {
-    val bucket = (0 until bits)
-      .map(j => s"(case when (${weightExpr(j)}) >= 0 then ${1L << j}L else 0L end)")
-      .mkString(" + ")
-    df.withColumn("bucket", expr(bucket))
-  }
+  /** Sign-LSH bucket id from `bits` deterministic hyperplane signs
+    * (fixed integer lattice w(i,j) = ((i·31 + j·17) % 7) − 3 — no RNG,
+    * so every engine computes identical buckets). */
+  def withBucket(df: DataFrame, bits: Int): DataFrame =
+    df.withColumn("bucket",
+      graft.functions.exprs.sign_lsh_bucket(col("embedding"), bits))
 
   /** Exact top-k neighbours for each query vector (brute force): one
     * broadcast of the query set, one narrow scan of the corpus, one
@@ -79,7 +67,8 @@ object Similarity {
     * cosMin within each bucket. */
   def embeddingPairs(df: DataFrame, bits: Int = 8,
                      cosMin: Double = 0.3): DataFrame = {
-    val b = withBucket(df.select(col("vec_id"), col("embedding")), bits)
+    // materialized: reused by both sides of the bucket self-join
+    val b = withBucket(df.select(col("vec_id"), col("embedding")), bits).persist()
     val l = b.select(col("vec_id").as("id_a"), col("embedding").as("va"),
       col("bucket"))
     val r = b.select(col("vec_id").as("id_b"), col("embedding").as("vb"),

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made Column ⇄ catalyst-Expression conversion `private[sql]`
+  * (`classic.ExpressionUtils`). This bridge re-exports it for graft's
+  * custom expressions — the conventional pattern for Catalyst-extending
+  * libraries (a one-file subpackage of org.apache.spark.sql). */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
