@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variants of the event-time operators (SURVEY
+  * §2.8: the reference is batch-only; its daily cron re-run over new
+  * files is subsumed by a file-source stream). The same windowed
+  * aggregations as `graft.queries.Extensions` — tumbling / sliding /
+  * session — expressed over `readStream`, with watermarks bounding
+  * state so a 100 TB/day stream can run indefinitely.
+  */
+object StreamOps {
+
+  /** events.parquet schema when read with the nanos-as-long legacy conf
+    * (see `Tables.events`). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events table directory: one file = one
+    * micro-batch replay. `ts` rebuilt to a µs timestamp exactly as the
+    * batch reader does. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file stream sources require a directory; select the single events
+    // file out of the testdata dir with a glob filter
+    spark.readStream
+      .schema(eventsRawSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .load(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts per event type; late data beyond the
+    * watermark is dropped instead of growing state forever. */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Sliding 1-hour/30-minute windows. */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("n"))
+
+  /** Session windows (30-minute gap) per user. */
+  def sessionCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"))
+
+  /** Runs a streaming frame to completion against a memory sink and
+    * returns the query (caller reads `spark.table(name)`). Parquet-file
+    * sources are finite, so `processAllAvailable` terminates. */
+  def runToMemory(df: DataFrame, name: String,
+                  outputMode: String = "complete"): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

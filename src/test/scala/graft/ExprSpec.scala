@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.exprs
+import graft.operators.Dedup
+
+/** Custom-expression semantics pinned against independent computations
+  * (the DuckDB oracle equivalence is covered by tools/oracle_check.py). */
+class ExprSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("MinHashSig equals the (a*h+b) mod P formula") {
+    val hs = Seq(7L, 123456789L, 42L)
+    val got = Seq(Tuple1(hs)).toDF("hs")
+      .select(exprs.minhash_sig(col("hs"), 16, 999983L, 424243L, 12345L, 7L,
+        Dedup.P).as("sig"))
+      .as[Seq[Long]].head()
+    val expect = (0 until 16).map { j =>
+      val a = 999983L * j + 12345L; val b = 424243L * j + 7L
+      hs.map(h => (a * h + b) % Dedup.P).min
+    }
+    assert(got == expect)
+  }
+
+  test("SimHash32 sign rule: majority bit set, tie → 0") {
+    // two features: bits where they agree dominate; disagreement → tie → 0
+    val hs = Seq(0x3L, 0x1L) // bit0: ++ → set; bit1: +- → tie → clear
+    val got = Seq(Tuple1(hs)).toDF("hs")
+      .select(exprs.simhash32(col("hs"))).as[Long].head()
+    assert((got & 1L) == 1L && (got & 2L) == 0L)
+  }
+
+  test("CosineSim on known vectors") {
+    val got = Seq((Array(3f, 4f), Array(4f, 3f))).toDF("a", "b")
+      .select(exprs.cosine_sim(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(got - 24.0 / 25.0) < 1e-12)
+  }
+
+  test("ShingleHashes handles degenerate whitespace like split+filter") {
+    val got = Seq(Tuple1("  a   b  c ")).toDF("t")
+      .select(exprs.shingle_hashes(col("t"), 3)).as[Seq[Long]].head()
+    assert(got.length == 1) // exactly one 3-gram: "a b c"
+  }
+}
+
+/** Property-style laws evaluated in bulk (one Spark job per law, driven
+  * by ScalaCheck generators). */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+  import graft.operators.RefOps
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  private def samples(g: Gen[String], n: Int): Seq[String] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("property: gender normalization is idempotent over random strings") {
+    val gen = Gen.oneOf(Gen.alphaNumStr,
+      Gen.oneOf("Male", "f", "M", "F", "Other"))
+    val in = samples(gen, 200)
+    val once = in.toDF("g")
+      .select(RefOps.normalizeGender(col("g")).as("g"))
+    val twice = once.select(RefOps.normalizeGender(col("g")).as("g"))
+    assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+  }
+
+  test("property: truncateIsoDate == prefix before first T") {
+    val gen = for {
+      a <- Gen.alphaNumStr.map(_.replace("T", ""))
+      b <- Gen.alphaNumStr
+      t <- Gen.oneOf(true, false)
+    } yield if (t) s"${a}T$b" else a
+    val in = samples(gen, 200)
+    val got = in.toDF("s")
+      .select(RefOps.truncateIsoDate(col("s"))).as[String].collect()
+    assert(got.toSeq == in.map(_.takeWhile(_ != 'T')))
+  }
+
+  test("property: |A ⋈ B| <= |A| * max key multiplicity in B") {
+    val a = (1 to 100).map(i => (i.toLong % 10, i)).toDF("k", "va")
+    val b = (1 to 30).map(i => (i.toLong % 5, i)).toDF("k", "vb")
+    val joined = a.join(b, Seq("k")).count()
+    val maxMult = b.groupBy("k").count().agg(max("count")).head().getLong(0)
+    assert(joined <= a.count() * maxMult)
+  }
+}

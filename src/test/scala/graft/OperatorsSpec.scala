@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, RefOps, Similarity, TextOps}
+
+class RefOpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("P5 gender normalization is idempotent and passes unknowns through") {
+    val df = Seq("Male", "f", "M", "F", "Other", "x").toDF("g")
+    val once = df.select(RefOps.normalizeGender(col("g")).as("g"))
+    val twice = once.select(RefOps.normalizeGender(col("g")).as("g"))
+    assert(once.as[String].collect().toSeq == Seq("M", "F", "M", "F", "Other", "x"))
+    assert(once.collect().toSeq == twice.collect().toSeq)
+  }
+
+  test("P6 ISO truncation leaves T-less strings unchanged") {
+    val df = Seq("1990-01-02T00:00:00", "1990-01-02", "", "abcT1T2").toDF("s")
+    assert(df.select(RefOps.truncateIsoDate(col("s"))).as[String].collect().toSeq ==
+      Seq("1990-01-02", "1990-01-02", "", "abc"))
+  }
+
+  test("joinPandas suffixes every collision, including the right key") {
+    val l = Seq((1L, "a", 10L)).toDF("Id", "Name", "K")
+    val r = Seq((10L, "b")).toDF("Id", "Name")
+    val out = RefOps.joinPandas(l, r, "K", "Id")
+    assert(out.columns.toSeq == Seq("Id_x", "Name_x", "K", "Id_y", "Name_y"))
+    assert(out.select("Name_x", "Name_y").as[(String, String)].head() == ("a", "b"))
+  }
+
+  test("joinPandasOn dedups the key column like pandas on=") {
+    val l = Seq((1L, "a")).toDF("Document", "Name")
+    val r = Seq((1L, "b")).toDF("Document", "Name")
+    val out = RefOps.joinPandasOn(l, r, "Document")
+    assert(out.columns.toSeq == Seq("Document", "Name_x", "Name_y"))
+  }
+}
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+  val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+  val other = "completely different content about spark catalyst optimizer internals"
+
+  def corpus = Seq(
+    (1L, near1), (2L, near2), (3L, other), (4L, near1), (5L, "tiny doc"))
+    .toDF("doc_id", "text")
+
+  test("exact duplicates by content hash") {
+    val d = Dedup.exactDuplicates(corpus, "doc_id", "text").collect()
+    assert(d.length == 1 && d(0).getAs[Long]("n_copies") == 2 &&
+      d(0).getAs[Long]("keeper") == 1L)
+  }
+
+  test("normalized duplicates catch case/punctuation variants") {
+    val df = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "bye"))
+      .toDF("doc_id", "text")
+    val d = Dedup.normalizedDuplicates(df, "doc_id", "text").collect()
+    assert(d.length == 1 && d(0).getAs[Long]("n_copies") == 2)
+  }
+
+  test("minhash LSH finds planted near-dup pair and the exact dup") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical docs always collide
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
+  }
+
+  test("simhash hamming pairs: identical docs at distance 0") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text")
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 4L)
+    assert(exact.exists(_._3 == 0))
+  }
+
+  test("shingle hashes: distinct 3-gram count and md5 semantics") {
+    val hs = Dedup.shingleHashesFlat(Seq((1L, "a b c d")).toDF("doc_id", "text"),
+      "doc_id", "text").select("hs").as[Seq[Long]].head()
+    assert(hs.length == 2) // "a b c", "b c d"
+    // md5("a b c") = 0x..., first 8 hex chars as unsigned int
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b c".getBytes("UTF-8"))
+    val expect = ((md(0) & 255L) << 24) | ((md(1) & 255L) << 16) |
+      ((md(2) & 255L) << 8) | (md(3) & 255L)
+    assert(hs.contains(expect))
+    // degenerate inputs
+    val empty = Dedup.shingleHashesFlat(Seq((1L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text").select("hs").as[Seq[Long]].head()
+    assert(empty.isEmpty)
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  def vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f, 0f)),
+    (2L, Array(0f, 1f, 0f, 0f)),
+    (3L, Array(-1f, 0f, 0f, 0f)))
+    .toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), 2)
+      .select("vec_id", "rk").as[(Long, Int)].collect().toMap
+    assert(out(1L) == 1) // closest
+    assert(out(2L) == 2) // orthogonal ranks above antipodal
+  }
+
+  test("cosine matches manual computation") {
+    val sim = vecs.filter(col("vec_id") === 0).select(col("embedding").as("a"))
+      .crossJoin(vecs.filter(col("vec_id") === 1).select(col("embedding").as("b")))
+      .select(Similarity.cosine("a", "b")).as[Double].head()
+    val expect = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+    assert(math.abs(sim - expect) < 1e-9)
+  }
+
+  test("identical vectors share an LSH bucket; antipodal vectors do not") {
+    val b = Similarity.withBucket(
+      Seq((0L, Array(1f, 2f, 3f, 4f)), (1L, Array(1f, 2f, 3f, 4f)),
+        (2L, Array(-1f, -2f, -3f, -4f))).toDF("vec_id", "embedding"), 8)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(2L))
+  }
+}
+
+class TextOpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("language ID picks marker-majority language, 'und' fallback") {
+    val df = Seq(
+      (1L, "der hund und die katze ist da"),
+      (2L, "the cat and the dog is a pet"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextOps.langId(TextOps.tokens(col("text"))).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "de" && out(2L) == "en" && out(3L) == "und")
+  }
+
+  test("fingerprint collapses word order and duplication") {
+    val df = Seq((1L, "b a a c"), (2L, "c b a"), (3L, "a b d")).toDF("doc_id", "text")
+    val fps = df.select(TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
+      .as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) == "a b c" && fps(2) == "a b d")
+  }
+
+  test("quality score: stopword-heavy text scores lower") {
+    val toks = TextOps.tokens(col("text"))
+    val df = Seq((1L, "the a of and is the a of"), (2L, "informative unique content words here"))
+      .toDF("doc_id", "text")
+    val scores = df.select(col("doc_id"), TextOps.qualityScore(toks).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores(1L) < scores(2L))
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+import graft.streaming.StreamOps
+
+/** Streaming variants must agree with their batch counterparts when the
+  * finite parquet source is fully drained. */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("streaming tumbling counts == batch tumbling counts") {
+    val q = StreamOps.runToMemory(
+      StreamOps.tumblingCounts(StreamOps.eventsStream(spark, dir)),
+      "stream_tumbling")
+    try {
+      val streamed = spark.table("stream_tumbling")
+        .select("win_start", "event_type", "n")
+      val batch = Tables.events(spark, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming session windows produce per-user sessions") {
+    val q = StreamOps.runToMemory(
+      StreamOps.sessionCounts(StreamOps.eventsStream(spark, dir)),
+      "stream_sessions")
+    try {
+      val out = spark.table("stream_sessions")
+      assert(out.count() > 0)
+      // session event counts cover all events exactly once
+      val total = out.agg(sum(col("n_events"))).head().getLong(0)
+      assert(total == Tables.events(spark, dir).count())
+    } finally q.stop()
+  }
+}
