@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Sinks (SURVEY §2.2). The reference's DROP TABLE + CREATE + bulk
+  * INSERT cycle (`ddl_*.sql`, `df_to_sql.py`) collapses to overwrite-mode
+  * writes; `filter_columns`-style SERIAL-id exclusion is a `select`
+  * before the write (`dags/etl.py:264-269`).
+  */
+object Sinks {
+
+  /** K1/K2: idempotent overwrite (the drop+create+insert cycle). */
+  def overwriteParquet(df: DataFrame, path: String,
+                       partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  /** K3: CSV with header, matching the generator's `to_csv(index=False)`. */
+  def overwriteCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def overwriteJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Bucketed managed table: pre-shuffles once on the bucket key so
+    * later equi-joins/aggregations on that key are exchange-free — the
+    * 100 TB answer to "this join shuffles the fact table every run".
+    * Requires a catalog (`saveAsTable`), hence a configured warehouse. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+}

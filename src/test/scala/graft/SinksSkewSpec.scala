@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skew
+import graft.sources.{Sinks, Tables}
+
+class SinksSkewSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("overwrite parquet sink round-trips and is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sinks.overwriteParquet(df, s"$dir/t")
+    Sinks.overwriteParquet(df, s"$dir/t") // overwrite = drop+create
+    assert(spark.read.parquet(s"$dir/t").collect().toSet == df.collect().toSet)
+  }
+
+  test("partitioned parquet sink prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val df = Seq((1L, "x", "2024-01-01"), (2L, "y", "2024-01-02"))
+      .toDF("id", "v", "day")
+    Sinks.overwriteParquet(df, s"$dir/p", partitionBy = Seq("day"))
+    val pruned = spark.read.parquet(s"$dir/p").filter(col("day") === "2024-01-01")
+    assert(pruned.count() == 1)
+    val scanned = pruned.queryExecution.executedPlan.toString
+    assert(!scanned.contains("2024-01-02")) // partition dir not in scan
+  }
+
+  test("CSV sink writes header and round-trips with schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val df = Seq((1L, "a")).toDF("id", "v")
+    Sinks.overwriteCsv(df, s"$dir/c")
+    val back = spark.read.option("header", "true").csv(s"$dir/c")
+    assert(back.columns.toSeq == Seq("id", "v") && back.count() == 1)
+  }
+
+  test("salted join equals plain join") {
+    val large = (1 to 1000).map(i => (i.toLong % 3, i)).toDF("k", "v")
+    val small = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("k", "name")
+    val plain = large.join(small, Seq("k")).select("k", "v", "name")
+    val salted = Skew.saltedJoin(large, small, "k").select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("key histogram finds the hot key") {
+    val df = (1 to 100).map(i => if (i <= 90) 7L else i.toLong).toDF("k")
+    val top = Skew.keyHistogram(df, col("k"), 1).as[(Long, Long)].head()
+    assert(top == ((7L, 90L)))
+  }
+
+  test("bucketed table join plans without an exchange on the fact side") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity")
+    Sinks.writeBucketed(li, "li_bucketed", Seq("l_orderkey"), 4)
+    val t = spark.table("li_bucketed")
+    val agg = t.groupBy("l_orderkey").agg(sum("l_quantity"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed agg should not shuffle:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+  }
+}
