@@ -195,6 +195,34 @@ object ShingleHashes {
   }
 }
 
+/** Sum of Unicode codepoints of a string — the feature-extraction
+  * stand-in used by the multimodal metadata query. Equals the composed
+  * `aggregate(transform(sequence(1, length(t)), i -> ascii(substring(t,
+  * i, 1))), ...)` form (and DuckDB's ascii/substr loop) but in one
+  * primitive pass instead of an interpreted per-character lambda chain. */
+case class CharSum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    CharSum.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.CharSum.compute($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object CharSum {
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val str = s.toString
+    var sum = 0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      sum += cp
+      i += Character.charCount(cp)
+    }
+    sum
+  }
+}
+
 /** Column-level entry points (Spark 4: Column ⇄ catalyst Expression via
   * `org.apache.spark.sql.classic.ExpressionUtils`). */
 object exprs {
@@ -209,4 +237,5 @@ object exprs {
   def simhash32(c: Column): Column = column(SimHash32(expression(c)))
   def shingle_hashes(c: Column, n: Int): Column =
     column(ShingleHashes(expression(c), n))
+  def char_sum(c: Column): Column = column(CharSum(expression(c)))
 }

@@ -116,10 +116,7 @@ object Extensions {
         .select(col("doc_id"),
           octet_length(col("payload")).as("n_bytes"),
           sha2(col("payload"), 256).as("sha"),
-          when(length(col("text")) > 0,
-            expr("aggregate(transform(sequence(1, length(text)), " +
-              "i -> ascii(substring(text, i, 1))), 0, (acc, x) -> acc + x)"))
-            .otherwise(0).as("byte_sum")))
+          graft.functions.exprs.char_sum(col("text")).as("byte_sum")))
   )
 
   // ---------------------------------------------------------------------

@@ -50,10 +50,11 @@ object Relational2 {
       // exact interpolated percentiles (not percentile_approx: sketch
       // estimates are engine-specific and would never hash-match)
       Tables.lineitem(s, d).groupBy("l_linestatus")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))),
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"))
+        .select(col("l_linestatus"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75"))),
     "q_regexp" -> ((s, d) =>
       Tables.part(s, d).select(col("p_partkey"),
         regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),

@@ -85,3 +85,18 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(joined <= a.count() * maxMult)
   }
 }
+
+class SqlFunctionSpec extends AnyFunSuite with SparkSpec {
+  test("custom expressions are callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val sim = spark.sql(
+      "SELECT cosine_sim(array(3.0F, 4.0F), array(4.0F, 3.0F)) AS s")
+      .head().getDouble(0)
+    assert(math.abs(sim - 0.96) < 1e-12)
+    val cs = spark.sql("SELECT char_sum('ab') AS c").head().getInt(0)
+    assert(cs == 'a'.toInt + 'b'.toInt)
+    val sh = spark.sql("SELECT size(shingle_hashes('a b c d')) AS n")
+      .head().getInt(0)
+    assert(sh == 2)
+  }
+}
