@@ -107,6 +107,36 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.exprs.simhash32(col("hs")).as("simhash"))
 
+  /** Connected components over near-duplicate pairs: returns
+    * (doc_id, cluster) with cluster = min doc id of the component, so a
+    * pipeline keeps `doc_id == cluster` rows and drops the rest.
+    *
+    * Iterative min-label propagation: each round joins the edge list
+    * against current labels and takes the per-node min — the driver loop
+    * only evaluates a convergence count (no row data ever reaches the
+    * driver), the classic Spark shape for small-diameter dedup graphs.
+    * Rounds needed = component diameter (near-dup clusters are shallow). */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("lbl"))
+      val next = labels.select("id", "lbl").union(prop)
+        .groupBy("id").agg(min("lbl").as("lbl")).persist()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+  }
+
   /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming (≤ 3), found
     * via 4-byte band blocking: distance ≤ 3 ⇒ at least one of the four
     * signature bytes matches exactly (pigeonhole), so candidates come

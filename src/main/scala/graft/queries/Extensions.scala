@@ -66,6 +66,9 @@ object Extensions {
       Dedup.normalizedDuplicates(Tables.documents(s, d), "doc_id", "text")),
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text")),
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(
+        Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text"))),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")),
     "dedup_embedding" -> ((s, d) =>
@@ -123,7 +126,9 @@ object Extensions {
   // DuckDB oracles
   // ---------------------------------------------------------------------
 
-  private val minhashOracle: String = {
+  /** Shared CTE chain computing verified minhash near-dup pairs —
+    * reused by the pair query and the recursive clusters oracle. */
+  private val minhashCtes: String = {
     val mins = (0 until 16).map(j =>
       s"list_aggregate(list_transform(hs, x -> (${Dedup.hashA(j)} * x + ${Dedup.hashB(j)}) % ${Dedup.P}), 'min') AS m$j")
       .mkString(",\n             ")
@@ -131,8 +136,7 @@ object Extensions {
       val ms = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
       s"SELECT doc_id, $b AS band_idx, concat_ws('_', $ms) AS band_key FROM mh"
     }.mkString("\n        UNION ALL ")
-    s"""
-      WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
+    s"""tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
       sh AS (SELECT doc_id,
                CASE WHEN len(t) >= 3
                  THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
@@ -152,10 +156,31 @@ object Extensions {
                 len(list_intersect(x.hs, y.hs)) AS li,
                 len(x.hs) + len(y.hs) AS lu
               FROM pairs JOIN hsx x ON x.doc_id = doc_a
-                         JOIN hsx y ON y.doc_id = doc_b)
-      SELECT doc_a, doc_b, round(li / CAST(lu - li AS DOUBLE), 6) AS jaccard
-      FROM jac WHERE round(li / CAST(lu - li AS DOUBLE), 6) >= 0.5"""
+                         JOIN hsx y ON y.doc_id = doc_b),
+      verified AS (SELECT doc_a, doc_b,
+                     round(li / CAST(lu - li AS DOUBLE), 6) AS jaccard
+                   FROM jac
+                   WHERE round(li / CAST(lu - li AS DOUBLE), 6) >= 0.5)"""
   }
+
+  private val minhashOracle: String =
+    s"""
+      WITH $minhashCtes
+      SELECT doc_a, doc_b, jaccard FROM verified"""
+
+  /** Connected components over the verified pairs: recursive min-label
+    * propagation (terminates because the accumulated (id,label) set is
+    * finite and deduplicated). */
+  private val clustersOracle: String =
+    s"""
+      WITH RECURSIVE $minhashCtes,
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+                UNION ALL SELECT doc_b, doc_a FROM verified),
+      lab(id, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, l.lbl FROM edges e JOIN lab l ON e.dst = l.id)
+      SELECT id AS doc_id, MIN(lbl) AS cluster FROM lab GROUP BY id"""
 
   private val simhashOracle: String = {
     val sums = (0 until 32).map(j =>
@@ -249,6 +274,7 @@ object Extensions {
              COUNT(1) AS n_copies, MIN(doc_id) AS keeper
       FROM documents GROUP BY 1 HAVING COUNT(1) > 1""",
     "dedup_minhash" -> minhashOracle,
+    "dedup_clusters" -> clustersOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_embedding" -> s"""
       WITH b AS (SELECT vec_id, embedding, CAST($duckBucket AS BIGINT) AS bucket
