@@ -117,8 +117,9 @@ object Dedup {
     * driver), the classic Spark shape for small-diameter dedup graphs.
     * Rounds needed = component diameter (near-dup clusters are shallow). */
   def duplicateClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val p = pairs.persist() // referenced twice below — compute pairs once
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).persist()

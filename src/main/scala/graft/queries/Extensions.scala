@@ -109,6 +109,33 @@ object Extensions {
           date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
           col("n_events"), col("total"))),
 
+    // ---- streaming (drained to batch for the driver gate; the result
+    // must equal the batch plan, so it shares q_tumbling_window's oracle
+    // shape) ----
+    "stream_tumbling_window" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      graft.streaming.StreamOps.drainToBatch(
+        graft.streaming.StreamOps.tumblingCounts(
+          graft.streaming.StreamOps.eventsStream(s, d)))
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("total"))
+    }),
+
+    // ---- source/sink round trip: S1 CSV scan + K3 CSV sink through a
+    // real filesystem hop, ending in oracle-checked rows ----
+    "q_csv_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      graft.sources.Sinks.overwriteCsv(Tables.nation(s, d), s"$tmp/nation")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_nationkey",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("n_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_regionkey",
+          org.apache.spark.sql.types.IntegerType)))
+      Tables.csv(s, s"$tmp/nation", schema)
+    }),
+
     // ---- multimodal: opaque binary payload + typed metadata ----
     "mm_binary_meta" -> ((s, d) =>
       // payload plumbing for image/audio columns: the decode itself is
@@ -310,6 +337,13 @@ object Extensions {
              event_type, COUNT(1) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2""",
+    "stream_tumbling_window" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type, COUNT(1) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2""",
+    "q_csv_roundtrip" -> """
+      SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "q_sliding_window" -> """
       SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(1) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -45,7 +45,10 @@ object StreamOps {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      // decimal accumulation: double sums are micro-batch-order-dependent
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("total"))
 
@@ -78,5 +81,24 @@ object StreamOps {
       .start()
     q.processAllAvailable()
     q
+  }
+
+  /** Stateful streaming dedup: at-most-once event ids within the
+    * watermark horizon (`dropDuplicates` keeps per-key state, expired by
+    * the watermark — bounded memory on an unbounded stream). */
+  def dedupedEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id", "ts")
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drains a finite streaming frame and returns the materialized result
+    * as a batch DataFrame (unique memory-sink name per invocation). */
+  def drainToBatch(df: DataFrame, outputMode: String = "complete")
+                  (implicit spark: SparkSession): DataFrame = {
+    val name = s"graft_stream_${runCounter.incrementAndGet()}"
+    val q = runToMemory(df, name, outputMode)
+    q.stop()
+    spark.table(name)
   }
 }

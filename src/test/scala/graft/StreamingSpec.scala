@@ -40,3 +40,15 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 }
+
+class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
+  test("stateful streaming dedup leaves distinct event ids") {
+    val dir = "/root/testdata/sf0.001"
+    implicit val s = spark
+    val out = StreamOps.drainToBatch(
+      StreamOps.dedupedEvents(StreamOps.eventsStream(spark, dir)),
+      outputMode = "append")
+    val n = Tables.events(spark, dir).select("event_id", "ts").distinct().count()
+    assert(out.count() == n)
+  }
+}
