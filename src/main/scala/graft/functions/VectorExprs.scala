@@ -223,6 +223,84 @@ object CharSum {
   }
 }
 
+/** Minimum polynomial rolling hash over all k-codepoint windows of a
+  * string (Rabin–Karp, base B mod M): a compact content fingerprint
+  * robust to document reordering at the window level. O(n) via the
+  * rolling update; equals the per-window polynomial the SQL oracle
+  * computes directly. Returns null for strings shorter than k. */
+case class RollingMinHash(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    RollingMinHash.compute(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val value = ctx.freshName("rmh")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |Long $value = graft.functions.RollingMinHash.compute($c, $k);
+         |if ($value == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $value.longValue(); }
+       """.stripMargin
+    })
+  }
+}
+
+object RollingMinHash {
+  val B = 257L
+  val M = 2147483647L
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, k: Int): java.lang.Long = {
+    val str = s.toString
+    val cps = str.codePoints().toArray
+    if (cps.length < k) return null
+    var bk1 = 1L // B^(k-1) mod M
+    var i = 0
+    while (i < k - 1) { bk1 = bk1 * B % M; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
+    var mn = h
+    i = k
+    while (i < cps.length) {
+      h = (((h - cps(i - k) * bk1 % M + M) % M) * B + cps(i)) % M
+      if (h < mn) mn = h
+      i += 1
+    }
+    java.lang.Long.valueOf(mn)
+  }
+}
+
+/** Index (1-based) of the last element of a sorted `array<bigint>` that
+  * is ≤ the probe value; 0 when none. The binary-search core of the
+  * packed-timeline as-of join ([[graft.operators.TimeOps]]). */
+case class SortedLastLE(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(arr: Any, t: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    SortedLastLE.search(a, t.asInstanceOf[Long])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, t) => s"graft.functions.SortedLastLE.search($a, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object SortedLastLE {
+  def search(a: ArrayData, t: Long): Int = {
+    var lo = 0
+    var hi = a.numElements() // exclusive
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (a.getLong(mid) <= t) lo = mid + 1 else hi = mid
+    }
+    lo // count of elements <= t == 1-based index of the last one
+  }
+}
+
 /** Column-level entry points (Spark 4: Column ⇄ catalyst Expression via
   * `org.apache.spark.sql.classic.ExpressionUtils`). */
 object exprs {
@@ -238,4 +316,8 @@ object exprs {
   def shingle_hashes(c: Column, n: Int): Column =
     column(ShingleHashes(expression(c), n))
   def char_sum(c: Column): Column = column(CharSum(expression(c)))
+  def rolling_min_hash(c: Column, k: Int): Column =
+    column(RollingMinHash(expression(c), k))
+  def sorted_last_le(arr: Column, t: Column): Column =
+    column(SortedLastLE(expression(arr), expression(t)))
 }

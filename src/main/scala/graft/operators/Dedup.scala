@@ -107,6 +107,33 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.exprs.simhash32(col("hs")).as("simhash"))
 
+  /** Exact n-gram Jaccard near-dup pairs with a rare-shingle inverted
+    * index for candidate generation (the alternative to MinHash banding:
+    * deterministic recall for pairs sharing at least one rare shingle,
+    * no signature computation). Candidate cost is bounded by capping
+    * shingle document frequency at `maxDf` — ubiquitous shingles carry
+    * no pair information and would otherwise explode the self-join. */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String,
+                        maxDf: Int = 20, jaccardMin: Double = 0.5): DataFrame = {
+    val sh = shingleHashesFlat(df, id, text).filter(size(col("hs")) > 0).persist()
+    val posting = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val rare = posting.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+    val rarePosting = posting.join(broadcast(rare.select("h")), Seq("h"))
+    val pairs = rarePosting.as("x").join(rarePosting.as("y"), Seq("h"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("ha")) + size(col("hb")) - col("inter")), 6))
+      .filter(col("jaccard") >= jaccardMin)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Connected components over near-duplicate pairs: returns
     * (doc_id, cluster) with cluster = min doc id of the component, so a
     * pipeline keeps `doc_id == cluster` rows and drops the rest.

@@ -63,6 +63,39 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
   }
 
+  /** IVF-flat approximate top-k: a fixed coarse quantizer (the first
+    * `nCentroids` vectors — deterministic, no trained k-means so the SQL
+    * oracle reproduces the partition exactly), each corpus vector
+    * assigned to its nearest centroid, queries probing their `nprobe`
+    * nearest cells. The 100 TB shape: the corpus is partitioned once by
+    * cell; a query touches nprobe/nCentroids of the data. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    val cents = broadcast(corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
+    def assign(df: DataFrame, idCol: String, vCol: String, keep: Int) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("csim").desc, col("cent_id").asc)
+      df.join(cents, col(idCol) >= 0) // cross with broadcast centroids
+        .withColumn("csim", round(cosine(vCol, "cv"), 6))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .drop("cv", "csim", "crn")
+    }
+    val assigned = assign(
+      corpus.select(col("vec_id"), col("embedding").as("v")), "vec_id", "v", 1)
+    val probes = assign(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "qid", "qv", nprobe)
+    val scored = assigned.join(probes, Seq("cent_id"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("sim", round(cosine("qv", "v"), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+  }
+
   /** Near-duplicate vector pairs: sign-LSH blocking then exact cosine ≥
     * cosMin within each bucket. */
   def embeddingPairs(df: DataFrame, bits: Int = 8,

@@ -73,6 +73,27 @@ object Extensions {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")),
     "dedup_embedding" -> ((s, d) =>
       Similarity.embeddingPairs(Tables.embeddings(s, d))),
+    "dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text")),
+    "text_rolling_fp" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.exprs.rolling_min_hash(col("text"), 8).as("fp"))),
+    "sim_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), 10)
+    }),
+    "q_join_asof_fast" -> ((s, d) => {
+      // same semantics (and oracle) as q_join_asof, via the packed
+      // binary-search as-of operator instead of join + window top-1
+      val out = graft.operators.TimeOps.asofJoin(
+        Tables.events(s, d), Tables.orders(s, d),
+        "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_orderdate"))
+      out.filter(col("asof").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          col("asof.o_orderkey").as("last_orderkey"),
+          date_format(col("asof.o_orderdate"), "yyyy-MM-dd").as("last_orderdate"))
+    }),
 
     // ---- similarity search ----
     "sim_topk" -> ((s, d) => {
@@ -153,16 +174,9 @@ object Extensions {
   // DuckDB oracles
   // ---------------------------------------------------------------------
 
-  /** Shared CTE chain computing verified minhash near-dup pairs —
-    * reused by the pair query and the recursive clusters oracle. */
-  private val minhashCtes: String = {
-    val mins = (0 until 16).map(j =>
-      s"list_aggregate(list_transform(hs, x -> (${Dedup.hashA(j)} * x + ${Dedup.hashB(j)}) % ${Dedup.P}), 'min') AS m$j")
-      .mkString(",\n             ")
-    val bandSelects = (0 until 4).map { b =>
-      val ms = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
-      s"SELECT doc_id, $b AS band_idx, concat_ws('_', $ms) AS band_key FROM mh"
-    }.mkString("\n        UNION ALL ")
+  /** Shared CTE chain computing per-document distinct shingle hashes —
+    * reused by the minhash, clusters and n-gram-Jaccard oracles. */
+  private val shingleCtes: String =
     s"""tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
       sh AS (SELECT doc_id,
                CASE WHEN len(t) >= 3
@@ -172,7 +186,19 @@ object Extensions {
              FROM tok),
       hsx AS (SELECT doc_id,
                list_distinct(list_transform(shs, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs
-             FROM sh WHERE len(shs) > 0),
+             FROM sh WHERE len(shs) > 0)"""
+
+  /** CTE chain computing verified minhash near-dup pairs —
+    * reused by the pair query and the recursive clusters oracle. */
+  private val minhashCtes: String = {
+    val mins = (0 until 16).map(j =>
+      s"list_aggregate(list_transform(hs, x -> (${Dedup.hashA(j)} * x + ${Dedup.hashB(j)}) % ${Dedup.P}), 'min') AS m$j")
+      .mkString(",\n             ")
+    val bandSelects = (0 until 4).map { b =>
+      val ms = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, concat_ws('_', $ms) AS band_key FROM mh"
+    }.mkString("\n        UNION ALL ")
+    s"""$shingleCtes,
       mh AS (SELECT doc_id, hs, $mins FROM hsx),
       bands AS ($bandSelects),
       pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -194,6 +220,67 @@ object Extensions {
     s"""
       WITH $minhashCtes
       SELECT doc_a, doc_b, jaccard FROM verified"""
+
+  private val ngramOracle: String =
+    s"""
+      WITH $shingleCtes,
+      posting AS (SELECT doc_id, unnest(hs) AS h FROM hsx),
+      rare AS (SELECT h FROM posting GROUP BY h HAVING COUNT(1) BETWEEN 2 AND 20),
+      rp AS (SELECT p.doc_id, p.h FROM posting p JOIN rare USING (h)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM rp x JOIN rp y ON x.h = y.h AND x.doc_id < y.doc_id),
+      jac AS (SELECT doc_a, doc_b,
+                len(list_intersect(a.hs, b.hs)) AS li,
+                len(a.hs) + len(b.hs) AS lu
+              FROM cand JOIN hsx a ON a.doc_id = doc_a
+                        JOIN hsx b ON b.doc_id = doc_b)
+      SELECT doc_a, doc_b, round(li / CAST(lu - li AS DOUBLE), 6) AS jaccard
+      FROM jac WHERE round(li / CAST(lu - li AS DOUBLE), 6) >= 0.5"""
+
+  private val rollingFpOracle: String = {
+    val M = graft.functions.RollingMinHash.M
+    val B = graft.functions.RollingMinHash.B
+    val pows = (0 until 8).map(j =>
+      (0 until 7 - j).foldLeft(1L)((acc, _) => acc * B % M))
+    val terms = (0 until 8)
+      .map(j => s"ascii(substr(text, i + $j, 1))::BIGINT * ${pows(j)}")
+      .mkString(" + ")
+    s"""
+      SELECT doc_id,
+             list_min(list_transform(generate_series(1, length(text) - 7),
+               i -> ($terms) % $M)) AS fp
+      FROM documents"""
+  }
+
+  private val ivfOracle: String = {
+    val cos = duckCos("qv", "v")
+    s"""
+      WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv
+                     FROM embeddings WHERE vec_id < 16),
+      acorp AS (SELECT vec_id, embedding AS v, cent_id,
+                  ${duckCos("embedding", "cv")} AS csim
+                FROM embeddings CROSS JOIN cents),
+      assigned AS (SELECT cent_id, vec_id, v
+                   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY csim DESC, cent_id ASC) AS rn FROM acorp)
+                   WHERE rn = 1),
+      aq AS (SELECT vec_id AS qid, embedding AS qv, cent_id,
+               ${duckCos("embedding", "cv")} AS csim
+             FROM embeddings CROSS JOIN cents WHERE vec_id < 5),
+      probes AS (SELECT cent_id, qid, qv
+                 FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY csim DESC, cent_id ASC) AS rn FROM aq)
+                 WHERE rn <= 2),
+      scored AS (SELECT qid, vec_id, $cos AS sim
+                 FROM assigned JOIN probes USING (cent_id)
+                 WHERE qid <> vec_id)
+      SELECT qid, vec_id, sim, rk
+      FROM (SELECT qid, vec_id, sim,
+              CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rk
+            FROM scored) t
+      WHERE rk <= 10"""
+  }
 
   /** Connected components over the verified pairs: recursive min-label
     * propagation (terminates because the accumulated (id,label) set is
@@ -302,6 +389,10 @@ object Extensions {
       FROM documents GROUP BY 1 HAVING COUNT(1) > 1""",
     "dedup_minhash" -> minhashOracle,
     "dedup_clusters" -> clustersOracle,
+    "dedup_ngram" -> ngramOracle,
+    "text_rolling_fp" -> rollingFpOracle,
+    "sim_ivf" -> ivfOracle,
+    "q_join_asof_fast" -> Relational.oracles("q_join_asof"),
     "dedup_simhash" -> simhashOracle,
     "dedup_embedding" -> s"""
       WITH b AS (SELECT vec_id, embedding, CAST($duckBucket AS BIGINT) AS bucket
