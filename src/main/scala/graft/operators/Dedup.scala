@@ -159,6 +159,7 @@ object Dedup {
         .groupBy("id").agg(min("lbl").as("lbl")).persist()
       changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist() // the new generation is materialized by the count
       labels = next
       rounds += 1
     }
