@@ -24,6 +24,15 @@ object Sinks {
   def overwriteJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** K2 strict parity: JDBC writer — the reference's multi-row INSERT
+    * over libpq (`dags/utils/df_to_sql.py:12-13`, connection
+    * `dags/etl.py:13`) is the `overwrite` JDBC mode; quoting/escaping
+    * (`df_to_sql.py:10`) is handled by the driver's prepared statements.
+    * Untested here (no database/driver ships in this environment). */
+  def overwriteJdbc(df: DataFrame, url: String, table: String,
+                    props: java.util.Properties = new java.util.Properties): Unit =
+    df.write.mode("overwrite").jdbc(url, table, props)
+
   /** Bucketed managed table: pre-shuffles once on the bucket key so
     * later equi-joins/aggregations on that key are exchange-free — the
     * 100 TB answer to "this join shuffles the fact table every run".

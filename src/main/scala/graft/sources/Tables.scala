@@ -82,6 +82,12 @@ object Tables {
   def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** S3: execute a `.sql` file against the session catalog — the
+    * reference's templated PostgresOperator file execution
+    * (`dags/etl.py:156,218-235`) without the filesystem side-channel. */
+  def sqlFile(spark: SparkSession, path: String): DataFrame =
+    spark.sql(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
   /** S2: whole-document JSON `{status, data:[...]}` flattened to one row
     * per element of `data` (reference: `pd.json_normalize(data['data'])`,
     * `dags/etl.py:36-40`). */

@@ -61,3 +61,14 @@ class SinksSkewSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
   }
 }
+
+class SqlFileSpec extends AnyFunSuite with SparkSpec {
+  test("S3: SQL file scan executes against the session catalog") {
+    Tables.registerViews(spark, "/root/testdata/sf0.001")
+    val f = java.nio.file.Files.createTempFile("graft", ".sql")
+    java.nio.file.Files.writeString(f,
+      "SELECT r_name FROM region ORDER BY r_name")
+    val out = Tables.sqlFile(spark, f.toString)
+    assert(out.count() == 5)
+  }
+}
