@@ -100,3 +100,11 @@ class SqlFunctionSpec extends AnyFunSuite with SparkSpec {
     assert(sh == 2)
   }
 }
+
+class GraftSessionSpec extends AnyFunSuite with SparkSpec {
+  test("GraftSession reuses the active session and registers SQL functions") {
+    val s = GraftSession.getOrCreate("local[4]")
+    assert(s.sql("SELECT simhash32(shingle_hashes('a b c d e'))").count() == 1)
+    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+  }
+}
