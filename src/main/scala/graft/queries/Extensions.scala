@@ -445,8 +445,11 @@ object Extensions {
     "q_session_window" -> """
       WITH e AS (SELECT user_id, date_trunc('second', ts) AS t, value FROM events),
       m AS (SELECT user_id, t, value,
+              -- strictly greater: Spark's session_window MERGES sessions
+              -- that touch exactly at gap distance (verified at sf0.1,
+              -- where one exact 30-minute gap exists)
               CASE WHEN lag(t) OVER w IS NULL
-                     OR t - lag(t) OVER w >= INTERVAL 30 MINUTE
+                     OR t - lag(t) OVER w > INTERVAL 30 MINUTE
                    THEN 1 ELSE 0 END AS brk
             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
       g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
