@@ -71,6 +71,35 @@ object Relational2 {
         FROM orders
         WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM orders)""")
     }),
+    "q_intersect_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersectAll(
+          o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+    }),
+    "q_except_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .exceptAll(
+          o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+    }),
+    "q_string_agg" -> ((s, d) =>
+      // deterministic list aggregation: sort before join — collect_list
+      // order is partition-dependent and would never hash-match
+      Tables.orders(s, d).groupBy(col("o_custkey").as("custkey"))
+        .agg(concat_ws(",",
+          sort_array(collect_list(col("o_orderpriority")))).as("priorities"),
+          concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+            .as("statuses"))),
+    "q_generate_series" -> ((s, d) =>
+      // generator source: a calendar dimension from a sequence expression
+      Tables.orders(s, d).sparkSession.range(1)
+        .select(explode(expr(
+          "sequence(to_date('2024-01-01'), to_date('2024-03-31'), interval 1 day)"))
+          .as("d"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          (weekday(col("d")) + 1).as("isodow"),
+          weekofyear(col("d")).as("week"))),
     "q_nullhandling" -> ((s, d) =>
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
         nullif(col("l_discount"), lit(0.0)).as("disc_or_null"),
@@ -118,6 +147,25 @@ object Relational2 {
       SELECT o_orderkey, o_totalprice AS price
       FROM orders
       WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM orders)""",
+    "q_intersect_all" -> """
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+    "q_except_all" -> """
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+    "q_string_agg" -> """
+      SELECT o_custkey AS custkey,
+             array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities,
+             array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
+      FROM orders GROUP BY o_custkey""",
+    "q_generate_series" -> """
+      SELECT strftime(d, '%Y-%m-%d') AS day,
+             CAST(isodow(d) AS INTEGER) AS isodow,
+             CAST(weekofyear(d) AS INTEGER) AS week
+      FROM (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-03-31',
+                                          INTERVAL 1 DAY))::DATE AS d)""",
     "q_nullhandling" -> """
       SELECT l_orderkey, l_linenumber,
              nullif(l_discount, 0.0) AS disc_or_null,
