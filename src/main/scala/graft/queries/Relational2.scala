@@ -71,6 +71,23 @@ object Relational2 {
         FROM orders
         WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM orders)""")
     }),
+    "q_window_analytics" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first(col("o_orderkey")).over(wf).as("first_ok"),
+        last(col("o_orderkey")).over(wf).as("last_ok"))
+    }),
+    "q_posexplode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(col("word") =!= "")),
     "q_intersect_all" -> ((s, d) => {
       val o = Tables.orders(s, d)
       o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
@@ -147,6 +164,22 @@ object Relational2 {
       SELECT o_orderkey, o_totalprice AS price
       FROM orders
       WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM orders)""",
+    "q_window_analytics" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume,
+             first_value(o_orderkey) OVER wf AS first_ok,
+             last_value(o_orderkey) OVER wf AS last_ok
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+             wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "q_posexplode" -> """
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, t[i] AS word
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) x,
+           LATERAL unnest(generate_series(1, len(t))) AS u(i)
+      WHERE t[i] <> ''""",
     "q_intersect_all" -> """
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
       INTERSECT ALL
