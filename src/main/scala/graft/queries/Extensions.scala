@@ -69,6 +69,23 @@ object Extensions {
     "dedup_clusters" -> ((s, d) =>
       Dedup.duplicateClusters(
         Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text"))),
+    "curation_pipeline" -> ((s, d) => {
+      // the flagship LLM-data pass: quality floor + language marker
+      // filter + near-dup removal (keep cluster canonicals) in one plan
+      val docs = Tables.documents(s, d)
+      val dupes = Dedup.duplicateClusters(
+        Dedup.minhashPairs(docs, "doc_id", "text"))
+        .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+      docs.withColumn("__t", TextOps.tokens(col("text")))
+        .filter(size(col("__t")) > 0)
+        .select(col("doc_id"), size(col("__t")).as("n_tokens"),
+          TextOps.qualityScore(col("__t")).as("score"),
+          size(filter(col("__t"),
+            t => t.isin(TextOps.stopwords.map(lit(_)): _*))).as("c_en"))
+        .filter(col("score") >= 0.5 && col("c_en") > 0)
+        .join(dupes, Seq("doc_id"), "left_anti")
+        .select("doc_id", "n_tokens", "score")
+    }),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")),
     "dedup_embedding" -> ((s, d) =>
@@ -285,16 +302,41 @@ object Extensions {
   /** Connected components over the verified pairs: recursive min-label
     * propagation (terminates because the accumulated (id,label) set is
     * finite and deduplicated). */
-  private val clustersOracle: String =
-    s"""
-      WITH RECURSIVE $minhashCtes,
+  private val clusterCtes: String =
+    s"""$minhashCtes,
       edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
                 UNION ALL SELECT doc_b, doc_a FROM verified),
       lab(id, lbl) AS (
         SELECT DISTINCT src, src FROM edges
         UNION
-        SELECT e.src, l.lbl FROM edges e JOIN lab l ON e.dst = l.id)
-      SELECT id AS doc_id, MIN(lbl) AS cluster FROM lab GROUP BY id"""
+        SELECT e.src, l.lbl FROM edges e JOIN lab l ON e.dst = l.id),
+      clust AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM lab GROUP BY id)"""
+
+  private val clustersOracle: String =
+    s"""
+      WITH RECURSIVE $clusterCtes
+      SELECT doc_id, cluster FROM clust"""
+
+  /** The flagship curation pass: quality floor + language filter +
+    * near-dup removal (keep only cluster canonicals), all in one plan. */
+  private val curationOracle: String = {
+    val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""
+      WITH RECURSIVE $clusterCtes,
+      q AS (SELECT doc_id,
+              CAST(len(t) AS INTEGER) AS n_tokens,
+              round(least(CAST(1.0 AS DOUBLE), len(t) / CAST(100 AS DOUBLE)) *
+                    (1.0 - CAST(len(list_filter(t, x -> x IN ($stop))) AS DOUBLE)
+                          / len(t)), 6) AS score,
+              CAST(len(list_filter(t, x -> x IN ($stop))) AS INTEGER) AS c_en
+            FROM tok WHERE len(t) > 0)
+      SELECT doc_id, n_tokens, score
+      FROM q
+      WHERE score >= 0.5 AND c_en > 0
+        AND NOT EXISTS (SELECT 1 FROM clust
+                        WHERE clust.doc_id = q.doc_id
+                          AND clust.cluster <> q.doc_id)"""
+  }
 
   private val simhashOracle: String = {
     val sums = (0 until 32).map(j =>
@@ -389,6 +431,7 @@ object Extensions {
       FROM documents GROUP BY 1 HAVING COUNT(1) > 1""",
     "dedup_minhash" -> minhashOracle,
     "dedup_clusters" -> clustersOracle,
+    "curation_pipeline" -> curationOracle,
     "dedup_ngram" -> ngramOracle,
     "text_rolling_fp" -> rollingFpOracle,
     "sim_ivf" -> ivfOracle,

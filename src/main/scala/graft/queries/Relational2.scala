@@ -71,6 +71,15 @@ object Relational2 {
         FROM orders
         WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM orders)""")
     }),
+    "q_correlated_subquery" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT o.o_orderkey, o.o_totalprice AS price
+        FROM orders o
+        WHERE o.o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+                                FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)""")
+    }),
     "q_window_analytics" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey"))
@@ -164,6 +173,12 @@ object Relational2 {
       SELECT o_orderkey, o_totalprice AS price
       FROM orders
       WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM orders)""",
+    "q_correlated_subquery" -> """
+      SELECT o.o_orderkey, o.o_totalprice AS price
+      FROM orders o
+      WHERE o.o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)""",
     "q_window_analytics" -> """
       SELECT o_custkey, o_orderkey,
              CAST(ntile(4) OVER w AS INTEGER) AS quartile,
