@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{IntegerType, LongType}
 import graft.operators.Dedup
 
 /** SQL-surface registration for graft's custom expressions, so
@@ -16,14 +17,47 @@ import graft.operators.Dedup
   */
 object GraftFunctions {
 
+  /** Integer-literal extraction for optional SQL parameters — anything
+    * else (a column, an expression) fails analysis loudly so SQL calls
+    * can never silently diverge from the Column API. */
+  private def intLit(fn: String, what: String)(e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType)   => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal, got ${other.sql}")
+  }
+
+  private def arity(fn: String, usage: String)(
+      pf: PartialFunction[Seq[Expression], Expression])
+      : Seq[Expression] => Expression =
+    es => pf.applyOrElse(es, (_: Seq[Expression]) =>
+      throw new IllegalArgumentException(
+        s"$fn: wrong number of arguments (${es.length}); usage: $usage"))
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (es => CosineSim(es(0), es(1))),
-    "sign_lsh_bucket" -> (es => SignLshBucket(es.head, 8)),
-    "simhash32" -> (es => SimHash32(es.head)),
-    "char_sum" -> (es => CharSum(es.head)),
-    "shingle_hashes" -> (es => ShingleHashes(es.head, 3)),
-    "minhash_sig" -> (es => MinHashSig(es.head, 16,
-      999983L, 424243L, 12345L, 7L, Dedup.P)))
+    "cosine_sim" -> arity("cosine_sim", "cosine_sim(a, b)") {
+      case Seq(a, b) => CosineSim(a, b)
+    },
+    "sign_lsh_bucket" ->
+      arity("sign_lsh_bucket", "sign_lsh_bucket(vec[, bits=8])") {
+        case Seq(v)    => SignLshBucket(v, 8)
+        case Seq(v, b) => SignLshBucket(v, intLit("sign_lsh_bucket", "bits")(b))
+      },
+    "simhash32" -> arity("simhash32", "simhash32(hashes)") {
+      case Seq(h) => SimHash32(h)
+    },
+    "char_sum" -> arity("char_sum", "char_sum(text)") {
+      case Seq(t) => CharSum(t)
+    },
+    "shingle_hashes" -> arity("shingle_hashes", "shingle_hashes(text[, n=3])") {
+      case Seq(t)    => ShingleHashes(t, 3)
+      case Seq(t, n) => ShingleHashes(t, intLit("shingle_hashes", "n")(n))
+    },
+    "minhash_sig" -> arity("minhash_sig", "minhash_sig(hashes[, numHashes=16])") {
+      case Seq(h) => MinHashSig(h, 16, 999983L, 424243L, 12345L, 7L, Dedup.P)
+      case Seq(h, n) => MinHashSig(h, intLit("minhash_sig", "numHashes")(n),
+        999983L, 424243L, 12345L, 7L, Dedup.P)
+    })
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

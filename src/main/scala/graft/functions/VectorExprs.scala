@@ -20,9 +20,14 @@ import org.apache.spark.sql.types._
 object VectorOps {
 
   /** cosine(a, b) = dot/sqrt(|a|²·|b|²), float inputs, double math,
-    * sequential accumulation (oracle-identical). */
+    * sequential accumulation (oracle-identical). Dimensions must match:
+    * UnsafeArrayData.getFloat is unchecked, so an unguarded loop over
+    * mismatched rows would read garbage memory instead of failing. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine_sim: embedding dimensions differ (${n} vs ${b.numElements()})")
     var dot = 0d; var na = 0d; var nb = 0d
     var i = 0
     while (i < n) {

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deduplication operators for LLM-data pipelines (SURVEY §2.9): exact,
   * normalized-exact, MinHash+LSH, SimHash, and shared hashing helpers.
@@ -61,13 +62,15 @@ object Dedup {
     val sh = shingleHashesFlat(df, id, text).filter(size(col("hs")) > 0)
     // Signature pass as one custom primitive-loop expression (the
     // transform/array_min composition evaluates interpreted lambdas with
-    // per-element boxing — profiled ~10× slower). Materialized: both
-    // sides of the band self-join and the Jaccard verify reuse it. At
-    // cluster scale this is the standard "write signatures, then join"
-    // shape.
+    // per-element boxing — profiled ~10× slower). Materialized eagerly
+    // via localCheckpoint: both sides of the band self-join and the
+    // Jaccard verify reuse it, and unlike persist() the blocks are
+    // GC-managed instead of pinned in the session CacheManager for the
+    // rest of a long-lived session. At cluster scale this is the
+    // standard "write signatures, then join" shape.
     val withMins = sh.select(col("doc_id"), col("hs"),
       graft.functions.exprs.minhash_sig(col("hs"), numHashes,
-        999983L, 424243L, 12345L, 7L, P).as("sig")).persist()
+        999983L, 424243L, 12345L, 7L, P).as("sig")).localCheckpoint()
     val bandKeys = (0 until bands).map { b =>
       concat_ws("_",
         (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
@@ -115,7 +118,10 @@ object Dedup {
     * no pair information and would otherwise explode the self-join. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         maxDf: Int = 20, jaccardMin: Double = 0.5): DataFrame = {
-    val sh = shingleHashesFlat(df, id, text).filter(size(col("hs")) > 0).persist()
+    // localCheckpoint (not persist): reused by the posting list and both
+    // Jaccard-verify sides, released by GC instead of leaking per call
+    val sh = shingleHashesFlat(df, id, text).filter(size(col("hs")) > 0)
+      .localCheckpoint()
     val posting = sh.select(col("doc_id"), explode(col("hs")).as("h"))
     val rare = posting.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
@@ -143,31 +149,51 @@ object Dedup {
     * only evaluates a convergence count (no row data ever reaches the
     * driver), the classic Spark shape for small-diameter dedup graphs.
     * Rounds needed = component diameter (near-dup clusters are shallow). */
-  def duplicateClusters(pairs: DataFrame): DataFrame = {
-    val p = pairs.persist() // referenced twice below — compute pairs once
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // eager localCheckpoint: pairs computed once, lineage truncated so
+    // each round's plan stays flat, and the blocks are GC-managed (a
+    // persist() here would pin every generation in the CacheManager for
+    // the session lifetime — the classic iterative-algorithm leak)
+    val p = pairs.localCheckpoint()
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
+      .withColumn("lbl", col("id")).localCheckpoint()
     def hop(l: DataFrame): DataFrame = {
       val prop = edges.join(l, edges("dst") === l("id"))
         .select(edges("src").as("id"), col("lbl"))
       l.select("id", "lbl").union(prop)
         .groupBy("id").agg(min("lbl").as("lbl"))
     }
-    var changed = 1L
+    // Labels only ever decrease (min over a union that includes the old
+    // label), so Σ lbl is non-increasing and equals the previous round's
+    // sum iff NO label changed: convergence is one cheap aggregate per
+    // round instead of a self-join diff count. Decimal accumulation —
+    // at 100 TB id·node products overflow int64 and a wrapped sum would
+    // break the monotonicity argument.
+    def lblSum(l: DataFrame): java.math.BigDecimal = {
+      val r = l.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = lblSum(labels)
+    var converged = false // an empty graph converges on round 1 (0 == 0)
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (!converged && rounds < maxRounds) {
       // one hop per convergence check: a two-hop variant benched slower
       // (deeper uncached lineage per round outweighs the saved barriers)
-      val next = hop(labels).persist()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels.unpersist() // the new generation is materialized by the count
+      val next = hop(labels).localCheckpoint()
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters: min-label propagation did not converge in " +
+          s"$maxRounds rounds — a component has diameter > $maxRounds; " +
+          "raise maxRounds to cover the deepest duplicate chain")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
 
@@ -178,9 +204,10 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: String, text: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band blocking is only exact for distance <= 3")
-    // materialized: the band self-join would otherwise recompute the
-    // full shingle+aggregate pipeline for each side
-    val sig = simhash(df, id, text).persist()
+    // materialized (localCheckpoint, GC-released): the band self-join
+    // would otherwise recompute the full shingle+aggregate pipeline for
+    // each side
+    val sig = simhash(df, id, text).localCheckpoint()
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(expr("array(simhash & 255, shiftright(simhash, 8) & 255, " +
         "shiftright(simhash, 16) & 255, shiftright(simhash, 24) & 255)"))

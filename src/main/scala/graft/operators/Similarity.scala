@@ -100,8 +100,11 @@ object Similarity {
     * cosMin within each bucket. */
   def embeddingPairs(df: DataFrame, bits: Int = 8,
                      cosMin: Double = 0.3): DataFrame = {
-    // materialized: reused by both sides of the bucket self-join
-    val b = withBucket(df.select(col("vec_id"), col("embedding")), bits).persist()
+    // materialized (localCheckpoint, GC-released — persist() would pin
+    // the blocks in the CacheManager for the session lifetime): reused
+    // by both sides of the bucket self-join
+    val b = withBucket(df.select(col("vec_id"), col("embedding")), bits)
+      .localCheckpoint()
     val l = b.select(col("vec_id").as("id_a"), col("embedding").as("va"),
       col("bucket"))
     val r = b.select(col("vec_id").as("id_b"), col("embedding").as("vb"),

@@ -23,18 +23,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = parquet(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = parquet(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = parquet(s, d, "lineitem")
+  /** Raw `events.parquet` schema with `ts` as plain INT64 nanos — the
+    * per-read alternative to the session-wide
+    * `spark.sql.legacy.parquet.nanosAsLong` conf (which would silently
+    * change the schema of every later nanos-parquet read in the session). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the documented
-    * legacy conf, then rebuild a microsecond TIMESTAMP with exact integer
+    * ([PARQUET_TYPE_ILLEGAL]) under schema inference. Supplying
+    * [[eventsRawSchema]] (ts: LongType) reads the raw nanos without any
+    * session conf; then rebuild a microsecond TIMESTAMP with exact integer
     * division (`div`, not `/` — ns epochs exceed 2^53 so a double round
     * trip would corrupt them). Truncation keeps every ms-aligned
     * comparison (orders/lineitem timestamps) exact. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    parquet(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    s.read.schema(eventsRawSchema).parquet(s"$d/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions
         .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame  = parquet(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = parquet(s, d, "embeddings")
 

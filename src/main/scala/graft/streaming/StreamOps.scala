@@ -14,21 +14,15 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** events.parquet schema when read with the nanos-as-long legacy conf
-    * (see `Tables.events`). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Raw events schema (ts as INT64 nanos) — shared with the batch
+    * reader. */
+  val eventsRawSchema: StructType = graft.sources.Tables.eventsRawSchema
 
   /** Streaming source over the events table directory: one file = one
-    * micro-batch replay. `ts` rebuilt to a µs timestamp exactly as the
-    * batch reader does. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * micro-batch replay. The explicit schema reads the TIMESTAMP(NANOS)
+    * column as raw longs (no session conf needed); `ts` rebuilt to a µs
+    * timestamp exactly as the batch reader does. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
     // file stream sources require a directory; select the single events
     // file out of the testdata dir with a glob filter
     spark.readStream
@@ -37,7 +31,6 @@ object StreamOps {
       .option("pathGlobFilter", "events.parquet")
       .load(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Tumbling 1-hour counts per event type; late data beyond the
     * watermark is dropped instead of growing state forever. */

@@ -99,6 +99,43 @@ class SqlFunctionSpec extends AnyFunSuite with SparkSpec {
       .head().getInt(0)
     assert(sh == 2)
   }
+
+  test("SQL builders honor optional literal params (no silent defaults)") {
+    graft.functions.GraftFunctions.register(spark)
+    // shingle_hashes(t, 2): 'a b c d' has three 2-grams
+    val n2 = spark.sql("SELECT size(shingle_hashes('a b c d', 2)) AS n")
+      .head().getInt(0)
+    assert(n2 == 3)
+    // sign_lsh_bucket(v, 4): bucket must fit in 4 bits
+    val b4 = spark.sql(
+      "SELECT sign_lsh_bucket(array(1.0F, -2.0F, 0.5F), 4) AS b")
+      .head().getLong(0)
+    assert(b4 >= 0L && b4 < 16L)
+    // minhash_sig(h, 8): 8 signature slots
+    val m8 = spark.sql("SELECT size(minhash_sig(array(7L, 42L), 8)) AS n")
+      .head().getInt(0)
+    assert(m8 == 8)
+  }
+
+  test("SQL builders reject wrong arity and non-literal params") {
+    graft.functions.GraftFunctions.register(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0F))").collect()
+    }
+    assert(e1.getMessage.contains("cosine_sim"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes('a b', length('xx'))").collect()
+    }
+    assert(e2.getMessage.contains("integer literal"))
+  }
+
+  test("cosine_sim fails loudly on mismatched dimensions") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0F, 2.0F), array(1.0F))").collect()
+    }
+    assert(e.getMessage.contains("dimensions differ"))
+  }
 }
 
 class GraftSessionSpec extends AnyFunSuite with SparkSpec {
