@@ -21,10 +21,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one warm-up pass so JIT/codegen/scan caches don't bill the first query
-    SparkEntry.queries.get("q1_agg")
-      .foreach(f => f(spark, sfDir).write.format("noop").mode("overwrite").save())
+    // warm-up passes so JIT/codegen/scan caches don't bill the first
+    // queries: q1_agg covers the relational scan path, dedup_minhash the
+    // custom-expression + documents path, sim_topk the vector path
+    Seq("q1_agg", "dedup_minhash", "sim_topk").foreach(n =>
+      SparkEntry.queries.get(n).foreach { f =>
+        try f(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // GC barrier: broadcast/checkpoint cleanup from the previous query
+      // runs now instead of being billed to this query's wall-clock
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -46,6 +46,9 @@ object GraftFunctions {
     "simhash32" -> arity("simhash32", "simhash32(hashes)") {
       case Seq(h) => SimHash32(h)
     },
+    "jaccard_sim" -> arity("jaccard_sim", "jaccard_sim(a, b)") {
+      case Seq(a, b) => JaccardSim(a, b)
+    },
     "char_sum" -> arity("char_sum", "char_sum(text)") {
       case Seq(t) => CharSum(t)
     },

@@ -277,6 +277,46 @@ object RollingMinHash {
   }
 }
 
+/** Exact Jaccard similarity |a∩b| / |a∪b| of two `array<bigint>` columns
+  * whose elements are distinct within each array (shingle-hash sets are
+  * built with list_distinct semantics). One primitive pass — sorted
+  * copies + linear merge — instead of the `size(array_intersect(...))`
+  * composition, which Catalyst inlines (and therefore re-evaluates) into
+  * both the join condition and the output projection, allocating a
+  * GenericArrayData per evaluation. Division in double over exactly-
+  * representable integer counts: bit-identical to the SQL oracle's
+  * `li / CAST(lu - li AS DOUBLE)`. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaccardSim.compute($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object JaccardSim {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return Double.NaN // 0/0, as the composed form
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
+    java.util.Arrays.sort(xs)
+    java.util.Arrays.sort(ys)
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = xs(i); val y = ys(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c.toDouble / (na + nb - c).toDouble
+  }
+}
+
 /** Index (1-based) of the last element of a sorted `array<bigint>` that
   * is ≤ the probe value; 0 when none. The binary-search core of the
   * packed-timeline as-of join ([[graft.operators.TimeOps]]). */
@@ -318,6 +358,8 @@ object exprs {
                   aBase: Long, bBase: Long, p: Long): Column =
     column(MinHashSig(expression(c), numHashes, aCoef, bCoef, aBase, bBase, p))
   def simhash32(c: Column): Column = column(SimHash32(expression(c)))
+  def jaccard_sim(a: Column, b: Column): Column =
+    column(JaccardSim(expression(a), expression(b)))
   def shingle_hashes(c: Column, n: Int): Column =
     column(ShingleHashes(expression(c), n))
   def char_sum(c: Column): Column = column(CharSum(expression(c)))

@@ -85,9 +85,10 @@ object Dedup {
     l.join(r, Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "ha", "hb").distinct()
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (size(col("ha")) + size(col("hb")) - col("inter")), 6))
+      // one-pass primitive Jaccard (vs size(array_intersect(..)) which
+      // Catalyst re-evaluates in both the filter and the projection)
+      .withColumn("jaccard",
+        round(graft.functions.exprs.jaccard_sim(col("ha"), col("hb")), 6))
       .filter(col("jaccard") >= jaccardMin)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -133,9 +134,11 @@ object Dedup {
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (size(col("ha")) + size(col("hb")) - col("inter")), 6))
+      // one-pass primitive Jaccard — at sf0.1 the verify stage scores
+      // >1M candidate pairs, and the composed array_intersect form both
+      // allocates per row and gets re-evaluated by the pushed-down filter
+      .withColumn("jaccard",
+        round(graft.functions.exprs.jaccard_sim(col("ha"), col("hb")), 6))
       .filter(col("jaccard") >= jaccardMin)
       .select("doc_a", "doc_b", "jaccard")
   }

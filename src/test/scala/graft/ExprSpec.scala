@@ -37,6 +37,22 @@ class ExprSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got - 24.0 / 25.0) < 1e-12)
   }
 
+  test("JaccardSim equals size(array_intersect)/size(union) composition") {
+    val rows = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L)),     // 2/5
+      (Seq(7L), Seq(8L)),                          // 0/2
+      (Seq(9L, 10L), Seq(10L, 9L)))                // 1.0, order-insensitive
+    val got = rows.toDF("a", "b")
+      .select(exprs.jaccard_sim(col("a"), col("b"))).as[Double].collect()
+    assert(got(0) == 2.0 / 5.0 && got(1) == 0.0 && got(2) == 1.0)
+    val composed = rows.toDF("a", "b")
+      .select((size(array_intersect(col("a"), col("b"))).cast("double") /
+        (size(col("a")) + size(col("b")) -
+          size(array_intersect(col("a"), col("b"))))).as("j"))
+      .as[Double].collect()
+    assert(got.toSeq == composed.toSeq)
+  }
+
   test("ShingleHashes handles degenerate whitespace like split+filter") {
     val got = Seq(Tuple1("  a   b  c ")).toDF("t")
       .select(exprs.shingle_hashes(col("t"), 3)).as[Seq[Long]].head()
