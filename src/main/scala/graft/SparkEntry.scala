@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Composite, Extensions, Relational, Relational2}
+import graft.queries.{Composite, Extensions, Relational, Relational2, Relational3}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator registers a named query here; where the
@@ -17,10 +17,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ Relational2.defs ++ Composite.defs ++ Extensions.defs
+    Relational.defs ++ Relational2.defs ++ Relational3.defs ++
+      Composite.defs ++ Extensions.defs
 
   /** DuckDB-runnable oracle per query; omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Relational2.oracles ++ Composite.oracles ++
-      Extensions.oracles
+    Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
+      Composite.oracles ++ Extensions.oracles
 }

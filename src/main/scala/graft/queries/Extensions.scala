@@ -150,6 +150,26 @@ object Extensions {
     // ---- streaming (drained to batch for the driver gate; the result
     // must equal the batch plan, so it shares q_tumbling_window's oracle
     // shape) ----
+    // custom streaming state (flatMapGroupsWithState): per-user running
+    // stats, drained in update mode — the finite file source fits one
+    // micro-batch, so exactly one updated row per user reaches the sink
+    // and the result equals the batch GROUP BY
+    "stream_user_stats" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      graft.streaming.StreamOps.drainToBatch(
+        graft.streaming.StreamOps.userStats(
+          graft.streaming.StreamOps.eventsStream(s, d)), "update")
+        .select(col("user_id"), col("n_events"), col("total"))
+    }),
+
+    // BPE-ish subword counting: regex piece extraction (letter runs,
+    // single digits, single punctuation) + the chars/4 heuristic estimate
+    "text_bpe_tokens" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).as("n_pieces"),
+        ceil(length(col("text")) / 4.0).cast("long").as("n_bpe_est"))),
+
     "stream_tumbling_window" -> ((s, d) => {
       implicit val sp: SparkSession = s
       graft.streaming.StreamOps.drainToBatch(
@@ -476,6 +496,16 @@ object Extensions {
              event_type, COUNT(1) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2""",
+    "stream_user_stats" -> """
+      SELECT user_id, COUNT(1) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY user_id""",
+    "text_bpe_tokens" -> """
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
+                  AS INTEGER) AS n_pieces,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+      FROM documents""",
     "q_csv_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "q_sliding_window" -> """

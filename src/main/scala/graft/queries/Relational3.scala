@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.{Dedup, Skew}
+import graft.sources.Tables
+
+/** Third relational battery: remaining join types (right/cross), EXISTS
+  * and IN subqueries, LIMIT/OFFSET pagination, deterministic hash
+  * sampling, struct ordering (argmax via max-of-struct), bitwise ops,
+  * date arithmetic, conditional/boolean aggregates, RANGE window
+  * frames, the salted skew join, and a partition-pruned sink round
+  * trip. Same output-type and determinism conventions as
+  * [[Relational]].
+  */
+object Relational3 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def sumDec(c: org.apache.spark.sql.Column, scale: Int) =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val defs: Map[String, Q] = Map(
+    // right outer join: every customer, with or without orders
+    "q_join_right" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .select(c("c_custkey"), o("o_orderkey"))
+    }),
+    // cross join of the two smallest dims (5 × 25): the one join shape
+    // that must NEVER run on two large inputs — kept dim × dim here
+    "q_join_cross" -> ((s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"))),
+    // EXISTS / NOT EXISTS — Catalyst rewrites to semi/anti joins
+    "q_exists_subquery" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT c_custkey
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')""")
+    }),
+    // IN / NOT IN subqueries (non-null keys, so no three-valued traps)
+    "q_in_subquery" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+          AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity <= 2)""")
+    }),
+    // pagination: total order + offset + limit
+    "q_limit_offset" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_orderkey").asc)
+        .offset(50).limit(100)
+        .select(col("o_orderkey"), col("o_custkey"))),
+    // Deterministic ~5% sample via md5-bucket — unlike TABLESAMPLE this
+    // is reproducible across engines, partitionings and reruns, which is
+    // what a 100 TB pipeline needs for holdout splits (and what makes an
+    // oracle possible at all).
+    "q_hash_sample" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(Dedup.md5Hash32(col("o_orderkey").cast("string")) % 100 < 5)
+        .select(col("o_orderkey"), col("o_custkey"))),
+    // struct ordering: max(struct(price, key)) = lexicographic argmax
+    // with a total tie-break, entirely inside the aggregate (no window)
+    "q_struct_fns" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+        .select(col("custkey"),
+          round(col("m.o_totalprice"), 2).as("top_price"),
+          col("m.o_orderkey").as("top_order"))),
+    "q_bitwise" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(lit(255L)).as("and8"),
+        col("l_orderkey").bitwiseOR(col("l_linenumber")).as("or_ln"),
+        col("l_orderkey").bitwiseXOR(col("l_linenumber")).as("xor_ln"),
+        shiftleft(col("l_linenumber"), 3).as("shl3"),
+        shiftright(col("l_orderkey"), 2).as("shr2"),
+        expr("cast(bit_count(l_orderkey) as int)").as("bits"))),
+    "q_datetime_arith" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate"))
+          .as("days_to_end"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+        date_format(add_months(col("o_orderdate"), 2), "yyyy-MM-dd").as("plus2m"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofyear(col("o_orderdate")).as("doy"))),
+    // conditional / boolean aggregates + greatest/least scalars
+    "q_cond_agg" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag").as("rf"))
+        .agg(count_if(col("l_discount") > 0.05).as("n_disc"),
+          bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_tax") > 0.07).as("some_tax"),
+          sumDec(greatest(col("l_tax"), col("l_discount")), 2).as("sum_max_rate"),
+          sumDec(least(col("l_tax"), col("l_discount")), 2).as("sum_min_rate"))),
+    // RANGE frame (peer rows by value distance, not row count) — decimal
+    // accumulation: double frame sums are evaluation-order-dependent
+    "q_window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+        .rangeBetween(-1000, Window.currentRow)
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("near_sum"),
+        count(lit(1)).over(w).as("near_n"))
+    }),
+    // salted skew join must equal the plain inner join it replaces
+    "q_skew_salted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      Skew.saltedJoin(li, o, "l_orderkey")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"), sumDec(col("l_extendedprice"), 2).as("rev"))
+    }),
+    // K1 partitioned sink + partition-pruned scan round trip: the read
+    // side only touches the o_orderstatus=F directory
+    "q_partition_prune" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+      graft.sources.Sinks.overwriteParquet(
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus")),
+        s"$tmp/orders_by_status", partitionBy = Seq("o_orderstatus"))
+      s.read.parquet(s"$tmp/orders_by_status")
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_right" -> """
+      SELECT c_custkey, o_orderkey
+      FROM orders RIGHT JOIN customer ON o_custkey = c_custkey""",
+    "q_join_cross" -> """
+      SELECT r_name, n_name FROM region CROSS JOIN nation""",
+    "q_exists_subquery" -> """
+      SELECT c_custkey
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey
+                          AND o2.o_orderstatus = 'F')""",
+    "q_in_subquery" -> """
+      SELECT p_partkey, p_name
+      FROM part
+      WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity <= 2)""",
+    "q_limit_offset" -> """
+      SELECT o_orderkey, o_custkey FROM orders
+      ORDER BY o_orderkey ASC LIMIT 100 OFFSET 50""",
+    "q_hash_sample" -> """
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 5""",
+    "q_struct_fns" -> """
+      SELECT o_custkey AS custkey, round(tp, 2) AS top_price, ok AS top_order
+      FROM (SELECT o_custkey, o_totalprice AS tp, o_orderkey AS ok,
+              row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+            FROM orders) t
+      WHERE rn = 1""",
+    "q_bitwise" -> """
+      SELECT l_orderkey, l_linenumber,
+             l_orderkey & 255 AS and8,
+             l_orderkey | l_linenumber AS or_ln,
+             xor(l_orderkey, l_linenumber) AS xor_ln,
+             l_linenumber << 3 AS shl3,
+             l_orderkey >> 2 AS shr2,
+             CAST(bit_count(l_orderkey) AS INTEGER) AS bits
+      FROM lineitem""",
+    "q_datetime_arith" -> """
+      SELECT o_orderkey,
+             strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+                  AS INTEGER) AS days_to_end,
+             strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+             strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE),
+                      '%Y-%m-%d') AS plus2m,
+             CAST(quarter(o_orderdate) AS INTEGER) AS q,
+             CAST(dayofyear(o_orderdate) AS INTEGER) AS doy
+      FROM orders""",
+    "q_cond_agg" -> """
+      SELECT l_returnflag AS rf,
+             CAST(COUNT(1) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
+             bool_and(l_quantity > 0) AS all_pos,
+             bool_or(l_tax > 0.07) AS some_tax,
+             CAST(SUM(CAST(greatest(l_tax, l_discount) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sum_max_rate,
+             CAST(SUM(CAST(least(l_tax, l_discount) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sum_min_rate
+      FROM lineitem GROUP BY l_returnflag""",
+    "q_window_range_frame" -> """
+      SELECT o_orderkey, o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS near_sum,
+             COUNT(1) OVER w AS near_n
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)""",
+    "q_skew_salted" -> """
+      SELECT o_orderstatus AS status, COUNT(1) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1""",
+    "q_partition_prune" -> """
+      SELECT o_orderpriority AS priority, COUNT(1) AS n
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY 1"""
+  )
+}

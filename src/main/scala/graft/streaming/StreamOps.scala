@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming variants of the event-time operators (SURVEY
@@ -82,6 +82,36 @@ object StreamOps {
   def dedupedEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id", "ts")
+
+  /** Custom streaming state via `flatMapGroupsWithState`: a running
+    * per-user (event count, decimal total) that survives across
+    * micro-batches — the escape hatch when built-in windowed aggregates
+    * can't express the state machine. Decimal accumulation keeps the
+    * total independent of the order rows reach the group iterator
+    * (exact arithmetic is commutative; double summation is not), so the
+    * emitted value matches a batch `SUM(CAST(value AS DECIMAL(18,2)))`
+    * bit-for-bit. Emits one updated row per user per micro-batch
+    * (OutputMode.Update). */
+  def userStats(events: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, java.math.BigDecimal), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, java.math.BigDecimal)]) =>
+          var (n, total) = state.getOption.getOrElse((0L, java.math.BigDecimal.ZERO))
+          rows.foreach { case (_, v) =>
+            n += 1
+            // same rounding as Spark's cast(double as decimal(18,2))
+            total = total.add(java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP))
+          }
+          state.update((n, total))
+          Iterator((uid, n, total.doubleValue))
+      }
+      .toDF("user_id", "n_events", "total")
+  }
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 

@@ -41,6 +41,22 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
   }
 }
 
+class StreamingStateSpec extends AnyFunSuite with SparkSpec {
+  test("flatMapGroupsWithState user stats == batch GROUP BY") {
+    val dir = "/root/testdata/sf0.001"
+    implicit val s = spark
+    val out = StreamOps.drainToBatch(
+      StreamOps.userStats(StreamOps.eventsStream(spark, dir)), "update")
+    val batch = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+    assert(out.count() > 0)
+    assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
+  }
+}
+
 class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
   test("stateful streaming dedup leaves distinct event ids") {
     val dir = "/root/testdata/sf0.001"
