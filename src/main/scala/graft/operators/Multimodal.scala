@@ -20,9 +20,30 @@ object Multimodal {
   /** A media row: payload plus typed metadata. */
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
 
-  /** Extracted features: fixed-width vector + provenance metadata. */
+  /** Extracted features: fixed-width vector + provenance metadata.
+    * `slot_sums` are the exact per-slot byte sums the float features
+    * derive from — integer, so an external oracle can reproduce them
+    * bit-for-bit where float accumulation could not be compared. */
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
-                           sha256: String, features: Array[Float])
+                           sha256: String, features: Array[Float],
+                           slot_sums: Array[Long])
+
+  /** A sampled frame: every `stride`-th fixed-size chunk of the payload
+    * (the video-frame-sampling shape: one input row → few output rows,
+    * payload chunked positionally). */
+  case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Exact per-slot byte sums: slot j accumulates payload bytes at
+    * positions ≡ j (mod 8). Integer arithmetic — oracle-reproducible. */
+  def byteSlotSums(payload: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](8)
+    var i = 0
+    while (i < payload.length) {
+      out(i % 8) += (payload(i) & 0xff)
+      i += 1
+    }
+    out
+  }
 
   /** STUB — stands in for an image/audio decode + model embed. Produces a
     * deterministic 8-dim feature from the payload bytes so tests can
@@ -36,6 +57,39 @@ object Multimodal {
       i += 1
     }
     out
+  }
+
+  /** STUB resize — nearest-neighbor decimation of the payload to
+    * `outBytes` samples (byte k of the output is input byte
+    * (k·len) / outBytes, integer division). Stands in for an image
+    * thumbnail/resample; the positional-selection shape and the
+    * binary→binary signature are what a real codec plugs into. Payloads
+    * shorter than `outBytes` pass through unchanged. */
+  def resizeStub(payload: Array[Byte], outBytes: Int = 32): Array[Byte] = {
+    if (payload.length <= outBytes) return payload
+    val out = new Array[Byte](outBytes)
+    var k = 0
+    while (k < outBytes) {
+      out(k) = payload((k.toLong * payload.length / outBytes).toInt)
+      k += 1
+    }
+    out
+  }
+
+  /** Frame sampling: chunk the payload into `frameBytes` frames and keep
+    * every `stride`-th one (frame_idx keeps the original frame number).
+    * The last frame may be short. One row in → ceil(nframes/stride) rows
+    * out, flatMap-shaped like real video keyframe extraction. */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 64,
+                   stride: Int = 4)
+                  (implicit spark: SparkSession): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.flatMap { m =>
+      m.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (chunk, idx) if idx % stride == 0 =>
+          MediaFrame(m.media_id, idx, chunk)
+      }
+    }
   }
 
   /** documents → media records, treating the text bytes as an opaque
@@ -60,7 +114,7 @@ object Multimodal {
         digest.reset()
         val sha = digest.digest(m.payload).map("%02x".format(_)).mkString
         MediaFeatures(m.media_id, m.kind, m.payload.length, sha,
-          stubDecodeAndEmbed(m.payload))
+          stubDecodeAndEmbed(m.payload), byteSlotSums(m.payload))
       }
     }
   }

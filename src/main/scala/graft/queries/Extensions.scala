@@ -204,7 +204,62 @@ object Extensions {
         .select(col("doc_id"),
           octet_length(col("payload")).as("n_bytes"),
           sha2(col("payload"), 256).as("sha"),
-          graft.functions.exprs.char_sum(col("text")).as("byte_sum")))
+          graft.functions.exprs.char_sum(col("text")).as("byte_sum"))),
+    // batched per-partition feature extraction (decode stubbed, the
+    // mapPartitions plumbing + provenance hash + exact slot sums real)
+    "mm_features" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val f = graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.asMedia(Tables.documents(s, d)))
+      f.select((col("media_id") +: col("n_bytes") +: col("sha256").as("sha") +:
+        (0 until 8).map(j => element_at(col("slot_sums"), j + 1).as(s"s$j"))): _*)
+    }),
+    // keyframe-style sampling: payload → every 4th 64-byte frame
+    "mm_frame_sample" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.asMedia(Tables.documents(s, d)))
+        .select(col("media_id"), col("frame_idx"),
+          octet_length(col("frame")).as("n_bytes"),
+          sha2(col("frame"), 256).as("sha"))
+    }),
+    // thumbnail-style resize: positional decimation to 32 payload bytes
+    "mm_resize" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      graft.operators.Multimodal.asMedia(Tables.documents(s, d))
+        .map(m => (m.media_id,
+          graft.operators.Multimodal.resizeStub(m.payload, 32)))
+        .toDF("media_id", "thumb")
+        .select(col("media_id"), octet_length(col("thumb")).as("n_bytes"),
+          sha2(col("thumb"), 256).as("sha"))
+    }),
+
+    // ---- format breadth: ORC and JSON-lines sink/scan round trips ----
+    "q_orc_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      graft.sources.Sinks.overwriteOrc(
+        Tables.nation(s, d).select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey")), s"$tmp/nation")
+      s.read.orc(s"$tmp/nation")
+    }),
+    "q_json_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString
+      graft.sources.Sinks.overwriteJson(
+        Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey")), s"$tmp/supplier")
+      // explicit schema matching the source parquet types exactly —
+      // JSON inference would widen the int32 nation key to long
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s_suppkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("s_nationkey",
+          org.apache.spark.sql.types.IntegerType)))
+      s.read.schema(schema).json(s"$tmp/supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -541,6 +596,45 @@ object Extensions {
                THEN list_aggregate(list_transform(generate_series(1, length(text)),
                       i -> ascii(substr(text, i, 1))), 'sum')
                ELSE 0 END AS INTEGER) AS byte_sum
+      FROM documents""",
+    "mm_features" -> {
+      // slot j = Σ bytes at 0-based positions ≡ j (mod 8); ASCII text so
+      // char positions == byte positions
+      val slots = (0 until 8).map(j =>
+        s"""CAST(COALESCE(list_aggregate(list_transform(
+           |  list_filter(generate_series(1, length(text)), i -> (i - 1) % 8 = $j),
+           |  i -> ascii(substr(text, i, 1))), 'sum'), 0) AS BIGINT) AS s$j"""
+          .stripMargin).mkString(",\n             ")
+      s"""
+      SELECT doc_id AS media_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+             sha256(text) AS sha,
+             $slots
       FROM documents"""
+    },
+    "mm_frame_sample" -> """
+      SELECT doc_id AS media_id,
+             CAST((k - 1) * 4 AS INTEGER) AS frame_idx,
+             CAST(octet_length(CAST(substr(text, (k - 1) * 4 * 64 + 1, 64) AS BLOB))
+                  AS INTEGER) AS n_bytes,
+             sha256(substr(text, (k - 1) * 4 * 64 + 1, 64)) AS sha
+      FROM documents,
+           LATERAL unnest(generate_series(1,
+             CAST(ceil(ceil(length(text) / 64.0) / 4.0) AS BIGINT))) AS u(k)
+      WHERE length(text) > 0""",
+    "mm_resize" -> """
+      SELECT doc_id AS media_id,
+             CAST(octet_length(CAST(t AS BLOB)) AS INTEGER) AS n_bytes,
+             sha256(t) AS sha
+      FROM (SELECT doc_id,
+              CASE WHEN length(text) <= 32 THEN text
+                   ELSE array_to_string(list_transform(generate_series(0, 31),
+                     k -> substr(text, CAST((k * length(text)) // 32 AS INTEGER) + 1, 1)), '')
+              END AS t
+            FROM documents) x""",
+    "q_orc_roundtrip" -> """
+      SELECT n_nationkey, n_name, n_regionkey FROM nation""",
+    "q_json_roundtrip" -> """
+      SELECT s_suppkey, s_name, s_nationkey FROM supplier"""
   )
 }

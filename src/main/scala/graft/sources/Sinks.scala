@@ -24,6 +24,10 @@ object Sinks {
   def overwriteJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC sink — second columnar format (ships with Spark). */
+  def overwriteOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** K2 strict parity: JDBC writer — the reference's multi-row INSERT
     * over libpq (`dags/utils/df_to_sql.py:12-13`, connection
     * `dags/etl.py:13`) is the `overwrite` JDBC mode; quoting/escaping
