@@ -20,8 +20,11 @@ object GraftSession {
                   shufflePartitions: Int = 32): SparkSession = {
     val s = builder(master, shufflePartitions).getOrCreate()
     // extensions only apply when the session is newly created; the
-    // runtime registry path covers the reuse case
+    // runtime registry + experimental-optimizer paths cover reuse
     functions.GraftFunctions.register(s)
+    if (!s.experimental.extraOptimizations.contains(plans.RewriteJaccardIntersect))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ plans.RewriteJaccardIntersect
     s
   }
 }

@@ -69,7 +69,7 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -77,4 +77,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[GraftExtensions].getName, name),
         b))
     }
+    // composed size(array_intersect)/... Jaccard → one-pass JaccardSim
+    ext.injectOptimizerRule(_ => graft.plans.RewriteJaccardIntersect)
+  }
 }

@@ -277,15 +277,18 @@ object RollingMinHash {
   }
 }
 
-/** Exact Jaccard similarity |a∩b| / |a∪b| of two `array<bigint>` columns
-  * whose elements are distinct within each array (shingle-hash sets are
-  * built with list_distinct semantics). One primitive pass — sorted
-  * copies + linear merge — instead of the `size(array_intersect(...))`
-  * composition, which Catalyst inlines (and therefore re-evaluates) into
-  * both the join condition and the output projection, allocating a
-  * GenericArrayData per evaluation. Division in double over exactly-
-  * representable integer counts: bit-identical to the SQL oracle's
-  * `li / CAST(lu - li AS DOUBLE)`. */
+/** Jaccard similarity of two `array<bigint>` columns, defined exactly as
+  * the composed form
+  * `size(array_intersect(a,b)) / (size(a) + size(b) - size(array_intersect(a,b)))`
+  * for ALL inputs: the intersection count is over DISTINCT common values
+  * (array_intersect semantics) while the sizes count duplicates. One
+  * primitive pass — sorted copies + linear merge skipping duplicate runs
+  * — instead of the composition, which Catalyst inlines (and therefore
+  * re-evaluates) into both the join condition and the output projection,
+  * allocating a GenericArrayData per evaluation. Division in double over
+  * exactly-representable integer counts: bit-identical to the SQL
+  * oracle's `li / CAST(lu - li AS DOUBLE)`. Null array elements are not
+  * supported (inputs must be `containsNull = false`). */
 case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -309,7 +312,11 @@ object JaccardSim {
     var i = 0; var j = 0; var c = 0
     while (i < na && j < nb) {
       val x = xs(i); val y = ys(j)
-      if (x == y) { c += 1; i += 1; j += 1 }
+      if (x == y) {
+        c += 1 // count the VALUE once, however many copies each side has
+        while (i < na && xs(i) == x) i += 1
+        while (j < nb && ys(j) == x) j += 1
+      }
       else if (x < y) i += 1
       else j += 1
     }

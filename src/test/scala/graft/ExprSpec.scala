@@ -154,6 +154,45 @@ class SqlFunctionSpec extends AnyFunSuite with SparkSpec {
   }
 }
 
+class RewriteRuleSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // range-based source: a local Seq would be evaluated away by
+  // ConvertToLocalRelation before user rules run
+  private def arrays = spark.range(2).select(
+    when(col("id") === 0, array(lit(1L), lit(2L), lit(3L)))
+      .otherwise(array(lit(1L), lit(1L), lit(2L))).as("a"),
+    when(col("id") === 0, array(lit(2L), lit(3L), lit(4L)))
+      .otherwise(array(lit(1L), lit(3L))).as("b"))
+
+  test("composed size(array_intersect) Jaccard is rewritten to JaccardSim") {
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.RewriteJaccardIntersect)
+    val df = arrays
+      .select((size(array_intersect(col("a"), col("b"))).cast("double") /
+        (size(col("a")) + size(col("b")) -
+          size(array_intersect(col("a"), col("b"))))).as("j"))
+    val rewritten = df.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[graft.functions.JaccardSim]))
+    assert(rewritten, "optimizer did not substitute JaccardSim")
+    // values identical to the composed form — including duplicate
+    // elements, where intersect counts distinct values but sizes do not
+    assert(df.as[Double].collect().sorted.toSeq == Seq(1.0 / 4.0, 2.0 / 4.0))
+  }
+
+  test("rewrite declines when the size legs reference other arrays") {
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.RewriteJaccardIntersect)
+    val df = arrays
+      .select((size(array_intersect(col("a"), col("b"))).cast("double") /
+        (size(col("a")) + size(col("a")) - // b's size leg replaced by a
+          size(array_intersect(col("a"), col("b"))))).as("j"))
+    val rewritten = df.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[graft.functions.JaccardSim]))
+    assert(!rewritten)
+  }
+}
+
 class GraftSessionSpec extends AnyFunSuite with SparkSpec {
   test("GraftSession reuses the active session and registers SQL functions") {
     val s = GraftSession.getOrCreate("local[4]")
