@@ -122,6 +122,16 @@ object Relational3 {
         .groupBy(col("o_orderstatus").as("status"))
         .agg(count(lit(1)).as("n"), sumDec(col("l_extendedprice"), 2).as("rev"))
     }),
+    // top-k per group via the bounded typed Aggregator: only k rows per
+    // map partition cross the shuffle (vs the window form shuffling all
+    // rows); same oracle shape as a row_number window
+    "q_topk_agg" -> ((s, d) =>
+      graft.operators.TopK.topKPerGroup(
+        Tables.orders(s, d).select(col("o_orderstatus").as("status"),
+          col("o_orderkey"), col("o_totalprice")),
+        "status", "o_orderkey", "o_totalprice", 10)
+        .select(col("status"), col("o_orderkey").as("orderkey"),
+          col("o_totalprice").as("price"), col("rk"))),
     // K1 partitioned sink + partition-pruned scan round trip: the read
     // side only touches the o_orderstatus=F directory
     "q_partition_prune" -> ((s, d) => {
@@ -211,6 +221,14 @@ object Relational3 {
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1""",
+    "q_topk_agg" -> """
+      SELECT status, orderkey, price, rk
+      FROM (SELECT o_orderstatus AS status, o_orderkey AS orderkey,
+              o_totalprice AS price,
+              CAST(row_number() OVER (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rk
+            FROM orders) t
+      WHERE rk <= 10""",
     "q_partition_prune" -> """
       SELECT o_orderpriority AS priority, COUNT(1) AS n
       FROM orders WHERE o_orderstatus = 'F'
