@@ -179,6 +179,17 @@ object Extensions {
           col("event_type"), col("n"), col("total"))
     }),
 
+    // sliding-window streaming variant — same oracle as the batch
+    // q_sliding_window
+    "stream_sliding_window" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      graft.streaming.StreamOps.drainToBatch(
+        graft.streaming.StreamOps.slidingCounts(
+          graft.streaming.StreamOps.eventsStream(s, d)))
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("n"), col("total"))
+    }),
+
     // ---- source/sink round trip: S1 CSV scan + K3 CSV sink through a
     // real filesystem hop, ending in oracle-checked rows ----
     "q_csv_roundtrip" -> ((s, d) => {
@@ -563,6 +574,13 @@ object Extensions {
       FROM documents""",
     "q_csv_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey FROM nation""",
+    "stream_sliding_window" -> """
+      SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(1) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM (SELECT make_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - off)
+                                  * 1000000) AS win, value
+            FROM events, (SELECT unnest([0, 1800]) AS off) o) t
+      GROUP BY 1""",
     "q_sliding_window" -> """
       SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(1) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

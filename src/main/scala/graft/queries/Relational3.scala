@@ -122,6 +122,44 @@ object Relational3 {
         .groupBy(col("o_orderstatus").as("status"))
         .agg(count(lit(1)).as("n"), sumDec(col("l_extendedprice"), 2).as("rev"))
     }),
+    // correlated LATERAL derived table (per-customer aggregate inline)
+    "q_lateral_join" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT c_custkey, t.max_price, t.n_orders
+        FROM customer c,
+        LATERAL (SELECT MAX(o_totalprice) AS max_price,
+                        COUNT(1) AS n_orders
+                 FROM orders WHERE o_custkey = c_custkey) t""")
+    }),
+    // forward fill: last non-null over a running frame (IGNORE NULLS).
+    // (l_orderkey, l_linenumber) is NOT unique in the testdata, so the
+    // ordering includes l_returnflag — rows tied on all three are
+    // interchangeable, making the fill deterministic across engines.
+    "q_window_fill" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_returnflag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        last(nullif(col("l_returnflag"), lit("N")), ignoreNulls = true)
+          .over(w).as("ff_flag"))
+    }),
+    // fuzzy / positional string battery
+    "q_fuzzy_string" -> ((s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+        levenshtein(col("p_name"), lit("standard polished brass")).as("lev"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        reverse(col("p_name")).as("name_rev"),
+        ascii(col("p_name")).as("first_cp"),
+        instr(col("p_name"), "br").cast("int").as("br_pos"))),
+    // approximate percentile sketch (rows-only: estimates are
+    // engine-specific, like q_approx_distinct)
+    "q_approx_quantile" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_linestatus")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000))
+            .as("p90_approx"))),
     // top-k per group via the bounded typed Aggregator: only k rows per
     // map partition cross the shuffle (vs the window form shuffling all
     // rows); same oracle shape as a row_number window
@@ -221,6 +259,27 @@ object Relational3 {
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1""",
+    "q_lateral_join" -> """
+      SELECT c_custkey, t.max_price, t.n_orders
+      FROM customer c,
+      LATERAL (SELECT MAX(o_totalprice) AS max_price,
+                      CAST(COUNT(1) AS BIGINT) AS n_orders
+               FROM orders WHERE o_custkey = c_custkey) t""",
+    "q_window_fill" -> """
+      SELECT l_orderkey, l_linenumber,
+             LAST_VALUE(nullif(l_returnflag, 'N') IGNORE NULLS)
+               OVER (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_returnflag
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_flag
+      FROM lineitem""",
+    "q_fuzzy_string" -> """
+      SELECT p_partkey,
+             CAST(levenshtein(p_name, 'standard polished brass') AS INTEGER) AS lev,
+             lpad(p_brand, 12, '*') AS brand_pad,
+             reverse(p_name) AS name_rev,
+             CAST(ascii(p_name) AS INTEGER) AS first_cp,
+             CAST(strpos(p_name, 'br') AS INTEGER) AS br_pos
+      FROM part""",
     "q_topk_agg" -> """
       SELECT status, orderkey, price, rk
       FROM (SELECT o_orderstatus AS status, o_orderkey AS orderkey,

@@ -45,13 +45,16 @@ object StreamOps {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("total"))
 
-  /** Sliding 1-hour/30-minute windows. */
+  /** Sliding 1-hour/30-minute windows (decimal totals, like
+    * [[tumblingCounts]], so micro-batch order can't change results). */
   def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("w.start").as("win_start"), col("n"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .select(col("w.start").as("win_start"), col("n"), col("total"))
 
   /** Session windows (30-minute gap) per user. */
   def sessionCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
