@@ -23,8 +23,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm-up passes so JIT/codegen/scan caches don't bill the first
     // queries: q1_agg covers the relational scan path, dedup_minhash the
-    // custom-expression + documents path, sim_topk the vector path
-    Seq("q1_agg", "dedup_minhash", "sim_topk").foreach(n =>
+    // custom-expression + documents path, sim_topk the vector path,
+    // stream_tumbling_window the streaming micro-batch machinery
+    Seq("q1_agg", "dedup_minhash", "sim_topk", "stream_tumbling_window")
+      .foreach(n =>
       SparkEntry.queries.get(n).foreach { f =>
         try f(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
