@@ -54,6 +54,17 @@ object Extensions {
       scored.select(col("doc_id"), TextOps.langId(col("__t")).as("lang_pred"),
         col("c_de"), col("c_en"), col("c_es"), col("c_fr"))
     }),
+    // corpus-level bigram frequencies with a deterministic top-20
+    "text_ngram_freq" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("t", TextOps.tokens(col("text")))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc).limit(20)),
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy(TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
@@ -507,6 +518,13 @@ object Extensions {
              COUNT(1) AS n_docs, MIN(doc_id) AS keeper
       FROM (SELECT doc_id, $duckTokens AS t FROM documents) x
       GROUP BY 1""",
+    "text_ngram_freq" -> s"""
+      WITH tok AS (SELECT $duckTokens AS t FROM documents),
+      bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1])) AS bigram
+             FROM tok WHERE len(t) >= 2)
+      SELECT bigram, COUNT(1) AS n FROM bg
+      GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20""",
     "dedup_exact" -> """
       SELECT md5(text) AS text_hash, COUNT(1) AS n_copies, MIN(doc_id) AS keeper
       FROM documents GROUP BY 1 HAVING COUNT(1) > 1""",

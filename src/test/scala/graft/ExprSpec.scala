@@ -93,6 +93,45 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == in.map(_.takeWhile(_ != 'T')))
   }
 
+  test("property: JaccardSim == composed array_intersect form, dups included") {
+    import graft.functions.exprs
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { _ =>
+      val a = Seq.fill(rnd.nextInt(20))(rnd.nextInt(10).toLong)
+      val b = Seq.fill(rnd.nextInt(20))(rnd.nextInt(10).toLong)
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+      .filter(size(col("a")) + size(col("b")) > 0) // skip NaN == NaN rows
+    val jac = df.select(exprs.jaccard_sim(col("a"), col("b")))
+      .as[Double].collect()
+    val composed = df.select(
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        (size(col("a")) + size(col("b")) -
+          size(array_intersect(col("a"), col("b"))))).as("j"))
+      .as[Double].collect()
+    assert(jac.toSeq == composed.toSeq)
+  }
+
+  test("property: TopKAgg fold/merge == global sort.take(k)") {
+    import graft.operators.TopK
+    val ord: Ordering[TopK.Scored] =
+      Ordering.by((s: TopK.Scored) => (-s.score, s.id))
+    val agg = new TopK.TopKAgg(5)
+    val rnd = new scala.util.Random(11)
+    (1 to 50).foreach { _ =>
+      val items = Seq.fill(rnd.nextInt(30))(
+        TopK.Scored(rnd.nextInt(8).toDouble, rnd.nextInt(1000).toLong))
+      val folded = items.foldLeft(agg.zero)(agg.reduce)
+      assert(folded == items.sorted(ord).take(5))
+      val more = Seq.fill(rnd.nextInt(30))(
+        TopK.Scored(rnd.nextInt(8).toDouble, rnd.nextInt(1000).toLong))
+      val merged = agg.merge(folded, more.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == (items.sorted(ord).take(5) ++ more.sorted(ord).take(5))
+        .sorted(ord).take(5))
+    }
+  }
+
   test("property: |A ⋈ B| <= |A| * max key multiplicity in B") {
     val a = (1 to 100).map(i => (i.toLong % 10, i)).toDF("k", "va")
     val b = (1 to 30).map(i => (i.toLong % 5, i)).toDF("k", "vb")
