@@ -101,6 +101,12 @@ object Extensions {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")),
     "dedup_embedding" -> ((s, d) =>
       Similarity.embeddingPairs(Tables.embeddings(s, d))),
+    // SemDeDup shape: connected components over embedding-space near-dup
+    // pairs — keep doc_id == cluster rows as the semantic canonicals
+    "dedup_semantic" -> ((s, d) =>
+      Dedup.duplicateClusters(
+        Similarity.embeddingPairs(Tables.embeddings(s, d))
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))),
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text")),
     "text_rolling_fp" -> ((s, d) =>
@@ -548,6 +554,21 @@ object Extensions {
              ${duckCos("a.embedding", "c.embedding")} AS cos
       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
       WHERE ${duckCos("a.embedding", "c.embedding")} >= 0.3""",
+    "dedup_semantic" -> s"""
+      WITH RECURSIVE b AS (SELECT vec_id, embedding,
+                             CAST($duckBucket AS BIGINT) AS bucket
+                           FROM embeddings),
+      verified AS (SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
+                   FROM b a JOIN b c ON a.bucket = c.bucket
+                    AND a.vec_id < c.vec_id
+                   WHERE ${duckCos("a.embedding", "c.embedding")} >= 0.3),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+                UNION ALL SELECT doc_b, doc_a FROM verified),
+      lab(id, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, l.lbl FROM edges e JOIN lab l ON e.dst = l.id)
+      SELECT id AS doc_id, MIN(lbl) AS cluster FROM lab GROUP BY id""",
     "sim_topk" -> s"""
       WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
       scored AS (SELECT qid, vec_id, ${duckCos("qv", "embedding")} AS sim
