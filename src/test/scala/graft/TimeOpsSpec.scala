@@ -51,6 +51,19 @@ class NewDedupOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(10L) == 10L && out(11L) == 10L)
   }
 
+  test("duplicate clusters throw past maxRounds instead of silently wrong") {
+    // a chain 0-1-2-...-12 has diameter 12: converges with enough
+    // rounds, throws loudly when capped below the diameter
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ok = Dedup.duplicateClusters(chain, maxRounds = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.size == 13 && ok.values.forall(_ == 0L))
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(chain, maxRounds = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("rolling min hash matches the direct polynomial, null when short") {
     import graft.functions.exprs
     import graft.functions.RollingMinHash.{B, M}
