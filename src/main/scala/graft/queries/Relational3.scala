@@ -122,6 +122,24 @@ object Relational3 {
         .groupBy(col("o_orderstatus").as("status"))
         .agg(count(lit(1)).as("n"), sumDec(col("l_extendedprice"), 2).as("rev"))
     }),
+    // higher-order array functions (transform/filter/aggregate/exists/
+    // forall) over the embedding vectors — sequential double fold, so
+    // the DuckDB list_* composition reproduces the exact sums
+    "q_higher_order" -> ((s, d) =>
+      Tables.embeddings(s, d).select(col("vec_id"),
+        round(expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE))"), 6)
+          .as("v_sum"),
+        size(expr("filter(embedding, x -> x > 0)")).as("n_pos"),
+        expr("exists(embedding, x -> x > 1.0)").as("has_big"),
+        expr("forall(embedding, x -> abs(x) < 10.0)").as("all_small"),
+        round(expr("element_at(transform(embedding, x -> CAST(x AS DOUBLE) * 2), 1)"), 6)
+          .as("first_x2"))),
+    // explode_outer keeps rows whose generator input is empty
+    "q_explode_outer" -> ((s, d) =>
+      Tables.nation(s, d)
+        .withColumn("ks", expr(
+          "filter(array(n_regionkey), x -> n_regionkey >= 3)"))
+        .select(col("n_nationkey"), explode_outer(col("ks")).as("k"))),
     // correlated LATERAL derived table (per-customer aggregate inline)
     "q_lateral_join" -> ((s, d) => {
       Tables.registerViews(s, d)
@@ -259,6 +277,19 @@ object Relational3 {
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1""",
+    "q_higher_order" -> """
+      SELECT vec_id,
+             round(list_aggregate(list_transform(embedding,
+               x -> CAST(x AS DOUBLE)), 'sum'), 6) AS v_sum,
+             CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+             len(list_filter(embedding, x -> x > 1.0)) > 0 AS has_big,
+             len(list_filter(embedding, x -> abs(x) >= 10.0)) = 0 AS all_small,
+             round(CAST(embedding[1] AS DOUBLE) * 2, 6) AS first_x2
+      FROM embeddings""",
+    "q_explode_outer" -> """
+      SELECT n_nationkey, u.k
+      FROM nation LEFT JOIN LATERAL (
+        SELECT unnest([n_regionkey]) AS k WHERE n_regionkey >= 3) u ON true""",
     "q_lateral_join" -> """
       SELECT c_custkey, t.max_price, t.n_orders
       FROM customer c,
