@@ -51,15 +51,21 @@ class NewDedupOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(10L) == 10L && out(11L) == 10L)
   }
 
-  test("duplicate clusters throw past maxRounds instead of silently wrong") {
-    // a chain 0-1-2-...-12 has diameter 12: converges with enough
-    // rounds, throws loudly when capped below the diameter
+  test("distributed label propagation (large-graph path) matches union-find") {
+    // smallGraphThreshold = 0 forces the distributed loop
     val chain = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val ok = Dedup.duplicateClusters(chain, maxRounds = 20)
-      .as[(Long, Long)].collect().toMap
-    assert(ok.size == 13 && ok.values.forall(_ == 0L))
+    val dist = Dedup.duplicateClusters(chain, maxRounds = 20,
+      smallGraphThreshold = 0L).as[(Long, Long)].collect().toMap
+    val uf = Dedup.duplicateClusters(chain).as[(Long, Long)].collect().toMap
+    assert(dist == uf && dist.size == 13 && dist.values.forall(_ == 0L))
+  }
+
+  test("duplicate clusters throw past maxRounds instead of silently wrong") {
+    // a chain 0-1-2-...-12 has diameter 12: throws loudly when the
+    // distributed path is capped below what convergence needs
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      Dedup.duplicateClusters(chain, maxRounds = 3)
+      Dedup.duplicateClusters(chain, maxRounds = 2, smallGraphThreshold = 0L)
     }
     assert(e.getMessage.contains("did not converge"))
   }
