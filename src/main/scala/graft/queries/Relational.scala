@@ -177,9 +177,10 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       Tables.orders(s, d)
         .withColumn("rk", rank().over(w))
+        .withColumn("drk", dense_rank().over(w))
         .filter(col("rk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
-          col("o_totalprice").as("price"), col("rk"))
+          col("o_totalprice").as("price"), col("rk"), col("drk"))
     }),
     "q_window_lag" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -419,11 +420,13 @@ object Relational {
              COUNT(1) AS n_lines
       FROM lineitem GROUP BY l_partkey HAVING COUNT(1) >= 30""",
     "q_window_rank" -> """
-      SELECT o_custkey, o_orderkey, o_totalprice AS price, rk
+      SELECT o_custkey, o_orderkey, o_totalprice AS price, rk, drk
       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-                   CAST(rank() OVER (PARTITION BY o_custkey
-                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rk
-            FROM orders) t
+                   CAST(rank() OVER w AS INTEGER) AS rk,
+                   CAST(dense_rank() OVER w AS INTEGER) AS drk
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey ASC)) t
       WHERE rk <= 3""",
     "q_window_lag" -> """
       SELECT o_custkey, o_orderkey, o_totalprice AS price,
