@@ -196,6 +196,24 @@ object Extensions {
           col("event_type"), col("n"), col("total"))
     }),
 
+    // stream-static join: event stream enriched with a broadcast
+    // dimension, then windowed counts — equals the batch join oracle
+    "stream_static_join" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      graft.streaming.StreamOps.drainToBatch(
+        graft.streaming.StreamOps.enrichedSegmentCounts(
+          graft.streaming.StreamOps.eventsStream(s, d), Tables.customer(s, d)))
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("segment"), col("n"))
+    }),
+
+    // mergeable cardinality sketches: per-group HLL sketches unioned to
+    // a corpus-level estimate (rows-only: estimates are engine-specific)
+    "q_hll_union" -> ((s, d) =>
+      Tables.orders(s, d).groupBy("o_orderstatus")
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_custs"))),
+
     // sliding-window streaming variant — same oracle as the batch
     // q_sliding_window
     "stream_sliding_window" -> ((s, d) => {
@@ -620,6 +638,11 @@ object Extensions {
                                   * 1000000) AS win, value
             FROM events, (SELECT unnest([0, 1800]) AS off) o) t
       GROUP BY 1""",
+    "stream_static_join" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+             c_mktsegment AS segment, COUNT(1) AS n
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2""",
     "q_sliding_window" -> """
       SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(1) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

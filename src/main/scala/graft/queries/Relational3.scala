@@ -188,6 +188,17 @@ object Relational3 {
         "status", "o_orderkey", "o_totalprice", 10)
         .select(col("status"), col("o_orderkey").as("orderkey"),
           col("o_totalprice").as("price"), col("rk"))),
+    // bucketed table round trip: the write pre-shuffles on the bucket
+    // key, so this aggregation (and any later equi-join on o_custkey)
+    // runs exchange-free — asserted on the plan in SinksSkewSpec
+    "q_bucketed_agg" -> ((s, d) => {
+      graft.sources.Sinks.writeBucketed(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
+        "graft_orders_bucketed", Seq("o_custkey"), 8)
+      s.table("graft_orders_bucketed")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice"), 2).as("total"))
+    }),
     // K1 partitioned sink + partition-pruned scan round trip: the read
     // side only touches the o_orderstatus=F directory
     "q_partition_prune" -> ((s, d) => {
@@ -319,6 +330,10 @@ object Relational3 {
                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rk
             FROM orders) t
       WHERE rk <= 10""",
+    "q_bucketed_agg" -> """
+      SELECT o_custkey AS custkey, COUNT(1) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1""",
     "q_partition_prune" -> """
       SELECT o_orderpriority AS priority, COUNT(1) AS n
       FROM orders WHERE o_orderstatus = 'F'

@@ -42,10 +42,24 @@ object Sinks {
     * 100 TB answer to "this join shuffles the fact table every run".
     * Requires a catalog (`saveAsTable`), hence a configured warehouse. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a previous SESSION may have left the managed location behind while
+    // this session's in-memory catalog has no entry for it — overwrite
+    // mode then fails with LOCATION_ALREADY_EXISTS; clear the stale dir
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = java.nio.file.Paths.get(
+      if (wh.getScheme == "file") wh.getPath else wh.toString).resolve(table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 }

@@ -86,6 +86,21 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id", "ts")
 
+  /** Stream-static join: enrich the event stream with a broadcast
+    * dimension (the table is re-read per micro-batch, so slowly-changing
+    * dims stay current), then count per (hour window, segment). The
+    * canonical "events ⋈ reference data" pipeline shape — the static
+    * side never becomes state, so memory stays bounded. */
+  def enrichedSegmentCounts(events: DataFrame, customers: DataFrame,
+                            watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"),
+        col("c_mktsegment").as("segment"), col("n"))
+
   /** Custom streaming state via `flatMapGroupsWithState`: a running
     * per-user (event count, decimal total) that survives across
     * micro-batches — the escape hatch when built-in windowed aggregates
