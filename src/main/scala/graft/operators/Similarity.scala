@@ -28,19 +28,28 @@ object Similarity {
     df.withColumn("bucket",
       graft.functions.exprs.sign_lsh_bucket(col("embedding"), bits))
 
+  /** Bounded per-query top-k reduction shared by the three search
+    * paths: the window formulation (`row_number` over qid) would shuffle
+    * EVERY scored candidate to sort each query's list; the typed
+    * [[TopK.TopKAgg]] aggregates partially, so only k rows per query
+    * PER MAP PARTITION cross the shuffle — at corpus scale the
+    * difference between shuffling the scan and shuffling k·partitions
+    * rows. Same total order as the windows it replaced: (sim desc,
+    * vec_id asc). */
+  private def topKReduce(scored: DataFrame, k: Int): DataFrame =
+    TopK.topKPerGroup(scored.select(col("qid"), col("vec_id"), col("sim")),
+      "qid", "vec_id", "sim", k)
+
   /** Exact top-k neighbours for each query vector (brute force): one
     * broadcast of the query set, one narrow scan of the corpus, one
-    * shuffle on query id for the top-k window. */
+    * bounded partial-aggregating top-k reduction. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"),
       col("embedding").as("qv")))
     val scored = corpus.select(col("vec_id"), col("embedding").as("v"))
       .join(q, col("qid") =!= col("vec_id"))
       .withColumn("sim", round(cosine("qv", "v"), 6))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+    topKReduce(scored, k)
   }
 
   /** Approximate top-k: candidates restricted to the query's sign-LSH
@@ -57,22 +66,85 @@ object Similarity {
           col("bucket")))
     val scored = c.join(q, Seq("bucket")).filter(col("qid") =!= col("vec_id"))
       .withColumn("sim", round(cosine("qv", "v"), 6))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+    topKReduce(scored, k)
   }
 
-  /** IVF-flat approximate top-k: a fixed coarse quantizer (the first
-    * `nCentroids` vectors — deterministic, no trained k-means so the SQL
-    * oracle reproduces the partition exactly), each corpus vector
-    * assigned to its nearest centroid, queries probing their `nprobe`
-    * nearest cells. The 100 TB shape: the corpus is partitioned once by
-    * cell; a query touches nprobe/nCentroids of the data. */
+  /** Deterministic fixed-iteration Lloyd k-means — the trained coarse
+    * quantizer for [[ivfTopK]]. Seed = the `nCentroids` lowest vec_ids;
+    * each iteration assigns every vector to its nearest centroid by
+    * rounded cosine (ties → lowest cent_id) and recomputes centroids as
+    * element-wise means in INTEGER micro-units (floor(x·10⁶) summed as
+    * longs, floor-divided by the count) so there is no float-summation
+    * order dependence anywhere: the SQL oracle unrolls the same
+    * iterations and lands on bit-identical centroids. Empty cells keep
+    * their previous centroid.
+    *
+    * Scale: each iteration is one broadcast-nested-loop scan (centroid
+    * set is tiny) + one partial-aggregating groupBy; only the
+    * nCentroids×dim model crosses to the driver — the MLlib k-means
+    * shape. Micro-unit sums stay exact below ~9·10¹⁵, i.e. corpora up
+    * to ~10⁹ vectors per cell at |x|≤3. */
+  def trainCentroids(corpus: DataFrame, nCentroids: Int = 16,
+                     iters: Int = 3): Seq[(Int, Array[Float])] = {
+    val spark = corpus.sparkSession
+    var cents: Seq[(Int, Array[Float])] = corpus
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    for (_ <- 0 until iters) {
+      val centDf = centroidFrame(spark, cents)
+      val means = corpus.select(col("vec_id"), col("embedding"))
+        .join(centDf, lit(true)) // 16-row broadcast nested loop
+        .withColumn("csim", round(cosine("embedding", "cv"), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cent_id"),
+            struct(col("csim"), (-col("cent_id")).as("nc"))).as("cent_id"),
+          first(col("embedding")).as("v"))
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cent_id"), col("d"))
+        .agg(sum(floor(col("x").cast("double") * 1000000.0)).as("s"),
+          count(lit(1)).as("n"))
+        // exact floor division: subtract the non-negative remainder so
+        // the double division below is of an exact multiple
+        .withColumn("cj", ((col("s") -
+          ((col("s") % col("n") + col("n")) % col("n"))) / col("n"))
+          .cast("long"))
+        .select(col("cent_id"), col("d"), col("cj"))
+        .collect() // nCentroids × dim rows — the model, not the data
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1))
+            .map(r => (r.getLong(2) / 1000000.0).toFloat).toArray
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+                            cents: Seq[(Int, Array[Float])]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("cent_id", IntegerType, nullable = false),
+      StructField("cv", ArrayType(FloatType, containsNull = false))))
+    broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(
+        cents.map { case (id, v) => Row(id, v.toSeq) }: _*), schema))
+  }
+
+  /** IVF-flat approximate top-k over a [[trainCentroids]] quantizer:
+    * each corpus vector assigned to its nearest centroid, queries
+    * probing their `nprobe` nearest cells. The 100 TB shape: the corpus
+    * is partitioned once by cell; a query touches nprobe/nCentroids of
+    * the data. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
-    val cents = broadcast(corpus.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
+              nCentroids: Int = 16, nprobe: Int = 2,
+              iters: Int = 5): DataFrame = {
+    val cents = centroidFrame(corpus.sparkSession,
+      trainCentroids(corpus, nCentroids, iters))
     def assign(df: DataFrame, idCol: String, vCol: String, keep: Int) = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("csim").desc, col("cent_id").asc)
@@ -90,10 +162,7 @@ object Similarity {
     val scored = assigned.join(probes, Seq("cent_id"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("sim", round(cosine("qv", "v"), 6))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+    topKReduce(scored, k)
   }
 
   /** Near-duplicate vector pairs: sign-LSH blocking then exact cosine ≥

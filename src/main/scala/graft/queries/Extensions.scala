@@ -390,11 +390,41 @@ object Extensions {
       FROM documents"""
   }
 
+  /** Unrolled deterministic k-means (same recipe as
+    * `Similarity.trainCentroids`: seed = 16 lowest vec_ids, 3 Lloyd
+    * iterations, element-wise means in integer micro-units, empty cells
+    * keep their centroid). 64 = the testdata embedding dim. */
+  private def kmeansCtes(iters: Int): String = {
+    val init =
+      "c0 AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cv " +
+        "FROM embeddings WHERE vec_id < 16)"
+    val steps = (1 to iters).map { i =>
+      val p = s"c${i - 1}"
+      s"""a$i AS (SELECT vec_id, embedding AS v, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ${duckCos("embedding", "cv")} DESC, cent_id ASC) AS rn
+             FROM embeddings CROSS JOIN $p),
+      s$i AS (SELECT cent_id, d,
+                SUM(CAST(floor(CAST(v[d] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
+                COUNT(1) AS n
+              FROM (SELECT * FROM a$i WHERE rn = 1), range(1, 65) t(d)
+              GROUP BY cent_id, d),
+      m$i AS (SELECT cent_id,
+                list_transform(
+                  list(CAST((s - ((s % n + n) % n)) / n AS BIGINT) ORDER BY d),
+                  q -> CAST(q / 1000000.0 AS FLOAT)) AS cv
+              FROM s$i GROUP BY cent_id),
+      c$i AS (SELECT p.cent_id, COALESCE(m.cv, p.cv) AS cv
+              FROM $p p LEFT JOIN m$i m USING (cent_id))"""
+    }
+    (init +: steps).mkString(",\n      ")
+  }
+
   private val ivfOracle: String = {
     val cos = duckCos("qv", "v")
     s"""
-      WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv
-                     FROM embeddings WHERE vec_id < 16),
+      WITH ${kmeansCtes(5)},
+      cents AS (SELECT cent_id, cv FROM c5),
       acorp AS (SELECT vec_id, embedding AS v, cent_id,
                   ${duckCos("embedding", "cv")} AS csim
                 FROM embeddings CROSS JOIN cents),

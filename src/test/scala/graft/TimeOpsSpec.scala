@@ -15,6 +15,41 @@ class TimeOpsSpec extends AnyFunSuite with SparkSpec {
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
   }
 
+  test("hot key: buffers stay bucket-bounded and answers cross bucket gaps") {
+    import spark.implicits._
+    // key 1 is ~100× the median: 2000 right rows, one per hour, vs ~20
+    // for key 2. With a 1-day bucket width no aggregation buffer may
+    // hold more than 24 entries regardless of how hot the key is.
+    val day = 24L * 3600 * 1000000L
+    val hot = (0 until 2000).map(i => (1L, i.toLong * 3600, 1000L + i))
+    val cold = (0 until 20).map(i => (2L, i.toLong * 86400, 2000L + i))
+    val right = (hot ++ cold).toDF("k", "sec", "v")
+      .withColumn("t", timestamp_seconds(col("sec"))).drop("sec")
+    val probes = Seq(
+      (1L, 1999L * 3600 + 1800),  // mid-timeline, in-bucket hit
+      (1L, 5000L * 3600),         // far past the end: bucket empty → carry
+      (2L, 19L * 86400 + 1),      // cold key sanity
+      (3L, 1000L),                // unknown key → null
+      (1L, 0L)                    // exactly the first right row
+    ).toDF("k", "sec").withColumn("t", timestamp_seconds(col("sec"))).drop("sec")
+    val out = TimeOps.asofJoin(probes, right, "k", "k", "t", "t",
+      Seq("v"), bucketWidth = day)
+    val m = out.select(col("k"), col("asof.v")).as[(Long, Option[Long])]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(m(1L) == Set(Some(2999L), Some(1000L)))
+    assert(m(2L) == Set(Some(2019L)))
+    assert(m(3L) == Set(None))
+    // the packing invariant itself: no per-(key,bucket) array exceeds
+    // the bucket occupancy bound (24 hourly rows/day here) even though
+    // the hot key holds 2000 rows total
+    val maxLen = right.select(col("k"),
+        struct(unix_micros(col("t").cast("timestamp_ltz")).as("t"),
+          col("v")).as("e"))
+      .groupBy(col("k"), floor(col("e.t") / day).as("b"))
+      .agg(count(lit(1)).as("n")).agg(max("n")).as[Long].head()
+    assert(maxLen <= 24, s"bucket occupancy $maxLen exceeds the bound")
+  }
+
   test("as-of join keeps left rows with no match as null") {
     import spark.implicits._
     val left = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-05 00:00:00"))
@@ -100,5 +135,26 @@ class NewDedupOpsSpec extends AnyFunSuite with SparkSpec {
     // approximate recall: every IVF hit's sim is <= the brute-force top-1
     val bfTop = bf.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
     assert(ivf.forall(r => r._3 <= bfTop(r._1) + 1e-9))
+  }
+
+  test("trained IVF recall >= 0.8 vs brute force at nprobe=2") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = e.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val bf = pairs(Similarity.bruteForceTopK(e, q, 10))
+    val ivf = pairs(Similarity.ivfTopK(e, q, 10))
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8 (nprobe=2)")
+  }
+
+  test("k-means training moves centroids off the seed and is deterministic") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val seed = Similarity.trainCentroids(e, iters = 0)
+    val t1 = Similarity.trainCentroids(e, iters = 3)
+    val t2 = Similarity.trainCentroids(e, iters = 3)
+    assert(t1.map(_._1) == seed.map(_._1))
+    assert(t1.zip(t2).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    assert(t1.zip(seed).exists { case ((_, a), (_, b)) => !a.sameElements(b) })
   }
 }

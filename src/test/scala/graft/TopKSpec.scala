@@ -36,6 +36,16 @@ class TopKSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("partial"))
   }
 
+  test("similarity top-k reduces via the partial aggregator, not a window") {
+    val e = Tables.embeddings(spark, dir)
+    val plan = graft.operators.Similarity
+      .bruteForceTopK(e, e.filter(col("vec_id") < 2), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial"))
+    // the row_number reduction this replaced would show a Window node
+    assert(!plan.contains("Window"))
+  }
+
   test("reduce respects the floor and merge is a bounded sorted merge") {
     val a = new TopK.TopKAgg(3)
     val items = Seq(5.0, 1.0, 9.0, 7.0, 9.0, 3.0).zipWithIndex
