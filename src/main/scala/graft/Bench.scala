@@ -24,28 +24,45 @@ object Bench {
     // warm-up passes so JIT/codegen/scan caches don't bill the first
     // queries: q1_agg covers the relational scan path, dedup_minhash the
     // custom-expression + documents path, sim_topk the vector path,
-    // stream_tumbling_window the streaming micro-batch machinery
+    // stream_tumbling_window the streaming micro-batch machinery.
+    // NonFatal only: an OOM/LinkageError here means the timed runs would
+    // execute against broken JVM state — fail loudly instead.
     Seq("q1_agg", "dedup_minhash", "sim_topk", "stream_tumbling_window")
       .foreach(n =>
       SparkEntry.queries.get(n).foreach { f =>
         try f(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
+        }
       })
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // GC barrier: broadcast/checkpoint cleanup from the previous query
       // runs now instead of being billed to this query's wall-clock
       System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
+    // a failed query's wall-time is meaningless — report it under
+    // "errors" (and exit nonzero) so a half-broken battery can't pass
+    // for a perf result
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -22,7 +22,12 @@ object GraftFunctions {
     * can never silently diverge from the Column API. */
   private def intLit(fn: String, what: String)(e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType)   => v.toInt
+    case Literal(v: Long, LongType) =>
+      // no silent truncation: minhash_sig(h, 4294967304) must fail, not
+      // wrap to numHashes=8
+      if (v.isValidInt) v.toInt
+      else throw new IllegalArgumentException(
+        s"$fn: $what is out of Int range: $v")
     case other => throw new IllegalArgumentException(
       s"$fn: $what must be an integer literal, got ${other.sql}")
   }

@@ -291,6 +291,20 @@ object RollingMinHash {
   * supported (inputs must be `containsNull = false`). */
 case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression {
+  // array<bigint> ONLY: toLongArray on an array<int>/array<float> would
+  // reinterpret 4-byte elements as longs and return silently wrong
+  // similarities — mismatches must fail at analysis time instead
+  // (AbstractDataType is private[sql], so this checks directly rather
+  // than via ExpectsInputTypes)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"jaccard_sim requires array<bigint> inputs, got ${l.sql} and ${r.sql}")
+    }
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     JaccardSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -28,6 +28,20 @@ object Dedup {
   def md5Hash32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
+  /** Eagerly materializes an intermediate reused by several downstream
+    * branches. With a checkpoint dir configured (cluster runs) this is a
+    * RELIABLE checkpoint: blocks land on the cluster FS and survive
+    * executor loss. Without one (local/bench runs) it falls back to
+    * `localCheckpoint` — blocks are GC-managed instead of pinned in the
+    * session CacheManager like `persist`, but are NON-REPLICATED and
+    * lineage-truncated, so an executor loss would fail the job; that
+    * trade is acceptable only in single-JVM runs, which is exactly when
+    * no checkpoint dir is set. */
+  private[operators] def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   /** Aggressive text normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace. */
   def normalizeText(c: Column): Column =
@@ -63,14 +77,13 @@ object Dedup {
     // Signature pass as one custom primitive-loop expression (the
     // transform/array_min composition evaluates interpreted lambdas with
     // per-element boxing — profiled ~10× slower). Materialized eagerly
-    // via localCheckpoint: both sides of the band self-join and the
-    // Jaccard verify reuse it, and unlike persist() the blocks are
-    // GC-managed instead of pinned in the session CacheManager for the
-    // rest of a long-lived session. At cluster scale this is the
-    // standard "write signatures, then join" shape.
-    val withMins = sh.select(col("doc_id"), col("hs"),
+    // ([[materialize]]: reliable checkpoint on clusters, localCheckpoint
+    // locally): both sides of the band self-join and the Jaccard verify
+    // reuse it. At cluster scale this is the standard "write signatures,
+    // then join" shape.
+    val withMins = materialize(sh.select(col("doc_id"), col("hs"),
       graft.functions.exprs.minhash_sig(col("hs"), numHashes,
-        999983L, 424243L, 12345L, 7L, P).as("sig")).localCheckpoint()
+        999983L, 424243L, 12345L, 7L, P).as("sig")))
     val bandKeys = (0 until bands).map { b =>
       concat_ws("_",
         (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
@@ -119,10 +132,10 @@ object Dedup {
     * no pair information and would otherwise explode the self-join. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         maxDf: Int = 20, jaccardMin: Double = 0.5): DataFrame = {
-    // localCheckpoint (not persist): reused by the posting list and both
+    // materialized (not persist): reused by the posting list and both
     // Jaccard-verify sides, released by GC instead of leaking per call
-    val sh = shingleHashesFlat(df, id, text).filter(size(col("hs")) > 0)
-      .localCheckpoint()
+    val sh = materialize(
+      shingleHashesFlat(df, id, text).filter(size(col("hs")) > 0))
     val posting = sh.select(col("doc_id"), explode(col("hs")).as("h"))
     val rare = posting.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
@@ -154,11 +167,11 @@ object Dedup {
     * Rounds needed = component diameter (near-dup clusters are shallow). */
   def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50,
                         smallGraphThreshold: Long = 500000L): DataFrame = {
-    // eager localCheckpoint: pairs computed once, lineage truncated so
+    // eager materialize: pairs computed once, lineage truncated so
     // each round's plan stays flat, and the blocks are GC-managed (a
     // persist() here would pin every generation in the CacheManager for
     // the session lifetime — the classic iterative-algorithm leak)
-    val p = pairs.localCheckpoint()
+    val p = materialize(pairs)
     // Hybrid strategy, same reasoning as a broadcast join: the near-dup
     // edge list is orders of magnitude smaller than the corpus (it IS
     // the duplicate graph). When it fits comfortably on the driver,
@@ -187,16 +200,16 @@ object Dedup {
       return parent.keys.toSeq.sorted.map(id => (id, find(id)))
         .toDF("doc_id", "cluster")
     }
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+    val edges = materialize(
+      p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = materialize(edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")))
     // One round = edge propagation + pointer jumping (shortcut through
     // the current label's own label). The shortcut halves the distance
     // to the component minimum every round — O(log diameter) rounds
     // instead of O(diameter), which matters for chain-shaped near-dup
-    // components. (Viable since localCheckpoint keeps each generation's
+    // components. (Viable since materialize keeps each generation's
     // lineage flat; with persist() the doubled plan depth was slower.)
     def hop(l: DataFrame): DataFrame = {
       val viaEdges = edges.join(l, edges("dst") === l("id"))
@@ -222,7 +235,7 @@ object Dedup {
     while (!converged && rounds < maxRounds) {
       // one hop per convergence check: a two-hop variant benched slower
       // (deeper uncached lineage per round outweighs the saved barriers)
-      val next = hop(labels).localCheckpoint()
+      val next = materialize(hop(labels))
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -244,10 +257,10 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: String, text: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band blocking is only exact for distance <= 3")
-    // materialized (localCheckpoint, GC-released): the band self-join
+    // materialized (checkpoint/localCheckpoint): the band self-join
     // would otherwise recompute the full shingle+aggregate pipeline for
     // each side
-    val sig = simhash(df, id, text).localCheckpoint()
+    val sig = materialize(simhash(df, id, text))
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(expr("array(simhash & 255, shiftright(simhash, 8) & 255, " +
         "shiftright(simhash, 16) & 255, shiftright(simhash, 24) & 255)"))

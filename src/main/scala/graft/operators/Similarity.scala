@@ -169,11 +169,12 @@ object Similarity {
     * cosMin within each bucket. */
   def embeddingPairs(df: DataFrame, bits: Int = 8,
                      cosMin: Double = 0.3): DataFrame = {
-    // materialized (localCheckpoint, GC-released — persist() would pin
-    // the blocks in the CacheManager for the session lifetime): reused
-    // by both sides of the bucket self-join
-    val b = withBucket(df.select(col("vec_id"), col("embedding")), bits)
-      .localCheckpoint()
+    // materialized (Dedup.materialize: reliable checkpoint on clusters,
+    // GC-released localCheckpoint locally — persist() would pin the
+    // blocks in the CacheManager for the session lifetime): reused by
+    // both sides of the bucket self-join
+    val b = Dedup.materialize(
+      withBucket(df.select(col("vec_id"), col("embedding")), bits))
     val l = b.select(col("vec_id").as("id_a"), col("embedding").as("va"),
       col("bucket"))
     val r = b.select(col("vec_id").as("id_b"), col("embedding").as("vb"),

@@ -214,6 +214,35 @@ object Extensions {
         .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_custs"))),
 
+    // session-window streaming variant — second-truncated like the
+    // batch q_session_window, so all three (stream, batch, oracle) agree
+    "stream_session_window" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      graft.streaming.StreamOps.drainToBatch(
+        graft.streaming.StreamOps.sessionCounts(
+          graft.streaming.StreamOps.eventsStream(s, d)))
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("total"))
+    }),
+
+    // stateful streaming dedup (dropDuplicates state, watermark-expired)
+    // drained in append mode; event_id is unique in the testdata, so the
+    // oracle is the full projection — the gate exercises the state
+    // machinery, the at-most-once semantics are covered by
+    // StreamingDedupSpec
+    "stream_dedup" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      graft.streaming.StreamOps.drainToBatch(
+        graft.streaming.StreamOps.dedupedEvents(
+          graft.streaming.StreamOps.eventsStream(s, d)),
+        outputMode = "append")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("value"))
+    }),
+
     // sliding-window streaming variant — same oracle as the batch
     // q_sliding_window
     "stream_sliding_window" -> ((s, d) => {
@@ -228,7 +257,7 @@ object Extensions {
     // ---- source/sink round trip: S1 CSV scan + K3 CSV sink through a
     // real filesystem hop, ending in oracle-checked rows ----
     "q_csv_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      val tmp = graft.sources.Scratch.dir("csv")
       graft.sources.Sinks.overwriteCsv(Tables.nation(s, d), s"$tmp/nation")
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("n_nationkey",
@@ -283,14 +312,14 @@ object Extensions {
 
     // ---- format breadth: ORC and JSON-lines sink/scan round trips ----
     "q_orc_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      val tmp = graft.sources.Scratch.dir("orc")
       graft.sources.Sinks.overwriteOrc(
         Tables.nation(s, d).select(col("n_nationkey"), col("n_name"),
           col("n_regionkey")), s"$tmp/nation")
       s.read.orc(s"$tmp/nation")
     }),
     "q_json_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString
+      val tmp = graft.sources.Scratch.dir("json")
       graft.sources.Sinks.overwriteJson(
         Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"),
           col("s_nationkey")), s"$tmp/supplier")
@@ -391,9 +420,9 @@ object Extensions {
   }
 
   /** Unrolled deterministic k-means (same recipe as
-    * `Similarity.trainCentroids`: seed = 16 lowest vec_ids, 3 Lloyd
-    * iterations, element-wise means in integer micro-units, empty cells
-    * keep their centroid). 64 = the testdata embedding dim. */
+    * `Similarity.trainCentroids`: seed = 16 lowest vec_ids, `iters`
+    * Lloyd iterations, element-wise means in integer micro-units, empty
+    * cells keep their centroid). 64 = the testdata embedding dim. */
   private def kmeansCtes(iters: Int): String = {
     val init =
       "c0 AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cv " +
@@ -530,6 +559,28 @@ object Extensions {
       s"i -> CAST(embedding[i] AS DOUBLE) * CAST((((i-1) * 31 + $j * 17) % 7) - 3 AS DOUBLE)), 'sum')"
     s"(CASE WHEN ($proj) >= 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
+
+  /** Shared by `q_session_window` (batch) and `stream_session_window`:
+    * both truncate event time to seconds before the 30-minute-gap
+    * sessionization, so one oracle covers the pair. */
+  private val sessionWindowOracle: String = """
+      WITH e AS (SELECT user_id, date_trunc('second', ts) AS t, value FROM events),
+      m AS (SELECT user_id, t, value,
+              -- strictly greater: Spark's session_window MERGES sessions
+              -- that touch exactly at gap distance (verified at sf0.1,
+              -- where one exact 30-minute gap exists)
+              CASE WHEN lag(t) OVER w IS NULL
+                     OR t - lag(t) OVER w > INTERVAL 30 MINUTE
+                   THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                                     ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      SELECT user_id,
+             strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(MAX(t) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+             COUNT(1) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM g GROUP BY user_id, sid"""
 
   val oracles: Map[String, String] = Map(
     "text_tokens" -> s"""
@@ -680,24 +731,12 @@ object Extensions {
                                   * 1000000) AS win, value
             FROM events, (SELECT unnest([0, 1800]) AS off) o) t
       GROUP BY 1""",
-    "q_session_window" -> """
-      WITH e AS (SELECT user_id, date_trunc('second', ts) AS t, value FROM events),
-      m AS (SELECT user_id, t, value,
-              -- strictly greater: Spark's session_window MERGES sessions
-              -- that touch exactly at gap distance (verified at sf0.1,
-              -- where one exact 30-minute gap exists)
-              CASE WHEN lag(t) OVER w IS NULL
-                     OR t - lag(t) OVER w > INTERVAL 30 MINUTE
-                   THEN 1 ELSE 0 END AS brk
-            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
-      g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
-                                     ROWS UNBOUNDED PRECEDING) AS sid FROM m)
-      SELECT user_id,
-             strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS session_start,
-             strftime(MAX(t) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
-             COUNT(1) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-      FROM g GROUP BY user_id, sid""",
+    "q_session_window" -> sessionWindowOracle,
+    "stream_session_window" -> sessionWindowOracle,
+    "stream_dedup" -> """
+      SELECT event_id, user_id, event_type,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+      FROM events""",
     "mm_binary_meta" -> """
       SELECT doc_id,
              CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,

@@ -202,7 +202,7 @@ object Relational3 {
     // K1 partitioned sink + partition-pruned scan round trip: the read
     // side only touches the o_orderstatus=F directory
     "q_partition_prune" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+      val tmp = graft.sources.Scratch.dir("part")
       graft.sources.Sinks.overwriteParquet(
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus")),

@@ -32,7 +32,8 @@ object Sinks {
     * over libpq (`dags/utils/df_to_sql.py:12-13`, connection
     * `dags/etl.py:13`) is the `overwrite` JDBC mode; quoting/escaping
     * (`df_to_sql.py:10`) is handled by the driver's prepared statements.
-    * Untested here (no database/driver ships in this environment). */
+    * Round-trip tested against embedded Derby (`JdbcSinkSpec`) — no
+    * Postgres ships in this environment. */
   def overwriteJdbc(df: DataFrame, url: String, table: String,
                     props: java.util.Properties = new java.util.Properties): Unit =
     df.write.mode("overwrite").jdbc(url, table, props)
@@ -47,14 +48,16 @@ object Sinks {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // a previous SESSION may have left the managed location behind while
     // this session's in-memory catalog has no entry for it — overwrite
-    // mode then fails with LOCATION_ALREADY_EXISTS; clear the stale dir
-    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-    val loc = java.nio.file.Paths.get(
-      if (wh.getScheme == "file") wh.getPath else wh.toString).resolve(table)
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+    // mode then fails with LOCATION_ALREADY_EXISTS; clear the stale dir.
+    // The location comes from the catalog (correct under non-default
+    // databases and custom warehouse dirs — hand-resolving
+    // <warehouse>/<table> is wrong for both); non-file schemes are left
+    // alone (a remote warehouse has no stale local dir to heal).
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    if (Option(loc.getScheme).forall(_.equalsIgnoreCase("file"))) {
+      val p = java.nio.file.Paths.get(loc.getPath)
+      if (java.nio.file.Files.exists(p)) Scratch.deleteTree(p)
     }
     df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)

@@ -56,14 +56,23 @@ object StreamOps {
           .cast("double").as("total"))
       .select(col("w.start").as("win_start"), col("n"), col("total"))
 
-  /** Session windows (30-minute gap) per user. */
+  /** Session windows (30-minute gap) per user. Event time is truncated
+    * to seconds BEFORE sessionization — the same truncation as the
+    * batch `q_session_window` (the oracle's ns clock vs Spark's µs
+    * clock would otherwise disagree on gap boundaries), so streaming ≡
+    * batch ≡ oracle. Decimal totals for micro-batch-order independence,
+    * like [[tumblingCounts]]. */
   def sessionCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
-      .withWatermark("ts", watermark)
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"))
+      .withColumn("tsec", date_trunc("second", col("ts")))
+      .withWatermark("tsec", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("tsec"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
       .select(col("user_id"), col("sw.start").as("session_start"),
-        col("n_events"))
+        col("sw.end").as("session_end"), col("n_events"), col("total"))
 
   /** Runs a streaming frame to completion against a memory sink and
     * returns the query (caller reads `spark.table(name)`). Parquet-file

@@ -184,6 +184,29 @@ class SqlFunctionSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("integer literal"))
   }
 
+  test("jaccard_sim rejects non-bigint arrays at analysis time") {
+    graft.functions.GraftFunctions.register(spark)
+    // array<int> elements would be reinterpreted as 8-byte longs by
+    // toLongArray — must fail analysis, not return wrong similarities
+    val e = intercept[Exception] {
+      spark.sql("SELECT jaccard_sim(array(1, 2), array(1, 2))").collect()
+    }
+    assert(e.getMessage.contains("array<bigint>"))
+    // the valid type still analyzes and evaluates
+    val ok = spark.sql("SELECT jaccard_sim(array(1L, 2L), array(1L, 2L)) AS j")
+      .head().getDouble(0)
+    assert(ok == 1.0)
+  }
+
+  test("int-literal params reject Long overflow instead of wrapping") {
+    graft.functions.GraftFunctions.register(spark)
+    // 4294967304 wraps to 8 under toInt — must throw, not train 8 hashes
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array(7L), 4294967304)").collect()
+    }
+    assert(e.getMessage.contains("out of Int range"))
+  }
+
   test("cosine_sim fails loudly on mismatched dimensions") {
     graft.functions.GraftFunctions.register(spark)
     val e = intercept[Exception] {
