@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.FilterExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-battery physical-plan audit: the shapes that silently destroy
+  * 100 TB runs must be impossible to reintroduce without failing CI.
+  *
+  *  - No CartesianProduct anywhere (only `q_join_cross` states one, and
+  *    it must be the broadcast nested-loop form over two tiny dims).
+  *  - No filter left sitting directly on top of a parquet scan: a
+  *    pushable predicate must reach the scan (`PushedFilters`); what
+  *    legitimately remains above it is only the non-pushable leftovers
+  *    Spark re-evaluates, which the scan node itself reports.
+  *  - Every query that joins a dimension table broadcasts at least one
+  *    side unless it is a deliberate shuffle test.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  /** Plan-only queries: building `executedPlan` is cheap. Queries that
+    * EXECUTE eagerly while being constructed (streaming drains, sink
+    * round trips, iterative clustering, k-means training) are excluded
+    * — their interesting plans are asserted by their own specs, and
+    * forcing them here would re-run the whole battery. */
+  private def planOnly: Seq[(String, org.apache.spark.sql.DataFrame)] =
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) =>
+        n.startsWith("stream_") || n.endsWith("_roundtrip") ||
+          n.startsWith("mm_") || n == "q_partition_prune" ||
+          n == "q_bucketed_agg" || n == "sim_ivf" ||
+          n == "dedup_clusters" || n == "dedup_semantic" ||
+          n == "curation_pipeline"
+      }
+      .map { case (n, fn) => n -> fn(spark, dir) }
+
+  private def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(collectNodes) ++
+      p.subqueries.flatMap(collectNodes)
+  }
+
+  test("no CartesianProduct in any gated plan (q_join_cross broadcasts)") {
+    planOnly.foreach { case (name, df) =>
+      val nodes = collectNodes(df.queryExecution.executedPlan)
+      val cart = nodes.collect { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"$name plans a CartesianProduct")
+      if (name == "q_join_cross")
+        assert(nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+          "q_join_cross should broadcast the 5-row side")
+    }
+  }
+
+  test("no unpushed pushable filter directly above a parquet scan") {
+    planOnly.foreach { case (name, df) =>
+      val nodes = collectNodes(df.queryExecution.executedPlan)
+      nodes.foreach {
+        case f: FilterExec =>
+          f.children.foreach {
+            case scan: org.apache.spark.sql.execution.FileSourceScanExec =>
+              // a filter above a scan is fine only when the scan already
+              // holds pushed filters (the residual re-check) or the
+              // predicate is genuinely non-pushable (custom expressions)
+              val pushable = f.condition.references.nonEmpty &&
+                scan.metadata.getOrElse("PushedFilters", "[]") == "[]" &&
+                !f.condition.exists(e =>
+                  e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Unevaluable] ||
+                    e.getClass.getName.startsWith("graft."))
+              assert(!pushable,
+                s"$name: filter '${f.condition.sql.take(80)}' sits on a " +
+                  "parquet scan with no pushed filters")
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+  }
+
+  test("dimension joins broadcast the small side") {
+    // queries whose plans join region/nation/supplier dims must show a
+    // broadcast join (AQE or hint) — a shuffle on a 25-row dim is wrong.
+    // q_skew_salted deliberately replicates instead of broadcasting.
+    val dimJoined = Seq("q5_region_revenue", "q3_shipping_priority",
+      "q10_returned_revenue", "ref_orders_enriched", "q_rollup")
+    val byName = planOnly.toMap
+    dimJoined.foreach { name =>
+      byName.get(name).foreach { df =>
+        val nodes = collectNodes(df.queryExecution.executedPlan)
+        assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+          s"$name joins a dimension without broadcasting it")
+      }
+    }
+  }
+}
