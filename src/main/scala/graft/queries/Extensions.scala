@@ -99,6 +99,58 @@ object Extensions {
     }),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")),
+    // benchmark decontamination: flag training docs sharing any 3-gram
+    // shingle with the (stand-in) eval slice doc_id % 97 == 0
+    "decontam_ngram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Curation.contaminatedDocs(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+    }),
+    // fixed-size token chunking with overlap (64-token windows, stride
+    // 48): per-document, embarrassingly parallel — the RAG/packing
+    // pre-pass. Starts at k·48 while that is < len.
+    "text_chunks" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("t", TextOps.tokens(col("text")))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), col("t"),
+          explode(expr("sequence(CAST(0 AS BIGINT), " +
+            "CAST(floor((size(t) - 1) / 48) AS BIGINT))")).as("k"))
+        .select(col("doc_id"), col("k").as("chunk_idx"),
+          expr("slice(t, CAST(k * 48 + 1 AS INT), 64)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("n_tokens"),
+          concat_ws(" ", col("chunk")).as("chunk_text"))),
+    // per-language quality-quantile filter: keep the top half of each
+    // language's score distribution (percent_rank is rank-based, so
+    // ties land identically in both engines)
+    "text_quality_quantile" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("__t", TextOps.tokens(col("text")))
+        .filter(size(col("__t")) > 0)
+        .select(col("doc_id"), TextOps.langId(col("__t")).as("lang_pred"),
+          TextOps.qualityScore(col("__t")).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang_pred")).orderBy(col("score"))
+      base.withColumn("pr", round(percent_rank().over(w), 6))
+        .filter(col("pr") >= 0.5)
+    }),
+    // deterministic stratified sampling for domain mixing: per-type
+    // keep-rates in per-mille, decided by an md5 hash of the event id —
+    // reproducible across engines and runs, no RNG state
+    "q_domain_mix" -> ((s, d) => {
+      val rates = Seq("click" -> 500, "view" -> 250, "purchase" -> 1000,
+        "signup" -> 100, "error" -> 0)
+      val rateCol = rates.foldLeft(lit(0)) { case (acc, (k, v)) =>
+        when(col("event_type") === k, lit(v)).otherwise(acc)
+      }
+      Tables.events(s, d)
+        .withColumn("__r", Dedup.md5Hash32(
+          concat(lit("mix:"), col("event_id").cast("string"))) % 1000)
+        .filter(col("__r") < rateCol)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
     "dedup_embedding" -> ((s, d) =>
       Similarity.embeddingPairs(Tables.embeddings(s, d))),
     // SemDeDup shape: connected components over embedding-space near-dup
@@ -638,6 +690,57 @@ object Extensions {
                                      '\s+', ' ', 'g'))) AS text_hash,
              COUNT(1) AS n_copies, MIN(doc_id) AS keeper
       FROM documents GROUP BY 1 HAVING COUNT(1) > 1""",
+    "decontam_ngram" -> s"""
+      WITH $shingleCtes,
+      posting AS (SELECT doc_id, unnest(hs) AS h FROM hsx),
+      bench AS (SELECT DISTINCT h FROM posting WHERE doc_id % 97 = 0)
+      SELECT doc_id, COUNT(1) AS n_overlap
+      FROM posting JOIN bench USING (h)
+      WHERE doc_id % 97 <> 0
+      GROUP BY doc_id""",
+    "text_chunks" -> s"""
+      WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
+      c AS (SELECT doc_id, k, t[(k*48+1):(k*48+64)] AS chunk
+            FROM tok, LATERAL unnest(generate_series(0,
+                   CAST(floor((len(t) - 1) / 48.0) AS BIGINT))) AS u(k)
+            WHERE len(t) > 0)
+      SELECT doc_id, k AS chunk_idx, CAST(len(chunk) AS INTEGER) AS n_tokens,
+             array_to_string(chunk, ' ') AS chunk_text
+      FROM c""",
+    "text_quality_quantile" -> {
+      val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      val counts = TextOps.langMarkers.map { case (l, ws) =>
+        s"${duckMarkerCount(ws)} AS c_$l"
+      }.mkString(",\n               ")
+      s"""
+      WITH x AS (SELECT doc_id,
+               round(least(CAST(1.0 AS DOUBLE), len(t) / CAST(100 AS DOUBLE)) *
+                     (1.0 - CAST(len(list_filter(t, x -> x IN ($stop))) AS DOUBLE)
+                           / len(t)), 6) AS score,
+               $counts
+             FROM (SELECT doc_id, $duckTokens AS t FROM documents) y
+             WHERE len(t) > 0),
+      lp AS (SELECT doc_id, score,
+               CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                    WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+                    WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+                    WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+             FROM x)
+      SELECT doc_id, lang_pred, score,
+             round(percent_rank() OVER (PARTITION BY lang_pred
+                   ORDER BY score), 6) AS pr
+      FROM lp
+      QUALIFY pr >= 0.5"""
+    },
+    "q_domain_mix" -> """
+      SELECT event_id, user_id, event_type
+      FROM events
+      WHERE ('0x' || substr(md5('mix:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+              % 1000 <
+            CASE event_type WHEN 'click' THEN 500 WHEN 'view' THEN 250
+                 WHEN 'purchase' THEN 1000 WHEN 'signup' THEN 100
+                 ELSE 0 END""",
     "dedup_minhash" -> minhashOracle,
     "dedup_clusters" -> clustersOracle,
     "curation_pipeline" -> curationOracle,
