@@ -84,8 +84,40 @@ object Similarity {
     * nCentroids×dim model crosses to the driver — the MLlib k-means
     * shape. Micro-unit sums stay exact below ~9·10¹⁵, i.e. corpora up
     * to ~10⁹ vectors per cell at |x|≤3. */
+  /** Per-JVM memo of trained quantizers, keyed by the corpus's
+    * CANONICALIZED analyzed plan + hyperparams: a quantizer is a
+    * train-once / probe-many model, and retraining on every `ivfTopK`
+    * call in a session (several full corpus passes each) would be pure
+    * waste. Canonicalized-plan equality is exact (no hash-collision
+    * false sharing); the map stays tiny — one entry per distinct corpus
+    * per session. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
+      Seq[(Int, Array[Float])]]()
+
   def trainCentroids(corpus: DataFrame, nCentroids: Int = 16,
                      iters: Int = 3): Seq[(Int, Array[Float])] = {
+    // canonicalized.toString alone is NOT a safe key: file relations
+    // print as `Relation [...] parquet` with no location, so two
+    // corpora with the same schema but different files would collide —
+    // append every scan's root paths explicitly
+    val srcs = corpus.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }.mkString(";")
+    val key = (corpus.queryExecution.analyzed.canonicalized.toString +
+      "|" + srcs, nCentroids, iters)
+    centroidCache.computeIfAbsent(key,
+      _ => trainCentroidsUncached(corpus, nCentroids, iters))
+  }
+
+  private[graft] def trainCentroidsUncached(
+      corpus: DataFrame, nCentroids: Int,
+      iters: Int): Seq[(Int, Array[Float])] = {
     val spark = corpus.sparkSession
     var cents: Seq[(Int, Array[Float])] = corpus
       .filter(col("vec_id") < nCentroids)

@@ -136,6 +136,42 @@ object Extensions {
       base.withColumn("pr", round(percent_rank().over(w), 6))
         .filter(col("pr") >= 0.5)
     }),
+    // exact K-per-group sampling: top-100 per event type by a
+    // deterministic md5 score, reduced through the bounded TopK
+    // aggregator — only k rows per group per map partition cross the
+    // shuffle (the scalable "give me exactly K examples of each class"
+    // primitive; RNG-free so every engine draws the same sample)
+    "q_group_sample_k" -> ((s, d) =>
+      graft.operators.TopK.topKPerGroup(
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            Dedup.md5Hash32(concat(lit("smp:"),
+              col("event_id").cast("string"))).cast("double").as("score")),
+        "event_type", "event_id", "score", 100)),
+    // SCD-style merge/upsert: base ⟗ updates, update wins on key
+    // collision, unmatched updates insert, unmatched base rows keep —
+    // the MERGE INTO shape as one full-outer join + coalesce plan
+    "q_merge_upsert" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val updates = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("u_key"),
+          (col("o_totalprice") + 10.0).as("u_price"))
+        .union(
+          // inserts: keys guaranteed absent from base
+          Tables.orders(s, d).filter(col("o_orderkey") % 1000 === 7)
+            .select((col("o_orderkey") + 100000000L).as("u_key"),
+              lit(1.0).as("u_price")))
+      base.join(updates, col("o_orderkey") === col("u_key"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("u_key")).as("okey"),
+          coalesce(col("u_price"), col("o_totalprice")).as("price"),
+          when(col("o_orderkey").isNull, "insert")
+            .when(col("u_key").isNull, "keep")
+            .otherwise("update").as("action"))
+    }),
     // deterministic stratified sampling for domain mixing: per-type
     // keep-rates in per-mille, decided by an md5 hash of the event id —
     // reproducible across engines and runs, no RNG state
@@ -733,6 +769,29 @@ object Extensions {
       FROM lp
       QUALIFY pr >= 0.5"""
     },
+    "q_group_sample_k" -> """
+      WITH scored AS (SELECT event_type, event_id,
+               CAST(('0x' || substr(md5('smp:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                    AS DOUBLE) AS score
+             FROM events)
+      SELECT event_type, event_id, score,
+             CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY score DESC, event_id ASC) AS INTEGER) AS rk
+      FROM scored
+      QUALIFY rk <= 100""",
+    "q_merge_upsert" -> """
+      WITH updates AS (
+        SELECT o_orderkey AS u_key, o_totalprice + 10.0 AS u_price
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, 1.0
+        FROM orders WHERE o_orderkey % 1000 = 7)
+      SELECT COALESCE(o_orderkey, u_key) AS okey,
+             COALESCE(u_price, o_totalprice) AS price,
+             CASE WHEN o_orderkey IS NULL THEN 'insert'
+                  WHEN u_key IS NULL THEN 'keep'
+                  ELSE 'update' END AS action
+      FROM orders FULL OUTER JOIN updates ON o_orderkey = u_key""",
     "q_domain_mix" -> """
       SELECT event_id, user_id, event_type
       FROM events

@@ -150,11 +150,25 @@ class NewDedupOpsSpec extends AnyFunSuite with SparkSpec {
 
   test("k-means training moves centroids off the seed and is deterministic") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val seed = Similarity.trainCentroids(e, iters = 0)
-    val t1 = Similarity.trainCentroids(e, iters = 3)
-    val t2 = Similarity.trainCentroids(e, iters = 3)
+    // the uncached path twice: the memo would trivially return the same
+    // object, which proves nothing about training determinism
+    val seed = Similarity.trainCentroidsUncached(e, 16, 0)
+    val t1 = Similarity.trainCentroidsUncached(e, 16, 3)
+    val t2 = Similarity.trainCentroidsUncached(e, 16, 3)
     assert(t1.map(_._1) == seed.map(_._1))
     assert(t1.zip(t2).forall { case ((_, a), (_, b)) => a.sameElements(b) })
     assert(t1.zip(seed).exists { case ((_, a), (_, b)) => !a.sameElements(b) })
+    // and the memo returns the identical model for an equivalent plan...
+    val c1 = Similarity.trainCentroids(e, 16, 3)
+    val c2 = Similarity.trainCentroids(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"), 16, 3)
+    assert(c1 eq c2)
+    // ...but NOT for a same-schema corpus from a different directory
+    // (canonicalized plans print without file locations — regression
+    // guard for the cache key)
+    val other = Similarity.trainCentroids(
+      Tables.embeddings(spark, "/root/testdata/sf0.01"), 16, 3)
+    assert(!(other eq c1))
+    assert(other.zip(c1).exists { case ((_, a), (_, b)) => !a.sameElements(b) })
   }
 }
