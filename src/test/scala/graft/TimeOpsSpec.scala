@@ -50,6 +50,42 @@ class TimeOpsSpec extends AnyFunSuite with SparkSpec {
     assert(maxLen <= 24, s"bucket occupancy $maxLen exceeds the bound")
   }
 
+  test("bucketed as-of equals a brute-force reference on seeded random data") {
+    import spark.implicits._
+    // seeded RNG: reproducible, adversarial shape — clustered times,
+    // exact-boundary probes, many empty buckets, duplicate timestamps
+    val rnd = new scala.util.Random(0xA50F)
+    val hour = 3600L * 1000000L
+    val right = Seq.fill(400) {
+      val k = rnd.nextInt(5).toLong
+      // cluster around a few epochs so some buckets are dense, most empty
+      val t = rnd.nextInt(40) * 50000L + rnd.nextInt(3) * 5000000L
+      (k, t, rnd.nextInt(100).toLong)
+    }
+    val probes = Seq.fill(300) {
+      (rnd.nextInt(6).toLong, rnd.nextInt(2200000) * 100L)
+    }
+    val rightDf = right.toDF("k", "sec", "v")
+      .withColumn("t", timestamp_seconds(col("sec"))).drop("sec")
+    val leftDf = probes.zipWithIndex.map { case ((k, s), i) => (i.toLong, k, s) }
+      .toDF("pid", "k", "sec")
+      .withColumn("t", timestamp_seconds(col("sec"))).drop("sec")
+    // tiny bucket width (1 hour of µs over second-scale data) forces
+    // heavy bucket fragmentation and carry-path traffic
+    val out = TimeOps.asofJoin(leftDf, rightDf, "k", "k", "t", "t",
+      Seq("v"), bucketWidth = hour)
+      .select(col("pid"), col("asof.v")).as[(Long, Option[Long])]
+      .collect().toMap
+    // brute force: latest (t, v) with t <= probe, ties -> max v
+    val byKey = right.groupBy(_._1)
+    probes.zipWithIndex.foreach { case ((k, s), i) =>
+      val want = byKey.getOrElse(k, Seq.empty)
+        .filter(_._2 <= s).sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(out(i.toLong) == want,
+        s"probe $i key $k t $s: got ${out(i.toLong)}, want $want")
+    }
+  }
+
   test("as-of join keeps left rows with no match as null") {
     import spark.implicits._
     val left = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-05 00:00:00"))
