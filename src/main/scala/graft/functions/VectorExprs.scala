@@ -367,6 +367,24 @@ object SortedLastLE {
   }
 }
 
+/** Nearest-neighbor positional decimation of a binary payload to `n`
+  * bytes — the mm_resize hot path as a codegen'd expression instead of
+  * a typed `Dataset.map` (which deserialized the whole row per record).
+  * Shares `Multimodal.resizeStub` for the exact stub semantics:
+  * payloads ≤ n bytes pass through, else output byte k = input byte
+  * (k·len)/n. */
+case class BinaryDecimate(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, s"binary_decimate: n must be positive, got $n")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    graft.operators.Multimodal.resizeStub(v.asInstanceOf[Array[Byte]], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.operators.Multimodal.resizeStub($c, $n)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column-level entry points (Spark 4: Column ⇄ catalyst Expression via
   * `org.apache.spark.sql.classic.ExpressionUtils`). */
 object exprs {
@@ -388,4 +406,6 @@ object exprs {
     column(RollingMinHash(expression(c), k))
   def sorted_last_le(arr: Column, t: Column): Column =
     column(SortedLastLE(expression(arr), expression(t)))
+  def binary_decimate(c: Column, n: Int): Column =
+    column(BinaryDecimate(expression(c), n))
 }

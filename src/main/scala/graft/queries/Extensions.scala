@@ -172,6 +172,26 @@ object Extensions {
             .when(col("u_key").isNull, "keep")
             .otherwise("update").as("action"))
     }),
+    // PII-style pattern redaction (the curation scrub pass): digit runs
+    // and email-shaped tokens replaced by placeholder tags, with a
+    // per-record redaction count — pure scan, no shuffle
+    "text_redact" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        regexp_replace(
+          regexp_replace(col("props"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "[0-9]+", "<NUM>").as("redacted"),
+        size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+          .as("n_nums"))),
+    // fixed-width value histogram: floor-division binning (identical
+    // IEEE double semantics in both engines), per-bin count and bounds
+    "q_histogram" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(floor(col("value") / 50.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("lo"),
+          round(max(col("value")), 6).as("hi"))),
     // deterministic stratified sampling for domain mixing: per-type
     // keep-rates in per-mille, decided by an md5 hash of the event id —
     // reproducible across engines and runs, no RNG state
@@ -387,16 +407,16 @@ object Extensions {
           sha2(col("frame"), 256).as("sha"))
     }),
     // thumbnail-style resize: positional decimation to 32 payload bytes
-    "mm_resize" -> ((s, d) => {
-      implicit val sp: SparkSession = s
-      import sp.implicits._
-      graft.operators.Multimodal.asMedia(Tables.documents(s, d))
-        .map(m => (m.media_id,
-          graft.operators.Multimodal.resizeStub(m.payload, 32)))
-        .toDF("media_id", "thumb")
+    // as a codegen'd expression (same stub semantics as
+    // Multimodal.resizeStub — the earlier typed Dataset.map deserialized
+    // the whole row per record)
+    "mm_resize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          graft.functions.exprs.binary_decimate(
+            col("text").cast("binary"), 32).as("thumb"))
         .select(col("media_id"), octet_length(col("thumb")).as("n_bytes"),
-          sha2(col("thumb"), 256).as("sha"))
-    }),
+          sha2(col("thumb"), 256).as("sha"))),
 
     // ---- format breadth: ORC and JSON-lines sink/scan round trips ----
     "q_orc_roundtrip" -> ((s, d) => {
@@ -769,6 +789,20 @@ object Extensions {
       FROM lp
       QUALIFY pr >= 0.5"""
     },
+    "text_redact" -> """
+      SELECT event_id,
+             regexp_replace(
+               regexp_replace(props,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]+', '<NUM>', 'g') AS redacted,
+             CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_nums
+      FROM events""",
+    "q_histogram" -> """
+      SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+             COUNT(1) AS n,
+             round(MIN(value), 6) AS lo,
+             round(MAX(value), 6) AS hi
+      FROM events GROUP BY 1""",
     "q_group_sample_k" -> """
       WITH scored AS (SELECT event_type, event_id,
                CAST(('0x' || substr(md5('smp:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
