@@ -83,6 +83,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("shuffle budgets: headline plans never regress to extra exchanges") {
+    // exact ShuffleExchange ceilings, pinned from the audited plans: a
+    // regression that adds an exchange to any of these (a lost broadcast,
+    // a dropped TakeOrderedAndProject, a stray repartition) fails here
+    // long before it shows up as a 100 TB incident
+    val budgets = Map(
+      "q1_agg" -> 1,               // one partial→final agg shuffle
+      "q_filter_scan" -> 0,        // pure pushed-filter scan
+      "ref_orders_enriched" -> 0,  // fact ⋈ broadcast dims only
+      "ref_users_enriched" -> 0,
+      "q_topk" -> 0,               // TakeOrderedAndProject, no sort shuffle
+      "q5_region_revenue" -> 1,    // broadcast dims + one agg shuffle
+      "decontam_ngram" -> 2,       // bench-set distinct + per-doc count
+      "q_domain_mix" -> 0,         // scan + hash filter
+      "text_chunks" -> 0,          // per-doc explode
+      "text_redact" -> 0,          // scan-only scrub
+      "dedup_exact" -> 1,          // hash groupBy
+      "q_group_sample_k" -> 1,     // bounded partial top-k agg
+      "sim_topk" -> 1,             // broadcast queries + top-k agg
+      "q_histogram" -> 1,          // bin groupBy
+      "q_merge_upsert" -> 2)       // full outer shuffles both sides
+    val byName = planOnly.toMap
+    budgets.foreach { case (name, budget) =>
+      val n = collectNodes(byName(name).queryExecution.executedPlan)
+        .count(_.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+      assert(n <= budget,
+        s"$name plans $n shuffle exchanges, budget is $budget")
+    }
+  }
+
   test("dimension joins broadcast the small side") {
     // queries whose plans join region/nation/supplier dims must show a
     // broadcast join (AQE or hint) — a shuffle on a 25-row dim is wrong.

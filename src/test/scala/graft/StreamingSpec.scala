@@ -41,6 +41,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
   }
 }
 
+/** Exactly-once across a restart: stop a checkpointed query mid-stream,
+  * add more input, restart from the same checkpoint — the final counts
+  * must equal one batch pass over everything (no loss, no double
+  * counting). This is the recovery contract a 24/7 pipeline leans on. */
+class StreamingRecoverySpec extends AnyFunSuite with SparkSpec {
+  test("checkpointed aggregation resumes without loss or double counting") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-recov")
+    val inDir = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "value")
+    val Array(a, b) = events.randomSplit(Array(0.5, 0.5), seed = 7)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("user_id").agg(count(lit(1)).as("n"))
+    def start() = agg(
+      spark.readStream.schema(events.schema).parquet(inDir))
+      .writeStream.format("memory").queryName("recov")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    try {
+      a.write.mode("append").parquet(inDir)
+      val q1 = start()
+      q1.processAllAvailable(); q1.stop()
+      val afterFirst = spark.table("recov").agg(sum("n")).head().getLong(0)
+      assert(afterFirst == a.count())
+      b.write.mode("append").parquet(inDir)
+      val q2 = start() // same checkpoint: must resume, not reprocess
+      q2.processAllAvailable(); q2.stop()
+      val streamed = spark.table("recov")
+      val batch = agg(spark.read.schema(events.schema).parquet(inDir))
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+    } finally graft.sources.Scratch.deleteTree(root)
+  }
+}
+
 class StreamingStateSpec extends AnyFunSuite with SparkSpec {
   test("flatMapGroupsWithState user stats == batch GROUP BY") {
     val dir = "/root/testdata/sf0.001"
