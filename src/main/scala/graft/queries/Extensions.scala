@@ -172,6 +172,30 @@ object Extensions {
             .when(col("u_key").isNull, "keep")
             .otherwise("update").as("action"))
     }),
+    // CDC compaction: latest record per key as one partial-aggregating
+    // argmax (max of a lexicographic struct — no window, so only one
+    // candidate per key per map partition crosses the shuffle)
+    "q_cdc_latest" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("m"))
+        .select(col("user_id"),
+          date_format(col("m.ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          col("m.event_id").as("last_event"),
+          col("m.event_type").as("last_type"),
+          col("m.value").as("last_value"))),
+    // quartile + cumulative-distribution ranking (total order via the
+    // (value, event_id) tie-break so both engines tile identically)
+    "q_window_ntile" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          ntile(4).over(w).as("quartile"),
+          round(cume_dist().over(w), 6).as("cd"))
+    }),
     // PII-style pattern redaction (the curation scrub pass): digit runs
     // and email-shaped tokens replaced by placeholder tags, with a
     // per-record redaction count — pure scan, no shuffle
@@ -789,6 +813,23 @@ object Extensions {
       FROM lp
       QUALIFY pr >= 0.5"""
     },
+    "q_cdc_latest" -> """
+      WITH r AS (SELECT user_id, ts, event_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC, event_type DESC,
+                              value DESC) AS rn
+                 FROM events)
+      SELECT user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+             event_id AS last_event, event_type AS last_type,
+             value AS last_value
+      FROM r WHERE rn = 1""",
+    "q_window_ntile" -> """
+      SELECT event_id, event_type, value,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             round(cume_dist() OVER w, 6) AS cd
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""",
     "text_redact" -> """
       SELECT event_id,
              regexp_replace(
