@@ -58,10 +58,13 @@ object TimeOps {
       struct(unix_micros(col(rightTime).cast("timestamp_ltz")).as("t"),
         v.as("v")).as("e"))
     // per-(key, bucket) sorted timelines — buffer size = bucket
-    // occupancy, never the full per-key history
-    val packed = entries
+    // occupancy, never the full per-key history. Materialized eagerly:
+    // both the probe join and the bucket index consume it, and Spark
+    // does NOT reuse the exchange between the two lineages (measured:
+    // the right side was scanned, shuffled, and aggregated twice).
+    val packed = Dedup.materialize(entries
       .groupBy(col("__k"), bucketOf(col("e.t"), bucketWidth).as("__b"))
-      .agg(sort_array(collect_list(col("e"))).as("tl"))
+      .agg(sort_array(collect_list(col("e"))).as("tl")))
     val packedArrays = packed.select(col("__k").as("__pk"), col("__b"),
       expr("transform(tl, x -> x.t)").as("__ts"),
       expr("transform(tl, x -> x.v)").as("__vs"))
