@@ -172,6 +172,38 @@ object Extensions {
             .when(col("u_key").isNull, "keep")
             .otherwise("update").as("action"))
     }),
+    // funnel attribution (batch form): purchases within an hour of a
+    // view by the same user — shares the stream_stream_join oracle
+    "q_attribution" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          date_trunc("second", col("ts")).as("v_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"),
+          date_trunc("second", col("ts")).as("p_ts"))
+      views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("v_user").as("user_id"), col("view_id"),
+          col("purchase_id"),
+          date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+    }),
+    // stream-stream join drained to batch: watermarked, time-bounded
+    // state on both sides — must equal the batch q_attribution exactly
+    "stream_stream_join" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      graft.streaming.StreamOps.drainToBatch(
+        graft.streaming.StreamOps.attributedPurchases(
+          graft.streaming.StreamOps.eventsStream(s, d)),
+        outputMode = "append")
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+    }),
     // CDC compaction: latest record per key as one partial-aggregating
     // argmax (max of a lexicographic struct — no window, so only one
     // candidate per key per map partition crosses the shuffle)
@@ -714,7 +746,24 @@ object Extensions {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM g GROUP BY user_id, sid"""
 
+  /** Shared by `q_attribution` (batch) and `stream_stream_join`. */
+  private val attributionOracle: String = """
+      WITH v AS (SELECT user_id, event_id AS view_id,
+                   date_trunc('second', ts) AS v_ts
+                 FROM events WHERE event_type = 'view'),
+      p AS (SELECT user_id, event_id AS purchase_id,
+              date_trunc('second', ts) AS p_ts
+            FROM events WHERE event_type = 'purchase')
+      SELECT v.user_id,
+             view_id, purchase_id,
+             strftime(v_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+             strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+      FROM v JOIN p ON v.user_id = p.user_id
+       AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"""
+
   val oracles: Map[String, String] = Map(
+    "q_attribution" -> attributionOracle,
+    "stream_stream_join" -> attributionOracle,
     "text_tokens" -> s"""
       SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
              CAST(len(list_distinct(t)) AS INTEGER) AS n_unique

@@ -95,6 +95,32 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id", "ts")
 
+  /** Stream-stream join: purchases attributed to a view by the same
+    * user within the preceding hour. Both sides are watermarked and the
+    * join carries a time-range condition, so state for either side is
+    * dropped once the watermark passes — the bounded-state contract
+    * that lets two unbounded streams join forever. Event time is
+    * second-truncated on both sides (same ns-vs-µs clock rationale as
+    * [[sessionCounts]]) so streaming ≡ batch ≡ oracle. */
+  def attributedPurchases(events: DataFrame,
+                          watermark: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        date_trunc("second", col("ts")).as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"),
+        date_trunc("second", col("ts")).as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("v_user").as("user_id"), col("view_id"),
+        col("purchase_id"), col("v_ts"), col("p_ts"))
+  }
+
   /** Stream-static join: enrich the event stream with a broadcast
     * dimension (the table is re-read per micro-batch, so slowly-changing
     * dims stay current), then count per (hour window, segment). The
