@@ -169,12 +169,24 @@ object StreamOps {
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Drains a finite streaming frame and returns the materialized result
-    * as a batch DataFrame (unique memory-sink name per invocation). */
+    * as a batch DataFrame (unique memory-sink name per invocation).
+    *
+    * The stream runs under a CLONED session pinned to fewer shuffle
+    * partitions: streaming state-store count = shuffle partitions at
+    * query start (a stream-stream join keeps 4 stores per partition per
+    * micro-batch commit), and the caller's batch-tuned 32 partitions
+    * cost seconds of pure store I/O at drain scale. Cloning — instead
+    * of setting session conf around the call — leaves the caller's conf
+    * untouched (no round-1-style side effects). */
   def drainToBatch(df: DataFrame, outputMode: String = "complete")
                   (implicit spark: SparkSession): DataFrame = {
     val name = s"graft_stream_${runCounter.incrementAndGet()}"
-    val q = runToMemory(df, name, outputMode)
+    val drainSession = spark.newSession()
+    drainSession.conf.set("spark.sql.shuffle.partitions", "8")
+    val rebound =
+      org.apache.spark.sql.graftbridge.ColumnBridge.rebind(df, drainSession)
+    val q = runToMemory(rebound, name, outputMode)
     q.stop()
-    spark.table(name)
+    drainSession.table(name)
   }
 }

@@ -18,4 +18,14 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Rebind a DataFrame's logical plan onto another session of the same
+    * SparkContext (`Dataset.ofRows` is private[sql]) — lets a caller run
+    * a plan under different SQL conf (e.g. fewer shuffle partitions for
+    * streaming state stores) without mutating the original session. */
+  def rebind(df: org.apache.spark.sql.DataFrame,
+             to: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      to.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan)
 }
