@@ -132,6 +132,22 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: sorted_last_le == linear count of elements <= t") {
+    import graft.functions.exprs
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map { _ =>
+      val arr = Seq.fill(rnd.nextInt(15))(rnd.nextInt(40).toLong).sorted
+      val t = rnd.nextInt(50).toLong - 5
+      (arr, t)
+    }
+    val got = rows.toDF("arr", "t")
+      .select(exprs.sorted_last_le(col("arr"), col("t")))
+      .as[Int].collect()
+    // the expression returns the 1-based index of the last element <= t
+    // (0 when none), which equals the count of elements <= t
+    assert(got.toSeq == rows.map { case (arr, t) => arr.count(_ <= t) })
+  }
+
   test("property: |A ⋈ B| <= |A| * max key multiplicity in B") {
     val a = (1 to 100).map(i => (i.toLong % 10, i)).toDF("k", "va")
     val b = (1 to 30).map(i => (i.toLong % 5, i)).toDF("k", "vb")
