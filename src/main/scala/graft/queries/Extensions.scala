@@ -123,18 +123,37 @@ object Extensions {
           size(col("chunk")).as("n_tokens"),
           concat_ws(" ", col("chunk")).as("chunk_text"))),
     // per-language quality-quantile filter: keep the top half of each
-    // language's score distribution (percent_rank is rank-based, so
-    // ties land identically in both engines)
+    // language's score distribution. NOT a percent_rank window — the
+    // partition key has ~5 values, so at corpus scale one task would
+    // sort a fifth of the data. Since scores are rounded to 6 dp, the
+    // rank is computed from the (language, score) VALUE HISTOGRAM:
+    // percent_rank(x) = #strictly-smaller / (n−1), with the window
+    // running over per-language distinct-score rows (bounded by score
+    // cardinality, not corpus size). The unchanged percent_rank oracle
+    // proves the equivalence.
     "text_quality_quantile" -> ((s, d) => {
       val base = Tables.documents(s, d)
         .withColumn("__t", TextOps.tokens(col("text")))
         .filter(size(col("__t")) > 0)
         .select(col("doc_id"), TextOps.langId(col("__t")).as("lang_pred"),
           TextOps.qualityScore(col("__t")).as("score"))
+      val hist = base.groupBy(col("lang_pred"), col("score"))
+        .agg(count(lit(1)).as("c"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang_pred")).orderBy(col("score"))
-      base.withColumn("pr", round(percent_rank().over(w), 6))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang_pred"))
+      val ranked = hist
+        .withColumn("lt", coalesce(sum(col("c")).over(w), lit(0L)))
+        .withColumn("n", sum(col("c")).over(wn))
+        .select(col("lang_pred"), col("score"),
+          round(when(col("n") === 1, 0.0)
+            .otherwise(col("lt") / (col("n") - 1)), 6).as("pr"))
+      base.join(ranked, Seq("lang_pred", "score"))
         .filter(col("pr") >= 0.5)
+        .select(col("doc_id"), col("lang_pred"), col("score"), col("pr"))
     }),
     // exact K-per-group sampling: top-100 per event type by a
     // deterministic md5 score, reduced through the bounded TopK
