@@ -501,6 +501,15 @@ object Extensions {
           col("n_regionkey")), s"$tmp/nation")
       s.read.orc(s"$tmp/nation")
     }),
+    // line-oriented text source/sink round trip (logs/JSONL-adjacent):
+    // write.text emits one line per row, read back as a `value` column
+    "q_text_roundtrip" -> ((s, d) => {
+      val tmp = graft.sources.Scratch.dir("text")
+      Tables.nation(s, d).select(col("n_name"))
+        .write.mode("overwrite").text(s"$tmp/nation_names")
+      s.read.text(s"$tmp/nation_names")
+        .select(col("value").as("n_name"))
+    }),
     "q_json_roundtrip" -> ((s, d) => {
       val tmp = graft.sources.Scratch.dir("json")
       graft.sources.Sinks.overwriteJson(
@@ -1089,6 +1098,8 @@ object Extensions {
     "q_orc_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "q_json_roundtrip" -> """
-      SELECT s_suppkey, s_name, s_nationkey FROM supplier"""
+      SELECT s_suppkey, s_name, s_nationkey FROM supplier""",
+    "q_text_roundtrip" -> """
+      SELECT n_name FROM nation"""
   )
 }
