@@ -501,6 +501,11 @@ object Extensions {
           col("n_regionkey")), s"$tmp/nation")
       s.read.orc(s"$tmp/nation")
     }),
+    // S4: the reference's synthetic generator as a DataSource V2 table —
+    // parallel, deterministic (pure function of row id), column-pruned
+    "q_synth_source" -> ((s, _) =>
+      s.read.format("graft-synth")
+        .option("rows", 2000).option("partitions", 8).load()),
     // line-oriented text source/sink round trip (logs/JSONL-adjacent):
     // write.text emits one line per row, read back as a `value` column
     "q_text_roundtrip" -> ((s, d) => {
@@ -1100,6 +1105,13 @@ object Extensions {
     "q_json_roundtrip" -> """
       SELECT s_suppkey, s_name, s_nationkey FROM supplier""",
     "q_text_roundtrip" -> """
-      SELECT n_name FROM nation"""
+      SELECT n_name FROM nation""",
+    "q_synth_source" -> """
+      SELECT i AS id,
+             'user_' || i AS name,
+             CASE i % 3 WHEN 0 THEN 'M' WHEN 1 THEN 'F' ELSE 'Other' END AS gender,
+             strftime(DATE '2024-01-01' - (i % 3650) * INTERVAL 1 DAY,
+                      '%Y-%m-%d') AS signup_date
+      FROM generate_series(0, 1999) t(i)"""
   )
 }
