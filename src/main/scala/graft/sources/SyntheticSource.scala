@@ -73,17 +73,54 @@ private class SyntheticTable(rows: Long, partitions: Int)
 }
 
 private class SyntheticScanBuilder(rows: Long, partitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = SyntheticSource.schema
+  // id-range predicates narrow the GENERATED range — a filtered read of
+  // a trillion-row table generates only the asked-for slice
+  private var lo = 0L
+  private var hi = rows
+  private var accepted: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def num(v: Any): Option[Long] = v match {
+      case n: Number => Some(n.longValue); case _ => None
+    }
+    val (take, rest) = filters.partition {
+      case EqualTo("id", v) => num(v).isDefined
+      case GreaterThan("id", v) => num(v).isDefined
+      case GreaterThanOrEqual("id", v) => num(v).isDefined
+      case LessThan("id", v) => num(v).isDefined
+      case LessThanOrEqual("id", v) => num(v).isDefined
+      case _ => false
+    }
+    take.foreach {
+      case EqualTo("id", v) =>
+        lo = math.max(lo, num(v).get); hi = math.min(hi, num(v).get + 1)
+      case GreaterThan("id", v) => lo = math.max(lo, num(v).get + 1)
+      case GreaterThanOrEqual("id", v) => lo = math.max(lo, num(v).get)
+      case LessThan("id", v) => hi = math.min(hi, num(v).get)
+      case LessThanOrEqual("id", v) => hi = math.min(hi, num(v).get + 1)
+      case _ => ()
+    }
+    accepted = take
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = accepted
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
+    override def description(): String =
+      s"graft-synth range [$lo, ${math.max(lo, hi)})"
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] = {
-      val per = math.max(1L, (rows + partitions - 1) / partitions)
-      (0L until rows by per)
-        .map(start => SyntheticPartition(start, math.min(start + per, rows))
+      val end = math.max(lo, hi)
+      val span = end - lo
+      if (span <= 0) return Array.empty
+      val per = math.max(1L, (span + partitions - 1) / partitions)
+      (lo until end by per)
+        .map(start => SyntheticPartition(start, math.min(start + per, end))
           : InputPartition)
         .toArray
     }

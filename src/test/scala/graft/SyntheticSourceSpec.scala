@@ -30,6 +30,25 @@ class SyntheticSourceSpec extends AnyFunSuite with SparkSpec {
     assert(synth(1000, 8).rdd.getNumPartitions == 8)
   }
 
+  test("id-range filters are pushed into generation") {
+    // a billion-row table filtered to [100, 200): without pushdown this
+    // would generate 10^9 rows; with it, only the 100-row slice exists
+    val df = spark.read.format("graft-synth")
+      .option("rows", 1000000000L).option("partitions", 4).load()
+      .filter(col("id") >= 100L && col("id") < 200L)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.head.scan.description().contains("[100, 200)"))
+    assert(df.count() == 100)
+    assert(df.agg(min("id"), max("id")).as[(Long, Long)].head() == ((100L, 199L)))
+  }
+
+  test("contradictory pushed range yields zero rows, not a crash") {
+    val df = synth(1000, 4).filter(col("id") > 500L && col("id") < 100L)
+    assert(df.count() == 0)
+  }
+
   test("column pruning reaches the reader") {
     val plan = synth(100, 2).select("id").queryExecution.executedPlan
     val scans = plan.collect {
