@@ -37,7 +37,7 @@ object Dedup {
     * lineage-truncated, so an executor loss would fail the job; that
     * trade is acceptable only in single-JVM runs, which is exactly when
     * no checkpoint dir is set. */
-  private[operators] def materialize(df: DataFrame): DataFrame =
+  private[graft] def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint()
     else df.localCheckpoint()

@@ -132,11 +132,13 @@ object Extensions {
     // cardinality, not corpus size). The unchanged percent_rank oracle
     // proves the equivalence.
     "text_quality_quantile" -> ((s, d) => {
-      val base = Tables.documents(s, d)
+      // materialized: the histogram and the join-back probe would
+      // otherwise each re-tokenize and re-score every document
+      val base = Dedup.materialize(Tables.documents(s, d)
         .withColumn("__t", TextOps.tokens(col("text")))
         .filter(size(col("__t")) > 0)
         .select(col("doc_id"), TextOps.langId(col("__t")).as("lang_pred"),
-          TextOps.qualityScore(col("__t")).as("score"))
+          TextOps.qualityScore(col("__t")).as("score")))
       val hist = base.groupBy(col("lang_pred"), col("score"))
         .agg(count(lit(1)).as("c"))
       val w = org.apache.spark.sql.expressions.Window
