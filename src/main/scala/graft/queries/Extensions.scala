@@ -503,6 +503,18 @@ object Extensions {
           col("n_regionkey")), s"$tmp/nation")
       s.read.orc(s"$tmp/nation")
     }),
+    // schema'd JSON parse (from_json) of the props column — the typed
+    // counterpart of the path-extraction q_json query
+    "q_json_parse" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType))))
+            .getField("k").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
     // S4: the reference's synthetic generator as a DataSource V2 table —
     // parallel, deterministic (pure function of row id), column-pruned
     "q_synth_source" -> ((s, _) =>
@@ -1108,6 +1120,11 @@ object Extensions {
       SELECT s_suppkey, s_name, s_nationkey FROM supplier""",
     "q_text_roundtrip" -> """
       SELECT n_name FROM nation""",
+    "q_json_parse" -> """
+      SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+             COUNT(1) AS n,
+             CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      FROM events GROUP BY 1""",
     "q_synth_source" -> """
       SELECT i AS id,
              'user_' || i AS name,
