@@ -503,6 +503,32 @@ object Extensions {
           col("n_regionkey")), s"$tmp/nation")
       s.read.orc(s"$tmp/nation")
     }),
+    // streaming foreachBatch sink round trip: stream → batch parquet
+    // writer per micro-batch → read back, oracle = the batch projection
+    "stream_sink_roundtrip" -> ((s, d) => {
+      val out = graft.sources.Scratch.dir(
+        s"fb_${java.util.UUID.randomUUID.toString.take(8)}")
+      val q = graft.streaming.StreamOps.foreachBatchToParquet(
+        graft.streaming.StreamOps.eventsStream(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")),
+        s"$out/events")
+      q.stop()
+      s.read.parquet(s"$out/events")
+    }),
+    // deterministic train/val/test assignment: md5-range split (80/10/10)
+    // — reproducible across engines, runs, and partitionings; the
+    // counts-per-split shape every dataset card reports
+    "q_split_assign" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("__h", Dedup.md5Hash32(
+          concat(lit("split:"), col("doc_id").cast("string"))) % 10)
+        .select(col("doc_id"),
+          when(col("__h") < 8, "train")
+            .when(col("__h") < 9, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))),
     // schema'd JSON parse (from_json) of the props column — the typed
     // counterpart of the path-extraction q_json query
     "q_json_parse" -> ((s, d) =>
@@ -1120,6 +1146,17 @@ object Extensions {
       SELECT s_suppkey, s_name, s_nationkey FROM supplier""",
     "q_text_roundtrip" -> """
       SELECT n_name FROM nation""",
+    "stream_sink_roundtrip" -> """
+      SELECT event_id, user_id, event_type, value FROM events""",
+    "q_split_assign" -> """
+      WITH a AS (SELECT doc_id,
+               ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 10 AS h
+             FROM documents)
+      SELECT CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'val'
+                  ELSE 'test' END AS split,
+             COUNT(1) AS n, MIN(doc_id) AS first_doc
+      FROM a GROUP BY 1""",
     "q_json_parse" -> """
       SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
              COUNT(1) AS n,

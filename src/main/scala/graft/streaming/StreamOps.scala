@@ -166,6 +166,22 @@ object StreamOps {
       .toDF("user_id", "n_events", "total")
   }
 
+  /** foreachBatch sink: the production pattern for routing a stream
+    * into any batch writer (JDBC upserts, partitioned parquet, multi
+    * sink fan-out). Each micro-batch appends as parquet under `dir`;
+    * batchId makes retried batches idempotent in real deployments (a
+    * retried id would overwrite its own directory — here append-only
+    * because `processAllAvailable` runs each batch exactly once). */
+  def foreachBatchToParquet(df: DataFrame, dir: String): StreamingQuery = {
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(dir)
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Drains a finite streaming frame and returns the materialized result
