@@ -131,9 +131,36 @@ object Dedup {
     * shingle document frequency at `maxDf` — ubiquitous shingles carry
     * no pair information and would otherwise explode the self-join. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
-                        maxDf: Int = 20, jaccardMin: Double = 0.5): DataFrame = {
+                        maxDf: Int = 20, jaccardMin: Double = 0.5): DataFrame =
+    rareShingleCandidates(df, id, text, maxDf)
+      // one-pass primitive Jaccard — at sf0.1 the verify stage scores
+      // >1M candidate pairs, and the composed array_intersect form both
+      // allocates per row and gets re-evaluated by the pushed-down filter
+      .withColumn("jaccard",
+        round(graft.functions.exprs.jaccard_sim(col("ha"), col("hb")), 6))
+      .filter(col("jaccard") >= jaccardMin)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** Containment |A∩B| / min(|A|, |B|) over the same rare-shingle
+    * candidates: flags doc-inside-doc pairs (verbatim quotes, nested
+    * boilerplate) whose symmetric Jaccard stays low because the larger
+    * document dilutes the union. */
+  def containmentPairs(df: DataFrame, id: String, text: String,
+                       maxDf: Int = 20, containMin: Double = 0.8): DataFrame =
+    rareShingleCandidates(df, id, text, maxDf)
+      .withColumn("containment",
+        round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          least(size(col("ha")), size(col("hb"))), 6))
+      .filter(col("containment") >= containMin)
+      .select("doc_a", "doc_b", "containment")
+
+  /** Candidate (doc_a, doc_b, ha, hb) pairs sharing at least one rare
+    * shingle (df ≤ maxDf) — the shared generation stage for the
+    * Jaccard and containment verifiers. */
+  private def rareShingleCandidates(df: DataFrame, id: String, text: String,
+                                    maxDf: Int): DataFrame = {
     // materialized (not persist): reused by the posting list and both
-    // Jaccard-verify sides, released by GC instead of leaking per call
+    // verify sides, released by GC instead of leaking per call
     val sh = materialize(
       shingleHashesFlat(df, id, text).filter(size(col("hs")) > 0))
     val posting = sh.select(col("doc_id"), explode(col("hs")).as("h"))
@@ -147,13 +174,6 @@ object Dedup {
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
-      // one-pass primitive Jaccard — at sf0.1 the verify stage scores
-      // >1M candidate pairs, and the composed array_intersect form both
-      // allocates per row and gets re-evaluated by the pushed-down filter
-      .withColumn("jaccard",
-        round(graft.functions.exprs.jaccard_sim(col("ha"), col("hb")), 6))
-      .filter(col("jaccard") >= jaccardMin)
-      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** Connected components over near-duplicate pairs: returns

@@ -294,6 +294,11 @@ object Extensions {
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))),
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text")),
+    // containment similarity over the same rare-shingle candidates:
+    // |A∩B| / min(|A|,|B|) flags doc-inside-doc pairs (quotes, nested
+    // boilerplate) that symmetric Jaccard under-scores
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text")),
     "text_rolling_fp" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         graft.functions.exprs.rolling_min_hash(col("text"), 8).as("fp"))),
@@ -1001,6 +1006,20 @@ object Extensions {
     "dedup_clusters" -> clustersOracle,
     "curation_pipeline" -> curationOracle,
     "dedup_ngram" -> ngramOracle,
+    "dedup_containment" -> s"""
+      WITH $shingleCtes,
+      posting AS (SELECT doc_id, unnest(hs) AS h FROM hsx),
+      rare AS (SELECT h FROM posting GROUP BY h HAVING COUNT(1) BETWEEN 2 AND 20),
+      rp AS (SELECT p.doc_id, p.h FROM posting p JOIN rare USING (h)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM rp x JOIN rp y ON x.h = y.h AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b,
+             round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+                   least(len(a.hs), len(b.hs)), 6) AS containment
+      FROM cand JOIN hsx a ON a.doc_id = doc_a
+                JOIN hsx b ON b.doc_id = doc_b
+      WHERE round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+                  least(len(a.hs), len(b.hs)), 6) >= 0.8""",
     "text_rolling_fp" -> rollingFpOracle,
     "sim_ivf" -> ivfOracle,
     "q_join_asof_fast" -> Relational.oracles("q_join_asof"),
