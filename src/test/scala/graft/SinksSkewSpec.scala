@@ -44,6 +44,42 @@ class SinksSkewSpec extends AnyFunSuite with SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime") {
+    // a cloned session so the aggressive skew thresholds never leak
+    // into other suites' plans
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE re-checks broadcastability with its OWN threshold at runtime
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    import org.apache.spark.sql.functions.{col, when, lit}
+    // 200k rows, 95% on key 0 — one reducer partition dwarfs the rest
+    val left = s2.range(200000)
+      .select(when(col("id") % 20 =!= 0, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+    val right = s2.range(100).select(col("id").as("k"), col("id").as("w"))
+    val joined = left.join(right, "k")
+    // materialize THIS query execution (count() would plan a separate
+    // one, leaving this AdaptiveSparkPlan un-finalized)
+    assert(joined.collect().length == 190000 + 5) // key 0 + 20/40/60/80
+    def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    // string check: finalized query stages are LEAF nodes, so a tree
+    // collect cannot see the join inside them — the rendering can
+    val plan = finalPlan(joined.queryExecution.executedPlan).toString
+    assert(plan.contains("skew=true") && plan.contains("AQEShuffleRead skewed"),
+      s"AQE did not mark the skewed join:\n${plan.take(1200)}")
+  }
+
   test("key histogram finds the hot key") {
     val df = (1 to 100).map(i => if (i <= 90) 7L else i.toLong).toDF("k")
     val top = Skew.keyHistogram(df, col("k"), 1).as[(Long, Long)].head()
