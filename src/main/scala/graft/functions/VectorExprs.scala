@@ -314,6 +314,56 @@ case class JaccardSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Count of DISTINCT common values between two `array<bigint>` columns
+  * — the integer numerator the containment verifier divides by the
+  * smaller set size. Same one-pass sorted-merge as [[JaccardSim]] (the
+  * composed `size(array_intersect(..))` allocates a GenericArrayData
+  * per evaluation and gets re-evaluated by the pushed-down filter —
+  * measured 4×+ on the >1M-pair candidate stream). */
+case class IntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"intersect_count requires array<bigint> inputs, got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.IntersectCount.compute($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object IntersectCount {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
+    java.util.Arrays.sort(xs)
+    java.util.Arrays.sort(ys)
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = xs(i); val y = ys(j)
+      if (x == y) {
+        c += 1 // count the value once, like array_intersect
+        val v = x
+        while (i < na && xs(i) == v) i += 1
+        while (j < nb && ys(j) == v) j += 1
+      } else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 object JaccardSim {
   def compute(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
@@ -408,4 +458,6 @@ object exprs {
     column(SortedLastLE(expression(arr), expression(t)))
   def binary_decimate(c: Column, n: Int): Column =
     column(BinaryDecimate(expression(c), n))
+  def intersect_count(a: Column, b: Column): Column =
+    column(IntersectCount(expression(a), expression(b)))
 }

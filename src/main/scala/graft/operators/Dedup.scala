@@ -148,9 +148,12 @@ object Dedup {
   def containmentPairs(df: DataFrame, id: String, text: String,
                        maxDf: Int = 20, containMin: Double = 0.8): DataFrame =
     rareShingleCandidates(df, id, text, maxDf)
+      // one-pass primitive intersection count (the composed
+      // array_intersect form allocates per row and is re-evaluated by
+      // the pushed-down filter — same rationale as JaccardSim)
       .withColumn("containment",
-        round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
-          least(size(col("ha")), size(col("hb"))), 6))
+        round(graft.functions.exprs.intersect_count(col("ha"), col("hb"))
+          .cast("double") / least(size(col("ha")), size(col("hb"))), 6))
       .filter(col("containment") >= containMin)
       .select("doc_a", "doc_b", "containment")
 

@@ -132,6 +132,21 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: IntersectCount == size(array_intersect) on random arrays") {
+    import graft.functions.exprs
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 300).map { _ =>
+      (Seq.fill(rnd.nextInt(20))(rnd.nextInt(12).toLong),
+        Seq.fill(rnd.nextInt(20))(rnd.nextInt(12).toLong))
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(exprs.intersect_count(col("a"), col("b")))
+      .as[Int].collect()
+    val want = df.select(size(array_intersect(col("a"), col("b"))))
+      .as[Int].collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("property: sorted_last_le == linear count of elements <= t") {
     import graft.functions.exprs
     val rnd = new scala.util.Random(23)
