@@ -65,7 +65,24 @@ object GraftFunctions {
       case Seq(h) => MinHashSig(h, 16, 999983L, 424243L, 12345L, 7L, Dedup.P)
       case Seq(h, n) => MinHashSig(h, intLit("minhash_sig", "numHashes")(n),
         999983L, 424243L, 12345L, 7L, Dedup.P)
-    })
+    },
+    "intersect_count" ->
+      arity("intersect_count", "intersect_count(a, b)") {
+        case Seq(a, b) => IntersectCount(a, b)
+      },
+    "sorted_last_le" -> arity("sorted_last_le", "sorted_last_le(arr, t)") {
+      case Seq(arr, t) => SortedLastLE(arr, t)
+    },
+    "rolling_min_hash" ->
+      arity("rolling_min_hash", "rolling_min_hash(text, k)") {
+        case Seq(t, k) =>
+          RollingMinHash(t, intLit("rolling_min_hash", "k")(k))
+      },
+    "binary_decimate" ->
+      arity("binary_decimate", "binary_decimate(payload, n)") {
+        case Seq(p, n) =>
+          BinaryDecimate(p, intLit("binary_decimate", "n")(n))
+      })
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

@@ -238,6 +238,21 @@ object Extensions {
           col("m.event_id").as("last_event"),
           col("m.event_type").as("last_type"),
           col("m.value").as("last_value"))),
+    // first/last/nth over an explicit unbounded frame (last_value's
+    // default frame ends at the current row — the classic trap)
+    "q_window_firstlast" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+    }),
     // quartile + cumulative-distribution ranking (total order via the
     // (value, event_id) tie-break so both engines tile identically)
     "q_window_ntile" -> ((s, d) => {
@@ -951,6 +966,14 @@ object Extensions {
              event_id AS last_event, event_type AS last_type,
              value AS last_value
       FROM r WHERE rn = 1""",
+    "q_window_firstlast" -> """
+      SELECT o_orderkey, o_custkey,
+             first_value(o_orderkey) OVER w AS first_ok,
+             last_value(o_orderkey) OVER w AS last_ok,
+             nth_value(o_orderkey, 2) OVER w AS second_ok
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
     "q_window_ntile" -> """
       SELECT event_id, event_type, value,
              CAST(ntile(4) OVER w AS INTEGER) AS quartile,

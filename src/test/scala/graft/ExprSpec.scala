@@ -238,6 +238,22 @@ class SqlFunctionSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("out of Int range"))
   }
 
+  test("newer expressions are callable from SQL too") {
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql(
+      "SELECT intersect_count(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS n")
+      .head().getInt(0) == 2)
+    assert(spark.sql(
+      "SELECT sorted_last_le(array(1L, 3L, 5L), 4L) AS i")
+      .head().getInt(0) == 2)
+    assert(spark.sql(
+      "SELECT octet_length(binary_decimate(CAST('abcdefgh' AS BINARY), 4)) AS n")
+      .head().getInt(0) == 4)
+    assert(spark.sql(
+      "SELECT rolling_min_hash('abcdefgh', 8) IS NOT NULL AS ok")
+      .head().getBoolean(0))
+  }
+
   test("cosine_sim fails loudly on mismatched dimensions") {
     graft.functions.GraftFunctions.register(spark)
     val e = intercept[Exception] {
