@@ -287,8 +287,9 @@ object RollingMinHash {
   * re-evaluates) into both the join condition and the output projection,
   * allocating a GenericArrayData per evaluation. Division in double over
   * exactly-representable integer counts: bit-identical to the SQL
-  * oracle's `li / CAST(lu - li AS DOUBLE)`. Null array elements are not
-  * supported (inputs must be `containsNull = false`). */
+  * oracle's `li / CAST(lu - li AS DOUBLE)`. Null array ELEMENTS are not
+  * supported and fail loudly at eval time (the schema alone can't prove
+  * their absence — `containsNull = true` is pervasive on literals). */
 case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression {
   // array<bigint> ONLY: toLongArray on an array<int>/array<float> would
@@ -345,8 +346,8 @@ object IntersectCount {
   def compute(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
     val nb = b.numElements()
-    val xs = a.toLongArray()
-    val ys = b.toLongArray()
+    val xs = JaccardSim.toLongsStrict(a, "intersect_count")
+    val ys = JaccardSim.toLongsStrict(b, "intersect_count")
     java.util.Arrays.sort(xs)
     java.util.Arrays.sort(ys)
     var i = 0; var j = 0; var c = 0
@@ -365,12 +366,28 @@ object IntersectCount {
 }
 
 object JaccardSim {
+  /** `toLongArray` with a loud failure on null elements: the schema may
+    * say `containsNull = true` (SQL literals, post-join nullability) and
+    * `ArrayData.toLongArray` silently reads a null slot as 0 — the same
+    * silent-wrong-answer class the array<bigint> type check exists for. */
+  private[functions] def toLongsStrict(a: ArrayData, fn: String): Array[Long] = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"$fn: null array element at position $i — null elements are not " +
+          "supported; filter(x -> x is not null) the input first")
+      i += 1
+    }
+    a.toLongArray()
+  }
+
   def compute(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
     if (na == 0 && nb == 0) return Double.NaN // 0/0, as the composed form
-    val xs = a.toLongArray()
-    val ys = b.toLongArray()
+    val xs = toLongsStrict(a, "jaccard_sim")
+    val ys = toLongsStrict(b, "jaccard_sim")
     java.util.Arrays.sort(xs)
     java.util.Arrays.sort(ys)
     var i = 0; var j = 0; var c = 0

@@ -38,9 +38,39 @@ object Dedup {
     * trade is acceptable only in single-JVM runs, which is exactly when
     * no checkpoint dir is set. */
   private[graft] def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else df.localCheckpoint()
+    materializeTracked(df)._1
+
+  /** [[materialize]] plus a cleanup thunk that deletes this generation's
+    * reliable-checkpoint files (a no-op for `localCheckpoint`). Reliable
+    * checkpoints are NOT reclaimed by Spark unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is set at context
+    * creation, so an iterative caller ([[duplicateClusters]]) must delete
+    * superseded generations itself or leak one dataset copy per round.
+    *
+    * The dataset is persisted across the checkpoint call: Spark writes a
+    * reliable checkpoint in a SECOND job after the eager count, so an
+    * unpersisted plan would recompute its whole upstream twice. Persist →
+    * checkpoint → unpersist computes it once and pins nothing afterwards. */
+  private[graft] def materializeTracked(df: DataFrame): (DataFrame, () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    sc.getCheckpointDir match {
+      case Some(dir) =>
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(sc.hadoopConfiguration)
+        def rddDirs(): Set[String] =
+          if (fs.exists(base)) fs.listStatus(base).map(_.getPath.getName).toSet
+          else Set.empty[String]
+        val before = rddDirs()
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val cp = df.checkpoint() // eager; write job reads the persisted blocks
+          val added = (rddDirs() -- before)
+            .map(new org.apache.hadoop.fs.Path(base, _))
+          (cp, () => added.foreach(p => fs.delete(p, true)))
+        } finally df.unpersist()
+      case None => (df.localCheckpoint(), () => ())
+    }
+  }
 
   /** Aggressive text normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace. */
@@ -226,8 +256,9 @@ object Dedup {
     val edges = materialize(
       p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    var labels = materialize(edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")))
+    var (labels, labelsCleanup) =
+      materializeTracked(edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")))
     // One round = edge propagation + pointer jumping (shortcut through
     // the current label's own label). The shortcut halves the distance
     // to the component minimum every round — O(log diameter) rounds
@@ -258,11 +289,16 @@ object Dedup {
     while (!converged && rounds < maxRounds) {
       // one hop per convergence check: a two-hop variant benched slower
       // (deeper uncached lineage per round outweighs the saved barriers)
-      val next = materialize(hop(labels))
+      val (next, nextCleanup) = materializeTracked(hop(labels))
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      // `next` is fully materialized (eager checkpoint + the sum above),
+      // so the previous generation's checkpoint files are dead weight —
+      // delete them now instead of leaking one copy per round
+      labelsCleanup()
       labels = next
+      labelsCleanup = nextCleanup
       rounds += 1
     }
     if (!converged)

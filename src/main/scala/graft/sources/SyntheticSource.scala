@@ -88,6 +88,10 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int)
     def num(v: Any): Option[Long] = v match {
       case n: Number => Some(n.longValue); case _ => None
     }
+    // Saturating successor: `v + 1` wraps at Long.MaxValue, which would
+    // silently flip an accepted exclusive bound to the wrong end of the
+    // range (accepted filters are never re-checked post-scan).
+    def incSat(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
     val (take, rest) = filters.partition {
       case EqualTo("id", v) => num(v).isDefined
       case GreaterThan("id", v) => num(v).isDefined
@@ -98,11 +102,11 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int)
     }
     take.foreach {
       case EqualTo("id", v) =>
-        lo = math.max(lo, num(v).get); hi = math.min(hi, num(v).get + 1)
-      case GreaterThan("id", v) => lo = math.max(lo, num(v).get + 1)
+        lo = math.max(lo, num(v).get); hi = math.min(hi, incSat(num(v).get))
+      case GreaterThan("id", v) => lo = math.max(lo, incSat(num(v).get))
       case GreaterThanOrEqual("id", v) => lo = math.max(lo, num(v).get)
       case LessThan("id", v) => hi = math.min(hi, num(v).get)
-      case LessThanOrEqual("id", v) => hi = math.min(hi, num(v).get + 1)
+      case LessThanOrEqual("id", v) => hi = math.min(hi, incSat(num(v).get))
       case _ => ()
     }
     accepted = take
