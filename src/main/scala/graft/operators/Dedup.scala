@@ -47,6 +47,12 @@ object Dedup {
     * creation, so an iterative caller ([[duplicateClusters]]) must delete
     * superseded generations itself or leak one dataset copy per round.
     *
+    * The files to delete are derived from the checkpointed RDD itself
+    * (the `LogicalRDD` backing the returned frame reports its own
+    * `getCheckpointFile`) — never from a before/after listing of the
+    * shared checkpoint dir, which would race with any concurrent
+    * checkpoint on the same session and delete another job's live files.
+    *
     * The dataset is persisted across the checkpoint call: Spark writes a
     * reliable checkpoint in a SECOND job after the eager count, so an
     * unpersisted plan would recompute its whole upstream twice. Persist →
@@ -54,19 +60,23 @@ object Dedup {
   private[graft] def materializeTracked(df: DataFrame): (DataFrame, () => Unit) = {
     val sc = df.sparkSession.sparkContext
     sc.getCheckpointDir match {
-      case Some(dir) =>
-        val base = new org.apache.hadoop.fs.Path(dir)
-        val fs = base.getFileSystem(sc.hadoopConfiguration)
-        def rddDirs(): Set[String] =
-          if (fs.exists(base)) fs.listStatus(base).map(_.getPath.getName).toSet
-          else Set.empty[String]
-        val before = rddDirs()
+      case Some(_) =>
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val cp = df.checkpoint() // eager; write job reads the persisted blocks
-          val added = (rddDirs() -- before)
-            .map(new org.apache.hadoop.fs.Path(base, _))
-          (cp, () => added.foreach(p => fs.delete(p, true)))
+          // exactly this generation's rdd-<id> directory, reported by the
+          // checkpointed RDD inside the returned frame's LogicalRDD
+          val paths = cp.queryExecution.analyzed.collect {
+            case l: org.apache.spark.sql.execution.LogicalRDD =>
+              l.rdd.getCheckpointFile
+          }.flatten.map(new org.apache.hadoop.fs.Path(_))
+          // contract check: an eager reliable checkpoint MUST surface its
+          // file — an empty list would turn cleanup into a silent leak
+          require(paths.nonEmpty,
+            "materializeTracked: checkpointed frame reports no checkpoint file")
+          (cp, () => paths.foreach { p =>
+            p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+          })
         } finally df.unpersist()
       case None => (df.localCheckpoint(), () => ())
     }
@@ -190,8 +200,8 @@ object Dedup {
   /** Candidate (doc_a, doc_b, ha, hb) pairs sharing at least one rare
     * shingle (df ≤ maxDf) — the shared generation stage for the
     * Jaccard and containment verifiers. */
-  private def rareShingleCandidates(df: DataFrame, id: String, text: String,
-                                    maxDf: Int): DataFrame = {
+  private[graft] def rareShingleCandidates(df: DataFrame, id: String,
+                                           text: String, maxDf: Int): DataFrame = {
     // materialized (not persist): reused by the posting list and both
     // verify sides, released by GC instead of leaking per call
     val sh = materialize(
@@ -223,8 +233,13 @@ object Dedup {
     // eager materialize: pairs computed once, lineage truncated so
     // each round's plan stays flat, and the blocks are GC-managed (a
     // persist() here would pin every generation in the CacheManager for
-    // the session lifetime — the classic iterative-algorithm leak)
-    val p = materialize(pairs)
+    // the session lifetime — the classic iterative-algorithm leak).
+    // Every tracked generation below is deleted once superseded; the one
+    // exception is the FINAL labels generation, whose checkpoint files
+    // back the returned DataFrame — they live until the checkpoint dir
+    // itself is cleaned (callers that need eager reclamation should
+    // write the result out and drop the frame).
+    val (p, pCleanup) = materializeTracked(pairs)
     // Hybrid strategy, same reasoning as a broadcast join: the near-dup
     // edge list is orders of magnitude smaller than the corpus (it IS
     // the duplicate graph). When it fits comfortably on the driver,
@@ -250,12 +265,14 @@ object Dedup {
           // tree, so the final root of a component is its min id
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
+      pCleanup() // edge list fully consumed into the driver map
       return parent.keys.toSeq.sorted.map(id => (id, find(id)))
         .toDF("doc_id", "cluster")
     }
-    val edges = materialize(
+    val (edges, edgesCleanup) = materializeTracked(
       p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    pCleanup() // edges checkpoint holds the data; p's files are dead
     var (labels, labelsCleanup) =
       materializeTracked(edges.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id")))
@@ -301,11 +318,17 @@ object Dedup {
       labelsCleanup = nextCleanup
       rounds += 1
     }
-    if (!converged)
+    if (!converged) {
+      // error path reclaims everything — the caller gets no frame that
+      // could depend on these files
+      labelsCleanup()
+      edgesCleanup()
       throw new IllegalStateException(
         s"duplicateClusters: min-label propagation did not converge in " +
           s"$maxRounds rounds — a component has diameter > $maxRounds; " +
           "raise maxRounds to cover the deepest duplicate chain")
+    }
+    edgesCleanup() // the converged labels no longer reference the edges
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
 

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over embedding columns (`array<float>`) — SURVEY
   * §2.9: brute-force cosine top-k as the exactness baseline, and a
@@ -95,17 +94,31 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
       Seq[(Int, Array[Float])]]()
 
+  /** Drops every memoized quantizer. The cache key below already covers
+    * the common staleness case (a re-read DataFrame sees the new file
+    * listing), but a caller holding a long-lived session can force
+    * retraining explicitly — e.g. after an in-place rewrite it knows
+    * about but has no re-read frame for. */
+  def invalidateCentroidCache(): Unit = centroidCache.clear()
+
   def trainCentroids(corpus: DataFrame, nCentroids: Int = 16,
                      iters: Int = 3): Seq[(Int, Array[Float])] = {
     // canonicalized.toString alone is NOT a safe key: file relations
     // print as `Relation [...] parquet` with no location, so two
-    // corpora with the same schema but different files would collide —
-    // append every scan's root paths explicitly
+    // corpora with the same schema but different files would collide.
+    // Append each scan's FILE LISTING — path, length, mtime — taken from
+    // the relation's own in-memory FileIndex (no extra filesystem RPCs):
+    // overwriting the corpus path and re-reading it yields a new listing
+    // and therefore a retrain, instead of a stale quantizer. (A frame
+    // created BEFORE the overwrite keeps its old index — and its scan
+    // would read the old files too, so cache and scan stay consistent.)
     val srcs = corpus.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation match {
           case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            f.location.rootPaths.mkString(",")
+            f.location.listFiles(Nil, Nil).flatMap(_.files)
+              .map(st => s"${st.getPath}#${st.getLen}#${st.getModificationTime}")
+              .sorted.mkString(",")
           case other => other.toString
         }
     }.mkString(";")
@@ -118,7 +131,6 @@ object Similarity {
   private[graft] def trainCentroidsUncached(
       corpus: DataFrame, nCentroids: Int,
       iters: Int): Seq[(Int, Array[Float])] = {
-    val spark = corpus.sparkSession
     var cents: Seq[(Int, Array[Float])] = corpus
       .filter(col("vec_id") < nCentroids)
       .select(col("vec_id"), col("embedding"))
@@ -126,15 +138,13 @@ object Similarity {
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
     for (_ <- 0 until iters) {
-      val centDf = centroidFrame(spark, cents)
-      val means = corpus.select(col("vec_id"), col("embedding"))
-        .join(centDf, lit(true)) // 16-row broadcast nested loop
-        .withColumn("csim", round(cosine("embedding", "cv"), 6))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cent_id"),
-            struct(col("csim"), (-col("cent_id")).as("nc"))).as("cent_id"),
-          first(col("embedding")).as("v"))
-        .select(col("cent_id"), posexplode(col("v")).as(Seq("d", "x")))
+      val means = corpus
+        // assignment is a pure narrow expression over the driver-side
+        // model ([[nearestCentroid]]) — no nCentroids× row blowup, no
+        // per-vector shuffle; the only exchange per iteration is the
+        // partial-aggregating (cent_id, dim) mean
+        .select(nearestCentroid(col("embedding"), cents).as("cent_id"),
+          posexplode(col("embedding")).as(Seq("d", "x")))
         .groupBy(col("cent_id"), col("d"))
         .agg(sum(floor(col("x").cast("double") * 1000000.0)).as("s"),
           count(lit(1)).as("n"))
@@ -155,16 +165,27 @@ object Similarity {
     cents
   }
 
-  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
-                            cents: Seq[(Int, Array[Float])]): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("cent_id", IntegerType, nullable = false),
-      StructField("cv", ArrayType(FloatType, containsNull = false))))
-    broadcast(spark.createDataFrame(
-      java.util.Arrays.asList(
-        cents.map { case (id, v) => Row(id, v.toSeq) }: _*), schema))
+  /** Per-centroid score structs for one vector column: (csim, -cent_id,
+    * cent_id), orderable so that the struct MAXIMUM is the nearest
+    * centroid with ties broken to the LOWEST cent_id — the same total
+    * order every reduction in this file uses. The model is embedded as
+    * literals: centroid assignment needs no join, no aggregate and no
+    * shuffle, just one codegen'd projection over the scan. */
+  private def centroidScores(v: Column,
+                             cents: Seq[(Int, Array[Float])]): Seq[Column] =
+    cents.map { case (cid, cv) =>
+      struct(round(graft.functions.exprs.cosine_sim(v, typedLit(cv.toSeq)), 6)
+          .as("csim"),
+        lit(-cid).as("nc"), lit(cid).as("cid"))
+    }
+
+  /** Nearest-centroid id as a narrow Column expression (struct `greatest`
+    * = lexicographic max over (csim, -cent_id)). */
+  private def nearestCentroid(v: Column,
+                              cents: Seq[(Int, Array[Float])]): Column = {
+    val scored = centroidScores(v, cents)
+    val best = if (scored.sizeIs > 1) greatest(scored: _*) else scored.head
+    best.getField("cid")
   }
 
   /** IVF-flat approximate top-k over a [[trainCentroids]] quantizer:
@@ -175,22 +196,28 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nprobe: Int = 2,
               iters: Int = 5): DataFrame = {
-    val cents = centroidFrame(corpus.sparkSession,
-      trainCentroids(corpus, nCentroids, iters))
-    def assign(df: DataFrame, idCol: String, vCol: String, keep: Int) = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("csim").desc, col("cent_id").asc)
-      df.join(cents, col(idCol) >= 0) // cross with broadcast centroids
-        .withColumn("csim", round(cosine(vCol, "cv"), 6))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= keep)
-        .drop("cv", "csim", "crn")
-    }
-    val assigned = assign(
-      corpus.select(col("vec_id"), col("embedding").as("v")), "vec_id", "v", 1)
-    val probes = assign(
-      queries.select(col("vec_id").as("qid"), col("embedding").as("qv")),
-      "qid", "qv", nprobe)
+    val cents = trainCentroids(corpus, nCentroids, iters)
+    // Both assignment stages are NARROW projections over the driver-side
+    // model — no join, no aggregate, no exchange (the formulation this
+    // replaced scored vectors against a broadcast centroid frame and
+    // reduced with a row_number window, shuffling nCentroids× the corpus
+    // with embedding payloads just to keep one row per vector).
+    //
+    // Corpus side (keep=1): struct-greatest argmax.
+    val assigned = corpus.select(col("vec_id"), col("embedding").as("v"),
+      nearestCentroid(col("embedding"), cents).as("cent_id"))
+    // Probe side (keep=nprobe): sort the nCentroids score structs
+    // descending and explode the first nprobe — (csim desc, cent_id asc),
+    // the same total order as the corpus argmax.
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        explode(slice(reverse(array_sort(
+          array(centroidScores(col("embedding"), cents): _*))), 1, nprobe))
+          .as("c"))
+      .select(col("qid"), col("qv"), col("c.cid").as("cent_id"))
+    // The only full-corpus exchange left in the whole IVF plan: the
+    // cell-key join (at cluster scale: corpus pre-partitioned by cell
+    // once, each query probing nprobe/nCentroids of the data).
     val scored = assigned.join(probes, Seq("cent_id"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("sim", round(cosine("qv", "v"), 6))

@@ -191,13 +191,16 @@ object StreamOps {
     * partitions: streaming state-store count = shuffle partitions at
     * query start (a stream-stream join keeps 4 stores per partition per
     * micro-batch commit), and the caller's batch-tuned 32 partitions
-    * cost seconds of pure store I/O at drain scale. Cloning — instead
-    * of setting session conf around the call — leaves the caller's conf
-    * untouched (no round-1-style side effects). */
+    * cost seconds of pure store I/O at drain scale. `cloneSession` (not
+    * `newSession`, which resets to the base SparkConf) carries the
+    * caller's RUNTIME conf — session timezone, ANSI flags — onto the
+    * drain, so streaming can't silently diverge from batch semantics,
+    * while still leaving the caller's own conf untouched. */
   def drainToBatch(df: DataFrame, outputMode: String = "complete")
                   (implicit spark: SparkSession): DataFrame = {
     val name = s"graft_stream_${runCounter.incrementAndGet()}"
-    val drainSession = spark.newSession()
+    val drainSession =
+      org.apache.spark.sql.graftbridge.ColumnBridge.cloneSession(spark)
     drainSession.conf.set("spark.sql.shuffle.partitions", "8")
     val rebound =
       org.apache.spark.sql.graftbridge.ColumnBridge.rebind(df, drainSession)

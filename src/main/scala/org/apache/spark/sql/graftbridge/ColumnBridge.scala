@@ -19,6 +19,14 @@ object ColumnBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Clone a session INCLUDING its runtime state — SQL conf set after
+    * startup, temp views, registered functions (`cloneSession` is
+    * private[sql]). `newSession()` would start from the base SparkConf,
+    * silently dropping any runtime-set conf (session timezone, ANSI
+    * flags) and diverging from the caller's semantics. */
+  def cloneSession(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
   /** Rebind a DataFrame's logical plan onto another session of the same
     * SparkContext (`Dataset.ofRows` is private[sql]) — lets a caller run
     * a plan under different SQL conf (e.g. fewer shuffle partitions for

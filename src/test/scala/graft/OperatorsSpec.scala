@@ -126,6 +126,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(b(0L) == b(1L))
     assert(b(0L) != b(2L))
   }
+
+  test("centroid cache retrains when the corpus path is overwritten") {
+    val dir = graft.sources.Scratch.dir("ivf-cache")
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    e.filter(col("vec_id") < 40).write.mode("overwrite").parquet(dir)
+    val c1 = Similarity.trainCentroids(spark.read.parquet(dir), 8, 1)
+    // overwrite the SAME path with different vectors (ids re-based so the
+    // 8 seed ids still exist) and re-read: the memo key includes the
+    // scan's file listing, so this must retrain — a stale quantizer here
+    // is the silent-recall-collapse failure mode
+    e.filter(col("vec_id") >= 40 && col("vec_id") < 80)
+      .withColumn("vec_id", col("vec_id") - 40)
+      .write.mode("overwrite").parquet(dir)
+    val c2 = Similarity.trainCentroids(spark.read.parquet(dir), 8, 1)
+    assert(c1.zip(c2).exists { case ((_, a), (_, b)) => !a.sameElements(b) },
+      "overwritten corpus returned a stale memoized quantizer")
+    // the explicit escape hatch empties the memo outright
+    Similarity.invalidateCentroidCache()
+    val c3 = Similarity.trainCentroids(spark.read.parquet(dir), 8, 1)
+    assert(c2.zip(c3).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+  }
 }
 
 class TextOpsSpec extends AnyFunSuite with SparkSpec {

@@ -102,8 +102,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "dedup_exact" -> 1,          // hash groupBy
       "q_group_sample_k" -> 1,     // bounded partial top-k agg
       "sim_topk" -> 1,             // broadcast queries + top-k agg
+      "sim_ann" -> 1,              // LSH bucket join + top-k agg
       "q_histogram" -> 1,          // bin groupBy
-      "q_merge_upsert" -> 2)       // full outer shuffles both sides
+      "q_merge_upsert" -> 2,       // full outer shuffles both sides
+      // round-3/4 heavy plans, pinned from the audited sf0.01 shapes
+      // (sim_ivf executes eagerly during construction — its 1-shuffle
+      // budget is pinned in TopKSpec instead)
+      "q_join_asof_fast" -> 1,     // packed-timeline agg; probes broadcast
+      "dedup_minhash" -> 1,        // band self-join off the checkpointed sigs
+      "dedup_ngram" -> 3,          // df histogram + candidate distinct + verify
+      "dedup_containment" -> 3)    // same candidate stage as dedup_ngram
     val byName = planOnly.toMap
     budgets.foreach { case (name, budget) =>
       val n = collectNodes(byName(name).queryExecution.executedPlan)

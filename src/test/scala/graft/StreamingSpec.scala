@@ -94,6 +94,46 @@ class StreamingStateSpec extends AnyFunSuite with SparkSpec {
   }
 }
 
+/** drainToBatch must carry the caller's RUNTIME session conf onto the
+  * drain session: it clones via `cloneSession` (a `newSession` resets to
+  * the base SparkConf, silently dropping e.g. a runtime-set session
+  * timezone and letting streaming diverge from batch semantics). */
+class StreamingConfSpec extends AnyFunSuite with SparkSpec {
+  test("drained streaming == batch under a runtime-set session timezone") {
+    val dir = "/root/testdata/sf0.001"
+    implicit val s = spark
+    def dayCounts(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    // +05:30: date_trunc day boundaries shift half an hour off the
+    // builder-pinned UTC, so a drain that loses this conf computes
+    // DIFFERENT day buckets than the caller's batch plan
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    val (got, want) =
+      try {
+        val streamed = StreamOps.drainToBatch(
+          StreamOps.eventsStream(spark, dir)
+            .groupBy(date_trunc("day", col("ts")).as("day"))
+            .agg(count(lit(1)).as("n")))
+        val batch = Tables.events(spark, dir)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        (dayCounts(streamed.collect()), dayCounts(batch.collect()))
+      } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    // the same aggregation under the builder timezone: must differ, or
+    // this test could pass vacuously with the conf never reaching the
+    // drain (timestamps collect as absolute instants, so the comparison
+    // itself is timezone-independent)
+    val underPrev = dayCounts(Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect())
+    assert(got.nonEmpty && got == want,
+      "drained stream diverged from batch under a runtime session timezone")
+    assert(want != underPrev,
+      "test setup: timezone change did not move any day boundary")
+  }
+}
+
 class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
   test("stateful streaming dedup leaves distinct event ids") {
     val dir = "/root/testdata/sf0.001"

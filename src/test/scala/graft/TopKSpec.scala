@@ -46,6 +46,33 @@ class TopKSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("IVF assignment is narrow: no window, one bounded shuffle total") {
+    val e = Tables.embeddings(spark, dir)
+    val df = graft.operators.Similarity.ivfTopK(e, e.filter(col("vec_id") < 2), 5)
+    val plan = df.queryExecution.executedPlan
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val self = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case other => Seq(other)
+      }
+      self ++ p.children.flatMap(nodes)
+    }
+    // corpus assignment is a literal-model projection straight off the
+    // scan and probe selection an array_sort/slice explode — the ONLY
+    // exchange in the whole IVF plan is the bounded final top-k (the
+    // row_number formulation this replaced shuffled nCentroids× the
+    // corpus, embeddings included, just to keep one row per vector)
+    assert(!plan.toString.contains("Window"),
+      "IVF must not reduce assignments via a row_number window")
+    val shuffles = nodes(plan).count(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles <= 1, s"IVF plans $shuffles shuffles, budget is 1")
+    assert(plan.toString.contains("ObjectHashAggregate") &&
+      plan.toString.contains("partial"))
+  }
+
   test("reduce respects the floor and merge is a bounded sorted merge") {
     val a = new TopK.TopKAgg(3)
     val items = Seq(5.0, 1.0, 9.0, 7.0, 9.0, 3.0).zipWithIndex
