@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Growth-sanity probe: the bench measures one scale factor, so a plan
+  * whose cost grows super-linearly (a quietly quadratic candidate stage,
+  * a window that sorts what an aggregate should bound) looks fine at
+  * sf0.1 and detonates at 100 TB. This tool replicates the sf0.1 FACT
+  * tables N× — shifting only primary keys, so every foreign key still
+  * lands inside the (unscaled) dimension ranges and join semantics are
+  * preserved copy-by-copy — then times a plan-diverse headline subset at
+  * 1× and N× and prints per-query growth ratios. ratio/N ≈ 1 is linear;
+  * per-copy ratios well above 1 flag the plan for a shuffle audit.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [copies]   (default 5)
+  */
+object ScaleProbe {
+
+  /** Queries probed: scans, partial aggs, broadcast-dim joins, a big
+    * join, a window, global top-k, and the packed as-of join — every
+    * shuffle shape the battery leans on (document/embedding paths are
+    * excluded: their tables are not scaled here). */
+  val probed: Seq[String] = Seq(
+    "q1_agg", "q_filter_scan", "q3_shipping_priority", "q5_region_revenue",
+    "q10_returned_revenue", "q_join_left", "q_window_rank", "q_topk",
+    "q_having", "q_tumbling_window", "q_join_asof_fast")
+
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(5)
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = graft.sources.Scratch.dir(s"scale${copies}x")
+    buildScaled(spark, base, out, copies)
+
+    def time(dir: String, name: String): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm-up both directions so codegen/scan-cache cold starts don't
+    // masquerade as growth
+    time(base, "q1_agg"); time(out, "q1_agg")
+
+    val rows = probed.map { name =>
+      val t1 = time(base, name)
+      val tN = time(out, name)
+      (name, t1, tN, tN / t1)
+    }
+    println(f"""[scaleprobe] copies=$copies base=$base""")
+    rows.foreach { case (n, t1, tN, r) =>
+      println(f"[scaleprobe] $n%-22s t1=$t1%6.2fs t${copies}x=$tN%6.2fs ratio=$r%5.2f perCopy=${r / copies}%4.2f")
+    }
+    val qs = rows.map { case (n, t1, tN, r) =>
+      f""""$n":{"t1":$t1%.3f,"tN":$tN%.3f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","copies":$copies,"queries":$qs}""")
+    spark.stop()
+  }
+
+  /** Writes the N×-replicated fact tables + untouched dims into `out`.
+    * Facts shift only their PRIMARY keys (orderkey / event_id) by a
+    * per-copy offset far above the real key range; customer/supplier/
+    * part keys are left alone so each copy joins the shared dims exactly
+    * as the original does. lineitem shifts l_orderkey by the same offset
+    * as orders so the order⋈lineitem join multiplies copy-by-copy. */
+  private def buildScaled(spark: SparkSession, base: String, out: String,
+                          copies: Int): Unit = {
+    val OFF = 1000000000L // > any sf key range
+    def rep(df: DataFrame, shifted: Seq[String]): DataFrame =
+      (0 until copies).map { i =>
+        shifted.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * OFF)))
+      }.reduce(_ union _)
+
+    rep(spark.read.parquet(s"$base/orders.parquet"), Seq("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    rep(spark.read.parquet(s"$base/lineitem.parquet"), Seq("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // events read RAW (ts stays a plain int64 nanos column) so the
+    // scaled copy round-trips through Tables.events identically
+    rep(spark.read.schema(graft.sources.Tables.eventsRawSchema)
+        .parquet(s"$base/events.parquet"), Seq("event_id"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+  }
+}
