@@ -64,4 +64,29 @@ object TextOps {
     * collapses word-order/duplication variants into one cluster key. */
   def fingerprint(toks: Column): Column =
     concat_ws(" ", array_sort(array_distinct(toks)))
+
+  /** Word bigrams of a token array: n−1 space-joined adjacent pairs. */
+  def bigrams(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+
+  /** Count of the MOST FREQUENT element of a string array, computed
+    * narrow: sort the array, then one fold tracking the longest equal
+    * run — no explode, no groupBy, so per-document repetition scoring
+    * stays a pure scan-side projection at corpus scale (the explode +
+    * two-level groupBy formulation shuffles every n-gram occurrence
+    * twice). Higher-order aggregate like the sibling scores here; the
+    * custom-codegen'd-expression upgrade path exists if this ever lands
+    * on a per-token hot path. Empty array → 0. */
+  def maxElementCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
 }

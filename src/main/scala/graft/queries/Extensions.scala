@@ -69,6 +69,21 @@ object Extensions {
       Tables.documents(s, d)
         .groupBy(TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))),
+    // within-document repetition (the Gopher-style quality signal the
+    // corpus-level dedup family can't see): top-bigram share + duplicate
+    // token fraction, all narrow per-doc expressions — no explode, no
+    // shuffle, a pure scan-side projection at corpus scale
+    "text_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("__t", TextOps.tokens(col("text")))
+        .filter(size(col("__t")) >= 2)
+        .withColumn("__b", TextOps.bigrams(col("__t")))
+        .withColumn("top_bigram_n", TextOps.maxElementCount(col("__b")))
+        .select(col("doc_id"), col("top_bigram_n"),
+          round(col("top_bigram_n") / size(col("__b")).cast("double"), 6)
+            .as("top_bigram_share"),
+          round(lit(1.0) - size(array_distinct(col("__t")))
+            / size(col("__t")).cast("double"), 6).as("dup_token_frac"))),
 
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) =>
@@ -897,6 +912,25 @@ object Extensions {
              COUNT(1) AS n_docs, MIN(doc_id) AS keeper
       FROM (SELECT doc_id, $duckTokens AS t FROM documents) x
       GROUP BY 1""",
+    // the oracle takes the explode + groupBy road to the same numbers
+    // the narrow fold computes
+    "text_repetition" -> s"""
+      WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
+      bg AS (SELECT doc_id, t,
+               list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1]) AS b
+             FROM tok WHERE len(t) >= 2),
+      m AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS mx,
+                   CAST(SUM(n) AS BIGINT) AS tot
+            FROM (SELECT doc_id, g, COUNT(1) AS n
+                  FROM (SELECT doc_id, unnest(b) AS g FROM bg) u
+                  GROUP BY doc_id, g) c
+            GROUP BY doc_id)
+      SELECT bg.doc_id, m.mx AS top_bigram_n,
+             round(m.mx / CAST(m.tot AS DOUBLE), 6) AS top_bigram_share,
+             round(1.0 - len(list_distinct(bg.t)) / CAST(len(bg.t) AS DOUBLE), 6)
+               AS dup_token_frac
+      FROM bg JOIN m USING (doc_id)""",
     "text_ngram_freq" -> s"""
       WITH tok AS (SELECT $duckTokens AS t FROM documents),
       bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),

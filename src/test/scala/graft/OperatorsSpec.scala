@@ -153,6 +153,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
 class TextOpsSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  test("repetition stats: top-bigram run count and duplicate-token fraction") {
+    // "a b a b a b c": bigrams = [a b, b a, a b, b a, a b, b c] →
+    // top "a b" ×3 of 6; tokens 7 with 3 distinct → dup frac 1 − 3/7
+    val df = Seq((1L, "a b a b a b c"), (2L, "x y z")).toDF("doc_id", "text")
+      .withColumn("t", graft.operators.TextOps.tokens(col("text")))
+      .withColumn("b", graft.operators.TextOps.bigrams(col("t")))
+      .select(col("doc_id"),
+        graft.operators.TextOps.maxElementCount(col("b")).as("n"),
+        round(lit(1.0) - size(array_distinct(col("t")))
+          / size(col("t")).cast("double"), 6).as("dup"))
+    val out = df.as[(Long, Long, Double)].collect()
+      .map { case (k, n, d) => k -> ((n, d)) }.toMap
+    assert(out(1L) == ((3L, math.rint((1.0 - 3.0 / 7) * 1e6) / 1e6)))
+    assert(out(2L) == ((1L, 0.0))) // all-unique doc: every bigram once
+    // empty array → 0, not null
+    val empty = Seq(Tuple1(Array.empty[String])).toDF("b")
+      .select(graft.operators.TextOps.maxElementCount(col("b"))).as[Long].head()
+    assert(empty == 0L)
+  }
+
   test("language ID picks marker-majority language, 'und' fallback") {
     val df = Seq(
       (1L, "der hund und die katze ist da"),

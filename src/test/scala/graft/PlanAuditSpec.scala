@@ -99,6 +99,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "q_domain_mix" -> 0,         // scan + hash filter
       "text_chunks" -> 0,          // per-doc explode
       "text_redact" -> 0,          // scan-only scrub
+      "text_repetition" -> 0,      // narrow per-doc repetition fold
       "dedup_exact" -> 1,          // hash groupBy
       "q_group_sample_k" -> 1,     // bounded partial top-k agg
       "sim_topk" -> 1,             // broadcast queries + top-k agg
