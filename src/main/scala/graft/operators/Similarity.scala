@@ -78,11 +78,12 @@ object Similarity {
     * iterations and lands on bit-identical centroids. Empty cells keep
     * their previous centroid.
     *
-    * Scale: each iteration is one broadcast-nested-loop scan (centroid
-    * set is tiny) + one partial-aggregating groupBy; only the
-    * nCentroids×dim model crosses to the driver — the MLlib k-means
-    * shape. Micro-unit sums stay exact below ~9·10¹⁵, i.e. corpora up
-    * to ~10⁹ vectors per cell at |x|≤3. */
+    * Scale: the model is driver-side data, so each iteration is ONE
+    * narrow scan (assignment via [[nearestCentroid]], a literal-model
+    * projection — no join, no per-vector shuffle) + one
+    * partial-aggregating (cell, dim) groupBy; only the nCentroids×dim
+    * model crosses to the driver. Micro-unit sums stay exact below
+    * ~9·10¹⁵, i.e. corpora up to ~10⁹ vectors per cell at |x|≤3. */
   /** Per-JVM memo of trained quantizers, keyed by the corpus's
     * CANONICALIZED analyzed plan + hyperparams: a quantizer is a
     * train-once / probe-many model, and retraining on every `ivfTopK`
@@ -137,6 +138,11 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
+    // fail loudly on a seedless corpus (e.g. pre-filtered ids): an empty
+    // model would otherwise surface as a cryptic head-of-empty error in
+    // nearestCentroid, or as a silently degenerate quantizer
+    require(cents.nonEmpty,
+      s"trainCentroids: corpus has no vec_id < $nCentroids to seed from")
     for (_ <- 0 until iters) {
       val means = corpus
         // assignment is a pure narrow expression over the driver-side

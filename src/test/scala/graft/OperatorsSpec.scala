@@ -127,6 +127,13 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(b(0L) != b(2L))
   }
 
+  test("training fails loudly on a corpus without seed ids") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.trainCentroidsUncached(vecs.filter(col("vec_id") >= 100), 4, 1)
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
   test("centroid cache retrains when the corpus path is overwritten") {
     val dir = graft.sources.Scratch.dir("ivf-cache")
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
