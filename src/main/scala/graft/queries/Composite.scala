@@ -17,18 +17,25 @@ object Composite {
 
   val defs: Map[String, Q] = Map(
     // Q3 shape: shipping-priority — filter both sides, join, aggregate,
-    // top-10 by revenue.
+    // top-10 by revenue. Revenue is pre-aggregated per l_orderkey BEFORE
+    // the join: o_orderdate/o_orderpriority are functionally dependent
+    // on the (unique) order key, so the result is row-identical while
+    // the heavy aggregate runs on a single bigint key ahead of the join
+    // and only one compact row per order crosses the join exchange — the
+    // post-join formulation aggregated every joined lineitem row on a
+    // 3-part string-bearing key (the 10× ScaleProbe's worst grower).
     "q3_shipping_priority" -> ((s, d) => {
       val o = Tables.orders(s, d)
         .filter(col("o_orderdate") < lit("2001-06-01").cast("timestamp"))
-      val li = Tables.lineitem(s, d)
+      val liAgg = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1995-06-01").cast("timestamp"))
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .groupBy(li("l_orderkey").as("orderkey"),
-          date_format(o("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
-          o("o_orderpriority").as("priority"))
+        .groupBy(col("l_orderkey").as("orderkey"))
         .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
           .as("revenue"))
+      liAgg.join(o, col("orderkey") === o("o_orderkey"))
+        .select(col("orderkey"),
+          date_format(o("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          o("o_orderpriority").as("priority"), col("revenue"))
         .orderBy(col("revenue").desc, col("orderkey").asc)
         .limit(10)
     }),
