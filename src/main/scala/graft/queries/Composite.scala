@@ -53,19 +53,27 @@ object Composite {
           .as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
-    // Q10 shape: top customers by returned-item revenue.
+    // Q10 shape: top customers by returned-item revenue. Same
+    // pre-aggregation argument as Q3: c_name/n_name are functionally
+    // dependent on the unique c_custkey, so revenue is reduced per
+    // bigint custkey first and the name strings are attached to the
+    // (tiny) aggregated result — instead of carrying them through the
+    // full joined fact stream into a string-keyed aggregate. A custkey
+    // without a customer row drops at the post-agg join exactly as it
+    // dropped pre-agg before: row-identical.
     "q10_returned_revenue" -> ((s, d) => {
       val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
       val n = Tables.nation(s, d)
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .groupBy(c("c_custkey").as("custkey"), c("c_name").as("name"),
-          n("n_name").as("nation"))
+      val rev = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_custkey").as("custkey"))
         .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
           .as("revenue"))
+      rev.join(c, col("custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(col("custkey"), c("c_name").as("name"),
+          n("n_name").as("nation"), col("revenue"))
         .orderBy(col("revenue").desc, col("custkey").asc)
         .limit(20)
     }),
