@@ -75,7 +75,7 @@ object ScaleProbe {
     * part keys are left alone so each copy joins the shared dims exactly
     * as the original does. lineitem shifts l_orderkey by the same offset
     * as orders so the order⋈lineitem join multiplies copy-by-copy. */
-  private[tools] def buildScaled(spark: SparkSession, base: String, out: String,
+  private[graft] def buildScaled(spark: SparkSession, base: String, out: String,
                                  copies: Int): Unit = {
     val OFF = 1000000000L // > any sf key range
     def rep(df: DataFrame, shifted: Seq[String]): DataFrame =
