@@ -113,6 +113,19 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(jac.toSeq == composed.toSeq)
   }
 
+  test("property: maxElementCount == naive max-of-group-counts") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 200).map { _ =>
+      Seq.fill(rnd.nextInt(25))(s"w${rnd.nextInt(8)}")
+    }
+    val got = rows.toDF("a")
+      .select(graft.operators.TextOps.maxElementCount(col("a")))
+      .as[Long].collect().toSeq
+    val want = rows.map(a =>
+      if (a.isEmpty) 0L else a.groupBy(identity).values.map(_.size).max.toLong)
+    assert(got == want)
+  }
+
   test("property: TopKAgg fold/merge == global sort.take(k)") {
     import graft.operators.TopK
     val ord: Ordering[TopK.Scored] =
