@@ -48,6 +48,12 @@ object GraftFunctions {
         case Seq(v)    => SignLshBucket(v, 8)
         case Seq(v, b) => SignLshBucket(v, intLit("sign_lsh_bucket", "bits")(b))
       },
+    "sign_lsh_bands" ->
+      arity("sign_lsh_bands", "sign_lsh_bands(vec, bands, rowBits)") {
+        case Seq(v, b, r) => SignLshBands(v,
+          intLit("sign_lsh_bands", "bands")(b),
+          intLit("sign_lsh_bands", "rowBits")(r))
+      },
     "simhash32" -> arity("simhash32", "simhash32(hashes)") {
       case Seq(h) => SimHash32(h)
     },

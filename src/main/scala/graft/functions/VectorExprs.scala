@@ -57,6 +57,47 @@ object VectorOps {
     }
     bucket
   }
+
+  /** Hyperplane weight for the BANDED sign-LSH family: w(i,j) =
+    * (((i+1)·(j+1)·7919 + i·31 + j·17) mod 1009) − 504 (0-based dim i,
+    * 0-based plane j). The [[signLshBucket]] lattice has period 7 in j
+    * (j·17 ≡ j·3 mod 7), so it tops out at 7 distinct hyperplanes —
+    * useless for banding. This family's modulus is the prime 1009 with
+    * an i·j cross term, so planes stay distinct out to j ≈ 1009 and
+    * adjacent bands are uncorrelated. All operands are non-negative
+    * before the mod, so Scala `%` and SQL `%` agree exactly. */
+  def bandWeight(i: Int, j: Int): Long =
+    ((i + 1L) * (j + 1L) * 7919L + i * 31L + j * 17L) % 1009L - 504L
+
+  /** Banded sign-LSH keys: `bands` longs, band b's bit r = sign of
+    * Σ_i v(i) · w(i, b·rowBits + r) over the [[bandWeight]] lattice.
+    * A pair is a near-dup candidate iff SOME band matches exactly —
+    * the MinHash-banding recall/precision trade for vectors: rowBits
+    * sets bucket granularity (and so occupancy), bands buys recall
+    * back. */
+  def signLshBands(v: ArrayData, bands: Int, rowBits: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var r = 0
+      while (r < rowBits) {
+        val j = b * rowBits + r
+        var acc = 0d
+        var i = 0
+        while (i < n) {
+          acc += v.getFloat(i).toDouble * bandWeight(i, j).toDouble
+          i += 1
+        }
+        if (acc >= 0) key |= (1L << r)
+        r += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Exact cosine similarity between two `array<float>` columns. */
@@ -80,6 +121,23 @@ case class SignLshBucket(child: Expression, bits: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       v => s"graft.functions.VectorOps.signLshBucket($v, $bits)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Banded sign-LSH keys (`bands` × `rowBits` hyperplanes from the
+  * [[VectorOps.bandWeight]] lattice) of an `array<float>` — the blocking
+  * key family for [[graft.operators.Similarity.embeddingPairs]]. */
+case class SignLshBands(child: Expression, bands: Int, rowBits: Int)
+    extends UnaryExpression {
+  require(bands > 0 && rowBits > 0 && rowBits <= 62,
+    s"sign_lsh_bands: need bands > 0 and 0 < rowBits <= 62, " +
+      s"got bands=$bands rowBits=$rowBits")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.signLshBands(v.asInstanceOf[ArrayData], bands, rowBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.VectorOps.signLshBands($v, $bands, $rowBits)")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -460,6 +518,8 @@ object exprs {
     column(CosineSim(expression(a), expression(b)))
   def sign_lsh_bucket(c: Column, bits: Int): Column =
     column(SignLshBucket(expression(c), bits))
+  def sign_lsh_bands(c: Column, bands: Int, rowBits: Int): Column =
+    column(SignLshBands(expression(c), bands, rowBits))
   def minhash_sig(c: Column, numHashes: Int, aCoef: Long, bCoef: Long,
                   aBase: Long, bBase: Long, p: Long): Column =
     column(MinHashSig(expression(c), numHashes, aCoef, bCoef, aBase, bBase, p))

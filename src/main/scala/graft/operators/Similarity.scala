@@ -230,21 +230,75 @@ object Similarity {
     topKReduce(scored, k)
   }
 
-  /** Near-duplicate vector pairs: sign-LSH blocking then exact cosine ≥
-    * cosMin within each bucket. */
-  def embeddingPairs(df: DataFrame, bits: Int = 8,
+  /** Smallest rowBits whose bucket space keeps mean occupancy at or
+    * below `targetOccupancy` for an n-vector corpus — i.e. the least r
+    * with targetOccupancy · 2^r ≥ n — clamped to [8, 32]. With bucket
+    * occupancy held constant, per-band candidate pairs stay O(n ·
+    * occupancy / 2) — LINEAR in corpus size — instead of the O(n²/2^r)
+    * a fixed r degrades to (the quadratic that killed the pre-round-6
+    * single-bucket form at 10⁹+ vectors). */
+  private[graft] def autoRowBits(n: Long, targetOccupancy: Long = 8L): Int = {
+    require(n >= 0 && targetOccupancy > 0)
+    var r = 8
+    while (r < 32 && (targetOccupancy << r) < n) r += 1
+    r
+  }
+
+  /** Candidate near-dup id pairs from banded multi-probe sign-LSH:
+    * `bands` independent `rowBits`-plane signatures over the
+    * [[graft.functions.VectorOps.bandWeight]] lattice; a pair is a
+    * candidate iff SOME band key matches exactly (the MinHash-banding
+    * trade — rowBits bounds bucket occupancy, bands buys recall back).
+    * ONLY (vec_id, band_idx, band_key) crosses the self-join: at corpus
+    * scale the candidate stream is quadratic in bucket occupancy, so it
+    * must never carry vectors — [[embeddingPairs]] re-attaches
+    * embeddings to the (distinct, far smaller) survivor set afterwards.
+    *
+    * Candidate bound (asserted in `CandidateBoundSpec`, derived in
+    * `docs/SCALING.md`): |candidates| ≤ Σ_bands Σ_buckets C(occ, 2);
+    * with `rowBits` auto-scaled so occupancy ≈ B, that is ≤
+    * bands · n · B / 2 — linear in n. */
+  private[graft] def embeddingCandidates(banded: DataFrame): DataFrame = {
+    val l = banded.select(col("vec_id").as("id_a"),
+      col("band_idx"), col("band_key"))
+    val r = banded.select(col("vec_id").as("id_b"),
+      col("band_idx"), col("band_key"))
+    l.join(r, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** (vec_id, band_idx, band_key) exploded from the banded signature —
+    * shared by [[embeddingPairs]] and the candidate-bound spec. */
+  private[graft] def withBandKeys(df: DataFrame, bands: Int,
+                                  rowBits: Int): DataFrame =
+    df.select(col("vec_id"),
+      posexplode(graft.functions.exprs.sign_lsh_bands(
+        col("embedding"), bands, rowBits)).as(Seq("band_idx", "band_key")))
+
+  /** Near-duplicate vector pairs: banded sign-LSH blocking
+    * ([[embeddingCandidates]]) then exact cosine ≥ cosMin on the
+    * survivors. `rowBits = 0` (the default) scales the per-band bucket
+    * space with the corpus via [[autoRowBits]] — one count() of the
+    * corpus, then constant expected bucket occupancy — so candidate
+    * volume stays linear in n at any scale; pass an explicit rowBits to
+    * pin the blocking. The correctness gate runs with the auto default —
+    * it resolves to rowBits = 8 at every gate scale factor (n ≤ 2048),
+    * which is what its static DuckDB oracle hardcodes. */
+  def embeddingPairs(df: DataFrame, bands: Int = 4, rowBits: Int = 0,
                      cosMin: Double = 0.3): DataFrame = {
+    val v = df.select(col("vec_id"), col("embedding"))
+    val rb = if (rowBits > 0) rowBits else autoRowBits(v.count())
     // materialized (Dedup.materialize: reliable checkpoint on clusters,
     // GC-released localCheckpoint locally — persist() would pin the
     // blocks in the CacheManager for the session lifetime): reused by
-    // both sides of the bucket self-join
-    val b = Dedup.materialize(
-      withBucket(df.select(col("vec_id"), col("embedding")), bits))
-    val l = b.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-      col("bucket"))
-    val r = b.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-      col("bucket"))
-    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    // the band explode and both vector re-attach joins
+    val b = Dedup.materialize(v)
+    embeddingCandidates(withBandKeys(b, bands, rb))
+      .join(b.select(col("vec_id").as("id_a"), col("embedding").as("va")),
+        Seq("id_a"))
+      .join(b.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+        Seq("id_b"))
       .withColumn("cos", round(cosine("va", "vb"), 6))
       .filter(col("cos") >= cosMin)
       .select(col("id_a"), col("id_b"), col("cos"))

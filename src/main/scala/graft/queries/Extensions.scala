@@ -832,6 +832,35 @@ object Extensions {
     s"(CASE WHEN ($proj) >= 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
 
+  // banded sign-LSH band key — mirrors VectorOps.signLshBands (weights
+  // ((i0+1)*(j+1)*7919 + i0*31 + j*17) % 1009 - 504 with 0-based dim i0;
+  // DuckDB's generate_series i is 1-based, so i0+1 = i). All operands are
+  // non-negative before the mod, so SQL % and Scala % agree exactly.
+  private def duckBandKey(band: Int, rowBits: Int): String =
+    (0 until rowBits).map { r =>
+      val j = band * rowBits + r
+      val proj = "list_aggregate(list_transform(generate_series(1, len(embedding)), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * " +
+        s"CAST((i * ${j + 1} * 7919 + (i-1) * 31 + $j * 17) % 1009 - 504 AS DOUBLE)), 'sum')"
+      s"(CASE WHEN ($proj) >= 0 THEN ${1L << r} ELSE 0 END)"
+    }.mkString(" + ")
+
+  // (vec_id, band_idx, band_key) + distinct candidate id pairs for the
+  // banded blocking at the gate parameters (bands=4; auto rowBits
+  // resolves to 8 at every gate scale factor since n <= 2048 there —
+  // see Similarity.autoRowBits).
+  private val duckBandedCtes: String = {
+    val selects = (0 until 4).map { b =>
+      s"SELECT vec_id, $b AS band_idx, " +
+        s"CAST(${duckBandKey(b, 8)} AS BIGINT) AS band_key FROM embeddings"
+    }.mkString("\n        UNION ALL ")
+    s"""banded AS ($selects),
+      cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+               FROM banded x JOIN banded y
+                 ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+                AND x.vec_id < y.vec_id)"""
+  }
+
   /** Shared by `q_session_window` (batch) and `stream_session_window`:
     * both truncate event time to seconds before the 30-minute-gap
     * sessionization, so one oracle covers the pair. */
@@ -1082,19 +1111,16 @@ object Extensions {
     "q_join_asof_fast" -> Relational.oracles("q_join_asof"),
     "dedup_simhash" -> simhashOracle,
     "dedup_embedding" -> s"""
-      WITH b AS (SELECT vec_id, embedding, CAST($duckBucket AS BIGINT) AS bucket
-                 FROM embeddings)
-      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-             ${duckCos("a.embedding", "c.embedding")} AS cos
-      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WITH $duckBandedCtes
+      SELECT id_a, id_b, ${duckCos("a.embedding", "c.embedding")} AS cos
+      FROM cand JOIN embeddings a ON a.vec_id = id_a
+                JOIN embeddings c ON c.vec_id = id_b
       WHERE ${duckCos("a.embedding", "c.embedding")} >= 0.3""",
     "dedup_semantic" -> s"""
-      WITH RECURSIVE b AS (SELECT vec_id, embedding,
-                             CAST($duckBucket AS BIGINT) AS bucket
-                           FROM embeddings),
-      verified AS (SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
-                   FROM b a JOIN b c ON a.bucket = c.bucket
-                    AND a.vec_id < c.vec_id
+      WITH RECURSIVE $duckBandedCtes,
+      verified AS (SELECT id_a AS doc_a, id_b AS doc_b
+                   FROM cand JOIN embeddings a ON a.vec_id = id_a
+                             JOIN embeddings c ON c.vec_id = id_b
                    WHERE ${duckCos("a.embedding", "c.embedding")} >= 0.3),
       edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
                 UNION ALL SELECT doc_b, doc_a FROM verified),
