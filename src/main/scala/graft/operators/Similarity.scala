@@ -255,9 +255,14 @@ object Similarity {
     * embeddings to the (distinct, far smaller) survivor set afterwards.
     *
     * Candidate bound (asserted in `CandidateBoundSpec`, derived in
-    * `docs/SCALING.md`): |candidates| ≤ Σ_bands Σ_buckets C(occ, 2);
-    * with `rowBits` auto-scaled so occupancy ≈ B, that is ≤
-    * bands · n · B / 2 — linear in n. */
+    * `docs/SCALING.md`): |candidates| ≤ Σ_bands Σ_buckets C(occ, 2) ≤
+    * bands · n · B · κ / 2, where B is the target mean occupancy
+    * [[autoRowBits]] holds constant and κ = E[occ²] / (B · E[occ]) is
+    * the corpus's bucket-skew factor (1 for uniform hashing; real
+    * embeddings cluster — measured ≈ 1.9 at sf0.1, asserted ≤ 4).
+    * Because auto-scaling fixes the occupancy DISTRIBUTION (not just
+    * the mean) for a stationary corpus distribution, the whole bound is
+    * linear in n — vs the O(n²/2^r) a fixed rowBits degrades to. */
   private[graft] def embeddingCandidates(banded: DataFrame): DataFrame = {
     val l = banded.select(col("vec_id").as("id_a"),
       col("band_idx"), col("band_key"))
@@ -280,20 +285,23 @@ object Similarity {
     * ([[embeddingCandidates]]) then exact cosine ≥ cosMin on the
     * survivors. `rowBits = 0` (the default) scales the per-band bucket
     * space with the corpus via [[autoRowBits]] — one count() of the
-    * corpus, then constant expected bucket occupancy — so candidate
-    * volume stays linear in n at any scale; pass an explicit rowBits to
-    * pin the blocking. The correctness gate runs with the auto default —
-    * it resolves to rowBits = 8 at every gate scale factor (n ≤ 2048),
-    * which is what its static DuckDB oracle hardcodes. */
+    * (already-materialized) corpus, then constant expected bucket
+    * occupancy — so candidate volume stays linear in n at any scale;
+    * pass an explicit rowBits to pin the blocking. The correctness gate
+    * pins rowBits to its static DuckDB oracle's value and asserts
+    * `autoRowBits` still agrees, so a grown gate corpus fails loudly
+    * instead of silently diverging (see `Extensions.gateRowBits`). */
   def embeddingPairs(df: DataFrame, bands: Int = 4, rowBits: Int = 0,
                      cosMin: Double = 0.3): DataFrame = {
     val v = df.select(col("vec_id"), col("embedding"))
-    val rb = if (rowBits > 0) rowBits else autoRowBits(v.count())
     // materialized (Dedup.materialize: reliable checkpoint on clusters,
     // GC-released localCheckpoint locally — persist() would pin the
     // blocks in the CacheManager for the session lifetime): reused by
-    // the band explode and both vector re-attach joins
+    // the sizing count below, the band explode and both vector
+    // re-attach joins — counting BEFORE materializing would compute
+    // the source plan twice
     val b = Dedup.materialize(v)
+    val rb = if (rowBits > 0) rowBits else autoRowBits(b.count())
     embeddingCandidates(withBandKeys(b, bands, rb))
       .join(b.select(col("vec_id").as("id_a"), col("embedding").as("va")),
         Seq("id_a"))

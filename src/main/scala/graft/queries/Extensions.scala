@@ -314,13 +314,12 @@ object Extensions {
         .filter(col("__r") < rateCol)
         .select(col("event_id"), col("user_id"), col("event_type"))
     }),
-    "dedup_embedding" -> ((s, d) =>
-      Similarity.embeddingPairs(Tables.embeddings(s, d))),
+    "dedup_embedding" -> ((s, d) => gateEmbeddingPairs(Tables.embeddings(s, d))),
     // SemDeDup shape: connected components over embedding-space near-dup
     // pairs — keep doc_id == cluster rows as the semantic canonicals
     "dedup_semantic" -> ((s, d) =>
       Dedup.duplicateClusters(
-        Similarity.embeddingPairs(Tables.embeddings(s, d))
+        gateEmbeddingPairs(Tables.embeddings(s, d))
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))),
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text")),
@@ -835,24 +834,51 @@ object Extensions {
   // banded sign-LSH band key — mirrors VectorOps.signLshBands (weights
   // ((i0+1)*(j+1)*7919 + i0*31 + j*17) % 1009 - 504 with 0-based dim i0;
   // DuckDB's generate_series i is 1-based, so i0+1 = i). All operands are
-  // non-negative before the mod, so SQL % and Scala % agree exactly.
+  // non-negative before the mod, so SQL % and Scala % agree exactly; the
+  // weight product is forced to BIGINT (Scala computes it in Long) —
+  // in INT32 `i * (j+1) * 7919` would overflow (DuckDB errors out) once
+  // the embedding dim approaches ~8.5k at the high planes.
   private def duckBandKey(band: Int, rowBits: Int): String =
     (0 until rowBits).map { r =>
       val j = band * rowBits + r
       val proj = "list_aggregate(list_transform(generate_series(1, len(embedding)), " +
         s"i -> CAST(embedding[i] AS DOUBLE) * " +
-        s"CAST((i * ${j + 1} * 7919 + (i-1) * 31 + $j * 17) % 1009 - 504 AS DOUBLE)), 'sum')"
+        s"CAST((CAST(i AS BIGINT) * ${j + 1} * 7919 + (i-1) * 31 + $j * 17) % 1009 - 504 AS DOUBLE)), 'sum')"
       s"(CASE WHEN ($proj) >= 0 THEN ${1L << r} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** The static DuckDB banding oracle below is GENERATED at fixed
+    * parameters; the Spark gate query must run at exactly these. One
+    * shared constant + the fail-loud check in [[gateEmbeddingPairs]]
+    * keep the pair coupled — the silent-divergence hazard was that
+    * `Similarity.autoRowBits` grows with the corpus while the oracle
+    * text does not. */
+  private[graft] val gateBands = 4
+  private[graft] val gateRowBits = 8
+
+  /** Gate wrapper for [[Similarity.embeddingPairs]]: pins `rowBits` to
+    * the oracle's generated value and asserts the auto-sizing would
+    * still pick it, so a gate corpus grown past `targetOccupancy << 8`
+    * vectors aborts the run instead of hash-mismatching mysteriously
+    * (or worse, passing against a mis-parameterized oracle). */
+  private def gateEmbeddingPairs(e: DataFrame): DataFrame = {
+    val n = e.count()
+    val auto = Similarity.autoRowBits(n)
+    require(auto == gateRowBits,
+      s"gate embeddings corpus has n=$n vectors -> autoRowBits=$auto, but " +
+        s"the static DuckDB oracle is generated with rowBits=$gateRowBits; " +
+        "regenerate duckBandedCtes (gateRowBits) to match")
+    Similarity.embeddingPairs(e, bands = gateBands, rowBits = gateRowBits)
+  }
+
   // (vec_id, band_idx, band_key) + distinct candidate id pairs for the
-  // banded blocking at the gate parameters (bands=4; auto rowBits
-  // resolves to 8 at every gate scale factor since n <= 2048 there —
-  // see Similarity.autoRowBits).
+  // banded blocking at the gate parameters (gateBands × gateRowBits —
+  // pinned and checked against Similarity.autoRowBits by
+  // gateEmbeddingPairs above).
   private val duckBandedCtes: String = {
-    val selects = (0 until 4).map { b =>
+    val selects = (0 until gateBands).map { b =>
       s"SELECT vec_id, $b AS band_idx, " +
-        s"CAST(${duckBandKey(b, 8)} AS BIGINT) AS band_key FROM embeddings"
+        s"CAST(${duckBandKey(b, gateRowBits)} AS BIGINT) AS band_key FROM embeddings"
     }.mkString("\n        UNION ALL ")
     s"""banded AS ($selects),
       cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b

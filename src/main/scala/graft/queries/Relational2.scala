@@ -176,7 +176,7 @@ object Relational2 {
     "q_scalar_subquery" -> """
       SELECT o_orderkey, o_totalprice AS price
       FROM orders
-      WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM orders)""",
+      WHERE o_totalprice > (SELECT 1.9 * avg(o_totalprice) FROM orders)""",
     "q_correlated_subquery" -> """
       SELECT o.o_orderkey, o.o_totalprice AS price
       FROM orders o

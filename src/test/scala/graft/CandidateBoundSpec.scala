@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
+import graft.functions.VectorOps
 import graft.sources.Tables
 
 /** Ties the `docs/SCALING.md` df-cap candidate-count derivation to a
@@ -40,5 +41,72 @@ class CandidateBoundSpec extends AnyFunSuite with SparkSpec {
     assert(pairBound <= postings * (maxDf - 1) / 2,
       s"Σ C(df,2)=$pairBound exceeds postings·(maxDf−1)/2=" +
         s"${postings * (maxDf - 1) / 2}")
+  }
+
+  // --- banded sign-LSH (Similarity.embeddingPairs blocking) -----------
+
+  test("autoRowBits: least rowBits holding occupancy, clamped to [8, 32]") {
+    // least-r law: 8·2^r ≥ n, and r−1 would not have sufficed
+    for (n <- Seq(0L, 1L, 7L, 2048L, 2049L, 100000L, 1L << 40)) {
+      val r = Similarity.autoRowBits(n)
+      assert(r >= 8 && r <= 32)
+      if (r < 32) assert((8L << r) >= n, s"n=$n r=$r under-sized")
+      if (r > 8) assert((8L << (r - 1)) < n, s"n=$n r=$r not minimal")
+    }
+    // the exact clamp points the gate coupling relies on
+    assert(Similarity.autoRowBits(2048) == 8)
+    assert(Similarity.autoRowBits(2049) == 9)
+    assert(Similarity.autoRowBits(Long.MaxValue) == 32)
+    // monotone in n
+    val rs = Seq(1L, 10L, 1000L, 10000L, 1000000L, 1L << 50)
+      .map(Similarity.autoRowBits(_))
+    assert(rs == rs.sorted, s"autoRowBits not monotone: $rs")
+  }
+
+  test("bandWeight: hyperplanes stay distinct across the full band span") {
+    // the signLshBucket lattice had period 7 in j — useless for banding.
+    // This family must keep every plane of a bands×rowBits signature
+    // distinct at the max parameters (4 bands × 32 rowBits = 128 planes)
+    // over the gate embedding dim (64).
+    val planes = (0 until 128).map(j =>
+      (0 until 64).map(i => VectorOps.bandWeight(i, j)).toVector)
+    assert(planes.distinct.size == planes.size,
+      "bandWeight produced duplicate hyperplanes within a band span")
+    // and weights genuinely span the residue range, not a tiny orbit
+    assert(planes.flatten.distinct.size > 500,
+      "bandWeight range collapsed — lattice constants changed?")
+  }
+
+  test("banded embedding candidates obey the bands·n·B/2 bound at sf0.1") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val bands = 4
+    val targetOccupancy = 8L
+    val rb = Similarity.autoRowBits(n, targetOccupancy)
+    val banded = Similarity.withBandKeys(e, bands, rb)
+    val measured = Similarity.embeddingCandidates(banded).count()
+    // exact pair inventory: Σ_bands Σ_buckets C(occ, 2) — what the join
+    // generates before distinct; distinct only shrinks it
+    val exactBound = banded.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("occ"))
+      .agg(sum(col("occ") * (col("occ") - 1) / 2).as("pairs"))
+      .head().getDouble(0).toLong
+    assert(measured > 0, "banded candidate stage produced nothing at sf0.1")
+    assert(measured <= exactBound,
+      s"measured $measured exceeds the exact Σ C(occ,2) inventory $exactBound")
+    // the linear-in-n budget from the Similarity doc comment and
+    // SCALING.md: bands·n·B·κ/2 with bucket-skew factor κ ≤ 4. Real
+    // embeddings cluster, so κ > 1 (measured ≈ 1.9 on this corpus) —
+    // but a degenerate lattice (everything in few buckets) would send
+    // candidates toward the quadratic bands·n²/2 ≈ 8M here and trip
+    // this long before it became a 100 TB shuffle explosion.
+    val maxSkew = 4L
+    val budget = bands * n * targetOccupancy * maxSkew / 2
+    assert(measured <= budget,
+      s"measured $measured exceeds the bands·n·B·κ/2 budget $budget " +
+        s"(n=$n rowBits=$rb κ=$maxSkew) — bucket skew broke the linearity claim")
+    info(f"n=$n rowBits=$rb measured=$measured exact=$exactBound " +
+      f"skew=${measured.toDouble / (bands * n * targetOccupancy / 2)}%.2f")
   }
 }
