@@ -19,12 +19,22 @@ object ScaleProbe {
 
   /** Queries probed: scans, partial aggs, broadcast-dim joins, a big
     * join, a window, global top-k, and the packed as-of join — every
-    * shuffle shape the battery leans on (document/embedding paths are
-    * excluded: their tables are not scaled here). */
+    * shuffle shape the battery leans on. */
   val probed: Seq[String] = Seq(
     "q1_agg", "q_filter_scan", "q3_shipping_priority", "q5_region_revenue",
     "q10_returned_revenue", "q_join_left", "q_window_rank", "q_topk",
     "q_having", "q_tumbling_window", "q_join_asof_fast")
+
+  /** Dedup-family probes over the replicated document/embedding tables.
+    * `dedup_ngram` runs the registered query; the embedding path calls
+    * [[graft.operators.Similarity.embeddingPairs]] with AUTO rowBits
+    * directly — the registered gate query pins rowBits = 8 and
+    * (correctly) refuses corpora past 2048 vectors, while the probe's
+    * whole point is to let auto-scaling re-block the grown corpus. */
+  val dedupProbed: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dedup_ngram" -> graft.SparkEntry.queries("dedup_ngram"),
+    "dedup_embedding" -> ((s, d) => graft.operators.Similarity
+      .embeddingPairs(graft.sources.Tables.embeddings(s, d))))
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(5)
@@ -42,13 +52,15 @@ object ScaleProbe {
     val out = graft.sources.Scratch.dir(s"scale${copies}x")
     buildScaled(spark, base, out, copies)
 
-    def time(dir: String, name: String): Double = {
+    def timed(dir: String, name: String,
+              q: (SparkSession, String) => DataFrame): Double = {
       System.gc()
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
+      q(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def time(dir: String, name: String): Double =
+      timed(dir, name, graft.SparkEntry.queries(name))
     // warm-up both directions so codegen/scan-cache cold starts don't
     // masquerade as growth
     time(base, "q1_agg"); time(out, "q1_agg")
@@ -57,15 +69,37 @@ object ScaleProbe {
       val t1 = time(base, name)
       val tN = time(out, name)
       (name, t1, tN, tN / t1)
+    } ++ dedupProbed.map { case (name, q) =>
+      val t1 = timed(base, name, q)
+      val tN = timed(out, name, q)
+      (name, t1, tN, tN / t1)
     }
     println(f"""[scaleprobe] copies=$copies base=$base""")
     rows.foreach { case (n, t1, tN, r) =>
       println(f"[scaleprobe] $n%-22s t1=$t1%6.2fs t${copies}x=$tN%6.2fs ratio=$r%5.2f perCopy=${r / copies}%4.2f")
     }
+    // the banded blocking's direct linearity signal: CANDIDATE counts at
+    // 1x and Nx under auto rowBits — time ratios fold in fixed overheads,
+    // the candidate stream is the thing that must not go quadratic
+    def candidates(dir: String): (Long, Long, Int) = {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      val rb = graft.operators.Similarity.autoRowBits(n)
+      val c = graft.operators.Similarity.embeddingCandidates(
+        graft.operators.Similarity.withBandKeys(e, 4, rb)).count()
+      (n, c, rb)
+    }
+    val (n1, c1, rb1) = candidates(base)
+    val (nN, cN, rbN) = candidates(out)
+    val candPerCopy = cN.toDouble / c1 / copies
+    println(f"[scaleprobe] banded candidates: n=$n1 rb=$rb1 cand=$c1 -> " +
+      f"n=$nN rb=$rbN cand=$cN ratio=${cN.toDouble / c1}%5.2f perCopy=$candPerCopy%4.2f")
     val qs = rows.map { case (n, t1, tN, r) =>
       f""""$n":{"t1":$t1%.3f,"tN":$tN%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_probe","copies":$copies,"queries":$qs}""")
+    println(s"""{"metric":"scale_probe","copies":$copies,"queries":$qs,""" +
+      f""""banded_candidates":{"c1":$c1,"cN":$cN,"perCopy":$candPerCopy%.3f}}""")
     spark.stop()
   }
 
@@ -74,13 +108,30 @@ object ScaleProbe {
     * per-copy offset far above the real key range; customer/supplier/
     * part keys are left alone so each copy joins the shared dims exactly
     * as the original does. lineitem shifts l_orderkey by the same offset
-    * as orders so the order⋈lineitem join multiplies copy-by-copy. */
+    * as orders so the order⋈lineitem join multiplies copy-by-copy.
+    *
+    * Documents and embeddings need more than a key shift: EXACT copies
+    * would be near-dups OF EACH OTHER, so a perfectly linear dedup
+    * would still measure quadratic growth purely from the data's
+    * replicated duplicate multiplicity (each original spawns C(N, 2)
+    * cross-copy pairs). Each copy is therefore deterministically
+    * perturbed into its own content namespace, preserving within-copy
+    * duplicate structure:
+    *  - documents: Caesar-rotate letters by the copy index — token
+    *    boundaries and doc shape survive, but copies share no shingles,
+    *    so document frequencies don't inflate across copies;
+    *  - embeddings: rotate the vector by copy-index positions — norms
+    *    and within-copy cosines are exactly preserved (both sides of a
+    *    pair rotate identically), while rotated copies land in
+    *    unrelated LSH buckets. */
   private[graft] def buildScaled(spark: SparkSession, base: String, out: String,
                                  copies: Int): Unit = {
     val OFF = 1000000000L // > any sf key range
-    def rep(df: DataFrame, shifted: Seq[String]): DataFrame =
+    def rep(df: DataFrame, shifted: Seq[String],
+            perturb: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
       (0 until copies).map { i =>
-        shifted.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * OFF)))
+        perturb(shifted.foldLeft(df)(
+          (d, c) => d.withColumn(c, col(c) + lit(i * OFF))), i)
       }.reduce(_ union _)
 
     rep(spark.read.parquet(s"$base/orders.parquet"), Seq("o_orderkey"))
@@ -92,6 +143,23 @@ object ScaleProbe {
     rep(spark.read.schema(graft.sources.Tables.eventsRawSchema)
         .parquet(s"$base/events.parquet"), Seq("event_id"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def caesar(i: Int): String = {
+      val k = i % 26
+      alpha.drop(k) + alpha.take(k)
+    }
+    rep(spark.read.parquet(s"$base/documents.parquet"), Seq("doc_id"),
+      (d, i) => d.withColumn("text", translate(col("text"),
+        alpha + alpha.toUpperCase, caesar(i) + caesar(i).toUpperCase)))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    rep(spark.read.parquet(s"$base/embeddings.parquet"), Seq("vec_id"),
+      (d, i) => {
+        val k = i % 64 // testdata dim; rotation by 0 is the identity
+        if (k == 0) d
+        else d.withColumn("embedding", expr(
+          s"concat(slice(embedding, ${k + 1}, 1000000), slice(embedding, 1, $k))"))
+      })
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")

@@ -31,4 +31,45 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpec {
     // and a probed query runs on the scaled dir
     assert(SparkEntry.queries("q3_shipping_priority")(spark, out).count() == 10)
   }
+
+  test("buildScaled: doc/embedding copies are content-disjoint but structure-preserving") {
+    val base = "/root/testdata/sf0.001"
+    val out = graft.sources.Scratch.dir("scale-spec-docs")
+    graft.tools.ScaleProbe.buildScaled(spark, base, out, 2)
+    val OFF = 1000000000L
+
+    val d0 = spark.read.parquet(s"$base/documents.parquet")
+      .select(col("doc_id"), col("text").as("t0"))
+    val dOut = spark.read.parquet(s"$out/documents.parquet")
+    assert(dOut.count() == 2 * d0.count())
+    assert(dOut.select("doc_id").distinct().count() == dOut.count())
+    // copy texts must be DISJOINT from the originals: exact copies would
+    // near-dup with each other and quadratic-ify the probe's measurement
+    // purely through the data's duplicate multiplicity
+    val d1 = dOut.filter(col("doc_id") >= OFF)
+      .select((col("doc_id") - OFF).as("doc_id"), col("text").as("t1"))
+    assert(d0.join(d1, "doc_id").filter(col("t0") === col("t1")).count() == 0,
+      "caesar perturbation left copy-1 texts identical to the originals")
+
+    val e0 = spark.read.parquet(s"$base/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("em0"))
+    val eOut = spark.read.parquet(s"$out/embeddings.parquet")
+    assert(eOut.count() == 2 * e0.count())
+    val e1 = eOut.filter(col("vec_id") >= OFF)
+      .select((col("vec_id") - OFF).as("vec_id"), col("embedding").as("em1"))
+    assert(e0.join(e1, "vec_id").filter(col("em0") === col("em1")).count() == 0,
+      "rotation left copy-1 vectors identical to the originals")
+    // within-copy cosine is rotation-invariant, so copy 1 keeps the
+    // original's near-dup structure (tolerance: accumulation order
+    // shifts with the rotation, so the doubles differ in the last bits)
+    def pairCos(lo: Long): Double = {
+      val a = eOut.filter(col("vec_id") === lo).select(col("embedding").as("a"))
+      val b = eOut.filter(col("vec_id") === lo + 1).select(col("embedding").as("b"))
+      a.crossJoin(b)
+        .select(graft.functions.exprs.cosine_sim(col("a"), col("b")).as("c"))
+        .head().getDouble(0)
+    }
+    assert(math.abs(pairCos(0L) - pairCos(OFF)) < 1e-9,
+      "rotation changed a within-copy cosine")
+  }
 }
