@@ -450,7 +450,8 @@ object Extensions {
     // drained in append mode; event_id is unique in the testdata, so the
     // oracle is the full projection — the gate exercises the state
     // machinery, the at-most-once semantics are covered by
-    // StreamingDedupSpec
+    // StreamingStateSpec ("stateful streaming dedup leaves distinct
+    // event ids")
     "stream_dedup" -> ((s, d) => {
       implicit val sp: SparkSession = s
       graft.streaming.StreamOps.drainToBatch(

@@ -138,4 +138,35 @@ class CandidateBoundSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.filter(col("cos") < 0.9).count() == 0)
     info(f"planted-pair recall: $recall%.3f ($recovered/$nBase)")
   }
+
+  test("text dedup family recovers planted near-duplicate documents") {
+    // Same treatment for the four text paths: each document gets a
+    // companion with one appended token — all original shingles survive,
+    // so Jaccard ≈ S/(S+1), containment = 1, SimHash flips few bits.
+    // Every path is deterministic (fixed hash constants), so measured
+    // recalls are exact, not flaky. The banding/blocking designs differ,
+    // and so do their floors: the rare-shingle inverted index has
+    // DETERMINISTIC recall for pairs sharing a rare shingle (≥ 0.95);
+    // MinHash banding and SimHash pigeonhole are probabilistic in the
+    // hash geometry and get a 0.8 floor.
+    val base = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"))
+    val n = base.count()
+    val planted = base.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" plantedneardup")).as("text"))
+    val corpus = base.union(planted)
+    def recall(pairs: org.apache.spark.sql.DataFrame): Double =
+      pairs.filter(col("doc_b") === col("doc_a") + 100000L)
+        .count().toDouble / n
+    val rNgram = recall(Dedup.ngramJaccardPairs(corpus, "doc_id", "text"))
+    val rContain = recall(Dedup.containmentPairs(corpus, "doc_id", "text"))
+    val rMinhash = recall(Dedup.minhashPairs(corpus, "doc_id", "text"))
+    val rSimhash = recall(Dedup.simhashPairs(corpus, "doc_id", "text"))
+    info(f"planted-doc recall: ngram=$rNgram%.3f containment=$rContain%.3f " +
+      f"minhash=$rMinhash%.3f simhash=$rSimhash%.3f (n=$n)")
+    assert(rNgram >= 0.95, f"ngram-Jaccard recall $rNgram%.3f < 0.95")
+    assert(rContain >= 0.95, f"containment recall $rContain%.3f < 0.95")
+    assert(rMinhash >= 0.8, f"MinHash-LSH recall $rMinhash%.3f < 0.8")
+    assert(rSimhash >= 0.8, f"SimHash recall $rSimhash%.3f < 0.8")
+  }
 }
