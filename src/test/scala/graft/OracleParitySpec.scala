@@ -41,7 +41,11 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     df.select(cols.map(col): _*).collect()
       .map(r => Vector.tabulate(r.length)(i =>
         if (r.isNullAt(i)) "<NULL>" else r.get(i).toString))
-      .toVector.sortBy(_.mkString(""))
+      .toVector
+      // row sort key needs a separator: without one, distinct rows can
+      // collide and two equal multisets could sort into different
+      // orders — a false mismatch
+      .sortBy(_.mkString("\u0001"))
   }
 
   test("every Spark-runnable oracle value-matches its registered query at sf0.001") {
