@@ -292,7 +292,8 @@ object Similarity {
     * `autoRowBits` still agrees, so a grown gate corpus fails loudly
     * instead of silently diverging (see `Extensions.gateRowBits`). */
   def embeddingPairs(df: DataFrame, bands: Int = 4, rowBits: Int = 0,
-                     cosMin: Double = 0.3): DataFrame = {
+                     cosMin: Double = 0.3,
+                     assertAutoAgrees: Boolean = false): DataFrame = {
     val v = df.select(col("vec_id"), col("embedding"))
     // materialized (Dedup.materialize: reliable checkpoint on clusters,
     // GC-released localCheckpoint locally — persist() would pin the
@@ -301,7 +302,23 @@ object Similarity {
     // re-attach joins — counting BEFORE materializing would compute
     // the source plan twice
     val b = Dedup.materialize(v)
-    val rb = if (rowBits > 0) rowBits else autoRowBits(b.count())
+    val rb =
+      if (rowBits > 0) {
+        // assertAutoAgrees: callers that pin rowBits to an externally
+        // generated artifact (the correctness gate's static DuckDB
+        // oracle) opt into a fail-loud check that the auto-sizing still
+        // picks the pinned value — counting the MATERIALIZED frame, so
+        // the check costs one cheap job, not a second source scan
+        if (assertAutoAgrees) {
+          val n = b.count()
+          val auto = autoRowBits(n)
+          require(auto == rowBits,
+            s"embeddingPairs: corpus n=$n -> autoRowBits=$auto, " +
+              s"but rowBits is pinned to $rowBits; regenerate the pinned " +
+              "artifact (e.g. the gate's duckBandedCtes) to match")
+        }
+        rowBits
+      } else autoRowBits(b.count())
     embeddingCandidates(withBandKeys(b, bands, rb))
       .join(b.select(col("vec_id").as("id_a"), col("embedding").as("va")),
         Seq("id_a"))

@@ -450,7 +450,7 @@ object Extensions {
     // drained in append mode; event_id is unique in the testdata, so the
     // oracle is the full projection — the gate exercises the state
     // machinery, the at-most-once semantics are covered by
-    // StreamingStateSpec ("stateful streaming dedup leaves distinct
+    // StreamingDedupSpec ("stateful streaming dedup leaves distinct
     // event ids")
     "stream_dedup" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -858,19 +858,15 @@ object Extensions {
   private[graft] val gateRowBits = 8
 
   /** Gate wrapper for [[Similarity.embeddingPairs]]: pins `rowBits` to
-    * the oracle's generated value and asserts the auto-sizing would
-    * still pick it, so a gate corpus grown past `targetOccupancy << 8`
-    * vectors aborts the run instead of hash-mismatching mysteriously
-    * (or worse, passing against a mis-parameterized oracle). */
-  private def gateEmbeddingPairs(e: DataFrame): DataFrame = {
-    val n = e.count()
-    val auto = Similarity.autoRowBits(n)
-    require(auto == gateRowBits,
-      s"gate embeddings corpus has n=$n vectors -> autoRowBits=$auto, but " +
-        s"the static DuckDB oracle is generated with rowBits=$gateRowBits; " +
-        "regenerate duckBandedCtes (gateRowBits) to match")
-    Similarity.embeddingPairs(e, bands = gateBands, rowBits = gateRowBits)
-  }
+    * the oracle's generated value and (via `assertAutoAgrees`, checked
+    * against the operator's already-materialized corpus — no extra
+    * source scan) fails loudly if the auto-sizing would no longer pick
+    * it, so a gate corpus grown past `targetOccupancy << 8` vectors
+    * aborts the run instead of hash-mismatching mysteriously (or worse,
+    * passing against a mis-parameterized oracle). */
+  private def gateEmbeddingPairs(e: DataFrame): DataFrame =
+    Similarity.embeddingPairs(e, bands = gateBands, rowBits = gateRowBits,
+      assertAutoAgrees = true)
 
   // (vec_id, band_idx, band_key) + distinct candidate id pairs for the
   // banded blocking at the gate parameters (gateBands × gateRowBits —

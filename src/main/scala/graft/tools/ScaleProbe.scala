@@ -126,6 +126,13 @@ object ScaleProbe {
     *    unrelated LSH buckets. */
   private[graft] def buildScaled(spark: SparkSession, base: String, out: String,
                                  copies: Int): Unit = {
+    // the perturbations wrap (Caesar at 26 letters, rotation at dim 64):
+    // copy 26 would be byte-identical text to copy 0, silently
+    // reintroducing the cross-copy duplicate multiplicity the
+    // perturbation exists to eliminate — refuse rather than corrupt
+    // the measurement
+    require(copies >= 1 && copies <= 26,
+      s"buildScaled supports 1..26 content-disjoint copies, got $copies")
     val OFF = 1000000000L // > any sf key range
     def rep(df: DataFrame, shifted: Seq[String],
             perturb: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =

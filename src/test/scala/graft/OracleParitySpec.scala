@@ -55,11 +55,21 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     val failures = Vector.newBuilder[String]
     for ((name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
          if !dialectDivergent.contains(name)) {
-      val oracleRows =
-        try Some(canon(spark.sql(sql)))
+      // ONLY failures AT spark.sql() are skippable — analysis is eager,
+      // so dialect mismatch surfaces here (usually AnalysisException,
+      // but e.g. DuckDB's regexp_replace 'g' flag dies as a runtime
+      // cast error inside analysis-time constant folding, so the catch
+      // must stay broad). An oracle that gets PAST spark.sql but fails
+      // at collect is a broken pair, not dialect noise — that exception
+      // deliberately propagates and fails the test: a catch-all around
+      // execution would silently drop pairs from coverage, the exact
+      // weakening this guard exists to prevent.
+      val oracleDf =
+        try Some(spark.sql(sql))
         catch { case _: Exception => skipped += name; None }
-      oracleRows.foreach { expected =>
+      oracleDf.foreach { odf =>
         covered += 1
+        val expected = canon(odf)
         val got = canon(SparkEntry.queries(name)(spark, dir))
         if (got != expected) {
           val diff = (got.diff(expected).take(2), expected.diff(got).take(2))
