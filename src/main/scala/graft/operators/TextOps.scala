@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data pipelines (SURVEY §2.9): language
@@ -89,4 +89,51 @@ object TextOps {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
+
+  /** Corpus-conditioned quality proxy — the CCNet-style LM-filter shape
+    * with an honestly simplified model: each document is scored by the
+    * mean conditional frequency P(w₂ | w₁) = c(w₁ w₂) / c(w₁ ·) of its
+    * word bigrams, with the counts taken from the corpus itself (no
+    * external model artifacts exist in this environment; a production
+    * pass would swap in pretrained LM scores — the plan shape is
+    * identical). Fluent, common text scores high; gibberish, OCR noise
+    * and wrong-language text score near zero.
+    *
+    * Determinism: no logs, no float accumulation. Each occurrence
+    * contributes the INTEGER floor(10⁶ · c₂ / c₁) — exact same value in
+    * every engine — summed exactly as a bigint and divided by the
+    * occurrence count once at the end. Overflow headroom: 10⁶ · c₂
+    * stays under Long.Max while the most frequent bigram has ≤ 9·10¹²
+    * corpus occurrences.
+    *
+    * 100 TB shape: occurrences are pre-aggregated per (doc, bigram)
+    * BEFORE any join (the pre-join-aggregation rule — multiplicity
+    * rides as an integer `k` instead of k rows); the stats/prefix
+    * tables are bigram-cardinality bounded, not corpus bounded; both
+    * attach joins are pure equality shuffles on the bigram / prefix-word
+    * key. Returns (doc_id, n_bigrams, familiarity); documents with
+    * fewer than two tokens have no bigrams and are absent. */
+  def bigramFamiliarity(docs: DataFrame, id: String = "doc_id",
+                        text: String = "text"): DataFrame = {
+    val perDoc = graft.operators.Dedup.materialize(
+      docs.withColumn("__t", tokens(col(text)))
+        .filter(size(col("__t")) >= 2)
+        .select(col(id).as("doc_id"), explode(bigrams(col("__t"))).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k")))
+    val stats = perDoc.groupBy(col("bg")).agg(sum(col("k")).as("c2"))
+    val prefix = stats
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    perDoc
+      .join(stats, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(prefix, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") *
+          expr("(cast(1000000 as bigint) * c2) div c1")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__s").cast("double") / col("n_bigrams") / 1000000.0, 6)
+          .as("familiarity"))
+  }
 }

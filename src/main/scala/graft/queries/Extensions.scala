@@ -85,6 +85,12 @@ object Extensions {
           round(lit(1.0) - size(array_distinct(col("__t")))
             / size(col("__t")).cast("double"), 6).as("dup_token_frac"))),
 
+    // corpus-conditioned LM-quality proxy (CCNet-filter shape): mean
+    // conditional bigram frequency, integer-quantized so the oracle is
+    // bit-identical — see TextOps.bigramFamiliarity
+    "text_familiarity" -> ((s, d) =>
+      TextOps.bigramFamiliarity(Tables.documents(s, d))),
+
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) =>
       Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", "text")),
@@ -990,6 +996,29 @@ object Extensions {
              FROM tok WHERE len(t) >= 2)
       SELECT bigram, COUNT(1) AS n FROM bg
       GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20""",
+    // mirrors TextOps.bigramFamiliarity exactly: per-(doc, bigram)
+    // multiplicity k, corpus counts c2/c1 as bigints, per-occurrence
+    // contribution floor(10^6 * c2 / c1) via integer division (// here,
+    // `div` in Spark), exact bigint sum, ONE double division at the end
+    "text_familiarity" -> s"""
+      WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
+      occ AS (SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1])) AS bg
+              FROM tok WHERE len(t) >= 2),
+      pd AS (SELECT doc_id, bg, CAST(COUNT(1) AS BIGINT) AS k
+             FROM occ GROUP BY doc_id, bg),
+      stats AS (SELECT bg, CAST(SUM(k) AS BIGINT) AS c2 FROM pd GROUP BY bg),
+      prefix AS (SELECT split_part(bg, ' ', 1) AS w1,
+                        CAST(SUM(c2) AS BIGINT) AS c1
+                 FROM stats GROUP BY 1)
+      SELECT pd.doc_id,
+             CAST(SUM(k) AS BIGINT) AS n_bigrams,
+             round(CAST(SUM(k * ((1000000 * c2) // c1)) AS DOUBLE)
+                   / CAST(SUM(k) AS BIGINT) / 1000000.0, 6) AS familiarity
+      FROM pd JOIN stats USING (bg)
+              JOIN prefix ON split_part(pd.bg, ' ', 1) = prefix.w1
+      GROUP BY pd.doc_id""",
     "dedup_exact" -> """
       SELECT md5(text) AS text_hash, COUNT(1) AS n_copies, MIN(doc_id) AS keeper
       FROM documents GROUP BY 1 HAVING COUNT(1) > 1""",

@@ -180,6 +180,31 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(empty == 0L)
   }
 
+  test("bigram familiarity: hand-computed conditional frequencies") {
+    // corpus: "a b", "a b", "a c", "z" →
+    //   bigram counts: c("a b")=2, c("a c")=1; prefix c("a ·")=3
+    //   docs 1,2: one "a b" occurrence → floor(1e6·2/3)/1e6 = 0.666666
+    //   doc 3: one "a c" occurrence → floor(1e6·1/3)/1e6 = 0.333333
+    //   doc 4: single token, no bigrams → absent
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.bigramFamiliarity(docs)
+      .as[(Long, Long, Double)].collect()
+      .map { case (k, n, f) => k -> ((n, f)) }.toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((1L, 0.666666)))
+    assert(out(2L) == ((1L, 0.666666)))
+    assert(out(3L) == ((1L, 0.333333)))
+    // a doc with repeated bigrams: "a b a b" has bigrams [a b, b a, a b]
+    // → k("a b")=2, k("b a")=1; corpus here: c("a b")=2, c("b a")=1,
+    // prefix a=2, b=1 → contributions 2·floor(1e6·2/2) + 1·floor(1e6·1/1)
+    // = 3e6 over n=3 → familiarity 1.0 (all its bigrams are all there is)
+    val solo = graft.operators.TextOps
+      .bigramFamiliarity(Seq((9L, "a b a b")).toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].head()
+    assert(solo == ((9L, 3L, 1.0)))
+  }
+
   test("language ID picks marker-majority language, 'und' fallback") {
     val df = Seq(
       (1L, "der hund und die katze ist da"),
