@@ -112,7 +112,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "q_join_asof_fast" -> 1,     // packed-timeline agg; probes broadcast
       "dedup_minhash" -> 1,        // band self-join off the checkpointed sigs
       "dedup_ngram" -> 3,          // df histogram + candidate distinct + verify
-      "dedup_containment" -> 3)    // same candidate stage as dedup_ngram
+      "dedup_containment" -> 3,    // same candidate stage as dedup_ngram
+      // stats agg + stats-for-prefix agg + prefix agg + final doc agg;
+      // both attach joins broadcast the bigram-bounded stats tables
+      "text_familiarity" -> 4)
     val byName = planOnly.toMap
     budgets.foreach { case (name, budget) =>
       val n = collectNodes(byName(name).queryExecution.executedPlan)
