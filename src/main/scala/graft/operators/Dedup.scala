@@ -112,25 +112,7 @@ object Dedup {
   def minhashPairs(df: DataFrame, id: String, text: String,
                    numHashes: Int = 16, bands: Int = 4,
                    jaccardMin: Double = 0.5): DataFrame = {
-    val rows = numHashes / bands
-    val sh = shingleHashesFlat(df, id, text).filter(size(col("hs")) > 0)
-    // Signature pass as one custom primitive-loop expression (the
-    // transform/array_min composition evaluates interpreted lambdas with
-    // per-element boxing — profiled ~10× slower). Materialized eagerly
-    // ([[materialize]]: reliable checkpoint on clusters, localCheckpoint
-    // locally): both sides of the band self-join and the Jaccard verify
-    // reuse it. At cluster scale this is the standard "write signatures,
-    // then join" shape.
-    val withMins = materialize(sh.select(col("doc_id"), col("hs"),
-      graft.functions.exprs.minhash_sig(col("hs"), numHashes,
-        999983L, 424243L, 12345L, 7L, P).as("sig")))
-    val bandKeys = (0 until bands).map { b =>
-      concat_ws("_",
-        (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
-    }
-    val banded = withMins
-      .select(col("doc_id"), col("hs"),
-        posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+    val banded = bandedSignatures(df, id, text, numHashes, bands)
     val l = banded.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
       col("band_idx"), col("band_key"))
     val r = banded.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
@@ -144,6 +126,61 @@ object Dedup {
         round(graft.functions.exprs.jaccard_sim(col("ha"), col("hb")), 6))
       .filter(col("jaccard") >= jaccardMin)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** (doc_id, hs, band_idx, band_key) — the banded MinHash signature
+    * table, the shared blocking stage for [[minhashPairs]] (self-join)
+    * and [[crossMinhashPairs]] (bipartite).
+    *
+    * Signature pass as one custom primitive-loop expression (the
+    * transform/array_min composition evaluates interpreted lambdas with
+    * per-element boxing — profiled ~10× slower). Materialized eagerly
+    * ([[materialize]]: reliable checkpoint on clusters, localCheckpoint
+    * locally): both join sides and the Jaccard verify reuse it. At
+    * cluster scale this is the standard "write signatures, then join"
+    * shape — and exactly the table a deployment persists so ingestion
+    * batches never recompute the corpus side. */
+  private def bandedSignatures(df: DataFrame, id: String, text: String,
+                               numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val sh = shingleHashesFlat(df, id, text).filter(size(col("hs")) > 0)
+    val withMins = materialize(sh.select(col("doc_id"), col("hs"),
+      graft.functions.exprs.minhash_sig(col("hs"), numHashes,
+        999983L, 424243L, 12345L, 7L, P).as("sig")))
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws("_",
+        (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
+    }
+    withMins.select(col("doc_id"), col("hs"),
+      posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  /** Ingestion-time near-dup check — the operation a continuously-fed
+    * corpus actually runs: which `incoming` documents near-dup something
+    * already in `corpus`. Same banded blocking as [[minhashPairs]] but
+    * BIPARTITE: neither side self-joins, so a daily batch's cost is the
+    * incoming side's signatures plus one equality join against the
+    * (persisted, in deployment) corpus signature table — never a
+    * corpus×corpus pass. Returns (new_id, matched_id, jaccard ≥
+    * jaccardMin); incoming documents absent from the result are novel.
+    * The two id spaces are independent — no doc_a < doc_b dedup applies
+    * across them. */
+  def crossMinhashPairs(incoming: DataFrame, corpus: DataFrame,
+                        id: String, text: String,
+                        numHashes: Int = 16, bands: Int = 4,
+                        jaccardMin: Double = 0.5): DataFrame = {
+    val l = bandedSignatures(incoming, id, text, numHashes, bands)
+      .select(col("doc_id").as("new_id"), col("hs").as("ha"),
+        col("band_idx"), col("band_key"))
+    val r = bandedSignatures(corpus, id, text, numHashes, bands)
+      .select(col("doc_id").as("matched_id"), col("hs").as("hb"),
+        col("band_idx"), col("band_key"))
+    l.join(r, Seq("band_idx", "band_key"))
+      .select("new_id", "matched_id", "ha", "hb").distinct()
+      .withColumn("jaccard",
+        round(graft.functions.exprs.jaccard_sim(col("ha"), col("hb")), 6))
+      .filter(col("jaccard") >= jaccardMin)
+      .select("new_id", "matched_id", "jaccard")
   }
 
   /** (doc_id, hs: array<bigint>) — distinct hashed 3-gram shingles, via

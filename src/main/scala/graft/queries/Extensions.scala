@@ -98,6 +98,17 @@ object Extensions {
       Dedup.normalizedDuplicates(Tables.documents(s, d), "doc_id", "text")),
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text")),
+    // ingestion-time incremental dedup: odd doc_ids play the incoming
+    // batch, even ids the existing corpus — which "new" documents are
+    // already present (near-dup) in the corpus. Bipartite banding: no
+    // corpus self-join, the shape a continuously-fed corpus runs daily.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.crossMinhashPairs(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+    }),
     "dedup_clusters" -> ((s, d) =>
       Dedup.duplicateClusters(
         Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text"))),
@@ -635,7 +646,10 @@ object Extensions {
 
   /** CTE chain computing verified minhash near-dup pairs —
     * reused by the pair query and the recursive clusters oracle. */
-  private val minhashCtes: String = {
+  /** Shingle + MinHash-signature + band-key CTEs (through `bands`) —
+    * shared by the self-join and bipartite (incremental) oracles; the
+    * per-document signature is the same function either way. */
+  private val minhashBandCtes: String = {
     val mins = (0 until 16).map(j =>
       s"list_aggregate(list_transform(hs, x -> (${Dedup.hashA(j)} * x + ${Dedup.hashB(j)}) % ${Dedup.P}), 'min') AS m$j")
       .mkString(",\n             ")
@@ -645,7 +659,11 @@ object Extensions {
     }.mkString("\n        UNION ALL ")
     s"""$shingleCtes,
       mh AS (SELECT doc_id, hs, $mins FROM hsx),
-      bands AS ($bandSelects),
+      bands AS ($bandSelects)"""
+  }
+
+  private val minhashCtes: String =
+    s"""$minhashBandCtes,
       pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM bands a JOIN bands b
                   ON a.band_idx = b.band_idx AND a.band_key = b.band_key
@@ -659,12 +677,32 @@ object Extensions {
                      round(li / CAST(lu - li AS DOUBLE), 6) AS jaccard
                    FROM jac
                    WHERE round(li / CAST(lu - li AS DOUBLE), 6) >= 0.5)"""
-  }
 
   private val minhashOracle: String =
     s"""
       WITH $minhashCtes
       SELECT doc_a, doc_b, jaccard FROM verified"""
+
+  // bipartite variant — odd ids are the incoming batch, even the corpus
+  // (mirrors the dedup_incremental gate registration); signatures are
+  // per-document, so banding the whole table and filtering parity in the
+  // pair join is identical to banding the two halves separately
+  private val incrementalOracle: String =
+    s"""
+      WITH $minhashBandCtes,
+      pairs AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS matched_id
+                FROM bands a JOIN bands b
+                  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+      jac AS (SELECT new_id, matched_id,
+                len(list_intersect(x.hs, y.hs)) AS li,
+                len(x.hs) + len(y.hs) AS lu
+              FROM pairs JOIN hsx x ON x.doc_id = new_id
+                         JOIN hsx y ON y.doc_id = matched_id)
+      SELECT new_id, matched_id,
+             round(li / CAST(lu - li AS DOUBLE), 6) AS jaccard
+      FROM jac
+      WHERE round(li / CAST(lu - li AS DOUBLE), 6) >= 0.5"""
 
   private val ngramOracle: String =
     s"""
@@ -1141,6 +1179,7 @@ object Extensions {
                  WHEN 'purchase' THEN 1000 WHEN 'signup' THEN 100
                  ELSE 0 END""",
     "dedup_minhash" -> minhashOracle,
+    "dedup_incremental" -> incrementalOracle,
     "dedup_clusters" -> clustersOracle,
     "curation_pipeline" -> curationOracle,
     "dedup_ngram" -> ngramOracle,

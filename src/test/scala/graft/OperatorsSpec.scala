@@ -69,6 +69,37 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
   }
 
+  test("crossMinhashPairs: fixture semantics + mixed-parity law at sf0.001") {
+    // bipartite fixture: incoming doc 2 (near-dup of corpus doc 1) is
+    // flagged; incoming doc 5 (novel) is not; nothing self-joins
+    val cross = Dedup.crossMinhashPairs(
+      corpus.filter(col("doc_id").isin(2L, 5L)),
+      corpus.filter(col("doc_id").isin(1L, 3L, 4L)),
+      "doc_id", "text")
+      .select("new_id", "matched_id").as[(Long, Long)].collect().toSet
+    assert(cross.contains((2L, 1L)) && cross.contains((2L, 4L)))
+    assert(!cross.exists(_._1 == 5L))
+    // consistency law on real data: the bipartite result IS the
+    // mixed-parity slice of the self-join result (same signatures, same
+    // banding, same verify) — 11 such pairs at sf0.001, so non-vacuous
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val self = Dedup.minhashPairs(docs, "doc_id", "text")
+      .filter(col("doc_a") % 2 =!= col("doc_b") % 2)
+      .select(
+        when(col("doc_a") % 2 === 1, col("doc_a")).otherwise(col("doc_b"))
+          .as("new_id"),
+        when(col("doc_a") % 2 === 1, col("doc_b")).otherwise(col("doc_a"))
+          .as("matched_id"),
+        col("jaccard"))
+    val bipartite = Dedup.crossMinhashPairs(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    assert(self.count() > 0, "mixed-parity slice is empty — vacuous law")
+    assert(bipartite.exceptAll(self).count() == 0 &&
+      self.exceptAll(bipartite).count() == 0,
+      "bipartite result diverges from the self-join's mixed-parity slice")
+  }
+
   test("simhash hamming pairs: identical docs at distance 0") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text")
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
