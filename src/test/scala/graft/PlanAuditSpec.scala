@@ -115,7 +115,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "dedup_containment" -> 3,    // same candidate stage as dedup_ngram
       // stats agg + stats-for-prefix agg + prefix agg + final doc agg;
       // both attach joins broadcast the bigram-bounded stats tables
-      "text_familiarity" -> 4)
+      "text_familiarity" -> 4,
+      // bipartite band join + distinct fold into one exchange, same as
+      // the dedup_minhash self-join it shares its blocking stage with
+      "dedup_incremental" -> 1)
     val byName = planOnly.toMap
     budgets.foreach { case (name, budget) =>
       val n = collectNodes(byName(name).queryExecution.executedPlan)
