@@ -328,4 +328,37 @@ object Similarity {
       .filter(col("cos") >= cosMin)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Ingestion-time embedding near-dup check — the bipartite counterpart
+    * of [[embeddingPairs]], mirroring
+    * [[graft.operators.Dedup.crossMinhashPairs]] on the text side: which
+    * `incoming` vectors near-dup something already in `corpus`. Neither
+    * side self-joins; in deployment the corpus's banded keys are
+    * precomputed and persisted, so a batch pays its own band keys plus
+    * one equality join. Auto `rowBits` sizing follows the CORPUS side —
+    * the side whose bucket occupancy bounds candidate volume as the held
+    * collection grows while batches stay small. Returns
+    * (new_id, matched_id, cos ≥ cosMin); the id spaces are independent. */
+  def crossEmbeddingPairs(incoming: DataFrame, corpus: DataFrame,
+                          bands: Int = 4, rowBits: Int = 0,
+                          cosMin: Double = 0.3): DataFrame = {
+    val ci = Dedup.materialize(
+      incoming.select(col("vec_id"), col("embedding")))
+    val cc = Dedup.materialize(
+      corpus.select(col("vec_id"), col("embedding")))
+    val rb = if (rowBits > 0) rowBits else autoRowBits(cc.count())
+    val l = withBandKeys(ci, bands, rb)
+      .select(col("vec_id").as("new_id"), col("band_idx"), col("band_key"))
+    val r = withBandKeys(cc, bands, rb)
+      .select(col("vec_id").as("matched_id"), col("band_idx"), col("band_key"))
+    l.join(r, Seq("band_idx", "band_key"))
+      .select("new_id", "matched_id").distinct()
+      .join(ci.select(col("vec_id").as("new_id"), col("embedding").as("va")),
+        Seq("new_id"))
+      .join(cc.select(col("vec_id").as("matched_id"),
+        col("embedding").as("vb")), Seq("matched_id"))
+      .withColumn("cos", round(cosine("va", "vb"), 6))
+      .filter(col("cos") >= cosMin)
+      .select(col("new_id"), col("matched_id"), col("cos"))
+  }
 }

@@ -338,6 +338,16 @@ object Extensions {
       Dedup.duplicateClusters(
         gateEmbeddingPairs(Tables.embeddings(s, d))
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))),
+    // embedding-side incremental dedup (mirrors dedup_incremental): odd
+    // vec_ids are the incoming batch, even the existing corpus; rowBits
+    // pinned to the static oracle's value like the self-join gate
+    "dedup_embedding_incr" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.crossEmbeddingPairs(
+        e.filter(col("vec_id") % 2 === 1),
+        e.filter(col("vec_id") % 2 === 0),
+        bands = gateBands, rowBits = gateRowBits)
+    }),
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text")),
     // containment similarity over the same rare-shingle candidates:
@@ -912,21 +922,25 @@ object Extensions {
     Similarity.embeddingPairs(e, bands = gateBands, rowBits = gateRowBits,
       assertAutoAgrees = true)
 
-  // (vec_id, band_idx, band_key) + distinct candidate id pairs for the
-  // banded blocking at the gate parameters (gateBands × gateRowBits —
-  // pinned and checked against Similarity.autoRowBits by
-  // gateEmbeddingPairs above).
-  private val duckBandedCtes: String = {
+  // (vec_id, band_idx, band_key) at the gate parameters (gateBands ×
+  // gateRowBits — pinned and checked against Similarity.autoRowBits by
+  // gateEmbeddingPairs above); the band key is a per-vector function, so
+  // the self-join and bipartite oracles share this stage and differ only
+  // in their candidate join.
+  private val duckBandedSigCtes: String = {
     val selects = (0 until gateBands).map { b =>
       s"SELECT vec_id, $b AS band_idx, " +
         s"CAST(${duckBandKey(b, gateRowBits)} AS BIGINT) AS band_key FROM embeddings"
     }.mkString("\n        UNION ALL ")
-    s"""banded AS ($selects),
+    s"banded AS ($selects)"
+  }
+
+  private val duckBandedCtes: String =
+    s"""$duckBandedSigCtes,
       cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
                FROM banded x JOIN banded y
                  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
                 AND x.vec_id < y.vec_id)"""
-  }
 
   /** Shared by `q_session_window` (batch) and `stream_session_window`:
     * both truncate event time to seconds before the 30-minute-gap
@@ -1206,6 +1220,18 @@ object Extensions {
       SELECT id_a, id_b, ${duckCos("a.embedding", "c.embedding")} AS cos
       FROM cand JOIN embeddings a ON a.vec_id = id_a
                 JOIN embeddings c ON c.vec_id = id_b
+      WHERE ${duckCos("a.embedding", "c.embedding")} >= 0.3""",
+    // bipartite candidate join with the same shared banded signatures
+    "dedup_embedding_incr" -> s"""
+      WITH $duckBandedSigCtes,
+      cand AS (SELECT DISTINCT x.vec_id AS new_id, y.vec_id AS matched_id
+               FROM banded x JOIN banded y
+                 ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+               WHERE x.vec_id % 2 = 1 AND y.vec_id % 2 = 0)
+      SELECT new_id, matched_id,
+             ${duckCos("a.embedding", "c.embedding")} AS cos
+      FROM cand JOIN embeddings a ON a.vec_id = new_id
+                JOIN embeddings c ON c.vec_id = matched_id
       WHERE ${duckCos("a.embedding", "c.embedding")} >= 0.3""",
     "dedup_semantic" -> s"""
       WITH RECURSIVE $duckBandedCtes,

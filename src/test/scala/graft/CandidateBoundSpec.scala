@@ -139,6 +139,29 @@ class CandidateBoundSpec extends AnyFunSuite with SparkSpec {
     info(f"planted-pair recall: $recall%.3f ($recovered/$nBase)")
   }
 
+  test("crossEmbeddingPairs == mixed-parity slice of embeddingPairs") {
+    // bipartite/self-join consistency law, embedding side (text side in
+    // DedupSpec): with rowBits pinned equal, the incremental result must
+    // be exactly the cross-parity slice of the self-join result — same
+    // band keys, same verify. 53 such pairs at sf0.001, so non-vacuous.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val self = Similarity.embeddingPairs(e, rowBits = 8)
+      .filter(col("id_a") % 2 =!= col("id_b") % 2)
+      .select(
+        when(col("id_a") % 2 === 1, col("id_a")).otherwise(col("id_b"))
+          .as("new_id"),
+        when(col("id_a") % 2 === 1, col("id_b")).otherwise(col("id_a"))
+          .as("matched_id"),
+        col("cos"))
+    val cross = Similarity.crossEmbeddingPairs(
+      e.filter(col("vec_id") % 2 === 1),
+      e.filter(col("vec_id") % 2 === 0), rowBits = 8)
+    assert(self.count() > 0, "mixed-parity slice is empty — vacuous law")
+    assert(cross.exceptAll(self).count() == 0 &&
+      self.exceptAll(cross).count() == 0,
+      "bipartite embedding result diverges from the self-join slice")
+  }
+
   test("text dedup family recovers planted near-duplicate documents") {
     // Same treatment for the four text paths: each document gets a
     // companion with one appended token — all original shingles survive,
