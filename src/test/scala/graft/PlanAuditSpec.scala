@@ -118,7 +118,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "text_familiarity" -> 4,
       // bipartite band join + distinct fold into one exchange, same as
       // the dedup_minhash self-join it shares its blocking stage with
-      "dedup_incremental" -> 1)
+      "dedup_incremental" -> 1,
+      "dedup_embedding_incr" -> 1)
     val byName = planOnly.toMap
     budgets.foreach { case (name, budget) =>
       val n = collectNodes(byName(name).queryExecution.executedPlan)
