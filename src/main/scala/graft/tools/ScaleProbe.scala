@@ -34,7 +34,15 @@ object ScaleProbe {
   val dedupProbed: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dedup_ngram" -> graft.SparkEntry.queries("dedup_ngram"),
     "dedup_embedding" -> ((s, d) => graft.operators.Similarity
-      .embeddingPairs(graft.sources.Tables.embeddings(s, d))))
+      .embeddingPairs(graft.sources.Tables.embeddings(s, d))),
+    "text_familiarity" -> graft.SparkEntry.queries("text_familiarity"),
+    "dedup_incremental" -> graft.SparkEntry.queries("dedup_incremental"),
+    "dedup_embedding_incr" -> ((s, d) => {
+      val e = graft.sources.Tables.embeddings(s, d)
+      graft.operators.Similarity.crossEmbeddingPairs(
+        e.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 1),
+        e.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0))
+    }))
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(5)
