@@ -128,55 +128,193 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** (doc_id, hs, band_idx, band_key) — the banded MinHash signature
-    * table, the shared blocking stage for [[minhashPairs]] (self-join)
-    * and [[crossMinhashPairs]] (bipartite).
-    *
+  /** (doc_id, hs, sig) — shingle-hash set + full MinHash signature per
+    * document, the one corpus pass every blocking variant starts from.
     * Signature pass as one custom primitive-loop expression (the
     * transform/array_min composition evaluates interpreted lambdas with
     * per-element boxing — profiled ~10× slower). Materialized eagerly
     * ([[materialize]]: reliable checkpoint on clusters, localCheckpoint
-    * locally): both join sides and the Jaccard verify reuse it. At
-    * cluster scale this is the standard "write signatures, then join"
-    * shape — and exactly the table a deployment persists so ingestion
-    * batches never recompute the corpus side. */
-  private def bandedSignatures(df: DataFrame, id: String, text: String,
-                               numHashes: Int, bands: Int): DataFrame = {
+    * locally): band keys and the Jaccard verify both reuse it. */
+  private def minhashSignatures(df: DataFrame, id: String, text: String,
+                                numHashes: Int): DataFrame =
+    materialize(shingleHashesFlat(df, id, text)
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("hs"),
+        graft.functions.exprs.minhash_sig(col("hs"), numHashes,
+          999983L, 424243L, 12345L, 7L, P).as("sig")))
+
+  /** The per-band key columns over a `sig` array column:
+    * numHashes/bands signature rows concatenated per band. */
+  private def bandKeyCols(numHashes: Int, bands: Int): Seq[Column] = {
     val rows = numHashes / bands
-    val sh = shingleHashesFlat(df, id, text).filter(size(col("hs")) > 0)
-    val withMins = materialize(sh.select(col("doc_id"), col("hs"),
-      graft.functions.exprs.minhash_sig(col("hs"), numHashes,
-        999983L, 424243L, 12345L, 7L, P).as("sig")))
-    val bandKeys = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       concat_ws("_",
         (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
     }
-    withMins.select(col("doc_id"), col("hs"),
-      posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  /** (doc_id, band_idx, band_key) exploded from a [[minhashSignatures]]
+    * frame — the ids-only blocking table the persisted-index format
+    * stores (no `hs` payload riding on every band row). */
+  private def bandKeysOf(sigs: DataFrame, numHashes: Int,
+                         bands: Int): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(array(bandKeyCols(numHashes, bands): _*))
+        .as(Seq("band_idx", "band_key")))
+
+  /** (doc_id, hs, band_idx, band_key) — the banded MinHash signature
+    * table, the shared blocking stage for [[minhashPairs]] (self-join)
+    * and [[simhashPairs]]-style verifies. Keeps `hs` on the exploded
+    * rows (both self-join sides need it for the verify) with NO extra
+    * join; the persisted-index format splits it off instead
+    * ([[MinhashIndex]]) so band keys don't store every shingle set
+    * `bands` times. */
+  private def bandedSignatures(df: DataFrame, id: String, text: String,
+                               numHashes: Int, bands: Int): DataFrame = {
+    val sigs = minhashSignatures(df, id, text, numHashes)
+    sigs.select(col("doc_id"), col("hs"),
+      posexplode(array(bandKeyCols(numHashes, bands): _*))
+        .as(Seq("band_idx", "band_key")))
+  }
+
+  /** The corpus-side artifact of ingestion-time dedup, persistable via
+    * [[writeMinhashIndex]] / [[readMinhashIndex]]: `bands` is (doc_id,
+    * band_idx, band_key) — the blocking keys; `sets` is (doc_id, hs) —
+    * the shingle-hash sets the Jaccard verify re-attaches. Split in two
+    * tables so the band explode doesn't store every shingle set `bands`
+    * times. numHashes/nBands ride along so [[crossMinhashPairs]] signs
+    * the incoming side with EXACTLY the corpus's parameters — a
+    * mismatched pairing cannot be expressed through this API. */
+  final case class MinhashIndex(bands: DataFrame, sets: DataFrame,
+                                numHashes: Int, nBands: Int)
+
+  /** Builds the corpus-side [[MinhashIndex]] in memory (one corpus
+    * pass). Deployments that ingest continuously should [[writeMinhashIndex]]
+    * once and [[readMinhashIndex]] per batch instead — the whole point
+    * of the bipartite design is that a daily batch never rescans the
+    * held corpus. */
+  def buildMinhashIndex(corpus: DataFrame, id: String, text: String,
+                        numHashes: Int = 16, bands: Int = 4): MinhashIndex = {
+    val sigs = minhashSignatures(corpus, id, text, numHashes)
+    MinhashIndex(bandKeysOf(sigs, numHashes, bands),
+      sigs.select(col("doc_id"), col("hs")), numHashes, bands)
+  }
+
+  private val IndexMetaFile = "_graft_index_meta.properties"
+  /** Bumped on any change to the signature math (shingle n, hash family,
+    * band-key encoding) — a persisted index from an older scheme must
+    * fail loudly at load, never silently join garbage. */
+  private val MinhashIndexKind = "minhash-v1"
+  /** The hash-family fingerprint persisted with every index: shingle n,
+    * permutation coefficients and modulus. An index built by an engine
+    * with different constants produces band keys this engine cannot
+    * reproduce, so load refuses it. */
+  private val MinhashFamily = s"shingle3:md5-32:a=999983+12345:b=424243+7:p=$P"
+
+  private[graft] def writeMeta(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, kv: Map[String, String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, IndexMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val props = new java.util.Properties()
+    kv.foreach { case (k, v) => props.setProperty(k, v) }
+    val out = fs.create(p, true)
+    try props.store(out, "graft signature index metadata") finally out.close()
+  }
+
+  private[graft] def readMeta(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, IndexMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no signature-index metadata at $p — not an index directory, or " +
+        "written by something other than writeMinhashIndex/writeEmbeddingIndex")
+    val props = new java.util.Properties()
+    val in = fs.open(p)
+    try props.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    props.stringPropertyNames().asScala.map(k => k -> props.getProperty(k)).toMap
+  }
+
+  /** Persists the corpus-side [[MinhashIndex]] under `dir` (`bands/` and
+    * `sets/` parquet + a metadata file carrying numHashes, bands and the
+    * hash-family fingerprint, all checked fail-loud by
+    * [[readMinhashIndex]]). This is the deployment mode of
+    * [[crossMinhashPairs]]: sign the held corpus ONCE, then every
+    * ingestion batch pays only its own signatures plus one equality
+    * join against these tables. */
+  def writeMinhashIndex(corpus: DataFrame, id: String, text: String,
+                        dir: String, numHashes: Int = 16,
+                        bands: Int = 4): Unit = {
+    val idx = buildMinhashIndex(corpus, id, text, numHashes, bands)
+    idx.bands.write.mode("overwrite").parquet(s"$dir/bands")
+    idx.sets.write.mode("overwrite").parquet(s"$dir/sets")
+    writeMeta(corpus.sparkSession, dir, Map(
+      "kind" -> MinhashIndexKind,
+      "numHashes" -> numHashes.toString,
+      "bands" -> bands.toString,
+      "family" -> MinhashFamily,
+      "n_docs" -> idx.sets.count().toString))
+  }
+
+  /** Loads a [[writeMinhashIndex]] artifact, refusing (with an
+    * actionable message) an index whose kind or hash-family fingerprint
+    * doesn't match this engine — the silent failure mode would be a
+    * band-key join that simply never matches. Parameters come FROM the
+    * metadata, so callers cannot pair an index with the wrong
+    * numHashes/bands. */
+  def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): MinhashIndex = {
+    val meta = readMeta(spark, dir)
+    require(meta.get("kind").contains(MinhashIndexKind),
+      s"signature index at $dir has kind=${meta.getOrElse("kind", "<absent>")}, " +
+        s"this engine reads $MinhashIndexKind — rebuild with writeMinhashIndex")
+    require(meta.get("family").contains(MinhashFamily),
+      s"signature index at $dir was built under hash family " +
+        s"${meta.getOrElse("family", "<absent>")} but this engine uses " +
+        s"$MinhashFamily — its band keys are not reproducible here; rebuild")
+    MinhashIndex(spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/sets"),
+      meta("numHashes").toInt, meta("bands").toInt)
   }
 
   /** Ingestion-time near-dup check — the operation a continuously-fed
     * corpus actually runs: which `incoming` documents near-dup something
     * already in `corpus`. Same banded blocking as [[minhashPairs]] but
-    * BIPARTITE: neither side self-joins, so a daily batch's cost is the
-    * incoming side's signatures plus one equality join against the
-    * (persisted, in deployment) corpus signature table — never a
-    * corpus×corpus pass. Returns (new_id, matched_id, jaccard ≥
-    * jaccardMin); incoming documents absent from the result are novel.
-    * The two id spaces are independent — no doc_a < doc_b dedup applies
-    * across them. */
+    * BIPARTITE: neither side self-joins. This overload signs BOTH sides
+    * per call; deployments hold the corpus side fixed and should use the
+    * [[MinhashIndex]] overload against a [[readMinhashIndex]] artifact,
+    * paying only the batch's own signatures. Returns (new_id,
+    * matched_id, jaccard ≥ jaccardMin); incoming documents absent from
+    * the result are novel. The two id spaces are independent — no
+    * doc_a < doc_b dedup applies across them. */
   def crossMinhashPairs(incoming: DataFrame, corpus: DataFrame,
                         id: String, text: String,
                         numHashes: Int = 16, bands: Int = 4,
-                        jaccardMin: Double = 0.5): DataFrame = {
-    val l = bandedSignatures(incoming, id, text, numHashes, bands)
-      .select(col("doc_id").as("new_id"), col("hs").as("ha"),
-        col("band_idx"), col("band_key"))
-    val r = bandedSignatures(corpus, id, text, numHashes, bands)
-      .select(col("doc_id").as("matched_id"), col("hs").as("hb"),
-        col("band_idx"), col("band_key"))
+                        jaccardMin: Double = 0.5): DataFrame =
+    crossMinhashPairs(incoming,
+      buildMinhashIndex(corpus, id, text, numHashes, bands),
+      id, text, jaccardMin)
+
+  /** [[crossMinhashPairs]] against a precomputed corpus-side
+    * [[MinhashIndex]] — the deployment shape: the batch plan touches the
+    * index tables and the batch itself, NEVER the corpus documents
+    * (asserted by `SignatureIndexSpec`'s plan audit). The candidate
+    * stream carries ids only; shingle sets re-attach to the (distinct,
+    * far smaller) survivor set, mirroring [[Similarity.embeddingPairs]]. */
+  def crossMinhashPairs(incoming: DataFrame, index: MinhashIndex,
+                        id: String, text: String,
+                        jaccardMin: Double): DataFrame = {
+    val inSigs = minhashSignatures(incoming, id, text, index.numHashes)
+    val l = bandKeysOf(inSigs, index.numHashes, index.nBands)
+      .select(col("doc_id").as("new_id"), col("band_idx"), col("band_key"))
+    val r = index.bands
+      .select(col("doc_id").as("matched_id"), col("band_idx"), col("band_key"))
     l.join(r, Seq("band_idx", "band_key"))
-      .select("new_id", "matched_id", "ha", "hb").distinct()
+      .select("new_id", "matched_id").distinct()
+      .join(inSigs.select(col("doc_id").as("new_id"), col("hs").as("ha")),
+        Seq("new_id"))
+      .join(index.sets.select(col("doc_id").as("matched_id"),
+        col("hs").as("hb")), Seq("matched_id"))
       .withColumn("jaccard",
         round(graft.functions.exprs.jaccard_sim(col("ha"), col("hb")), 6))
       .filter(col("jaccard") >= jaccardMin)

@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Default band count for banded sign-LSH blocking — THE shared
+    * constant for [[embeddingPairs]]/[[crossEmbeddingPairs]] defaults,
+    * the correctness gate's pinned parameters (`Extensions.gateBands`)
+    * and the growth probe (`ScaleProbe`), so a changed default cannot
+    * leave the probe silently measuring a different blocking than the
+    * one deployed. */
+  val DefaultBands = 4
+
   /** cosine(a, b) over `array<float>` — custom codegen'd expression
     * ([[graft.functions.CosineSim]]): double math, sequential
     * accumulation, bit-identical to the SQL oracle's elementwise form. */
@@ -291,7 +299,7 @@ object Similarity {
     * pins rowBits to its static DuckDB oracle's value and asserts
     * `autoRowBits` still agrees, so a grown gate corpus fails loudly
     * instead of silently diverging (see `Extensions.gateRowBits`). */
-  def embeddingPairs(df: DataFrame, bands: Int = 4, rowBits: Int = 0,
+  def embeddingPairs(df: DataFrame, bands: Int = DefaultBands, rowBits: Int = 0,
                      cosMin: Double = 0.3,
                      assertAutoAgrees: Boolean = false): DataFrame = {
     val v = df.select(col("vec_id"), col("embedding"))
@@ -329,33 +337,129 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** The corpus-side artifact of ingestion-time embedding dedup,
+    * persistable via [[writeEmbeddingIndex]] / [[readEmbeddingIndex]]:
+    * `bands` is (vec_id, band_idx, band_key) — the sign-LSH blocking
+    * keys; `vectors` is (vec_id, embedding) — re-attached for the exact
+    * cosine verify. nBands/rowBits ride along so [[crossEmbeddingPairs]]
+    * keys the incoming side with EXACTLY the corpus's blocking — and a
+    * persisted index stays valid even after the live corpus grows past
+    * the count where [[autoRowBits]] would pick a different rowBits
+    * (the keys were cut at build time; the metadata is the truth). */
+  final case class EmbeddingIndex(bands: DataFrame, vectors: DataFrame,
+                                  nBands: Int, rowBits: Int)
+
+  /** Builds the corpus-side [[EmbeddingIndex]] in memory. `rowBits = 0`
+    * sizes the band space off the corpus count ([[autoRowBits]]);
+    * `assertAutoAgrees` gives pinned-rowBits callers the same fail-loud
+    * growth tripwire as [[embeddingPairs]] (the correctness gate pins
+    * rowBits to its static oracle's value — a grown gate corpus must
+    * abort, not silently mis-block). */
+  def buildEmbeddingIndex(corpus: DataFrame, bands: Int = DefaultBands,
+                          rowBits: Int = 0,
+                          assertAutoAgrees: Boolean = false): EmbeddingIndex = {
+    val cc = Dedup.materialize(corpus.select(col("vec_id"), col("embedding")))
+    val rb =
+      if (rowBits > 0) {
+        if (assertAutoAgrees) {
+          val n = cc.count()
+          val auto = autoRowBits(n)
+          require(auto == rowBits,
+            s"buildEmbeddingIndex: corpus n=$n -> autoRowBits=$auto, but " +
+              s"rowBits is pinned to $rowBits; regenerate the pinned " +
+              "artifact (e.g. the gate's duckBandedCtes) to match")
+        }
+        rowBits
+      } else autoRowBits(cc.count())
+    EmbeddingIndex(withBandKeys(cc, bands, rb), cc, bands, rb)
+  }
+
+  /** Bumped on any change to the sign-LSH math (the bandWeight lattice,
+    * key packing) — see [[graft.operators.Dedup.writeMinhashIndex]]'s
+    * versioning rationale. */
+  private val EmbeddingIndexKind = "signlsh-v1"
+  /** Fingerprint of [[graft.functions.VectorOps.bandWeight]]:
+    * (((i+1)(j+1)·7919 + i·31 + j·17) mod 1009) − 504. */
+  private val SignLshLattice = "bandweight:((i+1)(j+1)*7919+i*31+j*17)%1009-504"
+
+  /** Persists the corpus-side [[EmbeddingIndex]] under `dir` (`bands/`
+    * and `vectors/` parquet + metadata carrying bands, rowBits, the
+    * lattice fingerprint and the corpus count, checked fail-loud by
+    * [[readEmbeddingIndex]]). Deployment mode of [[crossEmbeddingPairs]]:
+    * cut the corpus band keys ONCE; each batch pays only its own keys
+    * plus one equality join. */
+  def writeEmbeddingIndex(corpus: DataFrame, dir: String,
+                          bands: Int = DefaultBands, rowBits: Int = 0): Unit = {
+    val idx = buildEmbeddingIndex(corpus, bands, rowBits)
+    idx.bands.write.mode("overwrite").parquet(s"$dir/bands")
+    idx.vectors.write.mode("overwrite").parquet(s"$dir/vectors")
+    Dedup.writeMeta(corpus.sparkSession, dir, Map(
+      "kind" -> EmbeddingIndexKind,
+      "bands" -> idx.nBands.toString,
+      "rowBits" -> idx.rowBits.toString,
+      "lattice" -> SignLshLattice,
+      "n_vectors" -> idx.vectors.count().toString))
+  }
+
+  /** Loads a [[writeEmbeddingIndex]] artifact, refusing an index whose
+    * kind or lattice fingerprint this engine cannot reproduce. bands and
+    * rowBits come FROM the metadata — the blocking that cut the
+    * persisted keys, regardless of what [[autoRowBits]] would pick for
+    * today's corpus size (auto-sizing drift is a rebuild decision, not a
+    * silent reinterpretation; the stored n_vectors makes that decision
+    * auditable: rebuild when autoRowBits(held corpus) != rowBits). */
+  def readEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): EmbeddingIndex = {
+    val meta = Dedup.readMeta(spark, dir)
+    require(meta.get("kind").contains(EmbeddingIndexKind),
+      s"embedding index at $dir has kind=${meta.getOrElse("kind", "<absent>")}, " +
+        s"this engine reads $EmbeddingIndexKind — rebuild with writeEmbeddingIndex")
+    require(meta.get("lattice").contains(SignLshLattice),
+      s"embedding index at $dir was built under lattice " +
+        s"${meta.getOrElse("lattice", "<absent>")} but this engine uses " +
+        s"$SignLshLattice — its band keys are not reproducible here; rebuild")
+    EmbeddingIndex(spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/vectors"),
+      meta("bands").toInt, meta("rowBits").toInt)
+  }
+
   /** Ingestion-time embedding near-dup check — the bipartite counterpart
     * of [[embeddingPairs]], mirroring
     * [[graft.operators.Dedup.crossMinhashPairs]] on the text side: which
     * `incoming` vectors near-dup something already in `corpus`. Neither
-    * side self-joins; in deployment the corpus's banded keys are
-    * precomputed and persisted, so a batch pays its own band keys plus
-    * one equality join. Auto `rowBits` sizing follows the CORPUS side —
-    * the side whose bucket occupancy bounds candidate volume as the held
-    * collection grows while batches stay small. Returns
-    * (new_id, matched_id, cos ≥ cosMin); the id spaces are independent. */
+    * side self-joins. This overload cuts BOTH sides' band keys per call;
+    * deployments hold the corpus side fixed and should use the
+    * [[EmbeddingIndex]] overload against a [[readEmbeddingIndex]]
+    * artifact. Auto `rowBits` sizing follows the CORPUS side — the side
+    * whose bucket occupancy bounds candidate volume as the held
+    * collection grows while batches stay small; `assertAutoAgrees` is
+    * the pinned-rowBits growth tripwire ([[embeddingPairs]] semantics).
+    * Returns (new_id, matched_id, cos ≥ cosMin); the id spaces are
+    * independent. */
   def crossEmbeddingPairs(incoming: DataFrame, corpus: DataFrame,
-                          bands: Int = 4, rowBits: Int = 0,
-                          cosMin: Double = 0.3): DataFrame = {
+                          bands: Int = DefaultBands, rowBits: Int = 0,
+                          cosMin: Double = 0.3,
+                          assertAutoAgrees: Boolean = false): DataFrame =
+    crossEmbeddingPairs(incoming,
+      buildEmbeddingIndex(corpus, bands, rowBits, assertAutoAgrees), cosMin)
+
+  /** [[crossEmbeddingPairs]] against a precomputed corpus-side
+    * [[EmbeddingIndex]] — the deployment shape: the batch plan touches
+    * the index tables and the batch itself, NEVER the corpus embeddings
+    * (asserted by `SignatureIndexSpec`'s plan audit). */
+  def crossEmbeddingPairs(incoming: DataFrame, index: EmbeddingIndex,
+                          cosMin: Double): DataFrame = {
     val ci = Dedup.materialize(
       incoming.select(col("vec_id"), col("embedding")))
-    val cc = Dedup.materialize(
-      corpus.select(col("vec_id"), col("embedding")))
-    val rb = if (rowBits > 0) rowBits else autoRowBits(cc.count())
-    val l = withBandKeys(ci, bands, rb)
+    val l = withBandKeys(ci, index.nBands, index.rowBits)
       .select(col("vec_id").as("new_id"), col("band_idx"), col("band_key"))
-    val r = withBandKeys(cc, bands, rb)
+    val r = index.bands
       .select(col("vec_id").as("matched_id"), col("band_idx"), col("band_key"))
     l.join(r, Seq("band_idx", "band_key"))
       .select("new_id", "matched_id").distinct()
       .join(ci.select(col("vec_id").as("new_id"), col("embedding").as("va")),
         Seq("new_id"))
-      .join(cc.select(col("vec_id").as("matched_id"),
+      .join(index.vectors.select(col("vec_id").as("matched_id"),
         col("embedding").as("vb")), Seq("matched_id"))
       .withColumn("cos", round(cosine("va", "vb"), 6))
       .filter(col("cos") >= cosMin)

@@ -111,10 +111,24 @@ object TextOps {
     * rides as an integer `k` instead of k rows); the stats/prefix
     * tables are bigram-cardinality bounded, not corpus bounded; both
     * attach joins are pure equality shuffles on the bigram / prefix-word
-    * key. Returns (doc_id, n_bigrams, familiarity); documents with
-    * fewer than two tokens have no bigrams and are absent. */
+    * key.
+    *
+    * Open-vocab bound: at web scale MOST distinct bigrams are
+    * near-hapax noise (typos, ids, OCR), so an unfloored stats table is
+    * vocab-sized — the exact table the attach join must broadcast or
+    * SMJ. `minCount` drops bigrams with corpus count c2 < minCount from
+    * the SCORED set (a CCNet-faithful smoothing choice: an unmodeled
+    * bigram contributes familiarity 0, exactly like unknown n-grams
+    * under a pretrained LM); dropped occurrences still count in the
+    * denominator, so gibberish is penalized rather than ignored, and
+    * every ≥2-token document stays present. Prefix totals c1 are
+    * computed over the UNfloored stats — P(w₂|w₁) stays a true
+    * conditional frequency; only which bigrams get scored changes.
+    * Returns (doc_id, n_bigrams, familiarity); documents with fewer
+    * than two tokens have no bigrams and are absent. */
   def bigramFamiliarity(docs: DataFrame, id: String = "doc_id",
-                        text: String = "text"): DataFrame = {
+                        text: String = "text",
+                        minCount: Int = DefaultFamiliarityMinCount): DataFrame = {
     val perDoc = graft.operators.Dedup.materialize(
       docs.withColumn("__t", tokens(col(text)))
         .filter(size(col("__t")) >= 2)
@@ -125,15 +139,27 @@ object TextOps {
       .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("c2")).as("c1"))
     perDoc
-      .join(stats, Seq("bg"))
+      // left join against the FLOORED stats: an unscored bigram rides
+      // through as c2 = NULL -> contribution 0 via the coalesce below
+      .join(stats.filter(col("c2") >= minCount), Seq("bg"), "left")
       .withColumn("w1", substring_index(col("bg"), " ", 1))
+      // inner: every bigram's w1 is in prefix (built from all bigrams)
       .join(prefix, Seq("w1"))
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_bigrams"),
         sum(col("k") *
-          expr("(cast(1000000 as bigint) * c2) div c1")).as("__s"))
+          expr("coalesce((cast(1000000 as bigint) * c2) div c1, " +
+            "cast(0 as bigint))")).as("__s"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("__s").cast("double") / col("n_bigrams") / 1000000.0, 6)
           .as("familiarity"))
   }
+
+  /** The gate's bigram-count floor — shared with the generated DuckDB
+    * oracle (`Extensions.oracles("text_familiarity")`) so the pair
+    * cannot drift. 2 = drop exactly the hapax bigrams: the long tail
+    * that makes an unfloored stats table vocab-sized at open vocab,
+    * while every repeated (i.e. minimally evidenced) bigram keeps its
+    * true conditional frequency. */
+  val DefaultFamiliarityMinCount = 2
 }

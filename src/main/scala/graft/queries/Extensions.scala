@@ -109,6 +109,28 @@ object Extensions {
         docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text")
     }),
+    // the deployment form of dedup_incremental, end to end: the corpus
+    // side (even ids) is signed ONCE and PERSISTED (writeMinhashIndex),
+    // then the incoming documents arrive as a STREAM whose micro-batches
+    // are checked against the loaded index inside foreachBatch — no
+    // corpus rescan per batch. Shares dedup_incremental's oracle:
+    // streaming ≡ batch ≡ DuckDB.
+    "stream_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idxDir = graft.sources.Scratch.dir(
+        s"mhidx_${java.util.UUID.randomUUID.toString.take(8)}")
+      Dedup.writeMinhashIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxDir)
+      val index = Dedup.readMinhashIndex(s, idxDir)
+      val out = graft.sources.Scratch.dir(
+        s"sid_${java.util.UUID.randomUUID.toString.take(8)}")
+      val q = graft.streaming.StreamOps.incrementalDedupStream(
+        graft.streaming.StreamOps.documentsStream(s, d)
+          .filter(col("doc_id") % 2 === 1),
+        index, s"$out/pairs")
+      q.stop()
+      s.read.parquet(s"$out/pairs")
+    }),
     "dedup_clusters" -> ((s, d) =>
       Dedup.duplicateClusters(
         Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text"))),
@@ -340,13 +362,14 @@ object Extensions {
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))),
     // embedding-side incremental dedup (mirrors dedup_incremental): odd
     // vec_ids are the incoming batch, even the existing corpus; rowBits
-    // pinned to the static oracle's value like the self-join gate
+    // pinned to the static oracle's value like the self-join gate, with
+    // the same fail-loud autoRowBits growth tripwire on the corpus side
     "dedup_embedding_incr" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.crossEmbeddingPairs(
         e.filter(col("vec_id") % 2 === 1),
         e.filter(col("vec_id") % 2 === 0),
-        bands = gateBands, rowBits = gateRowBits)
+        bands = gateBands, rowBits = gateRowBits, assertAutoAgrees = true)
     }),
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text")),
@@ -908,7 +931,7 @@ object Extensions {
     * keep the pair coupled — the silent-divergence hazard was that
     * `Similarity.autoRowBits` grows with the corpus while the oracle
     * text does not. */
-  private[graft] val gateBands = 4
+  private[graft] val gateBands = Similarity.DefaultBands
   private[graft] val gateRowBits = 8
 
   /** Gate wrapper for [[Similarity.embeddingPairs]]: pins `rowBits` to
@@ -1051,7 +1074,11 @@ object Extensions {
     // mirrors TextOps.bigramFamiliarity exactly: per-(doc, bigram)
     // multiplicity k, corpus counts c2/c1 as bigints, per-occurrence
     // contribution floor(10^6 * c2 / c1) via integer division (// here,
-    // `div` in Spark), exact bigint sum, ONE double division at the end
+    // `div` in Spark), exact bigint sum, ONE double division at the end.
+    // The frequency floor (c2 >= DefaultFamiliarityMinCount, shared
+    // Scala constant) drops sub-floor bigrams from the SCORED set via
+    // the left join (contribution COALESCEd to 0); prefix totals stay
+    // unfloored — same open-vocab semantics as the Spark side.
     "text_familiarity" -> s"""
       WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
       occ AS (SELECT doc_id,
@@ -1063,12 +1090,15 @@ object Extensions {
       stats AS (SELECT bg, CAST(SUM(k) AS BIGINT) AS c2 FROM pd GROUP BY bg),
       prefix AS (SELECT split_part(bg, ' ', 1) AS w1,
                         CAST(SUM(c2) AS BIGINT) AS c1
-                 FROM stats GROUP BY 1)
+                 FROM stats GROUP BY 1),
+      kept AS (SELECT bg, c2 FROM stats
+               WHERE c2 >= ${TextOps.DefaultFamiliarityMinCount})
       SELECT pd.doc_id,
              CAST(SUM(k) AS BIGINT) AS n_bigrams,
-             round(CAST(SUM(k * ((1000000 * c2) // c1)) AS DOUBLE)
+             round(CAST(SUM(k * COALESCE((1000000 * c2) // c1,
+                                         CAST(0 AS BIGINT))) AS DOUBLE)
                    / CAST(SUM(k) AS BIGINT) / 1000000.0, 6) AS familiarity
-      FROM pd JOIN stats USING (bg)
+      FROM pd LEFT JOIN kept USING (bg)
               JOIN prefix ON split_part(pd.bg, ' ', 1) = prefix.w1
       GROUP BY pd.doc_id""",
     "dedup_exact" -> """
@@ -1194,6 +1224,9 @@ object Extensions {
                  ELSE 0 END""",
     "dedup_minhash" -> minhashOracle,
     "dedup_incremental" -> incrementalOracle,
+    // streaming foreachBatch form of the same bipartite check — the
+    // result set is identical by construction, so the oracle is shared
+    "stream_incremental_dedup" -> incrementalOracle,
     "dedup_clusters" -> clustersOracle,
     "curation_pipeline" -> curationOracle,
     "dedup_ngram" -> ngramOracle,

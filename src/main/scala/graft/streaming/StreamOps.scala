@@ -182,6 +182,51 @@ object StreamOps {
     q
   }
 
+  /** Documents schema for the file-stream source (matches the testdata
+    * parquet; file streams require an explicit schema). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming source over the documents table directory: one file = one
+    * micro-batch replay, mirroring [[eventsStream]]. */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "documents.parquet")
+      .load(dir)
+
+  /** Ingestion-time dedup as a stream — the §2.8×§2.9 composition the
+    * "daily ingestion" story implies: each micro-batch of documents is
+    * checked ([[graft.operators.Dedup.crossMinhashPairs]]) against a
+    * PERSISTED corpus-side signature index and the matches appended
+    * under `outDir`. The index is built once outside the stream
+    * ([[graft.operators.Dedup.readMinhashIndex]]); per batch the plan
+    * touches only the batch itself and the index tables — the held
+    * corpus is never rescanned, which is the entire point of the
+    * bipartite design at 100 TB. foreachBatch (not a streaming join):
+    * the index side is batch-static and the verify needs an aggregate-
+    * free equality join, exactly the batch operator — so the stream
+    * reuses it verbatim and streaming ≡ batch by construction. */
+  def incrementalDedupStream(docs: DataFrame,
+                             index: graft.operators.Dedup.MinhashIndex,
+                             outDir: String,
+                             jaccardMin: Double = 0.5): StreamingQuery = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup
+          .crossMinhashPairs(batch, index, "doc_id", "text", jaccardMin)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Drains a finite streaming frame and returns the materialized result

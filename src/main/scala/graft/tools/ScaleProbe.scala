@@ -95,7 +95,8 @@ object ScaleProbe {
       val n = e.count()
       val rb = graft.operators.Similarity.autoRowBits(n)
       val c = graft.operators.Similarity.embeddingCandidates(
-        graft.operators.Similarity.withBandKeys(e, 4, rb)).count()
+        graft.operators.Similarity.withBandKeys(e,
+          graft.operators.Similarity.DefaultBands, rb)).count()
       (n, c, rb)
     }
     val (n1, c1, rb1) = candidates(base)
@@ -103,11 +104,43 @@ object ScaleProbe {
     val candPerCopy = cN.toDouble / c1 / copies
     println(f"[scaleprobe] banded candidates: n=$n1 rb=$rb1 cand=$c1 -> " +
       f"n=$nN rb=$rbN cand=$cN ratio=${cN.toDouble / c1}%5.2f perCopy=$candPerCopy%4.2f")
+    // same direct signal for the rare-shingle path (dedup_ngram /
+    // dedup_containment): candidate pairs and rare postings at 1x and
+    // Nx. The analytic bound is |cand| <= postings * (maxDf-1) / 2 —
+    // content-disjoint copies keep per-shingle df unchanged, so both
+    // postings and candidates should grow ~linearly (perCopy ~= 1); a
+    // perCopy well above 1 would mean cross-copy shingle leakage or a
+    // df-cap stage gone quadratic (asserted at sf0.001 in
+    // CandidateBoundSpec, measured here at probe scale)
+    def ngramCandidates(dir: String): (Long, Long) = {
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val cand = graft.operators.Dedup
+        .rareShingleCandidates(docs, "doc_id", "text", 20)
+        .select("doc_a", "doc_b").count()
+      val postings = graft.operators.Dedup
+        .shingleHashesFlat(docs, "doc_id", "text")
+        .select(explode(col("hs"))).count()
+      (cand, postings)
+    }
+    val (g1, p1) = ngramCandidates(base)
+    val (gN, pN) = ngramCandidates(out)
+    val ngramPerCopy = gN.toDouble / g1 / copies
+    println(f"[scaleprobe] ngram candidates: cand=$g1 postings=$p1 -> " +
+      f"cand=$gN postings=$pN ratio=${gN.toDouble / g1}%5.2f perCopy=$ngramPerCopy%4.2f")
     val qs = rows.map { case (n, t1, tN, r) =>
       f""""$n":{"t1":$t1%.3f,"tN":$tN%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_probe","copies":$copies,"queries":$qs,""" +
-      f""""banded_candidates":{"c1":$c1,"cN":$cN,"perCopy":$candPerCopy%.3f}}""")
+    val json =
+      s"""{"metric":"scale_probe","copies":$copies,"queries":$qs,""" +
+        f""""banded_candidates":{"c1":$c1,"cN":$cN,"perCopy":$candPerCopy%.3f},""" +
+        f""""ngram_candidates":{"c1":$g1,"cN":$gN,"perCopy":$ngramPerCopy%.3f}}"""
+    println(json)
+    // tracked artifact (VERDICT r7 #3): the driver snapshots
+    // PROBE_r{N}.json like BENCH/CORRECTNESS so ratio regressions diff
+    sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { path =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 
@@ -159,13 +192,17 @@ object ScaleProbe {
         .parquet(s"$base/events.parquet"), Seq("event_id"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    def caesar(i: Int): String = {
-      val k = i % 26
-      alpha.drop(k) + alpha.take(k)
-    }
+    val digits = "0123456789"
+    def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
+    // digits rotate too: a number-heavy document would otherwise keep
+    // identical digit-only shingles across copies and quietly
+    // reintroduce cross-copy near-dups (letters and digits only share a
+    // period at lcm(26,10)=130 > the 26-copy cap, and any token with a
+    // letter differs in every copy pair regardless)
     rep(spark.read.parquet(s"$base/documents.parquet"), Seq("doc_id"),
       (d, i) => d.withColumn("text", translate(col("text"),
-        alpha + alpha.toUpperCase, caesar(i) + caesar(i).toUpperCase)))
+        alpha + alpha.toUpperCase + digits,
+        rot(alpha, i) + rot(alpha, i).toUpperCase + rot(digits, i))))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     rep(spark.read.parquet(s"$base/embeddings.parquet"), Seq("vec_id"),
       (d, i) => {

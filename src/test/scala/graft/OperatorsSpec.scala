@@ -214,8 +214,11 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
   test("bigram familiarity: hand-computed conditional frequencies") {
     // corpus: "a b", "a b", "a c", "z" →
     //   bigram counts: c("a b")=2, c("a c")=1; prefix c("a ·")=3
+    //   (UNfloored — prefix totals stay true conditionals)
     //   docs 1,2: one "a b" occurrence → floor(1e6·2/3)/1e6 = 0.666666
-    //   doc 3: one "a c" occurrence → floor(1e6·1/3)/1e6 = 0.333333
+    //   doc 3: one "a c" occurrence, but c("a c")=1 is under the default
+    //     floor (DefaultFamiliarityMinCount=2) → unscored, contributes
+    //     0; the occurrence still counts in the denominator
     //   doc 4: single token, no bigrams → absent
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"))
       .toDF("doc_id", "text")
@@ -225,15 +228,23 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.keySet == Set(1L, 2L, 3L))
     assert(out(1L) == ((1L, 0.666666)))
     assert(out(2L) == ((1L, 0.666666)))
-    assert(out(3L) == ((1L, 0.333333)))
+    assert(out(3L) == ((1L, 0.0)))
+    // minCount = 1 disables the floor: doc 3 scores its hapax bigram
+    // floor(1e6·1/3)/1e6 = 0.333333 — the pre-floor semantics
+    val unfloored = graft.operators.TextOps
+      .bigramFamiliarity(docs, minCount = 1)
+      .as[(Long, Long, Double)].collect()
+      .map { case (k, n, f) => k -> ((n, f)) }.toMap
+    assert(unfloored(3L) == ((1L, 0.333333)))
+    assert(unfloored(1L) == ((1L, 0.666666)))
     // a doc with repeated bigrams: "a b a b" has bigrams [a b, b a, a b]
-    // → k("a b")=2, k("b a")=1; corpus here: c("a b")=2, c("b a")=1,
-    // prefix a=2, b=1 → contributions 2·floor(1e6·2/2) + 1·floor(1e6·1/1)
-    // = 3e6 over n=3 → familiarity 1.0 (all its bigrams are all there is)
+    // → k("a b")=2, k("b a")=1; corpus here: c("a b")=2 (kept), c("b a")=1
+    // (under the floor → 0), prefix a=2, b=1 → contributions
+    // 2·floor(1e6·2/2) + 1·0 = 2e6 over n=3 → round(2/3, 6) = 0.666667
     val solo = graft.operators.TextOps
       .bigramFamiliarity(Seq((9L, "a b a b")).toDF("doc_id", "text"))
       .as[(Long, Long, Double)].head()
-    assert(solo == ((9L, 3L, 1.0)))
+    assert(solo == ((9L, 3L, 0.666667)))
   }
 
   test("language ID picks marker-majority language, 'und' fallback") {

@@ -86,9 +86,41 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // if a Spark upgrade suddenly rejects ANSI it used to accept, or a
     // refactor renames oracles, this fails rather than silently guarding
     // nothing (q_scalar_subquery, the round-6 escapee, must stay in)
-    assert(covered >= 25, s"oracle parity guard only covers $covered oracles")
-    assert(!skipped.result().contains("q_scalar_subquery"),
-      "q_scalar_subquery must stay Spark-runnable — it is the guard's " +
-        "canonical regression")
+    assert(covered >= 55, s"oracle parity guard only covers $covered oracles")
+    // the skip set is PINNED: a covered oracle that silently becomes
+    // Spark-unparsable (the hole the broad catch above would otherwise
+    // open) fails here by appearing as an unexpected skip. A NEW
+    // DuckDB-dialect oracle must be added below deliberately — that edit
+    // is the audit trail.
+    assert(skipped.result().toSet == expectedSkips,
+      s"oracle parity skip set drifted; newly skipped (covered oracles " +
+        s"that stopped parsing?): ${skipped.result().toSet -- expectedSkips}; " +
+        s"no longer skipped (remove from expectedSkips): " +
+        s"${expectedSkips -- skipped.result().toSet}")
   }
+
+  /** Every oracle whose SQL is DuckDB-only dialect (list_*, `//`,
+    * quantile_cont, strftime, recursive CTEs, generate_series, ...) —
+    * these pairs defend drift by generating their SQL from shared Scala
+    * constants instead (see the class doc). */
+  val expectedSkips: Set[String] = Set(
+    "curation_pipeline", "decontam_ngram", "dedup_clusters",
+    "dedup_containment", "dedup_embedding", "dedup_embedding_incr",
+    "dedup_incremental", "dedup_minhash", "dedup_ngram", "dedup_norm",
+    "dedup_semantic", "dedup_simhash", "mm_binary_meta", "mm_features",
+    "mm_frame_sample", "mm_resize", "q3_shipping_priority", "q_array_fns",
+    "q_attribution", "q_bitwise", "q_cdc_latest", "q_datetime_arith",
+    "q_domain_mix", "q_explode", "q_explode_outer", "q_filter_scan",
+    "q_fuzzy_string", "q_generate_series", "q_group_sample_k",
+    "q_hash_sample", "q_higher_order", "q_join_asof", "q_join_asof_fast",
+    "q_json", "q_json_parse", "q_percentile", "q_posexplode", "q_regexp",
+    "q_scalar_date", "q_scalar_string", "q_session_window",
+    "q_sliding_window", "q_split_assign", "q_string_agg", "q_synth_source",
+    "q_tumbling_window", "q_window_fill", "sim_ann", "sim_ivf", "sim_topk",
+    "stream_dedup", "stream_incremental_dedup", "stream_session_window",
+    "stream_sliding_window", "stream_static_join", "stream_stream_join",
+    "stream_tumbling_window", "text_bpe_tokens", "text_chunks",
+    "text_familiarity", "text_fingerprint", "text_langid", "text_ngram_freq",
+    "text_quality", "text_quality_quantile", "text_redact",
+    "text_repetition", "text_rolling_fp", "text_tokens")
 }

@@ -50,6 +50,18 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpec {
       .select((col("doc_id") - OFF).as("doc_id"), col("text").as("t1"))
     assert(d0.join(d1, "doc_id").filter(col("t0") === col("t1")).count() == 0,
       "caesar perturbation left copy-1 texts identical to the originals")
+    // stronger than non-identical texts: the copies' SHINGLE sets must
+    // be disjoint — any shared shingle is a cross-copy candidate edge
+    // the dedup probes would count as growth that isn't in the real
+    // data (letters and digits both rotate, so a surviving shingle
+    // would need 3 consecutive symbol-only tokens)
+    def shingles(copy: Int): org.apache.spark.sql.DataFrame =
+      graft.operators.Dedup.shingleHashesFlat(
+        dOut.filter(col("doc_id") >= copy.toLong * OFF &&
+          col("doc_id") < (copy + 1).toLong * OFF), "doc_id", "text")
+        .select(explode(col("hs")).as("h")).distinct()
+    assert(shingles(0).join(shingles(1), "h").count() == 0,
+      "copies share shingles — cross-copy near-dup leakage")
 
     val e0 = spark.read.parquet(s"$base/embeddings.parquet")
       .select(col("vec_id"), col("embedding").as("em0"))
