@@ -256,6 +256,17 @@ object Dedup {
       "n_docs" -> idx.sets.count().toString))
   }
 
+  private def validateMinhashMeta(meta: Map[String, String],
+                                  dir: String): Unit = {
+    require(meta.get("kind").contains(MinhashIndexKind),
+      s"signature index at $dir has kind=${meta.getOrElse("kind", "<absent>")}, " +
+        s"this engine reads $MinhashIndexKind — rebuild with writeMinhashIndex")
+    require(meta.get("family").contains(MinhashFamily),
+      s"signature index at $dir was built under hash family " +
+        s"${meta.getOrElse("family", "<absent>")} but this engine uses " +
+        s"$MinhashFamily — its band keys are not reproducible here; rebuild")
+  }
+
   /** Loads a [[writeMinhashIndex]] artifact, refusing (with an
     * actionable message) an index whose kind or hash-family fingerprint
     * doesn't match this engine — the silent failure mode would be a
@@ -265,16 +276,38 @@ object Dedup {
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String): MinhashIndex = {
     val meta = readMeta(spark, dir)
-    require(meta.get("kind").contains(MinhashIndexKind),
-      s"signature index at $dir has kind=${meta.getOrElse("kind", "<absent>")}, " +
-        s"this engine reads $MinhashIndexKind — rebuild with writeMinhashIndex")
-    require(meta.get("family").contains(MinhashFamily),
-      s"signature index at $dir was built under hash family " +
-        s"${meta.getOrElse("family", "<absent>")} but this engine uses " +
-        s"$MinhashFamily — its band keys are not reproducible here; rebuild")
+    validateMinhashMeta(meta, dir)
     MinhashIndex(spark.read.parquet(s"$dir/bands"),
       spark.read.parquet(s"$dir/sets"),
       meta("numHashes").toInt, meta("bands").toInt)
+  }
+
+  /** Folds a batch into a persisted index IN PLACE: signs `batch` with
+    * the index's OWN parameters (read from metadata — the caller cannot
+    * mismatch them) and appends to the `bands`/`sets` tables. This is
+    * the other half of the ingestion loop: check a batch with
+    * [[crossMinhashPairs]], then append its novel documents here so the
+    * NEXT batch dedups against them — still never rescanning held data;
+    * each append costs only the batch's own signatures. Not idempotent:
+    * a caller retrying a failed batch must dedup its own doc_ids (e.g.
+    * route retries through an overwrite-mode staging dir) — parquet
+    * append cannot distinguish a retry from new data. */
+  def appendToMinhashIndex(batch: DataFrame, id: String, text: String,
+                           dir: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = readMeta(spark, dir)
+    validateMinhashMeta(meta, dir)
+    val numHashes = meta("numHashes").toInt
+    val bands = meta("bands").toInt
+    // materialized once (inside minhashSignatures): both writes and the
+    // count below reuse it
+    val sigs = minhashSignatures(batch, id, text, numHashes)
+    bandKeysOf(sigs, numHashes, bands)
+      .write.mode("append").parquet(s"$dir/bands")
+    sigs.select(col("doc_id"), col("hs"))
+      .write.mode("append").parquet(s"$dir/sets")
+    writeMeta(spark, dir,
+      meta + ("n_docs" -> (meta("n_docs").toLong + sigs.count()).toString))
   }
 
   /** Ingestion-time near-dup check — the operation a continuously-fed

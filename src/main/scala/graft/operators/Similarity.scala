@@ -401,6 +401,17 @@ object Similarity {
       "n_vectors" -> idx.vectors.count().toString))
   }
 
+  private def validateEmbeddingMeta(meta: Map[String, String],
+                                    dir: String): Unit = {
+    require(meta.get("kind").contains(EmbeddingIndexKind),
+      s"embedding index at $dir has kind=${meta.getOrElse("kind", "<absent>")}, " +
+        s"this engine reads $EmbeddingIndexKind — rebuild with writeEmbeddingIndex")
+    require(meta.get("lattice").contains(SignLshLattice),
+      s"embedding index at $dir was built under lattice " +
+        s"${meta.getOrElse("lattice", "<absent>")} but this engine uses " +
+        s"$SignLshLattice — its band keys are not reproducible here; rebuild")
+  }
+
   /** Loads a [[writeEmbeddingIndex]] artifact, refusing an index whose
     * kind or lattice fingerprint this engine cannot reproduce. bands and
     * rowBits come FROM the metadata — the blocking that cut the
@@ -411,16 +422,46 @@ object Similarity {
   def readEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
                          dir: String): EmbeddingIndex = {
     val meta = Dedup.readMeta(spark, dir)
-    require(meta.get("kind").contains(EmbeddingIndexKind),
-      s"embedding index at $dir has kind=${meta.getOrElse("kind", "<absent>")}, " +
-        s"this engine reads $EmbeddingIndexKind — rebuild with writeEmbeddingIndex")
-    require(meta.get("lattice").contains(SignLshLattice),
-      s"embedding index at $dir was built under lattice " +
-        s"${meta.getOrElse("lattice", "<absent>")} but this engine uses " +
-        s"$SignLshLattice — its band keys are not reproducible here; rebuild")
+    validateEmbeddingMeta(meta, dir)
     EmbeddingIndex(spark.read.parquet(s"$dir/bands"),
       spark.read.parquet(s"$dir/vectors"),
       meta("bands").toInt, meta("rowBits").toInt)
+  }
+
+  /** Folds a batch into a persisted embedding index IN PLACE, keying it
+    * with the index's OWN (bands, rowBits) — persisted keys must all be
+    * cut by one blocking. Growth contract: appending is refused once the
+    * grown total drifts past the occupancy target ([[autoRowBits]] no
+    * longer picks the index's rowBits) — occupancy, and with it
+    * candidate volume per batch, would creep quadratically if batches
+    * kept piling into a band space sized for a smaller corpus. Pass
+    * `allowOccupancyDrift = true` to accept that cost consciously
+    * (e.g. mid-migration); the durable fix is a rebuild at the new
+    * auto rowBits. Same retry caveat as
+    * [[graft.operators.Dedup.appendToMinhashIndex]]: appends are not
+    * idempotent. */
+  def appendToEmbeddingIndex(batch: DataFrame, dir: String,
+                             allowOccupancyDrift: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    val meta = Dedup.readMeta(spark, dir)
+    validateEmbeddingMeta(meta, dir)
+    val bands = meta("bands").toInt
+    val rowBits = meta("rowBits").toInt
+    val cc = Dedup.materialize(batch.select(col("vec_id"), col("embedding")))
+    val nNew = meta("n_vectors").toLong + cc.count()
+    if (!allowOccupancyDrift) {
+      val auto = autoRowBits(nNew)
+      require(auto == rowBits,
+        s"appendToEmbeddingIndex: index at $dir grown to n=$nNew vectors " +
+          s"-> autoRowBits=$auto, but its keys were cut at rowBits=$rowBits " +
+          "— bucket occupancy (and per-batch candidate volume) is past the " +
+          "sizing target. Rebuild with writeEmbeddingIndex, or pass " +
+          "allowOccupancyDrift=true to accept the extra candidates")
+    }
+    withBandKeys(cc, bands, rowBits)
+      .write.mode("append").parquet(s"$dir/bands")
+    cc.write.mode("append").parquet(s"$dir/vectors")
+    Dedup.writeMeta(spark, dir, meta + ("n_vectors" -> nNew.toString))
   }
 
   /** Ingestion-time embedding near-dup check — the bipartite counterpart

@@ -227,6 +227,48 @@ object StreamOps {
     q
   }
 
+  /** The FULL ingestion loop, self-maintaining: per micro-batch, flag
+    * near-dups against the persisted index at `idxDir`
+    * ([[graft.operators.Dedup.crossMinhashPairs]]), append the flagged
+    * pairs under `outDir`, then FOLD THE NOVEL DOCUMENTS INTO THE INDEX
+    * ([[graft.operators.Dedup.appendToMinhashIndex]]) so later batches
+    * dedup against everything that arrived before them — the index
+    * grows by exactly the deduplicated stream. Held data is never
+    * rescanned: each batch pays its own signatures, one band-key join,
+    * and one append.
+    *
+    * Semantics: "novel" = not matching the index AS OF the batch's
+    * start, so duplicates WITHIN one micro-batch are both admitted
+    * (standard bipartite-ingest behavior — run `minhashPairs` on the
+    * batch first if intra-batch dedup is wanted). The index is re-read
+    * per batch (cheap: plan construction only) so each batch sees the
+    * previous batch's appends. */
+  def selfMaintainingDedupStream(docs: DataFrame, idxDir: String,
+                                 outDir: String,
+                                 jaccardMin: Double = 0.5): StreamingQuery = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist()
+        try {
+          val index = graft.operators.Dedup.readMinhashIndex(spark, idxDir)
+          val pairs = graft.operators.Dedup
+            .crossMinhashPairs(b, index, "doc_id", "text", jaccardMin)
+            .persist()
+          try {
+            pairs.write.mode("append").parquet(outDir)
+            val novel = b.join(pairs.select(col("new_id").as("doc_id")),
+              Seq("doc_id"), "left_anti")
+            graft.operators.Dedup
+              .appendToMinhashIndex(novel, "doc_id", "text", idxDir)
+          } finally pairs.unpersist()
+        } finally b.unpersist()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Drains a finite streaming frame and returns the materialized result

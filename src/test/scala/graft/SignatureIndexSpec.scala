@@ -138,6 +138,109 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
       s"batch plan does not read the persisted embedding index: $ePaths")
   }
 
+  test("appendToMinhashIndex: write(A) + append(B) == write(A union B)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val b = docs.filter(col("doc_id") % 3 === 1)
+    val grown = graft.sources.Scratch.dir("sigidx-append")
+    Dedup.writeMinhashIndex(a, "doc_id", "text", grown)
+    Dedup.appendToMinhashIndex(b, "doc_id", "text", grown)
+    val oneShot = graft.sources.Scratch.dir("sigidx-oneshot")
+    Dedup.writeMinhashIndex(a.unionByName(b), "doc_id", "text", oneShot)
+    val gi = Dedup.readMinhashIndex(spark, grown)
+    val oi = Dedup.readMinhashIndex(spark, oneShot)
+    assert(canon(gi.bands) == canon(oi.bands), "band tables diverge")
+    // hs arrays render order-stably (insertion order of a deterministic
+    // single-pass builder), so whole-row canon is exact
+    assert(canon(gi.sets) == canon(oi.sets), "sets tables diverge")
+    assert(Dedup.readMeta(spark, grown)("n_docs") ==
+      Dedup.readMeta(spark, oneShot)("n_docs"))
+    // and the grown index answers queries identically
+    val probe = docs.filter(col("doc_id") % 3 === 2)
+    assert(canon(Dedup.crossMinhashPairs(probe, gi, "doc_id", "text", 0.5)) ==
+      canon(Dedup.crossMinhashPairs(probe, oi, "doc_id", "text", 0.5)))
+  }
+
+  test("appendToEmbeddingIndex refuses occupancy drift, force-flag accepts") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idxDir = graft.sources.Scratch.dir("sigidx-edrift")
+    Similarity.writeEmbeddingIndex(e.filter(col("vec_id") % 2 === 0), idxDir)
+    val batch = e.filter(col("vec_id") % 2 === 1).limit(1)
+    // growth inside the occupancy target appends cleanly
+    val n0 = Dedup.readMeta(spark, idxDir)("n_vectors").toLong
+    Similarity.appendToEmbeddingIndex(batch, idxDir)
+    assert(Dedup.readMeta(spark, idxDir)("n_vectors").toLong == n0 + 1)
+    // push the recorded corpus size to the rowBits=8 clamp edge: the
+    // next append drifts autoRowBits to 9 and must be refused
+    val meta = Dedup.readMeta(spark, idxDir)
+    Dedup.writeMeta(spark, idxDir, meta + ("n_vectors" -> "2048"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToEmbeddingIndex(batch, idxDir)
+    }
+    assert(ex.getMessage.contains("occupancy"))
+    // the conscious override still appends and updates the count
+    Similarity.appendToEmbeddingIndex(batch, idxDir,
+      allowOccupancyDrift = true)
+    assert(Dedup.readMeta(spark, idxDir)("n_vectors").toLong == 2049L)
+  }
+
+  test("selfMaintainingDedupStream: batch 2 dedups against batch 1's novel docs") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // fixtures from DedupSpec: near1 ~ near2 (jaccard ≈ 0.571 ≥ 0.5),
+    // `other` unrelated
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val other = "completely different content about spark catalyst optimizer internals"
+    import spark.implicits._
+    def writeOneFile(df: org.apache.spark.sql.DataFrame, dest: String,
+                     mtime: Long): Unit = {
+      val tmp = graft.sources.Scratch.dir(
+        s"smd-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(
+        _.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(dest),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // held corpus: one unrelated doc; the index starts from it
+    val idxDir = graft.sources.Scratch.dir("smd-idx")
+    Dedup.writeMinhashIndex(Seq((1L, other)).toDF("doc_id", "text"),
+      "doc_id", "text", idxDir)
+    // two single-file micro-batches, mtime-ordered: batch 1 brings a
+    // NOVEL doc 10; batch 2 brings doc 20, a near-dup OF DOC 10 ONLY —
+    // it can match only if batch 1's novelty was folded into the index
+    val streamDir = graft.sources.Scratch.dir("smd-in")
+    val t = System.currentTimeMillis()
+    writeOneFile(Seq((10L, near1)).toDF("doc_id", "text"),
+      s"$streamDir/b0.parquet", t - 60000)
+    writeOneFile(Seq((20L, near2)).toDF("doc_id", "text"),
+      s"$streamDir/b1.parquet", t)
+    val outDir = graft.sources.Scratch.dir("smd-out") + "/pairs"
+    val docsStream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .format("parquet")
+      .option("maxFilesPerTrigger", 1)
+      .load(streamDir)
+    val q = graft.streaming.StreamOps
+      .selfMaintainingDedupStream(docsStream, idxDir, outDir)
+    q.stop()
+    val pairs = spark.read.parquet(outDir)
+      .select("new_id", "matched_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((20L, 10L)),
+      s"expected batch-2 doc to match batch-1's novel doc, got $pairs")
+    // the index grew by exactly the novel documents (1 held + doc 10;
+    // doc 20 matched, so it was NOT admitted)
+    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong == 2L)
+    val held = Dedup.readMinhashIndex(spark, idxDir).sets
+      .select("doc_id").as[Long].collect().toSet
+    assert(held == Set(1L, 10L))
+  }
+
   test("stream_incremental_dedup == batch dedup_incremental at sf0.001") {
     val base = "/root/testdata/sf0.001"
     val streamed = SparkEntry.queries("stream_incremental_dedup")(spark, base)
