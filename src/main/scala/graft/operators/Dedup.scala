@@ -202,23 +202,57 @@ object Dedup {
 
   private val IndexMetaFile = "_graft_index_meta.properties"
   /** Bumped on any change to the signature math (shingle n, hash family,
-    * band-key encoding) — a persisted index from an older scheme must
-    * fail loudly at load, never silently join garbage. */
-  private val MinhashIndexKind = "minhash-v1"
+    * band-key encoding) OR the on-disk layout — a persisted index from
+    * an older scheme must fail loudly at load, never silently join
+    * garbage. v2: tables are partitioned by `ingest_batch` (-1 = base
+    * corpus + synchronous appends; ≥ 0 = streaming micro-batches) and
+    * the metadata carries a `last_committed_batch` marker, the pair that
+    * makes streamed appends idempotent under at-least-once replay. */
+  private val MinhashIndexKind = "minhash-v2"
+  /** The partition column the v2 layout adds to every index table. Data
+    * columns never collide with it; readers project it away. */
+  private[graft] val IngestBatchCol = "ingest_batch"
+
+  /** Highest streaming micro-batch folded AND committed into the index
+    * at `dir` (-1 if none). Batches ≤ this are fully durable — marker
+    * written strictly after the table appends; partitions ABOVE it are
+    * uncommitted leftovers of a crashed append, excluded by every read
+    * and overwritten by the batch's replay. */
+  private[graft] def lastCommittedBatch(meta: Map[String, String]): Long =
+    meta.get("last_committed_batch").map(_.toLong).getOrElse(-1L)
+
+  /** Committed-rows view of a v2 index table: partitions past the
+    * commit marker are crash leftovers, never data. Partition-prunes —
+    * the filter costs directory listing, not I/O. */
+  private[graft] def committedOnly(df: DataFrame,
+                                   meta: Map[String, String]): DataFrame =
+    df.filter(col(IngestBatchCol) <= lit(lastCommittedBatch(meta)))
   /** The hash-family fingerprint persisted with every index: shingle n,
     * permutation coefficients and modulus. An index built by an engine
     * with different constants produces band keys this engine cannot
     * reproduce, so load refuses it. */
   private val MinhashFamily = s"shingle3:md5-32:a=999983+12345:b=424243+7:p=$P"
 
+  /** Single-writer contract: the metadata (and the append paths that
+    * update it) assume ONE writer per index directory — the streaming
+    * loop is exactly that. Write-temp-then-rename keeps a crashed
+    * writer from ever leaving a truncated metadata file: readers see
+    * the old complete metadata or the new complete metadata, nothing
+    * in between (rename is atomic on HDFS and local fs). */
   private[graft] def writeMeta(spark: org.apache.spark.sql.SparkSession,
                                dir: String, kv: Map[String, String]): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, IndexMetaFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, IndexMetaFile + ".tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val props = new java.util.Properties()
     kv.foreach { case (k, v) => props.setProperty(k, v) }
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try props.store(out, "graft signature index metadata") finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.makeQualified(p).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(fs.makeQualified(tmp), fs.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private[graft] def readMeta(spark: org.apache.spark.sql.SparkSession,
@@ -246,14 +280,35 @@ object Dedup {
                         dir: String, numHashes: Int = 16,
                         bands: Int = 4): Unit = {
     val idx = buildMinhashIndex(corpus, id, text, numHashes, bands)
-    idx.bands.write.mode("overwrite").parquet(s"$dir/bands")
-    idx.sets.write.mode("overwrite").parquet(s"$dir/sets")
+    writeIndexTable(idx.bands, -1L, s"$dir/bands", overwriteAll = true)
+    writeIndexTable(idx.sets, -1L, s"$dir/sets", overwriteAll = true)
     writeMeta(corpus.sparkSession, dir, Map(
       "kind" -> MinhashIndexKind,
       "numHashes" -> numHashes.toString,
       "bands" -> bands.toString,
       "family" -> MinhashFamily,
       "n_docs" -> idx.sets.count().toString))
+  }
+
+  /** One index-table write under the v2 layout: rows land in the
+    * `ingest_batch=<batch>` partition. `overwriteAll` replaces the whole
+    * table (initial build); otherwise the write is scoped to the batch's
+    * own partition — `mode("overwrite")` plus DYNAMIC partition
+    * overwrite for a real micro-batch (batch ≥ 0: a replayed batch
+    * REPLACES its own partition instead of double-appending — the
+    * idempotency backbone), plain `append` into the base partition for
+    * synchronous batch = -1 callers, which by the single-writer
+    * contract run once. */
+  private[graft] def writeIndexTable(rows: DataFrame, batch: Long,
+                                     path: String,
+                                     overwriteAll: Boolean = false): Unit = {
+    val part = rows.withColumn(IngestBatchCol, lit(batch))
+    val w = part.write.partitionBy(IngestBatchCol)
+    if (overwriteAll) w.mode("overwrite").parquet(path)
+    else if (batch >= 0L)
+      w.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    else w.mode("append").parquet(path)
   }
 
   private def validateMinhashMeta(meta: Map[String, String],
@@ -277,8 +332,11 @@ object Dedup {
                        dir: String): MinhashIndex = {
     val meta = readMeta(spark, dir)
     validateMinhashMeta(meta, dir)
-    MinhashIndex(spark.read.parquet(s"$dir/bands"),
-      spark.read.parquet(s"$dir/sets"),
+    MinhashIndex(
+      committedOnly(spark.read.parquet(s"$dir/bands"), meta)
+        .select("doc_id", "band_idx", "band_key"),
+      committedOnly(spark.read.parquet(s"$dir/sets"), meta)
+        .select("doc_id", "hs"),
       meta("numHashes").toInt, meta("bands").toInt)
   }
 
@@ -288,26 +346,124 @@ object Dedup {
     * the other half of the ingestion loop: check a batch with
     * [[crossMinhashPairs]], then append its novel documents here so the
     * NEXT batch dedups against them — still never rescanning held data;
-    * each append costs only the batch's own signatures. Not idempotent:
-    * a caller retrying a failed batch must dedup its own doc_ids (e.g.
-    * route retries through an overwrite-mode staging dir) — parquet
-    * append cannot distinguish a retry from new data. */
+    * each append costs only the batch's own signatures.
+    *
+    * Idempotency: pass the streaming micro-batch id as `batchId` and a
+    * replay of an at-least-once-delivered batch is EXACTLY ONCE in
+    * effect — an already-committed batch (id ≤ the metadata's
+    * `last_committed_batch`; Structured Streaming batch ids are
+    * monotonic) is skipped outright, and a batch whose previous attempt
+    * crashed mid-append lands in its own `ingest_batch` partition via
+    * DYNAMIC partition overwrite, replacing the crashed attempt's
+    * leftovers instead of double-appending them (which reads never saw
+    * anyway: they filter to committed partitions). The commit marker is
+    * written strictly last. Without `batchId` (synchronous callers) the
+    * append is a plain one-shot under the single-writer contract: a
+    * caller retrying a failure must route retries through a batchId. */
   def appendToMinhashIndex(batch: DataFrame, id: String, text: String,
-                           dir: String): Unit = {
+                           dir: String,
+                           batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val meta = readMeta(spark, dir)
     validateMinhashMeta(meta, dir)
+    if (batchId.exists(_ <= lastCommittedBatch(meta))) return // replayed, durable
     val numHashes = meta("numHashes").toInt
     val bands = meta("bands").toInt
     // materialized once (inside minhashSignatures): both writes and the
     // count below reuse it
     val sigs = minhashSignatures(batch, id, text, numHashes)
-    bandKeysOf(sigs, numHashes, bands)
-      .write.mode("append").parquet(s"$dir/bands")
-    sigs.select(col("doc_id"), col("hs"))
-      .write.mode("append").parquet(s"$dir/sets")
+    val part = batchId.getOrElse(-1L)
+    writeIndexTable(bandKeysOf(sigs, numHashes, bands), part, s"$dir/bands")
+    writeIndexTable(sigs.select(col("doc_id"), col("hs")), part, s"$dir/sets")
     writeMeta(spark, dir,
-      meta + ("n_docs" -> (meta("n_docs").toLong + sigs.count()).toString))
+      meta + ("n_docs" -> (meta("n_docs").toLong + sigs.count()).toString)
+        ++ batchId.map(b => "last_committed_batch" -> b.toString))
+  }
+
+  /** Rewrites `rows` as the new content of the index table at `path`
+    * (all in the base `ingest_batch=-1` partition), via a
+    * write-sibling-then-swap: the replacement is fully written to
+    * `<path>__compact` BEFORE the old table is touched. The swap itself
+    * is delete + rename — a crash in that window leaves the table
+    * loudly unreadable (recoverable by hand from the sibling), never
+    * silently wrong; compaction/rebuild are offline single-writer
+    * maintenance ops (stop the stream, run, resume), not concurrent
+    * mutators. `rows` must not read lazily from `path` itself —
+    * callers either pre-materialize ([[materialize]]) or derive from a
+    * different table. */
+  private[graft] def swapInTable(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, rows: DataFrame): Unit = {
+    val tmp = path + "__compact"
+    writeIndexTable(rows, -1L, tmp, overwriteAll = true)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"rename $tmp -> $path failed")
+  }
+
+  /** [[swapInTable]] for compaction: committed rows of the table at
+    * `path`, projected to `cols`, coalesced to `targetFiles` output
+    * files. Coalesce, not repartition — file-merging needs no shuffle. */
+  private[graft] def compactTable(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, meta: Map[String, String],
+                                  targetFiles: Int, cols: Seq[String]): Unit =
+    swapInTable(spark, path,
+      committedOnly(spark.read.parquet(path), meta)
+        .select(cols.map(col): _*).coalesce(targetFiles))
+
+  /** Folds a micro-batch-fed index back into `targetFiles` files per
+    * table. [[graft.streaming.StreamOps.selfMaintainingDedupStream]]-style
+    * ingestion accretes one
+    * parquet file set per batch — at minute-level cadence the bands/sets
+    * tables fragment into thousands of small files, the classic
+    * streaming-sink killer: scan cost becomes file-open cost and the
+    * driver's listing grows unbounded. Compaction preserves rows and
+    * metadata EXACTLY — including `last_committed_batch`, so a
+    * post-compaction restart still skips already-folded batches (their
+    * rows live on in the base partition; `crossMinhashPairs` before ≡
+    * after, asserted by `IndexMaintenanceSpec`). Run it offline on the
+    * single writer's schedule — e.g. every N batches or when the file
+    * count passes a threshold. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, targetFiles: Int = 4): Unit = {
+    val meta = readMeta(spark, dir)
+    validateMinhashMeta(meta, dir)
+    compactTable(spark, s"$dir/bands", meta, targetFiles,
+      Seq("doc_id", "band_idx", "band_key"))
+    compactTable(spark, s"$dir/sets", meta, targetFiles,
+      Seq("doc_id", "hs"))
+  }
+
+  /** Re-cuts a persisted index's blocking FROM ITS OWN `sets` table —
+    * the held corpus never needs to exist outside the index. The stored
+    * shingle-hash sets are the sufficient statistic for every MinHash
+    * parameter choice: signatures (and from them band keys) are
+    * recomputed at `numHashes`/`bands` (0 = keep the current value), so
+    * re-banding a years-old index needs no access to the original
+    * documents. Also compacts as a side effect (everything lands in the
+    * base partition) and preserves `last_committed_batch`.
+    * Offline single-writer maintenance, like [[compactMinhashIndex]]. */
+  def rebuildMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, numHashes: Int = 0,
+                          bands: Int = 0): Unit = {
+    val meta = readMeta(spark, dir)
+    validateMinhashMeta(meta, dir)
+    val nh = if (numHashes > 0) numHashes else meta("numHashes").toInt
+    val nb = if (bands > 0) bands else meta("bands").toInt
+    require(nh % nb == 0,
+      s"rebuildMinhashIndex: numHashes=$nh not divisible by bands=$nb")
+    // materialized: the swaps below delete the files this reads
+    val sigs = materialize(
+      committedOnly(spark.read.parquet(s"$dir/sets"), meta)
+        .select(col("doc_id"), col("hs"),
+          graft.functions.exprs.minhash_sig(col("hs"), nh,
+            999983L, 424243L, 12345L, 7L, P).as("sig")))
+    swapInTable(spark, s"$dir/bands", bandKeysOf(sigs, nh, nb))
+    swapInTable(spark, s"$dir/sets", sigs.select(col("doc_id"), col("hs")))
+    writeMeta(spark, dir, meta
+      + ("numHashes" -> nh.toString) + ("bands" -> nb.toString)
+      + ("n_docs" -> sigs.count().toString))
   }
 
   /** Ingestion-time near-dup check — the operation a continuously-fed

@@ -375,9 +375,12 @@ object Similarity {
   }
 
   /** Bumped on any change to the sign-LSH math (the bandWeight lattice,
-    * key packing) — see [[graft.operators.Dedup.writeMinhashIndex]]'s
-    * versioning rationale. */
-  private val EmbeddingIndexKind = "signlsh-v1"
+    * key packing) OR the on-disk layout — see
+    * [[graft.operators.Dedup.writeMinhashIndex]]'s versioning rationale.
+    * v2: `ingest_batch`-partitioned tables + `last_committed_batch`
+    * marker, the replay-idempotency layout shared with the minhash
+    * side. */
+  private val EmbeddingIndexKind = "signlsh-v2"
   /** Fingerprint of [[graft.functions.VectorOps.bandWeight]]:
     * (((i+1)(j+1)·7919 + i·31 + j·17) mod 1009) − 504. */
   private val SignLshLattice = "bandweight:((i+1)(j+1)*7919+i*31+j*17)%1009-504"
@@ -391,8 +394,9 @@ object Similarity {
   def writeEmbeddingIndex(corpus: DataFrame, dir: String,
                           bands: Int = DefaultBands, rowBits: Int = 0): Unit = {
     val idx = buildEmbeddingIndex(corpus, bands, rowBits)
-    idx.bands.write.mode("overwrite").parquet(s"$dir/bands")
-    idx.vectors.write.mode("overwrite").parquet(s"$dir/vectors")
+    Dedup.writeIndexTable(idx.bands, -1L, s"$dir/bands", overwriteAll = true)
+    Dedup.writeIndexTable(idx.vectors, -1L, s"$dir/vectors",
+      overwriteAll = true)
     Dedup.writeMeta(corpus.sparkSession, dir, Map(
       "kind" -> EmbeddingIndexKind,
       "bands" -> idx.nBands.toString,
@@ -423,8 +427,11 @@ object Similarity {
                          dir: String): EmbeddingIndex = {
     val meta = Dedup.readMeta(spark, dir)
     validateEmbeddingMeta(meta, dir)
-    EmbeddingIndex(spark.read.parquet(s"$dir/bands"),
-      spark.read.parquet(s"$dir/vectors"),
+    EmbeddingIndex(
+      Dedup.committedOnly(spark.read.parquet(s"$dir/bands"), meta)
+        .select("vec_id", "band_idx", "band_key"),
+      Dedup.committedOnly(spark.read.parquet(s"$dir/vectors"), meta)
+        .select("vec_id", "embedding"),
       meta("bands").toInt, meta("rowBits").toInt)
   }
 
@@ -437,14 +444,18 @@ object Similarity {
     * kept piling into a band space sized for a smaller corpus. Pass
     * `allowOccupancyDrift = true` to accept that cost consciously
     * (e.g. mid-migration); the durable fix is a rebuild at the new
-    * auto rowBits. Same retry caveat as
-    * [[graft.operators.Dedup.appendToMinhashIndex]]: appends are not
-    * idempotent. */
+    * auto rowBits. Same replay contract as
+    * [[graft.operators.Dedup.appendToMinhashIndex]]: pass the streaming
+    * micro-batch id as `batchId` and a replayed batch is skipped (if
+    * committed) or partition-overwritten (if its first attempt crashed)
+    * — exactly-once in effect; without it, one-shot single-writer. */
   def appendToEmbeddingIndex(batch: DataFrame, dir: String,
-                             allowOccupancyDrift: Boolean = false): Unit = {
+                             allowOccupancyDrift: Boolean = false,
+                             batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val meta = Dedup.readMeta(spark, dir)
     validateEmbeddingMeta(meta, dir)
+    if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
     val bands = meta("bands").toInt
     val rowBits = meta("rowBits").toInt
     val cc = Dedup.materialize(batch.select(col("vec_id"), col("embedding")))
@@ -458,10 +469,58 @@ object Similarity {
           "sizing target. Rebuild with writeEmbeddingIndex, or pass " +
           "allowOccupancyDrift=true to accept the extra candidates")
     }
-    withBandKeys(cc, bands, rowBits)
-      .write.mode("append").parquet(s"$dir/bands")
-    cc.write.mode("append").parquet(s"$dir/vectors")
-    Dedup.writeMeta(spark, dir, meta + ("n_vectors" -> nNew.toString))
+    val part = batchId.getOrElse(-1L)
+    Dedup.writeIndexTable(withBandKeys(cc, bands, rowBits), part,
+      s"$dir/bands")
+    Dedup.writeIndexTable(cc, part, s"$dir/vectors")
+    Dedup.writeMeta(spark, dir, meta + ("n_vectors" -> nNew.toString)
+      ++ batchId.map(b => "last_committed_batch" -> b.toString))
+  }
+
+  /** Embedding-side twin of
+    * [[graft.operators.Dedup.compactMinhashIndex]]: folds a
+    * micro-batch-fragmented index back into `targetFiles` files per
+    * table, preserving rows and metadata (including
+    * `last_committed_batch`) exactly. Offline single-writer
+    * maintenance. */
+  def compactEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, targetFiles: Int = 4): Unit = {
+    val meta = Dedup.readMeta(spark, dir)
+    validateEmbeddingMeta(meta, dir)
+    Dedup.compactTable(spark, s"$dir/bands", meta, targetFiles,
+      Seq("vec_id", "band_idx", "band_key"))
+    Dedup.compactTable(spark, s"$dir/vectors", meta, targetFiles,
+      Seq("vec_id", "embedding"))
+  }
+
+  /** Re-cuts a persisted embedding index's band keys FROM ITS OWN
+    * `vectors` table — the remedy when [[appendToEmbeddingIndex]]
+    * refuses occupancy drift: the index has outgrown the band space its
+    * keys were cut for, and the stored vectors are everything a re-cut
+    * at the new size needs (the held corpus never has to exist outside
+    * the index). `rowBits = 0` re-sizes from the ACTUAL persisted count
+    * ([[autoRowBits]]); `bands = 0` keeps the current band count.
+    * `n_vectors` is reset to the persisted count — the tables, not the
+    * counter, are the truth after a rebuild — and
+    * `last_committed_batch` survives, so a streaming restart still
+    * skips folded batches. Offline single-writer maintenance. */
+  def rebuildEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, bands: Int = 0,
+                            rowBits: Int = 0): Unit = {
+    val meta = Dedup.readMeta(spark, dir)
+    validateEmbeddingMeta(meta, dir)
+    val nb = if (bands > 0) bands else meta("bands").toInt
+    // materialized: the swaps below delete the files this reads
+    val cc = Dedup.materialize(
+      Dedup.committedOnly(spark.read.parquet(s"$dir/vectors"), meta)
+        .select(col("vec_id"), col("embedding")))
+    val n = cc.count()
+    val rb = if (rowBits > 0) rowBits else autoRowBits(n)
+    Dedup.swapInTable(spark, s"$dir/bands", withBandKeys(cc, nb, rb))
+    Dedup.swapInTable(spark, s"$dir/vectors", cc)
+    Dedup.writeMeta(spark, dir, meta
+      + ("bands" -> nb.toString) + ("rowBits" -> rb.toString)
+      + ("n_vectors" -> n.toString))
   }
 
   /** Ingestion-time embedding near-dup check — the bipartite counterpart

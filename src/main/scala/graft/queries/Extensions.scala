@@ -129,7 +129,10 @@ object Extensions {
           .filter(col("doc_id") % 2 === 1),
         index, s"$out/pairs")
       q.stop()
+      // project away the batch=<id> partition column — replay
+      // bookkeeping, not part of the dedup result
       s.read.parquet(s"$out/pairs")
+        .select("new_id", "matched_id", "jaccard")
     }),
     "dedup_clusters" -> ((s, d) =>
       Dedup.duplicateClusters(

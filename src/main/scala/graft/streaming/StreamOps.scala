@@ -211,16 +211,25 @@ object StreamOps {
     * bipartite design at 100 TB. foreachBatch (not a streaming join):
     * the index side is batch-static and the verify needs an aggregate-
     * free equality join, exactly the batch operator — so the stream
-    * reuses it verbatim and streaming ≡ batch by construction. */
+    * reuses it verbatim and streaming ≡ batch by construction.
+    *
+    * Replay-idempotent: each micro-batch's pairs land in their own
+    * `batch=<batchId>` partition of `outDir` with overwrite semantics,
+    * so foreachBatch's at-least-once redelivery (the same batchId
+    * replayed after a crash) REWRITES that partition instead of
+    * double-appending — the index side is static, so the recomputed
+    * pairs are identical. Read the result with
+    * `spark.read.parquet(outDir)` and project the pair columns; the
+    * `batch` partition column is bookkeeping. */
   def incrementalDedupStream(docs: DataFrame,
                              index: graft.operators.Dedup.MinhashIndex,
                              outDir: String,
                              jaccardMin: Double = 0.5): StreamingQuery = {
     val q = docs.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Dedup
           .crossMinhashPairs(batch, index, "doc_id", "text", jaccardMin)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
     q.processAllAvailable()
@@ -242,31 +251,65 @@ object StreamOps {
     * (standard bipartite-ingest behavior — run `minhashPairs` on the
     * batch first if intra-batch dedup is wanted). The index is re-read
     * per batch (cheap: plan construction only) so each batch sees the
-    * previous batch's appends. */
+    * previous batch's appends.
+    *
+    * Crash-safe under foreachBatch's at-least-once contract — see
+    * [[processIngestBatch]] for the exactly-once-in-effect argument. */
   def selfMaintainingDedupStream(docs: DataFrame, idxDir: String,
                                  outDir: String,
                                  jaccardMin: Double = 0.5): StreamingQuery = {
     val q = docs.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.persist()
-        try {
-          val index = graft.operators.Dedup.readMinhashIndex(spark, idxDir)
-          val pairs = graft.operators.Dedup
-            .crossMinhashPairs(b, index, "doc_id", "text", jaccardMin)
-            .persist()
-          try {
-            pairs.write.mode("append").parquet(outDir)
-            val novel = b.join(pairs.select(col("new_id").as("doc_id")),
-              Seq("doc_id"), "left_anti")
-            graft.operators.Dedup
-              .appendToMinhashIndex(novel, "doc_id", "text", idxDir)
-          } finally pairs.unpersist()
-        } finally b.unpersist()
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processIngestBatch(batch, batchId, idxDir, outDir, jaccardMin)
       }
       .start()
     q.processAllAvailable()
     q
+  }
+
+  /** One micro-batch of the self-maintaining ingestion loop, idempotent
+    * under replay of the same `batchId` (Structured Streaming replays
+    * the last uncommitted batch after a crash; batch ids are monotonic):
+    *
+    *  - an already-COMMITTED batch (id ≤ the index metadata's
+    *    `last_committed_batch`, written strictly after every table
+    *    append) is skipped whole — its pairs finished writing before the
+    *    index commit, and recomputing them against the now-grown index
+    *    would emit spurious self-matches;
+    *  - a batch whose first attempt crashed MID-APPEND recomputes its
+    *    pairs against the committed-only view of the index
+    *    ([[graft.operators.Dedup.readMinhashIndex]] filters partitions
+    *    past the marker, so the crashed attempt's half-written
+    *    signatures are invisible — no self-matches, same novel set),
+    *    rewrites its own `batch=<id>` pairs partition, and its index
+    *    append lands via dynamic partition OVERWRITE of its own
+    *    `ingest_batch=<id>` partition — replacing, never duplicating,
+    *    the leftovers.
+    *
+    * Net: pairs, index tables and `n_docs` after crash+replay are
+    * byte-identical to the no-crash run (asserted by
+    * `SignatureIndexSpec`'s replay laws). */
+  private[graft] def processIngestBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                                        batchId: Long, idxDir: String,
+                                        outDir: String,
+                                        jaccardMin: Double): Unit = {
+    val spark = batch.sparkSession
+    val meta = graft.operators.Dedup.readMeta(spark, idxDir)
+    if (batchId <= graft.operators.Dedup.lastCommittedBatch(meta)) return
+    val b = batch.persist()
+    try {
+      val index = graft.operators.Dedup.readMinhashIndex(spark, idxDir)
+      val pairs = graft.operators.Dedup
+        .crossMinhashPairs(b, index, "doc_id", "text", jaccardMin)
+        .persist()
+      try {
+        pairs.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        val novel = b.join(pairs.select(col("new_id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        graft.operators.Dedup.appendToMinhashIndex(novel, "doc_id", "text",
+          idxDir, batchId = Some(batchId))
+      } finally pairs.unpersist()
+    } finally b.unpersist()
   }
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)

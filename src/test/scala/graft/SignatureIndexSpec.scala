@@ -241,6 +241,104 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     assert(held == Set(1L, 10L))
   }
 
+  // ---- replay idempotency (VERDICT r8 #1) -------------------------------
+  // foreachBatch is at-least-once: after a crash the last uncommitted
+  // micro-batch is REPLAYED with the same batchId. The laws below drive
+  // processIngestBatch (the exact foreachBatch body) through both replay
+  // shapes and require the end state byte-identical to a no-crash run.
+
+  private val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+  private val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+  private val other = "completely different content about spark catalyst optimizer internals"
+  private val other2 = "unrelated prose describing parquet footer statistics and page encodings"
+
+  /** Everything observable about an ingestion run: RAW index tables
+    * (uncommitted partitions included — replay must physically replace
+    * them, not just hide them), pairs output, and the metadata counters. */
+  private def ingestState(idxDir: String, outDir: String) = {
+    // canon sets AND raw counts: a double-append writes byte-identical
+    // rows, which a set-compare alone would silently collapse
+    val bandsDf = spark.read.parquet(s"$idxDir/bands")
+    val setsDf = spark.read.parquet(s"$idxDir/sets")
+    val pairsDf = spark.read.parquet(outDir)
+      .select("new_id", "matched_id", "jaccard")
+    val meta = Dedup.readMeta(spark, idxDir)
+    (canon(bandsDf), canon(setsDf), canon(pairsDf),
+      bandsDf.count(), setsDf.count(), pairsDf.count(),
+      meta("n_docs"), meta.get("last_committed_batch"))
+  }
+
+  private def runIngest(tag: String,
+                        crashBeforeCommit: Boolean): (String, String) = {
+    import spark.implicits._
+    val idxDir = graft.sources.Scratch.dir(s"replay-idx-$tag")
+    val outDir = graft.sources.Scratch.dir(s"replay-out-$tag") + "/pairs"
+    Dedup.writeMinhashIndex(Seq((1L, other)).toDF("doc_id", "text"),
+      "doc_id", "text", idxDir)
+    val b0 = Seq((10L, near1)).toDF("doc_id", "text")
+    // batch 1 carries a near-dup (20 matches 10) AND a novel doc (30),
+    // so its append writes real partition data — the crash must strand
+    // half-written signatures, not an empty set
+    val b1 = Seq((20L, near2), (30L, other2)).toDF("doc_id", "text")
+    graft.streaming.StreamOps.processIngestBatch(b0, 0L, idxDir, outDir, 0.5)
+    val metaAfterB0 = Dedup.readMeta(spark, idxDir)
+    graft.streaming.StreamOps.processIngestBatch(b1, 1L, idxDir, outDir, 0.5)
+    if (crashBeforeCommit)
+      // batch 1's table partitions and pairs are on disk but the commit
+      // marker is not — exactly the state a crash between the appends
+      // and the (strictly-last, atomic-rename) metadata write leaves
+      Dedup.writeMeta(spark, idxDir, metaAfterB0)
+    (idxDir, outDir)
+  }
+
+  test("replay of a COMMITTED batch is skipped whole — no self-matches, no growth") {
+    import spark.implicits._
+    val (refIdx, refOut) = runIngest("ref1", crashBeforeCommit = false)
+    val (idx, out) = runIngest("twice", crashBeforeCommit = false)
+    // redeliver batch 1 after its commit: the marker must shortcut it
+    val b1 = Seq((20L, near2), (30L, other2)).toDF("doc_id", "text")
+    graft.streaming.StreamOps.processIngestBatch(b1, 1L, idx, out, 0.5)
+    assert(ingestState(idx, out) == ingestState(refIdx, refOut),
+      "replay of a committed batch changed the index or pairs")
+  }
+
+  test("replay after a crash MID-APPEND rewrites the batch — state == no-crash run") {
+    import spark.implicits._
+    val (refIdx, refOut) = runIngest("ref2", crashBeforeCommit = false)
+    val (idx, out) = runIngest("crash", crashBeforeCommit = true)
+    // the crashed attempt's uncommitted partition must be invisible to
+    // reads: the committed view still holds exactly {corpus, batch-0}
+    val held = Dedup.readMinhashIndex(spark, idx).sets
+      .select("doc_id").as[Long].collect().toSet
+    assert(held == Set(1L, 10L),
+      s"uncommitted partition leaked into the committed view: $held")
+    // replay batch 1 (same id, as Structured Streaming would)
+    val b1 = Seq((20L, near2), (30L, other2)).toDF("doc_id", "text")
+    graft.streaming.StreamOps.processIngestBatch(b1, 1L, idx, out, 0.5)
+    val st = ingestState(idx, out)
+    assert(st == ingestState(refIdx, refOut),
+      "crash+replay diverged from the no-crash run")
+    // and the recomputed pairs carry no spurious self-matches
+    assert(!st._3.exists(r => r.head == r(1)),
+      s"self-match pair leaked from the crashed attempt: ${st._3}")
+  }
+
+  test("appendToEmbeddingIndex with a batchId is replay-idempotent") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idxDir = graft.sources.Scratch.dir("replay-emb")
+    Similarity.writeEmbeddingIndex(e.filter(col("vec_id") % 2 === 0), idxDir)
+    val batch = e.filter(col("vec_id") % 2 === 1).limit(3)
+    def snap() = (canon(spark.read.parquet(s"$idxDir/bands")),
+      canon(spark.read.parquet(s"$idxDir/vectors")),
+      spark.read.parquet(s"$idxDir/bands").count(),
+      spark.read.parquet(s"$idxDir/vectors").count(),
+      Dedup.readMeta(spark, idxDir)("n_vectors"))
+    Similarity.appendToEmbeddingIndex(batch, idxDir, batchId = Some(0L))
+    val s1 = snap()
+    Similarity.appendToEmbeddingIndex(batch, idxDir, batchId = Some(0L))
+    assert(snap() == s1, "replayed embedding append changed the index")
+  }
+
   test("stream_incremental_dedup == batch dedup_incremental at sf0.001") {
     val base = "/root/testdata/sf0.001"
     val streamed = SparkEntry.queries("stream_incremental_dedup")(spark, base)
