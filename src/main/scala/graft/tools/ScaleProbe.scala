@@ -127,13 +127,60 @@ object ScaleProbe {
     val ngramPerCopy = gN.toDouble / g1 / copies
     println(f"[scaleprobe] ngram candidates: cand=$g1 postings=$p1 -> " +
       f"cand=$gN postings=$pN ratio=${gN.toDouble / g1}%5.2f perCopy=$ngramPerCopy%4.2f")
+    // ingestion steady state: the self-maintaining loop's 100 TB claim
+    // is "per-batch cost independent of held-corpus size" — the one-shot
+    // cross probes above never measure it. Build a persisted index over
+    // the 1x and Nx corpora (one-time cost, untimed), then run the SAME
+    // small batch through the REAL foreachBatch body
+    // (StreamOps.processIngestBatch: check + pairs write + novel append
+    // + commit marker) against each. The wall ratio is the growth of
+    // per-batch cost with corpus size; the candidate ratio is the
+    // occupancy-bounded quantity that must stay ~1 (the batch's band
+    // keys hit copy-0's buckets plus collisions, regardless of how many
+    // content-disjoint copies the index holds).
+    def steadyIngest(dir: String, tag: String): (Double, Long) = {
+      val idxDir = graft.sources.Scratch.dir(s"probe-ingest-$tag")
+      graft.operators.Dedup.writeMinhashIndex(
+        graft.sources.Tables.documents(spark, dir), "doc_id", "text", idxDir)
+      val baseDocs = graft.sources.Tables.documents(spark, base)
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      // 100 docs held by every corpus (copy 0 verbatim) + 100 novel docs
+      // (reverse-alphabet translate — a reflection, not any of the
+      // Caesar rotations, so content-disjoint from every copy; ids
+      // shifted far past the copy-offset range)
+      val batch = baseDocs.sort("doc_id").limit(100).unionByName(
+        baseDocs.sort(desc("doc_id")).limit(100)
+          .withColumn("doc_id", col("doc_id") + 100000000000L)
+          .withColumn("text", translate(col("text"),
+            alpha + alpha.toUpperCase,
+            alpha.reverse + alpha.reverse.toUpperCase))).persist()
+      batch.count()
+      val index = graft.operators.Dedup.readMinhashIndex(spark, idxDir)
+      // candidate volume first (also warms both scans identically)
+      val cand = graft.operators.Dedup
+        .crossMinhashPairs(batch, index, "doc_id", "text", 0.0).count()
+      val outDir = graft.sources.Scratch.dir(s"probe-ingest-out-$tag")
+      System.gc()
+      val t0 = System.nanoTime()
+      graft.streaming.StreamOps.processIngestBatch(batch, 0L, idxDir,
+        outDir, 0.5)
+      val t = (System.nanoTime() - t0) / 1e9
+      batch.unpersist()
+      (t, cand)
+    }
+    val (si1, sc1) = steadyIngest(base, "1x")
+    val (siN, scN) = steadyIngest(out, s"${copies}x")
+    println(f"[scaleprobe] ingest steady-state: t1=$si1%6.2fs t${copies}x=$siN%6.2fs " +
+      f"ratio=${siN / si1}%5.2f cand=$sc1 -> $scN candRatio=${scN.toDouble / sc1}%5.2f")
     val qs = rows.map { case (n, t1, tN, r) =>
       f""""$n":{"t1":$t1%.3f,"tN":$tN%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_probe","copies":$copies,"queries":$qs,""" +
         f""""banded_candidates":{"c1":$c1,"cN":$cN,"perCopy":$candPerCopy%.3f},""" +
-        f""""ngram_candidates":{"c1":$g1,"cN":$gN,"perCopy":$ngramPerCopy%.3f}}"""
+        f""""ngram_candidates":{"c1":$g1,"cN":$gN,"perCopy":$ngramPerCopy%.3f},""" +
+        f""""ingest_steady":{"t1":$si1%.3f,"tN":$siN%.3f,"ratio":${siN / si1}%.3f,""" +
+        f""""cand1":$sc1,"candN":$scN,"candRatio":${scN.toDouble / sc1}%.3f}}"""
     println(json)
     // tracked artifact (VERDICT r7 #3): the driver snapshots
     // PROBE_r{N}.json like BENCH/CORRECTNESS so ratio regressions diff
@@ -167,13 +214,17 @@ object ScaleProbe {
     *    unrelated LSH buckets. */
   private[graft] def buildScaled(spark: SparkSession, base: String, out: String,
                                  copies: Int): Unit = {
-    // the perturbations wrap (Caesar at 26 letters, rotation at dim 64):
-    // copy 26 would be byte-identical text to copy 0, silently
-    // reintroducing the cross-copy duplicate multiplicity the
-    // perturbation exists to eliminate — refuse rather than corrupt
+    // the perturbations wrap, and the BINDING period is the digit
+    // rotation's 10, not the letter rotation's 26: copies whose indices
+    // differ by 10 share the digit mapping, so a shingle of three
+    // consecutive digit-only tokens would survive between them and
+    // silently reintroduce the cross-copy duplicate multiplicity the
+    // perturbation exists to eliminate. 1..10 keeps every copy pair
+    // disagreeing on EVERY letter and EVERY digit (asserted pairwise
+    // across all gaps in ScaleProbeSpec) — refuse rather than corrupt
     // the measurement
-    require(copies >= 1 && copies <= 26,
-      s"buildScaled supports 1..26 content-disjoint copies, got $copies")
+    require(copies >= 1 && copies <= 10,
+      s"buildScaled supports 1..10 content-disjoint copies, got $copies")
     val OFF = 1000000000L // > any sf key range
     def rep(df: DataFrame, shifted: Seq[String],
             perturb: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
@@ -196,9 +247,8 @@ object ScaleProbe {
     def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
     // digits rotate too: a number-heavy document would otherwise keep
     // identical digit-only shingles across copies and quietly
-    // reintroduce cross-copy near-dups (letters and digits only share a
-    // period at lcm(26,10)=130 > the 26-copy cap, and any token with a
-    // letter differs in every copy pair regardless)
+    // reintroduce cross-copy near-dups (the 10-copy cap above keeps
+    // both rotations distinct for every copy pair)
     rep(spark.read.parquet(s"$base/documents.parquet"), Seq("doc_id"),
       (d, i) => d.withColumn("text", translate(col("text"),
         alpha + alpha.toUpperCase + digits,

@@ -78,8 +78,12 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
         }
       }
     }
-    info(s"covered=$covered skipped-as-duckdb-dialect=${skipped.result().size}")
-    info(s"skipped: ${skipped.result().mkString(", ")}")
+    // result() exactly once: ReusableBuilder forbids anything but
+    // clear() after result(), so repeated calls are formally UB that
+    // merely happens to work in the current stdlib
+    val skippedSet = skipped.result().toSet
+    info(s"covered=$covered skipped-as-duckdb-dialect=${skippedSet.size}")
+    info(s"skipped: ${skippedSet.mkString(", ")}")
     val fs = failures.result()
     assert(fs.isEmpty, s"oracle drift detected:\n  ${fs.mkString("\n  ")}")
     // the guard must keep covering a meaningful slice of the battery —
@@ -92,11 +96,11 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // open) fails here by appearing as an unexpected skip. A NEW
     // DuckDB-dialect oracle must be added below deliberately — that edit
     // is the audit trail.
-    assert(skipped.result().toSet == expectedSkips,
+    assert(skippedSet == expectedSkips,
       s"oracle parity skip set drifted; newly skipped (covered oracles " +
-        s"that stopped parsing?): ${skipped.result().toSet -- expectedSkips}; " +
+        s"that stopped parsing?): ${skippedSet -- expectedSkips}; " +
         s"no longer skipped (remove from expectedSkips): " +
-        s"${expectedSkips -- skipped.result().toSet}")
+        s"${expectedSkips -- skippedSet}")
   }
 
   /** Every oracle whose SQL is DuckDB-only dialect (list_*, `//`,

@@ -84,4 +84,37 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(pairCos(0L) - pairCos(OFF)) < 1e-9,
       "rotation changed a within-copy cosine")
   }
+
+  test("shingle disjointness holds PAIRWISE across all copies at the 10-copy cap") {
+    // the digit rotation has period 10, so the widest gaps are the ones
+    // that would break first: at the supported maximum of 10 copies, no
+    // shingle may appear in two different copies — one aggregation over
+    // every pair at once (copy = doc_id / OFF)
+    val base = "/root/testdata/sf0.001"
+    val out = graft.sources.Scratch.dir("scale-spec-pairwise")
+    graft.tools.ScaleProbe.buildScaled(spark, base, out, 10)
+    val OFF = 1000000000L
+    // STRING shingles, not the 32-bit hashes the operators use: at ten
+    // copies of the corpus the hash space measurably birthday-collides
+    // (4 cross-copy hash collisions between DIFFERENT strings at this
+    // scale), and this assertion is about the data's content, not the
+    // hash's width
+    val leaked = spark.read.parquet(s"$out/documents.parquet")
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .select((col("doc_id") / OFF).cast("long").as("copy"),
+        explode(expr("transform(sequence(0, size(toks)-3), " +
+          "k -> concat_ws(' ', toks[k], toks[k+1], toks[k+2]))")).as("sh"))
+      .groupBy("sh").agg(countDistinct("copy").as("nc"))
+      .filter(col("nc") > 1)
+    assert(leaked.count() == 0,
+      s"shingles shared across copies: ${leaked.take(3).mkString(",")}")
+    // and 11 copies is refused outright — the digit period makes it
+    // unsound, not merely untested
+    val ex = intercept[IllegalArgumentException] {
+      graft.tools.ScaleProbe.buildScaled(spark, base,
+        graft.sources.Scratch.dir("scale-spec-11"), 11)
+    }
+    assert(ex.getMessage.contains("1..10"))
+  }
 }
