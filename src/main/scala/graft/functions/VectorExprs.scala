@@ -537,4 +537,8 @@ object exprs {
     column(BinaryDecimate(expression(c), n))
   def intersect_count(a: Column, b: Column): Column =
     column(IntersectCount(expression(a), expression(b)))
+  def bloom_positions(h: Column, k: Int, mBits: Int): Column =
+    column(BloomPositions(expression(h), k, mBits))
+  def bloom_might_contain(h: Column, bitmap: Column, k: Int): Column =
+    column(BloomMightContain(expression(h), expression(bitmap), k))
 }

@@ -35,4 +35,55 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
   }
+
+  /** Builds the `mBits`-bit Bloom bitmap over a `bigint` hash column
+    * WITHOUT collecting the hashes: each hash explodes to its k probe
+    * positions ([[graft.functions.BloomPositions]]), distinct positions
+    * fold into 64-bit words via `bit_or`, and the driver receives at
+    * most mBits/64 (word_index, word) rows — the bitmap itself, never
+    * the set. Missing words are zero. */
+  def buildBloomBitmap(hashes: DataFrame, hashCol: String,
+                       mBits: Int, k: Int): Array[Long] = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"buildBloomBitmap: mBits must be a power of two >= 64, got $mBits")
+    val words = hashes
+      .select(explode(graft.functions.exprs
+        .bloom_positions(col(hashCol), k, mBits)).as("pos"))
+      .distinct()
+      .groupBy(shiftright(col("pos"), 6).as("w"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), pos % 64))").as("bits"))
+      .collect()
+    val bitmap = new Array[Long](mBits / 64)
+    words.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    bitmap
+  }
+
+  /** [[contaminatedDocs]] with a Bloom prefilter — the shape that still
+    * works when the eval suite is too big to broadcast as an exact hash
+    * set: the benchmark shingle set compresses to an mBits-bit bitmap
+    * (128 KiB at the default 2^20, independent of benchmark size), the
+    * corpus scan drops non-member shingles AT THE SCAN via the codegen'd
+    * [[graft.functions.BloomMightContain]], and only the surviving sliver
+    * joins the exact benchmark set to kill false positives. The final
+    * result is therefore EXACT — identical to [[contaminatedDocs]] for
+    * any (mBits, k) — while the corpus-side shuffle carries only true
+    * overlaps plus the Bloom's false-positive rate, not every shingle.
+    * The confirm join is left unhinted: the candidate stream is tiny, so
+    * AQE picks the strategy, and the exact set never needs to fit in
+    * executor memory for the plan to hold. */
+  def contaminatedDocsBloom(corpus: DataFrame, benchmark: DataFrame,
+                            id: String, text: String,
+                            mBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+    val b = Dedup.materialize(
+      Dedup.shingleHashesFlat(benchmark, id, text)
+        .select(explode(col("hs")).as("h")).distinct())
+    val bitmap = buildBloomBitmap(b, "h", mBits, k)
+    Dedup.shingleHashesFlat(corpus, id, text)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .filter(graft.functions.exprs
+        .bloom_might_contain(col("h"), typedLit(bitmap), k))
+      .join(b, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
 }

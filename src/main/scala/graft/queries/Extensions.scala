@@ -180,6 +180,16 @@ object Extensions {
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
     }),
+    // decontam_ngram through the Bloom prefilter — the plan that holds
+    // when the eval suite outgrows an exact broadcast set: a 2^20-bit
+    // bitmap at the scan, exact confirm on the surviving sliver. The
+    // result is exact, so it shares decontam_ngram's oracle.
+    "decontam_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Curation.contaminatedDocsBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+    }),
     // fixed-size token chunking with overlap (64-token windows, stride
     // 48): per-document, embarrassingly parallel — the RAG/packing
     // pre-pass. Starts at k·48 while that is < len.
@@ -696,6 +706,18 @@ object Extensions {
                list_distinct(list_transform(shs, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs
              FROM sh WHERE len(shs) > 0)"""
 
+  /** Exact decontamination semantics, shared by `decontam_ngram` and
+    * `decontam_bloom` — the Bloom path's exact-confirm phase makes the
+    * two plans value-identical for any (mBits, k). */
+  private val decontamOracle: String = s"""
+      WITH $shingleCtes,
+      posting AS (SELECT doc_id, unnest(hs) AS h FROM hsx),
+      bench AS (SELECT DISTINCT h FROM posting WHERE doc_id % 97 = 0)
+      SELECT doc_id, COUNT(1) AS n_overlap
+      FROM posting JOIN bench USING (h)
+      WHERE doc_id % 97 <> 0
+      GROUP BY doc_id"""
+
   /** CTE chain computing verified minhash near-dup pairs —
     * reused by the pair query and the recursive clusters oracle. */
   /** Shingle + MinHash-signature + band-key CTEs (through `bands`) —
@@ -1128,14 +1150,9 @@ object Extensions {
                                      '\s+', ' ', 'g'))) AS text_hash,
              COUNT(1) AS n_copies, MIN(doc_id) AS keeper
       FROM documents GROUP BY 1 HAVING COUNT(1) > 1""",
-    "decontam_ngram" -> s"""
-      WITH $shingleCtes,
-      posting AS (SELECT doc_id, unnest(hs) AS h FROM hsx),
-      bench AS (SELECT DISTINCT h FROM posting WHERE doc_id % 97 = 0)
-      SELECT doc_id, COUNT(1) AS n_overlap
-      FROM posting JOIN bench USING (h)
-      WHERE doc_id % 97 <> 0
-      GROUP BY doc_id""",
+    "decontam_ngram" -> decontamOracle,
+    // the Bloom path's confirm phase makes it exact — same oracle
+    "decontam_bloom" -> decontamOracle,
     "text_chunks" -> s"""
       WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
       c AS (SELECT doc_id, k, t[(k*48+1):(k*48+64)] AS chunk

@@ -108,7 +108,7 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     * these pairs defend drift by generating their SQL from shared Scala
     * constants instead (see the class doc). */
   val expectedSkips: Set[String] = Set(
-    "curation_pipeline", "decontam_ngram", "dedup_clusters",
+    "curation_pipeline", "decontam_bloom", "decontam_ngram", "dedup_clusters",
     "dedup_containment", "dedup_embedding", "dedup_embedding_incr",
     "dedup_incremental", "dedup_minhash", "dedup_ngram", "dedup_norm",
     "dedup_semantic", "dedup_simhash", "mm_binary_meta", "mm_features",

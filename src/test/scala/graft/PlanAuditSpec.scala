@@ -96,6 +96,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "q_topk" -> 0,               // TakeOrderedAndProject, no sort shuffle
       "q5_region_revenue" -> 1,    // broadcast dims + one agg shuffle
       "decontam_ngram" -> 2,       // bench-set distinct + per-doc count
+      // candidate-sliver ⋈ exact-set exchanges + final per-doc count;
+      // the confirm join is deliberately unhinted (the exact set need
+      // not fit executor memory), so the static plan may shuffle both
+      // sides — AQE collapses to broadcast at gate scale
+      "decontam_bloom" -> 3,
       "q_domain_mix" -> 0,         // scan + hash filter
       "text_chunks" -> 0,          // per-doc explode
       "text_redact" -> 0,          // scan-only scrub
