@@ -88,6 +88,19 @@ object GraftFunctions {
       arity("binary_decimate", "binary_decimate(payload, n)") {
         case Seq(p, n) =>
           BinaryDecimate(p, intLit("binary_decimate", "n")(n))
+      },
+    "bloom_positions" ->
+      arity("bloom_positions", "bloom_positions(hash, k, mBits)") {
+        case Seq(h, k, m) => BloomPositions(h,
+          intLit("bloom_positions", "k")(k),
+          intLit("bloom_positions", "mBits")(m))
+      },
+    "bloom_might_contain" ->
+      arity("bloom_might_contain",
+        "bloom_might_contain(hash, bitmap[, k=5])") {
+        case Seq(h, bm)    => BloomMightContain(h, bm, 5)
+        case Seq(h, bm, k) => BloomMightContain(h, bm,
+          intLit("bloom_might_contain", "k")(k))
       })
 
   def register(spark: SparkSession): Unit =

@@ -510,11 +510,12 @@ object Dedup {
       .select("new_id", "matched_id", "jaccard")
   }
 
-  /** (doc_id, hs: array<bigint>) — distinct hashed 3-gram shingles, via
+  /** (doc_id, hs: array<bigint>) — distinct hashed n-gram shingles, via
     * the single-pass [[graft.functions.ShingleHashes]] expression. */
-  def shingleHashesFlat(df: DataFrame, id: String, text: String): DataFrame =
+  def shingleHashesFlat(df: DataFrame, id: String, text: String,
+                        n: Int = 3): DataFrame =
     df.select(col(id).as("doc_id"),
-      graft.functions.exprs.shingle_hashes(col(text), 3).as("hs"))
+      graft.functions.exprs.shingle_hashes(col(text), n).as("hs"))
 
   /** 32-bit SimHash per document over distinct 3-gram shingle hashes:
     * (doc_id, simhash). Bit j of the signature is the sign of Σ±1 over
@@ -560,6 +561,39 @@ object Dedup {
           .cast("double") / least(size(col("ha")), size(col("hb"))), 6))
       .filter(col("containment") >= containMin)
       .select("doc_a", "doc_b", "containment")
+
+  /** Documents sharing at least one exact `window`-token run — the
+    * token-level form of the suffix-array exact-substring criterion
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022): any shared verbatim run of ≥ `window` tokens
+    * contains a shared window-gram, so window-gram postings give
+    * DETERMINISTIC recall for long verbatim overlap — no signatures, no
+    * similarity threshold, unlike the MinHash/Jaccard family. Returns
+    * (doc_a, doc_b, n_shared = distinct shared window-grams — a direct
+    * lower bound on shared verbatim token volume).
+    *
+    * Scale shape: window-gram document frequency is capped at `maxDf`
+    * (boilerplate runs shared by thousands of documents carry no
+    * pairwise information and would explode the posting self-join —
+    * the [[ngramJaccardPairs]] bound); long windows make df ≥ 2 rare,
+    * so the posting join is near-empty on a clean corpus and linear in
+    * true duplication on a dirty one. Only (doc_id, 8-byte hash) ever
+    * shuffles. */
+  def substringPairs(df: DataFrame, id: String, text: String,
+                     window: Int = 8, maxDf: Int = 20): DataFrame = {
+    val posting = materialize(
+      shingleHashesFlat(df, id, text, window)
+        .select(col("doc_id"), explode(col("hs")).as("h")))
+    val rare = posting.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+    val rarePosting = posting.join(broadcast(rare.select("h")), Seq("h"))
+    rarePosting.as("x").join(rarePosting.as("y"), Seq("h"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      // hs is distinct per document, so each (doc_a, doc_b, h) row is
+      // unique — count(1) counts distinct shared window-grams
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+  }
 
   /** Candidate (doc_a, doc_b, ha, hb) pairs sharing at least one rare
     * shingle (df ≤ maxDf) — the shared generation stage for the

@@ -49,6 +49,24 @@ object Extensions {
     })
   }
 
+  /** Embedding twin of [[gateMinhashIndex]]: the persisted corpus-side
+    * index behind `stream_embedding_incr`, built at the PINNED gate
+    * blocking ([[gateBands]] × [[gateRowBits]] — the static oracle's
+    * parameters) and memoized on the embeddings file identity. */
+  private val gateEmbIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gateEmbeddingIndex(s: SparkSession, d: String): String = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    gateEmbIdxMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}", _ => {
+      val idxDir = graft.sources.Scratch.dir(
+        s"embidx_${java.util.UUID.randomUUID.toString.take(8)}")
+      Similarity.writeEmbeddingIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0),
+        idxDir, bands = gateBands, rowBits = gateRowBits)
+      idxDir
+    })
+  }
+
   val defs: Map[String, Q] = Map(
     // ---- text analysis ----
     "text_tokens" -> ((s, d) =>
@@ -400,8 +418,31 @@ object Extensions {
         e.filter(col("vec_id") % 2 === 0),
         bands = gateBands, rowBits = gateRowBits, assertAutoAgrees = true)
     }),
+    // dedup_embedding_incr's deployment form (mirrors
+    // stream_incremental_dedup on the text side): corpus band keys cut
+    // once into a persisted EmbeddingIndex, incoming vectors streamed
+    // and checked per micro-batch inside foreachBatch. Shares the batch
+    // gate's oracle: streaming ≡ batch ≡ DuckDB.
+    "stream_embedding_incr" -> ((s, d) => {
+      val index = Similarity.readEmbeddingIndex(s, gateEmbeddingIndex(s, d))
+      val out = graft.sources.Scratch.dir(
+        s"sei_${java.util.UUID.randomUUID.toString.take(8)}")
+      val q = graft.streaming.StreamOps.incrementalEmbeddingDedupStream(
+        graft.streaming.StreamOps.embeddingsStream(s, d)
+          .filter(col("vec_id") % 2 === 1),
+        index, s"$out/pairs")
+      q.stop()
+      s.read.parquet(s"$out/pairs")
+        .select("new_id", "matched_id", "cos")
+    }),
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text")),
+    // exact-substring criterion (token-level suffix-array semantics):
+    // pairs sharing ANY verbatim run of >= substringWindow tokens —
+    // deterministic recall for long verbatim overlap, no threshold
+    "dedup_substring" -> ((s, d) =>
+      Dedup.substringPairs(Tables.documents(s, d), "doc_id", "text",
+        window = substringWindow, maxDf = substringMaxDf)),
     // containment similarity over the same rare-shingle candidates:
     // |A∩B| / min(|A|,|B|) flags doc-inside-doc pairs (quotes, nested
     // boilerplate) that symmetric Jaccard under-scores
@@ -706,6 +747,40 @@ object Extensions {
                list_distinct(list_transform(shs, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs
              FROM sh WHERE len(shs) > 0)"""
 
+  /** `dedup_substring`'s gate parameters — shared between the Spark
+    * call and the generated oracle below (the drift discipline). */
+  private[graft] val substringWindow = 8
+  private[graft] val substringMaxDf = 20
+
+  /** Window-gram CTEs for the exact-substring oracle: the same
+    * tokenize → space-join → md5-prefix hash as [[shingleCtes]], at
+    * [[substringWindow]] tokens. Hash (not string) equality on purpose:
+    * the Spark side compares 32-bit hashes, so the oracle must share
+    * its (astronomically rare but nonzero) collision behavior. */
+  private lazy val substringOracle: String = {
+    val w = substringWindow
+    val cat = (0 until w).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""
+      WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
+      win AS (SELECT doc_id,
+               CASE WHEN len(t) >= $w
+                 THEN list_distinct(list_transform(generate_series(1, len(t) - ${w - 1}),
+                        i -> $cat))
+                 ELSE []::VARCHAR[] END AS shs
+             FROM tok),
+      hsx AS (SELECT doc_id,
+               list_distinct(list_transform(shs, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs
+             FROM win WHERE len(shs) > 0),
+      p AS (SELECT doc_id, unnest(hs) AS h FROM hsx),
+      rare AS (SELECT h FROM p GROUP BY h
+               HAVING COUNT(1) BETWEEN 2 AND $substringMaxDf)
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             CAST(COUNT(1) AS BIGINT) AS n_shared
+      FROM p x JOIN rare r ON x.h = r.h JOIN p y ON y.h = x.h
+      WHERE x.doc_id < y.doc_id
+      GROUP BY 1, 2"""
+  }
+
   /** Exact decontamination semantics, shared by `decontam_ngram` and
     * `decontam_bloom` — the Bloom path's exact-confirm phase makes the
     * two plans value-identical for any (mBits, k). */
@@ -1006,6 +1081,22 @@ object Extensions {
                  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
                 AND x.vec_id < y.vec_id)"""
 
+  /** Bipartite (incoming ⋈ corpus) embedding near-dup semantics, shared
+    * by `dedup_embedding_incr` (batch) and `stream_embedding_incr` (the
+    * same check streamed against the persisted index — identical
+    * blocking, identical verify). */
+  private lazy val embeddingIncrOracle: String = s"""
+      WITH $duckBandedSigCtes,
+      cand AS (SELECT DISTINCT x.vec_id AS new_id, y.vec_id AS matched_id
+               FROM banded x JOIN banded y
+                 ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+               WHERE x.vec_id % 2 = 1 AND y.vec_id % 2 = 0)
+      SELECT new_id, matched_id,
+             ${duckCos("a.embedding", "c.embedding")} AS cos
+      FROM cand JOIN embeddings a ON a.vec_id = new_id
+                JOIN embeddings c ON c.vec_id = matched_id
+      WHERE ${duckCos("a.embedding", "c.embedding")} >= 0.3"""
+
   /** Shared by `q_session_window` (batch) and `stream_session_window`:
     * both truncate event time to seconds before the 30-minute-gap
     * sessionization, so one oracle covers the pair. */
@@ -1153,6 +1244,7 @@ object Extensions {
     "decontam_ngram" -> decontamOracle,
     // the Bloom path's confirm phase makes it exact — same oracle
     "decontam_bloom" -> decontamOracle,
+    "dedup_substring" -> substringOracle,
     "text_chunks" -> s"""
       WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
       c AS (SELECT doc_id, k, t[(k*48+1):(k*48+64)] AS chunk
@@ -1291,17 +1383,10 @@ object Extensions {
                 JOIN embeddings c ON c.vec_id = id_b
       WHERE ${duckCos("a.embedding", "c.embedding")} >= 0.3""",
     // bipartite candidate join with the same shared banded signatures
-    "dedup_embedding_incr" -> s"""
-      WITH $duckBandedSigCtes,
-      cand AS (SELECT DISTINCT x.vec_id AS new_id, y.vec_id AS matched_id
-               FROM banded x JOIN banded y
-                 ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-               WHERE x.vec_id % 2 = 1 AND y.vec_id % 2 = 0)
-      SELECT new_id, matched_id,
-             ${duckCos("a.embedding", "c.embedding")} AS cos
-      FROM cand JOIN embeddings a ON a.vec_id = new_id
-                JOIN embeddings c ON c.vec_id = matched_id
-      WHERE ${duckCos("a.embedding", "c.embedding")} >= 0.3""",
+    "dedup_embedding_incr" -> embeddingIncrOracle,
+    // the streamed form checks micro-batches against the same persisted
+    // blocking — streaming ≡ batch ≡ DuckDB
+    "stream_embedding_incr" -> embeddingIncrOracle,
     "dedup_semantic" -> s"""
       WITH RECURSIVE $duckBandedCtes,
       verified AS (SELECT id_a AS doc_a, id_b AS doc_b

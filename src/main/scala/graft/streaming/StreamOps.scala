@@ -312,6 +312,92 @@ object StreamOps {
     } finally b.unpersist()
   }
 
+  private val embeddingsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming source over the embeddings table directory, mirroring
+    * [[documentsStream]]. */
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(embeddingsSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "embeddings.parquet")
+      .load(dir)
+
+  /** Embedding twin of [[incrementalDedupStream]]: each micro-batch of
+    * vectors is checked against a persisted corpus-side
+    * [[graft.operators.Similarity.EmbeddingIndex]]
+    * ([[graft.operators.Similarity.crossEmbeddingPairs]]) — the held
+    * corpus's band keys were cut once at build time and are never
+    * re-derived per batch. Same replay contract: pairs land in a
+    * `batch=<batchId>` partition with overwrite semantics, so
+    * at-least-once redelivery rewrites rather than double-appends. */
+  def incrementalEmbeddingDedupStream(vecs: DataFrame,
+                                      index: graft.operators.Similarity.EmbeddingIndex,
+                                      outDir: String,
+                                      cosMin: Double = 0.3): StreamingQuery = {
+    val q = vecs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Similarity
+          .crossEmbeddingPairs(batch, index, cosMin)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Embedding twin of [[selfMaintainingDedupStream]]: flag each
+    * micro-batch against the persisted index, append the pairs, fold the
+    * novel vectors back in ([[graft.operators.Similarity.appendToEmbeddingIndex]])
+    * so later batches dedup against everything before them. Inherits the
+    * append's occupancy-drift refusal: a stream that grows the index past
+    * its band-space sizing fails loudly mid-loop — rebuild
+    * ([[graft.operators.Similarity.rebuildEmbeddingIndex]]) and restart,
+    * rather than silently sliding into quadratic candidate volume.
+    * Crash-safe under at-least-once replay — same marker + partition-
+    * overwrite argument as [[processIngestBatch]]. */
+  def selfMaintainingEmbeddingStream(vecs: DataFrame, idxDir: String,
+                                     outDir: String,
+                                     cosMin: Double = 0.3): StreamingQuery = {
+    val q = vecs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processEmbeddingIngestBatch(batch, batchId, idxDir, outDir, cosMin)
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** One micro-batch of the embedding ingestion loop — the exact
+    * [[processIngestBatch]] shape on the embedding index: committed
+    * batches skip whole, a crashed attempt recomputes against the
+    * committed-only read view and overwrites its own partitions. */
+  private[graft] def processEmbeddingIngestBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                                                 batchId: Long, idxDir: String,
+                                                 outDir: String,
+                                                 cosMin: Double): Unit = {
+    val spark = batch.sparkSession
+    val meta = graft.operators.Dedup.readMeta(spark, idxDir)
+    if (batchId <= graft.operators.Dedup.lastCommittedBatch(meta)) return
+    val b = batch.persist()
+    try {
+      val index = graft.operators.Similarity.readEmbeddingIndex(spark, idxDir)
+      val pairs = graft.operators.Similarity
+        .crossEmbeddingPairs(b, index, cosMin)
+        .persist()
+      try {
+        pairs.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        val novel = b.join(pairs.select(col("new_id").as("vec_id")),
+          Seq("vec_id"), "left_anti")
+        graft.operators.Similarity.appendToEmbeddingIndex(novel, idxDir,
+          batchId = Some(batchId))
+      } finally pairs.unpersist()
+    } finally b.unpersist()
+  }
+
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Drains a finite streaming frame and returns the materialized result

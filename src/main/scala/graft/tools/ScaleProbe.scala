@@ -42,7 +42,12 @@ object ScaleProbe {
       graft.operators.Similarity.crossEmbeddingPairs(
         e.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 1),
         e.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0))
-    }))
+    }),
+    // both sides (corpus and eval split) replicate together, so the
+    // probe measures the bitmap build + prefiltered scan + confirm at
+    // grown posting volume — the fpp-bounded candidate stream should
+    // keep the whole plan ~linear per copy
+    "decontam_bloom" -> graft.SparkEntry.queries("decontam_bloom"))
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(5)

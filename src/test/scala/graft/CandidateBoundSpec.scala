@@ -191,5 +191,35 @@ class CandidateBoundSpec extends AnyFunSuite with SparkSpec {
     assert(rContain >= 0.95, f"containment recall $rContain%.3f < 0.95")
     assert(rMinhash >= 0.8, f"MinHash-LSH recall $rMinhash%.3f < 0.8")
     assert(rSimhash >= 0.8, f"SimHash recall $rSimhash%.3f < 0.8")
+    // exact-substring: every planted copy shares its whole interior run
+    // verbatim, so recall over window-bearing documents is deterministic
+    // (a miss is only possible where the df cap drops boilerplate
+    // windows a document consists of entirely)
+    val nLong = base.filter(
+      size(split(trim(col("text")), "\\s+")) >= 8).count()
+    val rSub = Dedup.substringPairs(corpus, "doc_id", "text")
+      .filter(col("doc_b") === col("doc_a") + 100000L)
+      .count().toDouble / nLong
+    info(f"planted-doc substring recall: $rSub%.3f (nLong=$nLong)")
+    assert(rSub >= 0.9, f"exact-substring recall $rSub%.3f < 0.9")
+  }
+
+  test("substringPairs: shared 8-token run found across contexts; sub-window runs are not") {
+    import spark.implicits._
+    val run = (1 to 8).map(i => s"runtok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      // same 8-token run embedded in entirely different context
+      (2L, s"zeta eta $run theta iota kappa"),
+      (3L, "completely unrelated words with no overlap at all here"),
+      // carries only a 7-token sub-run — must NOT pair with 1 or 2
+      (4L, "prefix only seven of " +
+        (1 to 7).map(i => s"runtok$i").mkString(" ") + " suffix"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.substringPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 1L)),
+      s"exact-substring pairs wrong: $pairs — expected exactly " +
+        "(1, 2, n_shared=1)")
   }
 }

@@ -216,6 +216,29 @@ class SqlFunctionSpec extends AnyFunSuite with SparkSpec {
     assert(m8 == 8)
   }
 
+  test("bloom functions are callable from SQL and agree with the Scala side") {
+    graft.functions.GraftFunctions.register(spark)
+    val mBits = 128
+    val k = 5
+    // build the 2-word bitmap for hash 42 on the Scala side…
+    val pos = graft.functions.BloomOps.positions(42L, k, mBits).toIntArray()
+    val words = new Array[Long](mBits / 64)
+    pos.foreach(p => words(p >>> 6) |= (1L << (p & 63)))
+    val lit = words.map(w => s"${w}L").mkString("array(", ", ", ")")
+    // …and probe it from SQL: the inserted hash must hit, and SQL must
+    // agree with the Scala probe on an arbitrary non-inserted hash
+    assert(spark.sql(s"SELECT bloom_might_contain(42L, $lit, $k) AS m")
+      .head().getBoolean(0), "inserted hash reported absent via SQL")
+    val expect43 = graft.functions.BloomOps.mightContain(43L,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(words), k)
+    assert(spark.sql(s"SELECT bloom_might_contain(43L, $lit, $k) AS m")
+      .head().getBoolean(0) == expect43, "SQL and Scala probes disagree")
+    // positions from SQL match the Scala build side
+    val sqlPos = spark.sql(s"SELECT bloom_positions(42L, $k, $mBits) AS p")
+      .head().getSeq[Int](0)
+    assert(sqlPos == pos.toSeq, "SQL probe positions diverge from build side")
+  }
+
   test("SQL builders reject wrong arity and non-literal params") {
     graft.functions.GraftFunctions.register(spark)
     val e1 = intercept[Exception] {

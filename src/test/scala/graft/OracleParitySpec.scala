@@ -111,7 +111,8 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "curation_pipeline", "decontam_bloom", "decontam_ngram", "dedup_clusters",
     "dedup_containment", "dedup_embedding", "dedup_embedding_incr",
     "dedup_incremental", "dedup_minhash", "dedup_ngram", "dedup_norm",
-    "dedup_semantic", "dedup_simhash", "mm_binary_meta", "mm_features",
+    "dedup_semantic", "dedup_simhash", "dedup_substring",
+    "mm_binary_meta", "mm_features",
     "mm_frame_sample", "mm_resize", "q3_shipping_priority", "q_array_fns",
     "q_attribution", "q_bitwise", "q_cdc_latest", "q_datetime_arith",
     "q_domain_mix", "q_explode", "q_explode_outer", "q_filter_scan",
@@ -121,7 +122,8 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "q_scalar_date", "q_scalar_string", "q_session_window",
     "q_sliding_window", "q_split_assign", "q_string_agg", "q_synth_source",
     "q_tumbling_window", "q_window_fill", "sim_ann", "sim_ivf", "sim_topk",
-    "stream_dedup", "stream_incremental_dedup", "stream_session_window",
+    "stream_dedup", "stream_embedding_incr", "stream_incremental_dedup",
+    "stream_session_window",
     "stream_sliding_window", "stream_static_join", "stream_stream_join",
     "stream_tumbling_window", "text_bpe_tokens", "text_chunks",
     "text_familiarity", "text_fingerprint", "text_langid", "text_ngram_freq",

@@ -118,6 +118,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "dedup_minhash" -> 1,        // band self-join off the checkpointed sigs
       "dedup_ngram" -> 3,          // df histogram + candidate distinct + verify
       "dedup_containment" -> 3,    // same candidate stage as dedup_ngram
+      // df histogram + posting self-join sides + pair count; no hs
+      // re-attach stage (the count IS the verify), so no 5th exchange
+      "dedup_substring" -> 4,
       // stats agg + stats-for-prefix agg + prefix agg + final doc agg;
       // both attach joins broadcast the bigram-bounded stats tables
       "text_familiarity" -> 4,

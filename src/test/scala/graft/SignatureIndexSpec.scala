@@ -348,4 +348,108 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     assert(a == b, s"stream != batch: only-batch=${(a -- b).take(3)} " +
       s"only-stream=${(b -- a).take(3)}")
   }
+
+  test("stream_embedding_incr == batch dedup_embedding_incr at sf0.001") {
+    val base = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("stream_embedding_incr")(spark, base)
+    val batch = SparkEntry.queries("dedup_embedding_incr")(spark, base)
+    val (a, b) = (canon(batch), canon(streamed))
+    assert(a.nonEmpty, "batch embedding incremental dedup empty — vacuous")
+    assert(a == b, s"stream != batch: only-batch=${(a -- b).take(3)} " +
+      s"only-stream=${(b -- a).take(3)}")
+  }
+
+  // ---- embedding ingestion-loop replay laws (twin of the minhash ones) --
+
+  /** Tiny deterministic vectors: v and v2 are near (cos ≈ 1), u and w
+    * are far from both (orthogonal axes), so the pair/novel split per
+    * batch is forced by construction. */
+  private def vec(xs: Float*): Array[Float] = xs.toArray
+  private val vA  = vec(1f, 0f, 0f, 0f, 0.1f, 0f, 0f, 0f)
+  private val vA2 = vec(0.98f, 0f, 0f, 0f, 0.12f, 0f, 0f, 0f)
+  private val vB  = vec(0f, 1f, 0f, 0f, 0f, 0.1f, 0f, 0f)
+  private val vC  = vec(0f, 0f, 1f, 0f, 0f, 0f, 0.1f, 0f)
+
+  private def embState(idxDir: String, outDir: String) = {
+    val bandsDf = spark.read.parquet(s"$idxDir/bands")
+    val vecsDf = spark.read.parquet(s"$idxDir/vectors")
+    val pairsDf = spark.read.parquet(outDir)
+      .select("new_id", "matched_id", "cos")
+    val meta = Dedup.readMeta(spark, idxDir)
+    (canon(bandsDf), canon(vecsDf.select("vec_id")), canon(pairsDf),
+      bandsDf.count(), vecsDf.count(), pairsDf.count(),
+      meta("n_vectors"), meta.get("last_committed_batch"))
+  }
+
+  private def runEmbIngest(tag: String,
+                           crashBeforeCommit: Boolean): (String, String) = {
+    import spark.implicits._
+    val idxDir = graft.sources.Scratch.dir(s"ereplay-idx-$tag")
+    val outDir = graft.sources.Scratch.dir(s"ereplay-out-$tag") + "/pairs"
+    Similarity.writeEmbeddingIndex(
+      Seq((1L, vA)).toDF("vec_id", "embedding"), idxDir)
+    val b0 = Seq((10L, vB)).toDF("vec_id", "embedding")
+    // batch 1: a near-dup of the held corpus (20 ~ 1) AND a novel vector
+    // (30) — the crash must strand real half-written band keys
+    val b1 = Seq((20L, vA2), (30L, vC)).toDF("vec_id", "embedding")
+    graft.streaming.StreamOps
+      .processEmbeddingIngestBatch(b0, 0L, idxDir, outDir, 0.3)
+    val metaAfterB0 = Dedup.readMeta(spark, idxDir)
+    graft.streaming.StreamOps
+      .processEmbeddingIngestBatch(b1, 1L, idxDir, outDir, 0.3)
+    if (crashBeforeCommit)
+      Dedup.writeMeta(spark, idxDir, metaAfterB0)
+    (idxDir, outDir)
+  }
+
+  test("embedding loop: replay of a COMMITTED batch is skipped whole") {
+    import spark.implicits._
+    val (refIdx, refOut) = runEmbIngest("ref1", crashBeforeCommit = false)
+    val (idx, out) = runEmbIngest("twice", crashBeforeCommit = false)
+    val b1 = Seq((20L, vA2), (30L, vC)).toDF("vec_id", "embedding")
+    graft.streaming.StreamOps
+      .processEmbeddingIngestBatch(b1, 1L, idx, out, 0.3)
+    assert(embState(idx, out) == embState(refIdx, refOut),
+      "replay of a committed embedding batch changed the index or pairs")
+  }
+
+  test("embedding loop: crash MID-APPEND + replay == no-crash run") {
+    import spark.implicits._
+    val (refIdx, refOut) = runEmbIngest("ref2", crashBeforeCommit = false)
+    val (idx, out) = runEmbIngest("crash", crashBeforeCommit = true)
+    // the stranded batch-1 partitions must be invisible to committed reads
+    val held = Similarity.readEmbeddingIndex(spark, idx).vectors
+      .select("vec_id").as[Long].collect().toSet
+    assert(held == Set(1L, 10L),
+      s"uncommitted embedding partition leaked into the committed view: $held")
+    val b1 = Seq((20L, vA2), (30L, vC)).toDF("vec_id", "embedding")
+    graft.streaming.StreamOps
+      .processEmbeddingIngestBatch(b1, 1L, idx, out, 0.3)
+    val st = embState(idx, out)
+    assert(st == embState(refIdx, refOut),
+      "embedding crash+replay diverged from the no-crash run")
+    assert(!st._3.exists(r => r.head == r(1)),
+      s"self-match pair leaked from the crashed attempt: ${st._3}")
+  }
+
+  test("embedding loop: batch 2 dedups against batch 1's novel vectors") {
+    import spark.implicits._
+    val idxDir = graft.sources.Scratch.dir("eloop-idx")
+    val outDir = graft.sources.Scratch.dir("eloop-out") + "/pairs"
+    Similarity.writeEmbeddingIndex(
+      Seq((1L, vB)).toDF("vec_id", "embedding"), idxDir)
+    // batch 0 admits the novel vA as 10; batch 1's vA2 must then match it
+    graft.streaming.StreamOps.processEmbeddingIngestBatch(
+      Seq((10L, vA)).toDF("vec_id", "embedding"), 0L, idxDir, outDir, 0.3)
+    graft.streaming.StreamOps.processEmbeddingIngestBatch(
+      Seq((20L, vA2)).toDF("vec_id", "embedding"), 1L, idxDir, outDir, 0.3)
+    val pairs = spark.read.parquet(outDir)
+      .select("new_id", "matched_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((20L, 10L)),
+      s"batch 2's near-dup of batch 1's admitted vector not flagged: $pairs")
+    // and the matched duplicate was NOT admitted into the index
+    val held = Similarity.readEmbeddingIndex(spark, idxDir).vectors
+      .select("vec_id").as[Long].collect().toSet
+    assert(held == Set(1L, 10L), s"duplicate admitted into the index: $held")
+  }
 }
