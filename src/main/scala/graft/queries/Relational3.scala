@@ -172,6 +172,29 @@ object Relational3 {
         instr(col("p_name"), "br").cast("int").as("br_pos"))),
     // approximate percentile sketch (rows-only: estimates are
     // engine-specific, like q_approx_distinct)
+    // single-pass column profiler — the data-quality pre-flight every
+    // ingestion pipeline runs before trusting a new drop: per-column
+    // null count, exact distinct count, min/max, in ONE aggregate over
+    // one scan (Catalyst's RewriteDistinctAggregates expands the row
+    // per distinct column — one shuffle, not one pass per column), then
+    // stack() to long format. Exact distincts are the oracle-checkable
+    // form; at 100 TB swap approx_count_distinct per column and the
+    // plan loses the expand entirely. String-typed min/max keep the
+    // output schema homogeneous across profiled column types.
+    "q_profile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cols = profileCols
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max")))
+      o.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.length}, " + cols.map(c =>
+          s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
+          .mkString(", ") +
+          ") AS (col_name, n_nulls, n_distinct, min_v, max_v)"))
+    }),
     "q_approx_quantile" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy("l_linestatus")
         .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
@@ -214,7 +237,21 @@ object Relational3 {
     })
   )
 
+  /** `q_profile`'s column list — one constant drives the Spark plan and
+    * the generated oracle (drift discipline). */
+  private val profileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_orderpriority", "o_orderdate")
+
   val oracles: Map[String, String] = Map(
+    // STRING (not VARCHAR): a DuckDB alias for VARCHAR that Spark ALSO
+    // parses, keeping this oracle inside the in-suite parity guard
+    "q_profile" -> profileCols.map(c =>
+      s"""SELECT '$c' AS col_name,
+             CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             CAST(MIN($c) AS STRING) AS min_v,
+             CAST(MAX($c) AS STRING) AS max_v
+      FROM orders""").mkString("\n      UNION ALL "),
     "q_join_right" -> """
       SELECT c_custkey, o_orderkey
       FROM orders RIGHT JOIN customer ON o_custkey = c_custkey""",
