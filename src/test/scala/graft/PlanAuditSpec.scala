@@ -107,6 +107,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "text_repetition" -> 0,      // narrow per-doc repetition fold
       "dedup_exact" -> 1,          // hash groupBy
       "q_group_sample_k" -> 1,     // bounded partial top-k agg
+      // multi-distinct profile: Expand + partial-by-(gid,value) +
+      // final global agg — 2 exchanges for the whole 5-column profile
+      "q_profile" -> 2,
       "sim_topk" -> 1,             // broadcast queries + top-k agg
       "sim_ann" -> 1,              // LSH bucket join + top-k agg
       "q_histogram" -> 1,          // bin groupBy
