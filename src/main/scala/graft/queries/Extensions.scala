@@ -609,6 +609,33 @@ object Extensions {
       Tables.csv(s, s"$tmp/nation", schema)
     }),
 
+    // schema evolution across file generations — the long-lived-dataset
+    // reality: files written before a migration lack the new column.
+    // Two generations of orders land under one directory (gen 1 without
+    // o_orderpriority, gen 2 with it); the mergeSchema read unions the
+    // schemas, nulls the missing column for old files, and the
+    // aggregation proves the per-generation null accounting. At 100 TB
+    // mergeSchema's footer-sampling cost is per-FILE, not per-row, and
+    // a production table pins the merged schema in a catalog instead of
+    // re-inferring per read — the read path exercised here is the same.
+    "q_schema_evolution" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val out = graft.sources.Scratch.dir(
+        s"sev_${java.util.UUID.randomUUID.toString.take(8)}")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+            .as("n_premigration"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"))
+    }),
+
     // ---- multimodal: opaque binary payload + typed metadata ----
     "mm_binary_meta" -> ((s, d) =>
       // payload plumbing for image/audio columns: the decode itself is
@@ -1245,6 +1272,13 @@ object Extensions {
     // the Bloom path's confirm phase makes it exact — same oracle
     "decontam_bloom" -> decontamOracle,
     "dedup_substring" -> substringOracle,
+    // gen 1 = even orderkeys written WITHOUT o_orderpriority, so the
+    // merged read nulls it exactly where o_orderkey % 2 = 0
+    "q_schema_evolution" -> """
+      SELECT o_orderstatus, CAST(COUNT(1) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_premigration,
+             CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS BIGINT) AS n_priorities
+      FROM orders GROUP BY o_orderstatus""",
     "text_chunks" -> s"""
       WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
       c AS (SELECT doc_id, k, t[(k*48+1):(k*48+64)] AS chunk
