@@ -24,13 +24,17 @@ object Bench {
     // warm-up passes so JIT/codegen/scan caches don't bill the first
     // queries: q1_agg covers the relational scan path, dedup_minhash the
     // custom-expression + documents path, sim_topk the vector path,
-    // stream_tumbling_window the streaming micro-batch machinery, and
-    // sim_ivf pre-trains the (session-memoized) IVF quantizer so the
-    // timed run measures probing, not one-time model training.
+    // stream_tumbling_window the streaming micro-batch machinery,
+    // sim_ivf pre-trains the (session-memoized) IVF quantizer, and the
+    // two ingestion-dedup stream gates pre-build their (session-
+    // memoized) persisted signature indexes — deployments pay the index
+    // build once, not per batch, so the timed rows measure the
+    // steady-state drain + index join, not the one-time corpus signing.
     // NonFatal only: an OOM/LinkageError here means the timed runs would
     // execute against broken JVM state — fail loudly instead.
     Seq("q1_agg", "dedup_minhash", "sim_topk", "sim_ivf",
-      "stream_tumbling_window")
+      "stream_tumbling_window", "stream_incremental_dedup",
+      "stream_embedding_incr")
       .foreach(n =>
       SparkEntry.queries.get(n).foreach { f =>
         try f(spark, sfDir).write.format("noop").mode("overwrite").save()
