@@ -432,6 +432,56 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
       s"self-match pair leaked from the crashed attempt: ${st._3}")
   }
 
+  test("selfMaintainingEmbeddingStream: real stream, batch 2 matches batch 1's novelty") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    // the writeStream twin of the processEmbeddingIngestBatch laws: two
+    // mtime-ordered single-file micro-batches through the actual
+    // foreachBatch query, exactly like the minhash loop's stream test
+    def writeOneFile(df: org.apache.spark.sql.DataFrame, dest: String,
+                     mtime: Long): Unit = {
+      val tmp = graft.sources.Scratch.dir(
+        s"sme-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(
+        _.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(dest),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val idxDir = graft.sources.Scratch.dir("sme-idx")
+    Similarity.writeEmbeddingIndex(
+      Seq((1L, vB)).toDF("vec_id", "embedding"), idxDir)
+    val streamDir = graft.sources.Scratch.dir("sme-in")
+    val t = System.currentTimeMillis()
+    writeOneFile(Seq((10L, vA)).toDF("vec_id", "embedding"),
+      s"$streamDir/b0.parquet", t - 60000)
+    writeOneFile(Seq((20L, vA2)).toDF("vec_id", "embedding"),
+      s"$streamDir/b1.parquet", t)
+    val outDir = graft.sources.Scratch.dir("sme-out") + "/pairs"
+    val vecsStream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .format("parquet")
+      .option("maxFilesPerTrigger", 1)
+      .load(streamDir)
+    val q = graft.streaming.StreamOps
+      .selfMaintainingEmbeddingStream(vecsStream, idxDir, outDir)
+    q.stop()
+    val pairs = spark.read.parquet(outDir)
+      .select("new_id", "matched_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((20L, 10L)),
+      s"expected batch-2 vector to match batch-1's novel vector, got $pairs")
+    assert(Dedup.readMeta(spark, idxDir)("n_vectors").toLong == 2L)
+    val held = Similarity.readEmbeddingIndex(spark, idxDir).vectors
+      .select("vec_id").as[Long].collect().toSet
+    assert(held == Set(1L, 10L))
+  }
+
   test("embedding loop: batch 2 dedups against batch 1's novel vectors") {
     import spark.implicits._
     val idxDir = graft.sources.Scratch.dir("eloop-idx")
