@@ -47,7 +47,12 @@ object ScaleProbe {
     // probe measures the bitmap build + prefiltered scan + confirm at
     // grown posting volume — the fpp-bounded candidate stream should
     // keep the whole plan ~linear per copy
-    "decontam_bloom" -> graft.SparkEntry.queries("decontam_bloom"))
+    "decontam_bloom" -> graft.SparkEntry.queries("decontam_bloom"),
+    // content-disjoint copies share no 8-token windows, so df stays at
+    // the within-copy value and the posting self-join grows linearly in
+    // copies — the window-gram analogue of dedup_ngram's exact-linear
+    // candidate law, at far lower absolute volume (long windows are rare)
+    "dedup_substring" -> graft.SparkEntry.queries("dedup_substring"))
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(5)
