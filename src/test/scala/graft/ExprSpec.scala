@@ -93,6 +93,42 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == in.map(_.takeWhile(_ != 'T')))
   }
 
+  test("property: bloom membership never false-negative over random hashes and sizings") {
+    import graft.functions.BloomOps
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val hashGen = Gen.oneOf(
+      Gen.long,
+      Gen.oneOf(0L, -1L, 1L, Long.MaxValue, Long.MinValue, 63L, 64L))
+    val rnd = new scala.util.Random(11)
+    // sweep the parameter grid, not just the defaults: every (k, mBits)
+    // must satisfy insert => contains for every hash
+    for (k <- Seq(1, 2, 5, 8); mBits <- Seq(64, 1 << 10, 1 << 16)) {
+      val hashes = (0 until 300).flatMap(i =>
+        hashGen.apply(Gen.Parameters.default, Seed(i.toLong + k * 1000L + mBits)))
+      val words = new Array[Long](mBits / 64)
+      hashes.foreach { h =>
+        val ps = BloomOps.positions(h, k, mBits).toIntArray()
+        assert(ps.length == k && ps.forall(p => p >= 0 && p < mBits),
+          s"position out of range for h=$h k=$k mBits=$mBits: ${ps.toSeq}")
+        ps.foreach(p => words(p >>> 6) |= (1L << (p & 63)))
+      }
+      val ad = new GenericArrayData(words)
+      hashes.foreach(h => assert(BloomOps.mightContain(h, ad, k),
+        s"false negative: h=$h k=$k mBits=$mBits"))
+      // saturation sanity: random probes on the small table are allowed
+      // to hit (that IS a bloom filter); on the large sparse table a
+      // disjoint probe set must mostly miss
+      if (mBits == (1 << 16)) {
+        val probes = (1 to 500).map(_ => rnd.nextLong())
+          .filterNot(hashes.toSet)
+        val fp = probes.count(BloomOps.mightContain(_, ad, k))
+        assert(fp <= probes.size / 4,
+          s"degenerate positions: $fp/${probes.size} false positives at " +
+            s"k=$k mBits=$mBits with only ${hashes.size} inserts")
+      }
+    }
+  }
+
   test("property: JaccardSim == composed array_intersect form, dups included") {
     import graft.functions.exprs
     val rnd = new scala.util.Random(7)
