@@ -581,9 +581,13 @@ object Dedup {
     * shuffles. */
   def substringPairs(df: DataFrame, id: String, text: String,
                      window: Int = 8, maxDf: Int = 20): DataFrame = {
-    val posting = materialize(
-      shingleHashesFlat(df, id, text, window)
-        .select(col("doc_id"), explode(col("hs")).as("h")))
+    // checkpoint the compact (doc_id, hs) arrays, not the exploded
+    // postings — the explode re-derives cheaply from checkpointed
+    // blocks, and the written volume stays one row per document
+    // (rareShingleCandidates' shape)
+    val sh = materialize(
+      shingleHashesFlat(df, id, text, window).filter(size(col("hs")) > 0))
+    val posting = sh.select(col("doc_id"), explode(col("hs")).as("h"))
     val rare = posting.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
     val rarePosting = posting.join(broadcast(rare.select("h")), Seq("h"))
