@@ -162,4 +162,52 @@ object TextOps {
     * while every repeated (i.e. minimally evidenced) bigram keeps its
     * true conditional frequency. */
   val DefaultFamiliarityMinCount = 2
+
+  /** Sequence-packing offsets — the concatenate-and-chunk pass that
+    * turns a tokenized corpus into fixed-`seqLen` training sequences:
+    * documents concatenate in `doc_id` order, and each document's
+    * global token offset determines the sequence it starts in
+    * (`seq_idx = start / seqLen`) and where (`seq_off = start %
+    * seqLen`). Returns (doc_id, n_tokens, seq_idx, seq_off).
+    *
+    * The global prefix sum is the textbook low-cardinality-window trap
+    * (`SUM OVER (ORDER BY doc_id)` makes ONE task sort the corpus), so
+    * it runs as the scalable two-phase form instead: per-bucket token
+    * totals (bucket = doc_id div `bucketSize` — deterministic, data-
+    * independent), a driver-side running sum over the TINY bucket-total
+    * table (corpus/bucketSize rows — ~10⁴ at 10¹⁰ documents, no row
+    * data), and a within-bucket exclusive cumsum whose window partition
+    * is bounded by `bucketSize` rows. Exact integer math end to end, so
+    * the result is bit-identical to the single-window oracle. */
+  def packOffsets(docs: DataFrame, id: String, text: String,
+                  seqLen: Int, bucketSize: Long = 4096L): DataFrame = {
+    require(seqLen > 0 && bucketSize > 0)
+    val spark = docs.sparkSession
+    val t = docs.select(col(id).cast("long").as("doc_id"),
+      size(tokens(col(text))).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id div ${bucketSize}L"))
+    val counted = Dedup.materialize(t)
+    val bucketTotals = counted.groupBy("bucket")
+      .agg(sum("n_tokens").as("bsum"))
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exclusive running sum over bucket totals — the only driver-side
+    // step, bounded by the bucket count, never by rows
+    val offsets = bucketTotals.scanLeft((0L, 0L)) {
+      case ((_, acc), (b, s)) => (b, acc + s)
+    }.tail.zip(bucketTotals).map { case ((b, after), (_, s)) =>
+      (b, after - s)
+    }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("bucket", "boffset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    counted.join(broadcast(offDf), Seq("bucket"))
+      .withColumn("start",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) + col("boffset"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"start div ${seqLen}L").as("seq_idx"),
+        (col("start") % seqLen).as("seq_off"))
+  }
 }

@@ -129,6 +129,12 @@ object Extensions {
     // bit-identical — see TextOps.bigramFamiliarity
     "text_familiarity" -> ((s, d) =>
       TextOps.bigramFamiliarity(Tables.documents(s, d))),
+    // sequence packing (concatenate-and-chunk): where each document
+    // lands in the fixed-length training-sequence stream — global
+    // prefix sum via the two-phase bucket form, exact integer math
+    "text_pack" -> ((s, d) =>
+      TextOps.packOffsets(Tables.documents(s, d), "doc_id", "text",
+        seqLen = packSeqLen)),
 
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) =>
@@ -779,6 +785,9 @@ object Extensions {
   private[graft] val substringWindow = 8
   private[graft] val substringMaxDf = 20
 
+  /** `text_pack`'s sequence length — shared with its generated oracle. */
+  private[graft] val packSeqLen = 2048
+
   /** Window-gram CTEs for the exact-substring oracle: the same
     * tokenize → space-join → md5-prefix hash as [[shingleCtes]], at
     * [[substringWindow]] tokens. Hash (not string) equality on purpose:
@@ -1272,6 +1281,20 @@ object Extensions {
     // the Bloom path's confirm phase makes it exact — same oracle
     "decontam_bloom" -> decontamOracle,
     "dedup_substring" -> substringOracle,
+    // the oracle is the single-window global cumsum the operator
+    // refuses to run (one task sorting the corpus); at gate scale it is
+    // fine, and exact integer math makes the two forms bit-identical
+    "text_pack" -> s"""
+      WITH t AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+              CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+            FROM t)
+      SELECT doc_id, n_tokens,
+             CAST(start // $packSeqLen AS BIGINT) AS seq_idx,
+             CAST(start % $packSeqLen AS BIGINT) AS seq_off
+      FROM c""",
     // gen 1 = even orderkeys written WITHOUT o_orderpriority, so the
     // merged read nulls it exactly where o_orderkey % 2 = 0
     "q_schema_evolution" -> """

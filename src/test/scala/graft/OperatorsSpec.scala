@@ -273,4 +273,32 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(scores(1L) < scores(2L))
   }
+
+  test("packOffsets: two-phase prefix sum == single-window cumsum, any bucketSize") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    // the reference form the operator refuses at scale: one global-order
+    // window — fine on 500 rows, and exact integer math means the
+    // bucketed form must match it BIT for bit, for every bucketing
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expected = docs
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("start div 128L").as("seq_idx"), (col("start") % 128).as("seq_off"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // bucketSize 1 (every doc its own bucket), tiny, large, and
+    // non-divisor sizings must all agree with the reference
+    for (bs <- Seq(1L, 7L, 64L, 100000L)) {
+      val got = TextOps.packOffsets(docs, "doc_id", "text", 128, bs)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"bucketSize=$bs diverged from single-window form")
+    }
+    // conservation: the last document ends exactly at the total token count
+    val total = expected.toSeq.map(_._2).sum
+    val last = expected.maxBy(_._1)
+    assert(last._3 * 128 + last._4 + last._2 == total,
+      "offsets do not concatenate to the total token count")
+  }
 }

@@ -110,6 +110,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // multi-distinct profile: Expand + partial-by-(gid,value) +
       // final global agg — 2 exchanges for the whole 5-column profile
       "q_profile" -> 2,
+      // two-phase prefix sum: the returned plan's only exchange is the
+      // bounded within-bucket window (bucket totals ran eagerly); the
+      // global-order single-window form this replaces would sort the
+      // corpus in one task
+      "text_pack" -> 1,
       "sim_topk" -> 1,             // broadcast queries + top-k agg
       "sim_ann" -> 1,              // LSH bucket join + top-k agg
       "q_histogram" -> 1,          // bin groupBy
