@@ -77,13 +77,24 @@ object Curation {
     val b = Dedup.materialize(
       Dedup.shingleHashesFlat(benchmark, id, text)
         .select(explode(col("hs")).as("h")).distinct())
-    val bitmap = buildBloomBitmap(b, "h", mBits, k)
+    confirmedOverlaps(corpus, id, text, b, buildBloomBitmap(b, "h", mBits, k), k)
+  }
+
+  /** The corpus-side half of the Bloom plan — Bloom prefilter at the
+    * scan, exact confirm, per-doc overlap count — shared verbatim by
+    * [[contaminatedDocsBloom]] (batch) and
+    * [[graft.streaming.StreamOps.decontamStream]] (per micro-batch), so
+    * the streamed pass cannot drift from the batch semantics. `bench`
+    * is the exact distinct benchmark hash set the bitmap was built
+    * from. */
+  private[graft] def confirmedOverlaps(corpus: DataFrame, id: String,
+                                       text: String, bench: DataFrame,
+                                       bitmap: Array[Long], k: Int): DataFrame =
     Dedup.shingleHashesFlat(corpus, id, text)
       .select(col("doc_id"), explode(col("hs")).as("h"))
       .filter(graft.functions.exprs
         .bloom_might_contain(col("h"), typedLit(bitmap), k))
-      .join(b, Seq("h"))
+      .join(bench, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
-  }
 }

@@ -214,6 +214,21 @@ object Extensions {
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
     }),
+    // the same pass in ingestion mode: eval bitmap + exact set built
+    // once, corpus documents arrive as a stream and each micro-batch is
+    // checked inside foreachBatch. Shares decontam_ngram's oracle:
+    // streaming ≡ batch ≡ DuckDB.
+    "stream_decontam" -> ((s, d) => {
+      val out = graft.sources.Scratch.dir(
+        s"sdc_${java.util.UUID.randomUUID.toString.take(8)}")
+      val q = graft.streaming.StreamOps.decontamStream(
+        graft.streaming.StreamOps.documentsStream(s, d)
+          .filter(col("doc_id") % 97 =!= 0),
+        Tables.documents(s, d).filter(col("doc_id") % 97 === 0),
+        s"$out/hits")
+      q.stop()
+      s.read.parquet(s"$out/hits").select("doc_id", "n_overlap")
+    }),
     // fixed-size token chunking with overlap (64-token windows, stride
     // 48): per-document, embarrassingly parallel — the RAG/packing
     // pre-pass. Starts at k·48 while that is < len.
@@ -1280,6 +1295,8 @@ object Extensions {
     "decontam_ngram" -> decontamOracle,
     // the Bloom path's confirm phase makes it exact — same oracle
     "decontam_bloom" -> decontamOracle,
+    // per-doc counts are batch-complete (one micro-batch per document)
+    "stream_decontam" -> decontamOracle,
     "dedup_substring" -> substringOracle,
     // the oracle is the single-window global cumsum the operator
     // refuses to run (one task sorting the corpus); at gate scale it is

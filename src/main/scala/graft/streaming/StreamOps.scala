@@ -398,6 +398,34 @@ object StreamOps {
     } finally b.unpersist()
   }
 
+  /** Streaming decontamination — the curation pass in ingestion mode:
+    * the eval-suite side is STATIC (its exact distinct shingle-hash set
+    * and Bloom bitmap are built once, before the stream starts), and
+    * each arriving micro-batch of documents is checked with the exact
+    * batch-side plan ([[graft.operators.Curation.confirmedOverlaps]]:
+    * Bloom prefilter at the scan, exact confirm, per-doc overlap
+    * count). Confirmed overlaps land under `outDir` in a
+    * `batch=<batchId>` partition with overwrite semantics — the same
+    * replay-idempotency shape as [[incrementalDedupStream]]. Per-doc
+    * counts are complete because a document arrives in exactly one
+    * micro-batch; the eval side never rescans or reshuffles. */
+  def decontamStream(docs: DataFrame, benchmark: DataFrame, outDir: String,
+                     mBits: Int = 1 << 20, k: Int = 5): StreamingQuery = {
+    val b = graft.operators.Dedup.materialize(
+      graft.operators.Dedup.shingleHashesFlat(benchmark, "doc_id", "text")
+        .select(explode(col("hs")).as("h")).distinct())
+    val bitmap = graft.operators.Curation.buildBloomBitmap(b, "h", mBits, k)
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Curation
+          .confirmedOverlaps(batch, "doc_id", "text", b, bitmap, k)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Drains a finite streaming frame and returns the materialized result

@@ -122,8 +122,8 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "q_scalar_date", "q_scalar_string", "q_session_window",
     "q_sliding_window", "q_split_assign", "q_string_agg", "q_synth_source",
     "q_tumbling_window", "q_window_fill", "sim_ann", "sim_ivf", "sim_topk",
-    "stream_dedup", "stream_embedding_incr", "stream_incremental_dedup",
-    "stream_session_window",
+    "stream_decontam", "stream_dedup", "stream_embedding_incr",
+    "stream_incremental_dedup", "stream_session_window",
     "stream_sliding_window", "stream_static_join", "stream_stream_join",
     "stream_tumbling_window", "text_bpe_tokens", "text_chunks",
     "text_familiarity", "text_fingerprint", "text_langid", "text_ngram_freq",

@@ -27,6 +27,14 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_decontam == batch decontam_ngram at sf0.001") {
+    val streamed = SparkEntry.queries("stream_decontam")(spark, dir)
+    val batch = SparkEntry.queries("decontam_ngram")(spark, dir)
+    assert(batch.count() > 0, "batch decontamination empty — vacuous")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed decontamination diverged from the batch pass")
+  }
+
   test("streaming session windows produce per-user sessions") {
     val q = StreamOps.runToMemory(
       StreamOps.sessionCounts(StreamOps.eventsStream(spark, dir)),
