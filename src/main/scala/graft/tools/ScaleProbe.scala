@@ -52,7 +52,11 @@ object ScaleProbe {
     // the within-copy value and the posting self-join grows linearly in
     // copies — the window-gram analogue of dedup_ngram's exact-linear
     // candidate law, at far lower absolute volume (long windows are rare)
-    "dedup_substring" -> graft.SparkEntry.queries("dedup_substring"))
+    "dedup_substring" -> graft.SparkEntry.queries("dedup_substring"),
+    // two-phase prefix sum: the driver-side bucket table grows with
+    // copies (rows/4096) but stays metadata-scale; the within-bucket
+    // window partitions stay bounded, so wall should track the scan
+    "text_pack" -> graft.SparkEntry.queries("text_pack"))
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(5)
