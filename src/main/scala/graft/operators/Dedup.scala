@@ -590,7 +590,13 @@ object Dedup {
     val posting = sh.select(col("doc_id"), explode(col("hs")).as("h"))
     val rare = posting.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
-    val rarePosting = posting.join(broadcast(rare.select("h")), Seq("h"))
+    // deliberately NOT broadcast(rare): the rare-gram set grows with the
+    // volume of duplicated content — corpus-proportional on exactly the
+    // dirty corpora dedup targets — so a forced broadcast is a driver OOM
+    // at 100 TB. The semi-join shuffles (doc_id, h)-narrow postings on h,
+    // the same partitioning the self-join below reuses; when the rare set
+    // IS measured small, AQE converts to broadcast at runtime.
+    val rarePosting = posting.join(rare.select("h"), Seq("h"), "left_semi")
     rarePosting.as("x").join(rarePosting.as("y"), Seq("h"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -611,7 +617,10 @@ object Dedup {
     val posting = sh.select(col("doc_id"), explode(col("hs")).as("h"))
     val rare = posting.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
-    val rarePosting = posting.join(broadcast(rare.select("h")), Seq("h"))
+    // no broadcast(rare) — corpus-proportional on a dirty corpus; see
+    // [[substringPairs]] for the full rationale. Semi-join partitions the
+    // narrow postings on h, which the self-join below reuses.
+    val rarePosting = posting.join(rare.select("h"), Seq("h"), "left_semi")
     val pairs = rarePosting.as("x").join(rarePosting.as("y"), Seq("h"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

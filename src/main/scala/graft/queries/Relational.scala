@@ -164,12 +164,26 @@ object Relational {
         .agg(sumDec(col("l_quantity"), 2).as("total_qty"),
           count(lit(1)).as("n_lines"))
         .filter(col("n_lines") >= 30)),
-    "q_approx_distinct" -> ((s, d) =>
-      // HLL++ sketch — mergeable across 1000 executors; no oracle entry
-      // (estimates are engine-specific) → driver rows-only check.
+    "q_approx_distinct" -> ((s, d) => {
+      // HLL++ sketch vs exact in the SAME aggregate — mergeable across
+      // 1000 executors. Estimates are engine-specific, so the gate
+      // asserts a TOLERANCE instead of a value: the exact counts are
+      // integers (hash-safe across engines — DuckDB recomputes them
+      // independently) and the verdict columns pin |approx − exact| ≤
+      // 5%·exact at rsd 0.01 (the default 0.05 means a ±5% bound is
+      // one-sigma — it measurably fails on the orders column at
+      // sf0.001; 0.01 buys 5 sigma of slack for 2^14 registers, still
+      // a constant-size mergeable sketch). The exact legs exist for
+      // the gate — at 100 TB only the approx columns survive.
+      def within(c: String) =
+        (abs(approx_count_distinct(col(c), 0.01) - countDistinct(col(c)))
+          <= countDistinct(col(c)).cast("double") * 0.05).cast("int")
       Tables.lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        within("l_partkey").as("parts_within_5pct"),
+        within("l_orderkey").as("orders_within_5pct"))
+    }),
 
     // ---- window functions ----
     "q_window_rank" -> ((s, d) => {
@@ -318,6 +332,15 @@ object Relational {
     * Aliases and types are pinned to the Spark outputs: bigint / double /
     * string only (see the output-type convention above). */
   val oracles: Map[String, String] = Map(
+    // tolerance oracle: DuckDB recomputes the EXACT counts (integers —
+    // hash-safe), and the literal-1 verdict columns force the Spark
+    // side's |approx − exact| ≤ 5% assertion to hold
+    "q_approx_distinct" -> """
+      SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             CAST(1 AS INT) AS parts_within_5pct,
+             CAST(1 AS INT) AS orders_within_5pct
+      FROM lineitem""",
     "ref_orders_enriched" -> """
       SELECT l_orderkey AS order_id, l_linenumber AS line_no,
              p_name AS product_name, p_brand AS brand,

@@ -170,8 +170,6 @@ object Relational3 {
         reverse(col("p_name")).as("name_rev"),
         ascii(col("p_name")).as("first_cp"),
         instr(col("p_name"), "br").cast("int").as("br_pos"))),
-    // approximate percentile sketch (rows-only: estimates are
-    // engine-specific, like q_approx_distinct)
     // single-pass column profiler — the data-quality pre-flight every
     // ingestion pipeline runs before trusting a new drop: per-column
     // null count, exact distinct count, min/max, in ONE aggregate over
@@ -195,12 +193,42 @@ object Relational3 {
           .mkString(", ") +
           ") AS (col_name, n_nulls, n_distinct, min_v, max_v)"))
     }),
-    "q_approx_quantile" -> ((s, d) =>
+    // the 100 TB form of the profiler: approx_count_distinct per column
+    // removes the distinct-expand entirely — the whole 5-column profile
+    // is ONE partial→final aggregate over one scan (no Expand node,
+    // pinned in PlanAuditSpec). Rows-only gate: the estimates are
+    // engine-specific; the exact form above is the oracle-checked twin.
+    "q_profile_approx" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cols = profileCols
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        approx_count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max")))
+      o.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.length}, " + cols.map(c =>
+          s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
+          .mkString(", ") +
+          ") AS (col_name, n_nulls, n_distinct, min_v, max_v)"))
+    }),
+    // approximate-percentile sketch vs exact in the same aggregate.
+    // Exact interpolated percentiles are doubles — NOT hash-safe across
+    // engines — so the cross-checked columns are the group key and row
+    // count (integers), and the verdicts pin |approx − exact| ≤ 5%·exact
+    // inside Spark (accuracy 1000 ⇒ rank error ≤ n/1000, far inside 5%
+    // on any non-degenerate distribution)
+    "q_approx_quantile" -> ((s, d) => {
+      def within(q: Double) = {
+        val ex = expr(s"percentile(l_extendedprice, $q)")
+        (abs(percentile_approx(col("l_extendedprice"), lit(q), lit(1000))
+          - ex) <= ex * 0.05).cast("int")
+      }
       Tables.lineitem(s, d).groupBy("l_linestatus")
-        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("p50_approx"),
-          percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000))
-            .as("p90_approx"))),
+        .agg(count(lit(1)).as("n_rows"),
+          within(0.5).as("p50_within_5pct"),
+          within(0.9).as("p90_within_5pct"))
+    }),
     // top-k per group via the bounded typed Aggregator: only k rows per
     // map partition cross the shuffle (vs the window form shuffling all
     // rows); same oracle shape as a row_number window
@@ -243,6 +271,14 @@ object Relational3 {
     "o_orderpriority", "o_orderdate")
 
   val oracles: Map[String, String] = Map(
+    // tolerance oracle: the cross-checked columns are integers (group
+    // key + exact row count); the literal-1 verdicts force the
+    // Spark-side ±5% percentile bound to hold
+    "q_approx_quantile" -> """
+      SELECT l_linestatus, CAST(COUNT(1) AS BIGINT) AS n_rows,
+             CAST(1 AS INT) AS p50_within_5pct,
+             CAST(1 AS INT) AS p90_within_5pct
+      FROM lineitem GROUP BY l_linestatus""",
     // STRING (not VARCHAR): a DuckDB alias for VARCHAR that Spark ALSO
     // parses, keeping this oracle inside the in-suite parity guard
     "q_profile" -> profileCols.map(c =>

@@ -110,6 +110,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // multi-distinct profile: Expand + partial-by-(gid,value) +
       // final global agg — 2 exchanges for the whole 5-column profile
       "q_profile" -> 2,
+      // the approx form drops the Expand, so the whole profile is one
+      // partial→final aggregate: a single exchange
+      "q_profile_approx" -> 1,
       // two-phase prefix sum: the returned plan's only exchange is the
       // bounded within-bucket window (bucket totals ran eagerly); the
       // global-order single-window form this replaces would sort the
@@ -144,6 +147,42 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       assert(n <= budget,
         s"$name plans $n shuffle exchanges, budget is $budget")
     }
+  }
+
+  test("q_profile_approx plans no Expand (the 100 TB profiler is one pass)") {
+    // the exact profiler pays Catalyst's distinct-expand (row × distinct
+    // column count before the shuffle); the approx form must not — at
+    // 100 TB that Expand multiplies the shuffled volume by the number of
+    // profiled columns
+    val df = SparkEntry.queries("q_profile_approx")(spark, dir)
+    val expand = collectNodes(df.queryExecution.executedPlan)
+      .filter(_.isInstanceOf[org.apache.spark.sql.execution.ExpandExec])
+    assert(expand.isEmpty, "q_profile_approx plans an Expand node")
+  }
+
+  test("rare-shingle dedup family never force-broadcasts a corpus-derived side") {
+    // The rare-gram set (df ∈ [2, maxDf]) grows with the volume of
+    // duplicated content — corpus-proportional on exactly the dirty
+    // corpora dedup is run against — so an unconditional broadcast()
+    // hint on it is a guaranteed driver OOM at 100 TB that stays
+    // invisible at sf0.1. Size-GATED broadcasts are fine (Catalyst's
+    // static estimate scales with the leaf file size; AQE re-checks the
+    // measured size at runtime) — what must never appear is a hint that
+    // bypasses the gate. With autoBroadcastJoinThreshold=-1 the only
+    // possible BroadcastExchange is a hinted one, so the audited plans
+    // must have none.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Seq("dedup_ngram", "dedup_containment", "dedup_substring").foreach { name =>
+        val df = SparkEntry.queries(name)(spark, dir)
+        val bcast = collectNodes(df.queryExecution.executedPlan)
+          .filter(_.isInstanceOf[
+            org.apache.spark.sql.execution.exchange.BroadcastExchangeExec])
+        assert(bcast.isEmpty,
+          s"$name force-broadcasts a corpus-derived frame")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("dimension joins broadcast the small side") {
