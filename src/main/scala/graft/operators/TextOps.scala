@@ -163,6 +163,11 @@ object TextOps {
     * true conditional frequency. */
   val DefaultFamiliarityMinCount = 2
 
+  /** [[packOffsets]] auto-sizing target: the driver-side running sum is
+    * one (bucket, total) tuple per occupied bucket, so ~100k buckets
+    * keeps that step a few MB at any corpus size. */
+  val PackTargetBuckets = 100000L
+
   /** Sequence-packing offsets — the concatenate-and-chunk pass that
     * turns a tokenized corpus into fixed-`seqLen` training sequences:
     * documents concatenate in `doc_id` order, and each document's
@@ -178,15 +183,40 @@ object TextOps {
     * table (corpus/bucketSize rows — ~10⁴ at 10¹⁰ documents, no row
     * data), and a within-bucket exclusive cumsum whose window partition
     * is bounded by `bucketSize` rows. Exact integer math end to end, so
-    * the result is bit-identical to the single-window oracle. */
+    * the result is bit-identical to the single-window oracle.
+    *
+    * `bucketSize = 0` (the default) auto-scales: the driver-side running
+    * sum holds one tuple per OCCUPIED bucket, so the size is derived
+    * from the observed id span to target ≤ [[PackTargetBuckets]] buckets
+    * (floor 4096) — the driver step stays ~100k tuples at any corpus
+    * size instead of growing as n_docs/4096. The result is invariant to
+    * the sizing (the two-phase sum is exact for EVERY bucketing — law in
+    * `OperatorsSpec`), so auto vs explicit only moves work, never rows. */
   def packOffsets(docs: DataFrame, id: String, text: String,
-                  seqLen: Int, bucketSize: Long = 4096L): DataFrame = {
-    require(seqLen > 0 && bucketSize > 0)
+                  seqLen: Int, bucketSize: Long = 0L): DataFrame = {
+    require(seqLen > 0 && bucketSize >= 0)
     val spark = docs.sparkSession
     val t = docs.select(col(id).cast("long").as("doc_id"),
       size(tokens(col(text))).cast("long").as("n_tokens"))
-      .withColumn("bucket", expr(s"doc_id div ${bucketSize}L"))
-    val counted = Dedup.materialize(t)
+    val counted0 = Dedup.materialize(t)
+    // one bounded agg over the materialized counts: loud contract check
+    // (a non-numeric id nulls out under the cast and would otherwise
+    // surface as an opaque NPE in the bucket-total pull) + the id span
+    // that drives the auto bucket sizing
+    val s0 = counted0.agg(
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_null"),
+      min("doc_id").as("lo"), max("doc_id").as("hi")).head()
+    require(s0.getLong(0) == 0L,
+      s"packOffsets: ${s0.getLong(0)} rows have a null/non-numeric '$id' " +
+        "— a numeric, non-null document id is required for packing order")
+    val bs =
+      if (bucketSize > 0L) bucketSize
+      else if (s0.isNullAt(1)) 4096L // empty corpus: any sizing works
+      else {
+        val span = s0.getLong(2) - s0.getLong(1) + 1L
+        math.max(4096L, span / PackTargetBuckets + 1L)
+      }
+    val counted = counted0.withColumn("bucket", expr(s"doc_id div ${bs}L"))
     val bucketTotals = counted.groupBy("bucket")
       .agg(sum("n_tokens").as("bsum"))
       .orderBy("bucket")

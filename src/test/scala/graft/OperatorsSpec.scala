@@ -288,9 +288,10 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       .select(col("doc_id"), col("n_tokens"),
         expr("start div 128L").as("seq_idx"), (col("start") % 128).as("seq_off"))
       .as[(Long, Long, Long, Long)].collect().toSet
-    // bucketSize 1 (every doc its own bucket), tiny, large, and
-    // non-divisor sizings must all agree with the reference
-    for (bs <- Seq(1L, 7L, 64L, 100000L)) {
+    // bucketSize 1 (every doc its own bucket), tiny, large, non-divisor,
+    // and 0 (auto-derived from the id span) must all agree with the
+    // reference
+    for (bs <- Seq(0L, 1L, 7L, 64L, 100000L)) {
       val got = TextOps.packOffsets(docs, "doc_id", "text", 128, bs)
         .as[(Long, Long, Long, Long)].collect().toSet
       assert(got == expected, s"bucketSize=$bs diverged from single-window form")
@@ -300,5 +301,18 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     val last = expected.maxBy(_._1)
     assert(last._3 * 128 + last._4 + last._2 == total,
       "offsets do not concatenate to the total token count")
+  }
+
+  test("packOffsets fails loudly on a null doc id") {
+    // ANSI mode already makes a malformed string id die loudly at the
+    // cast; a genuinely NULL id sails through it and — without the
+    // contract check — surfaced as an opaque NPE deep in the
+    // bucket-total pull
+    val bad = Seq(Some(1L), None).zip(Seq("x y z", "w"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.packOffsets(bad, "doc_id", "text", 128)
+    }
+    assert(e.getMessage.contains("null/non-numeric"))
   }
 }
