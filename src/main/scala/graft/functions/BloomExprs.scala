@@ -56,8 +56,14 @@ object BloomOps {
     val h2 = mixOdd(h)
     var i = 0
     while (i < k) {
-      val pos = ((h + i * h2) & mask).toInt
-      if (((bitmap.getLong(pos >>> 6) >>> (pos & 63)) & 1L) == 0L)
+      // Long indexing throughout: the registered SQL form accepts ANY
+      // array<bigint>, and for words > 2^25 the bit mask exceeds
+      // Int.MaxValue — an Int cast here would wrap positions negative
+      // and probe garbage instead of failing. The word index is always
+      // < words (an Int: array sizes are), so only the final cast is
+      // narrowing and it is provably in range.
+      val pos = (h + i * h2) & mask
+      if (((bitmap.getLong((pos >>> 6).toInt) >>> (pos & 63L).toInt) & 1L) == 0L)
         return false
       i += 1
     }
