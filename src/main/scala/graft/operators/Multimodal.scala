@@ -6,16 +6,133 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (SURVEY §2.9): image/audio/video travel as
   * opaque `binary` payloads with typed metadata, and feature extraction
   * runs batched per partition — the Spark-side shape (schema,
-  * partitioning, batch iteration) is real; only the codec call is a
-  * deterministic stub, since no media libraries ship in this
-  * environment.
+  * partitioning, batch iteration) is real. The IMAGE codec is real too:
+  * [[decodeImage]] is pure-JVM `javax.imageio` (PNG/BMP/GIF, no native
+  * libraries), exercised end-to-end by the `mm_decode` gate against a
+  * generated-PNG fixture whose pixel values an external oracle can
+  * recompute exactly. Audio/video decode remains a deterministic stub
+  * (no codec libraries ship in this environment).
   *
   * Scale notes: payloads never shuffle for metadata-only queries (column
   * pruning drops them at the scan); feature extraction is `mapPartitions`
-  * so a real decoder would amortize model/codec init per partition, the
-  * same shape as a Pandas-UDF batch pipeline.
+  * so the decoder amortizes codec init per partition, the same shape as
+  * a Pandas-UDF batch pipeline.
   */
 object Multimodal {
+
+  // ---- real image codec (javax.imageio — pure JVM) -----------------------
+
+  /** The `mm_decode` fixture's pixel formula, shared with the generated
+    * DuckDB oracle (drift discipline): channel c of pixel (x, y) in
+    * image `id` is `(id·k0 + x·k1 + y·k2) mod 256` with (k0, k1, k2) =
+    * `PixelCoef(c)`. PNG is lossless, so encode → decode must reproduce
+    * these exact values — which makes the REAL decoder externally
+    * verifiable without shipping binary fixtures. */
+  val PixelCoef: Seq[(Long, Long, Long)] =
+    Seq((31L, 7L, 13L), (17L, 5L, 11L), (23L, 3L, 19L))
+
+  /** Fixture edge (16×16) and the resize target (8×8) for `mm_decode`. */
+  val FixtureSize = 16
+  val FixtureResize = 8
+
+  private def pixelChannel(id: Long, x: Int, y: Int, c: Int): Int = {
+    val (k0, k1, k2) = PixelCoef(c)
+    ((id * k0 + x * k1 + y * k2) % 256L).toInt
+  }
+
+  /** Deterministic RGB PNG for image `id`: every channel follows
+    * [[PixelCoef]]'s formula. */
+  def syntheticPng(id: Long, size: Int = FixtureSize): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(size, size,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < size) {
+      var x = 0
+      while (x < size) {
+        img.setRGB(x, y, (pixelChannel(id, x, y, 0) << 16) |
+          (pixelChannel(id, x, y, 1) << 8) | pixelChannel(id, x, y, 2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode — pure-JVM `javax.imageio` (PNG/BMP/GIF out of
+    * the box). None when the payload is not a decodable image, so a
+    * mixed-modality column degrades row-wise instead of failing the
+    * task. */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+
+  /** Exact per-channel pixel sums — integers, so an external oracle can
+    * reproduce them bit-for-bit (float means could not be compared). */
+  def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    var (r, g, b) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (r, g, b)
+  }
+
+  /** REAL nearest-neighbor resize on decoded pixels: output (x, y) takes
+    * source (x·srcW/outW, y·srcH/outH) — integer division, the exact
+    * mapping the oracle mirrors. */
+  def resizeImage(img: java.awt.image.BufferedImage, outW: Int,
+                  outH: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(outW, outH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < outH) {
+      var x = 0
+      while (x < outW) {
+        out.setRGB(x, y, img.getRGB(
+          (x.toLong * img.getWidth / outW).toInt,
+          (y.toLong * img.getHeight / outH).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Per-image decode + stats row: dimensions and exact channel sums of
+    * the decoded image and of its [[resizeImage nearest-neighbor]]
+    * `resizeTo`×`resizeTo` thumbnail. */
+  case class ImageStats(media_id: Long, width: Int, height: Int,
+                        sum_r: Long, sum_g: Long, sum_b: Long,
+                        r_width: Int, r_height: Int,
+                        rsum_r: Long, rsum_g: Long, rsum_b: Long)
+
+  /** Batched decode over a binary image column: one codec pass per
+    * partition, real pixels end to end. Undecodable payloads are
+    * dropped (flatMap), keeping the operator total on dirty corpora. */
+  def decodeImageStats(media: Dataset[MediaRecord],
+                       resizeTo: Int = FixtureResize)
+                      (implicit spark: SparkSession): Dataset[ImageStats] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodeImage(m.payload).map { img =>
+          val (r, g, b) = channelSums(img)
+          val small = resizeImage(img, resizeTo, resizeTo)
+          val (r2, g2, b2) = channelSums(small)
+          ImageStats(m.media_id, img.getWidth, img.getHeight, r, g, b,
+            small.getWidth, small.getHeight, r2, g2, b2)
+        }
+      }
+    }
+  }
 
   /** A media row: payload plus typed metadata. */
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])

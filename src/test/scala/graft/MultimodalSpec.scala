@@ -46,4 +46,50 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(frames(0).frame.length == 64)
     assert(frames(1).frame.length == 300 - 4 * 64) // short tail: 44 bytes
   }
+
+  test("real PNG decode: encode → decode reproduces the formula pixels exactly") {
+    // PNG is lossless, so every decoded channel must equal the fixture
+    // formula — this is the decoder decoding real pixels, not a hash of
+    // opaque bytes
+    val id = 42L
+    val img = Multimodal.decodeImage(Multimodal.syntheticPng(id)).get
+    assert(img.getWidth == Multimodal.FixtureSize &&
+      img.getHeight == Multimodal.FixtureSize)
+    def expect(x: Int, y: Int, c: Int): Int = {
+      val (k0, k1, k2) = Multimodal.PixelCoef(c)
+      ((id * k0 + x * k1 + y * k2) % 256L).toInt
+    }
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val p = img.getRGB(x, y)
+      assert(((p >> 16) & 0xff) == expect(x, y, 0), s"R($x,$y)")
+      assert(((p >> 8) & 0xff) == expect(x, y, 1), s"G($x,$y)")
+      assert((p & 0xff) == expect(x, y, 2), s"B($x,$y)")
+    }
+  }
+
+  test("resizeImage: nearest-neighbor keeps exactly the stride-aligned sources") {
+    val img = Multimodal.decodeImage(Multimodal.syntheticPng(7L)).get
+    val small = Multimodal.resizeImage(img, 8, 8)
+    assert(small.getWidth == 8 && small.getHeight == 8)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(small.getRGB(x, y) == img.getRGB(2 * x, 2 * y), s"($x,$y)")
+  }
+
+  test("decodeImageStats: per-partition decode; undecodable payloads drop row-wise") {
+    implicit val s = spark
+    import s.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/png", Multimodal.syntheticPng(1L)),
+      Multimodal.MediaRecord(2L, "text", "not an image".getBytes),
+      Multimodal.MediaRecord(3L, "image/png", Multimodal.syntheticPng(3L))).toDS()
+    val stats = Multimodal.decodeImageStats(media).collect()
+      .sortBy(_.media_id)
+    assert(stats.map(_.media_id).toSeq == Seq(1L, 3L),
+      "the non-image payload must drop, not fail the task")
+    val one = stats(0)
+    val img = Multimodal.decodeImage(Multimodal.syntheticPng(1L)).get
+    assert((one.sum_r, one.sum_g, one.sum_b) == Multimodal.channelSums(img))
+    assert((one.rsum_r, one.rsum_g, one.rsum_b) ==
+      Multimodal.channelSums(Multimodal.resizeImage(img, 8, 8)))
+  }
 }
