@@ -167,7 +167,7 @@ object Extensions {
       val q = graft.streaming.StreamOps.incrementalDedupStream(
         graft.streaming.StreamOps.documentsStream(s, d)
           .filter(col("doc_id") % 2 === 1),
-        index, s"$out/pairs")
+        index, s"$out/pairs", s"$out/ckpt")
       q.stop()
       // project away the batch=<id> partition column — replay
       // bookkeeping, not part of the dedup result
@@ -225,9 +225,22 @@ object Extensions {
         graft.streaming.StreamOps.documentsStream(s, d)
           .filter(col("doc_id") % 97 =!= 0),
         Tables.documents(s, d).filter(col("doc_id") % 97 === 0),
-        s"$out/hits")
+        s"$out/hits", s"$out/ckpt")
       q.stop()
-      s.read.parquet(s"$out/hits").select("doc_id", "n_overlap")
+      val hits = s.read.parquet(s"$out/hits")
+      // decontamStream's per-doc n_overlap (distinct shingles) is only
+      // complete when each document lands in exactly one micro-batch; a
+      // source that split or redelivered a doc would leave duplicate
+      // rows with PARTIAL counts that no read-side re-aggregation can
+      // repair (distinct counts don't sum). Enforce the assumption
+      // loudly instead of relying on it.
+      val u = hits.agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("nd")).head()
+      require(u.getLong(0) == u.getLong(1),
+        s"stream_decontam: ${u.getLong(0) - u.getLong(1)} duplicate doc_id " +
+          "rows in the hits table — a document spanned micro-batches, " +
+          "so its n_overlap is partial")
+      hits.select("doc_id", "n_overlap")
     }),
     // fixed-size token chunking with overlap (64-token windows, stride
     // 48): per-document, embarrassingly parallel — the RAG/packing
@@ -451,7 +464,7 @@ object Extensions {
       val q = graft.streaming.StreamOps.incrementalEmbeddingDedupStream(
         graft.streaming.StreamOps.embeddingsStream(s, d)
           .filter(col("vec_id") % 2 === 1),
-        index, s"$out/pairs")
+        index, s"$out/pairs", s"$out/ckpt")
       q.stop()
       s.read.parquet(s"$out/pairs")
         .select("new_id", "matched_id", "cos")
@@ -568,11 +581,22 @@ object Extensions {
     }),
 
     // mergeable cardinality sketches: per-group HLL sketches unioned to
-    // a corpus-level estimate (rows-only: estimates are engine-specific)
-    "q_hll_union" -> ((s, d) =>
-      Tables.orders(s, d).groupBy("o_orderstatus")
+    // a corpus-level estimate. Estimates are engine-specific, so the
+    // gate asserts a tolerance: DuckDB recomputes the exact distinct
+    // (integer — hash-safe) and the literal-1 verdict pins the unioned
+    // estimate within ±5% of it (DataSketches HLL at the default
+    // lgConfigK=12 has rsd ≈ 1.6%)
+    "q_hll_union" -> ((s, d) => {
+      val est = Tables.orders(s, d).groupBy("o_orderstatus")
         .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_custs"))),
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = Tables.orders(s, d)
+        .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+      exact.crossJoin(est).select(col("exact_custs"),
+        (abs(col("est") - col("exact_custs"))
+          <= col("exact_custs").cast("double") * 0.05)
+          .cast("int").as("union_within_5pct"))
+    }),
 
     // session-window streaming variant — second-truncated like the
     // batch q_session_window, so all three (stream, batch, oracle) agree
@@ -685,6 +709,22 @@ object Extensions {
         .select(col("media_id"), col("frame_idx"),
           octet_length(col("frame")).as("n_bytes"),
           sha2(col("frame"), 256).as("sha"))
+    }),
+    // REAL image decode, end to end: deterministic 16×16 RGB PNGs are
+    // generated per document id (pixel formula shared with the oracle —
+    // Multimodal.PixelCoef), encoded with javax.imageio, decoded back,
+    // and reduced to dimensions + exact integer channel sums of the
+    // image AND its real nearest-neighbor 8×8 thumbnail. PNG is
+    // lossless, so the DuckDB oracle recomputes every value from the
+    // formula alone — the decoder is verified on actual pixels, not
+    // provenance hashes.
+    "mm_decode" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => graft.operators.Multimodal.MediaRecord(
+          id, "image/png", graft.operators.Multimodal.syntheticPng(id))))
+      graft.operators.Multimodal.decodeImageStats(media).toDF()
     }),
     // thumbnail-style resize: positional decimation to 32 payload bytes
     // as a codegen'd expression (same stub semantics as
@@ -1187,6 +1227,13 @@ object Extensions {
 
   val oracles: Map[String, String] = Map(
     "q_attribution" -> attributionOracle,
+    // tolerance oracle: DuckDB recomputes the exact distinct (integer —
+    // hash-safe); the literal-1 verdict forces the Spark-side ±5% bound
+    // on the unioned HLL estimate
+    "q_hll_union" -> """
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+             CAST(1 AS INT) AS union_within_5pct
+      FROM orders""",
     "stream_stream_join" -> attributionOracle,
     "text_tokens" -> s"""
       SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
@@ -1577,6 +1624,38 @@ object Extensions {
            LATERAL unnest(generate_series(1,
              CAST(ceil(ceil(length(text) / 64.0) / 4.0) AS BIGINT))) AS u(k)
       WHERE length(text) > 0""",
+    "mm_decode" -> {
+      // generated from the SAME constants as the fixture (PixelCoef,
+      // FixtureSize, FixtureResize — drift discipline): PNG is lossless,
+      // so the decoded channel sums must equal the formula sums exactly.
+      // The thumbnail keeps source pixels (x·size/out, y·size/out) —
+      // with size/out = stride, exactly the stride-aligned positions.
+      import graft.operators.Multimodal.{PixelCoef, FixtureSize, FixtureResize}
+      val stride = FixtureSize / FixtureResize
+      val names = Seq("r", "g", "b")
+      def chan(c: Int) = {
+        val (k0, k1, k2) = PixelCoef(c)
+        s"(doc_id * $k0 + gx.x * $k1 + gy.y * $k2) % 256"
+      }
+      val full = names.indices.map(c =>
+        s"CAST(SUM(${chan(c)}) AS BIGINT) AS sum_${names(c)}").mkString(",\n             ")
+      val thumb = names.indices.map(c =>
+        s"""CAST(SUM(CASE WHEN gx.x % $stride = 0 AND gy.y % $stride = 0
+           | THEN ${chan(c)} ELSE 0 END) AS BIGINT) AS rsum_${names(c)}"""
+          .stripMargin.replace("\n", "")).mkString(",\n             ")
+      s"""
+      SELECT doc_id AS media_id,
+             CAST($FixtureSize AS INT) AS width,
+             CAST($FixtureSize AS INT) AS height,
+             $full,
+             CAST($FixtureResize AS INT) AS r_width,
+             CAST($FixtureResize AS INT) AS r_height,
+             $thumb
+      FROM documents,
+           LATERAL unnest(generate_series(0, ${FixtureSize - 1})) AS gx(x),
+           LATERAL unnest(generate_series(0, ${FixtureSize - 1})) AS gy(y)
+      GROUP BY doc_id"""
+    },
     "mm_resize" -> """
       SELECT doc_id AS media_id,
              CAST(octet_length(CAST(t AS BLOB)) AS INTEGER) AS n_bytes,

@@ -220,12 +220,23 @@ object StreamOps {
     * double-appending — the index side is static, so the recomputed
     * pairs are identical. Read the result with
     * `spark.read.parquet(outDir)` and project the pair columns; the
-    * `batch` partition column is bookkeeping. */
+    * `batch` partition column is bookkeeping.
+    *
+    * `checkpointDir` is REQUIRED, not optional: the replay-idempotency
+    * above holds within one continuous batchId sequence, and only a
+    * durable offset log extends that sequence across a process restart.
+    * Without one a restarted query re-forms micro-batch boundaries from
+    * batchId 0 — already-written `batch=<id>` partitions from the first
+    * incarnation survive as stale duplicates beside the re-cut ones.
+    * With it, a restart resumes at the first unprocessed file and the
+    * partition layout stays append-only (restart law in
+    * `SignatureIndexSpec`). */
   def incrementalDedupStream(docs: DataFrame,
                              index: graft.operators.Dedup.MinhashIndex,
-                             outDir: String,
+                             outDir: String, checkpointDir: String,
                              jaccardMin: Double = 0.5): StreamingQuery = {
     val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Dedup
           .crossMinhashPairs(batch, index, "doc_id", "text", jaccardMin)
@@ -254,11 +265,19 @@ object StreamOps {
     * previous batch's appends.
     *
     * Crash-safe under foreachBatch's at-least-once contract — see
-    * [[processIngestBatch]] for the exactly-once-in-effect argument. */
+    * [[processIngestBatch]] for the exactly-once-in-effect argument.
+    * That contract is only reachable across a PROCESS restart through
+    * the required `checkpointDir`: the committed-batch skip compares
+    * batchIds against the index marker, and without a durable offset
+    * log a restarted query restarts batchIds at 0, so
+    * `batchId <= last_committed_batch` would silently DROP the first
+    * batches of genuinely new data. The stop/restart-through-checkpoint
+    * law in `SignatureIndexSpec` pins the no-skip/no-double behavior. */
   def selfMaintainingDedupStream(docs: DataFrame, idxDir: String,
-                                 outDir: String,
+                                 outDir: String, checkpointDir: String,
                                  jaccardMin: Double = 0.5): StreamingQuery = {
     val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         processIngestBatch(batch, batchId, idxDir, outDir, jaccardMin)
       }
@@ -333,12 +352,15 @@ object StreamOps {
     * corpus's band keys were cut once at build time and are never
     * re-derived per batch. Same replay contract: pairs land in a
     * `batch=<batchId>` partition with overwrite semantics, so
-    * at-least-once redelivery rewrites rather than double-appends. */
+    * at-least-once redelivery rewrites rather than double-appends; the
+    * required `checkpointDir` extends that contract across a process
+    * restart (see [[incrementalDedupStream]]). */
   def incrementalEmbeddingDedupStream(vecs: DataFrame,
                                       index: graft.operators.Similarity.EmbeddingIndex,
-                                      outDir: String,
+                                      outDir: String, checkpointDir: String,
                                       cosMin: Double = 0.3): StreamingQuery = {
     val q = vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Similarity
           .crossEmbeddingPairs(batch, index, cosMin)
@@ -358,11 +380,15 @@ object StreamOps {
     * ([[graft.operators.Similarity.rebuildEmbeddingIndex]]) and restart,
     * rather than silently sliding into quadratic candidate volume.
     * Crash-safe under at-least-once replay — same marker + partition-
-    * overwrite argument as [[processIngestBatch]]. */
+    * overwrite argument as [[processIngestBatch]], and the same
+    * required `checkpointDir` for the same reason as
+    * [[selfMaintainingDedupStream]]: the committed-batch skip is only
+    * safe across a restart when the offset log is durable. */
   def selfMaintainingEmbeddingStream(vecs: DataFrame, idxDir: String,
-                                     outDir: String,
+                                     outDir: String, checkpointDir: String,
                                      cosMin: Double = 0.3): StreamingQuery = {
     val q = vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         processEmbeddingIngestBatch(batch, batchId, idxDir, outDir, cosMin)
       }
@@ -406,10 +432,14 @@ object StreamOps {
     * Bloom prefilter at the scan, exact confirm, per-doc overlap
     * count). Confirmed overlaps land under `outDir` in a
     * `batch=<batchId>` partition with overwrite semantics — the same
-    * replay-idempotency shape as [[incrementalDedupStream]]. Per-doc
-    * counts are complete because a document arrives in exactly one
-    * micro-batch; the eval side never rescans or reshuffles. */
+    * replay-idempotency shape as [[incrementalDedupStream]], including
+    * its required `checkpointDir` (a restart without a durable offset
+    * log re-cuts batch boundaries and strands stale `batch=<id>`
+    * partitions). Per-doc counts are complete because a document
+    * arrives in exactly one micro-batch; the eval side never rescans
+    * or reshuffles. */
   def decontamStream(docs: DataFrame, benchmark: DataFrame, outDir: String,
+                     checkpointDir: String,
                      mBits: Int = 1 << 20, k: Int = 5): StreamingQuery = {
     val b = graft.operators.Dedup.materialize(
       graft.operators.Dedup.shingleHashesFlat(benchmark, "doc_id", "text")
