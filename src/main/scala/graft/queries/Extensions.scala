@@ -135,6 +135,22 @@ object Extensions {
     "text_pack" -> ((s, d) =>
       TextOps.packOffsets(Tables.documents(s, d), "doc_id", "text",
         seqLen = packSeqLen)),
+    // shard export round trip: the packed offsets range-sharded on
+    // seq_idx and sorted within each shard — the training-data layout a
+    // shard reader streams in global order, produced without a global
+    // sort. Content equals text_pack (shares its oracle); the layout
+    // itself (files = shards, disjoint ordered ranges) is a law in
+    // SinksSkewSpec.
+    "text_pack_shards" -> ((s, d) => {
+      val out = graft.sources.Scratch.dir(
+        s"shards_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.sources.Sinks.writeRangeShards(
+        TextOps.packOffsets(Tables.documents(s, d), "doc_id", "text",
+          seqLen = packSeqLen),
+        s"$out/pack", "seq_idx", nShards = 8)
+      s.read.parquet(s"$out/pack")
+        .select("doc_id", "n_tokens", "seq_idx", "seq_off")
+    }),
 
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) =>
@@ -1345,6 +1361,19 @@ object Extensions {
     // per-doc counts are batch-complete (one micro-batch per document)
     "stream_decontam" -> decontamOracle,
     "dedup_substring" -> substringOracle,
+    // shard round trip preserves content exactly; the layout law lives
+    // in SinksSkewSpec
+    "text_pack_shards" -> s"""
+      WITH t AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+              CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+            FROM t)
+      SELECT doc_id, n_tokens,
+             CAST(start // $packSeqLen AS BIGINT) AS seq_idx,
+             CAST(start % $packSeqLen AS BIGINT) AS seq_off
+      FROM c""",
     // the oracle is the single-window global cumsum the operator
     // refuses to run (one task sorting the corpus); at gate scale it is
     // fine, and exact integer math makes the two forms bit-identical

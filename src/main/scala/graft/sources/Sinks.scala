@@ -38,6 +38,23 @@ object Sinks {
                     props: java.util.Properties = new java.util.Properties): Unit =
     df.write.mode("overwrite").jdbc(url, table, props)
 
+  /** Training-shard export: range-partition on `orderCol` into
+    * `nShards`, sort within each shard, one file per shard. This is the
+    * 100 TB way to lay out packed training sequences so a shard reader
+    * streams them in global order WITHOUT a global sort: the range
+    * exchange samples boundaries (one pass), each shard sorts locally
+    * in parallel, and shard k's every key ≤ shard k+1's — a single-task
+    * `ORDER BY` write would funnel the corpus through one sorter.
+    * Layout law (files = shards, disjoint ordered key ranges) is
+    * asserted in `SinksSkewSpec`. */
+  def writeRangeShards(df: DataFrame, path: String, orderCol: String,
+                       nShards: Int): Unit = {
+    require(nShards > 0, s"writeRangeShards: nShards must be positive, got $nShards")
+    df.repartitionByRange(nShards, org.apache.spark.sql.functions.col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed managed table: pre-shuffles once on the bucket key so
     * later equi-joins/aggregations on that key are exchange-free — the
     * 100 TB answer to "this join shuffles the fact table every run".

@@ -34,7 +34,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
           n.startsWith("mm_") || n == "q_partition_prune" ||
           n == "q_bucketed_agg" || n == "sim_ivf" ||
           n == "dedup_clusters" || n == "dedup_semantic" ||
-          n == "curation_pipeline"
+          n == "curation_pipeline" || n == "text_pack_shards"
       }
       .map { case (n, fn) => n -> fn(spark, dir) }
 

@@ -86,6 +86,36 @@ class SinksSkewSpec extends AnyFunSuite with SparkSpec {
     assert(top == ((7L, 90L)))
   }
 
+  test("range-sharded export: files = shards, disjoint ordered key ranges, content exact") {
+    import org.apache.spark.sql.functions.{col, input_file_name, min => fmin, max => fmax}
+    // the training-shard layout law: a reader that consumes shard files
+    // in range order streams the whole dataset in key order without any
+    // engine re-sort — so every file's [min, max] key interval must sit
+    // entirely at-or-before the next file's
+    val packed = graft.operators.TextOps.packOffsets(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text", 128)
+    val out = graft.sources.Scratch.dir("shard-law") + "/pack"
+    Sinks.writeRangeShards(packed, out, "seq_idx", 8)
+    val back = spark.read.parquet(out)
+    // content: exact multiset round trip
+    assert(back.count() == packed.count())
+    assert(back.exceptAll(packed).isEmpty && packed.exceptAll(back).isEmpty,
+      "shard export changed the rows")
+    // layout: one parquet file per shard, ranges disjoint up to boundary
+    // key ties (equal keys never split across shards, so touching
+    // endpoints can only be the same key)
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(fmin(col("seq_idx")).as("lo"), fmax(col("seq_idx")).as("hi"))
+      .orderBy(col("lo"))
+      .select("lo", "hi").as[(Long, Long)].collect()
+    assert(ranges.length == 8, s"expected 8 shard files, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"shard ranges overlap: hi=$hi > next lo=$lo2")
+      case _ => ()
+    }
+  }
+
   test("bucketed table join plans without an exchange on the fact side") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_quantity")
