@@ -137,6 +137,83 @@ object Multimodal {
   /** A media row: payload plus typed metadata. */
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
 
+  // ---- real audio codec (javax.sound.sampled — pure JVM) -----------------
+
+  /** The `mm_audio` fixture's sample formula, shared with the generated
+    * DuckDB oracle: 16-bit PCM sample k of clip `id` is
+    * `((id·k0 + k·k1) mod 65536) − 32768` with (k0, k1) = [[AudioCoef]].
+    * WAV PCM is lossless, so encode → decode must reproduce these exact
+    * values. */
+  val AudioCoef: (Long, Long) = (17L, 29L)
+  val AudioSamples = 2048
+  val AudioRate = 8000
+
+  private def audioSample(id: Long, k: Int): Int =
+    (((id * AudioCoef._1 + k * AudioCoef._2) % 65536L) - 32768L).toInt
+
+  /** Deterministic mono 16-bit PCM WAV for clip `id`, following
+    * [[AudioCoef]]'s formula. */
+  def syntheticWav(id: Long, nSamples: Int = AudioSamples): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var k = 0
+    while (k < nSamples) {
+      val s = audioSample(id, k)
+      pcm(2 * k) = (s & 0xff).toByte          // little-endian
+      pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      AudioRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decoded-audio stats: real header fields plus exact integer sample
+    * sums an external oracle can reproduce. */
+  case class AudioStats(media_id: Long, sample_rate: Long, channels: Long,
+                        n_samples: Long, sum_amp: Long, sum_abs: Long)
+
+  /** REAL audio decode — pure-JVM `javax.sound.sampled` WAV/PCM parsing
+    * (no audio device touched: file parsing only, headless-safe). None
+    * when the payload is not a decodable audio file, so a mixed column
+    * degrades row-wise. */
+  def decodeWav(payload: Array[Byte]): Option[AudioStats] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+      else {
+        val bytes = ais.readAllBytes()
+        var (sum, sabs) = (0L, 0L)
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toInt
+          sum += s; sabs += math.abs(s)
+          i += 2
+        }
+        Some(AudioStats(0L, fmt.getSampleRate.toLong,
+          fmt.getChannels.toLong, bytes.length / 2L, sum, sabs))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Batched WAV decode over a binary audio column — the audio twin of
+    * [[decodeImageStats]]. */
+  def decodeAudioStats(media: Dataset[MediaRecord])
+                      (implicit spark: SparkSession): Dataset[AudioStats] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap(m => decodeWav(m.payload).map(_.copy(media_id = m.media_id)))
+    }
+  }
+
   /** Extracted features: fixed-width vector + provenance metadata.
     * `slot_sums` are the exact per-slot byte sums the float features
     * derive from — integer, so an external oracle can reproduce them

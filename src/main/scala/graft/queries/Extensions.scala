@@ -742,6 +742,19 @@ object Extensions {
           id, "image/png", graft.operators.Multimodal.syntheticPng(id))))
       graft.operators.Multimodal.decodeImageStats(media).toDF()
     }),
+    // REAL audio decode, end to end: deterministic mono 16-bit PCM WAVs
+    // generated per document id (sample formula shared with the oracle —
+    // Multimodal.AudioCoef), written with javax.sound.sampled, parsed
+    // back (header fields + exact sample sums). WAV PCM is lossless, so
+    // the oracle recomputes every value from the formula alone.
+    "mm_audio" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => graft.operators.Multimodal.MediaRecord(
+          id, "audio/wav", graft.operators.Multimodal.syntheticWav(id))))
+      graft.operators.Multimodal.decodeAudioStats(media).toDF()
+    }),
     // thumbnail-style resize: positional decimation to 32 payload bytes
     // as a codegen'd expression (same stub semantics as
     // Multimodal.resizeStub — the earlier typed Dataset.map deserialized
@@ -1683,6 +1696,23 @@ object Extensions {
       FROM documents,
            LATERAL unnest(generate_series(0, ${FixtureSize - 1})) AS gx(x),
            LATERAL unnest(generate_series(0, ${FixtureSize - 1})) AS gy(y)
+      GROUP BY doc_id"""
+    },
+    "mm_audio" -> {
+      // generated from the SAME constants as the fixture (AudioCoef,
+      // AudioSamples, AudioRate): WAV PCM is lossless, so the decoded
+      // sample sums must equal the formula sums exactly
+      import graft.operators.Multimodal.{AudioCoef, AudioSamples, AudioRate}
+      val f = s"(doc_id * ${AudioCoef._1} + g.k * ${AudioCoef._2}) % 65536 - 32768"
+      s"""
+      SELECT doc_id AS media_id,
+             CAST($AudioRate AS BIGINT) AS sample_rate,
+             CAST(1 AS BIGINT) AS channels,
+             CAST($AudioSamples AS BIGINT) AS n_samples,
+             CAST(SUM($f) AS BIGINT) AS sum_amp,
+             CAST(SUM(ABS($f)) AS BIGINT) AS sum_abs
+      FROM documents,
+           LATERAL unnest(generate_series(0, ${AudioSamples - 1})) AS g(k)
       GROUP BY doc_id"""
     },
     "mm_resize" -> """

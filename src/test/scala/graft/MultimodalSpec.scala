@@ -75,6 +75,27 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(small.getRGB(x, y) == img.getRGB(2 * x, 2 * y), s"($x,$y)")
   }
 
+  test("real WAV decode: encode → decode reproduces the formula samples exactly") {
+    val id = 42L
+    val wav = Multimodal.syntheticWav(id)
+    // RIFF magic first — this is a real file, not raw PCM
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val st = Multimodal.decodeWav(wav).get
+    assert(st.sample_rate == Multimodal.AudioRate && st.channels == 1L &&
+      st.n_samples == Multimodal.AudioSamples)
+    var (sum, sabs) = (0L, 0L)
+    for (k <- 0 until Multimodal.AudioSamples) {
+      val s = ((id * Multimodal.AudioCoef._1 + k * Multimodal.AudioCoef._2)
+        % 65536L - 32768L).toInt
+      sum += s; sabs += math.abs(s)
+    }
+    assert((st.sum_amp, st.sum_abs) == ((sum, sabs)),
+      "decoded PCM sums diverge from the generator formula")
+    // non-audio payloads drop row-wise, matching the image path
+    assert(Multimodal.decodeWav("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(Multimodal.syntheticPng(1L)).isEmpty)
+  }
+
   test("decodeImageStats: per-partition decode; undecodable payloads drop row-wise") {
     implicit val s = spark
     import s.implicits._

@@ -112,7 +112,7 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "dedup_containment", "dedup_embedding", "dedup_embedding_incr",
     "dedup_incremental", "dedup_minhash", "dedup_ngram", "dedup_norm",
     "dedup_semantic", "dedup_simhash", "dedup_substring",
-    "mm_binary_meta", "mm_decode", "mm_features",
+    "mm_audio", "mm_binary_meta", "mm_decode", "mm_features",
     "mm_frame_sample", "mm_resize", "q3_shipping_priority", "q_array_fns",
     "q_attribution", "q_bitwise", "q_cdc_latest", "q_datetime_arith",
     "q_domain_mix", "q_explode", "q_explode_outer", "q_filter_scan",
