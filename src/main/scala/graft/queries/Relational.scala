@@ -176,18 +176,25 @@ object Relational {
       // a constant-size mergeable sketch). The exact legs exist for
       // the gate — at 100 TB only the approx columns survive.
       //
-      // One single-distinct aggregate PER COLUMN, 1-row results joined:
-      // two different-column exact distincts in one aggregate plan a 3×
-      // Expand of the fact table (measured 35 s vs seconds at sf0.1);
-      // single-distinct plans the partial-by-value form, no Expand.
+      // ONE aggregate function per scan, 1-row frames joined. Anything
+      // denser degrades: two different-column exact distincts in one
+      // aggregate plan a 3× Expand of the fact table (measured 35 s at
+      // sf0.1), and pairing the HLL with a distinct agg makes the
+      // one-distinct rewrite carry a per-distinct-VALUE HLL buffer
+      // through its phase-1 aggregate — 16 KB × |distinct| of
+      // allocation (measured 10.8 s). Four clean scans are ~0.3 s each
+      // and each is the plan you would actually run at 100 TB.
       val li = Tables.lineitem(s, d)
-      def leg(c: String, alias: String) = li.agg(
-        countDistinct(col(c)).as(s"exact_$alias"),
-        approx_count_distinct(col(c), 0.01).as(s"approx_$alias"))
-      def within(alias: String) =
-        (abs(col(s"approx_$alias") - col(s"exact_$alias"))
-          <= col(s"exact_$alias").cast("double") * 0.05).cast("int")
-      leg("l_partkey", "parts").crossJoin(leg("l_orderkey", "orders"))
+      def exact(c: String, a: String) =
+        li.agg(countDistinct(col(c)).as(s"exact_$a"))
+      def approx(c: String, a: String) =
+        li.agg(approx_count_distinct(col(c), 0.01).as(s"approx_$a"))
+      def within(a: String) =
+        (abs(col(s"approx_$a") - col(s"exact_$a"))
+          <= col(s"exact_$a").cast("double") * 0.05).cast("int")
+      exact("l_partkey", "parts").crossJoin(approx("l_partkey", "parts"))
+        .crossJoin(exact("l_orderkey", "orders"))
+        .crossJoin(approx("l_orderkey", "orders"))
         .select(col("exact_parts"), col("exact_orders"),
           within("parts").as("parts_within_5pct"),
           within("orders").as("orders_within_5pct"))

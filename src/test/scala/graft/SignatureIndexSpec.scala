@@ -641,6 +641,69 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     assert(held == Set(1L, 10L))
   }
 
+  test("embedding ingestion survives a process restart through its checkpoint") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    // the embedding twin of the text-loop restart law: same marker-skip
+    // hazard, same durable-offset cure — drain one file, stop, land two
+    // more (a near-dup of the first batch's novelty + a genuinely novel
+    // vector), restart from the SAME checkpoint, end state must equal
+    // the uninterrupted run's
+    def writeOneFile(df: org.apache.spark.sql.DataFrame, dest: String,
+                     mtime: Long): Unit = {
+      val tmp = graft.sources.Scratch.dir(
+        s"ers-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(
+        _.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(dest),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val vecSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def stream(dir: String) = spark.readStream.schema(vecSchema)
+      .format("parquet").option("maxFilesPerTrigger", 1).load(dir)
+    val t = System.currentTimeMillis()
+    val idxDir = graft.sources.Scratch.dir("ers-idx")
+    val outDir = graft.sources.Scratch.dir("ers-out") + "/pairs"
+    val ckptDir = graft.sources.Scratch.dir("ers-ckpt")
+    val streamDir = graft.sources.Scratch.dir("ers-in")
+    Similarity.writeEmbeddingIndex(
+      Seq((1L, vB)).toDF("vec_id", "embedding"), idxDir)
+    writeOneFile(Seq((10L, vA)).toDF("vec_id", "embedding"),
+      s"$streamDir/b0.parquet", t - 60000)
+    graft.streaming.StreamOps
+      .selfMaintainingEmbeddingStream(stream(streamDir), idxDir, outDir, ckptDir)
+      .stop()
+    writeOneFile(Seq((20L, vA2)).toDF("vec_id", "embedding"),
+      s"$streamDir/b1.parquet", t - 30000)
+    writeOneFile(Seq((30L, vC)).toDF("vec_id", "embedding"),
+      s"$streamDir/b2.parquet", t)
+    graft.streaming.StreamOps
+      .selfMaintainingEmbeddingStream(stream(streamDir), idxDir, outDir, ckptDir)
+      .stop()
+
+    val refIdx = graft.sources.Scratch.dir("ers-ref-idx")
+    val refOut = graft.sources.Scratch.dir("ers-ref-out") + "/pairs"
+    Similarity.writeEmbeddingIndex(
+      Seq((1L, vB)).toDF("vec_id", "embedding"), refIdx)
+    graft.streaming.StreamOps.selfMaintainingEmbeddingStream(
+      stream(streamDir), refIdx, refOut,
+      graft.sources.Scratch.dir("ers-ref-ckpt"))
+      .stop()
+
+    assert(embState(idxDir, outDir) == embState(refIdx, refOut),
+      "embedding stop/restart-through-checkpoint diverged from the uninterrupted run")
+    val held = Similarity.readEmbeddingIndex(spark, idxDir).vectors
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    assert(held == Seq(1L, 10L, 30L), s"index after restart: $held")
+  }
+
   test("embedding loop: batch 2 dedups against batch 1's novel vectors") {
     import spark.implicits._
     val idxDir = graft.sources.Scratch.dir("eloop-idx")
