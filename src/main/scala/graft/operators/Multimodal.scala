@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (SURVEY §2.9): image/audio/video travel as
   * opaque `binary` payloads with typed metadata, and feature extraction
   * runs batched per partition — the Spark-side shape (schema,
-  * partitioning, batch iteration) is real. The IMAGE codec is real too:
-  * [[decodeImage]] is pure-JVM `javax.imageio` (PNG/BMP/GIF, no native
-  * libraries), exercised end-to-end by the `mm_decode` gate against a
-  * generated-PNG fixture whose pixel values an external oracle can
-  * recompute exactly. Audio/video decode remains a deterministic stub
-  * (no codec libraries ship in this environment).
+  * partitioning, batch iteration) is real. The IMAGE and AUDIO codecs
+  * are real too: [[decodeImage]] is pure-JVM `javax.imageio` (PNG/BMP/
+  * GIF, no native libraries) and [[decodeWav]] is pure-JVM
+  * `javax.sound.sampled` WAV/PCM parsing — both exercised end-to-end by
+  * the `mm_decode` / `mm_audio` gates against generated fixtures whose
+  * pixel/sample values an external oracle recomputes exactly (PNG and
+  * WAV PCM are lossless). Only VIDEO decode remains a deterministic
+  * stub (no codec libraries ship in this environment).
   *
   * Scale notes: payloads never shuffle for metadata-only queries (column
   * pruning drops them at the scan); feature extraction is `mapPartitions`
