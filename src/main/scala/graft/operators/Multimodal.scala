@@ -108,6 +108,126 @@ object Multimodal {
     out
   }
 
+  // ---- real video codec (multi-frame GIF via javax.imageio) --------------
+
+  /** The `mm_video` fixture's pixel formula: gray level of pixel (x, y)
+    * in frame f of clip `id` is `(id·k0 + f·k1 + x·k2 + y·k3) mod 256`
+    * with coefficients [[VideoCoef]]. GIF is lossless for ≤256 colors
+    * and the fixture uses the full 256-level gray palette, so encode →
+    * decode must reproduce these exact values. */
+  val VideoCoef: (Long, Long, Long, Long) = (11L, 41L, 7L, 13L)
+  val VideoFrames = 8
+  val VideoSize = 16
+  val VideoStride = 2
+
+  private def videoGray(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * VideoCoef._1 + f * VideoCoef._2 + x * VideoCoef._3 +
+      y * VideoCoef._4) % 256L).toInt
+
+  /** Deterministic multi-frame grayscale GIF for clip `id` — the
+    * "video" fixture: `nFrames` full frames, no inter-frame delta
+    * compression tricks, written with the JDK's own GIF sequence
+    * writer. */
+  def syntheticGif(id: Long, nFrames: Int = VideoFrames,
+                   size: Int = VideoSize): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      // identity gray PALETTE, not TYPE_BYTE_GRAY: getRGB on a gray
+      // colorspace image applies linear-gray → sRGB conversion, which
+      // would break the exact round trip; an IndexColorModel with
+      // entry i = (i, i, i) is stored verbatim in the GIF
+      val cmap = Array.tabulate(256)(i => (0xff << 24) | (i << 16) | (i << 8) | i)
+      val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0, false,
+        -1, java.awt.image.DataBuffer.TYPE_BYTE)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(size, size,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < size) {
+          var x = 0
+          while (x < size) {
+            raster.setSample(x, y, 0, videoGray(id, f, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** One REAL decoded video frame: index, dimensions, exact gray sum. */
+  case class FrameStats(media_id: Long, frame_idx: Int, width: Int,
+                        height: Int, gray_sum: Long)
+
+  /** REAL keyframe extraction — pure-JVM `javax.imageio` multi-frame
+    * GIF read: every `stride`-th frame decoded to pixels and reduced to
+    * exact integer gray sums. Empty for non-GIF payloads (row-wise
+    * degradation, like the image and audio paths). This replaces the
+    * byte-chunking [[sampleFrames]] stub with an actual container
+    * parse: frame COUNT comes from the file, not from byte arithmetic. */
+  def decodeGifFrames(payload: Array[Byte],
+                      stride: Int = VideoStride): Seq[FrameStats] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Nil
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          if (r.getFormatName.toLowerCase != "gif") Nil
+          else {
+            val n = r.getNumImages(true)
+            (0 until n by stride).map { i =>
+              val img = r.read(i)
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  sum += (img.getRGB(x, y) & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              FrameStats(0L, i, img.getWidth, img.getHeight, sum)
+            }
+          }
+        } finally r.dispose()
+      }
+    } catch {
+      case _: java.io.IOException => Nil
+    }
+
+  /** Batched multi-frame decode over a binary video column — the video
+    * twin of [[decodeImageStats]]/[[decodeAudioStats]], flatMap-shaped
+    * like real keyframe extraction (one row → few frames). */
+  def decodeVideoFrames(media: Dataset[MediaRecord],
+                        stride: Int = VideoStride)
+                       (implicit spark: SparkSession): Dataset[FrameStats] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap(m =>
+        decodeGifFrames(m.payload, stride).map(_.copy(media_id = m.media_id)))
+    }
+  }
+
   /** Per-image decode + stats row: dimensions and exact channel sums of
     * the decoded image and of its [[resizeImage nearest-neighbor]]
     * `resizeTo`×`resizeTo` thumbnail. */

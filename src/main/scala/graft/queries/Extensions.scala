@@ -742,6 +742,20 @@ object Extensions {
           id, "image/png", graft.operators.Multimodal.syntheticPng(id))))
       graft.operators.Multimodal.decodeImageStats(media).toDF()
     }),
+    // REAL video-frame extraction, end to end: deterministic multi-frame
+    // grayscale GIFs generated per document id (pixel formula shared
+    // with the oracle — Multimodal.VideoCoef), written with the JDK GIF
+    // sequence writer, frames parsed back from the CONTAINER (count from
+    // the file, not byte arithmetic), every 2nd frame decoded to pixels
+    // and reduced to exact gray sums. GIF is lossless at ≤256 colors.
+    "mm_video" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => graft.operators.Multimodal.MediaRecord(
+          id, "video/gif", graft.operators.Multimodal.syntheticGif(id))))
+      graft.operators.Multimodal.decodeVideoFrames(media).toDF()
+    }),
     // REAL audio decode, end to end: deterministic mono 16-bit PCM WAVs
     // generated per document id (sample formula shared with the oracle —
     // Multimodal.AudioCoef), written with javax.sound.sampled, parsed
@@ -1697,6 +1711,25 @@ object Extensions {
            LATERAL unnest(generate_series(0, ${FixtureSize - 1})) AS gx(x),
            LATERAL unnest(generate_series(0, ${FixtureSize - 1})) AS gy(y)
       GROUP BY doc_id"""
+    },
+    "mm_video" -> {
+      // generated from the SAME constants as the fixture (VideoCoef,
+      // VideoFrames/Size/Stride): GIF is lossless at ≤256 colors, so
+      // the decoded gray sums must equal the formula sums exactly
+      import graft.operators.Multimodal.{VideoCoef, VideoFrames, VideoSize, VideoStride}
+      val (k0, k1, k2, k3) = VideoCoef
+      val f = s"(doc_id * $k0 + gf.f * $k1 + gx.x * $k2 + gy.y * $k3) % 256"
+      s"""
+      SELECT doc_id AS media_id,
+             CAST(gf.f AS INT) AS frame_idx,
+             CAST($VideoSize AS INT) AS width,
+             CAST($VideoSize AS INT) AS height,
+             CAST(SUM($f) AS BIGINT) AS gray_sum
+      FROM documents,
+           LATERAL unnest(generate_series(0, ${VideoFrames - 1}, $VideoStride)) AS gf(f),
+           LATERAL unnest(generate_series(0, ${VideoSize - 1})) AS gx(x),
+           LATERAL unnest(generate_series(0, ${VideoSize - 1})) AS gy(y)
+      GROUP BY doc_id, gf.f"""
     },
     "mm_audio" -> {
       // generated from the SAME constants as the fixture (AudioCoef,

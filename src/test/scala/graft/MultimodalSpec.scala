@@ -96,6 +96,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.decodeWav(Multimodal.syntheticPng(1L)).isEmpty)
   }
 
+  test("real GIF frame extraction: container frame count + formula-exact gray sums") {
+    val id = 42L
+    val gif = Multimodal.syntheticGif(id)
+    assert(new String(gif.take(3), "US-ASCII") == "GIF")
+    // stride 1: all frames, exact pixels
+    val all = Multimodal.decodeGifFrames(gif, stride = 1)
+    assert(all.map(_.frame_idx) == (0 until Multimodal.VideoFrames),
+      "frame count must come from the container")
+    all.foreach { fr =>
+      assert(fr.width == Multimodal.VideoSize && fr.height == Multimodal.VideoSize)
+      var expect = 0L
+      for (y <- 0 until Multimodal.VideoSize; x <- 0 until Multimodal.VideoSize) {
+        val (k0, k1, k2, k3) = Multimodal.VideoCoef
+        expect += (id * k0 + fr.frame_idx * k1 + x * k2 + y * k3) % 256L
+      }
+      assert(fr.gray_sum == expect,
+        s"frame ${fr.frame_idx} gray sum diverges from the generator formula")
+    }
+    // default stride keeps every 2nd frame with original indices
+    assert(Multimodal.decodeGifFrames(gif).map(_.frame_idx) ==
+      (0 until Multimodal.VideoFrames by Multimodal.VideoStride))
+    // non-GIF payloads drop row-wise: a PNG is image-decodable but is
+    // NOT a frame container, and noise is nothing at all
+    assert(Multimodal.decodeGifFrames(Multimodal.syntheticPng(1L)).isEmpty)
+    assert(Multimodal.decodeGifFrames("not video".getBytes).isEmpty)
+  }
+
   test("decodeImageStats: per-partition decode; undecodable payloads drop row-wise") {
     implicit val s = spark
     import s.implicits._

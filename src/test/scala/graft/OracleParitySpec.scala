@@ -113,7 +113,7 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "dedup_incremental", "dedup_minhash", "dedup_ngram", "dedup_norm",
     "dedup_semantic", "dedup_simhash", "dedup_substring",
     "mm_audio", "mm_binary_meta", "mm_decode", "mm_features",
-    "mm_frame_sample", "mm_resize", "q3_shipping_priority", "q_array_fns",
+    "mm_frame_sample", "mm_resize", "mm_video", "q3_shipping_priority", "q_array_fns",
     "q_attribution", "q_bitwise", "q_cdc_latest", "q_datetime_arith",
     "q_domain_mix", "q_explode", "q_explode_outer", "q_filter_scan",
     "q_fuzzy_string", "q_generate_series", "q_group_sample_k",
