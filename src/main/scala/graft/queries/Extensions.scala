@@ -789,6 +789,25 @@ object Extensions {
           col("n_regionkey")), s"$tmp/nation")
       s.read.orc(s"$tmp/nation")
     }),
+    // S1/K3 format breadth: Spark 4's BUILT-IN XML source round trip —
+    // one <nation> element per row; XML carries no types, so read-back
+    // uses the explicit schema (inference would widen the int keys)
+    "q_xml_roundtrip" -> ((s, d) => {
+      val tmp = graft.sources.Scratch.dir("xml")
+      graft.sources.Sinks.overwriteXml(
+        Tables.nation(s, d).select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey")), s"$tmp/nation", rowTag = "nation")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_nationkey",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("n_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_regionkey",
+          org.apache.spark.sql.types.IntegerType)))
+      s.read.schema(schema).option("rowTag", "nation").format("xml")
+        .load(s"$tmp/nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
     // streaming foreachBatch sink round trip: stream → batch parquet
     // writer per micro-batch → read back, oracle = the batch projection
     "stream_sink_roundtrip" -> ((s, d) => {
@@ -1759,6 +1778,8 @@ object Extensions {
               END AS t
             FROM documents) x""",
     "q_orc_roundtrip" -> """
+      SELECT n_nationkey, n_name, n_regionkey FROM nation""",
+    "q_xml_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "q_json_roundtrip" -> """
       SELECT s_suppkey, s_name, s_nationkey FROM supplier""",

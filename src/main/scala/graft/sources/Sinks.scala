@@ -28,6 +28,13 @@ object Sinks {
   def overwriteOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** XML sink — Spark 4's built-in XML source (`rowTag` = the element
+    * wrapping each row). Like the JSON/CSV sinks, read-back goes
+    * through an explicit schema: XML carries no types at all. */
+  def overwriteXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag).format("xml")
+      .save(path)
+
   /** K2 strict parity: JDBC writer — the reference's multi-row INSERT
     * over libpq (`dags/utils/df_to_sql.py:12-13`, connection
     * `dags/etl.py:13`) is the `overwrite` JDBC mode; quoting/escaping
