@@ -53,11 +53,27 @@ object Sinks {
     * in parallel, and shard k's every key ≤ shard k+1's — a single-task
     * `ORDER BY` write would funnel the corpus through one sorter.
     * Layout law (files = shards, disjoint ordered key ranges) is
-    * asserted in `SinksSkewSpec`. */
+    * asserted in `SinksSkewSpec`.
+    *
+    * `nShards = 0` (the default) auto-sizes from a counting pass:
+    * ceil(rows / `targetRowsPerShard`), capped at 100k shards — a fixed
+    * shard count is wrong at both ends (8 shards of a 100 TB corpus are
+    * 12 TB sort partitions; 8 shards of a test fixture are fine), and
+    * the extra scan is the same order of work as the range sampler's. */
   def writeRangeShards(df: DataFrame, path: String, orderCol: String,
-                       nShards: Int): Unit = {
-    require(nShards > 0, s"writeRangeShards: nShards must be positive, got $nShards")
-    df.repartitionByRange(nShards, org.apache.spark.sql.functions.col(orderCol))
+                       nShards: Int = 0,
+                       targetRowsPerShard: Long = 4000000L): Unit = {
+    require(nShards >= 0, s"writeRangeShards: nShards must be >= 0, got $nShards")
+    require(targetRowsPerShard > 0,
+      s"writeRangeShards: targetRowsPerShard must be positive, got $targetRowsPerShard")
+    val n =
+      if (nShards > 0) nShards
+      else {
+        val rows = df.count()
+        math.min(100000L, (rows + targetRowsPerShard - 1) / targetRowsPerShard)
+          .toInt.max(1)
+      }
+    df.repartitionByRange(n, org.apache.spark.sql.functions.col(orderCol))
       .sortWithinPartitions(orderCol)
       .write.mode("overwrite").parquet(path)
   }

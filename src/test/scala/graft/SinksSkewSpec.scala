@@ -104,14 +104,30 @@ class SinksSkewSpec extends AnyFunSuite with SparkSpec {
     // layout: one parquet file per shard, ranges disjoint up to boundary
     // key ties (equal keys never split across shards, so touching
     // endpoints can only be the same key)
-    val ranges = back.groupBy(input_file_name().as("f"))
-      .agg(fmin(col("seq_idx")).as("lo"), fmax(col("seq_idx")).as("hi"))
-      .orderBy(col("lo"))
-      .select("lo", "hi").as[(Long, Long)].collect()
+    def shardRanges(dir: String) =
+      spark.read.parquet(dir).groupBy(input_file_name().as("f"))
+        .agg(fmin(col("seq_idx")).as("lo"), fmax(col("seq_idx")).as("hi"))
+        .orderBy(col("lo"))
+        .select("lo", "hi").as[(Long, Long)].collect()
+    val ranges = shardRanges(out)
     assert(ranges.length == 8, s"expected 8 shard files, got ${ranges.length}")
     ranges.sliding(2).foreach {
       case Array((_, hi), (lo2, _)) =>
         assert(hi <= lo2, s"shard ranges overlap: hi=$hi > next lo=$lo2")
+      case _ => ()
+    }
+    // auto-sizing: nShards = 0 derives ceil(rows / targetRowsPerShard)
+    // and the layout law holds for the derived count too
+    val out2 = graft.sources.Scratch.dir("shard-law-auto") + "/pack"
+    val rows = packed.count()
+    Sinks.writeRangeShards(packed, out2, "seq_idx", nShards = 0,
+      targetRowsPerShard = 100L)
+    val auto = shardRanges(out2)
+    assert(auto.length == ((rows + 99) / 100).toInt,
+      s"auto sizing produced ${auto.length} shards for $rows rows")
+    auto.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"auto shard ranges overlap: hi=$hi > next lo=$lo2")
       case _ => ()
     }
   }
