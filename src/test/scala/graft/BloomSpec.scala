@@ -109,4 +109,75 @@ class BloomSpec extends AnyFunSuite with SparkSpec {
       s"bloom kept $kept of $total postings (exact overlap $exactOverlap) " +
         "— prefilter is not selective, the 100 TB story collapses")
   }
+
+  test("membership probe indexes in Long: no wrap on a 2^26-word (2^32-bit) bitmap") {
+    // Regression law for the Int-truncation fix: with words > 2^25 the
+    // bit mask exceeds Int.MaxValue, and an Int cast of the masked
+    // position wraps negative — probing garbage words instead of the
+    // Kirsch–Mitzenstein positions. A 2^26-long array is 512 MB, so the
+    // bitmap is VIRTUAL: a sparse ArrayData backed by exactly the words
+    // the correct Long math populates. A wrapped probe reads an empty
+    // word and comes back false.
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val words = 1 << 26
+    val mask = words.toLong * 64L - 1L
+    val k = 5
+    // hashes chosen so at least one probe position exceeds 2^31
+    val hashes = Seq(0x7fffffffffL, -987654321012345L, 42L, Long.MinValue + 7)
+    val set = scala.collection.mutable.HashMap.empty[Int, Long]
+    for (h <- hashes) {
+      val h2 = BloomOps.mixOdd(h)
+      for (i <- 0 until k) {
+        val pos = (h + i * h2) & mask
+        set(( pos >>> 6).toInt) = set.getOrElse((pos >>> 6).toInt, 0L) |
+          (1L << (pos & 63L).toInt)
+      }
+    }
+    // sanity: the fixture actually exercises the high range
+    assert(hashes.exists { h =>
+      val h2 = BloomOps.mixOdd(h)
+      (0 until k).exists(i => ((h + i * h2) & mask) > Int.MaxValue.toLong)
+    }, "fixture never probes past 2^31 — weaken nothing, pick other hashes")
+    val sparse: ArrayData = new ArrayData {
+      override def numElements(): Int = words
+      override def getLong(i: Int): Long = set.getOrElse(i, 0L)
+      override def isNullAt(i: Int): Boolean = false
+      override def copy(): ArrayData = this
+      override def array: Array[Any] = throw new UnsupportedOperationException
+      override def setNullAt(i: Int): Unit = throw new UnsupportedOperationException
+      override def update(i: Int, v: Any): Unit = throw new UnsupportedOperationException
+      override def get(i: Int, dt: org.apache.spark.sql.types.DataType): AnyRef =
+        java.lang.Long.valueOf(getLong(i))
+      override def getBoolean(i: Int): Boolean = throw new UnsupportedOperationException
+      override def getByte(i: Int): Byte = throw new UnsupportedOperationException
+      override def getShort(i: Int): Short = throw new UnsupportedOperationException
+      override def getInt(i: Int): Int = throw new UnsupportedOperationException
+      override def getFloat(i: Int): Float = throw new UnsupportedOperationException
+      override def getDouble(i: Int): Double = throw new UnsupportedOperationException
+      override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+        throw new UnsupportedOperationException
+      override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+        throw new UnsupportedOperationException
+      override def getBinary(i: Int): Array[Byte] = throw new UnsupportedOperationException
+      override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+        throw new UnsupportedOperationException
+      override def getStruct(i: Int, n: Int): org.apache.spark.sql.catalyst.InternalRow =
+        throw new UnsupportedOperationException
+      override def getArray(i: Int): ArrayData = throw new UnsupportedOperationException
+      override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
+        throw new UnsupportedOperationException
+      override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
+        throw new UnsupportedOperationException
+      override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
+        throw new UnsupportedOperationException
+      override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
+        throw new UnsupportedOperationException
+    }
+    for (h <- hashes)
+      assert(BloomOps.mightContain(h, sparse, k),
+        s"inserted hash $h not found — a probe position wrapped")
+    // and a disjoint hash still misses (the sparse fixture is not all-ones)
+    assert(!BloomOps.mightContain(0x123456789abL, sparse, k) ||
+      set.size >= words, "unexpected dense fixture")
+  }
 }
