@@ -63,12 +63,19 @@ object Multimodal {
   }
 
   /** REAL image decode — pure-JVM `javax.imageio` (PNG/BMP/GIF out of
-    * the box). None when the payload is not a decodable image, so a
-    * mixed-modality column degrades row-wise instead of failing the
-    * task. */
+    * the box). None when the payload is not a decodable image OR is
+    * recognized but corrupt (ImageIO.read throws IIOException/
+    * EOFException on a truncated PNG — at corpus scale a dirty payload
+    * must drop its row, never fail the task), so a mixed-modality
+    * column degrades row-wise. RuntimeException is caught too: the JDK
+    * plugins throw unchecked errors on some malformed headers. */
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    Option(javax.imageio.ImageIO.read(
+    try Option(javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload)))
+    catch {
+      case _: java.io.IOException => None
+      case _: RuntimeException => None
+    }
 
   /** Exact per-channel pixel sums — integers, so an external oracle can
     * reproduce them bit-for-bit (float means could not be compared). */
@@ -212,7 +219,12 @@ object Multimodal {
         } finally r.dispose()
       }
     } catch {
+      // IOException for truncated containers; RuntimeException because
+      // the JDK GIF plugin throws unchecked errors (e.g. on malformed
+      // frame tables) — both mean "this payload's frames are gone", a
+      // row-wise drop, not a task failure
       case _: java.io.IOException => Nil
+      case _: RuntimeException => Nil
     }
 
   /** Batched multi-frame decode over a binary video column — the video

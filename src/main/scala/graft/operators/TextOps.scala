@@ -203,8 +203,11 @@ object TextOps {
     // (a non-numeric id nulls out under the cast and would otherwise
     // surface as an opaque NPE in the bucket-total pull) + the id span
     // that drives the auto bucket sizing
+    // count(when(...)), not sum(when(...)): SUM over zero rows is NULL,
+    // so the sum form NPE'd on an EMPTY corpus before ever reaching the
+    // empty-handling branch below — count is 0 on no rows
     val s0 = counted0.agg(
-      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_null"),
+      count(when(col("doc_id").isNull, lit(1))).as("n_null"),
       min("doc_id").as("lo"), max("doc_id").as("hi")).head()
     require(s0.getLong(0) == 0L,
       s"packOffsets: ${s0.getLong(0)} rows have a null/non-numeric '$id' " +

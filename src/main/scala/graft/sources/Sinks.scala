@@ -59,7 +59,18 @@ object Sinks {
     * ceil(rows / `targetRowsPerShard`), capped at 100k shards — a fixed
     * shard count is wrong at both ends (8 shards of a 100 TB corpus are
     * 12 TB sort partitions; 8 shards of a test fixture are fine), and
-    * the extra scan is the same order of work as the range sampler's. */
+    * the extra scan is the same order of work as the range sampler's.
+    * The auto path also caps shards at the column's approximate
+    * distinct count (same single pass): range boundaries can't split a
+    * tied key, so more shards than keys only manufactures partitions
+    * with nothing to hold.
+    *
+    * Layout caveat: "one file per shard" means files ≤ nShards — Spark
+    * writes NO part file for an empty range partition, so an explicit
+    * nShards far above the key cardinality (or a heavily skewed
+    * orderCol, where the sampler gives several boundary ranges no rows)
+    * yields fewer files than shards. Ranges stay disjoint and ordered
+    * either way; only the file count shrinks. */
   def writeRangeShards(df: DataFrame, path: String, orderCol: String,
                        nShards: Int = 0,
                        targetRowsPerShard: Long = 4000000L): Unit = {
@@ -69,8 +80,15 @@ object Sinks {
     val n =
       if (nShards > 0) nShards
       else {
-        val rows = df.count()
-        math.min(100000L, (rows + targetRowsPerShard - 1) / targetRowsPerShard)
+        val s = df.agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.approx_count_distinct(
+            org.apache.spark.sql.functions.col(orderCol))).head()
+        val rows = s.getLong(0)
+        val keys = s.getLong(1)
+        math.min(math.min(100000L, math.max(1L, keys)),
+            (rows + targetRowsPerShard - 1) / targetRowsPerShard)
           .toInt.max(1)
       }
     df.repartitionByRange(n, org.apache.spark.sql.functions.col(orderCol))

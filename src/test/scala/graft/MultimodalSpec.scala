@@ -123,6 +123,40 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.decodeGifFrames("not video".getBytes).isEmpty)
   }
 
+  test("corrupt-but-recognized payloads drop row-wise, not as task failures") {
+    // A truncated PNG/GIF is RECOGNIZED by its header, so the reader
+    // commits to decoding and then throws mid-stream (IIOException /
+    // EOFException / unchecked plugin errors) — the case a plain
+    // ImageIO.read(...) null-check does not cover. On a dirty corpus
+    // that one payload must cost one row, never the task.
+    val png = Multimodal.syntheticPng(9L)
+    val gif = Multimodal.syntheticGif(9L)
+    for (cut <- Seq(png.length / 2, png.length / 4, 24))
+      assert(Multimodal.decodeImage(png.take(cut)).isEmpty,
+        s"truncated PNG (first $cut bytes) must decode to None")
+    // a GIF is a frame CONTAINER: cutting it mid-stream keeps the
+    // complete leading frames (valid partial data — the reader counts
+    // only frames it can fully parse) and must never throw; cutting
+    // inside the header yields nothing
+    val full = Multimodal.decodeGifFrames(gif, stride = 1)
+    for (cut <- Seq(gif.length / 2, gif.length / 4, 16)) {
+      val part = Multimodal.decodeGifFrames(gif.take(cut), stride = 1)
+      assert(part.size < full.size,
+        s"truncated GIF (first $cut bytes) must lose frames")
+      assert(part == full.take(part.size),
+        s"truncated GIF (first $cut bytes) must yield a clean frame prefix")
+    }
+    assert(Multimodal.decodeGifFrames(gif.take(8)).isEmpty,
+      "mid-header GIF must yield no frames")
+    // WAV cut mid-header (RIFF header is 44 bytes): unrecognizable →
+    // None. A cut past the header parses the prefix samples instead —
+    // WAV is a stream format, so that is a valid partial read, not an
+    // error.
+    assert(Multimodal.decodeWav(
+      Multimodal.syntheticWav(9L).take(20)).isEmpty,
+      "mid-header WAV must decode to None")
+  }
+
   test("decodeImageStats: per-partition decode; undecodable payloads drop row-wise") {
     implicit val s = spark
     import s.implicits._

@@ -315,4 +315,12 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("null/non-numeric"))
   }
+
+  test("packOffsets on an empty corpus returns an empty result, not an NPE") {
+    // regression: the null-id contract check used sum(when(...)), which
+    // is NULL over zero rows — getLong(0) then threw exactly the opaque
+    // NPE the check was added to prevent
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.packOffsets(empty, "doc_id", "text", 128).count() == 0)
+  }
 }
