@@ -16,8 +16,26 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Modulus for the MinHash permutation family (2^31 − 1, prime). */
   val P = 2147483647L
+
+  /** Default per-(band_idx, band_key) occupancy cap for every banded
+    * candidate generator (MinHash, SimHash, sign-LSH — self-join and
+    * bipartite forms). Web-scale corpora contain MEGA-DUPLICATE
+    * clusters — a boilerplate template duplicated 10⁶× collects in ONE
+    * band bucket, and a pairwise self-join there plans C(10⁶, 2) ≈
+    * 5·10¹¹ candidate pairs. Buckets past the cap are diverted to the
+    * linear hub-star path ([[hubStarPairs]]): a bucket that large IS a
+    * near-identical cluster, so spanning it through its minimum id (one
+    * exactly-verified edge per member) resolves it completely for
+    * `duplicateClusters` at occ − 1 pairs instead of C(occ, 2). The
+    * trade is recall on ADVERSARIALLY heterogeneous over-cap buckets
+    * (members unlike the hub lose edges they had under full pairwise) —
+    * on honest hashing such buckets essentially don't occur, and the
+    * diversion is logged loudly either way. */
+  val DefaultMaxBucket = 1000
   /** Permutation j: h → (a(j)·h + b(j)) mod P. Coefficients small enough
     * that a(j)·h stays < 2^63 for 32-bit shingle hashes. */
   def hashA(j: Int): Long = 999983L * j + 12345L
@@ -101,6 +119,83 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(id)).as("keeper"))
       .filter(col("n_copies") > 1)
 
+  /** Splits a banded blocking frame (any columns + `band_idx`,
+    * `band_key`) into (within-cap rows, Some(over-cap rows)) by
+    * per-bucket occupancy, with loud accounting of the diverted volume.
+    *
+    * The occupancy check is ONE eager aggregate over the band keys
+    * (column pruning drops the payloads; map-side combine shrinks the
+    * shuffle to distinct-bucket counts) — the same order of work as the
+    * sizing count the embedding path already pays. When NO bucket is
+    * over cap — every healthy corpus — the input is returned UNCHANGED
+    * with `None`: the common-case plan is bit-identical to the uncapped
+    * one, zero extra exchanges, and the guard's entire cost is that one
+    * narrow pass. Only a corpus that actually holds a mega-duplicate
+    * cluster pays for the split plan: occupancy rides as a window count
+    * over (band_idx, band_key) — one exchange on exactly the
+    * partitioning the downstream band-key join needs — and the over-cap
+    * rows divert to [[hubStarPairs]]. The window buffers one bucket per
+    * partition; a diverted mega-bucket spills, which is the bounded
+    * cost the cap exists to pay instead of C(occ, 2) join rows. */
+  private[graft] def splitByOccupancy(
+      banded: DataFrame, maxBucket: Int,
+      opName: String): (DataFrame, Option[DataFrame]) = {
+    require(maxBucket >= 2, s"$opName: maxBucket must be >= 2, got $maxBucket")
+    val over = banded.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") > maxBucket)
+      .agg(count(lit(1)), coalesce(sum(col("__occ")), lit(0L))).head()
+    if (over.getLong(0) == 0L) (banded, None)
+    else {
+      log.warn(s"$opName: diverting ${over.getLong(0)} band bucket(s) " +
+        s"holding ${over.getLong(1)} rows past maxBucket=$maxBucket to the " +
+        "linear hub-star path — a bucket this size is a near-identical " +
+        "mega-duplicate cluster; its pairs are spanned through the bucket " +
+        "minimum, not enumerated")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band_idx", "band_key")
+      val withOcc = banded.withColumn("__occ", count(lit(1)).over(w))
+      (withOcc.filter(col("__occ") <= maxBucket).drop("__occ"),
+        Some(withOcc.filter(col("__occ") > maxBucket).drop("__occ")))
+    }
+  }
+
+  /** Linear spanning candidates for over-cap buckets: each bucket's
+    * MINIMUM id becomes the hub and every other member pairs with it —
+    * occ − 1 pairs instead of C(occ, 2), and the hub is the minimum, so
+    * (outA < outB) holds by construction. Downstream exact verification
+    * is unchanged: a hub-star pair that fails the Jaccard/Hamming/cosine
+    * check drops like any other candidate, so the cap can never
+    * introduce a false positive — only bound the enumeration. */
+  private[graft] def hubStarPairs(big: DataFrame, idCol: String,
+                                  outA: String, outB: String): DataFrame = {
+    val hubs = big.groupBy("band_idx", "band_key")
+      .agg(min(col(idCol)).as("__hub"))
+    big.join(hubs, Seq("band_idx", "band_key"))
+      .filter(col(idCol) =!= col("__hub"))
+      .select(col("__hub").as(outA), col(idCol).as(outB))
+  }
+
+  /** [[hubStarPairs]] for banded rows that CARRY their verify payload
+    * (the minhash `hs` set, the simhash signature): the hub's payload
+    * comes out of the same per-bucket aggregate as the hub id (min of
+    * (id, payload) structs — the struct minimum is the id minimum), so
+    * the star needs NO re-attach join: both sides of every candidate
+    * pair leave this stage verify-ready, adding zero exchanges to the
+    * shared-blocking plan. */
+  private[graft] def hubStarPairsWithPayload(
+      big: DataFrame, idCol: String, payloadCol: String,
+      outA: String, outPayloadA: String,
+      outB: String, outPayloadB: String): DataFrame = {
+    val hubs = big.groupBy("band_idx", "band_key")
+      .agg(min(struct(col(idCol), col(payloadCol))).as("__hub"))
+    big.join(hubs, Seq("band_idx", "band_key"))
+      .filter(col(idCol) =!= col(s"__hub.$idCol"))
+      .select(col(s"__hub.$idCol").as(outA),
+        col(s"__hub.$payloadCol").as(outPayloadA),
+        col(idCol).as(outB), col(payloadCol).as(outPayloadB))
+  }
+
   /** Candidate near-dup pairs via MinHash + LSH banding, verified with
     * exact Jaccard on the shingle-hash sets:
     * (doc_a, doc_b, jaccard) with jaccard ≥ jaccardMin.
@@ -108,18 +203,34 @@ object Dedup {
     * numHashes signatures in `bands` bands of numHashes/bands rows — a
     * pair collides iff some band's signature matches exactly, so the
     * join key is (band_idx, band_signature): pure equality shuffle,
-    * bucket sizes bounded by true duplicate-cluster sizes. */
+    * bucket sizes bounded by true duplicate-cluster sizes. Because a
+    * corpus CAN contain a mega-duplicate cluster (and then a bucket is
+    * exactly that big), buckets past `maxBucket` never self-join:
+    * they divert to the linear hub-star span ([[hubStarPairs]], same
+    * exact verify), keeping candidate volume linear under any input. */
   def minhashPairs(df: DataFrame, id: String, text: String,
                    numHashes: Int = 16, bands: Int = 4,
-                   jaccardMin: Double = 0.5): DataFrame = {
-    val banded = bandedSignatures(df, id, text, numHashes, bands)
-    val l = banded.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+                   jaccardMin: Double = 0.5,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val sigs = minhashSignatures(df, id, text, numHashes)
+    val banded = sigs.select(col("doc_id"), col("hs"),
+      posexplode(array(bandKeyCols(numHashes, bands): _*))
+        .as(Seq("band_idx", "band_key")))
+    val (small, bigOpt) = splitByOccupancy(banded, maxBucket, "minhashPairs")
+    val l = small.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
       col("band_idx"), col("band_key"))
-    val r = banded.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+    val r = small.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
       col("band_idx"), col("band_key"))
-    l.join(r, Seq("band_idx", "band_key"))
+    val pairwise = l.join(r, Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ha", "hb").distinct()
+      .select("doc_a", "doc_b", "ha", "hb")
+    // star pairs leave verify-ready (the hub's shingle set comes out of
+    // the same per-bucket aggregate as its id) — no re-attach joins, so
+    // the diverted branch adds zero exchanges to the shared plan
+    val candidates = bigOpt.fold(pairwise)(big =>
+      pairwise.union(hubStarPairsWithPayload(big, "doc_id", "hs",
+        "doc_a", "ha", "doc_b", "hb").select("doc_a", "doc_b", "ha", "hb")))
+    candidates.distinct()
       // one-pass primitive Jaccard (vs size(array_intersect(..)) which
       // Catalyst re-evaluates in both the filter and the projection)
       .withColumn("jaccard",
@@ -161,21 +272,6 @@ object Dedup {
     sigs.select(col("doc_id"),
       posexplode(array(bandKeyCols(numHashes, bands): _*))
         .as(Seq("band_idx", "band_key")))
-
-  /** (doc_id, hs, band_idx, band_key) — the banded MinHash signature
-    * table, the shared blocking stage for [[minhashPairs]] (self-join)
-    * and [[simhashPairs]]-style verifies. Keeps `hs` on the exploded
-    * rows (both self-join sides need it for the verify) with NO extra
-    * join; the persisted-index format splits it off instead
-    * ([[MinhashIndex]]) so band keys don't store every shingle set
-    * `bands` times. */
-  private def bandedSignatures(df: DataFrame, id: String, text: String,
-                               numHashes: Int, bands: Int): DataFrame = {
-    val sigs = minhashSignatures(df, id, text, numHashes)
-    sigs.select(col("doc_id"), col("hs"),
-      posexplode(array(bandKeyCols(numHashes, bands): _*))
-        .as(Seq("band_idx", "band_key")))
-  }
 
   /** The corpus-side artifact of ingestion-time dedup, persistable via
     * [[writeMinhashIndex]] / [[readMinhashIndex]]: `bands` is (doc_id,
@@ -479,27 +575,52 @@ object Dedup {
   def crossMinhashPairs(incoming: DataFrame, corpus: DataFrame,
                         id: String, text: String,
                         numHashes: Int = 16, bands: Int = 4,
-                        jaccardMin: Double = 0.5): DataFrame =
+                        jaccardMin: Double = 0.5,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame =
     crossMinhashPairs(incoming,
       buildMinhashIndex(corpus, id, text, numHashes, bands),
-      id, text, jaccardMin)
+      id, text, jaccardMin, maxBucket)
 
   /** [[crossMinhashPairs]] against a precomputed corpus-side
     * [[MinhashIndex]] — the deployment shape: the batch plan touches the
     * index tables and the batch itself, NEVER the corpus documents
     * (asserted by `SignatureIndexSpec`'s plan audit). The candidate
     * stream carries ids only; shingle sets re-attach to the (distinct,
-    * far smaller) survivor set, mirroring [[Similarity.embeddingPairs]]. */
+    * far smaller) survivor set, mirroring [[Similarity.embeddingPairs]].
+    *
+    * Corpus-side buckets past `maxBucket` (a held mega-duplicate
+    * cluster) are probed through their bucket-minimum REPRESENTATIVE
+    * only: an incoming row hitting such a bucket gets one exactly-
+    * verified candidate instead of occ — the per-row fanout is bounded
+    * by maxBucket on ordinary buckets and 1 on diverted ones. For the
+    * novelty decision (is this incoming doc already held?) matching the
+    * representative of a near-identical cluster is equivalent to
+    * matching any member; `matched_id` then names that representative
+    * rather than enumerating the cluster. */
   def crossMinhashPairs(incoming: DataFrame, index: MinhashIndex,
                         id: String, text: String,
-                        jaccardMin: Double): DataFrame = {
+                        jaccardMin: Double): DataFrame =
+    crossMinhashPairs(incoming, index, id, text, jaccardMin, DefaultMaxBucket)
+
+  def crossMinhashPairs(incoming: DataFrame, index: MinhashIndex,
+                        id: String, text: String,
+                        jaccardMin: Double, maxBucket: Int): DataFrame = {
     val inSigs = minhashSignatures(incoming, id, text, index.numHashes)
     val l = bandKeysOf(inSigs, index.numHashes, index.nBands)
       .select(col("doc_id").as("new_id"), col("band_idx"), col("band_key"))
-    val r = index.bands
-      .select(col("doc_id").as("matched_id"), col("band_idx"), col("band_key"))
-    l.join(r, Seq("band_idx", "band_key"))
-      .select("new_id", "matched_id").distinct()
+    val (small, bigOpt) = splitByOccupancy(
+      index.bands.select(col("doc_id").as("matched_id"),
+        col("band_idx"), col("band_key")),
+      maxBucket, "crossMinhashPairs")
+    val direct = l.join(small, Seq("band_idx", "band_key"))
+      .select("new_id", "matched_id")
+    bigOpt.fold(direct) { big =>
+      val hubs = big.groupBy("band_idx", "band_key")
+        .agg(min(col("matched_id")).as("matched_id"))
+      direct.union(l.join(hubs, Seq("band_idx", "band_key"))
+        .select("new_id", "matched_id"))
+    }
+      .distinct()
       .join(inSigs.select(col("doc_id").as("new_id"), col("hs").as("ha")),
         Seq("new_id"))
       .join(index.sets.select(col("doc_id").as("matched_id"),
@@ -746,9 +867,20 @@ object Dedup {
   /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming (≤ 3), found
     * via 4-byte band blocking: distance ≤ 3 ⇒ at least one of the four
     * signature bytes matches exactly (pigeonhole), so candidates come
-    * from an equality join on (byte_idx, byte) — no all-pairs scan. */
+    * from an equality join on (byte_idx, byte) — no all-pairs scan.
+    *
+    * Buckets past `maxBucket` divert to the hub-star span like the
+    * MinHash family (a mega-duplicate cluster shares ONE simhash and
+    * lands whole in its four byte-buckets; the star's Hamming verify is
+    * exact, distance 0 to the hub). NOTE the scale envelope: byte
+    * banding has only 256 buckets per band, so MEAN occupancy is
+    * n/256 regardless of duplication — past n ≈ 256·maxBucket ordinary
+    * buckets start diverting too and recall degrades loudly (the warn
+    * log). That is the honest limit of 8-bit pigeonhole blocking; at
+    * that corpus size use [[minhashPairs]], whose key space scales. */
   def simhashPairs(df: DataFrame, id: String, text: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming <= 3, "4-band blocking is only exact for distance <= 3")
     // materialized (checkpoint/localCheckpoint): the band self-join
     // would otherwise recompute the full shingle+aggregate pipeline for
@@ -757,14 +889,19 @@ object Dedup {
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(expr("array(simhash & 255, shiftright(simhash, 8) & 255, " +
         "shiftright(simhash, 16) & 255, shiftright(simhash, 24) & 255)"))
-        .as(Seq("band_idx", "byte")))
-    val l = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
-      col("band_idx"), col("byte"))
-    val r = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
-      col("band_idx"), col("byte"))
-    l.join(r, Seq("band_idx", "byte"))
+        .as(Seq("band_idx", "band_key")))
+    val (small, bigOpt) = splitByOccupancy(banded, maxBucket, "simhashPairs")
+    val l = small.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
+      col("band_idx"), col("band_key"))
+    val r = small.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
+      col("band_idx"), col("band_key"))
+    val pairwise = l.join(r, Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sa", "sb").distinct()
+      .select("doc_a", "doc_b", "sa", "sb")
+    val candidates = bigOpt.fold(pairwise)(big =>
+      pairwise.union(hubStarPairsWithPayload(big, "doc_id", "simhash",
+        "doc_a", "sa", "doc_b", "sb").select("doc_a", "doc_b", "sa", "sb")))
+    candidates.distinct()
       .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as int)"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

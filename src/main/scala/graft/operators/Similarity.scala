@@ -270,15 +270,29 @@ object Similarity {
     * embeddings cluster — measured ≈ 1.9 at sf0.1, asserted ≤ 4).
     * Because auto-scaling fixes the occupancy DISTRIBUTION (not just
     * the mean) for a stationary corpus distribution, the whole bound is
-    * linear in n — vs the O(n²/2^r) a fixed rowBits degrades to. */
-  private[graft] def embeddingCandidates(banded: DataFrame): DataFrame = {
-    val l = banded.select(col("vec_id").as("id_a"),
+    * linear in n — vs the O(n²/2^r) a fixed rowBits degrades to.
+    *
+    * [[autoRowBits]] holds MEAN occupancy; a mega-duplicate cluster
+    * (one embedding repeated 10⁶×) still lands whole in one bucket per
+    * band, so buckets past `maxBucket` divert to the linear hub-star
+    * span ([[graft.operators.Dedup.hubStarPairs]]) — the exact-cosine
+    * verify downstream is unchanged, so the cap bounds enumeration
+    * without admitting false pairs. */
+  private[graft] def embeddingCandidates(
+      banded: DataFrame,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val (small, bigOpt) =
+      Dedup.splitByOccupancy(banded, maxBucket, "embeddingCandidates")
+    val l = small.select(col("vec_id").as("id_a"),
       col("band_idx"), col("band_key"))
-    val r = banded.select(col("vec_id").as("id_b"),
+    val r = small.select(col("vec_id").as("id_b"),
       col("band_idx"), col("band_key"))
-    l.join(r, Seq("band_idx", "band_key"))
+    val pairwise = l.join(r, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+    bigOpt.fold(pairwise)(big =>
+        pairwise.union(Dedup.hubStarPairs(big, "vec_id", "id_a", "id_b")))
+      .distinct()
   }
 
   /** (vec_id, band_idx, band_key) exploded from the banded signature —
@@ -301,7 +315,8 @@ object Similarity {
     * instead of silently diverging (see `Extensions.gateRowBits`). */
   def embeddingPairs(df: DataFrame, bands: Int = DefaultBands, rowBits: Int = 0,
                      cosMin: Double = 0.3,
-                     assertAutoAgrees: Boolean = false): DataFrame = {
+                     assertAutoAgrees: Boolean = false,
+                     maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val v = df.select(col("vec_id"), col("embedding"))
     // materialized (Dedup.materialize: reliable checkpoint on clusters,
     // GC-released localCheckpoint locally — persist() would pin the
@@ -327,7 +342,7 @@ object Similarity {
         }
         rowBits
       } else autoRowBits(b.count())
-    embeddingCandidates(withBandKeys(b, bands, rb))
+    embeddingCandidates(withBandKeys(b, bands, rb), maxBucket)
       .join(b.select(col("vec_id").as("id_a"), col("embedding").as("va")),
         Seq("id_a"))
       .join(b.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
@@ -539,24 +554,42 @@ object Similarity {
   def crossEmbeddingPairs(incoming: DataFrame, corpus: DataFrame,
                           bands: Int = DefaultBands, rowBits: Int = 0,
                           cosMin: Double = 0.3,
-                          assertAutoAgrees: Boolean = false): DataFrame =
+                          assertAutoAgrees: Boolean = false,
+                          maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
     crossEmbeddingPairs(incoming,
-      buildEmbeddingIndex(corpus, bands, rowBits, assertAutoAgrees), cosMin)
+      buildEmbeddingIndex(corpus, bands, rowBits, assertAutoAgrees), cosMin,
+      maxBucket)
 
   /** [[crossEmbeddingPairs]] against a precomputed corpus-side
     * [[EmbeddingIndex]] — the deployment shape: the batch plan touches
     * the index tables and the batch itself, NEVER the corpus embeddings
-    * (asserted by `SignatureIndexSpec`'s plan audit). */
+    * (asserted by `SignatureIndexSpec`'s plan audit). Corpus-side
+    * buckets past `maxBucket` are probed through their bucket-minimum
+    * representative only, bounding per-incoming-row fanout — see
+    * [[graft.operators.Dedup.crossMinhashPairs]] for the semantics. */
   def crossEmbeddingPairs(incoming: DataFrame, index: EmbeddingIndex,
-                          cosMin: Double): DataFrame = {
+                          cosMin: Double): DataFrame =
+    crossEmbeddingPairs(incoming, index, cosMin, Dedup.DefaultMaxBucket)
+
+  def crossEmbeddingPairs(incoming: DataFrame, index: EmbeddingIndex,
+                          cosMin: Double, maxBucket: Int): DataFrame = {
     val ci = Dedup.materialize(
       incoming.select(col("vec_id"), col("embedding")))
     val l = withBandKeys(ci, index.nBands, index.rowBits)
       .select(col("vec_id").as("new_id"), col("band_idx"), col("band_key"))
-    val r = index.bands
-      .select(col("vec_id").as("matched_id"), col("band_idx"), col("band_key"))
-    l.join(r, Seq("band_idx", "band_key"))
-      .select("new_id", "matched_id").distinct()
+    val (small, bigOpt) = Dedup.splitByOccupancy(
+      index.bands.select(col("vec_id").as("matched_id"),
+        col("band_idx"), col("band_key")),
+      maxBucket, "crossEmbeddingPairs")
+    val direct = l.join(small, Seq("band_idx", "band_key"))
+      .select("new_id", "matched_id")
+    bigOpt.fold(direct) { big =>
+      val hubs = big.groupBy("band_idx", "band_key")
+        .agg(min(col("matched_id")).as("matched_id"))
+      direct.union(l.join(hubs, Seq("band_idx", "band_key"))
+        .select("new_id", "matched_id"))
+    }
+      .distinct()
       .join(ci.select(col("vec_id").as("new_id"), col("embedding").as("va")),
         Seq("new_id"))
       .join(index.vectors.select(col("vec_id").as("matched_id"),

@@ -204,6 +204,73 @@ class CandidateBoundSpec extends AnyFunSuite with SparkSpec {
     assert(rSub >= 0.9, f"exact-substring recall $rSub%.3f < 0.9")
   }
 
+  test("mega-duplicate cluster: banded candidates stay linear, cluster fully resolved") {
+    // The adversarial input the occupancy cap exists for: one template
+    // duplicated 3000× shares ONE band key per band, so the uncapped
+    // pairwise self-join would plan C(3000, 2) ≈ 4.5M candidates — at
+    // web scale (10⁶ copies) that is 5·10¹¹. With maxBucket = 50 the
+    // over-cap buckets must divert to the linear hub-star span: pairs
+    // among the planted ids are EXACTLY the 2999 star edges (hub = min
+    // id, Jaccard 1.0 to every member), and duplicateClusters still
+    // resolves the whole cluster from them.
+    import spark.implicits._
+    val template = "the same boilerplate template text repeated verbatim " +
+      "across the whole crawl again and again"
+    val mega = (0L until 3000L).map(i => (i, template))
+    val bg = (100000L until 100050L).map(i =>
+      (i, s"unique background document number $i carrying tokens " +
+        s"alpha$i beta${i % 7} gamma${i % 13} delta${i % 29}"))
+    val docs = (mega ++ bg).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", maxBucket = 50)
+    val planted = pairs.filter(col("doc_b") < 100000L)
+    assert(planted.count() == 2999L,
+      "diverted mega-bucket must span the cluster with exactly occ-1 " +
+        "star edges, not enumerate C(occ,2) pairs")
+    assert(planted.filter(col("doc_a") =!= 0L).count() == 0,
+      "every star edge must anchor at the cluster minimum (the hub)")
+    assert(pairs.filter(col("jaccard") < 0.5).count() == 0)
+    val clusters = Dedup.duplicateClusters(planted)
+    assert(clusters.filter(col("cluster") === 0L).count() == 3000L,
+      "the planted mega-cluster must resolve completely via the star")
+
+    // SimHash path: identical docs share one simhash, so the same four
+    // byte-buckets hold the whole cluster — star edges at Hamming 0
+    val sPairs = Dedup.simhashPairs(docs, "doc_id", "text", maxBucket = 50)
+      .filter(col("doc_b") < 100000L)
+    assert(sPairs.count() == 2999L && sPairs.filter(col("hamming") =!= 0).count() == 0,
+      "simhash mega-bucket must divert to distance-0 star edges")
+
+    // Embedding path: vector 0 cloned 3000× over the sf0.001 corpus.
+    // Vector 0 shares every band bucket with its clones, so the hub of
+    // each diverted bucket is vec 0 itself: every clone must get
+    // exactly the (0, clone) star edge at cos 1.0 and nothing pairwise.
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val one = base.filter(col("vec_id") === 0L).head().getSeq[Float](1)
+    val megaVecs = spark.range(200000L, 203000L)
+      .select(col("id").as("vec_id"), typedLit(one).as("embedding"))
+    val ePairs = Similarity.embeddingPairs(base.union(megaVecs),
+      rowBits = 8, maxBucket = 50)
+    val eStar = ePairs.filter(col("id_b") >= 200000L)
+    assert(eStar.count() == 3000L,
+      s"embedding mega-bucket must span via the hub (got ${eStar.count()})")
+    assert(eStar.filter(col("id_a") =!= 0L).count() == 0,
+      "every clone edge must anchor at the bucket-minimum hub (vec 0)")
+    assert(ePairs.filter(col("cos") < 0.3).count() == 0)
+
+    // Bipartite ingestion form: the held corpus IS the mega-cluster;
+    // an incoming copy must probe it through ONE representative, not
+    // fan out to all 3000 members
+    val incoming = (500000L until 500020L).map(i => (i, template))
+      .toDF("doc_id", "text")
+    val cross = Dedup.crossMinhashPairs(incoming,
+      mega.toDF("doc_id", "text"), "doc_id", "text", maxBucket = 50)
+    assert(cross.count() == 20L,
+      "each incoming copy must match exactly the bucket representative")
+    assert(cross.filter(col("matched_id") =!= 0L).count() == 0,
+      "the diverted corpus bucket must be probed via its minimum id")
+  }
+
   test("substringPairs: shared 8-token run found across contexts; sub-window runs are not") {
     import spark.implicits._
     val run = (1 to 8).map(i => s"runtok$i").mkString(" ")

@@ -136,7 +136,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // both attach joins broadcast the bigram-bounded stats tables
       "text_familiarity" -> 4,
       // bipartite band join + distinct fold into one exchange, same as
-      // the dedup_minhash self-join it shares its blocking stage with
+      // the dedup_minhash self-join it shares its blocking stage with.
+      // The r11 mega-bucket occupancy guard does NOT appear here: its
+      // pre-check is a separate eager narrow aggregate, and on corpora
+      // with no over-cap bucket (this one) the returned plan is
+      // bit-identical to the uncapped form — the split/star plan only
+      // materializes when a mega-duplicate cluster is actually present
+      // (law in CandidateBoundSpec)
       "dedup_incremental" -> 1,
       "dedup_embedding_incr" -> 1)
     val byName = planOnly.toMap
