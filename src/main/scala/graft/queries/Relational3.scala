@@ -196,21 +196,33 @@ object Relational3 {
     // the 100 TB form of the profiler: approx_count_distinct per column
     // removes the distinct-expand entirely — the whole 5-column profile
     // is ONE partial→final aggregate over one scan (no Expand node,
-    // pinned in PlanAuditSpec). Rows-only gate: the estimates are
-    // engine-specific; the exact form above is the oracle-checked twin.
+    // pinned in PlanAuditSpec). Tolerance-gated like the sketch family:
+    // the estimates are engine-specific, so the OUTPUT carries the
+    // exact distincts (DuckDB recomputes them) plus a literal-verdict
+    // column pinning |approx − exact| ≤ 5% (rsd 0.01 keeps that true
+    // even at the sf0.001 parity corpus). The exact legs are GATE
+    // APPARATUS, not the operator: each is a single-distinct aggregate
+    // crossJoined as a 1-row frame — the multi-distinct single-agg
+    // form would pay the |cols|× Expand this profiler exists to avoid
+    // (q_profile documents that trap), and at 100 TB you run only the
+    // approx leg.
     "q_profile_approx" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val cols = profileCols
       val aggs = cols.flatMap(c => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        approx_count_distinct(col(c)).as(s"${c}__distinct"),
+        approx_count_distinct(col(c), 0.01).as(s"${c}__approx"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max")))
-      o.agg(aggs.head, aggs.tail: _*)
+      val approx = o.agg(aggs.head, aggs.tail: _*)
+      val exact = cols.map(c => o.agg(countDistinct(col(c)).as(s"${c}__exact")))
+      exact.foldLeft(approx)(_ crossJoin _)
         .select(expr(s"stack(${cols.length}, " + cols.map(c =>
-          s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
-          .mkString(", ") +
-          ") AS (col_name, n_nulls, n_distinct, min_v, max_v)"))
+          s"'$c', ${c}__nulls, ${c}__exact, " +
+            s"cast(abs(${c}__approx - ${c}__exact) <= ${c}__exact * 0.05 " +
+            s"as int), ${c}__min, ${c}__max").mkString(", ") +
+          ") AS (col_name, n_nulls, n_distinct, approx_within_5pct, " +
+          "min_v, max_v)"))
     }),
     // approximate-percentile sketch vs exact in the same aggregate.
     // Exact interpolated percentiles are doubles — NOT hash-safe across
@@ -285,6 +297,17 @@ object Relational3 {
       s"""SELECT '$c' AS col_name,
              CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
              CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             CAST(MIN($c) AS STRING) AS min_v,
+             CAST(MAX($c) AS STRING) AS max_v
+      FROM orders""").mkString("\n      UNION ALL "),
+    // tolerance oracle (sketch-gate scheme): DuckDB recomputes the
+    // EXACT per-column legs; the literal-1 verdict forces the Spark
+    // side's |approx − exact| ≤ 5% bound to hold for every column
+    "q_profile_approx" -> profileCols.map(c =>
+      s"""SELECT '$c' AS col_name,
+             CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             CAST(1 AS INT) AS approx_within_5pct,
              CAST(MIN($c) AS STRING) AS min_v,
              CAST(MAX($c) AS STRING) AS max_v
       FROM orders""").mkString("\n      UNION ALL "),

@@ -110,9 +110,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // multi-distinct profile: Expand + partial-by-(gid,value) +
       // final global agg — 2 exchanges for the whole 5-column profile
       "q_profile" -> 2,
-      // the approx form drops the Expand, so the whole profile is one
-      // partial→final aggregate: a single exchange
-      "q_profile_approx" -> 1,
+      // the approx OPERATOR is one partial→final aggregate (single
+      // exchange, no Expand — asserted below); the other 10 exchanges
+      // are GATE APPARATUS: five single-distinct exact legs (2 each,
+      // crossJoined as 1-row frames) that feed the within-5% verdict
+      // columns of the tolerance oracle. At 100 TB only the approx leg
+      // runs — the r10 1-exchange shape, recoverable by dropping the
+      // verdict columns
+      "q_profile_approx" -> 11,
       // two-phase prefix sum: the returned plan's only exchange is the
       // bounded within-bucket window (bucket totals ran eagerly); the
       // global-order single-window form this replaces would sort the
