@@ -80,6 +80,24 @@ object Curation {
     confirmedOverlaps(corpus, id, text, b, buildBloomBitmap(b, "h", mBits, k), k)
   }
 
+  /** The confirmed-hit stage of the Bloom plan: (doc_id, h) rows for
+    * every DISTINCT corpus shingle that truly occurs in the benchmark
+    * set — Bloom prefilter at the scan, exact confirm join. This is the
+    * mergeable form: distinct hits from different slices of the same
+    * document union correctly (re-aggregate with a distinct count),
+    * where pre-aggregated per-doc counts could not — distinct counts
+    * don't sum. [[graft.streaming.StreamOps.decontamStream]] persists
+    * THESE rows per micro-batch for exactly that reason. */
+  private[graft] def confirmedOverlapHits(corpus: DataFrame, id: String,
+                                          text: String, bench: DataFrame,
+                                          bitmap: Array[Long],
+                                          k: Int): DataFrame =
+    Dedup.shingleHashesFlat(corpus, id, text)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .filter(graft.functions.exprs
+        .bloom_might_contain(col("h"), typedLit(bitmap), k))
+      .join(bench, Seq("h"))
+
   /** The corpus-side half of the Bloom plan — Bloom prefilter at the
     * scan, exact confirm, per-doc overlap count — shared verbatim by
     * [[contaminatedDocsBloom]] (batch) and
@@ -90,11 +108,9 @@ object Curation {
   private[graft] def confirmedOverlaps(corpus: DataFrame, id: String,
                                        text: String, bench: DataFrame,
                                        bitmap: Array[Long], k: Int): DataFrame =
-    Dedup.shingleHashesFlat(corpus, id, text)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-      .filter(graft.functions.exprs
-        .bloom_might_contain(col("h"), typedLit(bitmap), k))
-      .join(bench, Seq("h"))
+    confirmedOverlapHits(corpus, id, text, bench, bitmap, k)
+      // hs is distinct per document, so each surviving (doc_id, h) is
+      // unique within one corpus frame — count(1) == count(DISTINCT h)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
 }

@@ -6,14 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (SURVEY §2.9): image/audio/video travel as
   * opaque `binary` payloads with typed metadata, and feature extraction
   * runs batched per partition — the Spark-side shape (schema,
-  * partitioning, batch iteration) is real. The IMAGE and AUDIO codecs
-  * are real too: [[decodeImage]] is pure-JVM `javax.imageio` (PNG/BMP/
-  * GIF, no native libraries) and [[decodeWav]] is pure-JVM
-  * `javax.sound.sampled` WAV/PCM parsing — both exercised end-to-end by
-  * the `mm_decode` / `mm_audio` gates against generated fixtures whose
-  * pixel/sample values an external oracle recomputes exactly (PNG and
-  * WAV PCM are lossless). Only VIDEO decode remains a deterministic
-  * stub (no codec libraries ship in this environment).
+  * partitioning, batch iteration) is real. So are all three codecs:
+  * [[decodeImage]] is pure-JVM `javax.imageio` (PNG/BMP/GIF, no native
+  * libraries), [[decodeWav]] is pure-JVM `javax.sound.sampled` WAV/PCM
+  * parsing, and [[decodeGifFrames]]/[[sampleKeyframes]] parse
+  * multi-frame GIF containers — each exercised end-to-end by the
+  * `mm_*` gates against generated fixtures whose pixel/sample values
+  * an external oracle recomputes exactly (PNG, WAV PCM and ≤256-color
+  * GIF are lossless).
   *
   * Scale notes: payloads never shuffle for metadata-only queries (column
   * pruning drops them at the scan); feature extraction is `mapPartitions`
@@ -348,45 +348,6 @@ object Multimodal {
     }
   }
 
-  /** Extracted features: fixed-width vector + provenance metadata.
-    * `slot_sums` are the exact per-slot byte sums the float features
-    * derive from — integer, so an external oracle can reproduce them
-    * bit-for-bit where float accumulation could not be compared. */
-  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
-                           sha256: String, features: Array[Float],
-                           slot_sums: Array[Long])
-
-  /** A sampled frame: every `stride`-th fixed-size chunk of the payload
-    * (the video-frame-sampling shape: one input row → few output rows,
-    * payload chunked positionally). */
-  case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
-
-  /** Exact per-slot byte sums: slot j accumulates payload bytes at
-    * positions ≡ j (mod 8). Integer arithmetic — oracle-reproducible. */
-  def byteSlotSums(payload: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](8)
-    var i = 0
-    while (i < payload.length) {
-      out(i % 8) += (payload(i) & 0xff)
-      i += 1
-    }
-    out
-  }
-
-  /** STUB — stands in for an image/audio decode + model embed. Produces a
-    * deterministic 8-dim feature from the payload bytes so tests can
-    * assert end-to-end plumbing. A real deployment swaps only this
-    * function. */
-  def stubDecodeAndEmbed(payload: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](8)
-    var i = 0
-    while (i < payload.length) {
-      out(i % 8) += (payload(i) & 0xff) / 255.0f
-      i += 1
-    }
-    out
-  }
-
   /** STUB resize — nearest-neighbor decimation of the payload to
     * `outBytes` samples (byte k of the output is input byte
     * (k·len) / outBytes, integer division). Stands in for an image
@@ -404,46 +365,134 @@ object Multimodal {
     out
   }
 
-  /** Frame sampling: chunk the payload into `frameBytes` frames and keep
-    * every `stride`-th one (frame_idx keeps the original frame number).
-    * The last frame may be short. One row in → ceil(nframes/stride) rows
-    * out, flatMap-shaped like real video keyframe extraction. */
-  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 64,
-                   stride: Int = 4)
-                  (implicit spark: SparkSession): Dataset[MediaFrame] = {
+  /** The mixed-modality fixture's kind assignment, shared with the
+    * generated oracles (drift discipline): record `id` carries a
+    * `MediaKinds(id mod 3)` payload. */
+  val MediaKinds: Seq[String] = Seq("image/png", "audio/wav", "video/gif")
+
+  /** Deterministic mixed-modality media record for `id`: the payload is
+    * the REAL encoded fixture of the kind `id mod 3` selects
+    * ([[syntheticPng]] / [[syntheticWav]] / [[syntheticGif]]), so one
+    * column genuinely carries three codecs' bytes side by side. */
+  def syntheticMedia(id: Long): MediaRecord = {
+    val kind = MediaKinds((id % 3).toInt)
+    val payload = kind match {
+      case "image/png" => syntheticPng(id)
+      case "audio/wav" => syntheticWav(id)
+      case _           => syntheticGif(id)
+    }
+    MediaRecord(id, kind, payload)
+  }
+
+  /** Uniform per-record features of a mixed-modality column, derived
+    * from DECODED content (not payload bytes): `n_units` counts the
+    * modality's natural unit (pixels / samples / frames), `v_sum` and
+    * `v_abs` are exact integer sums over decoded values — signed for
+    * audio, where the two differ. */
+  case class ModalFeatures(media_id: Long, kind: String, n_units: Long,
+                           v_sum: Long, v_abs: Long)
+
+  /** Batched mixed-modality feature extraction: dispatches each record
+    * to the REAL codec its typed `kind` metadata names (the documented
+    * multimodal-column design — binary payload + typed metadata; byte
+    * sniffing would mis-route GIF, which `ImageIO` also reads as a
+    * still image). One codec pass per partition; undecodable payloads
+    * and unknown kinds drop row-wise, keeping the operator total on
+    * dirty corpora. */
+  def extractModalFeatures(media: Dataset[MediaRecord])
+                          (implicit spark: SparkSession): Dataset[ModalFeatures] = {
     import spark.implicits._
-    media.flatMap { m =>
-      m.payload.grouped(frameBytes).zipWithIndex.collect {
-        case (chunk, idx) if idx % stride == 0 =>
-          MediaFrame(m.media_id, idx, chunk)
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        m.kind match {
+          case "image/png" =>
+            decodeImage(m.payload).map { img =>
+              val (r, g, b) = channelSums(img)
+              ModalFeatures(m.media_id, m.kind,
+                img.getWidth.toLong * img.getHeight, r + g + b, r + g + b)
+            }
+          case "audio/wav" =>
+            decodeWav(m.payload).map(a =>
+              ModalFeatures(m.media_id, m.kind, a.n_samples, a.sum_amp,
+                a.sum_abs))
+          case "video/gif" =>
+            val frames = decodeGifFrames(m.payload, stride = 1)
+            if (frames.isEmpty) None
+            else Some(ModalFeatures(m.media_id, m.kind, frames.length.toLong,
+              frames.map(_.gray_sum).sum, frames.map(_.gray_sum).sum))
+          case _ => None
+        }
       }
     }
   }
 
-  /** documents → media records, treating the text bytes as an opaque
-    * payload (the testdata carries no true binary column; the plumbing
-    * is payload-agnostic). */
-  def asMedia(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
-    import spark.implicits._
-    documents
-      .select(col("doc_id").as("media_id"), lit("text").as("kind"),
-        col("text").cast("binary").as("payload"))
-      .as[MediaRecord]
-  }
+  /** Keyframe stride for [[sampleVideoKeyframes]] — deliberately NOT
+    * [[VideoStride]], so the keyframe gate and `mm_video` pin different
+    * frame subsets of the same container. */
+  val KeyframeStride = 3
 
-  /** Batched per-partition feature extraction: one codec/digest instance
-    * per partition, streaming over records. */
-  def extractFeatures(media: Dataset[MediaRecord])
-                     (implicit spark: SparkSession): Dataset[MediaFeatures] = {
+  /** A sampled keyframe plus a motion feature: `gray_sum` is the exact
+    * gray total of the kept frame, `delta_abs` the exact sum of
+    * per-pixel absolute differences against the PREVIOUS kept frame
+    * (0 for the first) — the frame-delta energy a scene-cut detector
+    * thresholds. */
+  case class KeyframeStats(media_id: Long, frame_idx: Int, width: Int,
+                           height: Int, gray_sum: Long, delta_abs: Long)
+
+  /** REAL keyframe sampling over one GIF payload: every `stride`-th
+    * frame decoded to pixels, reduced to its gray sum and the motion
+    * delta against the previously kept frame. Same container parse and
+    * row-wise corrupt-payload degradation as [[decodeGifFrames]]. */
+  def sampleKeyframes(payload: Array[Byte],
+                      stride: Int = KeyframeStride): Seq[KeyframeStats] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Nil
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          if (r.getFormatName.toLowerCase != "gif") Nil
+          else {
+            var prev: java.awt.image.BufferedImage = null
+            (0 until r.getNumImages(true) by stride).map { i =>
+              val img = r.read(i)
+              var (sum, delta) = (0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val g = img.getRGB(x, y) & 0xff
+                  sum += g
+                  if (prev != null)
+                    delta += math.abs(g - (prev.getRGB(x, y) & 0xff))
+                  x += 1
+                }
+                y += 1
+              }
+              prev = img
+              KeyframeStats(0L, i, img.getWidth, img.getHeight, sum, delta)
+            }
+          }
+        } finally r.dispose()
+      }
+    } catch {
+      case _: java.io.IOException => Nil
+      case _: RuntimeException => Nil
+    }
+
+  /** Batched keyframe sampling over a binary video column — flatMap-
+    * shaped (one clip → few keyframes), one reader per payload, codec
+    * init amortized per partition. */
+  def sampleVideoKeyframes(media: Dataset[MediaRecord],
+                           stride: Int = KeyframeStride)
+                          (implicit spark: SparkSession): Dataset[KeyframeStats] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-      it.map { m =>
-        digest.reset()
-        val sha = digest.digest(m.payload).map("%02x".format(_)).mkString
-        MediaFeatures(m.media_id, m.kind, m.payload.length, sha,
-          stubDecodeAndEmbed(m.payload), byteSlotSums(m.payload))
-      }
+      it.flatMap(m =>
+        sampleKeyframes(m.payload, stride).map(_.copy(media_id = m.media_id)))
     }
   }
 }

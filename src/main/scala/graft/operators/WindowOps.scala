@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hot-key-safe windowed aggregation (SURVEY §2.9 scale notes).
+  *
+  * A window function shuffles once on its partition key and then runs
+  * each key's frame in ONE task — a hot key (one user producing 10% of
+  * a 100 TB event log) funnels that slice through a single sorter, the
+  * windowed twin of the join skew [[Skew.saltedJoin]] addresses. The
+  * running/moving shapes decompose instead, because their aggregates
+  * are algebraic over an ORDER the salt must respect:
+  *
+  *  - [[runningSum]]: two-phase prefix sum. Range-bucket the order
+  *    column, compute within-bucket running sums in parallel (the
+  *    window key becomes (key, bucket) — hot-key parallelism = bucket
+  *    count), then add each bucket's prior-bucket total, a per-(key,
+  *    bucket) frame that is `nBuckets` rows per key. Same decomposition
+  *    as `TextOps.packOffsets`, generalized to per-key windows.
+  *  - [[trailingSum]]: bucket + boundary overlap. Rows within `win` of
+  *    their bucket's end are REPLICATED into the next bucket as
+  *    context-only rows (bucket width is forced ≥ `win`, so one hop
+  *    always suffices); each padded bucket then computes its trailing
+  *    range frames with full context and context rows are dropped.
+  *    Replication is bounded by win/width ≤ 1 — worst case 2×, typical
+  *    corpora far less.
+  *
+  * Both match the single-window plan value-for-value (RANGE frame
+  * semantics — ties share a frame, so results are deterministic under
+  * any partitioning); `WindowOpsSpec` pins the equality on a planted
+  * hot key holding 90% of the corpus. The order column must be numeric
+  * and non-null (RANGE frames require it; bucketing inherits the
+  * requirement).
+  */
+object WindowOps {
+
+  /** Order-domain bounds as doubles; None for an empty frame. */
+  private def bounds(df: DataFrame, order: String): Option[(Double, Double)] = {
+    val b = df.agg(min(col(order)).cast("double"),
+      max(col(order)).cast("double")).head()
+    if (b.isNullAt(0)) None else Some((b.getDouble(0), b.getDouble(1)))
+  }
+
+  /** Deterministic range bucket of `order`: floor((o − lo) / width),
+    * capped into [0, nBuckets). A pure function of the order VALUE, so
+    * tied rows always share a bucket and range semantics survive the
+    * split. */
+  private def bucketExpr(order: String, lo: Double, width: Double,
+                         nBuckets: Int) =
+    least(lit(nBuckets - 1),
+      floor((col(order).cast("double") - lo) / width)).cast("int")
+
+  /** Per-(key, order-range) running total of `value` — equal to
+    * `sum(value) OVER (PARTITION BY key ORDER BY order RANGE UNBOUNDED
+    * PRECEDING)` but with hot-key work spread over `nBuckets` tasks.
+    * One bounds pass (columnar min/max scan), one fact shuffle on
+    * (key, bucket), then a per-key `nBuckets`-row prefix over bucket
+    * totals joined back on the partitioning the fact already has. */
+  def runningSum(df: DataFrame, key: String, order: String, value: String,
+                 out: String, nBuckets: Int = 32): DataFrame = {
+    require(nBuckets > 0, s"runningSum: nBuckets must be positive, got $nBuckets")
+    val plain = Window.partitionBy(col(key)).orderBy(col(order))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds(df, order) match {
+      case None => df.withColumn(out, sum(col(value)).over(plain)) // empty
+      case Some((lo, hi)) =>
+        val width = math.max((hi - lo) / nBuckets, 1e-9)
+        val withB = df.withColumn("__wb", bucketExpr(order, lo, width, nBuckets))
+        val w = Window.partitionBy(col(key), col("__wb")).orderBy(col(order))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        val within = withB.withColumn("__within", sum(col(value)).over(w))
+        // bucket totals: nBuckets rows per key — the tiny frame the
+        // second phase prefixes and ships back
+        val priorW = Window.partitionBy(col(key)).orderBy(col("__wb"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prior = withB.groupBy(col(key), col("__wb"))
+          .agg(sum(col(value)).as("__bt"))
+          .withColumn("__prior", sum(col("__bt")).over(priorW))
+          .drop("__bt")
+        within.join(prior, Seq(key, "__wb"))
+          .withColumn(out,
+            col("__within") + coalesce(col("__prior"), lit(0)))
+          .drop("__wb", "__within", "__prior")
+    }
+  }
+
+  /** Per-(key, order-range) trailing-window total — equal to
+    * `sum(value) OVER (PARTITION BY key ORDER BY order RANGE BETWEEN
+    * win PRECEDING AND CURRENT ROW)` with hot-key work spread over
+    * range buckets. Bucket width is forced ≥ `win`, so a frame reaches
+    * at most one bucket back, and exactly the rows within `win` of a
+    * boundary are replicated forward as droppable context. */
+  def trailingSum(df: DataFrame, key: String, order: String, value: String,
+                  out: String, win: Long, nBuckets: Int = 32): DataFrame = {
+    require(win > 0, s"trailingSum: win must be positive, got $win")
+    require(nBuckets > 0, s"trailingSum: nBuckets must be positive, got $nBuckets")
+    val plain = Window.partitionBy(col(key)).orderBy(col(order))
+      .rangeBetween(-win, 0)
+    bounds(df, order) match {
+      case None => df.withColumn(out, sum(col(value)).over(plain)) // empty
+      case Some((lo, hi)) =>
+        val width = math.max((hi - lo) / nBuckets, win.toDouble)
+        val withB = df.withColumn("__wb", bucketExpr(order, lo, width, nBuckets))
+        // forward-replicate the boundary margin: a row in bucket b+1 at
+        // order o needs [o − win, o), whose bucket-b slice is exactly
+        // the rows with order + win ≥ that bucket's lower edge (an fp
+        // epsilon over-replicates harmlessly — context rows are dropped
+        // and range frames ignore out-of-range neighbors)
+        val ctx = withB
+          .filter(col(order).cast("double") + win >=
+            lit(lo) + (col("__wb") + 1) * width - width * 1e-9)
+          .withColumn("__wb", col("__wb") + 1)
+          .withColumn("__ctx", lit(true))
+        val padded = withB.withColumn("__ctx", lit(false)).unionByName(ctx)
+        val w = Window.partitionBy(col(key), col("__wb")).orderBy(col(order))
+          .rangeBetween(-win, 0)
+        padded.withColumn(out, sum(col(value)).over(w))
+          .filter(!col("__ctx")).drop("__wb", "__ctx")
+    }
+  }
+}

@@ -243,20 +243,12 @@ object Extensions {
         Tables.documents(s, d).filter(col("doc_id") % 97 === 0),
         s"$out/hits", s"$out/ckpt")
       q.stop()
-      val hits = s.read.parquet(s"$out/hits")
-      // decontamStream's per-doc n_overlap (distinct shingles) is only
-      // complete when each document lands in exactly one micro-batch; a
-      // source that split or redelivered a doc would leave duplicate
-      // rows with PARTIAL counts that no read-side re-aggregation can
-      // repair (distinct counts don't sum). Enforce the assumption
-      // loudly instead of relying on it.
-      val u = hits.agg(count(lit(1)).as("n"),
-        countDistinct(col("doc_id")).as("nd")).head()
-      require(u.getLong(0) == u.getLong(1),
-        s"stream_decontam: ${u.getLong(0) - u.getLong(1)} duplicate doc_id " +
-          "rows in the hits table — a document spanned micro-batches, " +
-          "so its n_overlap is partial")
-      hits.select("doc_id", "n_overlap")
+      // the stream persists MERGEABLE (doc_id, h) hit rows per batch;
+      // decontamResult re-aggregates with a distinct count, so a doc
+      // split or redelivered across micro-batches merges to exactly
+      // the batch-pass count (law in StreamingSpec) instead of
+      // tripping a single-batch-per-doc contract check
+      graft.streaming.StreamOps.decontamResult(s, s"$out/hits")
     }),
     // fixed-size token chunking with overlap (64-token windows, stride
     // 48): per-document, embarrassingly parallel — the RAG/packing
@@ -708,23 +700,31 @@ object Extensions {
           octet_length(col("payload")).as("n_bytes"),
           sha2(col("payload"), 256).as("sha"),
           graft.functions.exprs.char_sum(col("text")).as("byte_sum"))),
-    // batched per-partition feature extraction (decode stubbed, the
-    // mapPartitions plumbing + provenance hash + exact slot sums real)
+    // MIXED-modality feature extraction over REAL codecs: one binary
+    // column carries PNG, WAV and GIF payloads side by side (kind =
+    // id mod 3, typed metadata routes each record to its decoder), and
+    // the features are exact integer sums over DECODED pixels/samples/
+    // frames — all three formula-shared with the oracle, which is what
+    // makes a mixed dirty-corpus column verifiable end to end
     "mm_features" -> ((s, d) => {
       implicit val sp: SparkSession = s
-      val f = graft.operators.Multimodal.extractFeatures(
-        graft.operators.Multimodal.asMedia(Tables.documents(s, d)))
-      f.select((col("media_id") +: col("n_bytes") +: col("sha256").as("sha") +:
-        (0 until 8).map(j => element_at(col("slot_sums"), j + 1).as(s"s$j"))): _*)
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(graft.operators.Multimodal.syntheticMedia))
+      graft.operators.Multimodal.extractModalFeatures(media).toDF()
     }),
-    // keyframe-style sampling: payload → every 4th 64-byte frame
+    // REAL keyframe sampling + motion feature: every 3rd frame of the
+    // generated GIF container decoded to pixels; delta_abs is the exact
+    // per-pixel |gray(f) − gray(prev kept f)| sum — the frame-delta
+    // energy a scene-cut detector thresholds, recomputed by the oracle
+    // from the shared VideoCoef formula
     "mm_frame_sample" -> ((s, d) => {
       implicit val sp: SparkSession = s
-      graft.operators.Multimodal.sampleFrames(
-        graft.operators.Multimodal.asMedia(Tables.documents(s, d)))
-        .select(col("media_id"), col("frame_idx"),
-          octet_length(col("frame")).as("n_bytes"),
-          sha2(col("frame"), 256).as("sha"))
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => graft.operators.Multimodal.MediaRecord(
+          id, "video/gif", graft.operators.Multimodal.syntheticGif(id))))
+      graft.operators.Multimodal.sampleVideoKeyframes(media).toDF()
     }),
     // REAL image decode, end to end: deterministic 16×16 RGB PNGs are
     // generated per document id (pixel formula shared with the oracle —
@@ -769,17 +769,24 @@ object Extensions {
           id, "audio/wav", graft.operators.Multimodal.syntheticWav(id))))
       graft.operators.Multimodal.decodeAudioStats(media).toDF()
     }),
-    // thumbnail-style resize: positional decimation to 32 payload bytes
-    // as a codegen'd expression (same stub semantics as
-    // Multimodal.resizeStub — the earlier typed Dataset.map deserialized
-    // the whole row per record)
-    "mm_resize" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id").as("media_id"),
-          graft.functions.exprs.binary_decimate(
-            col("text").cast("binary"), 32).as("thumb"))
-        .select(col("media_id"), octet_length(col("thumb")).as("n_bytes"),
-          sha2(col("thumb"), 256).as("sha"))),
+    // REAL thumbnail resize on decoded pixels, to a NON-divisor target:
+    // 16×16 → 5×5 nearest-neighbor keeps source pixels (x·16/5, y·16/5)
+    // — integer division lands on {0,3,6,9,12}, NOT a stride-aligned
+    // subset, so this pins the general NN mapping that mm_decode's
+    // divisor-aligned 8×8 thumbnail cannot distinguish from plain
+    // decimation. Full-size sums are projected away; the gate is the
+    // resized image's exact channel sums
+    "mm_resize" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => graft.operators.Multimodal.MediaRecord(
+          id, "image/png", graft.operators.Multimodal.syntheticPng(id))))
+      graft.operators.Multimodal.decodeImageStats(media, resizeTo = 5).toDF()
+        .select(col("media_id"), col("r_width").as("width"),
+          col("r_height").as("height"), col("rsum_r").as("sum_r"),
+          col("rsum_g").as("sum_g"), col("rsum_b").as("sum_b"))
+    }),
 
     // ---- format breadth: ORC and JSON-lines sink/scan round trips ----
     "q_orc_roundtrip" -> ((s, d) => {
@@ -1675,30 +1682,70 @@ object Extensions {
                ELSE 0 END AS INTEGER) AS byte_sum
       FROM documents""",
     "mm_features" -> {
-      // slot j = Σ bytes at 0-based positions ≡ j (mod 8); ASCII text so
-      // char positions == byte positions
-      val slots = (0 until 8).map(j =>
-        s"""CAST(COALESCE(list_aggregate(list_transform(
-           |  list_filter(generate_series(1, length(text)), i -> (i - 1) % 8 = $j),
-           |  i -> ascii(substr(text, i, 1))), 'sum'), 0) AS BIGINT) AS s$j"""
-          .stripMargin).mkString(",\n             ")
+      // generated from the SAME constants as the mixed fixture
+      // (MediaKinds routing + PixelCoef/AudioCoef/VideoCoef formulas):
+      // all three codecs are lossless at the fixture bit depths, so the
+      // decoded-unit sums must equal the formula sums exactly — one leg
+      // per modality, routed by the same id mod 3 the fixture uses
+      import graft.operators.Multimodal._
+      val pix = PixelCoef.map { case (k0, k1, k2) =>
+        s"(doc_id * $k0 + gx.x * $k1 + gy.y * $k2) % 256" }.mkString(" + ")
+      val amp = s"(doc_id * ${AudioCoef._1} + g.k * ${AudioCoef._2}) % 65536 - 32768"
+      val vid = s"(doc_id * ${VideoCoef._1} + gf.f * ${VideoCoef._2} + " +
+        s"gx.x * ${VideoCoef._3} + gy.y * ${VideoCoef._4}) % 256"
+      s"""
+      SELECT doc_id AS media_id, '${MediaKinds(0)}' AS kind,
+             CAST(${FixtureSize * FixtureSize} AS BIGINT) AS n_units,
+             CAST(SUM($pix) AS BIGINT) AS v_sum,
+             CAST(SUM($pix) AS BIGINT) AS v_abs
+      FROM documents,
+           LATERAL unnest(generate_series(0, ${FixtureSize - 1})) AS gx(x),
+           LATERAL unnest(generate_series(0, ${FixtureSize - 1})) AS gy(y)
+      WHERE doc_id % 3 = 0 GROUP BY doc_id
+      UNION ALL
+      SELECT doc_id AS media_id, '${MediaKinds(1)}' AS kind,
+             CAST($AudioSamples AS BIGINT) AS n_units,
+             CAST(SUM($amp) AS BIGINT) AS v_sum,
+             CAST(SUM(ABS($amp)) AS BIGINT) AS v_abs
+      FROM documents,
+           LATERAL unnest(generate_series(0, ${AudioSamples - 1})) AS g(k)
+      WHERE doc_id % 3 = 1 GROUP BY doc_id
+      UNION ALL
+      SELECT doc_id AS media_id, '${MediaKinds(2)}' AS kind,
+             CAST($VideoFrames AS BIGINT) AS n_units,
+             CAST(SUM($vid) AS BIGINT) AS v_sum,
+             CAST(SUM($vid) AS BIGINT) AS v_abs
+      FROM documents,
+           LATERAL unnest(generate_series(0, ${VideoFrames - 1})) AS gf(f),
+           LATERAL unnest(generate_series(0, ${VideoSize - 1})) AS gx(x),
+           LATERAL unnest(generate_series(0, ${VideoSize - 1})) AS gy(y)
+      WHERE doc_id % 3 = 2 GROUP BY doc_id"""
+    },
+    "mm_frame_sample" -> {
+      // generated from the SAME constants as the fixture (VideoCoef +
+      // KeyframeStride): kept frames are 0, 3, 6 of 8; delta_abs
+      // recomputes the per-pixel |gray(f) − gray(f − stride)| motion
+      // energy from the formula (0 for the first kept frame)
+      import graft.operators.Multimodal._
+      val (k0, k1, k2, k3) = VideoCoef
+      def g(f: String) =
+        s"(doc_id * $k0 + ($f) * $k1 + gx.x * $k2 + gy.y * $k3) % 256"
       s"""
       SELECT doc_id AS media_id,
-             CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
-             sha256(text) AS sha,
-             $slots
-      FROM documents"""
-    },
-    "mm_frame_sample" -> """
-      SELECT doc_id AS media_id,
-             CAST((k - 1) * 4 AS INTEGER) AS frame_idx,
-             CAST(octet_length(CAST(substr(text, (k - 1) * 4 * 64 + 1, 64) AS BLOB))
-                  AS INTEGER) AS n_bytes,
-             sha256(substr(text, (k - 1) * 4 * 64 + 1, 64)) AS sha
+             CAST(gf.f AS INT) AS frame_idx,
+             CAST($VideoSize AS INT) AS width,
+             CAST($VideoSize AS INT) AS height,
+             CAST(SUM(${g("gf.f")}) AS BIGINT) AS gray_sum,
+             CAST(SUM(CASE WHEN gf.f = 0 THEN 0
+               ELSE ABS(${g("gf.f")} - (${g(s"gf.f - $KeyframeStride")}))
+               END) AS BIGINT) AS delta_abs
       FROM documents,
-           LATERAL unnest(generate_series(1,
-             CAST(ceil(ceil(length(text) / 64.0) / 4.0) AS BIGINT))) AS u(k)
-      WHERE length(text) > 0""",
+           LATERAL unnest(generate_series(0, ${VideoFrames - 1},
+             $KeyframeStride)) AS gf(f),
+           LATERAL unnest(generate_series(0, ${VideoSize - 1})) AS gx(x),
+           LATERAL unnest(generate_series(0, ${VideoSize - 1})) AS gy(y)
+      GROUP BY doc_id, gf.f"""
+    },
     "mm_decode" -> {
       // generated from the SAME constants as the fixture (PixelCoef,
       // FixtureSize, FixtureResize — drift discipline): PNG is lossless,
@@ -1767,16 +1814,30 @@ object Extensions {
            LATERAL unnest(generate_series(0, ${AudioSamples - 1})) AS g(k)
       GROUP BY doc_id"""
     },
-    "mm_resize" -> """
+    "mm_resize" -> {
+      // generated from the SAME constants as the fixture (PixelCoef,
+      // FixtureSize): the 5×5 nearest-neighbor thumbnail keeps source
+      // pixels ((x·16)//5, (y·16)//5) = {0,3,6,9,12} — the general
+      // integer-division NN mapping, recomputed on formula pixels
+      import graft.operators.Multimodal.{PixelCoef, FixtureSize}
+      val out = 5
+      val names = Seq("r", "g", "b")
+      val sums = names.indices.map { c =>
+        val (k0, k1, k2) = PixelCoef(c)
+        s"""CAST(SUM((doc_id * $k0 + ((gx.x * $FixtureSize) // $out) * $k1
+           | + ((gy.y * $FixtureSize) // $out) * $k2) % 256) AS BIGINT)
+           | AS sum_${names(c)}""".stripMargin.replace("\n", "")
+      }.mkString(",\n             ")
+      s"""
       SELECT doc_id AS media_id,
-             CAST(octet_length(CAST(t AS BLOB)) AS INTEGER) AS n_bytes,
-             sha256(t) AS sha
-      FROM (SELECT doc_id,
-              CASE WHEN length(text) <= 32 THEN text
-                   ELSE array_to_string(list_transform(generate_series(0, 31),
-                     k -> substr(text, CAST((k * length(text)) // 32 AS INTEGER) + 1, 1)), '')
-              END AS t
-            FROM documents) x""",
+             CAST($out AS INT) AS width,
+             CAST($out AS INT) AS height,
+             $sums
+      FROM documents,
+           LATERAL unnest(generate_series(0, ${out - 1})) AS gx(x),
+           LATERAL unnest(generate_series(0, ${out - 1})) AS gy(y)
+      GROUP BY doc_id"""
+    },
     "q_orc_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "q_xml_roundtrip" -> """

@@ -435,9 +435,18 @@ object StreamOps {
     * replay-idempotency shape as [[incrementalDedupStream]], including
     * its required `checkpointDir` (a restart without a durable offset
     * log re-cuts batch boundaries and strands stale `batch=<id>`
-    * partitions). Per-doc counts are complete because a document
-    * arrives in exactly one micro-batch; the eval side never rescans
-    * or reshuffles. */
+    * partitions).
+    *
+    * What lands under `outDir` is the MERGEABLE form — the confirmed
+    * (doc_id, h) hit rows of each batch, not per-doc counts: a document
+    * SPLIT or REDELIVERED across micro-batches leaves partial distinct
+    * sets that no count re-aggregation could repair (distinct counts
+    * don't sum), but distinct hit rows union correctly. Read the result
+    * through [[decontamResult]], which re-aggregates with a distinct
+    * count — single-batch documents cost one extra dedup of already-
+    * unique rows; multi-batch documents come out EXACTLY right instead
+    * of tripping a contract check. Write volume is the contaminated
+    * sliver only (true overlaps, Bloom-prefiltered at the scan). */
   def decontamStream(docs: DataFrame, benchmark: DataFrame, outDir: String,
                      checkpointDir: String,
                      mBits: Int = 1 << 20, k: Int = 5): StreamingQuery = {
@@ -446,15 +455,26 @@ object StreamOps {
         .select(explode(col("hs")).as("h")).distinct())
     val bitmap = graft.operators.Curation.buildBloomBitmap(b, "h", mBits, k)
     val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Curation
-          .confirmedOverlaps(batch, "doc_id", "text", b, bitmap, k)
+          .confirmedOverlapHits(batch, "doc_id", "text", b, bitmap, k)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
     q.processAllAvailable()
     q
   }
+
+  /** Reads a [[decontamStream]] output directory back to the per-doc
+    * overlap counts: distinct (doc_id, h) across ALL batch partitions,
+    * so a document that spanned micro-batches (split or redelivered)
+    * aggregates to exactly the count the batch pass computes. */
+  def decontamResult(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .select("doc_id", "h").distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 

@@ -2,49 +2,87 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
-import graft.sources.Tables
 
 class MultimodalSpec extends AnyFunSuite with SparkSpec {
 
-  test("binary payload pipeline: schema, hashing, deterministic features") {
+  test("extractModalFeatures: typed kind routes each record to its real codec") {
     implicit val s = spark
-    val media = Multimodal.asMedia(Tables.documents(spark, "/root/testdata/sf0.001"))
-    val feats = Multimodal.extractFeatures(media)
-    val rows = feats.collect()
-    assert(rows.length == 500)
-    val r = rows.find(_.media_id == 0L).get
-    assert(r.n_bytes > 0 && r.sha256.length == 64 && r.features.length == 8)
-    // determinism: same payload → same features across runs
-    val again = Multimodal.extractFeatures(media).collect()
-      .find(_.media_id == 0L).get
-    assert(again.features.toSeq == r.features.toSeq && again.sha256 == r.sha256)
-    // exact slot sums: 8 slots, reconciling with a direct computation
-    assert(r.slot_sums.length == 8)
-    val direct = Multimodal.byteSlotSums(
-      Tables.documents(spark, "/root/testdata/sf0.001")
-        .filter("doc_id = 0").head().getAs[String]("text").getBytes("UTF-8"))
-    assert(r.slot_sums.toSeq == direct.toSeq)
+    import s.implicits._
+    // one column, three codecs: kind metadata dispatches — byte
+    // sniffing could not (ImageIO also reads a GIF as a still image)
+    val media = (0L until 9L).map(Multimodal.syntheticMedia).toDS()
+    val feats = Multimodal.extractModalFeatures(media).collect()
+      .sortBy(_.media_id)
+    assert(feats.length == 9)
+    feats.foreach { f =>
+      assert(f.kind == Multimodal.MediaKinds((f.media_id % 3).toInt))
+      f.kind match {
+        case "image/png" =>
+          val img = Multimodal.decodeImage(
+            Multimodal.syntheticPng(f.media_id)).get
+          val (r, g, b) = Multimodal.channelSums(img)
+          assert(f.n_units == Multimodal.FixtureSize * Multimodal.FixtureSize
+            && f.v_sum == r + g + b && f.v_abs == f.v_sum)
+        case "audio/wav" =>
+          val st = Multimodal.decodeWav(
+            Multimodal.syntheticWav(f.media_id)).get
+          assert(f.n_units == st.n_samples && f.v_sum == st.sum_amp &&
+            f.v_abs == st.sum_abs)
+          // signed samples: the two audio sums genuinely differ
+          assert(f.v_sum != f.v_abs)
+        case _ =>
+          val frames = Multimodal.decodeGifFrames(
+            Multimodal.syntheticGif(f.media_id), stride = 1)
+          assert(f.n_units == frames.length &&
+            f.v_sum == frames.map(_.gray_sum).sum)
+      }
+    }
+    // dirty corpus: a corrupt payload and an unknown kind each cost one
+    // row, never the task
+    val dirty = (media.collect().toSeq :+
+      Multimodal.MediaRecord(90L, "image/png", Array[Byte](1, 2, 3)) :+
+      Multimodal.MediaRecord(91L, "application/x-unknown",
+        Multimodal.syntheticPng(91L))).toDS()
+    assert(Multimodal.extractModalFeatures(dirty).collect()
+      .map(_.media_id).sorted.toSeq == (0L until 9L))
+  }
+
+  test("sampleKeyframes: stride-3 container parse + formula-exact motion deltas") {
+    val id = 5L
+    val gif = Multimodal.syntheticGif(id)
+    val kf = Multimodal.sampleKeyframes(gif)
+    assert(kf.map(_.frame_idx) ==
+      (0 until Multimodal.VideoFrames by Multimodal.KeyframeStride))
+    val (k0, k1, k2, k3) = Multimodal.VideoCoef
+    def gray(f: Int, x: Int, y: Int): Long =
+      (id * k0 + f * k1 + x * k2 + y * k3) % 256L
+    kf.foreach { fr =>
+      var (sum, delta) = (0L, 0L)
+      for (y <- 0 until Multimodal.VideoSize; x <- 0 until Multimodal.VideoSize) {
+        sum += gray(fr.frame_idx, x, y)
+        if (fr.frame_idx > 0)
+          delta += math.abs(gray(fr.frame_idx, x, y) -
+            gray(fr.frame_idx - Multimodal.KeyframeStride, x, y))
+      }
+      assert(fr.gray_sum == sum, s"frame ${fr.frame_idx} gray sum")
+      assert(fr.delta_abs == delta,
+        s"frame ${fr.frame_idx} motion delta diverges from the formula")
+    }
+    // first kept frame has no predecessor → zero motion by definition
+    assert(kf.head.delta_abs == 0L)
+    // non-GIF payloads drop row-wise like the other decoders
+    assert(Multimodal.sampleKeyframes(Multimodal.syntheticPng(1L)).isEmpty)
+    assert(Multimodal.sampleKeyframes("not video".getBytes).isEmpty)
   }
 
   test("resizeStub: fixed output size, short payloads pass through") {
+    // backs the codegen'd binary_decimate expression (ExprSpec)
     val p = (0 until 200).map(_.toByte).toArray
     val r = Multimodal.resizeStub(p, 32)
     assert(r.length == 32)
     assert(r(0) == p(0) && r(31) == p((31L * 200 / 32).toInt))
     val short = Array[Byte](1, 2, 3)
     assert(Multimodal.resizeStub(short, 32).toSeq == short.toSeq)
-  }
-
-  test("sampleFrames: stride, original indices, short tail frame") {
-    implicit val s = spark
-    import s.implicits._
-    // 300-byte payload, 64-byte frames → frames 0..4; stride 4 → idx 0, 4
-    val payload = Array.fill[Byte](300)(7)
-    val media = Seq(Multimodal.MediaRecord(1L, "video", payload)).toDS()
-    val frames = Multimodal.sampleFrames(media).collect().sortBy(_.frame_idx)
-    assert(frames.map(_.frame_idx).toSeq == Seq(0, 4))
-    assert(frames(0).frame.length == 64)
-    assert(frames(1).frame.length == 300 - 4 * 64) // short tail: 44 bytes
   }
 
   test("real PNG decode: encode → decode reproduces the formula pixels exactly") {
@@ -73,6 +111,13 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(small.getWidth == 8 && small.getHeight == 8)
     for (y <- 0 until 8; x <- 0 until 8)
       assert(small.getRGB(x, y) == img.getRGB(2 * x, 2 * y), s"($x,$y)")
+    // non-divisor target (mm_resize's 5×5): integer division lands on
+    // {0,3,6,9,12} — NOT an even stride; this is the mapping the
+    // divisor-aligned case cannot distinguish from plain decimation
+    val five = Multimodal.resizeImage(img, 5, 5)
+    val srcs = Seq(0, 3, 6, 9, 12)
+    for (y <- 0 until 5; x <- 0 until 5)
+      assert(five.getRGB(x, y) == img.getRGB(srcs(x), srcs(y)), s"5×5 ($x,$y)")
   }
 
   test("real WAV decode: encode → decode reproduces the formula samples exactly") {

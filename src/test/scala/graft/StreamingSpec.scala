@@ -35,6 +35,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "streamed decontamination diverged from the batch pass")
   }
 
+  test("decontamStream merges a doc split or redelivered across micro-batches") {
+    // The failure mode the mergeable hit-row layout exists for: per-doc
+    // counts can't be re-aggregated across batches (distinct counts
+    // don't sum), so the stream persists (doc_id, h) hits and
+    // decontamResult distinct-counts on read. Two parquet files +
+    // maxFilesPerTrigger=1 force two micro-batches: doc 1 is FULLY
+    // REDELIVERED in both, doc 2 is SPLIT (each half in one batch).
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta"
+    val half1 = "alpha beta gamma delta"
+    val half2 = "delta epsilon zeta eta theta"
+    def docRows(rows: Seq[(Long, String)]) =
+      rows.map { case (i, x) => (i, x, "en", "t", x.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val srcDir = graft.sources.Scratch.dir(
+      s"sdc_split_${java.util.UUID.randomUUID.toString.take(8)}")
+    docRows(Seq((1L, t), (2L, half1)))
+      .coalesce(1).write.mode("append").parquet(s"$srcDir/in")
+    docRows(Seq((1L, t), (2L, half2)))
+      .coalesce(1).write.mode("append").parquet(s"$srcDir/in")
+    val stream = spark.readStream
+      .schema(StreamOps.documentsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/in")
+    val bench = docRows(Seq((100L, t)))
+    val q = StreamOps.decontamStream(stream, bench,
+      s"$srcDir/hits", s"$srcDir/ckpt")
+    q.stop()
+    val got = StreamOps.decontamResult(spark, s"$srcDir/hits")
+      .as[(Long, Long)].collect().toMap
+    // bench shingles of t: {abg, bgd, gde, dez}. Doc 1 overlaps all 4
+    // (redelivery must NOT double-count); doc 2's halves contribute
+    // {abg, bgd} and {dez} — merged distinct = 3
+    assert(got == Map(1L -> 4L, 2L -> 3L),
+      s"merged overlap counts wrong: $got")
+  }
+
   test("streaming session windows produce per-user sessions") {
     val q = StreamOps.runToMemory(
       StreamOps.sessionCounts(StreamOps.eventsStream(spark, dir)),
