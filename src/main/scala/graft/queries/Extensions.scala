@@ -689,6 +689,26 @@ object Extensions {
           countDistinct(col("o_orderpriority")).as("n_priorities"))
     }),
 
+    // hot-key-safe windowed aggregation (WindowOps): two-phase
+    // running/trailing range sums that spread one key's frame over
+    // range buckets instead of one task — value-equal to the plain
+    // window (the oracle IS the plain window), hot-key law in
+    // WindowOpsSpec
+    "q_window_running_2p" -> ((s, d) =>
+      graft.operators.WindowOps.runningSum(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price")),
+        "o_custkey", "o_orderkey", "price", "running_total")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("running_total").cast("double").as("running_total"))),
+    "q_window_trailing_2p" -> ((s, d) =>
+      graft.operators.WindowOps.trailingSum(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price")),
+        "o_custkey", "o_orderkey", "price", "trailing_total", win = 1000L)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("trailing_total").cast("double").as("trailing_total"))),
+
     // ---- multimodal: opaque binary payload + typed metadata ----
     "mm_binary_meta" -> ((s, d) =>
       // payload plumbing for image/audio columns: the decode itself is
@@ -814,6 +834,20 @@ object Extensions {
       s.read.schema(schema).option("rowTag", "nation").format("xml")
         .load(s"$tmp/nation")
         .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+    // K2 bidirectional: JDBC write + PARTITIONED read-back — the read
+    // issues one range-sliced query per partition instead of streaming
+    // the table through a single connection (Derby embedded, like
+    // JdbcSinkSpec; slice-count law lives there)
+    "q_jdbc_read" -> ((s, d) => {
+      val url = "jdbc:derby:memory:graftverifyjdbc;create=true"
+      graft.sources.Sinks.overwriteJdbc(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("price")),
+        url, "orders_jdbc")
+      graft.sources.Sinks.readJdbcPartitioned(s, url, "orders_jdbc",
+        "o_orderkey", numPartitions = 8)
+        .select("o_orderkey", "o_custkey", "price")
     }),
     // streaming foreachBatch sink round trip: stream → batch parquet
     // writer per micro-batch → read back, oracle = the batch projection
@@ -1448,6 +1482,23 @@ object Extensions {
              CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_premigration,
              CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS BIGINT) AS n_priorities
       FROM orders GROUP BY o_orderstatus""",
+    // the two-phase forms' oracles ARE the single-window plans they
+    // must equal (RANGE frames over the numeric order key — standard
+    // SQL, parity-runnable under Spark too)
+    "q_window_running_2p" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderkey
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS running_total
+      FROM orders""",
+    "q_window_trailing_2p" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderkey
+                   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS trailing_total
+      FROM orders""",
     "text_chunks" -> s"""
       WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
       c AS (SELECT doc_id, k, t[(k*48+1):(k*48+64)] AS chunk
@@ -1840,6 +1891,9 @@ object Extensions {
     },
     "q_orc_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey FROM nation""",
+    "q_jdbc_read" -> """
+      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders""",
     "q_xml_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "q_json_roundtrip" -> """

@@ -45,6 +45,37 @@ object Sinks {
                     props: java.util.Properties = new java.util.Properties): Unit =
     df.write.mode("overwrite").jdbc(url, table, props)
 
+  /** K2's read leg, PARTITIONED: a plain `spark.read.jdbc` opens ONE
+    * connection and streams the whole table through a single task —
+    * the read-side twin of the single-sorter hot key. This form splits
+    * `partitionColumn`'s range into `numPartitions` disjoint WHERE
+    * slices (Spark issues one query per slice, in parallel), after one
+    * cheap MIN/MAX bounds query pushed to the database. The column
+    * must be numeric (Spark's range-predicate contract); rows with a
+    * NULL partition column land in the first slice per Spark's
+    * semantics. Falls back to the single-connection read when the
+    * table is empty (no bounds to split). */
+  def readJdbcPartitioned(spark: org.apache.spark.sql.SparkSession,
+                          url: String, table: String, partitionColumn: String,
+                          numPartitions: Int = 8,
+                          props: java.util.Properties = new java.util.Properties): DataFrame = {
+    require(numPartitions > 0,
+      s"readJdbcPartitioned: numPartitions must be positive, got $numPartitions")
+    // Spark's JDBC writer creates case-sensitive quoted columns; an
+    // unquoted name would resolve to the database's upper-cased form
+    val q = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+      .quoteIdentifier(partitionColumn)
+    val b = spark.read
+      .jdbc(url,
+        s"(SELECT MIN($q) AS lo, MAX($q) AS hi FROM $table) mm", props)
+      .head()
+    if (b.isNullAt(0)) spark.read.jdbc(url, table, props)
+    else spark.read.jdbc(url, table, partitionColumn,
+      b.get(0).asInstanceOf[Number].longValue,
+      b.get(1).asInstanceOf[Number].longValue,
+      numPartitions, props)
+  }
+
   /** Training-shard export: range-partition on `orderCol` into
     * `nShards`, sort within each shard, one file per shard. This is the
     * 100 TB way to lay out packed training sequences so a shard reader

@@ -23,7 +23,11 @@ object ScaleProbe {
   val probed: Seq[String] = Seq(
     "q1_agg", "q_filter_scan", "q3_shipping_priority", "q5_region_revenue",
     "q10_returned_revenue", "q_join_left", "q_window_rank", "q_topk",
-    "q_having", "q_tumbling_window", "q_join_asof_fast")
+    "q_having", "q_tumbling_window", "q_join_asof_fast",
+    // the hot-key-safe two-phase window forms: replication grows the
+    // per-key frames (copies share the custkey range), so these measure
+    // exactly the hot-key growth the bucket split exists for
+    "q_window_running_2p", "q_window_trailing_2p")
 
   /** Dedup-family probes over the replicated document/embedding tables.
     * `dedup_ngram` runs the registered query; the embedding path calls
@@ -33,6 +37,12 @@ object ScaleProbe {
     * whole point is to let auto-scaling re-block the grown corpus. */
   val dedupProbed: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dedup_ngram" -> graft.SparkEntry.queries("dedup_ngram"),
+    // post-cap banded minhash: content-disjoint copies replicate each
+    // copy's duplicate clusters without merging them, so band-bucket
+    // occupancy stays at the within-copy value and candidates must grow
+    // ~linearly — the divert path's accounting is exercised only if a
+    // bucket tops the cap
+    "dedup_minhash" -> graft.SparkEntry.queries("dedup_minhash"),
     "dedup_embedding" -> ((s, d) => graft.operators.Similarity
       .embeddingPairs(graft.sources.Tables.embeddings(s, d))),
     "text_familiarity" -> graft.SparkEntry.queries("text_familiarity"),
@@ -228,17 +238,20 @@ object ScaleProbe {
     *    unrelated LSH buckets. */
   private[graft] def buildScaled(spark: SparkSession, base: String, out: String,
                                  copies: Int): Unit = {
-    // the perturbations wrap, and the BINDING period is the digit
-    // rotation's 10, not the letter rotation's 26: copies whose indices
-    // differ by 10 share the digit mapping, so a shingle of three
-    // consecutive digit-only tokens would survive between them and
-    // silently reintroduce the cross-copy duplicate multiplicity the
-    // perturbation exists to eliminate. 1..10 keeps every copy pair
-    // disagreeing on EVERY letter and EVERY digit (asserted pairwise
-    // across all gaps in ScaleProbeSpec) — refuse rather than corrupt
-    // the measurement
-    require(copies >= 1 && copies <= 10,
-      s"buildScaled supports 1..10 content-disjoint copies, got $copies")
+    // the text perturbation rotates ONE combined 62-character ring
+    // (lower + upper + digits): two copies whose rotation offsets
+    // differ disagree on EVERY alphanumeric character, so the period —
+    // and the copy cap — is 62, not the 10 separate digit rotation
+    // allowed (copies 10 apart used to share the digit mapping, and a
+    // shingle of consecutive digit-only tokens would silently
+    // reintroduce cross-copy duplicate multiplicity). Character CLASS
+    // is not preserved (a letter may become a digit in a given copy) —
+    // irrelevant to the probed plans, which tokenize on whitespace;
+    // only punctuation-and-space-only shingles could ever survive, and
+    // the pairwise spec law measures zero leaked shingles on the real
+    // corpus. Refuse rather than corrupt the measurement past the cap.
+    require(copies >= 1 && copies <= 62,
+      s"buildScaled supports 1..62 content-disjoint copies, got $copies")
     val OFF = 1000000000L // > any sf key range
     def rep(df: DataFrame, shifted: Seq[String],
             perturb: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
@@ -257,16 +270,11 @@ object ScaleProbe {
         .parquet(s"$base/events.parquet"), Seq("event_id"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    val digits = "0123456789"
+    val ring = alpha + alpha.toUpperCase + "0123456789"
     def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
-    // digits rotate too: a number-heavy document would otherwise keep
-    // identical digit-only shingles across copies and quietly
-    // reintroduce cross-copy near-dups (the 10-copy cap above keeps
-    // both rotations distinct for every copy pair)
     rep(spark.read.parquet(s"$base/documents.parquet"), Seq("doc_id"),
-      (d, i) => d.withColumn("text", translate(col("text"),
-        alpha + alpha.toUpperCase + digits,
-        rot(alpha, i) + rot(alpha, i).toUpperCase + rot(digits, i))))
+      (d, i) => d.withColumn("text",
+        translate(col("text"), ring, rot(ring, i))))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     rep(spark.read.parquet(s"$base/embeddings.parquet"), Seq("vec_id"),
       (d, i) => {

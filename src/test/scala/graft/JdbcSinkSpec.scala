@@ -23,6 +23,25 @@ class JdbcSinkSpec extends AnyFunSuite with SparkSpec {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("partitioned JDBC read: real range slices, content parity, empty fallback") {
+    val df = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    Sinks.overwriteJdbc(df, url, "orders_part")
+    val back = Sinks.readJdbcPartitioned(spark, url, "orders_part",
+      "o_orderkey", numPartitions = 4)
+    // the read plan must actually carry 4 range slices — one connection
+    // per slice is the point of the partitioned form
+    assert(back.rdd.getNumPartitions == 4,
+      s"expected 4 JDBC range partitions, got ${back.rdd.getNumPartitions}")
+    assert(back.count() == df.count() && back.count() > 0)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+      "partitioned read lost or duplicated rows across slice boundaries")
+    // empty table: no bounds to split — falls back to the plain read
+    Sinks.overwriteJdbc(df.limit(0), url, "orders_empty")
+    assert(Sinks.readJdbcPartitioned(spark, url, "orders_empty",
+      "o_orderkey").count() == 0)
+  }
+
   test("JDBC overwrite is idempotent (the drop+create+insert cycle)") {
     val df = SparkEntry.queries("ref_products_passthrough")(
       spark, "/root/testdata/sf0.001").limit(50)

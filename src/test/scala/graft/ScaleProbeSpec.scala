@@ -53,8 +53,8 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpec {
     // stronger than non-identical texts: the copies' SHINGLE sets must
     // be disjoint — any shared shingle is a cross-copy candidate edge
     // the dedup probes would count as growth that isn't in the real
-    // data (letters and digits both rotate, so a surviving shingle
-    // would need 3 consecutive symbol-only tokens)
+    // data (the full 62-char alphanumeric ring rotates, so a surviving
+    // shingle would need 3 consecutive symbol-only tokens)
     def shingles(copy: Int): org.apache.spark.sql.DataFrame =
       graft.operators.Dedup.shingleHashesFlat(
         dOut.filter(col("doc_id") >= copy.toLong * OFF &&
@@ -85,20 +85,19 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpec {
       "rotation changed a within-copy cosine")
   }
 
-  test("shingle disjointness holds PAIRWISE across all copies at the 10-copy cap") {
-    // the digit rotation has period 10, so the widest gaps are the ones
-    // that would break first: at the supported maximum of 10 copies, no
-    // shingle may appear in two different copies — one aggregation over
-    // every pair at once (copy = doc_id / OFF)
+  test("shingle disjointness holds PAIRWISE across all copies at the 62-copy cap") {
+    // the 62-character ring rotation has period 62, so the supported
+    // maximum is where any wrap-around sharing would first appear: at
+    // 62 copies, no shingle may appear in two different copies — one
+    // aggregation over every pair at once (copy = doc_id / OFF)
     val base = "/root/testdata/sf0.001"
     val out = graft.sources.Scratch.dir("scale-spec-pairwise")
-    graft.tools.ScaleProbe.buildScaled(spark, base, out, 10)
+    graft.tools.ScaleProbe.buildScaled(spark, base, out, 62)
     val OFF = 1000000000L
-    // STRING shingles, not the 32-bit hashes the operators use: at ten
-    // copies of the corpus the hash space measurably birthday-collides
-    // (4 cross-copy hash collisions between DIFFERENT strings at this
-    // scale), and this assertion is about the data's content, not the
-    // hash's width
+    // STRING shingles, not the 32-bit hashes the operators use: at
+    // tens of copies of the corpus the hash space measurably
+    // birthday-collides between DIFFERENT strings, and this assertion
+    // is about the data's content, not the hash's width
     val leaked = spark.read.parquet(s"$out/documents.parquet")
       .withColumn("toks", split(col("text"), "\\s+"))
       .filter(size(col("toks")) >= 3)
@@ -109,12 +108,12 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpec {
       .filter(col("nc") > 1)
     assert(leaked.count() == 0,
       s"shingles shared across copies: ${leaked.take(3).mkString(",")}")
-    // and 11 copies is refused outright — the digit period makes it
+    // and 63 copies is refused outright — the ring period makes it
     // unsound, not merely untested
     val ex = intercept[IllegalArgumentException] {
       graft.tools.ScaleProbe.buildScaled(spark, base,
-        graft.sources.Scratch.dir("scale-spec-11"), 11)
+        graft.sources.Scratch.dir("scale-spec-63"), 63)
     }
-    assert(ex.getMessage.contains("1..10"))
+    assert(ex.getMessage.contains("1..62"))
   }
 }
