@@ -149,7 +149,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // materializes when a mega-duplicate cluster is actually present
       // (law in CandidateBoundSpec)
       "dedup_incremental" -> 1,
-      "dedup_embedding_incr" -> 1)
+      "dedup_embedding_incr" -> 1,
+      // two-phase windows, ONE full-fact exchange each: trailing is
+      // exactly the (key, bucket) window over the padded union (1);
+      // running adds two METADATA-scale exchanges (the per-key
+      // bucket-total prefix window + shipping the keys×buckets totals
+      // into the back-join) on top of its fact window — a regression
+      // that re-shuffles the FACT per phase shows up as a 4th
+      "q_window_running_2p" -> 3,
+      "q_window_trailing_2p" -> 1)
     val byName = planOnly.toMap
     budgets.foreach { case (name, budget) =>
       val n = collectNodes(byName(name).queryExecution.executedPlan)
