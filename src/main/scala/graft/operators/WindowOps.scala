@@ -93,13 +93,28 @@ object WindowOps {
     * at most one bucket back, and exactly the rows within `win` of a
     * boundary are replicated forward as droppable context. */
   def trailingSum(df: DataFrame, key: String, order: String, value: String,
-                  out: String, win: Long, nBuckets: Int = 32): DataFrame = {
-    require(win > 0, s"trailingSum: win must be positive, got $win")
-    require(nBuckets > 0, s"trailingSum: nBuckets must be positive, got $nBuckets")
-    val plain = Window.partitionBy(col(key)).orderBy(col(order))
-      .rangeBetween(-win, 0)
+                  out: String, win: Long, nBuckets: Int = 32): DataFrame =
+    trailingOver(df, key, order, win, nBuckets,
+      w => Seq(out -> sum(col(value)).over(w)))
+
+  /** The padded-bucket trailing machinery, generalized: bucket, pad the
+    * boundary margin forward, evaluate ALL `aggs` window columns in one
+    * (key, bucket) pass, drop context rows. Any aggregate is valid here
+    * — the padded bucket holds every row of every kept row's true
+    * frame, so the window computes the exact single-partition answer
+    * (min/max/avg included, which NO merge-based decomposition of
+    * trailing frames could provide). */
+  private def trailingOver(df: DataFrame, key: String, order: String,
+                           win: Long, nBuckets: Int,
+                           aggs: org.apache.spark.sql.expressions.WindowSpec =>
+                             Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(win > 0, s"trailing window: win must be positive, got $win")
+    require(nBuckets > 0, s"trailing window: nBuckets must be positive, got $nBuckets")
     bounds(df, order) match {
-      case None => df.withColumn(out, sum(col(value)).over(plain)) // empty
+      case None =>
+        val plain = Window.partitionBy(col(key)).orderBy(col(order))
+          .rangeBetween(-win, 0)
+        aggs(plain).foldLeft(df) { case (d, (o, c)) => d.withColumn(o, c) }
       case Some((lo, hi)) =>
         val width = math.max((hi - lo) / nBuckets, win.toDouble)
         val withB = df.withColumn("__wb", bucketExpr(order, lo, width, nBuckets))
@@ -116,8 +131,70 @@ object WindowOps {
         val padded = withB.withColumn("__ctx", lit(false)).unionByName(ctx)
         val w = Window.partitionBy(col(key), col("__wb")).orderBy(col(order))
           .rangeBetween(-win, 0)
-        padded.withColumn(out, sum(col(value)).over(w))
+        aggs(w).foldLeft(padded) { case (d, (o, c)) => d.withColumn(o, c) }
           .filter(!col("__ctx")).drop("__wb", "__ctx")
+    }
+  }
+
+  /** Trailing count and average in the same single padded pass as
+    * [[trailingSum]]: `<out>_cnt` and `<out>_avg` (exact decimal/long
+    * sum divided as double — deterministic, no float accumulation).
+    * The padded-bucket route is the ONLY two-phase shape that covers
+    * avg/min/max: trailing frames cannot be merged from bucket totals
+    * the way running prefixes can, because a frame's cut of the
+    * previous bucket depends on the row. */
+  def trailingStats(df: DataFrame, key: String, order: String, value: String,
+                    out: String, win: Long, nBuckets: Int = 32): DataFrame =
+    trailingOver(df, key, order, win, nBuckets, w => Seq(
+      s"${out}_cnt" -> count(col(value)).over(w),
+      s"${out}_avg" ->
+        (sum(col(value)).over(w).cast("double") / count(col(value)).over(w))))
+
+  /** Running sum, count, min and max in one two-phase pass — the
+    * general associative-merge form of [[runningSum]]: within-bucket
+    * windows compute all four over ONE (key, bucket) sort, the per-key
+    * bucket-total prefix merges them (sum+sum, cnt+cnt, least, greatest
+    * — `least`/`greatest` skip the null first-bucket prefix), and the
+    * back-join lands on the partitioning the fact already has. Adds
+    * `<out>_sum`, `<out>_cnt`, `<out>_min`, `<out>_max`. */
+  def runningStats(df: DataFrame, key: String, order: String, value: String,
+                   out: String, nBuckets: Int = 32): DataFrame = {
+    require(nBuckets > 0, s"runningStats: nBuckets must be positive, got $nBuckets")
+    bounds(df, order) match {
+      case None =>
+        val plain = Window.partitionBy(col(key)).orderBy(col(order))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn(s"${out}_sum", sum(col(value)).over(plain))
+          .withColumn(s"${out}_cnt", count(col(value)).over(plain))
+          .withColumn(s"${out}_min", min(col(value)).over(plain))
+          .withColumn(s"${out}_max", max(col(value)).over(plain))
+      case Some((lo, hi)) =>
+        val width = math.max((hi - lo) / nBuckets, 1e-9)
+        val withB = df.withColumn("__wb", bucketExpr(order, lo, width, nBuckets))
+        val w = Window.partitionBy(col(key), col("__wb")).orderBy(col(order))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        val within = withB
+          .withColumn("__ws", sum(col(value)).over(w))
+          .withColumn("__wc", count(col(value)).over(w))
+          .withColumn("__wmin", min(col(value)).over(w))
+          .withColumn("__wmax", max(col(value)).over(w))
+        val priorW = Window.partitionBy(col(key)).orderBy(col("__wb"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prior = withB.groupBy(col(key), col("__wb"))
+          .agg(sum(col(value)).as("__bs"), count(col(value)).as("__bc"),
+            min(col(value)).as("__bmin"), max(col(value)).as("__bmax"))
+          .select(col(key), col("__wb"),
+            sum(col("__bs")).over(priorW).as("__ps"),
+            sum(col("__bc")).over(priorW).as("__pc"),
+            min(col("__bmin")).over(priorW).as("__pmin"),
+            max(col("__bmax")).over(priorW).as("__pmax"))
+        within.join(prior, Seq(key, "__wb"))
+          .withColumn(s"${out}_sum", col("__ws") + coalesce(col("__ps"), lit(0)))
+          .withColumn(s"${out}_cnt", col("__wc") + coalesce(col("__pc"), lit(0L)))
+          .withColumn(s"${out}_min", least(col("__wmin"), col("__pmin")))
+          .withColumn(s"${out}_max", greatest(col("__wmax"), col("__pmax")))
+          .drop("__wb", "__ws", "__wc", "__wmin", "__wmax",
+            "__ps", "__pc", "__pmin", "__pmax")
     }
   }
 }

@@ -708,6 +708,27 @@ object Extensions {
         "o_custkey", "o_orderkey", "price", "trailing_total", win = 1000L)
         .select(col("o_custkey"), col("o_orderkey"),
           col("trailing_total").cast("double").as("trailing_total"))),
+    // the general associative-merge running form (sum/cnt/min/max in
+    // one two-phase pass) and the padded-bucket trailing average — the
+    // shapes a merge-based decomposition can NOT cover (a trailing
+    // frame's cut of the previous bucket depends on the row)
+    "q_window_running_stats_2p" -> ((s, d) =>
+      graft.operators.WindowOps.runningStats(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price")),
+        "o_custkey", "o_orderkey", "price", "run")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("run_sum").cast("double").as("run_sum"),
+          col("run_cnt").as("run_cnt"),
+          col("run_min").cast("double").as("run_min"),
+          col("run_max").cast("double").as("run_max"))),
+    "q_window_trailing_avg_2p" -> ((s, d) =>
+      graft.operators.WindowOps.trailingStats(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price")),
+        "o_custkey", "o_orderkey", "price", "trail", win = 1000L)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("trail_cnt"), col("trail_avg"))),
 
     // ---- multimodal: opaque binary payload + typed metadata ----
     "mm_binary_meta" -> ((s, d) =>
@@ -1499,6 +1520,23 @@ object Extensions {
                    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
                   AS DOUBLE) AS trailing_total
       FROM orders""",
+    "q_window_running_stats_2p" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_sum,
+             CAST(COUNT(o_totalprice) OVER w AS BIGINT) AS run_cnt,
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_min,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_max
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "q_window_trailing_avg_2p" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(COUNT(o_totalprice) OVER w AS BIGINT) AS trail_cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / COUNT(o_totalprice) OVER w AS trail_avg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)""",
     "text_chunks" -> s"""
       WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
       c AS (SELECT doc_id, k, t[(k*48+1):(k*48+64)] AS chunk

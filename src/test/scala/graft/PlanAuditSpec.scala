@@ -157,7 +157,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // into the back-join) on top of its fact window — a regression
       // that re-shuffles the FACT per phase shows up as a 4th
       "q_window_running_2p" -> 3,
-      "q_window_trailing_2p" -> 1)
+      "q_window_trailing_2p" -> 1,
+      "q_window_running_stats_2p" -> 3, // same shape, 4 merged aggs
+      "q_window_trailing_avg_2p" -> 1)  // same padded single pass
     val byName = planOnly.toMap
     budgets.foreach { case (name, budget) =>
       val n = collectNodes(byName(name).queryExecution.executedPlan)

@@ -73,6 +73,43 @@ class WindowOpsSpec extends AnyFunSuite with SparkSpec {
     assert(g == e, "widened-bucket trailing sum diverged")
   }
 
+  test("runningStats: sum/cnt/min/max all merge correctly across buckets") {
+    val df = planted
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val plain = df.select(col("k"), col("o"),
+      sum(col("v")).over(w).as("s"), count(col("v")).over(w).as("c"),
+      min(col("v")).over(w).as("mn"), max(col("v")).over(w).as("mx"))
+    val e = plain.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val g = WindowOps.runningStats(df, "k", "o", "v", "r")
+      .select("k", "o", "r_sum", "r_cnt", "r_min", "r_max").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(g.size == 10000 && g == e,
+      "two-phase running stats diverged from the single-window plan " +
+        "(least/greatest prefix merge or count merge is wrong)")
+  }
+
+  test("trailingStats: count and exact-division average match the plain frame") {
+    val df = planted
+    val win = 700L
+    val w = Window.partitionBy(col("k")).orderBy(col("o")).rangeBetween(-win, 0)
+    val plain = df.select(col("k"), col("o"),
+      count(col("v")).over(w).as("c"),
+      (sum(col("v")).over(w).cast("double") / count(col("v")).over(w)).as("a"))
+    val e = plain.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val g = WindowOps.trailingStats(df, "k", "o", "v", "t", win)
+      .select("k", "o", "t_cnt", "t_avg").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // exact integer sum and count, then one IEEE division — bitwise
+    // comparable, no float-accumulation tolerance needed
+    assert(g.size == 10000 && g == e,
+      "padded-bucket trailing avg diverged from the single-window plan")
+  }
+
   test("degenerate domains: empty input and single order value") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long, Long)].toDF("k", "o", "v")
