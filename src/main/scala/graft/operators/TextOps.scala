@@ -126,6 +126,41 @@ object TextOps {
     * conditional frequency; only which bigrams get scored changes.
     * Returns (doc_id, n_bigrams, familiarity); documents with fewer
     * than two tokens have no bigrams and are absent. */
+  /** Per-document keyword extraction: the k most distinctive terms,
+    * ranked by (tf desc, df asc, term asc) — most frequent in the
+    * document, rarest across the corpus, lexicographic tie-break. The
+    * integer total order is exactly TF-IDF's shape on exact legs (log
+    * is monotone in 1/df), chosen over `tf·ln(N/df)` so an external
+    * oracle reproduces the ranking bit-for-bit.
+    *
+    * 100 TB shape: tf is a map-side-combined groupBy over the token
+    * explode; df folds the tf table by term (one count per distinct
+    * (doc, term), so df = document frequency exactly); the corpus-wide
+    * df attach joins on term UNhinted — a Zipf-truncated vocabulary
+    * table usually broadcasts under AQE, a giant one shuffles, either
+    * is correct; the final per-doc top-k runs through the bounded
+    * [[TopK.TermTopKAgg]] buffer, so partial aggregation ships at most
+    * k terms per document per map partition — never the full scored
+    * term table — and no window sorts anything. Returns
+    * (doc_id, rk, term, tf, df); documents with no tokens are absent. */
+  def keyTerms(docs: DataFrame, id: String = "doc_id",
+               text: String = "text", k: Int = 5): DataFrame = {
+    require(k > 0, s"keyTerms: k must be positive, got $k")
+    val tf = docs
+      .select(col(id).cast("long").as("doc_id"),
+        explode(tokens(col(text))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val agg = udaf(new TopK.TermTopKAgg(k),
+      org.apache.spark.sql.Encoders.product[TopK.TermScored])
+    tf.join(dft, "term")
+      .groupBy("doc_id")
+      .agg(agg(col("tf"), col("df"), col("term")).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("doc_id"), (col("i") + 1).cast("int").as("rk"),
+        col("t.term").as("term"), col("t.tf").as("tf"), col("t.df").as("df"))
+  }
+
   def bigramFamiliarity(docs: DataFrame, id: String = "doc_id",
                         text: String = "text",
                         minCount: Int = DefaultFamiliarityMinCount): DataFrame = {

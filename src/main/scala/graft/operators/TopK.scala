@@ -70,4 +70,48 @@ object TopK {
       .select(col("g").as(groupCol), col("s.id").as(idCol),
         col("s.score").as(scoreCol), (col("i") + 1).cast("int").as("rk"))
   }
+
+  /** One term candidate for [[TermTopKAgg]]: ranked by (tf desc,
+    * df asc, term asc) — most frequent IN the document, rarest ACROSS
+    * the corpus, lexicographic tie-break. The integer-only rank is
+    * deliberately log-free: `tf·ln(N/df)` ordering needs float logs an
+    * external oracle cannot reproduce bit-for-bit, while this total
+    * order is exactly the TF-IDF ranking's shape on integer legs. */
+  case class TermScored(tf: Long, df: Long, term: String)
+
+  /** [[TopKAgg]]'s sibling for term ranking: same bounded sorted-buffer
+    * mechanics (reduce O(log k) + O(k), bounded merge), different total
+    * order and a string payload. */
+  class TermTopKAgg(k: Int) extends Aggregator[TermScored, Seq[TermScored], Seq[TermScored]] {
+    private val ord: Ordering[TermScored] =
+      Ordering.by((t: TermScored) => (-t.tf, t.df, t.term))
+
+    override def zero: Seq[TermScored] = Vector.empty
+
+    override def reduce(b: Seq[TermScored], a: TermScored): Seq[TermScored] =
+      if (b.length == k && ord.lteq(b.last, a)) b
+      else {
+        val i = b.indexWhere(x => ord.gt(x, a))
+        val at = if (i < 0) b.length else i
+        (b.take(at) :+ a) ++ b.drop(at).take(k - at - 1)
+      }
+
+    override def merge(x: Seq[TermScored], y: Seq[TermScored]): Seq[TermScored] = {
+      val out = Vector.newBuilder[TermScored]
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < x.length || j < y.length)) {
+        val takeX = j >= y.length || (i < x.length && ord.lteq(x(i), y(j)))
+        if (takeX) { out += x(i); i += 1 } else { out += y(j); j += 1 }
+        n += 1
+      }
+      out.result()
+    }
+
+    override def finish(r: Seq[TermScored]): Seq[TermScored] = r
+
+    override def bufferEncoder: Encoder[Seq[TermScored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[TermScored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
 }

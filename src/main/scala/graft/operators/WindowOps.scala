@@ -36,10 +36,19 @@ import org.apache.spark.sql.functions._
   */
 object WindowOps {
 
-  /** Order-domain bounds as doubles; None for an empty frame. */
+  /** Order-domain bounds as doubles; None for an empty frame. Fails
+    * loudly on NULL order values (one extra column in the same agg
+    * pass): a null has no range bucket, and the bucket-null group
+    * would silently leak its totals into bucket 0's prefix — plain
+    * RANGE windows exclude nulls from non-null frames, so the
+    * two-phase result would diverge instead of matching. */
   private def bounds(df: DataFrame, order: String): Option[(Double, Double)] = {
     val b = df.agg(min(col(order)).cast("double"),
-      max(col(order)).cast("double")).head()
+      max(col(order)).cast("double"),
+      count(when(col(order).isNull, lit(1))).as("n_null")).head()
+    require(b.getLong(2) == 0L,
+      s"WindowOps: ${b.getLong(2)} rows have a NULL '$order' — range " +
+        "frames need a non-null numeric order; filter or impute first")
     if (b.isNullAt(0)) None else Some((b.getDouble(0), b.getDouble(1)))
   }
 

@@ -108,6 +108,12 @@ object Extensions {
       Tables.documents(s, d)
         .groupBy(TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))),
+    // per-document keyword extraction: top-5 terms by (tf desc, df asc,
+    // term) — the integer-exact TF-IDF shape, reduced through the
+    // bounded TermTopKAgg (k terms per doc per map partition cross the
+    // shuffle, no window sort; partial-agg law in TextOpsSpec)
+    "text_keyterms" -> ((s, d) =>
+      TextOps.keyTerms(Tables.documents(s, d))),
     // within-document repetition (the Gopher-style quality signal the
     // corpus-level dedup family can't see): top-bigram share + duplicate
     // token fraction, all narrow per-doc expressions — no explode, no
@@ -1399,6 +1405,21 @@ object Extensions {
              COUNT(1) AS n_docs, MIN(doc_id) AS keeper
       FROM (SELECT doc_id, $duckTokens AS t FROM documents) x
       GROUP BY 1""",
+    // the oracle takes the window-rank road to the same integer-exact
+    // (tf desc, df asc, term) ranking the bounded aggregator computes
+    "text_keyterms" -> s"""
+      WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(1) AS BIGINT) AS tf
+             FROM tok, LATERAL unnest(t) AS u(term)
+             GROUP BY doc_id, term),
+      dft AS (SELECT term, CAST(COUNT(1) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+      r AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+              ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                ORDER BY tf.tf DESC, dft.df ASC, tf.term ASC) AS rk
+            FROM tf JOIN dft USING (term))
+      SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df
+      FROM r WHERE rk <= 5""",
     // the oracle takes the explode + groupBy road to the same numbers
     // the narrow fold computes
     "text_repetition" -> s"""

@@ -211,6 +211,37 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(empty == 0L)
   }
 
+  test("keyTerms: hand-computed (tf desc, df asc, term) ranking, bounded agg") {
+    // corpus: doc 1 "b b b a c", doc 2 "a a b", doc 3 "c"
+    //   df: a→2, b→2, c→2
+    //   doc 1: b(tf3) > a(tf1,df2) vs c(tf1,df2) tie → term asc: a, c
+    //   doc 2: a(tf2) > b(tf1)
+    //   doc 3: c only
+    val docs = Seq((1L, "b b b a c"), (2L, "a a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.keyTerms(docs, k = 2)
+    val got = out.as[(Long, Int, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1, "b", 3L, 2L), (1L, 2, "a", 1L, 2L),
+      (2L, 1, "a", 2L, 2L), (2L, 2, "b", 1L, 2L),
+      (3L, 1, "c", 1L, 2L)),
+      s"keyword ranking diverged: $got")
+    // rarity beats ties: a term appearing in FEWER documents outranks
+    // an equally-frequent common one
+    val docs2 = Seq((1L, "x q"), (2L, "x")).toDF("doc_id", "text")
+    val r2 = graft.operators.TextOps.keyTerms(docs2, k = 1)
+      .as[(Long, Int, String, Long, Long)].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(r2(1L) == "q", "df=1 'q' must outrank df=2 'x' at equal tf")
+    // the per-doc reduction runs through the bounded typed aggregator
+    // with PARTIAL aggregation — k terms per doc per partition cross
+    // the shuffle, no window sorts the scored term table
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial"),
+      "keyTerms must reduce via the partial bounded aggregator")
+    assert(!plan.contains("Window"), "keyTerms must not plan a window sort")
+  }
+
   test("bigram familiarity: hand-computed conditional frequencies") {
     // corpus: "a b", "a b", "a c", "z" →
     //   bigram counts: c("a b")=2, c("a c")=1; prefix c("a ·")=3

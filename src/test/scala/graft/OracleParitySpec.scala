@@ -126,7 +126,8 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "stream_incremental_dedup", "stream_session_window",
     "stream_sliding_window", "stream_static_join", "stream_stream_join",
     "stream_tumbling_window", "text_bpe_tokens", "text_chunks",
-    "text_familiarity", "text_fingerprint", "text_langid", "text_ngram_freq",
+    "text_familiarity", "text_fingerprint", "text_keyterms", "text_langid",
+    "text_ngram_freq",
     "text_pack", "text_pack_shards", "text_quality", "text_quality_quantile",
     "text_redact",
     "text_repetition", "text_rolling_fp", "text_tokens")

@@ -123,5 +123,14 @@ class WindowOpsSpec extends AnyFunSuite with SparkSpec {
     assert(WindowOps.trailingSum(flat, "k", "o", "v", "t", 10L).collect()
       .map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq ==
       Seq((1L, 7L), (1L, 7L), (2L, 5L)))
+    // NULL order values fail loudly in the bounds pass: a null has no
+    // range bucket, and plain RANGE windows exclude nulls from
+    // non-null frames — silent divergence is the one wrong option
+    val withNull = Seq((1L, Some(3L), 2L), (1L, None, 4L))
+      .toDF("k", "o", "v")
+    val ex = intercept[IllegalArgumentException] {
+      WindowOps.runningSum(withNull, "k", "o", "v", "r").collect()
+    }
+    assert(ex.getMessage.contains("NULL 'o'"))
   }
 }
