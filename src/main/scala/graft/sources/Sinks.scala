@@ -127,6 +127,31 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Writes the shard MANIFEST a 100 TB reader coordinates from:
+    * one row per part file with its `orderCol` range and row count, so
+    * a distributed consumer can assign shards to workers, seek a key
+    * range, or verify completeness WITHOUT listing-and-footer-probing
+    * 10⁵ parquet files. Lands under `_manifest/` inside the shard dir —
+    * the underscore prefix keeps Spark's file index from reading it as
+    * data — as JSON (one tiny file per manifest partition; the manifest
+    * is shard-count-scale, never row-scale). One columnar re-read of
+    * the written shards, grouped by file. */
+  def writeShardManifest(spark: org.apache.spark.sql.SparkSession,
+                         path: String, orderCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(orderCol)).as("lo"), max(col(orderCol)).as("hi"),
+        count(lit(1)).as("rows"))
+      .coalesce(1)
+      .write.mode("overwrite").json(s"$path/_manifest")
+  }
+
+  /** Reads a [[writeShardManifest]] back: (file, lo, hi, rows). */
+  def readShardManifest(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame =
+    spark.read.json(s"$path/_manifest")
+
   /** Bucketed managed table: pre-shuffles once on the bucket key so
     * later equi-joins/aggregations on that key are exchange-free — the
     * 100 TB answer to "this join shuffles the fact table every run".

@@ -42,6 +42,24 @@ class JdbcSinkSpec extends AnyFunSuite with SparkSpec {
       "o_orderkey").count() == 0)
   }
 
+  test("filters and projections push through the partitioned JDBC read") {
+    val df = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    Sinks.overwriteJdbc(df, url, "orders_push")
+    val q = Sinks.readJdbcPartitioned(spark, url, "orders_push",
+      "o_orderkey", numPartitions = 4)
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") <= 100)
+      .select("o_orderkey", "o_orderstatus")
+    // the predicate must reach the DATABASE (per-slice WHERE), not run
+    // as a Spark filter over a full-table stream — at a real warehouse
+    // that is the difference between an index range scan and shipping
+    // the table
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual"),
+      s"o_orderkey <= 100 was not pushed into the JDBC scan:\n$plan")
+    assert(q.count() == df.filter("o_orderkey <= 100").count())
+  }
+
   test("JDBC overwrite is idempotent (the drop+create+insert cycle)") {
     val df = SparkEntry.queries("ref_products_passthrough")(
       spark, "/root/testdata/sf0.001").limit(50)

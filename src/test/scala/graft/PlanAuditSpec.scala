@@ -159,7 +159,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "q_window_running_2p" -> 3,
       "q_window_trailing_2p" -> 1,
       "q_window_running_stats_2p" -> 3, // same shape, 4 merged aggs
-      "q_window_trailing_avg_2p" -> 1)  // same padded single pass
+      "q_window_trailing_avg_2p" -> 1,  // same padded single pass
+      // tf groupBy + df fold + the unhinted term attach's two sides
+      // collapsing under AQE + the final bounded per-doc aggregate; a
+      // 5th exchange would mean a window sort crept back in
+      "text_keyterms" -> 4)
     val byName = planOnly.toMap
     budgets.foreach { case (name, budget) =>
       val n = collectNodes(byName(name).queryExecution.executedPlan)

@@ -130,6 +130,21 @@ class SinksSkewSpec extends AnyFunSuite with SparkSpec {
         assert(hi <= lo2, s"auto shard ranges overlap: hi=$hi > next lo=$lo2")
       case _ => ()
     }
+    // manifest: one row per part file with its range and count — the
+    // coordination table a 10⁵-shard reader uses instead of probing
+    // footers; it must NOT become part of the data on re-read
+    Sinks.writeShardManifest(spark, out, "seq_idx")
+    val mf = Sinks.readShardManifest(spark, out)
+      .select("file", "lo", "hi", "rows")
+    val m = mf.as[(String, Long, Long, Long)].collect().sortBy(_._2)
+    assert(m.length == 8, s"manifest rows ${m.length} != 8 shard files")
+    assert(m.map(_._4).sum == packed.count(),
+      "manifest row counts must sum to the exported total")
+    m.map(x => (x._2, x._3)).zip(ranges).foreach { case ((a, b), (c, d)) =>
+      assert(a == c && b == d, "manifest ranges diverge from the files") }
+    // the underscore dir is invisible to a plain data read
+    assert(spark.read.parquet(out).count() == packed.count(),
+      "_manifest leaked into the data read")
   }
 
   test("bucketed table join plans without an exchange on the fact side") {
