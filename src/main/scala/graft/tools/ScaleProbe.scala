@@ -66,7 +66,13 @@ object ScaleProbe {
     // two-phase prefix sum: the driver-side bucket table grows with
     // copies (rows/4096) but stays metadata-scale; the within-bucket
     // window partitions stay bounded, so wall should track the scan
-    "text_pack" -> graft.SparkEntry.queries("text_pack"))
+    "text_pack" -> graft.SparkEntry.queries("text_pack"),
+    // bounded-aggregator keyword extraction: content-disjoint copies
+    // grow the vocabulary ~linearly (each copy's ring-rotated tokens
+    // are new terms), so the tf/df folds and the unhinted vocab attach
+    // must track the scan — a super-copy ratio here would mean the
+    // attach or the top-k stage went row-quadratic
+    "text_keyterms" -> graft.SparkEntry.queries("text_keyterms"))
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(5)
