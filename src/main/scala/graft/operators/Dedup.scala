@@ -160,6 +160,28 @@ object Dedup {
     }
   }
 
+  /** [[splitByOccupancy]] for the bipartite (ingestion) forms: the
+    * corpus-side banded frame is first restricted to the buckets the
+    * BATCH's own keys touch, so the eager occupancy guard aggregates
+    * O(index rows matching the batch) — bounded by maxBucket × batch
+    * keys plus any diverted clusters — instead of re-aggregating the
+    * whole held index on every micro-batch (a corpus-wide shuffle per
+    * batch would erode the steady-state "per-batch cost independent of
+    * corpus size" claim as the index grows). Untouched buckets produce
+    * no candidates in either branch, and a touched bucket keeps ALL its
+    * corpus rows (the restriction is by key only), so per-bucket
+    * occupancy — and the divert decision — is exact. The probed slice
+    * is materialized so the guard's aggregate and the candidate join
+    * share one scan of the index tables. */
+  private[graft] def splitProbedByOccupancy(
+      corpusBanded: DataFrame, batchBanded: DataFrame, maxBucket: Int,
+      opName: String): (DataFrame, Option[DataFrame]) = {
+    val probed = materialize(corpusBanded.join(
+      batchBanded.select("band_idx", "band_key").distinct(),
+      Seq("band_idx", "band_key")))
+    splitByOccupancy(probed, maxBucket, opName)
+  }
+
   /** Linear spanning candidates for over-cap buckets: each bucket's
     * MINIMUM id becomes the hub and every other member pairs with it —
     * occ − 1 pairs instead of C(occ, 2), and the hub is the minimum, so
@@ -608,10 +630,12 @@ object Dedup {
     val inSigs = minhashSignatures(incoming, id, text, index.numHashes)
     val l = bandKeysOf(inSigs, index.numHashes, index.nBands)
       .select(col("doc_id").as("new_id"), col("band_idx"), col("band_key"))
-    val (small, bigOpt) = splitByOccupancy(
+    // batch-scoped: the occupancy guard and the candidate join both run
+    // over only the index slice this batch's keys touch
+    val (small, bigOpt) = splitProbedByOccupancy(
       index.bands.select(col("doc_id").as("matched_id"),
         col("band_idx"), col("band_key")),
-      maxBucket, "crossMinhashPairs")
+      l, maxBucket, "crossMinhashPairs")
     val direct = l.join(small, Seq("band_idx", "band_key"))
       .select("new_id", "matched_id")
     bigOpt.fold(direct) { big =>
@@ -872,12 +896,18 @@ object Dedup {
     * Buckets past `maxBucket` divert to the hub-star span like the
     * MinHash family (a mega-duplicate cluster shares ONE simhash and
     * lands whole in its four byte-buckets; the star's Hamming verify is
-    * exact, distance 0 to the hub). NOTE the scale envelope: byte
-    * banding has only 256 buckets per band, so MEAN occupancy is
-    * n/256 regardless of duplication — past n ≈ 256·maxBucket ordinary
-    * buckets start diverting too and recall degrades loudly (the warn
-    * log). That is the honest limit of 8-bit pigeonhole blocking; at
-    * that corpus size use [[minhashPairs]], whose key space scales. */
+    * exact, distance 0 to the hub). The scale wrinkle: byte banding
+    * has only 256 buckets per band, so MEAN occupancy is n/256
+    * regardless of duplication — a FIXED cap would start diverting
+    * perfectly ordinary buckets (and silently losing Hamming ≤ 3
+    * pairs) once n crosses 256·maxBucket, sizes far below this
+    * engine's targets. The effective cap therefore scales with the
+    * corpus: max(maxBucket, 8 × n/256) — ordinary buckets sit at the
+    * mean and never divert at any n, while a mega-duplicate cluster
+    * stands ≥ 8× above the mean and still does. What degrades at
+    * n ≫ 256·maxBucket is the SELF-JOIN cost (O(n²/256) candidate
+    * pairs is inherent to 8-bit pigeonhole blocking, cap or no cap);
+    * at that size use [[minhashPairs]], whose key space scales. */
   def simhashPairs(df: DataFrame, id: String, text: String,
                    maxHamming: Int = 3,
                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
@@ -886,11 +916,16 @@ object Dedup {
     // would otherwise recompute the full shingle+aggregate pipeline for
     // each side
     val sig = materialize(simhash(df, id, text))
+    // corpus-relative cap (one cheap count of the materialized frame):
+    // never below the caller's floor, never inside the mean-occupancy
+    // band where heterogeneous buckets live
+    val effCap = math.max(maxBucket.toLong,
+      8L * sig.count() / 256L).min(Int.MaxValue).toInt
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(expr("array(simhash & 255, shiftright(simhash, 8) & 255, " +
         "shiftright(simhash, 16) & 255, shiftright(simhash, 24) & 255)"))
         .as(Seq("band_idx", "band_key")))
-    val (small, bigOpt) = splitByOccupancy(banded, maxBucket, "simhashPairs")
+    val (small, bigOpt) = splitByOccupancy(banded, effCap, "simhashPairs")
     val l = small.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
       col("band_idx"), col("band_key"))
     val r = small.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),

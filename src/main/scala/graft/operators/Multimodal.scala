@@ -181,50 +181,58 @@ object Multimodal {
   case class FrameStats(media_id: Long, frame_idx: Int, width: Int,
                         height: Int, gray_sum: Long)
 
-  /** REAL keyframe extraction — pure-JVM `javax.imageio` multi-frame
-    * GIF read: every `stride`-th frame decoded to pixels and reduced to
-    * exact integer gray sums. Empty for non-GIF payloads (row-wise
-    * degradation, like the image and audio paths). This replaces the
-    * byte-chunking [[sampleFrames]] stub with an actual container
-    * parse: frame COUNT comes from the file, not from byte arithmetic. */
-  def decodeGifFrames(payload: Array[Byte],
-                      stride: Int = VideoStride): Seq[FrameStats] =
+  /** Shared GIF container parse: folds `f` over every `stride`-th
+    * decoded frame of `payload`; Nil for non-GIF or corrupt payloads
+    * (row-wise degradation — IOException for truncated containers,
+    * RuntimeException because the JDK GIF plugin throws unchecked
+    * errors on malformed frame tables). The `ImageInputStream` is
+    * ALWAYS closed: with ImageIO's default `useCache=true` it is
+    * backed by a DISK TEMP FILE plus a file descriptor per payload,
+    * which a corpus-scale `mapPartitions` would otherwise strand until
+    * GC ("too many open files" on long-lived executors). */
+  private def foldGifFrames[A](payload: Array[Byte], stride: Int)(
+      f: (Int, java.awt.image.BufferedImage) => A): Seq[A] =
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) Nil
-      else {
-        val r = readers.next()
-        try {
-          r.setInput(iis)
-          if (r.getFormatName.toLowerCase != "gif") Nil
-          else {
-            val n = r.getNumImages(true)
-            (0 until n by stride).map { i =>
-              val img = r.read(i)
-              var sum = 0L
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  sum += (img.getRGB(x, y) & 0xff)
-                  x += 1
-                }
-                y += 1
-              }
-              FrameStats(0L, i, img.getWidth, img.getHeight, sum)
-            }
-          }
-        } finally r.dispose()
-      }
+      if (iis == null) Nil
+      else try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Nil
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            if (r.getFormatName.toLowerCase != "gif") Nil
+            else (0 until r.getNumImages(true) by stride)
+              .map(i => f(i, r.read(i)))
+          } finally r.dispose()
+        }
+      } finally iis.close()
     } catch {
-      // IOException for truncated containers; RuntimeException because
-      // the JDK GIF plugin throws unchecked errors (e.g. on malformed
-      // frame tables) — both mean "this payload's frames are gone", a
-      // row-wise drop, not a task failure
       case _: java.io.IOException => Nil
       case _: RuntimeException => Nil
+    }
+
+  /** REAL frame extraction — pure-JVM `javax.imageio` multi-frame
+    * GIF read: every `stride`-th frame decoded to pixels and reduced to
+    * exact integer gray sums. Empty for non-GIF payloads (row-wise
+    * degradation, like the image and audio paths); frame COUNT comes
+    * from the container, not from byte arithmetic. */
+  def decodeGifFrames(payload: Array[Byte],
+                      stride: Int = VideoStride): Seq[FrameStats] =
+    foldGifFrames(payload, stride) { (i, img) =>
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          sum += (img.getRGB(x, y) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      FrameStats(0L, i, img.getWidth, img.getHeight, sum)
     }
 
   /** Batched multi-frame decode over a binary video column — the video
@@ -442,46 +450,30 @@ object Multimodal {
   /** REAL keyframe sampling over one GIF payload: every `stride`-th
     * frame decoded to pixels, reduced to its gray sum and the motion
     * delta against the previously kept frame. Same container parse and
-    * row-wise corrupt-payload degradation as [[decodeGifFrames]]. */
+    * row-wise corrupt-payload degradation as [[decodeGifFrames]]
+    * (shared [[foldGifFrames]] scaffolding — the delta fold is the
+    * only difference). */
   def sampleKeyframes(payload: Array[Byte],
-                      stride: Int = KeyframeStride): Seq[KeyframeStats] =
-    try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) Nil
-      else {
-        val r = readers.next()
-        try {
-          r.setInput(iis)
-          if (r.getFormatName.toLowerCase != "gif") Nil
-          else {
-            var prev: java.awt.image.BufferedImage = null
-            (0 until r.getNumImages(true) by stride).map { i =>
-              val img = r.read(i)
-              var (sum, delta) = (0L, 0L)
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val g = img.getRGB(x, y) & 0xff
-                  sum += g
-                  if (prev != null)
-                    delta += math.abs(g - (prev.getRGB(x, y) & 0xff))
-                  x += 1
-                }
-                y += 1
-              }
-              prev = img
-              KeyframeStats(0L, i, img.getWidth, img.getHeight, sum, delta)
-            }
-          }
-        } finally r.dispose()
+                      stride: Int = KeyframeStride): Seq[KeyframeStats] = {
+    var prev: java.awt.image.BufferedImage = null
+    foldGifFrames(payload, stride) { (i, img) =>
+      var (sum, delta) = (0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val g = img.getRGB(x, y) & 0xff
+          sum += g
+          if (prev != null)
+            delta += math.abs(g - (prev.getRGB(x, y) & 0xff))
+          x += 1
+        }
+        y += 1
       }
-    } catch {
-      case _: java.io.IOException => Nil
-      case _: RuntimeException => Nil
+      prev = img
+      KeyframeStats(0L, i, img.getWidth, img.getHeight, sum, delta)
     }
+  }
 
   /** Batched keyframe sampling over a binary video column — flatMap-
     * shaped (one clip → few keyframes), one reader per payload, codec

@@ -577,10 +577,12 @@ object Similarity {
       incoming.select(col("vec_id"), col("embedding")))
     val l = withBandKeys(ci, index.nBands, index.rowBits)
       .select(col("vec_id").as("new_id"), col("band_idx"), col("band_key"))
-    val (small, bigOpt) = Dedup.splitByOccupancy(
+    // batch-scoped: the occupancy guard and the candidate join both run
+    // over only the index slice this batch's keys touch
+    val (small, bigOpt) = Dedup.splitProbedByOccupancy(
       index.bands.select(col("vec_id").as("matched_id"),
         col("band_idx"), col("band_key")),
-      maxBucket, "crossEmbeddingPairs")
+      l, maxBucket, "crossEmbeddingPairs")
     val direct = l.join(small, Seq("band_idx", "band_key"))
       .select("new_id", "matched_id")
     bigOpt.fold(direct) { big =>

@@ -126,41 +126,6 @@ object TextOps {
     * conditional frequency; only which bigrams get scored changes.
     * Returns (doc_id, n_bigrams, familiarity); documents with fewer
     * than two tokens have no bigrams and are absent. */
-  /** Per-document keyword extraction: the k most distinctive terms,
-    * ranked by (tf desc, df asc, term asc) — most frequent in the
-    * document, rarest across the corpus, lexicographic tie-break. The
-    * integer total order is exactly TF-IDF's shape on exact legs (log
-    * is monotone in 1/df), chosen over `tf·ln(N/df)` so an external
-    * oracle reproduces the ranking bit-for-bit.
-    *
-    * 100 TB shape: tf is a map-side-combined groupBy over the token
-    * explode; df folds the tf table by term (one count per distinct
-    * (doc, term), so df = document frequency exactly); the corpus-wide
-    * df attach joins on term UNhinted — a Zipf-truncated vocabulary
-    * table usually broadcasts under AQE, a giant one shuffles, either
-    * is correct; the final per-doc top-k runs through the bounded
-    * [[TopK.TermTopKAgg]] buffer, so partial aggregation ships at most
-    * k terms per document per map partition — never the full scored
-    * term table — and no window sorts anything. Returns
-    * (doc_id, rk, term, tf, df); documents with no tokens are absent. */
-  def keyTerms(docs: DataFrame, id: String = "doc_id",
-               text: String = "text", k: Int = 5): DataFrame = {
-    require(k > 0, s"keyTerms: k must be positive, got $k")
-    val tf = docs
-      .select(col(id).cast("long").as("doc_id"),
-        explode(tokens(col(text))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val agg = udaf(new TopK.TermTopKAgg(k),
-      org.apache.spark.sql.Encoders.product[TopK.TermScored])
-    tf.join(dft, "term")
-      .groupBy("doc_id")
-      .agg(agg(col("tf"), col("df"), col("term")).as("top"))
-      .select(col("doc_id"), posexplode(col("top")).as(Seq("i", "t")))
-      .select(col("doc_id"), (col("i") + 1).cast("int").as("rk"),
-        col("t.term").as("term"), col("t.tf").as("tf"), col("t.df").as("df"))
-  }
-
   def bigramFamiliarity(docs: DataFrame, id: String = "doc_id",
                         text: String = "text",
                         minCount: Int = DefaultFamiliarityMinCount): DataFrame = {
@@ -197,6 +162,53 @@ object TextOps {
     * while every repeated (i.e. minimally evidenced) bigram keeps its
     * true conditional frequency. */
   val DefaultFamiliarityMinCount = 2
+
+  /** Per-document keyword extraction: the k most distinctive terms,
+    * ranked by (tf desc, df asc, term asc) — most frequent in the
+    * document, rarest across the corpus, lexicographic tie-break. The
+    * integer total order is exactly TF-IDF's shape on exact legs (log
+    * is monotone in 1/df), chosen over `tf·ln(N/df)` so an external
+    * oracle reproduces the ranking bit-for-bit.
+    *
+    * 100 TB shape: tf is a map-side-combined groupBy over the token
+    * explode; df folds the tf table by term (one count per distinct
+    * (doc, term), so df = document frequency exactly); the corpus-wide
+    * df attach joins on term UNhinted — a Zipf-truncated vocabulary
+    * table usually broadcasts under AQE, a giant one shuffles, either
+    * is correct; the final per-doc top-k runs through the bounded
+    * [[TopK.TermTopKAgg]] buffer, so partial aggregation ships at most
+    * k terms per document per map partition — never the full scored
+    * term table — and no window sorts anything. Returns
+    * (doc_id, rk, term, tf, df); documents with no tokens are absent. */
+  def keyTerms(docs: DataFrame, id: String = "doc_id",
+               text: String = "text", k: Int = 5): DataFrame = {
+    require(k > 0, s"keyTerms: k must be positive, got $k")
+    // loud contract check, same pattern as packOffsets: a null or
+    // non-numeric id would otherwise collapse every such row into one
+    // doc_id=null group of k garbage corpus-level terms (or, under
+    // ANSI, surface as an opaque mid-job CAST_INVALID_INPUT) — one
+    // narrow id-column scan with try_cast, which nulls instead of
+    // throwing in either SQL mode
+    val bad = docs.agg(
+      count(when(expr(s"try_cast(`$id` as long)").isNull, lit(1))))
+      .head().getLong(0)
+    require(bad == 0L,
+      s"keyTerms: $bad rows have a null/non-numeric '$id' — a numeric, " +
+        "non-null document id is required")
+    val tf = docs
+      .select(col(id).cast("long").as("doc_id"),
+        explode(tokens(col(text))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val agg = udaf(new TopK.TermTopKAgg(k),
+      org.apache.spark.sql.Encoders.product[TopK.TermScored])
+    tf.join(dft, "term")
+      .groupBy("doc_id")
+      .agg(agg(col("tf"), col("df"), col("term")).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("doc_id"), (col("i") + 1).cast("int").as("rk"),
+        col("t.term").as("term"), col("t.tf").as("tf"), col("t.df").as("df"))
+  }
 
   /** [[packOffsets]] auto-sizing target: the driver-side running sum is
     * one (bucket, total) tuple per occupied bucket, so ~100k buckets

@@ -271,6 +271,25 @@ class CandidateBoundSpec extends AnyFunSuite with SparkSpec {
       "the diverted corpus bucket must be probed via its minimum id")
   }
 
+  test("simhash cap rides the corpus mean: heterogeneous buckets never divert") {
+    // byte banding has only 256 buckets per band, so MEAN occupancy is
+    // n/256 regardless of duplication — a FIXED cap below that would
+    // silently drop Hamming <= 3 pairs from perfectly ordinary buckets.
+    // The effective cap is max(maxBucket, 8 * n/256): on 500 distinct
+    // docs an absurd maxBucket=2 (below the mean of ~2) must behave
+    // IDENTICALLY to an uncapped run, because only a bucket standing
+    // 8x above the mean is a divertable mega-cluster.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text", maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val open = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped == open,
+      s"relative cap diverted ordinary buckets: ${(open -- capped).size} " +
+        "pairs lost vs the uncapped run")
+  }
+
   test("substringPairs: shared 8-token run found across contexts; sub-window runs are not") {
     import spark.implicits._
     val run = (1 to 8).map(i => s"runtok$i").mkString(" ")

@@ -240,6 +240,13 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("ObjectHashAggregate") && plan.contains("partial"),
       "keyTerms must reduce via the partial bounded aggregator")
     assert(!plan.contains("Window"), "keyTerms must not plan a window sort")
+    // non-numeric ids fail loudly instead of collapsing every row into
+    // one doc_id=null group of corpus-level garbage terms
+    val uuidDocs = Seq(("a-1", "x y"), ("b-2", "y z")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.TextOps.keyTerms(uuidDocs)
+    }
+    assert(ex.getMessage.contains("null/non-numeric"))
   }
 
   test("bigram familiarity: hand-computed conditional frequencies") {
