@@ -541,4 +541,13 @@ object exprs {
     column(BloomPositions(expression(h), k, mBits))
   def bloom_might_contain(h: Column, bitmap: Column, k: Int): Column =
     column(BloomMightContain(expression(h), expression(bitmap), k))
+  def quantize_vec(c: Column, levels: Int): Column =
+    column(QuantizeVec(expression(c), levels))
+  def pack_codes(c: Column): Column = column(PackCodes(expression(c)))
+  def quantized_dot(a: Column, b: Column): Column =
+    column(QuantizedDot(expression(a), expression(b)))
+  def quantized_cos(a: Column, b: Column): Column =
+    column(QuantizedCos(expression(a), expression(b)))
+  def z_order2(x: Column, y: Column, bits: Int): Column =
+    column(ZOrder2(expression(x), expression(y), bits))
 }

@@ -76,6 +76,42 @@ object Similarity {
     topKReduce(scored, k)
   }
 
+  /** Int8 quantization levels shared by [[quantizeEmbeddings]], the
+    * `sim_quantized` gate and its DuckDB oracle. */
+  val QuantLevels = 127
+
+  /** Corpus → packed int8 codes (`vec_id`, `codes: binary`): 1 byte/dim
+    * vs float32's 4 — the form a 100 TB vector corpus persists and
+    * scans for search. Codes are per-vector maxabs-scaled
+    * ([[graft.functions.QuantOps]]), bit-reproducible by the SQL
+    * oracle, and cosine over them is scale-invariant so ranking
+    * quality survives the compression (recall law in
+    * `QuantizationSpec`). */
+  def quantizeEmbeddings(corpus: DataFrame,
+                         levels: Int = QuantLevels): DataFrame =
+    corpus.select(col("vec_id"),
+      graft.functions.exprs.pack_codes(
+        graft.functions.exprs.quantize_vec(col("embedding"), levels))
+        .as("codes"))
+
+  /** Top-k by QUANTIZED cosine: both sides compressed to int8 codes
+    * before the scoring join, so the broadcast query set and the
+    * per-row scoring work shrink 4× while the candidate ranking tracks
+    * exact cosine within quantization error. Same join/reduce shape as
+    * [[bruteForceTopK]]: broadcast queries, one narrow corpus scan, the
+    * bounded partial-aggregating top-k — everything inside whole-stage
+    * codegen (all four quant expressions codegen via static helpers). */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    levels: Int = QuantLevels): DataFrame = {
+    val q = broadcast(quantizeEmbeddings(queries, levels)
+      .select(col("vec_id").as("qid"), col("codes").as("qc")))
+    val scored = quantizeEmbeddings(corpus, levels)
+      .join(q, col("qid") =!= col("vec_id"))
+      .withColumn("sim",
+        round(graft.functions.exprs.quantized_cos(col("qc"), col("codes")), 6))
+    topKReduce(scored, k)
+  }
+
   /** Deterministic fixed-iteration Lloyd k-means — the trained coarse
     * quantizer for [[ivfTopK]]. Seed = the `nCentroids` lowest vec_ids;
     * each iteration assigns every vector to its nearest centroid by

@@ -158,6 +158,23 @@ object Extensions {
         .select("doc_id", "n_tokens", "seq_idx", "seq_off")
     }),
 
+    // z-ordered layout: range-shard + sort on the Morton interleave of
+    // (user_id, epoch-day), then read back — content AND the integer
+    // z-key are oracle-checked; the 2-D file-skipping law lives in
+    // ZOrderSpec
+    "q_zorder" -> ((s, d) => {
+      val out = graft.sources.Scratch.dir(
+        s"zorder_${java.util.UUID.randomUUID.toString.take(8)}")
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      graft.sources.Sinks.writeZOrdered(ev, s"$out/z", "user_id", "day",
+        bits = 16, nShards = 8)
+      s.read.parquet(s"$out/z")
+        .select(col("event_id"), col("user_id"), col("day"),
+          col("_z").as("zkey"))
+    }),
+
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) =>
       Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", "text")),
@@ -524,6 +541,13 @@ object Extensions {
     "sim_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5), 10)
+    }),
+    // int8-compressed variant: both sides quantized to packed codes
+    // before scoring (4x less scan/broadcast volume at corpus scale);
+    // the oracle recomputes every code and integer dot exactly
+    "sim_quantized" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.quantizedTopK(e, e.filter(col("vec_id") < 5), 10)
     }),
 
     // ---- event-time windows (batch; streaming variants in graft.streaming) ----
@@ -1229,6 +1253,17 @@ object Extensions {
         ON a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3"""
   }
 
+  // Morton interleave of two clamped BIGINT expressions — mirrors
+  // ZOrderOps.interleave2 bit for bit (integer-only, so exact).
+  private def duckZ(x: String, y: String, bits: Int): String = {
+    val mask = (1L << bits) - 1L
+    val xc = s"LEAST(GREATEST($x, 0), $mask)"
+    val yc = s"LEAST(GREATEST($y, 0), $mask)"
+    (0 until bits).map { i =>
+      s"((($xc >> $i) & 1) << ${2 * i}) + ((($yc >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+  }
+
   // dot product of two list<float> columns, elementwise in double,
   // sequential sum — mirrors Similarity.cosine exactly.
   private def duckDot(x: String, y: String): String =
@@ -1729,6 +1764,51 @@ object Extensions {
       q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id < 5),
       scored AS (SELECT qid, b.vec_id, ${duckCos("qv", "b.embedding")} AS sim
                  FROM b JOIN q USING (bucket) WHERE qid <> b.vec_id)
+      SELECT qid, vec_id, sim, rk
+      FROM (SELECT qid, vec_id, sim,
+                   CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rk
+            FROM scored) t
+      WHERE rk <= 10""",
+    // round trip preserves content and the z-key is recomputed exactly
+    // (integer shift/mask arithmetic both sides)
+    "q_zorder" -> s"""
+      WITH e AS (SELECT event_id, user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day
+           FROM events)
+      SELECT event_id, user_id, day,
+             CAST(${duckZ("CAST(user_id AS BIGINT)", "day", 16)}
+                  AS BIGINT) AS zkey
+      FROM e""",
+    // mirrors QuantOps exactly: maxabs via comparisons only (no float
+    // summation anywhere), codes = floor(x*127/m + 0.5) in IEEE double,
+    // integer dots, one division — bit-reproducible, so hash-exact
+    "sim_quantized" -> """
+      WITH mv AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) AS m
+           FROM embeddings),
+      codes AS (SELECT vec_id,
+             CASE WHEN m = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5)
+                              AS BIGINT)) END AS cv
+           FROM mv),
+      sd AS (SELECT vec_id, cv,
+             list_aggregate(list_transform(cv, x -> x * x), 'sum') AS self
+           FROM codes),
+      q AS (SELECT vec_id AS qid, cv AS qc, self AS qself
+            FROM sd WHERE vec_id < 5),
+      scored AS (SELECT qid, sd.vec_id,
+             CASE WHEN qself = 0 OR self = 0 THEN 0.0
+                  ELSE round(CAST(list_aggregate(list_transform(
+                         generate_series(1, len(qc)), i -> qc[i] * cv[i]),
+                         'sum') AS DOUBLE)
+                       / sqrt(CAST(qself AS DOUBLE) * CAST(self AS DOUBLE)),
+                       6) END AS sim
+           FROM sd CROSS JOIN q WHERE qid <> sd.vec_id)
       SELECT qid, vec_id, sim, rk
       FROM (SELECT qid, vec_id, sim,
                    CAST(row_number() OVER (PARTITION BY qid

@@ -152,6 +152,25 @@ object Sinks {
                         path: String): DataFrame =
     spark.read.json(s"$path/_manifest")
 
+  /** Z-ordered layout: range-shard + sort on the Morton interleave of
+    * two bucketized dimensions ([[graft.functions.ZOrderOps]]), so
+    * per-file min/max statistics prune box predicates on EITHER column
+    * — the multi-dimensional answer to [[writeRangeShards]]'s
+    * one-column clustering. `xCol`/`yCol` must already be bucketized to
+    * [0, 2^bits) longs by the caller (values outside clamp to the edge
+    * cells). The `_z` key is persisted alongside the data: 8 bytes/row
+    * buys manifest-level pruning ([[writeShardManifest]] over `_z`
+    * ranges) and makes the layout auditable. Sharding, auto-sizing and
+    * the files ≤ shards caveat are writeRangeShards', unchanged. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    bits: Int = 16, nShards: Int = 0,
+                    targetRowsPerShard: Long = 4000000L): Unit =
+    writeRangeShards(
+      df.withColumn("_z", graft.functions.exprs.z_order2(
+        org.apache.spark.sql.functions.col(xCol).cast("long"),
+        org.apache.spark.sql.functions.col(yCol).cast("long"), bits)),
+      path, "_z", nShards, targetRowsPerShard)
+
   /** Bucketed managed table: pre-shuffles once on the bucket key so
     * later equi-joins/aggregations on that key are exchange-free — the
     * 100 TB answer to "this join shuffles the fact table every run".
