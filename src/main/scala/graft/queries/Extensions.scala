@@ -175,6 +175,27 @@ object Extensions {
           col("_z").as("zkey"))
     }),
 
+    // ---- tokenizer training (BPE vocabulary induction) ----
+    // round-0 adjacent-pair statistics: ONE corpus pass for word
+    // frequencies, then pair counting over the bounded vocabulary —
+    // top-50 via TakeOrderedAndProject (no global sort shuffle), rank
+    // over the already-bounded result
+    "text_bpe_pairs" -> ((s, d) => {
+      val pc = graft.operators.Bpe.pairCounts(
+        graft.operators.Bpe.initialSeg(
+          graft.operators.Bpe.wordFreqs(Tables.documents(s, d), "text")))
+      pc.orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(50)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("l").asc, col("r").asc))
+          .cast("int"))
+    }),
+    // the full trainer: argmax pair + greedy re-segmentation per round,
+    // one 1-row collect per merge; the oracle unrolls the SAME rounds
+    "text_bpe_merges" -> ((s, d) =>
+      graft.operators.Bpe.trainDf(Tables.documents(s, d), "text",
+        bpeGateMerges)),
+
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) =>
       Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", "text")),
@@ -1253,6 +1274,48 @@ object Extensions {
         ON a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3"""
   }
 
+  /** Merge rounds pinned for the `text_bpe_merges` gate and its
+    * unrolled oracle. */
+  private val bpeGateMerges = 6
+
+  // BPE oracle fragments — mirror graft.operators.Bpe exactly: the same
+  // [a-z]+ pretokenizer, occurrence-weighted distinct-word table,
+  // greedy left-to-right merge fold (DuckDB folds the symbol list into
+  // a chr(31)-delimited string; the separator anchors symbol
+  // boundaries so multi-char symbols can't match mid-symbol).
+  // Interpolated into a CTE whose own stripMargin runs afterward, so no
+  // line here may START with '|' — keep '||' at line ends.
+  private def duckBpeReseg(pairCte: String): String =
+    s"""list_filter(string_split(list_reduce(list_prepend('', seg),
+       |  (acc, x) -> CASE
+       |    WHEN x = $pairCte.r AND acc LIKE '%' || chr(31) || $pairCte.l
+       |    THEN substr(acc, 1, length(acc) - length($pairCte.l)) ||
+       |         $pairCte.l || $pairCte.r
+       |    ELSE acc || chr(31) || x END), chr(31)), s -> s <> '')""".stripMargin
+
+  private def duckBpeMerges(rounds: Int): String = {
+    val ctes = Seq(
+      """w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |       AS word FROM documents)""".stripMargin,
+      """seg0 AS (SELECT word, CAST(COUNT(1) AS BIGINT) AS f,
+        |    list_filter(string_split(word, ''), s -> s <> '') AS seg
+        |  FROM w GROUP BY word)""".stripMargin) ++
+      (1 to rounds).flatMap { k =>
+        Seq(
+          s"""p$k AS (SELECT seg[CAST(i AS INTEGER)] AS l,
+             |    seg[CAST(i AS INTEGER) + 1] AS r,
+             |    CAST(SUM(f) AS BIGINT) AS cnt
+             |  FROM seg${k - 1}, unnest(range(1, len(seg))) AS t(i)
+             |  GROUP BY 1, 2 ORDER BY cnt DESC, l ASC, r ASC
+             |  LIMIT 1)""".stripMargin,
+          s"""seg$k AS (SELECT word, f, ${duckBpeReseg(s"p$k")} AS seg
+             |  FROM seg${k - 1} CROSS JOIN p$k)""".stripMargin)
+      }
+    "WITH " + ctes.mkString(",\n") + "\n" +
+      (1 to rounds).map(k => s"SELECT $k AS rk, l, r, cnt FROM p$k")
+        .mkString(" UNION ALL ")
+  }
+
   // Morton interleave of two clamped BIGINT expressions — mirrors
   // ZOrderOps.interleave2 bit for bit (integer-only, so exact).
   private def duckZ(x: String, y: String, bits: Int): String = {
@@ -1770,6 +1833,27 @@ object Extensions {
                         ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rk
             FROM scored) t
       WHERE rk <= 10""",
+    // round-0 pair statistics: same pretokenizer, same total order
+    "text_bpe_pairs" -> """
+      WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                   AS word FROM documents),
+      wf AS (SELECT word, CAST(COUNT(1) AS BIGINT) AS f
+             FROM w GROUP BY word),
+      s AS (SELECT word, f FROM wf WHERE length(word) >= 2),
+      p AS (SELECT substr(word, CAST(i AS INTEGER), 1) AS l,
+                   substr(word, CAST(i AS INTEGER) + 1, 1) AS r, f
+            FROM s, unnest(range(1, length(word))) AS t(i)),
+      pc AS (SELECT l, r, CAST(SUM(f) AS BIGINT) AS cnt
+             FROM p GROUP BY l, r)
+      SELECT l, r, cnt, rk
+      FROM (SELECT l, r, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, l ASC, r ASC)
+                        AS INTEGER) AS rk
+            FROM pc) t
+      WHERE rk <= 50""",
+    // the trainer's merge table: the oracle unrolls the same greedy
+    // argmax-merge rounds over the distinct-word table
+    "text_bpe_merges" -> duckBpeMerges(bpeGateMerges),
     // round trip preserves content and the z-key is recomputed exactly
     // (integer shift/mask arithmetic both sides)
     "q_zorder" -> s"""
