@@ -196,6 +196,31 @@ object Extensions {
       graft.operators.Bpe.trainDf(Tables.documents(s, d), "text",
         bpeGateMerges)),
 
+    // ---- frequent items (heavy hitters) ----
+    // one-pass bounded-state Misra–Gries sketch; the gate SELECTS by
+    // exact counts (deterministic across engines) and uses the sketch
+    // only through its two theorems — presence above N/(k+1) support and
+    // never-overcount-within-N/(k+1) — as literal verdict columns the
+    // oracle pins to 1 (the tolerance-oracle pattern from the sketches)
+    "q_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      val sketch = graft.operators.FreqSketch
+        .heavyHitters(toks, "term", hhK)
+        .withColumnRenamed("item", "term")
+      toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .crossJoin(total) // 1-row frame combine
+        .filter(col("cnt") * hhSupport > col("n_total"))
+        .join(sketch, Seq("term"), "left")
+        .select(col("term"), col("cnt"),
+          when(col("est").isNotNull, 1).otherwise(0)
+            .cast("int").as("in_sketch"),
+          when(col("est").isNotNull && col("est") <= col("cnt") &&
+              (col("cnt") - col("est")) * (hhK + 1) <= col("n_total"), 1)
+            .otherwise(0).cast("int").as("err_ok"))
+    }),
+
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) =>
       Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", "text")),
@@ -1278,6 +1303,13 @@ object Extensions {
     * unrolled oracle. */
   private val bpeGateMerges = 6
 
+  /** Misra–Gries counter budget for the `q_heavy_hitters` gate. The
+    * gate's in-sketch verdict is a THEOREM only for items with true
+    * count > N/(hhK+1), so hhSupport must satisfy
+    * 1/hhSupport > 1/(hhK+1) — support 1/400 vs error 1/1025 here. */
+  private val hhK = 1024
+  private val hhSupport = 400
+
   // BPE oracle fragments — mirror graft.operators.Bpe exactly: the same
   // [a-z]+ pretokenizer, occurrence-weighted distinct-word table,
   // greedy left-to-right merge fold (DuckDB folds the symbol list into
@@ -1833,6 +1865,16 @@ object Extensions {
                         ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rk
             FROM scored) t
       WHERE rk <= 10""",
+    // selection is by exact counts; the sketch's MG guarantees become
+    // literal-1 verdicts (support 1/400 > error bound 1/(k+1) = 1/1025)
+    "q_heavy_hitters" -> s"""
+      WITH tok AS (SELECT unnest($duckTokens) AS term FROM documents),
+      t AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_total FROM tok),
+      c AS (SELECT term, CAST(COUNT(1) AS BIGINT) AS cnt
+            FROM tok GROUP BY term)
+      SELECT term, cnt, CAST(1 AS INTEGER) AS in_sketch,
+             CAST(1 AS INTEGER) AS err_ok
+      FROM c, t WHERE cnt * ${hhSupport} > n_total""",
     // round-0 pair statistics: same pretokenizer, same total order
     "text_bpe_pairs" -> """
       WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))

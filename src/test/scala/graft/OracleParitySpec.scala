@@ -117,7 +117,8 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "q_attribution", "q_bitwise", "q_cdc_latest", "q_datetime_arith",
     "q_domain_mix", "q_explode", "q_explode_outer", "q_filter_scan",
     "q_fuzzy_string", "q_generate_series", "q_group_sample_k",
-    "q_hash_sample", "q_higher_order", "q_join_asof", "q_join_asof_fast",
+    "q_hash_sample", "q_heavy_hitters", "q_higher_order", "q_join_asof",
+    "q_join_asof_fast",
     "q_json", "q_json_parse", "q_percentile", "q_posexplode", "q_regexp",
     "q_scalar_date", "q_scalar_string", "q_session_window",
     "q_sliding_window", "q_split_assign", "q_string_agg", "q_synth_source",
@@ -125,7 +126,9 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "stream_decontam", "stream_dedup", "stream_embedding_incr",
     "stream_incremental_dedup", "stream_session_window",
     "stream_sliding_window", "stream_static_join", "stream_stream_join",
-    "stream_tumbling_window", "text_bpe_tokens", "text_chunks",
+    "q_zorder", "sim_quantized",
+    "stream_tumbling_window", "text_bpe_merges", "text_bpe_pairs",
+    "text_bpe_tokens", "text_chunks",
     "text_familiarity", "text_fingerprint", "text_keyterms", "text_langid",
     "text_ngram_freq",
     "text_pack", "text_pack_shards", "text_quality", "text_quality_quantile",
