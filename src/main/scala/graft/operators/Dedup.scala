@@ -46,6 +46,13 @@ object Dedup {
   def md5Hash32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
+  /** 60-bit sibling (15 hex chars, still inside int64): for uses where
+    * the hash is reduced mod a corpus-scale quantity — 32 bits of range
+    * would bias the draw once the modulus approaches 2^32 (a 100 TB
+    * token line exceeds it), 60 bits keeps the bias ≤ 2^-28. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** Eagerly materializes an intermediate reused by several downstream
     * branches. With a checkpoint dir configured (cluster runs) this is a
     * RELIABLE checkpoint: blocks land on the cluster FS and survive

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted (probability-proportional-to-size) corpus sampling and the
+  * scalable exclusive prefix sum it rides on.
+  *
+  * The prefix sum is the two-phase form factored out of sequence packing
+  * (see [[TextOps.packOffsets]], which delegates here): the naive
+  * `SUM OVER (ORDER BY id)` window makes ONE task sort the corpus, so
+  * instead — per-bucket totals (bucket = id div bucketSize,
+  * deterministic), a driver-side running sum over the tiny bucket-total
+  * table, and a within-bucket window bounded by bucketSize rows. Exact
+  * integer math end to end: the result is bit-identical to the
+  * single-window oracle for EVERY bucketing.
+  *
+  * Sampling then inverts the weight CDF at m deterministic points:
+  * p_j = md5("tag:j") mod W. Each document owns the half-open interval
+  * [start, start + w) of the concatenated weight line, so point j
+  * selects exactly one document, with probability proportional to its
+  * weight — sampling WITH replacement (a mega-document can absorb
+  * several points), the standard PPS draw for mixing corpora by token
+  * budget. The points are a broadcast of m rows ranged-joined against
+  * the offsets: one corpus scan, no extra shuffle beyond the prefix
+  * sum, and — because the points are md5-derived, not rand() — the
+  * sample is reproducible across engines, partitionings and reruns,
+  * which is what makes a DuckDB oracle possible.
+  */
+object Sampling {
+
+  /** Auto-sizing target for the driver-side running sum: one (bucket,
+    * total) tuple per occupied bucket, so ~100k buckets keeps that step
+    * a few MB at any corpus size. */
+  val TargetBuckets = 100000L
+
+  /** Exclusive prefix sum of `wCol` (integer) in `idCol` order:
+    * returns (idCol long, wCol long, start long). Requires non-null
+    * numeric ids — fails loudly otherwise, because a null id would
+    * otherwise surface as an opaque NPE in the bucket-total pull.
+    *
+    * `bucketSize = 0` auto-scales from the observed id span to target
+    * ≤ [[TargetBuckets]] occupied buckets (floor 4096); the result is
+    * invariant to the sizing (law in `OperatorsSpec` /
+    * `SamplingSpec`), so auto vs explicit only moves work, never rows. */
+  def exclusiveOffsets(df: DataFrame, idCol: String, wCol: String,
+                       bucketSize: Long = 0L): DataFrame = {
+    require(bucketSize >= 0)
+    val spark = df.sparkSession
+    val t = df.select(col(idCol).cast("long").as(idCol),
+      col(wCol).cast("long").as(wCol))
+    val counted0 = Dedup.materialize(t)
+    // count(when(...)), not sum(when(...)): SUM over zero rows is NULL,
+    // so the sum form NPEs on an EMPTY input before reaching the
+    // empty-handling branch below — count is 0 on no rows
+    val s0 = counted0.agg(
+      count(when(col(idCol).isNull, lit(1))).as("n_null"),
+      min(idCol).as("lo"), max(idCol).as("hi")).head()
+    require(s0.getLong(0) == 0L,
+      s"exclusiveOffsets: ${s0.getLong(0)} rows have a null/non-numeric " +
+        s"'$idCol' — a numeric, non-null id is required for the offset order")
+    val bs =
+      if (bucketSize > 0L) bucketSize
+      else if (s0.isNullAt(1)) 4096L // empty input: any sizing works
+      else {
+        val span = s0.getLong(2) - s0.getLong(1) + 1L
+        math.max(4096L, span / TargetBuckets + 1L)
+      }
+    val counted = counted0.withColumn("bucket", expr(s"$idCol div ${bs}L"))
+    val bucketTotals = counted.groupBy("bucket")
+      .agg(sum(wCol).as("bsum"))
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exclusive running sum over bucket totals — the only driver-side
+    // step, bounded by the bucket count, never by rows
+    val offsets = bucketTotals.scanLeft((0L, 0L)) {
+      case ((_, acc), (b, s)) => (b, acc + s)
+    }.tail.zip(bucketTotals).map { case ((b, after), (_, s)) =>
+      (b, after - s)
+    }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("bucket", "boffset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    counted.join(broadcast(offDf), Seq("bucket"))
+      .withColumn("start",
+        coalesce(sum(col(wCol)).over(w), lit(0L)) + col("boffset"))
+      .select(col(idCol), col(wCol), col("start"))
+  }
+
+  /** m-point PPS sample: (sample_idx int, idCol, wCol), one row per
+    * point, each point landing on the document whose weight interval
+    * contains it. Zero-weight rows are never sampled (their interval is
+    * empty); duplicate draws of one heavy document are expected — this
+    * is with-replacement PPS. Deterministic in (`seedTag`, m, data). */
+  def weightedSample(df: DataFrame, idCol: String, wCol: String, m: Int,
+                     seedTag: String = "wsmp"): DataFrame = {
+    require(m > 0, s"weightedSample: m must be positive, got $m")
+    val spark = df.sparkSession
+    val offs = exclusiveOffsets(df, idCol, wCol)
+    val total = offs.agg(coalesce(sum(col(wCol)), lit(0L)).as("__wt"))
+    // m is user-bounded and tiny vs the corpus: build the points as a
+    // 1-row-frame cross (total weight) over a range, broadcast them, and
+    // range-join against the offsets — a single corpus scan, no shuffle
+    val pts = spark.range(m.toLong)
+      .select(col("id").cast("int").as("sample_idx"))
+      .crossJoin(total)
+      .select(col("sample_idx"),
+        (Dedup.md5Hash60(concat(lit(s"$seedTag:"),
+          col("sample_idx").cast("string"))) % col("__wt")).as("__p"))
+    broadcast(pts).join(offs,
+        pts("__p") >= offs("start") && pts("__p") < offs("start") + offs(wCol))
+      .select(col("sample_idx"), col(idCol), col(wCol))
+  }
+}

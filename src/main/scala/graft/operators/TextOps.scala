@@ -213,7 +213,7 @@ object TextOps {
   /** [[packOffsets]] auto-sizing target: the driver-side running sum is
     * one (bucket, total) tuple per occupied bucket, so ~100k buckets
     * keeps that step a few MB at any corpus size. */
-  val PackTargetBuckets = 100000L
+  val PackTargetBuckets = Sampling.TargetBuckets
 
   /** Sequence-packing offsets — the concatenate-and-chunk pass that
     * turns a tokenized corpus into fixed-`seqLen` training sequences:
@@ -242,50 +242,13 @@ object TextOps {
   def packOffsets(docs: DataFrame, id: String, text: String,
                   seqLen: Int, bucketSize: Long = 0L): DataFrame = {
     require(seqLen > 0 && bucketSize >= 0)
-    val spark = docs.sparkSession
-    val t = docs.select(col(id).cast("long").as("doc_id"),
-      size(tokens(col(text))).cast("long").as("n_tokens"))
-    val counted0 = Dedup.materialize(t)
-    // one bounded agg over the materialized counts: loud contract check
-    // (a non-numeric id nulls out under the cast and would otherwise
-    // surface as an opaque NPE in the bucket-total pull) + the id span
-    // that drives the auto bucket sizing
-    // count(when(...)), not sum(when(...)): SUM over zero rows is NULL,
-    // so the sum form NPE'd on an EMPTY corpus before ever reaching the
-    // empty-handling branch below — count is 0 on no rows
-    val s0 = counted0.agg(
-      count(when(col("doc_id").isNull, lit(1))).as("n_null"),
-      min("doc_id").as("lo"), max("doc_id").as("hi")).head()
-    require(s0.getLong(0) == 0L,
-      s"packOffsets: ${s0.getLong(0)} rows have a null/non-numeric '$id' " +
-        "— a numeric, non-null document id is required for packing order")
-    val bs =
-      if (bucketSize > 0L) bucketSize
-      else if (s0.isNullAt(1)) 4096L // empty corpus: any sizing works
-      else {
-        val span = s0.getLong(2) - s0.getLong(1) + 1L
-        math.max(4096L, span / PackTargetBuckets + 1L)
-      }
-    val counted = counted0.withColumn("bucket", expr(s"doc_id div ${bs}L"))
-    val bucketTotals = counted.groupBy("bucket")
-      .agg(sum("n_tokens").as("bsum"))
-      .orderBy("bucket")
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    // exclusive running sum over bucket totals — the only driver-side
-    // step, bounded by the bucket count, never by rows
-    val offsets = bucketTotals.scanLeft((0L, 0L)) {
-      case ((_, acc), (b, s)) => (b, acc + s)
-    }.tail.zip(bucketTotals).map { case ((b, after), (_, s)) =>
-      (b, after - s)
-    }
-    import spark.implicits._
-    val offDf = offsets.toSeq.toDF("bucket", "boffset")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("bucket").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    counted.join(broadcast(offDf), Seq("bucket"))
-      .withColumn("start",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)) + col("boffset"))
+    // the two-phase machinery lives in Sampling.exclusiveOffsets (shared
+    // with weighted PPS sampling); packing is just its projection onto
+    // fixed-length sequences
+    Sampling.exclusiveOffsets(
+        docs.select(col(id).cast("long").as("doc_id"),
+          size(tokens(col(text))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", bucketSize)
       .select(col("doc_id"), col("n_tokens"),
         expr(s"start div ${seqLen}L").as("seq_idx"),
         (col("start") % seqLen).as("seq_off"))

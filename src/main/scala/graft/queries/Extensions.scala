@@ -196,6 +196,18 @@ object Extensions {
       graft.operators.Bpe.trainDf(Tables.documents(s, d), "text",
         bpeGateMerges)),
 
+    // ---- weighted (PPS) corpus sampling ----
+    // deterministic inverse-CDF draw at md5 points over the two-phase
+    // prefix sum of token weights: with-replacement
+    // probability-proportional-to-size — the draw a token-budgeted
+    // corpus mix uses; reproducible across engines so the oracle
+    // recomputes the identical sample
+    "q_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.weightedSample(
+        Tables.documents(s, d).select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("w")),
+        "doc_id", "w", wsGatePoints)),
+
     // ---- frequent items (heavy hitters) ----
     // one-pass bounded-state Misra–Gries sketch; the gate SELECTS by
     // exact counts (deterministic across engines) and uses the sketch
@@ -1303,6 +1315,9 @@ object Extensions {
     * unrolled oracle. */
   private val bpeGateMerges = 6
 
+  /** Sample points for the `q_weighted_sample` gate and its oracle. */
+  private val wsGatePoints = 64
+
   /** Misra–Gries counter budget for the `q_heavy_hitters` gate. The
     * gate's in-sketch verdict is a THEOREM only for items with true
     * count > N/(hhK+1), so hhSupport must satisfy
@@ -1865,6 +1880,23 @@ object Extensions {
                         ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rk
             FROM scored) t
       WHERE rk <= 10""",
+    // identical md5 points mod the identical total weight, inverted
+    // through the same exclusive-cumsum interval mapping — exact
+    "q_weighted_sample" -> s"""
+      WITH w AS (SELECT doc_id,
+               CAST(len($duckTokens) AS BIGINT) AS w FROM documents),
+      o AS (SELECT doc_id, w,
+              COALESCE(CAST(SUM(w) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                0) AS strt
+            FROM w),
+      t AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM w),
+      p AS (SELECT CAST(j AS INTEGER) AS sample_idx,
+              ('0x' || substr(md5('wsmp:' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                % wt AS p
+            FROM generate_series(0, ${wsGatePoints - 1}) s(j), t)
+      SELECT p.sample_idx, o.doc_id, o.w
+      FROM p JOIN o ON p.p >= o.strt AND p.p < o.strt + o.w""",
     // selection is by exact counts; the sketch's MG guarantees become
     // literal-1 verdicts (support 1/400 > error bound 1/(k+1) = 1/1025)
     "q_heavy_hitters" -> s"""

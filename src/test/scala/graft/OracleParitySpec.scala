@@ -126,7 +126,7 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "stream_decontam", "stream_dedup", "stream_embedding_incr",
     "stream_incremental_dedup", "stream_session_window",
     "stream_sliding_window", "stream_static_join", "stream_stream_join",
-    "q_zorder", "sim_quantized",
+    "q_weighted_sample", "q_zorder", "sim_quantized",
     "stream_tumbling_window", "text_bpe_merges", "text_bpe_pairs",
     "text_bpe_tokens", "text_chunks",
     "text_familiarity", "text_fingerprint", "text_keyterms", "text_langid",

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sampling
+
+/** Laws for the shared two-phase prefix sum and the PPS sampler built on
+  * it: bucketing-invariance against the single-window oracle, exact
+  * interval semantics of the md5-point draw, proportionality on a
+  * planted heavy document, loud failure on null ids, and the
+  * broadcast-points plan shape (the corpus is scanned, never shuffled,
+  * by the draw itself). */
+class SamplingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def weighted = {
+    val r = new scala.util.Random(7)
+    (0L until 300L).map(i => (i * 3 + 11, // gappy, unordered-ish ids
+      if (i % 17 == 0) 0L else r.nextInt(50).toLong + 1L))
+      .toDF("id", "w")
+  }
+
+  test("exclusiveOffsets == single-window cumsum for any bucketSize") {
+    val df = weighted
+    val oracle = df
+      .withColumn("start", coalesce(
+        sum("w").over(org.apache.spark.sql.expressions.Window
+          .orderBy("id").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select("id", "w", "start")
+      .as[(Long, Long, Long)].collect().toSet
+    for (bs <- Seq(0L, 1L, 7L, 64L, 100000L)) {
+      val got = Sampling.exclusiveOffsets(df, "id", "w", bs)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == oracle, s"bucketSize=$bs drifted from the window oracle")
+    }
+  }
+
+  test("every draw lands in its document's interval; m rows; zero-weight rows never drawn") {
+    val df = weighted
+    val offs = Sampling.exclusiveOffsets(df, "id", "w")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, w, s) => id -> (s, w) }.toMap
+    val total = offs.values.map(_._2).sum
+    val got = Sampling.weightedSample(df, "id", "w", 32)
+      .as[(Int, Long, Long)].collect()
+    assert(got.length == 32)
+    assert(got.map(_._1).toSet == (0 until 32).toSet)
+    got.foreach { case (_, id, w) =>
+      assert(w > 0L, s"zero-weight doc $id was drawn")
+      assert(offs(id)._2 == w)
+    }
+    assert(total > 0)
+    // determinism: a second invocation is bit-identical
+    val again = Sampling.weightedSample(df, "id", "w", 32)
+      .as[(Int, Long, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("a planted heavy document absorbs the bulk of the points") {
+    val df = ((1L to 50L).map(i => (i, 1L)) :+ (999L, 10000L))
+      .toDF("id", "w")
+    val draws = Sampling.weightedSample(df, "id", "w", 64)
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    // heavy doc owns 10000/10050 of the weight line; with 64 md5 points
+    // anything under a majority would mean the interval mapping is wrong
+    assert(draws.getOrElse(999L, 0L) > 32L,
+      s"heavy doc drew only ${draws.getOrElse(999L, 0L)}/64: $draws")
+  }
+
+  test("null id fails loudly, empty input yields an empty sample base") {
+    val bad = Seq((Some(1L), 5L), (None, 3L)).toDF("id", "w")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.exclusiveOffsets(bad, "id", "w").count()
+    }
+    assert(e.getMessage.contains("null/non-numeric"))
+    val empty = Seq.empty[(Long, Long)].toDF("id", "w")
+    assert(Sampling.exclusiveOffsets(empty, "id", "w").count() == 0L)
+  }
+
+  test("the draw broadcasts the points — the corpus side is never shuffled by the join") {
+    val plan = Sampling.weightedSample(weighted, "id", "w", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast range join of the m points:\n$plan")
+  }
+}
