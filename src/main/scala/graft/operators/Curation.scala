@@ -113,4 +113,32 @@ object Curation {
       // unique within one corpus frame — count(1) == count(DISTINCT h)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
+
+  /** Train/val/test assignment that CANNOT leak near-duplicates across
+    * splits: the md5-range draw (the `q_split_assign` scheme, 80/10/10)
+    * is taken on each document's duplicate-CLUSTER representative — the
+    * component-minimum id from [[Dedup.duplicateClusters]], the document
+    * itself for singletons — so every member of a near-dup component
+    * lands in one split by construction. Hashing per-document instead
+    * is the classic eval-contamination bug: a paraphrased copy of a
+    * training document ends up in the test split and the held-out loss
+    * silently measures memorization.
+    *
+    * `clusters` is (doc_id, cluster) — duplicate-graph-sized, orders of
+    * magnitude smaller than the corpus (it only holds docs with at
+    * least one near-dup edge), so the left join broadcasts under AQE;
+    * the corpus is scanned once and never shuffled on more than the id.
+    * Returns (doc_id, rep, split). */
+  def leakageSafeSplit(docs: DataFrame, id: String,
+                       clusters: DataFrame): DataFrame =
+    docs.select(col(id).cast("long").as("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster")), Seq("doc_id"),
+        "left")
+      .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("__h", Dedup.md5Hash32(
+        concat(lit("split:"), col("rep").cast("string"))) % 10)
+      .select(col("doc_id"), col("rep"),
+        when(col("__h") < 8, "train")
+          .when(col("__h") < 9, "val")
+          .otherwise("test").as("split"))
 }

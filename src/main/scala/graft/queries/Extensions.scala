@@ -274,6 +274,15 @@ object Extensions {
     "dedup_clusters" -> ((s, d) =>
       Dedup.duplicateClusters(
         Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text"))),
+    // leakage-safe splits: the 80/10/10 md5 draw keyed on the near-dup
+    // CLUSTER representative, so paraphrased copies can't straddle
+    // train/test (the eval-contamination bug the per-doc draw has)
+    "q_split_safe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Curation.leakageSafeSplit(docs, "doc_id",
+        Dedup.duplicateClusters(
+          Dedup.minhashPairs(docs, "doc_id", "text")))
+    }),
     "curation_pipeline" -> ((s, d) => {
       // the flagship LLM-data pass: quality floor + language marker
       // filter + near-dup removal (keep cluster canonicals) in one plan
@@ -1265,6 +1274,22 @@ object Extensions {
       WITH RECURSIVE $clusterCtes
       SELECT doc_id, cluster FROM clust"""
 
+  /** Same recursive component labels, then the q_split_assign md5 draw
+    * on the component representative instead of the document id. */
+  private val splitSafeOracle: String =
+    s"""
+      WITH RECURSIVE $clusterCtes,
+      r AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS rep
+            FROM documents d LEFT JOIN clust c ON d.doc_id = c.doc_id),
+      h AS (SELECT doc_id, rep,
+              ('0x' || substr(md5('split:' || CAST(rep AS VARCHAR)), 1, 8))::BIGINT
+                % 10 AS hh
+            FROM r)
+      SELECT doc_id, rep,
+             CASE WHEN hh < 8 THEN 'train' WHEN hh < 9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h"""
+
   /** The flagship curation pass: quality floor + language filter +
     * near-dup removal (keep only cluster canonicals), all in one plan. */
   private val curationOracle: String = {
@@ -1814,6 +1839,7 @@ object Extensions {
     // result set is identical by construction, so the oracle is shared
     "stream_incremental_dedup" -> incrementalOracle,
     "dedup_clusters" -> clustersOracle,
+    "q_split_safe" -> splitSafeOracle,
     "curation_pipeline" -> curationOracle,
     "dedup_ngram" -> ngramOracle,
     "dedup_containment" -> s"""

@@ -31,4 +31,35 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out(1L) == 2L)
   }
+
+  test("leakageSafeSplit keeps every near-dup cluster inside one split") {
+    // 200 singleton docs + one planted 40-member cluster whose members'
+    // PER-DOC md5 draws straddle train/val/test (that's what makes the
+    // per-doc scheme a leak) — the cluster-rep draw must not
+    val docs = (1L to 240L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val clusterIds = (101L to 140L)
+    val clusters = clusterIds.map(i => (i, 101L)).toDF("doc_id", "cluster")
+    val got = Curation.leakageSafeSplit(docs, "doc_id", clusters)
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 240)
+    val byDoc = got.map { case (d, r, s) => d -> (r, s) }.toMap
+    // the planted cluster: one rep, one split, for all 40 members
+    val memberSplits = clusterIds.map(byDoc(_)).toSet
+    assert(memberSplits.size == 1 && memberSplits.head._1 == 101L,
+      s"cluster members scattered: $memberSplits")
+    // the hazard is real on this fixture: per-doc draws DO straddle
+    def perDocSplit(i: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$i".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.take(4).map(b => f"$b%02x").mkString, 16) % 10
+      if (h < 8) "train" else if (h < 9) "val" else "test"
+    }
+    assert(clusterIds.map(perDocSplit).toSet.size > 1,
+      "fixture too weak: per-doc draws all landed in one split anyway")
+    // singletons keep the plain q_split_assign draw (rep = self)
+    (1L to 100L).foreach { i =>
+      assert(byDoc(i) == ((i, perDocSplit(i))))
+    }
+  }
 }

@@ -121,7 +121,8 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "q_join_asof_fast",
     "q_json", "q_json_parse", "q_percentile", "q_posexplode", "q_regexp",
     "q_scalar_date", "q_scalar_string", "q_session_window",
-    "q_sliding_window", "q_split_assign", "q_string_agg", "q_synth_source",
+    "q_sliding_window", "q_split_assign", "q_split_safe", "q_string_agg",
+    "q_synth_source",
     "q_tumbling_window", "q_window_fill", "sim_ann", "sim_ivf", "sim_topk",
     "stream_decontam", "stream_dedup", "stream_embedding_incr",
     "stream_incremental_dedup", "stream_session_window",
