@@ -948,4 +948,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** Corpus-level boilerplate removal (the CCNet/Dolma paragraph-dedup
+    * shape): split every document into fixed NON-overlapping token
+    * windows ("paragraphs" — this corpus has no newline structure, so
+    * the window plays the paragraph), count each window's corpus-wide
+    * occurrences by content hash, and drop EVERY occurrence of a window
+    * seen >= minDf times. A window repeated across documents is
+    * boilerplate by definition — the navigation chrome / license
+    * banner / template text that survives document-LEVEL dedup because
+    * the documents around it differ. Returns one row per document with
+    * >= 1 token: (id, n_chunks, n_dropped, clean_text) where clean_text
+    * rejoins the surviving windows in document order.
+    *
+    * Scale: two shuffles, both on keys, never on bodies — (1) the
+    * frequency count groups by the 16-byte window md5 under partial
+    * aggregation; (2) reassembly groups by document id, carrying each
+    * window once. The frequent-hash set is corpus-derived, so it is
+    * plain-equi-joined (no broadcast hint — the rare-gram rule; AQE may
+    * still broadcast it when measured small). A mega-boilerplate window
+    * repeated 10^6 times is 10^6 probe rows against ONE build row —
+    * a 1:N lookup with no pair explosion, which is why this family
+    * needs no occupancy cap (contrast the banded self-joins). */
+  def paragraphDedup(df: DataFrame, id: String, text: String,
+                     chunkTokens: Int = 16, minDf: Long = 2L): DataFrame = {
+    require(chunkTokens >= 1, s"paragraphDedup: chunkTokens must be >= 1, got $chunkTokens")
+    require(minDf >= 2L, s"paragraphDedup: minDf must be >= 2 (1 would drop every window), got $minDf")
+    val chunks = df
+      .withColumn("t", TextOps.tokens(col(text)))
+      .filter(size(col("t")) > 0)
+      .select(col(id), col("t"), explode(expr(
+        s"sequence(CAST(0 AS BIGINT), CAST(floor((size(t) - 1) / $chunkTokens) AS BIGINT))"))
+        .as("k"))
+      .select(col(id), col("k"), concat_ws(" ",
+        expr(s"slice(t, CAST(k * $chunkTokens + 1 AS INT), $chunkTokens)")).as("chunk"))
+      .withColumn("h", md5(col("chunk").cast("binary")))
+    val frequent = chunks.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"), lit(1L).as("dup"))
+    chunks.join(frequent, Seq("h"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_chunks"),
+        coalesce(sum(col("dup")), lit(0L)).as("n_dropped"),
+        concat_ws(" ", transform(array_sort(collect_list(
+          when(col("dup").isNull, struct(col("k"), col("chunk"))))),
+          s => s.getField("chunk"))).as("clean_text"))
+  }
 }

@@ -233,9 +233,41 @@ object Extensions {
             .otherwise(0).cast("int").as("err_ok"))
     }),
 
+    // Count–Min frequency estimation: the "how frequent is ANY key"
+    // twin of q_heavy_hitters' "which keys are hot" — fixed
+    // depth×width state under partial aggregation, estimates read back
+    // through a codegen'd element_at + md5-bucket chain against the
+    // 1-row sketch (frame combine). Selection is by exact counts; the
+    // ESTIMATES are deterministic (fixed md5 family) and the oracle
+    // recomputes them exactly.
+    "q_countmin" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      val sk = graft.operators.FreqSketch
+        .countMinSketch(toks, "term", cmsD, cmsW)
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .crossJoin(total) // 1-row frame combine
+        .filter(col("cnt") * hhSupport > col("n_total"))
+        .crossJoin(sk) // 1-row sketch
+        .select(col("term"), col("cnt"),
+          graft.operators.FreqSketch
+            .countMinEstimate(col("sk"), col("term"), cmsD, cmsW)
+            .as("est"))
+    }),
+
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) =>
       Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", "text")),
+    // corpus-level boilerplate removal: fixed token windows play the
+    // paragraph (the corpus has no newlines); any window whose md5
+    // appears >= 2 times corpus-wide is dropped from EVERY document —
+    // the sub-document-granularity pass that document-level dedup
+    // cannot do. Two key-only shuffles; frequent set semi-shaped join,
+    // no broadcast hint.
+    "dedup_paragraphs" -> ((s, d) =>
+      Dedup.paragraphDedup(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = pdChunk)),
     "dedup_norm" -> ((s, d) =>
       Dedup.normalizedDuplicates(Tables.documents(s, d), "doc_id", "text")),
     "dedup_minhash" -> ((s, d) =>
@@ -1350,6 +1382,17 @@ object Extensions {
   private val hhK = 1024
   private val hhSupport = 400
 
+  /** Window size (tokens) for the `dedup_paragraphs` gate — shared with
+    * the generated DuckDB oracle so both engines cut identical windows. */
+  private val pdChunk = 16
+
+  /** Count–Min gate geometry: depth × width counters, and the same
+    * exact-count support selector as `q_heavy_hitters`. The md5 hash
+    * family is fixed, so the oracle recomputes the ESTIMATES exactly —
+    * a value compare, not a tolerance gate. */
+  private val cmsD = 4
+  private val cmsW = 512
+
   // BPE oracle fragments — mirror graft.operators.Bpe exactly: the same
   // [a-z]+ pretokenizer, occurrence-weighted distinct-word table,
   // greedy left-to-right merge fold (DuckDB folds the symbol list into
@@ -1649,6 +1692,23 @@ object Extensions {
     "dedup_exact" -> """
       SELECT md5(text) AS text_hash, COUNT(1) AS n_copies, MIN(doc_id) AS keeper
       FROM documents GROUP BY 1 HAVING COUNT(1) > 1""",
+    // same window cut, same md5, same >= 2 drop rule, same in-order
+    // reassembly of the survivors
+    "dedup_paragraphs" -> s"""
+      WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
+      c AS (SELECT doc_id, k,
+                   array_to_string(t[(k*$pdChunk+1):(k*$pdChunk+$pdChunk)], ' ') AS chunk
+            FROM tok, LATERAL unnest(generate_series(0,
+                   CAST(floor((len(t) - 1) / $pdChunk.0) AS BIGINT))) AS u(k)
+            WHERE len(t) > 0),
+      f AS (SELECT md5(chunk) AS h FROM c
+            GROUP BY md5(chunk) HAVING COUNT(1) >= 2)
+      SELECT c.doc_id, CAST(COUNT(1) AS BIGINT) AS n_chunks,
+             CAST(COUNT(f.h) AS BIGINT) AS n_dropped,
+             COALESCE(string_agg(CASE WHEN f.h IS NULL THEN c.chunk END,
+                                 ' ' ORDER BY c.k), '') AS clean_text
+      FROM c LEFT JOIN f ON md5(c.chunk) = f.h
+      GROUP BY c.doc_id""",
     "dedup_norm" -> """
       SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
                                      '\s+', ' ', 'g'))) AS text_hash,
@@ -1933,6 +1993,26 @@ object Extensions {
       SELECT term, cnt, CAST(1 AS INTEGER) AS in_sketch,
              CAST(1 AS INTEGER) AS err_ok
       FROM c, t WHERE cnt * ${hhSupport} > n_total""",
+    // the oracle rebuilds the full CMS cell table from the same md5
+    // bucket family and reads the row-wise minimum — exact, not a bound
+    "q_countmin" -> s"""
+      WITH tok AS (SELECT unnest($duckTokens) AS term FROM documents),
+      cell AS (SELECT r,
+                 ('0x' || substr(md5('cms' || r || ':' || term), 1, 15))::BIGINT
+                   % $cmsW AS b,
+                 CAST(COUNT(1) AS BIGINT) AS cnt
+               FROM tok CROSS JOIN generate_series(0, ${cmsD - 1}) s(r)
+               GROUP BY 1, 2),
+      c AS (SELECT term, CAST(COUNT(1) AS BIGINT) AS cnt
+            FROM tok GROUP BY term),
+      t AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_total FROM tok),
+      sel AS (SELECT term, cnt FROM c, t WHERE cnt * $hhSupport > n_total)
+      SELECT sel.term, sel.cnt, MIN(cell.cnt) AS est
+      FROM sel CROSS JOIN generate_series(0, ${cmsD - 1}) s(r)
+      JOIN cell ON cell.r = s.r AND cell.b =
+        ('0x' || substr(md5('cms' || s.r || ':' || sel.term), 1, 15))::BIGINT
+          % $cmsW
+      GROUP BY sel.term, sel.cnt""",
     // round-0 pair statistics: same pretokenizer, same total order
     "text_bpe_pairs" -> """
       WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))

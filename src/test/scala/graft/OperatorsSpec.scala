@@ -61,6 +61,50 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(d.length == 1 && d(0).getAs[Long]("n_copies") == 2)
   }
 
+  test("paragraphDedup drops a planted boilerplate window from every doc") {
+    // 4-token windows; the banner occupies window 0 of docs 1..3 exactly
+    val banner = "copy right legal banner"
+    val df = Seq(
+      (1L, s"$banner alpha beta gamma delta"),
+      (2L, s"$banner epsilon zeta eta theta"),
+      (3L, s"$banner iota kappa lambda mu"),
+      (4L, "nu xi omicron pi rho sigma tau upsilon"))
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text", chunkTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((2L, 1L, "alpha beta gamma delta")))
+    assert(out(2L) == ((2L, 1L, "epsilon zeta eta theta")))
+    assert(out(3L) == ((2L, 1L, "iota kappa lambda mu")))
+    // untouched doc: nothing dropped, text reassembled verbatim
+    assert(out(4L) == ((2L, 0L, "nu xi omicron pi rho sigma tau upsilon")))
+  }
+
+  test("paragraphDedup: duplicate-free corpus is the identity on token join") {
+    val df = Seq((1L, "a b c d e"), (2L, "f g  h"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text", chunkTokens = 2)
+      .collect()
+    assert(out.length == 2) // the all-whitespace doc has no tokens
+    val m = out.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_dropped"), r.getAs[String]("clean_text")))).toMap
+    assert(m(1L) == ((0L, "a b c d e"))) // ragged tail window survives
+    assert(m(2L) == ((0L, "f g h")))     // tokenization collapses runs
+  }
+
+  test("paragraphDedup: a window shared WITHIN one doc is also dropped") {
+    val df = Seq((1L, "x y x y tail one"), (2L, "solo text here word"))
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text", chunkTokens = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("clean_text")))).toMap
+    // "x y" occurs twice inside doc 1: both occurrences go
+    assert(out(1L) == ((3L, 2L, "tail one")))
+    assert(out(2L) == ((2L, 0L, "solo text here word")))
+  }
+
   test("minhash LSH finds planted near-dup pair and the exact dup") {
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text")
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
