@@ -994,4 +994,42 @@ object Dedup {
           when(col("dup").isNull, struct(col("k"), col("chunk"))))),
           s => s.getField("chunk"))).as("clean_text"))
   }
+
+  /** Pairwise corpus-overlap estimation — the contamination MATRIX
+    * between data sources/languages/splits, answered WITHOUT any
+    * document-pair join: one MinHash signature PER GROUP over the union
+    * of its shingle sets, then signature agreement between two groups
+    * estimates the shingle-set Jaccard. Returns (grp_a, grp_b,
+    * est_jaccard) for every unordered group pair.
+    *
+    * The group signature is the POINTWISE MIN of the per-document
+    * signatures (min over a union = min of mins), so it composes from
+    * the same one-pass [[graft.functions.exprs.minhash_sig]] the dedup
+    * family computes — no per-group distinct-shingle shuffle. Plan:
+    * one narrow signature pass, one partial-aggregated groupBy on
+    * (group, signature position) whose output is G·numHashes rows
+    * (groups are few by definition — sources, languages, splits), and
+    * a pairwise compare over that metadata-scale table. At 100 TB the
+    * only corpus-proportional work is the scan; everything after the
+    * partial aggregate is bounded by G²·numHashes. Estimator error is
+    * the standard 1/√numHashes — 64 hashes ≈ ±0.125. */
+  def corpusOverlap(df: DataFrame, groupCol: String, text: String,
+                    numHashes: Int = 64): DataFrame = {
+    require(numHashes >= 1, s"corpusOverlap: numHashes must be >= 1, got $numHashes")
+    val perDoc = shingleHashesFlat(df, groupCol, text)
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id").as("grp"),
+        graft.functions.exprs.minhash_sig(col("hs"), numHashes,
+          999983L, 424243L, 12345L, 7L, P).as("sig"))
+    val grpSig = perDoc
+      .select(col("grp"), posexplode(col("sig")).as(Seq("pos", "h")))
+      .groupBy("grp", "pos").agg(min(col("h")).as("h"))
+    val a = grpSig.select(col("grp").as("grp_a"), col("pos"), col("h").as("ha"))
+    val b = grpSig.select(col("grp").as("grp_b"), col("pos"), col("h").as("hb"))
+    a.join(b, Seq("pos"))
+      .filter(col("grp_a") < col("grp_b"))
+      .groupBy("grp_a", "grp_b")
+      .agg(round(sum(when(col("ha") === col("hb"), 1L).otherwise(0L))
+        .cast("double") / numHashes, 6).as("est_jaccard"))
+  }
 }

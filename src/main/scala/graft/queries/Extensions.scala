@@ -270,6 +270,15 @@ object Extensions {
         chunkTokens = pdChunk)),
     "dedup_norm" -> ((s, d) =>
       Dedup.normalizedDuplicates(Tables.documents(s, d), "doc_id", "text")),
+    // contamination matrix between the 20 `source` corpora: one MinHash
+    // signature per source (pointwise-min of per-doc signatures — min
+    // over a union is min of mins), pairwise agreement estimates each
+    // pair's shingle-set Jaccard. No document-pair join anywhere; the
+    // fixed md5 hash family makes the ESTIMATE itself deterministic, so
+    // the oracle recomputes it exactly.
+    "q_corpus_overlap" -> ((s, d) =>
+      Dedup.corpusOverlap(Tables.documents(s, d), "source", "text",
+        numHashes = coK)),
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text")),
     // ingestion-time incremental dedup: odd doc_ids play the incoming
@@ -1393,6 +1402,11 @@ object Extensions {
   private val cmsD = 4
   private val cmsW = 512
 
+  /** Signature length for the `q_corpus_overlap` gate (±1/√64 ≈ 0.125
+    * estimator error — irrelevant to the gate, which compares the
+    * deterministic estimate value itself). */
+  private val coK = 64
+
   // BPE oracle fragments — mirror graft.operators.Bpe exactly: the same
   // [a-z]+ pretokenizer, occurrence-weighted distinct-word table,
   // greedy left-to-right merge fold (DuckDB folds the symbol list into
@@ -1714,6 +1728,28 @@ object Extensions {
                                      '\s+', ' ', 'g'))) AS text_hash,
              COUNT(1) AS n_copies, MIN(doc_id) AS keeper
       FROM documents GROUP BY 1 HAVING COUNT(1) > 1""",
+    // same shingles, same permutation family, same per-group pointwise
+    // min — the estimate is deterministic, compared exactly
+    "q_corpus_overlap" -> s"""
+      WITH tok AS (SELECT source, $duckTokens AS t FROM documents),
+      sh AS (SELECT source,
+               CASE WHEN len(t) >= 3
+                 THEN list_transform(generate_series(1, len(t) - 2),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                 ELSE []::VARCHAR[] END AS shs
+             FROM tok),
+      p AS (SELECT source, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+            FROM (SELECT source, unnest(shs) AS s FROM sh) x),
+      sig AS (SELECT source, j AS pos,
+                MIN(((999983 * j + 12345) * h + (424243 * j + 7)) % ${Dedup.P})
+                  AS m
+              FROM p CROSS JOIN generate_series(0, ${coK - 1}) s(j)
+              GROUP BY source, j)
+      SELECT a.source AS grp_a, b.source AS grp_b,
+             ROUND(CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS DOUBLE)
+                   / $coK, 6) AS est_jaccard
+      FROM sig a JOIN sig b ON a.pos = b.pos AND a.source < b.source
+      GROUP BY 1, 2""",
     "decontam_ngram" -> decontamOracle,
     // the Bloom path's confirm phase makes it exact — same oracle
     "decontam_bloom" -> decontamOracle,

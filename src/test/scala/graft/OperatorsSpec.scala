@@ -105,6 +105,43 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) == ((2L, 0L, "solo text here word")))
   }
 
+  test("corpusOverlap: identical groups at 1.0, disjoint groups at 0.0") {
+    val doc1 = "the quick brown fox jumps over the lazy dog every single day"
+    val doc2 = "spark catalyst turns logical plans into physical plans with rules"
+    val doc3 = "entirely different tokens describing storage engines and buffer pools"
+    val df = Seq(
+      (1L, "g1", doc1), (2L, "g1", doc2),
+      (3L, "g2", doc1), (4L, "g2", doc2), // same shingle union as g1
+      (5L, "g3", doc3))                   // disjoint from both
+      .toDF("doc_id", "source", "text")
+    val m = Dedup.corpusOverlap(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    assert(m.size == 3)
+    assert(m(("g1", "g2")) == 1.0)
+    assert(m(("g1", "g3")) == 0.0 && m(("g2", "g3")) == 0.0)
+  }
+
+  test("corpusOverlap estimate tracks exact Jaccard on a planted overlap") {
+    val shared = (1 to 30).map(i => s"shared$i").mkString(" ")
+    val aOnly = (1 to 30).map(i => s"left$i").mkString(" ")
+    val bOnly = (1 to 30).map(i => s"right$i").mkString(" ")
+    val df = Seq(
+      (1L, "a", s"$shared"), (2L, "a", aOnly),
+      (3L, "b", s"$shared"), (4L, "b", bOnly))
+      .toDF("doc_id", "source", "text")
+    val est = Dedup.corpusOverlap(df, "source", "text", numHashes = 128)
+      .collect().head.getAs[Double]("est_jaccard")
+    // exact shingle-set Jaccard from the same shingle definition
+    val hs = Dedup.shingleHashesFlat(df, "source", "text")
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.flatMap(_.getSeq[Long](1)).toSet).toMap
+    val exact = hs("a").intersect(hs("b")).size.toDouble /
+      hs("a").union(hs("b")).size
+    assert(math.abs(est - exact) < 0.15,
+      s"est $est too far from exact $exact")
+  }
+
   test("minhash LSH finds planted near-dup pair and the exact dup") {
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text")
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
