@@ -256,6 +256,25 @@ object Extensions {
             .as("est"))
     }),
 
+    // entity resolution by sorted neighborhood: dirty twins of every
+    // customer name (last digit deterministically lettered) are linked
+    // back to their clean source through the global name sort order —
+    // O(n·window) candidates, exact-rank two-phase sort, levenshtein
+    // verify. The edit-1 neighbors among the clean names themselves
+    // also (correctly) link.
+    "q_er_fuzzy" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val clean = cust.select(col("c_custkey").cast("long").as("id"),
+        col("c_name").as("name"))
+      val dirty = cust.select((col("c_custkey") + 1000000L).as("id"),
+        concat(substring(col("c_name"), 1, 17),
+          translate(substring(col("c_name"), 18, 1),
+            "0123456789", "abcdefghij")).as("name"))
+      graft.operators.EntityRes.sortedNeighborhoodPairs(
+        clean.unionAll(dirty), "id", "name",
+        window = erWindow, maxDist = 1)
+    }),
+
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) =>
       Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", "text")),
@@ -1407,6 +1426,12 @@ object Extensions {
     * deterministic estimate value itself). */
   private val coK = 64
 
+  /** Sorted-neighborhood window for the `q_er_fuzzy` gate: the dirty
+    * twin of clean id i sorts ≤ 20 positions away (the ≤ 10 clean names
+    * sharing its 17-char prefix plus the ≤ 10 lettered twins), so 24
+    * covers every planted link. */
+  private val erWindow = 24
+
   // BPE oracle fragments — mirror graft.operators.Bpe exactly: the same
   // [a-z]+ pretokenizer, occurrence-weighted distinct-word table,
   // greedy left-to-right merge fold (DuckDB folds the symbol list into
@@ -1728,6 +1753,22 @@ object Extensions {
                                      '\s+', ' ', 'g'))) AS text_hash,
              COUNT(1) AS n_copies, MIN(doc_id) AS keeper
       FROM documents GROUP BY 1 HAVING COUNT(1) > 1""",
+    // the oracle takes the single-window global sort Spark must avoid;
+    // same rank order (name, id), same window, same edit-distance verify
+    "q_er_fuzzy" -> s"""
+      WITH clean AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+      dirty AS (SELECT c_custkey + 1000000 AS id,
+                       substr(c_name, 1, 17) ||
+                       translate(substr(c_name, 18, 1),
+                                 '0123456789', 'abcdefghij') AS name
+                FROM customer),
+      u AS (SELECT * FROM clean UNION ALL SELECT * FROM dirty),
+      r AS (SELECT id, name,
+                   row_number() OVER (ORDER BY name, id) - 1 AS rk FROM u)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+      FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND ${erWindow - 1}
+      WHERE levenshtein(a.name, b.name) <= 1""",
     // same shingles, same permutation family, same per-group pointwise
     // min — the estimate is deterministic, compared exactly
     "q_corpus_overlap" -> s"""

@@ -205,6 +205,72 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
   }
 }
 
+class EntityResSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+  import graft.operators.EntityRes
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("sorted neighborhood equals the brute-force definition") {
+    // keys chosen so matches exist both within and across rank buckets
+    val rows = Seq(
+      (1L, "alpha"), (2L, "alphb"), (3L, "beta"), (4L, "betb"),
+      (5L, "gamma"), (6L, "gamm"), (7L, "delta"), (8L, "zeta"),
+      (9L, "zetb"), (10L, "omega"))
+    val w = 3; val maxD = 1
+    val got = EntityRes.sortedNeighborhoodPairs(
+      rows.toDF("id", "name"), "id", "name", window = w, maxDist = maxD)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force: rank by (key, id), pair within w-1 positions, verify
+    val ranked = rows.sortBy { case (id, k) => (k, id) }
+    val want = (for {
+      i <- ranked.indices; j <- (i + 1) until math.min(i + w, ranked.size)
+      d = lev(ranked(i)._2, ranked(j)._2) if d <= maxD
+    } yield (ranked(i)._1, ranked(j)._1, d)).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("candidates respect the window: a far-sorting typo is missed") {
+    // "zebra" vs "aebra": edit distance 1 but opposite ends of the sort
+    val df = Seq((1L, "aebra"), (2L, "middle1"), (3L, "middle2"),
+      (4L, "middle3"), (5L, "zebra")).toDF("id", "name")
+    val got = EntityRes.sortedNeighborhoodPairs(df, "id", "name",
+      window = 2, maxDist = 1).as[(Long, Long, Int)].collect()
+    assert(!got.exists(p => p._1 == 1L && p._2 == 5L),
+      "window 2 must not see a pair 4 ranks apart")
+  }
+
+  test("ranks are exact across many partitions (no per-partition reset)") {
+    val n = 2000
+    val df = (0 until n).map(i => (i.toLong, f"key$i%05d")).toDF("id", "name")
+    // every adjacent pair differs in ≤ 2 trailing chars; with maxDist 2
+    // and window 2 we expect EXACTLY the consecutive pairs whose keys
+    // are within distance 2 — any rank discontinuity at a partition
+    // boundary would drop or duplicate pairs there
+    val got = EntityRes.sortedNeighborhoodPairs(df, "id", "name",
+      window = 2, maxDist = 2).as[(Long, Long, Int)].collect()
+    val want = (0 until n - 1).count(i =>
+      lev(f"key$i%05d", f"key${i + 1}%05d") <= 2)
+    assert(got.length == want, s"got ${got.length}, want $want")
+    assert(got.forall(p => p._2 == p._1 + 1))
+  }
+
+  test("null keys fail loudly") {
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "name")
+    val e = intercept[IllegalArgumentException](
+      EntityRes.sortedNeighborhoodPairs(df, "id", "name"))
+    assert(e.getMessage.contains("null"))
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
