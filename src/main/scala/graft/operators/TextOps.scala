@@ -70,6 +70,38 @@ object TextOps {
     transform(sequence(lit(1), size(toks) - 1),
       i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
 
+  /** Hash dimension of the [[linearModelLogit]] weight table: 2^18
+    * buckets, the usual fastText-scale table. */
+  val QualityModelDim: Int = 1 << 18
+
+  /** Unigram + bigram feature list of a token array — the fastText
+    * feature extractor. Single-token docs contribute the unigram only
+    * (the bigram list is empty, matching the `len(t) >= 2` guard every
+    * bigram oracle shares). */
+  def hashedFeatures(toks: Column): Column =
+    when(size(toks) >= 2, concat(toks, bigrams(toks))).otherwise(toks)
+
+  /** Feature-hashed linear-model INFERENCE — the quality-classifier
+    * serving shape (fastText-style): each feature hashes into a
+    * [[QualityModelDim]]-bucket weight table (collisions share weights,
+    * exactly like a trained hashed model), and the document logit is
+    * the sum of its feature weights. The weight table here is a
+    * deterministic md5-derived stand-in (integer weights in
+    * [-1000, 1000]) — the plumbing under test is the inference pass:
+    * a pure higher-order-function chain (transform + aggregate) that
+    * stays scan-side with ZERO shuffles and full codegen, which is what
+    * scoring 10^11 documents requires. Swapping the stand-in for real
+    * trained weights = replacing the inner weight expression with a
+    * broadcast map lookup; the plan shape is unchanged. Integer end to
+    * end, so external engines reproduce every logit exactly. */
+  def linearModelLogit(feats: Column, dim: Int = QualityModelDim): Column =
+    aggregate(
+      transform(feats, f => {
+        val bucket = Dedup.md5Hash60(concat(lit("qb:"), f)) % dim
+        Dedup.md5Hash60(concat(lit("qw:"), bucket.cast("string"))) % 2001 - 1000
+      }),
+      lit(0L), (acc, w) => acc + w)
+
   /** Count of the MOST FREQUENT element of a string array, computed
     * narrow: sort the array, then one fold tracking the longest equal
     * run — no explode, no groupBy, so per-document repetition scoring

@@ -84,6 +84,20 @@ object Extensions {
           TextOps.avgTokenLen(col("__t")).as("avg_token_len"),
           TextOps.stopwordRatio(col("__t")).as("stop_ratio"),
           TextOps.qualityScore(col("__t")).as("score"))),
+    // learned-classifier INFERENCE shape (vs text_quality's hand
+    // heuristics): unigram+bigram features hashed into a 2^18-bucket
+    // weight table, logit = sum of weights — scan-only, zero shuffles,
+    // integer-exact so the oracle replays the identical md5 table
+    "text_quality_model" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("__t", TextOps.tokens(col("text")))
+        .filter(size(col("__t")) > 0)
+        .withColumn("__f", TextOps.hashedFeatures(col("__t")))
+        .select(col("doc_id"),
+          size(col("__f")).cast("long").as("n_feats"),
+          TextOps.linearModelLogit(col("__f")).as("logit"))
+        .withColumn("verdict",
+          when(col("logit") > 0, "keep").otherwise("drop"))),
     "text_langid" -> ((s, d) => {
       val base = Tables.documents(s, d)
         .withColumn("__t", TextOps.tokens(col("text")))
@@ -1691,6 +1705,25 @@ object Extensions {
              round(1.0 - len(list_distinct(bg.t)) / CAST(len(bg.t) AS DOUBLE), 6)
                AS dup_token_frac
       FROM bg JOIN m USING (doc_id)""",
+    // identical md5 bucket + md5 weight chain, integer end to end
+    "text_quality_model" -> s"""
+      WITH tok AS (SELECT doc_id, $duckTokens AS t FROM documents),
+      f AS (SELECT doc_id,
+              CASE WHEN len(t) >= 2
+                THEN list_concat(t, list_transform(generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1]))
+                ELSE t END AS feats
+            FROM tok WHERE len(t) > 0),
+      sc AS (SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+               CAST(list_sum(list_transform(feats, x ->
+                 ('0x' || substr(md5('qw:' || CAST(
+                    ('0x' || substr(md5('qb:' || x), 1, 15))::BIGINT
+                      % ${TextOps.QualityModelDim} AS VARCHAR)), 1, 15))::BIGINT
+                   % 2001 - 1000)) AS BIGINT) AS logit
+             FROM f)
+      SELECT doc_id, n_feats, logit,
+             CASE WHEN logit > 0 THEN 'keep' ELSE 'drop' END AS verdict
+      FROM sc""",
     "text_ngram_freq" -> s"""
       WITH tok AS (SELECT $duckTokens AS t FROM documents),
       bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),

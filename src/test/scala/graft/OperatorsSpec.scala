@@ -338,6 +338,49 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
 class TextOpsSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  test("linearModelLogit matches a JVM replay of the md5 weight table") {
+    import graft.operators.TextOps
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def weight(f: String): Long =
+      h60("qw:" + (h60("qb:" + f) % TextOps.QualityModelDim).toString) % 2001 - 1000
+    val texts = Seq((1L, "the quick brown fox"), (2L, "solo"),
+      (3L, "spark spark spark"))
+    val got = texts.toDF("doc_id", "text")
+      .withColumn("t", TextOps.tokens(col("text")))
+      .withColumn("f", TextOps.hashedFeatures(col("t")))
+      .select(col("doc_id"), size(col("f")).cast("long").as("n"),
+        TextOps.linearModelLogit(col("f")).as("logit"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    for ((id, text) <- texts) {
+      val toks = text.split("\\s+").toSeq
+      val feats =
+        if (toks.size >= 2) toks ++ toks.sliding(2).map(_.mkString(" "))
+        else toks
+      assert(got(id) == ((feats.size.toLong, feats.map(weight).sum)),
+        s"doc $id logit mismatch")
+    }
+  }
+
+  test("linearModelLogit plan is scan-only: no exchange, no UDF") {
+    import graft.operators.TextOps
+    val df = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("t", TextOps.tokens(col("text")))
+      .filter(size(col("t")) > 0)
+      .withColumn("f", TextOps.hashedFeatures(col("t")))
+      .select(col("doc_id"), TextOps.linearModelLogit(col("f")).as("logit"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"inference pass must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"inference pass must not leave codegen:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("repetition stats: top-bigram run count and duplicate-token fraction") {
     // "a b a b a b c": bigrams = [a b, b a, a b, b a, a b, b c] →
     // top "a b" ×3 of 6; tokens 7 with 3 distinct → dup frac 1 − 3/7
