@@ -247,6 +247,35 @@ object Extensions {
             .otherwise(0).cast("int").as("err_ok"))
     }),
 
+    // the same sketch as a complete-mode STREAMING aggregate: one
+    // bounded ≤ k-entry state-store buffer over the unbounded token
+    // stream. The MG theorems hold under any micro-batch split, so the
+    // gate shares q_heavy_hitters' selection + verdict oracle; the
+    // drained sketch (≤ k rows by construction) is pulled to the
+    // driver to re-anchor it on the caller's session.
+    "stream_heavy_hitters" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val drained = graft.streaming.StreamOps.drainToBatch(
+        graft.streaming.StreamOps.heavyHittersStream(
+          graft.streaming.StreamOps.documentsStream(s, d), hhK))
+      val sketch = drained.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("term", "est")
+      val toks = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .crossJoin(total) // 1-row frame combine
+        .filter(col("cnt") * hhSupport > col("n_total"))
+        .join(sketch, Seq("term"), "left")
+        .select(col("term"), col("cnt"),
+          when(col("est").isNotNull, 1).otherwise(0)
+            .cast("int").as("in_sketch"),
+          when(col("est").isNotNull && col("est") <= col("cnt") &&
+              (col("cnt") - col("est")) * (hhK + 1) <= col("n_total"), 1)
+            .otherwise(0).cast("int").as("err_ok"))
+    }),
+
     // Count–Min frequency estimation: the "how frequent is ANY key"
     // twin of q_heavy_hitters' "which keys are hot" — fixed
     // depth×width state under partial aggregation, estimates read back
@@ -1424,6 +1453,19 @@ object Extensions {
   private val hhK = 1024
   private val hhSupport = 400
 
+  /** Shared by `q_heavy_hitters` and `stream_heavy_hitters`: selection
+    * is by exact counts (deterministic across engines); the sketch's MG
+    * guarantees become literal-1 verdicts (support 1/400 > error bound
+    * 1/(k+1) = 1/1025) — batch and streaming obey the same theorems. */
+  private lazy val hhOracle: String = s"""
+      WITH tok AS (SELECT unnest($duckTokens) AS term FROM documents),
+      t AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_total FROM tok),
+      c AS (SELECT term, CAST(COUNT(1) AS BIGINT) AS cnt
+            FROM tok GROUP BY term)
+      SELECT term, cnt, CAST(1 AS INTEGER) AS in_sketch,
+             CAST(1 AS INTEGER) AS err_ok
+      FROM c, t WHERE cnt * ${hhSupport} > n_total"""
+
   /** Window size (tokens) for the `dedup_paragraphs` gate — shared with
     * the generated DuckDB oracle so both engines cut identical windows. */
   private val pdChunk = 16
@@ -2094,15 +2136,10 @@ object Extensions {
       SELECT p.sample_idx, o.doc_id, o.w
       FROM p JOIN o ON p.p >= o.strt AND p.p < o.strt + o.w""",
     // selection is by exact counts; the sketch's MG guarantees become
-    // literal-1 verdicts (support 1/400 > error bound 1/(k+1) = 1/1025)
-    "q_heavy_hitters" -> s"""
-      WITH tok AS (SELECT unnest($duckTokens) AS term FROM documents),
-      t AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_total FROM tok),
-      c AS (SELECT term, CAST(COUNT(1) AS BIGINT) AS cnt
-            FROM tok GROUP BY term)
-      SELECT term, cnt, CAST(1 AS INTEGER) AS in_sketch,
-             CAST(1 AS INTEGER) AS err_ok
-      FROM c, t WHERE cnt * ${hhSupport} > n_total""",
+    // literal-1 verdicts — shared with the streaming form, which obeys
+    // the same theorems under any micro-batch split
+    "q_heavy_hitters" -> hhOracle,
+    "stream_heavy_hitters" -> hhOracle,
     // the oracle rebuilds the full CMS cell table from the same md5
     // bucket family and reads the row-wise minimum — exact, not a bound
     "q_countmin" -> s"""

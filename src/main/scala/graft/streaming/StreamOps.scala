@@ -478,6 +478,27 @@ object StreamOps {
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Streaming frequency monitoring: the Misra–Gries heavy-hitters
+    * sketch ([[graft.operators.FreqSketch.MisraGriesAgg]]) as a
+    * complete-mode streaming aggregate over the document token stream.
+    * The state store holds ONE ≤ k-entry buffer however long the
+    * stream runs — the bounded-state answer to "which keys are hot
+    * RIGHT NOW" that a continuously-fed ingestion pipeline consults
+    * before salting or capping (the batch `groupBy(key).count` it
+    * replaces is unrunnable on an unbounded stream). The MG theorems
+    * (presence above N/(k+1), never-overcount) hold under ANY
+    * micro-batch split because the merge is the mergeable-summaries
+    * one — same reason it is safe under batch partial aggregation. */
+  def heavyHittersStream(docs: DataFrame, k: Int): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.operators.FreqSketch.MisraGriesAgg(k),
+      org.apache.spark.sql.Encoders.STRING)
+    docs
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("term"))
+      .agg(agg(col("term")).as("sk"))
+      .select(explode(col("sk")).as(Seq("term", "est")))
+  }
+
   /** Drains a finite streaming frame and returns the materialized result
     * as a batch DataFrame (unique memory-sink name per invocation).
     *

@@ -163,7 +163,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // tf groupBy + df fold + the unhinted term attach's two sides
       // collapsing under AQE + the final bounded per-doc aggregate; a
       // 5th exchange would mean a window sort crept back in
-      "text_keyterms" -> 4)
+      "text_keyterms" -> 4,
+      // window-hash frequency count + per-doc reassembly groupBy; the
+      // frequent-set attach is unhinted (corpus-derived side) and
+      // collapses to broadcast at gate scale
+      "dedup_paragraphs" -> 2,
+      // sketch global agg + exact term counts + n_total leg; the two
+      // 1-row frame combines broadcast
+      "q_countmin" -> 3,
+      // per-(group, pos) signature min + the G·k-row pairwise compare
+      // sides + final per-pair agg — everything after the first
+      // exchange is metadata-scale
+      "q_corpus_overlap" -> 3,
+      // the rank machinery (range exchange + partition offsets) runs
+      // eagerly behind materialize; the returned plan is the bucketed
+      // neighborhood self-join, which may shuffle both checkpointed
+      // sides on the bucket key
+      "q_er_fuzzy" -> 2,
+      // hashed-model inference is scan-only — the plan law in
+      // TextOpsSpec additionally pins zero UDFs
+      "text_quality_model" -> 0)
     val byName = planOnly.toMap
     budgets.foreach { case (name, budget) =>
       val n = collectNodes(byName(name).queryExecution.executedPlan)

@@ -72,6 +72,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"merged overlap counts wrong: $got")
   }
 
+  test("streaming heavy hitters obey the MG theorems across micro-batches") {
+    import spark.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // two files + maxFilesPerTrigger=1 force two micro-batches; k is
+    // far below the 60-term vocabulary so evictions happen INSIDE the
+    // streaming state merge, not just at the end
+    def docRows(rows: Seq[(Long, String)]) =
+      rows.map { case (i, x) => (i, x, "en", "t", x.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val srcDir = graft.sources.Scratch.dir(
+      s"shh_${java.util.UUID.randomUUID.toString.take(8)}")
+    val mk = (b: Int) => (1 to 30).map(i =>
+      ((b * 100 + i).toLong,
+        (Seq.fill(40)("hot") ++ Seq(s"rare${b}_$i", s"odd${b}_$i"))
+          .mkString(" ")))
+    docRows(mk(1)).coalesce(1).write.mode("append").parquet(s"$srcDir/in")
+    docRows(mk(2)).coalesce(1).write.mode("append").parquet(s"$srcDir/in")
+    val stream = spark.readStream
+      .schema(StreamOps.documentsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/in")
+    val k = 8
+    val sk = StreamOps.drainToBatch(StreamOps.heavyHittersStream(stream, k))
+      .as[(String, Long)].collect().toMap
+    assert(sk.size <= k, s"state must stay bounded at k=$k, got ${sk.size}")
+    val n = 60L * 42L // 60 docs x 42 tokens
+    // "hot" has true count 2400 > n/(k+1): presence + bounds must hold
+    assert(sk.contains("hot"), "heavy item missing from streamed sketch")
+    assert(sk("hot") <= 2400L && 2400L - sk("hot") <= n / (k + 1))
+    // never-overcount for every surviving entry
+    sk.foreach { case (t, est) =>
+      val truth = if (t == "hot") 2400L else 1L
+      assert(est <= truth, s"$t overcounted: $est > $truth")
+    }
+  }
+
   test("streaming session windows produce per-user sessions") {
     val q = StreamOps.runToMemory(
       StreamOps.sessionCounts(StreamOps.eventsStream(spark, dir)),
