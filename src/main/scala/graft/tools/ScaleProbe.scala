@@ -72,7 +72,21 @@ object ScaleProbe {
     // are new terms), so the tf/df folds and the unhinted vocab attach
     // must track the scan — a super-copy ratio here would mean the
     // attach or the top-k stage went row-quadratic
-    "text_keyterms" -> graft.SparkEntry.queries("text_keyterms"))
+    "text_keyterms" -> graft.SparkEntry.queries("text_keyterms"),
+    // corpus-level window dedup: rotated copies share no 16-token
+    // windows, so the frequent set stays within-copy-sized and both
+    // key-only shuffles must track the scan
+    "dedup_paragraphs" -> graft.SparkEntry.queries("dedup_paragraphs"),
+    // fixed 4×512 sketch state + exact-count gate apparatus: nothing
+    // but the token scan is allowed to grow
+    "q_countmin" -> graft.SparkEntry.queries("q_countmin"),
+    // scan-only hashed-model inference: the zero-shuffle plan's growth
+    // IS the scan's
+    "text_quality_model" -> graft.SparkEntry.queries("text_quality_model"),
+    // per-group signatures: the 20 sources persist across copies while
+    // the corpus grows, so everything past the partial aggregate is a
+    // constant G·k-row table — wall must track the signature scan
+    "q_corpus_overlap" -> graft.SparkEntry.queries("q_corpus_overlap"))
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(5)
