@@ -113,4 +113,52 @@ object Sampling {
         pts("__p") >= offs("start") && pts("__p") < offs("start") + offs(wCol))
       .select(col("sample_idx"), col(idCol), col(wCol))
   }
+
+  /** Temperature-scaled domain mixing — the multilingual-pretraining
+    * rebalance: sample the corpus toward the T=2 (square-root) mixture,
+    * where domain d's share of an m-document budget is
+    * √n_d / Σ_e √n_e instead of its natural n_d / N. Common domains
+    * are thinned; RARE domains can be oversampled past 1 epoch, so the
+    * result is a per-document COPY COUNT, not a filter:
+    * (id, domain, n_copies) with
+    *
+    *   rate_d   = m·√n_d / (Σ_e √n_e) / n_d      (expected copies/doc)
+    *   n_copies = ⌊rate_d⌋ + [md5₆₀("tmix:id") < frac(rate_d)·2⁶⁰]
+    *
+    * The md5 draw makes the fractional epoch deterministic per
+    * document (reproducible across engines/partitionings — no RNG),
+    * and Σ n_copies concentrates tightly around m.
+    *
+    * Determinism across engines: √ via `sqrt` (IEEE-correctly rounded
+    * in both the JVM and DuckDB — NOT `pow(x, 0.5)`, which no libm
+    * promises), divisions in one fixed association order, and the
+    * fractional test as an integer compare against ⌊frac·2⁶⁰⌋.
+    * Generalizing the temperature means swapping `sqrt` for
+    * `pow(n, 1/T)` and accepting libm drift in the oracle, or
+    * precomputing the G rates driver-side in exact arithmetic.
+    *
+    * Scale: one partial-aggregated count shuffle over the domain key
+    * (G rows out), a 1-row frame combine for the normalizer, and an
+    * unhinted G-row join back to the scan — the rate table is bounded
+    * by the DOMAIN count, metadata at any corpus size. */
+  def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
+                     m: Long, seedTag: String = "tmix"): DataFrame = {
+    require(m > 0, s"temperatureMix: budget m must be positive, got $m")
+    val counts = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__nd"))
+      .withColumn("__w", sqrt(col("__nd").cast("double")))
+    val norm = counts.agg(sum(col("__w")).as("__wsum"))
+    val rates = counts.crossJoin(norm) // 1-row frame combine
+      .withColumn("__rate",
+        lit(m.toDouble) * col("__w") / col("__wsum") / col("__nd"))
+      .select(col("__dom"), floor(col("__rate")).cast("long").as("__base"),
+        floor((col("__rate") - floor(col("__rate"))) *
+          lit(1152921504606846976.0)).cast("long").as("__thr"))
+    df.select(col(idCol), col(domainCol))
+      .join(rates, col(domainCol) === col("__dom"))
+      .withColumn("n_copies", col("__base") +
+        when(Dedup.md5Hash60(concat(lit(s"$seedTag:"),
+          col(idCol).cast("string"))) < col("__thr"), 1L).otherwise(0L))
+      .select(col(idCol), col(domainCol), col("n_copies"))
+  }
 }

@@ -222,6 +222,15 @@ object Extensions {
           size(TextOps.tokens(col("text"))).cast("long").as("w")),
         "doc_id", "w", wsGatePoints)),
 
+    // temperature-scaled (T=2) domain rebalance: per-source rates
+    // COMPUTED from the data (vs q_domain_mix's fixed table) — common
+    // sources thin, rare sources run > 1 epoch via per-doc copy counts;
+    // sqrt (IEEE-exact both engines) + md5 fractional draw keep the
+    // result bit-reproducible
+    "q_temperature_mix" -> ((s, d) =>
+      graft.operators.Sampling.temperatureMix(
+        Tables.documents(s, d), "doc_id", "source", tmixBudget)),
+
     // ---- frequent items (heavy hitters) ----
     // one-pass bounded-state Misra–Gries sketch; the gate SELECTS by
     // exact counts (deterministic across engines) and uses the sketch
@@ -1488,6 +1497,10 @@ object Extensions {
     * covers every planted link. */
   private val erWindow = 24
 
+  /** Document budget for the `q_temperature_mix` gate — 2× the sf0.01
+    * corpus, so the thin/oversample split is visible on both sides. */
+  private val tmixBudget = 1000L
+
   // BPE oracle fragments — mirror graft.operators.Bpe exactly: the same
   // [a-z]+ pretokenizer, occurrence-weighted distinct-word table,
   // greedy left-to-right merge fold (DuckDB folds the symbol list into
@@ -2140,6 +2153,24 @@ object Extensions {
     // the same theorems under any micro-batch split
     "q_heavy_hitters" -> hhOracle,
     "stream_heavy_hitters" -> hhOracle,
+    // sqrt + one fixed division order + integer fractional compare:
+    // IEEE-identical on both engines, so an exact value diff
+    "q_temperature_mix" -> s"""
+      WITH c AS (SELECT source AS dom, CAST(COUNT(1) AS BIGINT) AS nd,
+                        sqrt(CAST(COUNT(1) AS DOUBLE)) AS w
+                 FROM documents GROUP BY source),
+      n AS (SELECT SUM(w) AS wsum FROM c),
+      r AS (SELECT dom,
+              CAST(floor($tmixBudget * w / wsum / nd) AS BIGINT) AS base,
+              CAST(floor(($tmixBudget * w / wsum / nd
+                          - floor($tmixBudget * w / wsum / nd))
+                         * 1152921504606846976) AS BIGINT) AS thr
+            FROM c, n)
+      SELECT d.doc_id, d.source,
+             r.base + CASE WHEN ('0x' || substr(md5('tmix:' ||
+                 CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT < r.thr
+               THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN r ON d.source = r.dom""",
     // the oracle rebuilds the full CMS cell table from the same md5
     // bucket family and reads the row-wise minimum — exact, not a bound
     "q_countmin" -> s"""

@@ -77,6 +77,42 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(Sampling.exclusiveOffsets(empty, "id", "w").count() == 0L)
   }
 
+  test("temperatureMix: sqrt rebalance replays exactly and lands on budget") {
+    // domains 900 / 90 / 10 docs; T=2 shares ∝ 30 : ~9.49 : ~3.16
+    val df = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (0 until 90).map(i => (1000L + i, "mid")) ++
+      (0 until 10).map(i => (2000L + i, "tiny")))
+      .toDF("doc_id", "source")
+    val m = 500L
+    val got = Sampling.temperatureMix(df, "doc_id", "source", m)
+      .as[(Long, String, Long)].collect()
+    assert(got.length == 1000)
+    // JVM replay of the exact formulas (same sqrt, same order, same md5)
+    val nd = Map("big" -> 900L, "mid" -> 90L, "tiny" -> 10L)
+    val wsum = nd.values.map(n => math.sqrt(n.toDouble)).sum
+    def rate(d: String) = m.toDouble * math.sqrt(nd(d).toDouble) / wsum / nd(d)
+    def h60(s: String): Long = {
+      val x = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(x, 16)
+    }
+    got.foreach { case (id, d, c) =>
+      val r = rate(d)
+      val thr = math.floor((r - math.floor(r)) * 1152921504606846976.0).toLong
+      val want = math.floor(r).toLong + (if (h60(s"tmix:$id") < thr) 1L else 0L)
+      assert(c == want, s"doc $id ($d): copies $c != $want")
+    }
+    // budget concentration: within 5% of m
+    val total = got.map(_._3).sum
+    assert(math.abs(total - m) <= m / 20, s"total $total vs budget $m")
+    // rebalance direction: per-doc rate strictly increases as the
+    // domain shrinks (rare domains gain epochs, common ones thin)
+    assert(rate("tiny") > rate("mid") && rate("mid") > rate("big"))
+    // the tiny domain must actually oversample past one epoch here
+    assert(rate("tiny") > 1.0)
+    assert(got.filter(_._2 == "tiny").map(_._3).sum >= 10L)
+  }
+
   test("the draw broadcasts the points — the corpus side is never shuffled by the join") {
     val plan = Sampling.weightedSample(weighted, "id", "w", 8)
       .queryExecution.executedPlan.toString
