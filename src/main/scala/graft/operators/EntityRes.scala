@@ -86,4 +86,27 @@ object EntityRes {
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
+
+  /** The classic multi-pass sorted-neighborhood: one pass over the key
+    * and one over its REVERSE, pairs unioned and de-duplicated (the
+    * reversed pass re-ranks, so a pair can surface with flipped sides —
+    * pairs are canonicalized on (min id, max id) before the distinct).
+    * A typo in the FIRST character sorts ~alphabet-width ranks away in
+    * the forward pass but adjacent in the reversed one (and vice versa
+    * for last-character typos), so any single-character edit at EITHER
+    * end is guaranteed a window in one of the passes; mid-string edits
+    * keep both prefixes and suffixes, landing in both. Cost is exactly
+    * 2× the single pass — still O(n·window) candidates. */
+  def sortedNeighborhoodMultiPass(df: DataFrame, idCol: String,
+                                  keyCol: String, window: Int = 16,
+                                  maxDist: Int = 2): DataFrame = {
+    val fwd = sortedNeighborhoodPairs(df, idCol, keyCol, window, maxDist)
+    val rev = sortedNeighborhoodPairs(
+      df.withColumn("__rk", reverse(col(keyCol))), idCol, "__rk",
+      window, maxDist)
+    fwd.union(rev)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+      .distinct()
+  }
 }

@@ -327,6 +327,25 @@ object Extensions {
         window = erWindow, maxDist = 1)
     }),
 
+    // multi-pass sorted neighborhood: the dirty twins are lettered at
+    // the FIRST digit, so they sort an alphabet away from their clean
+    // sources in the forward pass — only the reversed-key pass (which
+    // ranks by the unchanged digit suffix) links them. Union of both
+    // passes, canonicalized + distinct.
+    "q_er_fuzzy_2pass" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val clean = cust.select(col("c_custkey").cast("long").as("id"),
+        col("c_name").as("name"))
+      val dirty = cust.select((col("c_custkey") + 1000000L).as("id"),
+        concat(substring(col("c_name"), 1, 9),
+          translate(substring(col("c_name"), 10, 1),
+            "0123456789", "abcdefghij"),
+          substring(col("c_name"), 11, 8)).as("name"))
+      graft.operators.EntityRes.sortedNeighborhoodMultiPass(
+        clean.unionAll(dirty), "id", "name",
+        window = erWindow, maxDist = 1)
+    }),
+
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) =>
       Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", "text")),
@@ -1841,6 +1860,35 @@ object Extensions {
                                      '\s+', ' ', 'g'))) AS text_hash,
              COUNT(1) AS n_copies, MIN(doc_id) AS keeper
       FROM documents GROUP BY 1 HAVING COUNT(1) > 1""",
+    // two single-window replays (forward + reversed rank), unioned and
+    // canonicalized exactly like the operator; levenshtein is invariant
+    // under simultaneous reversal, so the reversed pass verifies on the
+    // original names
+    "q_er_fuzzy_2pass" -> s"""
+      WITH clean AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+      dirty AS (SELECT c_custkey + 1000000 AS id,
+                       substr(c_name, 1, 9) ||
+                       translate(substr(c_name, 10, 1),
+                                 '0123456789', 'abcdefghij') ||
+                       substr(c_name, 11, 8) AS name
+                FROM customer),
+      u AS (SELECT * FROM clean UNION ALL SELECT * FROM dirty),
+      r1 AS (SELECT id, name,
+                    row_number() OVER (ORDER BY name, id) - 1 AS rk FROM u),
+      p1 AS (SELECT a.id AS ia, b.id AS ib,
+                    levenshtein(a.name, b.name) AS dist
+             FROM r1 a JOIN r1 b ON b.rk - a.rk BETWEEN 1 AND ${erWindow - 1}
+             WHERE levenshtein(a.name, b.name) <= 1),
+      r2 AS (SELECT id, name,
+                    row_number() OVER (ORDER BY reverse(name), id) - 1 AS rk
+             FROM u),
+      p2 AS (SELECT a.id AS ia, b.id AS ib,
+                    levenshtein(a.name, b.name) AS dist
+             FROM r2 a JOIN r2 b ON b.rk - a.rk BETWEEN 1 AND ${erWindow - 1}
+             WHERE levenshtein(a.name, b.name) <= 1)
+      SELECT DISTINCT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+             CAST(dist AS INTEGER) AS dist
+      FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)""",
     // the oracle takes the single-window global sort Spark must avoid;
     // same rank order (name, id), same window, same edit-distance verify
     "q_er_fuzzy" -> s"""

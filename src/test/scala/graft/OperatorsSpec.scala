@@ -269,6 +269,27 @@ class EntityResSpec extends AnyFunSuite with SparkSpec {
       EntityRes.sortedNeighborhoodPairs(df, "id", "name"))
     assert(e.getMessage.contains("null"))
   }
+
+  test("multi-pass SN links first-char typos the forward pass misses") {
+    // (1, 2) differ only in the FIRST character; three interposer keys
+    // sort between them, so a window of 2 cannot see the pair forward.
+    // Reversed, both end in "pie" and become adjacent.
+    val df = Seq((1L, "apple pie"), (2L, "bpple pie"), (3L, "aqua gel"),
+      (4L, "arrow tip"), (5L, "auburn hue"), (6L, "kiwi tart"))
+      .toDF("id", "name")
+    val single = EntityRes.sortedNeighborhoodPairs(df, "id", "name",
+      window = 2, maxDist = 1).as[(Long, Long, Int)].collect().toSet
+    assert(!single.exists(p => Set(p._1, p._2) == Set(1L, 2L)),
+      "forward pass alone must miss the far-sorting pair")
+    val multi = EntityRes.sortedNeighborhoodMultiPass(df, "id", "name",
+      window = 2, maxDist = 1).as[(Long, Long, Int)].collect().toSet
+    assert(multi.contains((1L, 2L, 1)),
+      s"reversed pass must recover the first-char typo, got $multi")
+    // multipass contains the canonicalized forward pairs
+    val canonSingle = single.map(p =>
+      (math.min(p._1, p._2), math.max(p._1, p._2), p._3))
+    assert(canonSingle.subsetOf(multi))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with SparkSpec {

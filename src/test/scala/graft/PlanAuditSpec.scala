@@ -182,7 +182,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "q_er_fuzzy" -> 2,
       // hashed-model inference is scan-only — the plan law in
       // TextOpsSpec additionally pins zero UDFs
-      "text_quality_model" -> 0)
+      "text_quality_model" -> 0,
+      // domain-count agg + the G-row rate table's combine + the
+      // unhinted rate attach; the corpus itself shuffles only for the
+      // count
+      "q_temperature_mix" -> 3)
     val byName = planOnly.toMap
     budgets.foreach { case (name, budget) =>
       val n = collectNodes(byName(name).queryExecution.executedPlan)
