@@ -134,5 +134,12 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "text_ngram_freq",
     "text_pack", "text_pack_shards", "text_quality", "text_quality_quantile",
     "text_redact",
-    "text_repetition", "text_rolling_fp", "text_tokens")
+    "text_repetition", "text_rolling_fp", "text_tokens",
+    // r11/r12 additions — all generated from shared Scala constants:
+    // list_transform/list_sum feature hashing (text_quality_model),
+    // LATERAL unnest chunking (dedup_paragraphs), generate_series
+    // signature/CMS cell rebuilds (q_corpus_overlap, q_countmin,
+    // stream_heavy_hitters), '0x'||md5 threshold draw (q_temperature_mix)
+    "q_temperature_mix", "stream_heavy_hitters", "dedup_paragraphs",
+    "q_corpus_overlap", "q_countmin", "text_quality_model")
 }
