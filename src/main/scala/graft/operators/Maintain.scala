@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Incremental maintenance of derived tables — the operations that keep
+  * a 100 TB warehouse's aggregates and snapshots current WITHOUT
+  * rescanning the base corpus on every refresh.
+  *
+  * The reference pipeline recomputes everything daily (its inputs are
+  * KBs); at warehouse scale the daily delta is the only thing that can
+  * be scanned, so aggregates persist in MERGEABLE partial form
+  * (count + exact decimal sum — associative and commutative, so any
+  * partition of the data into deltas folds to the same result) and
+  * refreshes fold the new delta's partials into the stored ones.
+  */
+object Maintain {
+
+  /** Per-key mergeable partials for count/sum maintenance:
+    * (key, cnt, total) with `total` an exact DECIMAL(18,2) — decimal,
+    * not double, because merge order must not perturb the result (a
+    * double sum re-associated across delta boundaries drifts in the
+    * last ulp; the whole point of partials is that base+delta equals
+    * the one-shot recompute EXACTLY). */
+  def aggPartials(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valCol).cast(DecimalType(18, 2))).as("total"))
+
+  /** Writes [[aggPartials]] as the persisted materialized-aggregate
+    * state, partition-free parquet (the key space is the grain; at
+    * warehouse scale callers bucket by key instead — see
+    * [[graft.sources.Sinks.writeBucketed]]). */
+  def writeAggState(df: DataFrame, keyCol: String, valCol: String,
+                    dir: String): Unit =
+    aggPartials(df, keyCol, valCol)
+      .write.mode("overwrite").parquet(dir)
+
+  /** Refreshed aggregate = stored partials ∪ delta partials, folded
+    * per key: counts add, decimal sums add. The base table is NEVER
+    * read — the refresh scans |state| + |delta| rows, and the state
+    * row count is bounded by key cardinality, not corpus size. Returns
+    * (key, cnt, total) in the same mergeable form, so refreshes chain:
+    * fold in delta 1, write, fold in delta 2, ... equals the one-shot
+    * aggregate over base ∪ all deltas (decimal addition is
+    * associative). */
+  def mergeAggState(spark: SparkSession, dir: String, delta: DataFrame,
+                    keyCol: String, valCol: String): DataFrame = {
+    val state = spark.read.parquet(dir)
+    state.unionByName(aggPartials(delta, keyCol, valCol))
+      .groupBy(col(keyCol))
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("total")).cast(DecimalType(18, 2)).as("total"))
+  }
+
+  /** Snapshot diff: classify every id in `prev` ∪ `next` as `added`
+    * (only in next), `removed` (only in prev) or `changed` (in both
+    * with different payload hash); unchanged rows are DROPPED — the
+    * output is bounded by churn volume, not corpus size, which is what
+    * makes a 100 TB-corpus diff consumable. One co-partitioned full
+    * outer join on the id, carrying only (id, md5(payload)) — payload
+    * columns are pruned at both scans; the hashes are computed
+    * distributively, never compared row-by-row on the driver. */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, idCol: String,
+                   payloadCol: String): DataFrame = {
+    def hashed(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).cast("long").as(idCol),
+        md5(col(payloadCol).cast("binary")).as(s"h_$side"))
+    hashed(prev, "prev")
+      .join(hashed(next, "next"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("h_prev").isNull, lit("added"))
+          .when(col("h_next").isNull, lit("removed"))
+          .when(col("h_prev") =!= col("h_next"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
+}

@@ -161,4 +161,77 @@ object Sampling {
           col(idCol).cast("string"))) < col("__thr"), 1L).otherwise(0L))
       .select(col(idCol), col(domainCol), col("n_copies"))
   }
+
+  /** Exact proportional stratified sample: from every stratum, the
+    * ⌈num·n_s/den⌉ documents with the smallest md5 draw (ties broken by
+    * id — impossible anyway for distinct ids). The fraction is a
+    * RATIONAL num/den so the per-stratum allocation is pure integer
+    * math — `(num·n_s + den − 1) div den` — bit-identical in any
+    * engine; a double `frac` would make ⌈frac·n_s⌉ hostage to the last
+    * ulp of one multiply.
+    *
+    * The within-stratum rank is computed WITHOUT a per-stratum global
+    * window (a handful of strata over 100 TB = a handful of reducers
+    * sorting everything): `repartitionByRange` on (stratum, hash, id)
+    * gives partition-local sorted runs, per-(partition, stratum) counts
+    * — a metadata table bounded by partitions + strata, collected to
+    * the driver — turn local row_numbers into exact global
+    * within-stratum ranks, same machinery as
+    * [[EntityRes.sortedNeighborhoodPairs]]' global rank. The rank is
+    * invariant to where the sampled range boundaries fall.
+    *
+    * Strata must be CATEGORICAL (statuses, languages, sources): the
+    * driver-side count table is the scale guard, and a high-cardinality
+    * stratum column fails loudly rather than silently shipping a
+    * rows-sized table. Returns the sampled (idCol, strataCol) pairs —
+    * join back on the id for payload columns. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       num: Int, den: Int,
+                       seedTag: String = "strat"): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"stratifiedSample: need 0 < num/den <= 1, got $num/$den")
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val t = df.select(col(strataCol).cast("string").as("__st"),
+      col(idCol).cast("long").as("__id"))
+    val bad = t.agg(count(when(col("__st").isNull || col("__id").isNull,
+      lit(1)))).head().getLong(0)
+    require(bad == 0L,
+      s"stratifiedSample: $bad rows have a null '$strataCol'/'$idCol' — " +
+        "the allocation needs both")
+    val sorted = Dedup.materialize(
+      t.withColumn("__h", Dedup.md5Hash32(
+          concat(lit(s"$seedTag:"), col("__id").cast("string"))))
+        .repartitionByRange(nPart, col("__st"), col("__h"), col("__id"))
+        .sortWithinPartitions("__st", "__h", "__id")
+        .withColumn("__pid", spark_partition_id()))
+    val counts = sorted.groupBy("__pid", "__st")
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    require(counts.length <= 4 * nPart + 100000,
+      s"stratifiedSample: ${counts.length} (partition, stratum) groups — " +
+        s"'$strataCol' looks high-cardinality; stratified sampling wants " +
+        "a categorical stratum (use hash sampling for per-row draws)")
+    // per-stratum exclusive offsets in (pid) order + per-stratum totals
+    // — driver-side over the bounded count table only
+    val byStratum = counts.groupBy(_._2)
+    val offRows = byStratum.iterator.flatMap { case (st, rows) =>
+      val ordered = rows.sortBy(_._1)
+      val offs = ordered.scanLeft(0L)(_ + _._3)
+      val total = offs.last
+      ordered.zip(offs).map { case ((pid, _, _), off) =>
+        (pid, st, off, total)
+      }
+    }.toSeq
+    import spark.implicits._
+    val offDf = offRows.toDF("__pid", "__st", "__off", "__n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid", "__st").orderBy("__h", "__id")
+    sorted.join(broadcast(offDf), Seq("__pid", "__st"))
+      .withColumn("__rk",
+        row_number().over(w).cast("long") + col("__off"))
+      .filter(col("__rk") <=
+        expr(s"(__n * ${num}L + ${den - 1}L) div ${den}L"))
+      .select(col("__id").as(idCol), col("__st").as(strataCol))
+  }
 }

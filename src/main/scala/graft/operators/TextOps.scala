@@ -285,4 +285,67 @@ object TextOps {
         expr(s"start div ${seqLen}L").as("seq_idx"),
         (col("start") % seqLen).as("seq_off"))
   }
+
+  /** Distributed inverted index: (term, df, postings) with postings the
+    * comma-joined ascending doc-id list — the retrieval/search sibling
+    * of [[keyTerms]]. Two aggregations, both keyed on the term:
+    * document frequency first (a cheap count that partial-aggregates
+    * map-side), then postings collected ONLY for terms under `dfCap` —
+    * the order matters, because a corpus-frequent term ("the", a
+    * boilerplate token) would otherwise funnel a postings list the size
+    * of the corpus through one reducer before any cap could apply.
+    * Over-cap terms stay in the output as (term, df, NULL): the
+    * accounting is loud, the cost is not paid. Postings are emitted as
+    * a joined string, not an array — a dfCap-bounded cell either way,
+    * and exact cross-engine compares on strings are trivial. */
+  def invertedIndex(docs: DataFrame, id: String = "doc_id",
+                    text: String = "text", dfCap: Int = 64): DataFrame = {
+    require(dfCap > 0, s"invertedIndex: dfCap must be positive, got $dfCap")
+    val presence = Dedup.materialize(
+      docs.select(col(id).cast("long").as("doc_id"),
+          explode(tokens(col(text))).as("term"))
+        .distinct())
+    val dft = presence.groupBy("term").agg(count(lit(1)).as("df"))
+    val postings = presence
+      .join(dft.filter(col("df") <= dfCap).select("term"), Seq("term"),
+        "left_semi")
+      .groupBy("term")
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string"))).as("postings"))
+    dft.join(postings, Seq("term"), "left_outer")
+      .select(col("term"), col("df"),
+        when(col("df") <= dfCap, col("postings")).as("postings"))
+  }
+
+  /** Sequence-length bucketing for padded training batches: every
+    * document lands in the smallest power-of-two length bucket that
+    * holds its token count (floor 16, cap 8192 — the overflow bucket),
+    * and per bucket the operator reports document count, true token
+    * volume, padded cell volume (`bucket · docs`) and the padding-waste
+    * fraction that batch composition pays. Pure scan + one tiny
+    * aggregation (≤ 10 bucket rows at any corpus size); the bucket
+    * thresholds are an integer CASE ladder, not a float log₂ — exact in
+    * any engine. */
+  def lengthBuckets(docs: DataFrame, text: String = "text"): DataFrame = {
+    val n = size(tokens(col(text))).cast("long")
+    val bucket = LengthBucketBounds.foldRight(
+      lit(LengthBucketBounds.last): org.apache.spark.sql.Column) {
+      (b, acc) => when(n <= b, lit(b)).otherwise(acc)
+    }
+    docs.select(bucket.as("bucket"), n.as("n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        (col("bucket") * col("n_docs") - col("n_tokens")).as("pad_cells"),
+        round(lit(1.0) - col("n_tokens") /
+          (col("bucket") * col("n_docs")).cast("double"), 6).as("waste"))
+  }
+
+  /** [[lengthBuckets]] thresholds — powers of two from a 16-token floor
+    * to the 8192 overflow bucket; documents past the cap pool there
+    * (their "waste" can go negative by construction, which is the
+    * signal to split them — see `text_chunks`). */
+  val LengthBucketBounds: Seq[Long] =
+    Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L)
 }
