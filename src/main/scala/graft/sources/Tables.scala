@@ -26,7 +26,8 @@ object Tables {
   /** Raw `events.parquet` schema with `ts` as plain INT64 nanos — the
     * per-read alternative to the session-wide
     * `spark.sql.legacy.parquet.nanosAsLong` conf (which would silently
-    * change the schema of every later nanos-parquet read in the session). */
+    * change the schema of every later nanos-parquet read in the session).
+    * Only used when [[eventsTsUnit]] resolves to NANOS. */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -35,17 +36,100 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]) under schema inference. Supplying
-    * [[eventsRawSchema]] (ts: LongType) reads the raw nanos without any
-    * session conf; then rebuild a microsecond TIMESTAMP with exact integer
-    * division (`div`, not `/` — ns epochs exceed 2^53 so a double round
-    * trip would corrupt them). Truncation keeps every ms-aligned
-    * comparison (orders/lineitem timestamps) exact. */
-  def events(s: SparkSession, d: String): DataFrame =
-    s.read.schema(eventsRawSchema).parquet(s"$d/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** Time unit of the on-disk `events.ts` column, sniffed from the
+    * parquet footer. The driver has regenerated the testdata with
+    * different units across rounds (timestamp[ns] → timestamp[us]), so
+    * assuming a unit silently corrupts every event-time query; the
+    * footer's logical-type annotation is the source of truth. */
+  sealed abstract class TsUnit(val label: String)
+  object TsUnit {
+    /** TIMESTAMP(NANOS) annotation, or a plain unannotated INT64 `ts`
+      * (the historic driver format stored epoch nanos in a raw long). */
+    case object Nanos  extends TsUnit("NANOS")
+    /** TIMESTAMP(MICROS/MILLIS) — Spark reads these natively as
+      * TimestampType, no rebuild needed. */
+    case object Native extends TsUnit("NATIVE")
+  }
+
+  /** Reads the footer of `events.parquet` (a single file or a directory
+    * of part files — only ONE footer is opened either way, so this is a
+    * constant-cost driver-side sniff regardless of table size) and
+    * classifies the `ts` logical type. */
+  def eventsTsUnit(spark: SparkSession, dir: String): TsUnit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(s"$dir/events.parquet")
+    val fs = root.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).iterator
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .next().getPath
+      else root
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val prim = schema.getType(schema.getFieldIndex("ts")).asPrimitiveType
+      // legacy INT96 timestamps carry no logical annotation but Spark
+      // reads them natively — check the physical type before assuming
+      // an unannotated column is the historic raw-nanos INT64
+      if (prim.getPrimitiveTypeName ==
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96)
+        TsUnit.Native
+      else prim.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+            if t.getUnit == TimeUnit.NANOS => TsUnit.Nanos
+        case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => TsUnit.Native
+        case _ => TsUnit.Nanos // unannotated INT64: historic epoch-nanos format
+      }
+    } finally reader.close()
+  }
+
+  /** The resolved recipe for reading events with a true µs-TIMESTAMP
+    * `ts`, shared verbatim by the batch reader ([[events]]) and the
+    * streaming reader (`StreamOps.eventsStream`) so the two can never
+    * drift: `schema` is what to force on the scan, `finish` rebuilds
+    * `ts` when the on-disk unit needs it. */
+  final case class EventsReadPlan(schema: StructType, finish: DataFrame => DataFrame)
+
+  def eventsReadPlan(spark: SparkSession, dir: String): EventsReadPlan =
+    eventsTsUnit(spark, dir) match {
+      case TsUnit.Nanos =>
+        // Spark rejects TIMESTAMP(NANOS) under inference
+        // ([PARQUET_TYPE_ILLEGAL]); force ts:LongType, then rebuild a µs
+        // TIMESTAMP with exact integer division (`div`, not `/` — ns
+        // epochs exceed 2^53, a double round trip would corrupt them).
+        EventsReadPlan(eventsRawSchema,
+          _.withColumn("ts", org.apache.spark.sql.functions
+            .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000"))))
+      case TsUnit.Native =>
+        // timestamp[us]/[ms]: the native reader yields TimestampType —
+        // or TIMESTAMP_NTZ when the column carries no UTC adjustment
+        // (pyarrow's default), which watermarks reject. Cast NTZ → LTZ
+        // after the scan; the session timezone is pinned UTC everywhere
+        // (Verify/Bench/tests), so the wall-clock instant is unchanged
+        // and matches the oracle's naive reading. Pin the inferred
+        // schema so the streaming source (which requires an explicit
+        // schema) reads identically.
+        val schema = spark.read.parquet(s"$dir/events.parquet").schema
+        val needsCast = schema.fields.exists(f =>
+          f.name == "ts" && f.dataType == TimestampNTZType)
+        EventsReadPlan(schema,
+          df => if (needsCast) df.withColumn("ts", org.apache.spark.sql.functions
+            .col("ts").cast(TimestampType)) else df)
+    }
+
+  /** Events with `ts` as a µs TIMESTAMP regardless of the on-disk unit
+    * (timestamp[us]/[ms] native, timestamp[ns] / raw-INT64-nanos via
+    * rebuild — see [[eventsReadPlan]]). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val plan = eventsReadPlan(s, d)
+    plan.finish(s.read.schema(plan.schema).parquet(s"$d/events.parquet"))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = parquet(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = parquet(s, d, "embeddings")
 

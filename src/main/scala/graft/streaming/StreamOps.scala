@@ -14,23 +14,23 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** Raw events schema (ts as INT64 nanos) — shared with the batch
-    * reader. */
-  val eventsRawSchema: StructType = graft.sources.Tables.eventsRawSchema
-
   /** Streaming source over the events table directory: one file = one
-    * micro-batch replay. The explicit schema reads the TIMESTAMP(NANOS)
-    * column as raw longs (no session conf needed); `ts` rebuilt to a µs
-    * timestamp exactly as the batch reader does. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    * micro-batch replay. Streams cannot sniff-and-retry, so the on-disk
+    * `ts` unit is resolved ONCE batch-side (`Tables.eventsReadPlan` reads
+    * the parquet footer) and the same forced schema + rebuild are applied
+    * here — batch and streaming readers share one plan and cannot drift
+    * when the driver regenerates testdata with a different unit. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val plan = graft.sources.Tables.eventsReadPlan(spark, dir)
     // file stream sources require a directory; select the single events
     // file out of the testdata dir with a glob filter
-    spark.readStream
-      .schema(eventsRawSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "events.parquet")
-      .load(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    plan.finish(
+      spark.readStream
+        .schema(plan.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(dir))
+  }
 
   /** Tumbling 1-hour counts per event type; late data beyond the
     * watermark is dropped instead of growing state forever. */

@@ -24,6 +24,11 @@ object ScaleProbe {
     "q1_agg", "q_filter_scan", "q3_shipping_priority", "q5_region_revenue",
     "q10_returned_revenue", "q_join_left", "q_window_rank", "q_topk",
     "q_having", "q_tumbling_window", "q_join_asof_fast",
+    // event-time family at REAL 2024-range timestamps (r11 probed these
+    // against unit-collapsed 1970 data — VERDICT r11 §next #5): copies
+    // densify the fixed time range, so windows/sessions gain rows, not
+    // count — the aggregation must track the scan
+    "q_sliding_window", "q_session_window",
     // the hot-key-safe two-phase window forms: replication grows the
     // per-key frames (copies share the custkey range), so these measure
     // exactly the hot-key growth the bucket split exists for
@@ -284,10 +289,10 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     rep(spark.read.parquet(s"$base/lineitem.parquet"), Seq("l_orderkey"))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    // events read RAW (ts stays a plain int64 nanos column) so the
-    // scaled copy round-trips through Tables.events identically
-    rep(spark.read.schema(graft.sources.Tables.eventsRawSchema)
-        .parquet(s"$base/events.parquet"), Seq("event_id"))
+    // events read through the unit-sniffing reader (Tables.events), so the
+    // scaled copy is written as native timestamp[us] whatever the source
+    // unit — and round-trips through Tables.events on the scaled dir
+    rep(graft.sources.Tables.events(spark, base), Seq("event_id"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val ring = alpha + alpha.toUpperCase + "0123456789"

@@ -25,7 +25,7 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpec {
       .select(col("c_custkey"))
     assert(o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
       .count() == 0, "scaled orders reference custkeys outside the dims")
-    // events round-trip through the raw-nanos reader used by the battery
+    // events round-trip through the unit-sniffing reader used by the battery
     assert(graft.sources.Tables.events(spark, out).count() ==
       2 * graft.sources.Tables.events(spark, base).count())
     // and a probed query runs on the scaled dir
