@@ -382,6 +382,24 @@ object Extensions {
         docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text")
     }),
+    // index MAINTENANCE gate: the corpus-side index is deliberately
+    // written at the WRONG banding (16×2), re-cut to the oracle blocking
+    // (16×4) by rebuildMinhashIndex FROM ITS OWN sets table (no access
+    // to the original documents), then compacted — and querying the
+    // maintained index must equal the fresh-index incremental result
+    // (shared oracle): rebuild + compaction are lossless, gated here and
+    // not only in IndexMaintenanceSpec.
+    "dedup_index_rebuild" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idxDir = graft.sources.Scratch.dir(
+        s"mhreb_${java.util.UUID.randomUUID.toString.take(8)}")
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", idxDir, numHashes = 16, bands = 2)
+      Dedup.rebuildMinhashIndex(s, idxDir, numHashes = 16, bands = 4)
+      Dedup.compactMinhashIndex(s, idxDir)
+      Dedup.crossMinhashPairs(docs.filter(col("doc_id") % 2 === 1),
+        Dedup.readMinhashIndex(s, idxDir), "doc_id", "text", 0.5)
+    }),
     // the deployment form of dedup_incremental, end to end: the corpus
     // side (even ids) is signed ONCE and PERSISTED (writeMinhashIndex),
     // then the incoming documents arrive as a STREAM whose micro-batches
@@ -533,6 +551,45 @@ object Extensions {
             Dedup.md5Hash32(concat(lit("smp:"),
               col("event_id").cast("string"))).cast("double").as("score")),
         "event_type", "event_id", "score", 100)),
+    // incremental-aggregate maintenance gate: the persisted mergeable
+    // partials (count + exact DECIMAL sum) are written from 90% of the
+    // corpus, then the held-out 10% folds in as the "daily delta" —
+    // WITHOUT rescanning the base — and the refreshed state must equal
+    // the one-shot aggregate over everything (the oracle). At 100 TB the
+    // refresh scans |state| + |delta|, bounded by key cardinality + the
+    // day's rows, never the corpus.
+    "q_agg_maintain" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val stateDir = graft.sources.Scratch.dir(
+        s"aggstate_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Maintain.writeAggState(
+        o.filter(col("o_orderkey") % 10 =!= 0),
+        "o_orderstatus", "o_totalprice", stateDir)
+      graft.operators.Maintain.mergeAggState(s, stateDir,
+        o.filter(col("o_orderkey") % 10 === 0),
+        "o_orderstatus", "o_totalprice")
+        .select(col("o_orderstatus"), col("cnt"),
+          col("total").cast("double").as("total"))
+    }),
+    // churn-bounded snapshot diff gate: next = prev minus every 97th
+    // order, every 89th repriced, every 83rd re-added under a shifted
+    // key — classify added/removed/changed, drop unchanged. Output is
+    // churn-sized; the oracle recomputes the classification via the
+    // same full-outer join on values instead of distributed md5.
+    "q_snapshot_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val prev = o.select(col("o_orderkey"),
+        col("o_totalprice").cast("string").as("payload"))
+      val next = o.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).cast("string").as("payload"))
+        .unionByName(o.filter(col("o_orderkey") % 83 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_totalprice").cast("string").as("payload")))
+      graft.operators.Maintain.snapshotDiff(prev, next,
+        "o_orderkey", "payload")
+    }),
     // SCD-style merge/upsert: base ⟗ updates, update wins on key
     // collision, unmatched updates insert, unmatched base rows keep —
     // the MERGE INTO shape as one full-outer join + coalesce plan
@@ -749,6 +806,18 @@ object Extensions {
     }),
 
     // ---- event-time windows (batch; streaming variants in graft.streaming) ----
+    // schema-drift canary: DuckDB reads the parquet natively, so if the
+    // driver regenerates events.ts with a unit Tables.eventsReadPlan
+    // mishandles, the year bounds diverge LOUDLY here instead of
+    // silently skewing every event-time query (the round-11 failure mode)
+    "q_events_ts_canary" -> ((s, d) =>
+      Tables.events(s, d).agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("ts") >= lit("2000-01-01").cast("timestamp") &&
+                 col("ts") <  lit("2100-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("n_in_range"),
+        min(year(col("ts"))).cast("long").as("min_year"),
+        max(year(col("ts"))).cast("long").as("max_year"))),
     "q_tumbling_window" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -2108,6 +2177,33 @@ object Extensions {
                  ELSE 0 END""",
     "dedup_minhash" -> minhashOracle,
     "dedup_incremental" -> incrementalOracle,
+    // rebuild+compact must be lossless → same oracle as the fresh index
+    "dedup_index_rebuild" -> incrementalOracle,
+    // the maintained state must equal the one-shot aggregate
+    "q_agg_maintain" -> """
+      SELECT o_orderstatus, COUNT(1) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderstatus""",
+    // value-equality classification of the same deterministic churn
+    "q_snapshot_diff" -> """
+      WITH prev AS (
+        SELECT o_orderkey AS id, CAST(o_totalprice AS STRING) AS p
+        FROM orders),
+      next AS (
+        SELECT o_orderkey AS id,
+               CAST(CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1
+                         ELSE o_totalprice END AS STRING) AS p
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000 AS id, CAST(o_totalprice AS STRING) AS p
+        FROM orders WHERE o_orderkey % 83 = 0)
+      SELECT o_orderkey, status FROM (
+        SELECT COALESCE(prev.id, next.id) AS o_orderkey,
+               CASE WHEN prev.id IS NULL THEN 'added'
+                    WHEN next.id IS NULL THEN 'removed'
+                    WHEN prev.p <> next.p THEN 'changed' END AS status
+        FROM prev FULL OUTER JOIN next ON prev.id = next.id) t
+      WHERE status IS NOT NULL""",
     // streaming foreachBatch form of the same bipartite check — the
     // result set is identical by construction, so the oracle is shared
     "stream_incremental_dedup" -> incrementalOracle,
@@ -2305,6 +2401,13 @@ object Extensions {
                         ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rk
             FROM scored) t
       WHERE rk <= 10""",
+    "q_events_ts_canary" -> """
+      SELECT COUNT(1) AS n_total,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2000-01-01'
+                       AND ts <  TIMESTAMP '2100-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_in_range,
+             CAST(MIN(year(ts)) AS BIGINT) AS min_year,
+             CAST(MAX(year(ts)) AS BIGINT) AS max_year
+      FROM events""",
     "q_tumbling_window" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
              event_type, COUNT(1) AS n,

@@ -141,5 +141,8 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // signature/CMS cell rebuilds (q_corpus_overlap, q_countmin,
     // stream_heavy_hitters), '0x'||md5 threshold draw (q_temperature_mix)
     "q_temperature_mix", "stream_heavy_hitters", "dedup_paragraphs",
-    "q_corpus_overlap", "q_countmin", "text_quality_model")
+    "q_corpus_overlap", "q_countmin", "text_quality_model",
+    // r12: shares dedup_incremental's minhash-CTE oracle (dialect-bound
+    // for the same reason; generated from the same shared constants)
+    "dedup_index_rebuild")
 }
