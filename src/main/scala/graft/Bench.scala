@@ -43,7 +43,11 @@ object Bench {
         }
       })
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // bench battery = registered queries, minus oracle-apparatus
+    // exclusions, with deployment-plan overrides (see SparkEntry)
+    val benchQueries =
+      (SparkEntry.queries -- SparkEntry.benchExclude) ++ SparkEntry.benchOverrides
+    val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // GC barrier: broadcast/checkpoint cleanup from the previous query
       // runs now instead of being billed to this query's wall-clock
       System.gc()

@@ -24,4 +24,18 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
       Composite.oracles ++ Extensions.oracles
+
+  /** Bench-only plan substitutions — queries whose REGISTERED form
+    * carries oracle apparatus (exact verdict legs for tolerance gates)
+    * that the correctness gate needs but a perf row shouldn't bill.
+    * Correctness (`Verify`) always runs `queries`; `Bench` applies
+    * these overrides so the sf0.1 numbers time the deployment plan. */
+  def benchOverrides: Map[String, (SparkSession, String) => DataFrame] =
+    Relational3.benchDefs
+
+  /** Bench-only exclusions: `q_profile` is the exact-multi-distinct
+    * oracle twin kept for DuckDB comparability (its 100 TB form is
+    * `q_profile_approx`); timing it at sf0.1 measures the Expand the
+    * approx profiler exists to avoid (VERDICT r11 §perf). */
+  def benchExclude: Set[String] = Set("q_profile")
 }
