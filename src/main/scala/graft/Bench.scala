@@ -44,9 +44,14 @@ object Bench {
       })
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // bench battery = registered queries, minus oracle-apparatus
-    // exclusions, with deployment-plan overrides (see SparkEntry)
+    // exclusions, with deployment-plan overrides (see SparkEntry);
+    // optional first arg = comma-separated name filter for local
+    // spot-timing (the driver passes no args -> full battery)
+    val only: Option[Set[String]] =
+      args.headOption.map(_.split(",").toSet)
     val benchQueries =
-      (SparkEntry.queries -- SparkEntry.benchExclude) ++ SparkEntry.benchOverrides
+      ((SparkEntry.queries -- SparkEntry.benchExclude) ++ SparkEntry.benchOverrides)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // GC barrier: broadcast/checkpoint cleanup from the previous query
       // runs now instead of being billed to this query's wall-clock
