@@ -54,6 +54,37 @@ object Maintain {
         sum(col("total")).cast(DecimalType(18, 2)).as("total"))
   }
 
+  /** Streaming refresh layout: base partials at `$dir/base` plus one
+    * `ingest_batch=<id>` partition per micro-batch under `$dir/batches`
+    * (written by `StreamOps.maintainAggStream`); [[readAggRefreshed]]
+    * folds them. A replayed micro-batch REWRITES its own partition with
+    * identical partials (deterministic aggregation of the same rows), so
+    * foreachBatch's at-least-once redelivery can never double-fold —
+    * the same partition-overwrite idempotence argument as the ingestion
+    * dedup sinks. */
+  def writeAggBase(df: DataFrame, keyCol: String, valCol: String,
+                   dir: String): Unit =
+    aggPartials(df, keyCol, valCol).write.mode("overwrite").parquet(s"$dir/base")
+
+  /** The refreshed aggregate: base partials ∪ every committed
+    * micro-batch's partials, folded per key. Scans |state| + Σ|batch
+    * partials| rows — each bounded by key cardinality, never corpus
+    * size. Works before any batch arrives (base alone). */
+  def readAggRefreshed(spark: SparkSession, dir: String,
+                       keyCol: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/base")
+    val batchesPath = new org.apache.hadoop.fs.Path(s"$dir/batches")
+    val fs = batchesPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val all =
+      if (fs.exists(batchesPath))
+        base.unionByName(
+          spark.read.parquet(s"$dir/batches").drop("ingest_batch"))
+      else base
+    all.groupBy(col(keyCol))
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("total")).cast(DecimalType(18, 2)).as("total"))
+  }
+
   /** Snapshot diff: classify every id in `prev` ∪ `next` as `added`
     * (only in next), `removed` (only in prev) or `changed` (in both
     * with different payload hash); unchanged rows are DROPPED — the

@@ -571,6 +571,30 @@ object Extensions {
         .select(col("o_orderstatus"), col("cnt"),
           col("total").cast("double").as("total"))
     }),
+    // q_agg_maintain's streaming twin: the SAME 10% delta arrives as a
+    // 3-file stream (maxFilesPerTrigger=1 → three real micro-batches);
+    // each batch's partials land in an ingest_batch partition and the
+    // read-side fold must STILL equal the one-shot aggregate (shared
+    // oracle) — streaming ≡ batch ≡ DuckDB for the maintenance path.
+    "stream_agg_maintain" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val root = graft.sources.Scratch.dir(
+        s"aggms_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Maintain.writeAggBase(
+        o.filter(col("o_orderkey") % 10 =!= 0),
+        "o_orderstatus", "o_totalprice", s"$root/state")
+      o.filter(col("o_orderkey") % 10 === 0).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/delta")
+      val q = graft.streaming.StreamOps.maintainAggStream(
+        s.readStream.schema(o.schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/delta"),
+        "o_orderstatus", "o_totalprice", s"$root/state", s"$root/ckpt")
+      q.stop()
+      graft.operators.Maintain.readAggRefreshed(s, s"$root/state",
+        "o_orderstatus")
+        .select(col("o_orderstatus"), col("cnt"),
+          col("total").cast("double").as("total"))
+    }),
     // churn-bounded snapshot diff gate: next = prev minus every 97th
     // order, every 89th repriced, every 83rd re-added under a shifted
     // key — classify added/removed/changed, drop unchanged. Output is
@@ -2181,6 +2205,11 @@ object Extensions {
     "dedup_index_rebuild" -> incrementalOracle,
     // the maintained state must equal the one-shot aggregate
     "q_agg_maintain" -> """
+      SELECT o_orderstatus, COUNT(1) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderstatus""",
+    // streaming fold over three micro-batches ≡ the same one-shot
+    "stream_agg_maintain" -> """
       SELECT o_orderstatus, COUNT(1) AS cnt,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY o_orderstatus""",

@@ -289,6 +289,17 @@ object Relational3 {
     * bench times the operator instead of ~9 s of exact single-distinct
     * oracle apparatus (VERDICT r11 §perf). */
   val benchDefs: Map[String, Q] = Map(
+    // same pattern: the registered form computes exact percentile()
+    // (a full sort-based agg of every group's values) purely to feed
+    // the ±5% verdict columns; the deployment plan is the KLL-style
+    // sketch alone
+    "q_approx_quantile" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000))
+            .as("p90_approx"))),
     "q_profile_approx" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val cols = profileCols

@@ -182,6 +182,35 @@ object StreamOps {
     q
   }
 
+  /** Streaming incremental-aggregate maintenance — the §2.9 `Maintain`
+    * partials kept current by a stream instead of a daily job: each
+    * micro-batch's MERGEABLE partials (count + exact decimal sum — see
+    * `Maintain.aggPartials` for why decimal) land in their own
+    * `ingest_batch=<batchId>` partition under `$stateDir/batches`, and
+    * `Maintain.readAggRefreshed` folds base ∪ batches at read time. The
+    * base corpus is never rescanned; each batch pays one partial
+    * aggregate over its own rows (key-cardinality-bounded output).
+    * Replay-idempotent by partition overwrite: at-least-once redelivery
+    * of a batchId rewrites that partition with identical partials
+    * (deterministic agg of the same rows) instead of double-folding.
+    * `checkpointDir` REQUIRED for the same reason as the ingestion
+    * dedup streams — only a durable offset log keeps batchIds unique
+    * across a process restart. */
+  def maintainAggStream(delta: DataFrame, keyCol: String, valCol: String,
+                        stateDir: String,
+                        checkpointDir: String): StreamingQuery = {
+    val q = delta.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Maintain.aggPartials(batch, keyCol, valCol)
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/batches/ingest_batch=$batchId")
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Documents schema for the file-stream source (matches the testdata
     * parquet; file streams require an explicit schema). */
   val documentsSchema: StructType = StructType(Seq(

@@ -226,3 +226,56 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() == n)
   }
 }
+
+class AggMaintainStreamSpec extends AnyFunSuite with SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  /** Streaming agg maintenance laws: the multi-batch fold equals the
+    * one-shot aggregate, and a REPLAYED micro-batch (same partition
+    * rewritten with the same partials — foreachBatch's at-least-once
+    * contract) cannot change the refreshed state. */
+  test("stream agg maintenance: multi-batch fold ≡ one-shot; replay rewrite is idempotent") {
+    val dir = "/root/testdata/sf0.001"
+    val o = graft.sources.Tables.orders(spark, dir)
+    val root = graft.sources.Scratch.dir("agg-maint-law")
+    graft.operators.Maintain.writeAggBase(
+      o.filter(col("o_orderkey") % 10 =!= 0),
+      "o_orderstatus", "o_totalprice", s"$root/state")
+    o.filter(col("o_orderkey") % 10 === 0).repartition(3)
+      .write.mode("overwrite").parquet(s"$root/delta")
+    val q = graft.streaming.StreamOps.maintainAggStream(
+      spark.readStream.schema(o.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/delta"),
+      "o_orderstatus", "o_totalprice", s"$root/state", s"$root/ckpt")
+    q.stop()
+
+    def state(): Map[String, (Long, BigDecimal)] =
+      graft.operators.Maintain.readAggRefreshed(spark, s"$root/state",
+        "o_orderstatus").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2)))))
+        .toMap
+    val oneShot = graft.operators.Maintain.aggPartials(
+      o, "o_orderstatus", "o_totalprice").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2)))))
+      .toMap
+    val refreshed = state()
+    assert(refreshed == oneShot, "base + streamed deltas != one-shot aggregate")
+
+    // three real micro-batches happened (maxFilesPerTrigger=1, 3 files)
+    val batches = spark.read.parquet(s"$root/state/batches")
+      .select("ingest_batch").distinct().count()
+    assert(batches == 3, s"expected 3 micro-batch partitions, saw $batches")
+
+    // replay batch 0: a redelivered batchId recomputes the SAME partials
+    // (deterministic aggregation of the same rows) and mode("overwrite")
+    // REPLACES the partition — simulate it by rewriting partition 0 with
+    // its own materialized content; the refreshed state must not move
+    val p0Path = s"$root/state/batches/ingest_batch=0"
+    val p0 = spark.read.parquet(p0Path)
+    val p0Rows = java.util.Arrays.asList(p0.collect(): _*)
+    spark.createDataFrame(p0Rows, p0.schema)
+      .write.mode("overwrite").parquet(p0Path)
+    assert(state() == oneShot,
+      "replayed micro-batch partition rewrite changed the refreshed state")
+  }
+}
