@@ -206,4 +206,61 @@ object WindowOps {
             "__ps", "__pc", "__pmin", "__pmax")
     }
   }
+
+  /** Exact equi-depth histogram — `NTILE(nBuckets) OVER (ORDER BY value,
+    * id)` semantics WITHOUT the global single-task sort that window
+    * carries: `repartitionByRange(value, id)` (the distributed ORDER BY
+    * range exchange), per-partition local sorts, and per-partition row
+    * counts (≤ shuffle-partition tuples to the driver) convert
+    * within-partition `row_number` into an exact global rank, exactly
+    * the `EntityRes.sortedNeighborhoodPairs` rank construction. NTILE's
+    * law — first (n mod B) buckets get ⌈n/B⌉ rows, the rest ⌊n/B⌋ — is
+    * then a pure formula of (rank, n, B), so the result is bit-identical
+    * to the window form while the plan stays one range exchange + one
+    * B-row aggregate. Per-bucket (bucket, n, lo, hi) with 1-based
+    * buckets, matching NTILE.
+    *
+    * Ties: (value, id) totally orders rows, so bucket boundaries are
+    * deterministic — the id tie-break is what makes the oracle able to
+    * reproduce the split inside a tied value run. */
+  def equiDepthHistogram(df: DataFrame, idCol: String, valueCol: String,
+                         nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"equiDepthHistogram: nBuckets >= 1, got $nBuckets")
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val t = df.select(col(idCol).cast("long").as("id"),
+      col(valueCol).cast("double").as("v"))
+    // materialized: the offset join must see ONE consistent partition
+    // assignment (range boundaries are sampled per execution)
+    val sorted = Dedup.materialize(
+      t.repartitionByRange(nPart, col("v"), col("id"))
+        .sortWithinPartitions("v", "id")
+        .withColumn("pid", spark_partition_id()))
+    val sizes = sorted.groupBy("pid").agg(count(lit(1)).as("c"))
+      .orderBy("pid").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val n = sizes.map(_._2).sum
+    if (n == 0L) {
+      // empty-input law: an empty histogram, not a div-by-zero
+      return sorted.select(lit(1L).as("bucket"), lit(0L).as("n"),
+        lit(0.0).as("lo"), lit(0.0).as("hi")).limit(0)
+    }
+    val offsets = sizes.scanLeft((0, 0L)) {
+      case ((_, acc), (p, c)) => (p, acc + c)
+    }.init.zip(sizes).map { case ((_, before), (p, _)) => (p, before) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("pid", "poff")
+    val w = Window.partitionBy("pid").orderBy("v", "id")
+    val big = n / nBuckets       // small-bucket size
+    val r = n % nBuckets         // count of (big+1)-sized leading buckets
+    val cut = r * (big + 1L)     // first rank owned by a small bucket
+    sorted.join(broadcast(offDf), Seq("pid"))
+      .withColumn("rk", row_number().over(w).cast("long") - 1L + col("poff"))
+      .withColumn("bucket",
+        (when(col("rk") < cut, expr(s"rk div ${big + 1L}L"))
+          .otherwise(lit(r) + expr(s"(rk - ${cut}L) div ${math.max(big, 1L)}L"))
+          + 1L).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+  }
 }

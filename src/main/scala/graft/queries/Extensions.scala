@@ -729,6 +729,14 @@ object Extensions {
         .agg(count(lit(1)).as("n"),
           round(min(col("value")), 6).as("lo"),
           round(max(col("value")), 6).as("hi"))),
+    // equi-depth histogram: exact NTILE-law deciles WITHOUT the global
+    // single-task sort the window form carries — range exchange +
+    // partition-offset exact rank (the EntityRes construction), then
+    // NTILE's size law as a pure (rank, n, B) formula; the oracle runs
+    // the actual NTILE window and must agree bucket-for-bucket
+    "q_histogram_equi" -> ((s, d) =>
+      graft.operators.WindowOps.equiDepthHistogram(
+        Tables.orders(s, d), "o_orderkey", "o_totalprice", 10)),
     // deterministic stratified sampling for domain mixing: per-type
     // keep-rates in per-mille, decided by an md5 hash of the event id —
     // reproducible across engines and runs, no RNG state
@@ -2168,6 +2176,13 @@ object Extensions {
              round(MIN(value), 6) AS lo,
              round(MAX(value), 6) AS hi
       FROM events GROUP BY 1""",
+    "q_histogram_equi" -> """
+      SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(1) AS n,
+             MIN(v) AS lo, MAX(v) AS hi
+      FROM (SELECT NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket,
+                   o_totalprice AS v
+            FROM orders) t
+      GROUP BY 1""",
     "q_group_sample_k" -> """
       WITH scored AS (SELECT event_type, event_id,
                CAST(('0x' || substr(md5('smp:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT

@@ -262,6 +262,28 @@ object Relational3 {
         .groupBy(col("o_custkey").as("custkey"))
         .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice"), 2).as("total"))
     }),
+    // sort-merge-BUCKET join: BOTH fact sides bucketed (and sorted) on
+    // the join key at the same bucket count, so the merge-hinted join
+    // AND the following same-key aggregate run with ZERO exchanges
+    // (plan-audited in SinksSkewSpec; the hint matters — at gate scale
+    // AQE would otherwise broadcast and hide the co-location). At
+    // 100 TB the nightly pre-bucketing amortizes every downstream
+    // join/agg on the key: the classic two-fact-table layout contract.
+    "q_bucketed_join" -> ((s, d) => {
+      graft.sources.Sinks.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        "graft_orders_bj", Seq("o_orderkey"), 8)
+      graft.sources.Sinks.writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+        "graft_lineitem_bj", Seq("l_orderkey"), 8)
+      s.table("graft_lineitem_bj").hint("merge")
+        .join(s.table("graft_orders_bj"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey").as("orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sumDec(col("l_quantity"), 2).as("qty"),
+          max(col("o_totalprice")).as("price"))
+    }),
     // K1 partitioned sink + partition-pruned scan round trip: the read
     // side only touches the o_orderstatus=F directory
     "q_partition_prune" -> ((s, d) => {
@@ -463,6 +485,12 @@ object Relational3 {
       SELECT o_custkey AS custkey, COUNT(1) AS n,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY 1""",
+    "q_bucketed_join" -> """
+      SELECT l_orderkey AS orderkey, COUNT(1) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             MAX(o_totalprice) AS price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1""",
     "q_partition_prune" -> """
       SELECT o_orderpriority AS priority, COUNT(1) AS n
       FROM orders WHERE o_orderstatus = 'F'

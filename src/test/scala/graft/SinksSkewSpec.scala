@@ -157,6 +157,35 @@ class SinksSkewSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"bucketed agg should not shuffle:\n$plan")
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
   }
+
+  test("sort-merge-bucket join + same-key agg plans with ZERO exchanges") {
+    val d = "/root/testdata/sf0.001"
+    Sinks.writeBucketed(Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_totalprice")),
+      "o_bj_law", Seq("o_orderkey"), 4)
+    Sinks.writeBucketed(Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_quantity")),
+      "li_bj_law", Seq("l_orderkey"), 4)
+    val joined = spark.table("li_bj_law").hint("merge")
+      .join(spark.table("o_bj_law"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("qty"), max("o_totalprice").as("price"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"SMB join + same-key agg should be exchange-free:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      "the merge hint must hold the SMB shape (broadcast would hide co-location)")
+    // and the result is the plain join's result
+    val want = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("qty"), max("o_totalprice").as("price"))
+    assert(joined.exceptAll(want).isEmpty && want.exceptAll(joined).isEmpty)
+    spark.sql("DROP TABLE IF EXISTS o_bj_law")
+    spark.sql("DROP TABLE IF EXISTS li_bj_law")
+  }
 }
 
 class SqlFileSpec extends AnyFunSuite with SparkSpec {

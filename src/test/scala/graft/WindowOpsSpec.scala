@@ -134,3 +134,40 @@ class WindowOpsSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("NULL 'o'"))
   }
 }
+
+/** equiDepthHistogram must be bit-identical to the NTILE window form —
+  * the whole point is replacing the global single-task sort with a
+  * range exchange, never changing a bucket boundary. */
+class EquiDepthHistogramSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def viaWindow(df: org.apache.spark.sql.DataFrame, b: Int) =
+    df.select(ntile(b).over(Window.orderBy(col("v"), col("id"))).as("bucket")
+        .cast("long"), col("v"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+
+  private def viaOp(df: org.apache.spark.sql.DataFrame, b: Int) =
+    WindowOps.equiDepthHistogram(df, "id", "v", b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+
+  test("matches NTILE for n % B != 0, ties, and B > n") {
+    // 23 rows over 5 buckets: first 3 buckets get 5 rows, last 2 get 4
+    val df = (1L to 23L).map(i => (i, (i % 7).toDouble)).toDF("id", "v")
+    assert(viaOp(df, 5) == viaWindow(df, 5))
+    // all-tied values: id tie-break decides every boundary
+    val tied = (1L to 10L).map(i => (i, 42.0)).toDF("id", "v")
+    assert(viaOp(tied, 3) == viaWindow(tied, 3))
+    // more buckets than rows: each row its own bucket, no empty buckets
+    val tiny = (1L to 4L).map(i => (i, i.toDouble)).toDF("id", "v")
+    assert(viaOp(tiny, 10) == viaWindow(tiny, 10))
+  }
+
+  test("empty input yields an empty histogram, not a failure") {
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(WindowOps.equiDepthHistogram(empty, "id", "v", 10).count() == 0)
+  }
+}
