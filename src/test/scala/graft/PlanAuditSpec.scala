@@ -34,7 +34,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
           n.startsWith("mm_") || n == "q_partition_prune" ||
           n == "q_bucketed_agg" || n == "sim_ivf" ||
           n == "dedup_clusters" || n == "dedup_semantic" ||
-          n == "curation_pipeline" || n == "text_pack_shards"
+          n == "curation_pipeline" || n == "text_pack_shards" ||
+          // r12 eager constructors: bucketed-table writes / index
+          // rebuild+compact / agg-state write run during plan building;
+          // their plan shapes are asserted in SinksSkewSpec /
+          // IndexMaintenanceSpec / AggMaintainStreamSpec
+          n == "q_bucketed_join" || n == "dedup_index_rebuild" ||
+          n == "q_agg_maintain"
       }
       .map { case (n, fn) => n -> fn(spark, dir) }
 
@@ -180,6 +186,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // neighborhood self-join, which may shuffle both checkpointed
       // sides on the bucket key
       "q_er_fuzzy" -> 2,
+      // same eager-rank construction: the returned plan re-partitions
+      // the checkpointed ranked rows for the pid window and aggregates
+      // the B-row buckets — a 3rd exchange would mean the global sort
+      // crept back in
+      "q_histogram_equi" -> 2,
+      // one co-partitioned full-outer join + nothing else (payloads
+      // pruned to (id, md5) at both scans)
+      "q_snapshot_diff" -> 2,
       // hashed-model inference is scan-only — the plan law in
       // TextOpsSpec additionally pins zero UDFs
       "text_quality_model" -> 0,
