@@ -29,6 +29,10 @@ object ScaleProbe {
     // densify the fixed time range, so windows/sessions gain rows, not
     // count — the aggregation must track the scan
     "q_sliding_window", "q_session_window",
+    // r12: the range-exchange + partition-offset exact-rank machinery
+    // (shared by EntityRes and the equi-depth histogram) — rank cost
+    // must track the scan, never a global sort
+    "q_histogram_equi",
     // the hot-key-safe two-phase window forms: replication grows the
     // per-key frames (copies share the custkey range), so these measure
     // exactly the hot-key growth the bucket split exists for
