@@ -274,6 +274,48 @@ object Similarity {
     topKReduce(scored, k)
   }
 
+  /** Cluster-balanced (diversity) corpus subsampling — the LLM-curation
+    * pass that flattens head clusters instead of sampling uniformly:
+    * vectors are assigned to their nearest [[trainCentroids]] cell (the
+    * IVF argmax — narrow projection over the driver-side model, no
+    * join, no exchange), each cell gets a budget ∝ √(cell size) (√
+    * damps dominant clusters, the temperature-mix move in embedding
+    * space; `sqrt` + one fixed division + `floor` is IEEE-identical
+    * across engines), and within a cell the winners are a deterministic
+    * md5 draw taken through the bounded [[TopK.topKPerGroup]]
+    * aggregator — ≤ kMax rows per map partition cross the shuffle, no
+    * per-cell window sort. Driver state: nCentroids sizes + budgets
+    * (model-scale metadata). Returns (cell, vec_id, rk ≤ cell budget).
+    *
+    * At 100 TB: one centroid-train pass (amortized via the session
+    * memo), one assignment scan, one bounded top-k exchange — corpus
+    * never sorts globally, never joins itself. */
+  def clusterBalancedSample(corpus: DataFrame, budget: Int,
+                            nCentroids: Int = 16,
+                            iters: Int = 5): DataFrame = {
+    require(budget >= 1, s"clusterBalancedSample: budget >= 1, got $budget")
+    val cents = trainCentroids(corpus, nCentroids, iters)
+    val assigned = corpus.select(col("vec_id"),
+      nearestCentroid(col("embedding"), cents).as("cell"))
+    // ≤ nCentroids (cell, size) tuples to the driver — model-scale
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val st = sizes.map { case (_, n) => math.sqrt(n.toDouble) }.sum
+    val budgets = sizes.map { case (c, n) =>
+      (c, math.floor(budget * math.sqrt(n.toDouble) / st).toLong) }
+    val kMax = math.max(1L, budgets.map(_._2).max).toInt
+    val scored = assigned.withColumn("score",
+      Dedup.md5Hash32(concat(lit("div:"), col("vec_id").cast("string")))
+        .cast("double"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val budDf = broadcast(budgets.toSeq.toDF("cell", "b"))
+    TopK.topKPerGroup(scored, "cell", "vec_id", "score", kMax)
+      .join(budDf, Seq("cell"))
+      .filter(col("rk") <= col("b"))
+      .select(col("cell"), col("vec_id"), col("rk").cast("long").as("rk"))
+  }
+
   /** Smallest rowBits whose bucket space keeps mean occupancy at or
     * below `targetOccupancy` for an n-vector corpus — i.e. the least r
     * with targetOccupancy · 2^r ≥ n — clamped to [8, 32]. With bucket

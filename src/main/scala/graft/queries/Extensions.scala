@@ -807,6 +807,12 @@ object Extensions {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), 10)
     }),
+    // cluster-balanced diversity subsample over the SAME trained
+    // quantizer as sim_ivf (memoized — the oracle unrolls the identical
+    // k-means): per-cell budget ∝ √size flattens head clusters, winners
+    // are a deterministic md5 draw through the bounded top-k aggregator
+    "q_diversity_sample" -> ((s, d) =>
+      Similarity.clusterBalancedSample(Tables.embeddings(s, d), 100)),
     "q_join_asof_fast" -> ((s, d) => {
       // same semantics (and oracle) as q_join_asof, via the packed
       // binary-search as-of operator instead of join + window top-1
@@ -1487,6 +1493,39 @@ object Extensions {
             FROM scored) t
       WHERE rk <= 10"""
   }
+
+  /** Cluster-balanced diversity sample: the same unrolled k-means as
+    * [[ivfOracle]] (identical quantizer by construction — the fixed
+    * seeds, iteration count, and integer-micro-unit means make training
+    * deterministic), then √-proportional per-cell budgets and the
+    * md5-draw rank replayed exactly. */
+  private val diversityOracle: String =
+    s"""
+      WITH ${kmeansCtes(5)},
+      cents AS (SELECT cent_id, cv FROM c5),
+      acorp AS (SELECT vec_id, cent_id,
+                  ${duckCos("embedding", "cv")} AS csim
+                FROM embeddings CROSS JOIN cents),
+      assigned AS (SELECT cent_id AS cell, vec_id
+                   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY csim DESC, cent_id ASC) AS rn FROM acorp)
+                   WHERE rn = 1),
+      sizes AS (SELECT cell, COUNT(1) AS n FROM assigned GROUP BY 1),
+      tot AS (SELECT SUM(sqrt(CAST(n AS DOUBLE))) AS st FROM sizes),
+      buds AS (SELECT cell,
+                 CAST(floor(100 * sqrt(CAST(n AS DOUBLE)) / st) AS BIGINT) AS b
+               FROM sizes CROSS JOIN tot),
+      scored AS (SELECT cell, vec_id,
+                   CAST(('0x' || substr(md5('div:' || CAST(vec_id AS VARCHAR)),
+                        1, 8))::BIGINT AS DOUBLE) AS score
+                 FROM assigned),
+      ranked AS (SELECT cell, vec_id,
+                   row_number() OVER (PARTITION BY cell
+                     ORDER BY score DESC, vec_id ASC) AS rk
+                 FROM scored)
+      SELECT CAST(cell AS INTEGER) AS cell, vec_id, CAST(rk AS BIGINT) AS rk
+      FROM ranked JOIN buds USING (cell)
+      WHERE rk <= b"""
 
   /** Connected components over the verified pairs: recursive min-label
     * propagation (terminates because the accumulated (id,label) set is
@@ -2271,6 +2310,7 @@ object Extensions {
                   least(len(a.hs), len(b.hs)), 6) >= 0.8""",
     "text_rolling_fp" -> rollingFpOracle,
     "sim_ivf" -> ivfOracle,
+    "q_diversity_sample" -> diversityOracle,
     "q_join_asof_fast" -> Relational.oracles("q_join_asof"),
     "dedup_simhash" -> simhashOracle,
     "dedup_embedding" -> s"""

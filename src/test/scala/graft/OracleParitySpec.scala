@@ -144,5 +144,7 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "q_corpus_overlap", "q_countmin", "text_quality_model",
     // r12: shares dedup_incremental's minhash-CTE oracle (dialect-bound
     // for the same reason; generated from the same shared constants)
-    "dedup_index_rebuild")
+    "dedup_index_rebuild",
+    // r12: shares sim_ivf's unrolled-kmeans CTEs (list_transform/range)
+    "q_diversity_sample")
 }

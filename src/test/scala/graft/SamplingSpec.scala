@@ -120,3 +120,51 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       s"expected broadcast range join of the m points:\n$plan")
   }
 }
+
+/** Cluster-balanced diversity sampling laws: per-cell budgets are hard
+  * caps, and the √ allocation FLATTENS — a dominant cluster's share of
+  * the sample must fall below its share of the corpus. */
+class DiversitySampleSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // skewed synthetic corpus in two well-separated directions: cell of
+  // seed 0 gets 360 vectors, cell of seed 1 gets 40 (dim 64, unit-ish)
+  private def skewed: org.apache.spark.sql.DataFrame = {
+    def vec(hot: Int, eps: Float): Seq[Float] =
+      (0 until 64).map(d => (if (d == hot) 1.0f else 0.0f) +
+        (if (d == 63) eps else 0.0f)).toSeq
+    val rows = (0L until 360L).map(i => (i, vec(0, (i % 7).toFloat * 1e-3f))) ++
+      (360L until 400L).map(i => (i, vec(1, (i % 5).toFloat * 1e-3f)))
+    // seeds: vec_id 0 → direction 0, vec_id 1 must be direction 1 for a
+    // 2-centroid quantizer to see both clusters — swap id 1 and 360
+    rows.map {
+      case (1L, _) => (1L, vec(1, 0f))
+      case (360L, _) => (360L, vec(0, 1e-3f))
+      case r => r
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("per-cell counts never exceed the sqrt budget; head cluster is flattened") {
+    val out = graft.operators.Similarity
+      .clusterBalancedSample(skewed, budget = 40, nCentroids = 2, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val perCell = out.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    // replay the budget rule
+    val sizes = Map(0 -> 360L, 1 -> 40L) // by construction (seeds fixed)
+    val st = sizes.values.map(n => math.sqrt(n.toDouble)).sum
+    sizes.foreach { case (c, n) =>
+      val b = math.floor(40 * math.sqrt(n.toDouble) / st).toLong
+      assert(perCell.getOrElse(c, 0L) <= b, s"cell $c exceeded budget $b")
+    }
+    // flattening: head cell holds 90% of the corpus but must take a
+    // strictly smaller share of the sample (√360 : √40 ≈ 3 : 1)
+    val headShare = perCell(0).toDouble / out.length
+    assert(headShare < 0.9, s"head cluster not flattened: $headShare")
+    assert(perCell(1) > 0, "tail cluster starved")
+    // ranks are 1..count within each cell (bounded top-k, no gaps)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+}
