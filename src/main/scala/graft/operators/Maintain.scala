@@ -85,6 +85,34 @@ object Maintain {
         sum(col("total")).cast(DecimalType(18, 2)).as("total"))
   }
 
+  /** Persisted mergeable approx-distinct state: one DataSketches HLL
+    * sketch (binary, default lgConfigK=12, rsd ≈ 1.6%) per key.
+    * COUNT(DISTINCT) is not distributive — exact refresh would rescan
+    * the base — but HLL register maxima are: union(sketch(base),
+    * sketch(delta)) = sketch(base ∪ delta) EXACTLY (same registers, not
+    * approximately), so the persisted state refreshes from the delta
+    * alone and the estimate equals the one-shot sketch's. State size:
+    * |keys| × 2^lgK registers — key-cardinality-bounded. */
+  def writeDistinctState(df: DataFrame, keyCol: String, valCol: String,
+                         dir: String): Unit =
+    df.groupBy(col(keyCol))
+      .agg(hll_sketch_agg(col(valCol)).as("hll"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Refreshed per-key distinct ESTIMATE: stored sketches ∪ the delta's
+    * sketches, register-wise max under `hll_union_agg`, estimated once
+    * at read. Chains like [[mergeAggState]]: any split of the data into
+    * deltas folds to the identical registers (union is associative,
+    * commutative, idempotent — re-folding a replayed delta cannot move
+    * the estimate, a property plain counters lack). */
+  def mergeDistinctState(spark: SparkSession, dir: String, delta: DataFrame,
+                         keyCol: String, valCol: String): DataFrame =
+    spark.read.parquet(dir)
+      .unionByName(delta.groupBy(col(keyCol))
+        .agg(hll_sketch_agg(col(valCol)).as("hll")))
+      .groupBy(col(keyCol))
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("est"))
+
   /** Snapshot diff: classify every id in `prev` ∪ `next` as `added`
     * (only in next), `removed` (only in prev) or `changed` (in both
     * with different payload hash); unchanged rows are DROPPED — the

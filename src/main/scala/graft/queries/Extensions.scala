@@ -571,6 +571,29 @@ object Extensions {
         .select(col("o_orderstatus"), col("cnt"),
           col("total").cast("double").as("total"))
     }),
+    // approx-distinct maintenance gate: COUNT(DISTINCT) is the one
+    // aggregate plain partials CANNOT refresh (it's not distributive) —
+    // the persisted HLL sketches are; 90% base state + 10% delta union
+    // must estimate within ±5% of the exact distinct over everything
+    // (tolerance gate, the q_hll_union pattern: oracle recomputes the
+    // exact integers, the literal verdict pins the bound)
+    "q_distinct_maintain" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val dir = graft.sources.Scratch.dir(
+        s"hllstate_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Maintain.writeDistinctState(
+        o.filter(col("o_orderkey") % 10 =!= 0),
+        "o_orderstatus", "o_custkey", dir)
+      val est = graft.operators.Maintain.mergeDistinctState(s, dir,
+        o.filter(col("o_orderkey") % 10 === 0), "o_orderstatus", "o_custkey")
+      o.groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+        .join(est, "o_orderstatus")
+        .select(col("o_orderstatus"), col("exact_custs"),
+          (abs(col("est") - col("exact_custs"))
+            <= col("exact_custs").cast("double") * 0.05)
+            .cast("int").as("within_5pct"))
+    }),
     // q_agg_maintain's streaming twin: the SAME 10% delta arrives as a
     // 3-file stream (maxFilesPerTrigger=1 → three real micro-batches);
     // each batch's partials land in an ingest_batch partition and the
@@ -2261,6 +2284,12 @@ object Extensions {
     "q_agg_maintain" -> """
       SELECT o_orderstatus, COUNT(1) AS cnt,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderstatus""",
+    // maintained-sketch estimate within ±5% of the exact distinct
+    "q_distinct_maintain" -> """
+      SELECT o_orderstatus,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+             CAST(1 AS INT) AS within_5pct
       FROM orders GROUP BY o_orderstatus""",
     // streaming fold over three micro-batches ≡ the same one-shot
     "stream_agg_maintain" -> """

@@ -279,3 +279,42 @@ class AggMaintainStreamSpec extends AnyFunSuite with SparkSpec {
       "replayed micro-batch partition rewrite changed the refreshed state")
   }
 }
+
+/** HLL distinct-state maintenance laws: sketch union is associative /
+  * commutative / IDEMPOTENT, so (a) any split of the corpus into deltas
+  * folds to the identical estimate, and (b) re-folding a replayed delta
+  * cannot move it — the property plain counters lack. */
+class DistinctMaintainSpec extends AnyFunSuite with SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("split-invariant and replay-idempotent estimates") {
+    val dir = "/root/testdata/sf0.001"
+    val o = graft.sources.Tables.orders(spark, dir)
+    def refreshed(splitMod: Int): Map[String, Long] = {
+      val root = graft.sources.Scratch.dir(s"hll-law-$splitMod")
+      graft.operators.Maintain.writeDistinctState(
+        o.filter(col("o_orderkey") % splitMod =!= 0),
+        "o_orderstatus", "o_custkey", s"$root/state")
+      graft.operators.Maintain.mergeDistinctState(spark, s"$root/state",
+        o.filter(col("o_orderkey") % splitMod === 0),
+        "o_orderstatus", "o_custkey")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // different base/delta splits -> identical registers -> identical
+    // estimates (not merely close)
+    assert(refreshed(10) == refreshed(3))
+    // replay: folding the same delta twice = folding it once
+    val root = graft.sources.Scratch.dir("hll-law-replay")
+    graft.operators.Maintain.writeDistinctState(
+      o.filter(col("o_orderkey") % 10 =!= 0),
+      "o_orderstatus", "o_custkey", s"$root/state")
+    val delta = o.filter(col("o_orderkey") % 10 === 0)
+    val once = graft.operators.Maintain.mergeDistinctState(spark,
+      s"$root/state", delta, "o_orderstatus", "o_custkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val twice = graft.operators.Maintain.mergeDistinctState(spark,
+      s"$root/state", delta.unionAll(delta), "o_orderstatus", "o_custkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(once == twice, "idempotence: replayed delta moved the estimate")
+  }
+}
