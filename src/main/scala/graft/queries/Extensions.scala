@@ -793,6 +793,25 @@ object Extensions {
         e.filter(col("vec_id") % 2 === 0),
         bands = gateBands, rowBits = gateRowBits, assertAutoAgrees = true)
     }),
+    // embedding index maintenance gate (dedup_index_rebuild's vector
+    // twin): the corpus side is written at a deliberately WRONG blocking
+    // (rowBits+2 — the state appendToEmbeddingIndex's occupancy-drift
+    // refusal leaves you in), rebuilt to the oracle blocking FROM ITS
+    // OWN vectors table, compacted, then queried — must equal the
+    // fresh-blocking dedup_embedding_incr result (shared oracle).
+    "dedup_embedding_rebuild" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idxDir = graft.sources.Scratch.dir(
+        s"embreb_${java.util.UUID.randomUUID.toString.take(8)}")
+      Similarity.writeEmbeddingIndex(e.filter(col("vec_id") % 2 === 0),
+        idxDir, bands = gateBands, rowBits = gateRowBits + 2)
+      Similarity.rebuildEmbeddingIndex(s, idxDir,
+        bands = gateBands, rowBits = gateRowBits)
+      Similarity.compactEmbeddingIndex(s, idxDir)
+      Similarity.crossEmbeddingPairs(e.filter(col("vec_id") % 2 === 1),
+        Similarity.readEmbeddingIndex(s, idxDir), 0.3,
+        graft.operators.Dedup.DefaultMaxBucket)
+    }),
     // dedup_embedding_incr's deployment form (mirrors
     // stream_incremental_dedup on the text side): corpus band keys cut
     // once into a persisted EmbeddingIndex, incoming vectors streamed
@@ -2350,6 +2369,8 @@ object Extensions {
       WHERE ${duckCos("a.embedding", "c.embedding")} >= 0.3""",
     // bipartite candidate join with the same shared banded signatures
     "dedup_embedding_incr" -> embeddingIncrOracle,
+    // rebuild+compact must be lossless → same oracle as fresh blocking
+    "dedup_embedding_rebuild" -> embeddingIncrOracle,
     // the streamed form checks micro-batches against the same persisted
     // blocking — streaming ≡ batch ≡ DuckDB
     "stream_embedding_incr" -> embeddingIncrOracle,

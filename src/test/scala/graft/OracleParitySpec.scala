@@ -146,5 +146,7 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // for the same reason; generated from the same shared constants)
     "dedup_index_rebuild",
     // r12: shares sim_ivf's unrolled-kmeans CTEs (list_transform/range)
-    "q_diversity_sample")
+    "q_diversity_sample",
+    // r12: shares dedup_embedding_incr's sign-LSH CTE oracle
+    "dedup_embedding_rebuild")
 }

@@ -40,7 +40,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
           // their plan shapes are asserted in SinksSkewSpec /
           // IndexMaintenanceSpec / AggMaintainStreamSpec
           n == "q_bucketed_join" || n == "dedup_index_rebuild" ||
-          n == "q_agg_maintain"
+          n == "dedup_embedding_rebuild" || n == "q_agg_maintain" ||
+          n == "q_distinct_maintain"
       }
       .map { case (n, fn) => n -> fn(spark, dir) }
 
