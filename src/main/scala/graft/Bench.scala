@@ -44,14 +44,30 @@ object Bench {
       })
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // bench battery = registered queries, minus oracle-apparatus
-    // exclusions, with deployment-plan overrides (see SparkEntry);
-    // optional first arg = comma-separated name filter for local
-    // spot-timing (the driver passes no args -> full battery)
-    val only: Option[Set[String]] =
-      args.headOption.map(_.split(",").toSet)
+    // exclusions, with deployment-plan overrides (see SparkEntry).
+    // Filtering requires an explicit --only=a,b flag: a bare positional
+    // arg (e.g. an output path a future driver might pass) must not
+    // silently filter the battery to zero and exit 0 looking green.
+    var only: Option[Set[String]] = None
+    var steadyN = 20 // slowest-N re-timed steady-state; --steady=N to change
+    args.foreach {
+      case a if a.startsWith("--only=") =>
+        only = Some(a.stripPrefix("--only=").split(",").toSet)
+      case a if a.startsWith("--steady=") =>
+        steadyN = a.stripPrefix("--steady=").toInt
+      case a =>
+        System.err.println(
+          s"[bench] unknown argument '$a' (use --only=name1,name2 / --steady=N); refusing to guess")
+        spark.stop(); sys.exit(2)
+    }
     val benchQueries =
       ((SparkEntry.queries -- SparkEntry.benchExclude) ++ SparkEntry.benchOverrides)
         .filter { case (n, _) => only.forall(_.contains(n)) }
+    if (benchQueries.isEmpty) {
+      System.err.println(
+        s"[bench] filter ${only.getOrElse(Set())} matched zero registered queries")
+      spark.stop(); sys.exit(2)
+    }
     val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // GC barrier: broadcast/checkpoint cleanup from the previous query
       // runs now instead of being billed to this query's wall-clock
@@ -71,13 +87,38 @@ object Bench {
     } + "\""
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
+    // Steady-state pass: the single-shot numbers above include codegen
+    // compilation and (for lifecycle gates) state-store setup, and the
+    // bench box's load swings round-to-round. Re-time the slowest N
+    // queries 3× each and report the median alongside — two columns, so
+    // a perf read can separate "plan got slower" from "box was busy /
+    // first-run compile cost". Failed queries are excluded (their
+    // wall-time is meaningless either way).
+    val slowest = results.filterNot { case (n, _) => errors.contains(n) }
+      .sortBy(-_._2).take(math.max(0, steadyN)).map(_._1)
+    val steady = slowest.map { name =>
+      val fn = benchQueries(name)
+      val times = (1 to 3).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] steady $name failed: ${e.getMessage}")
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(1) // median of 3
+    }
+    val steadyJson = steady.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
     // a failed query's wall-time is meaningless — report it under
     // "errors" (and exit nonzero) so a half-broken battery can't pass
     // for a perf result
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"steady":$steadyJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

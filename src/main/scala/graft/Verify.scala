@@ -40,7 +40,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // When filtered, emit only the filtered names' oracles — otherwise a
+    // spot-check outDir compared with the full oracle_sql.json reports
+    // every unfiltered query as missing. (Driver's 2-arg path: full map.)
     val json = SparkEntry.oracleSql
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -288,8 +288,12 @@ object Similarity {
     * (model-scale metadata). Returns (cell, vec_id, rk ≤ cell budget).
     *
     * At 100 TB: one centroid-train pass (amortized via the session
-    * memo), one assignment scan, one bounded top-k exchange — corpus
-    * never sorts globally, never joins itself. */
+    * memo), one assignment scan (the 2-column (vec_id, cell) map is
+    * persisted spillable so the sizes collect and the top-k draw share
+    * it — re-scanning would read the wide embedding column twice; the
+    * cache is ~12 B/row and reclaimed by the ContextCleaner once the
+    * result plan is dropped), one bounded top-k exchange — corpus never
+    * sorts globally, never joins itself. */
   def clusterBalancedSample(corpus: DataFrame, budget: Int,
                             nCentroids: Int = 16,
                             iters: Int = 5): DataFrame = {
@@ -297,7 +301,10 @@ object Similarity {
     val cents = trainCentroids(corpus, nCentroids, iters)
     val assigned = corpus.select(col("vec_id"),
       nearestCentroid(col("embedding"), cents).as("cell"))
-    // ≤ nCentroids (cell, size) tuples to the driver — model-scale
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ≤ nCentroids (cell, size) tuples to the driver — model-scale.
+    // This collect also materializes the persisted assignment, so the
+    // top-k pass below reuses it instead of re-projecting the corpus.
     val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val st = sizes.map { case (_, n) => math.sqrt(n.toDouble) }.sum

@@ -51,10 +51,14 @@ object Tables {
     case object Native extends TsUnit("NATIVE")
   }
 
-  /** Reads the footer of `events.parquet` (a single file or a directory
-    * of part files — only ONE footer is opened either way, so this is a
+  /** Reads parquet footers of `events.parquet` (a single file, or the
+    * first AND last part files of a directory — two footers max, still a
     * constant-cost driver-side sniff regardless of table size) and
-    * classifies the `ts` logical type. */
+    * classifies the `ts` logical type. Sniffing both ends of the sorted
+    * part-file list catches the realistic mixed-unit hazard: parts
+    * appended after a regeneration with a different unit land at one end
+    * of the listing. Disagreement fails loudly — a mixed-unit directory
+    * has no single correct read plan. */
   def eventsTsUnit(spark: SparkSession, dir: String): TsUnit = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -64,29 +68,41 @@ object Tables {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(s"$dir/events.parquet")
     val fs = root.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).iterator
+    val files: Seq[Path] =
+      if (fs.getFileStatus(root).isDirectory) {
+        val parts = fs.listStatus(root)
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .next().getPath
-      else root
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    try {
-      val schema = reader.getFooter.getFileMetaData.getSchema
-      val prim = schema.getType(schema.getFieldIndex("ts")).asPrimitiveType
-      // legacy INT96 timestamps carry no logical annotation but Spark
-      // reads them natively — check the physical type before assuming
-      // an unannotated column is the historic raw-nanos INT64
-      if (prim.getPrimitiveTypeName ==
-          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96)
-        TsUnit.Native
-      else prim.getLogicalTypeAnnotation match {
-        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-            if t.getUnit == TimeUnit.NANOS => TsUnit.Nanos
-        case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => TsUnit.Native
-        case _ => TsUnit.Nanos // unannotated INT64: historic epoch-nanos format
-      }
-    } finally reader.close()
+          .map(_.getPath).sortBy(_.getName)
+        if (parts.isEmpty)
+          throw new IllegalStateException(s"$root: no .parquet part files")
+        Seq(parts.head, parts.last).distinct
+      } else Seq(root)
+    def unitOf(file: Path): TsUnit = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val prim = schema.getType(schema.getFieldIndex("ts")).asPrimitiveType
+        // legacy INT96 timestamps carry no logical annotation but Spark
+        // reads them natively — check the physical type before assuming
+        // an unannotated column is the historic raw-nanos INT64
+        if (prim.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96)
+          TsUnit.Native
+        else prim.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.getUnit == TimeUnit.NANOS => TsUnit.Nanos
+          case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => TsUnit.Native
+          case _ => TsUnit.Nanos // unannotated INT64: historic epoch-nanos format
+        }
+      } finally reader.close()
+    }
+    val units = files.map(f => f -> unitOf(f))
+    if (units.map(_._2).distinct.size > 1)
+      throw new IllegalStateException(
+        s"$root: mixed ts units across part files: " +
+          units.map { case (f, u) => s"${f.getName}=${u.label}" }.mkString(", ") +
+          " — one read plan cannot be correct for both; repartition the table to a single unit")
+    units.head._2
   }
 
   /** The resolved recipe for reading events with a true µs-TIMESTAMP
