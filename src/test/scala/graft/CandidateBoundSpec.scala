@@ -110,6 +110,49 @@ class CandidateBoundSpec extends AnyFunSuite with SparkSpec {
       f"skew=${measured.toDouble / (bands * n * targetOccupancy / 2)}%.2f")
   }
 
+  test("banded candidates: κ-budget holds on a 16×-grown corpus (PROBE_EMBED_r13 law)") {
+    // PROBE_EMBED_r13.json pins the growth law at up to 62 copies of the
+    // sf0.1 embeddings: autoRowBits holds mean occupancy flat (8.72 →
+    // 8.79) while the bucket-skew factor κ = E[occ²]/E[occ]² grows
+    // ≈ +0.08 per corpus doubling (1.91 at 2k vectors → 2.38 at 124k),
+    // so per-vector candidates = bands·B·κ/2 (measured 39.8 vs predicted
+    // 41.8 at 62×). This test re-derives the law's two asserted
+    // invariants at a grown corpus inside the suite, so a lattice or
+    // autoRowBits regression that bends the curve fails HERE, not at a
+    // 1000-executor shuffle: (1) mean occupancy stays within 2× of
+    // target; (2) candidates stay under the bands·n·B·κmax/2 budget with
+    // the κmax = 4 ceiling the 100 TB extrapolation lands at (~10¹¹
+    // vectors). Past the ceiling the occ > 1000 hub-star divert caps
+    // enumeration at bands·999/2 per vector — linear absolutely.
+    val dir = graft.sources.Scratch.dir("candbound-16x")
+    tools.EmbedProbe.buildEmbeddings(spark, "/root/testdata/sf0.1", dir, 16)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val bands = Similarity.DefaultBands
+    val targetOccupancy = 8L
+    val rb = Similarity.autoRowBits(n, targetOccupancy)
+    val banded = Similarity.withBandKeys(e, bands, rb)
+    val occ = banded.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("occ"))
+      .agg(avg("occ").as("meanOcc"),
+        (avg(col("occ") * col("occ")) / (avg("occ") * avg("occ"))).as("kappa"))
+      .head()
+    val (meanOcc, kappa) = (occ.getDouble(0), occ.getDouble(1))
+    assert(meanOcc >= targetOccupancy / 2.0 && meanOcc <= targetOccupancy * 2.0,
+      f"autoRowBits stopped holding occupancy: mean $meanOcc%.2f at n=$n rb=$rb")
+    val kappaMax = 4.0
+    assert(kappa <= kappaMax,
+      f"bucket skew κ=$kappa%.3f broke the ceiling $kappaMax at n=$n — " +
+        "the measured growth law (≈ +0.08/doubling from 1.91) has bent upward")
+    val measured = Similarity.embeddingCandidates(banded).count()
+    val budget = (bands * n * targetOccupancy * kappaMax / 2).toLong
+    assert(measured <= budget,
+      s"grown-corpus candidates $measured exceed the bands·n·B·κmax/2 budget $budget")
+    info(f"n=$n rb=$rb meanOcc=$meanOcc%.2f κ=$kappa%.3f " +
+      f"candPerVec=${measured.toDouble / n}%.1f budgetPerVec=${budget.toDouble / n}%.1f")
+  }
+
   test("embeddingPairs recovers planted near-duplicates (recall side)") {
     // The bound tests above pin the COST side of the banding trade; this
     // pins the QUALITY side. The gate corpora contain no true near-dups
