@@ -400,6 +400,28 @@ object Extensions {
       Dedup.crossMinhashPairs(docs.filter(col("doc_id") % 2 === 1),
         Dedup.readMinhashIndex(s, idxDir), "doc_id", "text", 0.5)
     }),
+    // ORCHESTRATION gate (the reference's scheduler semantics,
+    // dags/etl.py:148-157): the three reference sinks driven by
+    // file-arrival through RefOrchestration.runIncremental. Two fact
+    // chunks arrive across two scheduled runs, then a THIRD run with
+    // nothing pending must be a no-op (catchup=False) — asserted here,
+    // in the gate, not only in the suite. The incrementally-built orders
+    // sink must equal the one-shot batch join → plain SQL oracle.
+    "ref_pipeline_incremental" -> ((s, d) => {
+      val root = graft.sources.Scratch.dir(
+        s"refpipe_${java.util.UUID.randomUUID.toString.take(8)}")
+      val in = s"$root/in"; val out = s"$root/out"
+      graft.pipelines.RefOrchestration.stageDims(s, d, in)
+      graft.pipelines.RefOrchestration.stageFactChunk(s, d, in, 0)
+      graft.pipelines.RefOrchestration.runIncremental(s, in, out)
+      graft.pipelines.RefOrchestration.stageFactChunk(s, d, in, 1)
+      graft.pipelines.RefOrchestration.runIncremental(s, in, out)
+      val rerun = graft.pipelines.RefOrchestration.runIncremental(s, in, out)
+      require(rerun.batches == 0 && rerun.ordersRows == 0,
+        s"re-run with nothing pending processed ${rerun.batches} batches " +
+          s"/ ${rerun.ordersRows} rows — catchup=False law broken")
+      graft.pipelines.RefOrchestration.readOrdersSink(s, out)
+    }),
     // the deployment form of dedup_incremental, end to end: the corpus
     // side (even ids) is signed ONCE and PERSISTED (writeMinhashIndex),
     // then the incoming documents arrive as a STREAM whose micro-batches
@@ -2299,6 +2321,18 @@ object Extensions {
     "dedup_incremental" -> incrementalOracle,
     // rebuild+compact must be lossless → same oracle as the fresh index
     "dedup_index_rebuild" -> incrementalOracle,
+    // incremental (2 arrival chunks + no-op rerun) ≡ one-shot batch join:
+    // the user join adds no rows/drops (every fact suppkey has a staged
+    // user + user_info row by construction), so the oracle is the
+    // fact ⋈ products enrichment alone
+    "ref_pipeline_incremental" -> """
+      SELECT strftime(l_shipdate, '%Y-%m-%d') AS Fecha,
+             l_suppkey AS User_ID,
+             l_partkey AS Product_ID,
+             p_name AS Product_Name,
+             p_brand AS Category,
+             CAST(p_size AS BIGINT) AS Price
+      FROM lineitem JOIN part ON l_partkey = p_partkey""",
     // the maintained state must equal the one-shot aggregate
     "q_agg_maintain" -> """
       SELECT o_orderstatus, COUNT(1) AS cnt,

@@ -148,5 +148,7 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r12: shares sim_ivf's unrolled-kmeans CTEs (list_transform/range)
     "q_diversity_sample",
     // r12: shares dedup_embedding_incr's sign-LSH CTE oracle
-    "dedup_embedding_rebuild")
+    "dedup_embedding_rebuild",
+    // r13: strftime day-format in the orchestration-gate oracle
+    "ref_pipeline_incremental")
 }
