@@ -84,10 +84,10 @@ object GraftFunctions {
         case Seq(t, k) =>
           RollingMinHash(t, intLit("rolling_min_hash", "k")(k))
       },
-    "binary_decimate" ->
-      arity("binary_decimate", "binary_decimate(payload, n)") {
+    "binary_sample_bytes" ->
+      arity("binary_sample_bytes", "binary_sample_bytes(payload, n)") {
         case Seq(p, n) =>
-          BinaryDecimate(p, intLit("binary_decimate", "n")(n))
+          BinarySampleBytes(p, intLit("binary_sample_bytes", "n")(n))
       },
     "bloom_positions" ->
       arity("bloom_positions", "bloom_positions(hash, k, mBits)") {

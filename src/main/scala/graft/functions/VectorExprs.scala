@@ -492,21 +492,22 @@ object SortedLastLE {
   }
 }
 
-/** Nearest-neighbor positional decimation of a binary payload to `n`
-  * bytes — the mm_resize hot path as a codegen'd expression instead of
-  * a typed `Dataset.map` (which deserialized the whole row per record).
-  * Shares `Multimodal.resizeStub` for the exact stub semantics:
-  * payloads ≤ n bytes pass through, else output byte k = input byte
-  * (k·len)/n. */
-case class BinaryDecimate(child: Expression, n: Int)
+/** Positional decimation of a binary payload to `n` sampled bytes
+  * (`binary_sample_bytes`) as a codegen'd expression instead of a typed
+  * `Dataset.map` (which deserialized the whole row per record). Shares
+  * `Multimodal.decimateBytes` for the exact semantics: payloads ≤ n
+  * bytes pass through, else output byte k = input byte (k·len)/n. A
+  * byte-level sample for fingerprinting/size-capping — NOT an image
+  * resize; the decoding resize is the `mm_resize` codec path. */
+case class BinarySampleBytes(child: Expression, n: Int)
     extends UnaryExpression {
-  require(n > 0, s"binary_decimate: n must be positive, got $n")
+  require(n > 0, s"binary_sample_bytes: n must be positive, got $n")
   override def dataType: DataType = BinaryType
   override def nullSafeEval(v: Any): Any =
-    graft.operators.Multimodal.resizeStub(v.asInstanceOf[Array[Byte]], n)
+    graft.operators.Multimodal.decimateBytes(v.asInstanceOf[Array[Byte]], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.operators.Multimodal.resizeStub($c, $n)")
+      c => s"graft.operators.Multimodal.decimateBytes($c, $n)")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -533,8 +534,8 @@ object exprs {
     column(RollingMinHash(expression(c), k))
   def sorted_last_le(arr: Column, t: Column): Column =
     column(SortedLastLE(expression(arr), expression(t)))
-  def binary_decimate(c: Column, n: Int): Column =
-    column(BinaryDecimate(expression(c), n))
+  def binary_sample_bytes(c: Column, n: Int): Column =
+    column(BinarySampleBytes(expression(c), n))
   def intersect_count(a: Column, b: Column): Column =
     column(IntersectCount(expression(a), expression(b)))
   def bloom_positions(h: Column, k: Int, mBits: Int): Column =

@@ -356,13 +356,16 @@ object Multimodal {
     }
   }
 
-  /** STUB resize — nearest-neighbor decimation of the payload to
-    * `outBytes` samples (byte k of the output is input byte
-    * (k·len) / outBytes, integer division). Stands in for an image
-    * thumbnail/resample; the positional-selection shape and the
-    * binary→binary signature are what a real codec plugs into. Payloads
-    * shorter than `outBytes` pass through unchanged. */
-  def resizeStub(payload: Array[Byte], outBytes: Int = 32): Array[Byte] = {
+  /** Positional byte decimation: output byte k is input byte
+    * (k·len) / outBytes (integer division), payloads shorter than
+    * `outBytes` pass through unchanged. This is a fixed-size payload
+    * SAMPLE — cheap, deterministic, format-agnostic — for binary
+    * fingerprinting, grouping, and transfer-size capping; it is NOT an
+    * image resize (no decode: pixels, channels, and scanlines are
+    * ignored). The real nearest-neighbor thumbnail is
+    * [[resizeImageStats]] / `mm_resize`, which decodes via
+    * `javax.imageio` and resamples in pixel space. */
+  def decimateBytes(payload: Array[Byte], outBytes: Int = 32): Array[Byte] = {
     if (payload.length <= outBytes) return payload
     val out = new Array[Byte](outBytes)
     var k = 0

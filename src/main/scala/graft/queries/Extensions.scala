@@ -1269,6 +1269,28 @@ object Extensions {
         "o_orderkey", numPartitions = 8)
         .select("o_orderkey", "o_custkey", "price")
     }),
+    // SERIAL surrogate-key parity (ddl_orders_tbl.sql:4): the load gains
+    // a monotonically_increasing_id surrogate, lands in Derby, and the
+    // PARTITIONED read-back range-slices on that surrogate (what SERIAL
+    // keys exist for). Surrogate VALUES are partition-dependent, so the
+    // gate checks the SERIAL laws the reference relies on — one unique
+    // non-null id per row — plus a payload checksum, all
+    // oracle-computable
+    "q_jdbc_serial" -> ((s, d) => {
+      val url = "jdbc:derby:memory:graftverifyserial;create=true"
+      graft.sources.Sinks.overwriteJdbc(
+        graft.sources.Sinks.withSerialId(
+          Tables.orders(s, d).select(col("o_orderkey"),
+            col("o_totalprice").cast("double").as("price"))),
+        url, "orders_serial")
+      graft.sources.Sinks.readJdbcPartitioned(s, url, "orders_serial",
+        "id", numPartitions = 8)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("id")).as("n_ids"),
+          sum(when(col("id").isNull, 1).otherwise(0)).cast("bigint")
+            .as("null_ids"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+    }),
     // streaming foreachBatch sink round trip: stream → batch parquet
     // writer per micro-batch → read back, oracle = the batch projection
     "stream_sink_roundtrip" -> ((s, d) => {
@@ -2793,6 +2815,14 @@ object Extensions {
       SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     "q_jdbc_read" -> """
       SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders""",
+    // SERIAL laws: ids unique (n_ids = n_rows) and non-null, payload
+    // survives the round trip
+    "q_jdbc_serial" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_ids,
+             CAST(0 AS BIGINT) AS null_ids,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       FROM orders""",
     "q_xml_roundtrip" -> """
       SELECT n_nationkey, n_name, n_regionkey FROM nation""",

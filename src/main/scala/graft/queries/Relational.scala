@@ -72,6 +72,26 @@ object Relational {
         col("p_name").as("name"), col("p_brand").as("brand"),
         col("p_type").as("type"), col("p_size").as("size"),
         col("p_retailprice").as("price"))),
+    // K2 STRICT: the load artifact as statement TEXT (df_to_sql.py:1-14)
+    // in both reference forms — with a column list (the orders load) and
+    // without (the double-space quirk of the users/products loads). An
+    // injected apostrophe exercises the \' escape on every nation row.
+    "ref_insert_literal" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val withCols = graft.sources.Sinks.insertStatement(
+        n.select(col("n_nationkey").cast("string").as("id"),
+          concat(col("n_name"), lit("'s")).as("name"),
+          col("n_regionkey").cast("string").as("region")),
+        "airflow_db.airflow.nations", Seq("ID", "NAME", "REGION"),
+        col("id").cast("long"))
+      val r = Tables.region(s, d)
+      val noCols = graft.sources.Sinks.insertStatement(
+        r.select(col("r_regionkey").cast("string").as("id"),
+          col("r_name").as("name")),
+        "airflow_db.airflow.regions", Nil, col("id").cast("long"))
+      withCols.select(lit("with_columns").as("variant"), col("stmt"))
+        .unionByName(noCols.select(lit("no_columns").as("variant"), col("stmt")))
+    }),
 
     // ---- filters / scalar transforms ----
     "q_filter_scan" -> ((s, d) =>
@@ -374,6 +394,28 @@ object Relational {
       SELECT p_partkey AS id, p_name AS name, p_brand AS brand,
              p_type AS type, p_size AS size, p_retailprice AS price
       FROM part""",
+    // statement-text parity: DuckDB rebuilds the same insert literal —
+    // '''' is one quote, '\''' is backslash+quote (no backslash escapes
+    // in standard SQL literals)
+    "ref_insert_literal" -> """
+      SELECT 'with_columns' AS variant,
+             'insert into airflow_db.airflow.nations (ID,NAME,REGION) values '
+             || string_agg(
+                  '(''' || replace(CAST(n_nationkey AS VARCHAR), '''', '\''')
+                  || ''',''' || replace(n_name || '''s', '''', '\''')
+                  || ''',''' || replace(CAST(n_regionkey AS VARCHAR), '''', '\''')
+                  || ''')', ',' ORDER BY n_nationkey)
+             || ';' AS stmt
+      FROM nation
+      UNION ALL
+      SELECT 'no_columns',
+             'insert into airflow_db.airflow.regions  values '
+             || string_agg(
+                  '(''' || replace(CAST(r_regionkey AS VARCHAR), '''', '\''')
+                  || ''',''' || replace(r_name, '''', '\''')
+                  || ''')', ',' ORDER BY r_regionkey)
+             || ';'
+      FROM region""",
     "q_filter_scan" -> """
       SELECT l_orderkey, l_linenumber,
              strftime(l_shipdate, '%Y-%m-%d') AS ship_date, l_quantity

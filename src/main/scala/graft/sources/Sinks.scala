@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Sinks (SURVEY §2.2). The reference's DROP TABLE + CREATE + bulk
   * INSERT cycle (`ddl_*.sql`, `df_to_sql.py`) collapses to overwrite-mode
@@ -44,6 +45,52 @@ object Sinks {
   def overwriteJdbc(df: DataFrame, url: String, table: String,
                     props: java.util.Properties = new java.util.Properties): Unit =
     df.write.mode("overwrite").jdbc(url, table, props)
+
+  /** SERIAL-parity surrogate key (`ddl_orders_tbl.sql:4` `ID SERIAL
+    * PRIMARY KEY`): `monotonically_increasing_id` gives what SERIAL
+    * actually guarantees — unique, non-null, monotone per writer — but
+    * NOT contiguity: ids are per-partition blocks (partition index in
+    * the upper bits), so gaps are normal, exactly as they are under
+    * Postgres sequence caching/rollbacks. Anything needing dense ranks
+    * should use a window rank instead and accept the global sort. */
+  def withSerialId(df: DataFrame, name: String = "id"): DataFrame =
+    df.withColumn(name, monotonically_increasing_id())
+
+  /** K2 STRICT form: the reference load's actual artifact is not rows in
+    * a table but a multi-row `insert into ... values ...;` statement
+    * TEXT (`df_to_sql.py:1-14`): every value stringified and
+    * single-quoted regardless of type, `'` escaped as `\'` (`:10`), rows
+    * joined with `,`, an optional `(COL,...)` column list — and, when
+    * the column list is absent, the format string's double space
+    * (`insert into t  values`). This reproduces that statement
+    * byte-for-byte as ONE row, built in-plan: per-row literal tuples are
+    * codegen'd string expressions, the partial aggregation collects
+    * (key, tuple) pairs, and the array_sort puts rows in `sortKey` order
+    * without a global sort exchange (`df.iterrows()` order is the input
+    * order; a distributed engine must pin it explicitly).
+    *
+    * Scale note: a single statement string is inherently a driver-sized
+    * artifact — the reference emits one per (small) dimension table. For
+    * fact-sized loads, chunk upstream (e.g. one statement per
+    * `ingest_batch` partition) and keep the JDBC writer
+    * ([[overwriteJdbc]]) as the row path. */
+  def insertStatement(df: DataFrame, table: String,
+                      filterColumns: Seq[String],
+                      sortKey: Column): DataFrame = {
+    // str(i).replace("'", "\\'") — regex-free literal escape; the
+    // replacement's backslash is doubled for Matcher.replaceAll
+    val escaped = df.columns.map(c =>
+      regexp_replace(col(c).cast("string"), "'", "\\\\'"))
+    val tuple = concat(lit("('"), concat_ws("','", escaped: _*), lit("')"))
+    val colsStr =
+      if (filterColumns.nonEmpty) filterColumns.mkString("(", ",", ")") else ""
+    df.select(struct(sortKey.as("k"), tuple.as("s")).as("r"))
+      .agg(collect_list(col("r")).as("rs"))
+      .select(concat(
+        lit(s"insert into $table $colsStr values "),
+        array_join(transform(array_sort(col("rs")), _.getField("s")), ","),
+        lit(";")).as("stmt"))
+  }
 
   /** K2's read leg, PARTITIONED: a plain `spark.read.jdbc` opens ONE
     * connection and streams the whole table through a single task —

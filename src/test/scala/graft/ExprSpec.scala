@@ -319,7 +319,7 @@ class SqlFunctionSpec extends AnyFunSuite with SparkSpec {
       "SELECT sorted_last_le(array(1L, 3L, 5L), 4L) AS i")
       .head().getInt(0) == 2)
     assert(spark.sql(
-      "SELECT octet_length(binary_decimate(CAST('abcdefgh' AS BINARY), 4)) AS n")
+      "SELECT octet_length(binary_sample_bytes(CAST('abcdefgh' AS BINARY), 4)) AS n")
       .head().getInt(0) == 4)
     assert(spark.sql(
       "SELECT rolling_min_hash('abcdefgh', 8) IS NOT NULL AS ok")

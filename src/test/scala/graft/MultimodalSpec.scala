@@ -75,14 +75,14 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.sampleKeyframes("not video".getBytes).isEmpty)
   }
 
-  test("resizeStub: fixed output size, short payloads pass through") {
-    // backs the codegen'd binary_decimate expression (ExprSpec)
+  test("decimateBytes: fixed output size, short payloads pass through") {
+    // backs the codegen'd binary_sample_bytes expression (ExprSpec)
     val p = (0 until 200).map(_.toByte).toArray
-    val r = Multimodal.resizeStub(p, 32)
+    val r = Multimodal.decimateBytes(p, 32)
     assert(r.length == 32)
     assert(r(0) == p(0) && r(31) == p((31L * 200 / 32).toInt))
     val short = Array[Byte](1, 2, 3)
-    assert(Multimodal.resizeStub(short, 32).toSeq == short.toSeq)
+    assert(Multimodal.decimateBytes(short, 32).toSeq == short.toSeq)
   }
 
   test("real PNG decode: encode → decode reproduces the formula pixels exactly") {
