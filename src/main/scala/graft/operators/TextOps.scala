@@ -203,15 +203,23 @@ object TextOps {
     * oracle reproduces the ranking bit-for-bit.
     *
     * 100 TB shape: tf is a map-side-combined groupBy over the token
-    * explode; df folds the tf table by term (one count per distinct
-    * (doc, term), so df = document frequency exactly); the corpus-wide
-    * df attach joins on term UNhinted — a Zipf-truncated vocabulary
-    * table usually broadcasts under AQE, a giant one shuffles, either
-    * is correct; the final per-doc top-k runs through the bounded
-    * [[TopK.TermTopKAgg]] buffer, so partial aggregation ships at most
-    * k terms per document per map partition — never the full scored
-    * term table — and no window sorts anything. Returns
-    * (doc_id, rk, term, tf, df); documents with no tokens are absent. */
+    * explode, computed ONCE and persisted spillable — it feeds both the
+    * df fold and the attach join, and without the explicit persist the
+    * two branches carry distinct expression ids, so neither static
+    * ReuseExchange nor AQE stage reuse deduplicates them (measured: two
+    * full scan→explode→(doc,term) exchanges in the executed plan; the
+    * r13 30×-probe audit found this was most of text_keyterms' growth).
+    * The cache is the same order as the shuffle it replaces and is
+    * reclaimed by the ContextCleaner. df folds the persisted tf by term
+    * (one count per distinct (doc, term), so df = document frequency
+    * exactly); the corpus-wide df attach joins on term UNhinted — a
+    * Zipf-truncated vocabulary table usually broadcasts under AQE, a
+    * giant one shuffles, either is correct; the final per-doc top-k runs
+    * through the bounded [[TopK.TermTopKAgg]] buffer, so partial
+    * aggregation ships at most k terms per document per map partition —
+    * never the full scored term table — and no window sorts anything.
+    * Returns (doc_id, rk, term, tf, df); documents with no tokens are
+    * absent. */
   def keyTerms(docs: DataFrame, id: String = "doc_id",
                text: String = "text", k: Int = 5): DataFrame = {
     require(k > 0, s"keyTerms: k must be positive, got $k")
@@ -231,6 +239,7 @@ object TextOps {
       .select(col(id).cast("long").as("doc_id"),
         explode(tokens(col(text))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val agg = udaf(new TopK.TermTopKAgg(k),
       org.apache.spark.sql.Encoders.product[TopK.TermScored])

@@ -240,6 +240,76 @@ object ScaleProbe {
     val (siN, scN) = steadyIngest(out, s"${copies}x")
     println(f"[scaleprobe] ingest steady-state: t1=$si1%6.2fs t${copies}x=$siN%6.2fs " +
       f"ratio=${siN / si1}%5.2f cand=$sc1 -> $scN candRatio=${scN.toDouble / sc1}%5.2f")
+    // Maintenance family steady state (VERDICT r12 #4): the claim
+    // "refresh scans state + delta, never the corpus" as a measured
+    // ratio. State is built over the 1x / Nx corpus UNTIMED (that's the
+    // one-time build); the timed refresh folds the SAME fixed delta into
+    // each — if the claim holds, the wall ratio is ~1 no matter how much
+    // corpus the state summarizes (state rows = key cardinality).
+    // snapshotDiff is different by design: its SCAN is linear in the
+    // snapshots (ratio ≈ copies, reported per-copy) while its OUTPUT is
+    // churn-bounded — both measured, same fixed churn at both scales.
+    def steadyMaintain(dir: String, tag: String): (Double, Double, Double, Long) = {
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val delta = spark.read.parquet(s"$base/orders.parquet").limit(1000)
+        .withColumn("o_orderkey", col("o_orderkey") + 900000000L).persist()
+      delta.count()
+      val aggDir = graft.sources.Scratch.dir(s"probe-maint-agg-$tag")
+      graft.operators.Maintain.writeAggState(orders, "o_orderstatus",
+        "o_totalprice", aggDir)
+      System.gc()
+      var t0 = System.nanoTime()
+      graft.operators.Maintain.mergeAggState(spark, aggDir, delta,
+        "o_orderstatus", "o_totalprice")
+        .write.format("noop").mode("overwrite").save()
+      val tAgg = (System.nanoTime() - t0) / 1e9
+      val dstDir = graft.sources.Scratch.dir(s"probe-maint-dst-$tag")
+      graft.operators.Maintain.writeDistinctState(orders, "o_orderstatus",
+        "o_custkey", dstDir)
+      System.gc()
+      t0 = System.nanoTime()
+      graft.operators.Maintain.mergeDistinctState(spark, dstDir, delta,
+        "o_orderstatus", "o_custkey")
+        .write.format("noop").mode("overwrite").save()
+      val tDst = (System.nanoTime() - t0) / 1e9
+      // fixed churn: mutate the payload of copy-0 keys < 600 only, so
+      // the same ~600 rows change at every scale
+      val next = orders.withColumn("o_orderpriority",
+        when(col("o_orderkey") < 600, lit("churned"))
+          .otherwise(col("o_orderpriority")))
+      System.gc()
+      t0 = System.nanoTime()
+      val diffRows = graft.operators.Maintain
+        .snapshotDiff(orders, next, "o_orderkey", "o_orderpriority").count()
+      val tDiff = (System.nanoTime() - t0) / 1e9
+      delta.unpersist()
+      (tAgg, tDst, tDiff, diffRows)
+    }
+    val (ma1, md1, sd1, dr1) = steadyMaintain(base, "1x")
+    val (maN, mdN, sdN, drN) = steadyMaintain(out, s"${copies}x")
+    println(f"[scaleprobe] maintain steady-state: agg $ma1%5.2fs->$maN%5.2fs " +
+      f"ratio=${maN / ma1}%4.2f  distinct $md1%5.2fs->$mdN%5.2fs ratio=${mdN / md1}%4.2f  " +
+      f"diff $sd1%5.2fs->$sdN%5.2fs perCopy=${sdN / sd1 / copies}%4.2f " +
+      f"diffRows=$dr1->$drN")
+    // index rebuild: honestly linear in index size (it re-cuts every
+    // stored signature) — the probed law is per-copy ratio ~1, i.e. the
+    // rebuild tracks the index scan and nothing is quadratic in it
+    def rebuildProbe(dir: String, tag: String): Double = {
+      val idxDir = graft.sources.Scratch.dir(s"probe-rebuild-$tag")
+      graft.operators.Dedup.writeMinhashIndex(
+        graft.sources.Tables.documents(spark, dir), "doc_id", "text",
+        idxDir, numHashes = 16, bands = 2)
+      System.gc()
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.rebuildMinhashIndex(spark, idxDir,
+        numHashes = 16, bands = 4)
+      graft.operators.Dedup.compactMinhashIndex(spark, idxDir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rb1t = rebuildProbe(base, "1x")
+    val rbNt = rebuildProbe(out, s"${copies}x")
+    println(f"[scaleprobe] index rebuild: t1=$rb1t%5.2fs t${copies}x=$rbNt%5.2fs " +
+      f"ratio=${rbNt / rb1t}%5.2f perCopy=${rbNt / rb1t / copies}%4.2f")
     val qs = rows.map { case (n, t1, tN, r) =>
       f""""$n":{"t1":$t1%.3f,"tN":$tN%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
@@ -250,7 +320,12 @@ object ScaleProbe {
         f""""kappa1":$k1%.3f,"kappaN":$kN%.3f},""" +
         f""""ngram_candidates":{"c1":$g1,"cN":$gN,"perCopy":$ngramPerCopy%.3f},""" +
         f""""ingest_steady":{"t1":$si1%.3f,"tN":$siN%.3f,"ratio":${siN / si1}%.3f,""" +
-        f""""cand1":$sc1,"candN":$scN,"candRatio":${scN.toDouble / sc1}%.3f}}"""
+        f""""cand1":$sc1,"candN":$scN,"candRatio":${scN.toDouble / sc1}%.3f},""" +
+        f""""maintain_steady":{"aggT1":$ma1%.3f,"aggTN":$maN%.3f,"aggRatio":${maN / ma1}%.3f,""" +
+        f""""distinctT1":$md1%.3f,"distinctTN":$mdN%.3f,"distinctRatio":${mdN / md1}%.3f,""" +
+        f""""diffT1":$sd1%.3f,"diffTN":$sdN%.3f,"diffPerCopy":${sdN / sd1 / copies}%.3f,""" +
+        f""""diffRows1":$dr1,"diffRowsN":$drN},""" +
+        f""""index_rebuild":{"t1":$rb1t%.3f,"tN":$rbNt%.3f,"perCopy":${rbNt / rb1t / copies}%.3f}}"""
     println(json)
     // tracked artifact (VERDICT r7 #3): the driver snapshots
     // PROBE_r{N}.json like BENCH/CORRECTNESS so ratio regressions diff
