@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`) — SURVEY
@@ -256,6 +256,16 @@ object Similarity {
     // Corpus side (keep=1): struct-greatest argmax.
     val assigned = corpus.select(col("vec_id"), col("embedding").as("v"),
       nearestCentroid(col("embedding"), cents).as("cent_id"))
+    probeAssigned(assigned, queries, cents, k, nprobe)
+  }
+
+  /** The probe half of the IVF plan, shared by [[ivfTopK]] (fresh
+    * assignment) and [[ivfTopKIndexed]] (stored assignment): queries
+    * explode to their nprobe nearest cells, the cell-key join attaches
+    * corpus vectors, exact cosine + bounded top-k reduce. */
+  private def probeAssigned(assigned: DataFrame, queries: DataFrame,
+                            cents: Seq[(Int, Array[Float])], k: Int,
+                            nprobe: Int): DataFrame = {
     // Probe side (keep=nprobe): sort the nCentroids score structs
     // descending and explode the first nprobe — (csim desc, cent_id asc),
     // the same total order as the corpus argmax.
@@ -273,6 +283,53 @@ object Similarity {
       .withColumn("sim", round(cosine("qv", "v"), 6))
     topKReduce(scored, k)
   }
+
+  /** Persisted IVF index — the deployment form of [[ivfTopK]]: train
+    * once, write the model AND the cell-partitioned corpus to disk,
+    * probe from any later process with no retrain and no assignment
+    * scan. Layout: `$dir/centroids` (cent_id, embedding — float bits
+    * round-trip parquet exactly, so a read-back quantizer is
+    * bit-identical to the trained one) and `$dir/assigned`
+    * (vec_id, v, PARTITIONED BY cent_id — the "corpus partitioned once
+    * by cell" layout the ivfTopK scale story assumes: a probe of
+    * nprobe cells dynamically prunes to those directories instead of
+    * scanning the corpus). */
+  def writeIvfIndex(corpus: DataFrame, dir: String, nCentroids: Int = 16,
+                    iters: Int = 5): Unit = {
+    val spark = corpus.sparkSession
+    val cents = trainCentroids(corpus, nCentroids, iters)
+    import spark.implicits._
+    cents.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cent_id", "embedding")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    corpus.select(col("vec_id"), col("embedding").as("v"),
+      nearestCentroid(col("embedding"), cents).as("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$dir/assigned")
+  }
+
+  /** The stored quantizer + cell-partitioned corpus of [[writeIvfIndex]].
+    * `cents` is model-scale driver data (nCentroids × dim). */
+  final case class IvfIndex(cents: Seq[(Int, Array[Float])],
+                            assigned: DataFrame)
+
+  def readIvfIndex(spark: SparkSession, dir: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    require(cents.nonEmpty, s"readIvfIndex: no centroids under $dir")
+    IvfIndex(cents, spark.read.parquet(s"$dir/assigned"))
+  }
+
+  /** [[ivfTopK]] against a stored index: identical probe math (same
+    * centroid score structs, same cell join, same exact-cosine reduce),
+    * zero training passes and zero assignment scans — and because
+    * `assigned` is cell-partitioned on disk, the cell-key join
+    * dynamically prunes to the probed cells. */
+  def ivfTopKIndexed(index: IvfIndex, queries: DataFrame, k: Int,
+                     nprobe: Int = 2): DataFrame =
+    probeAssigned(index.assigned, queries, index.cents, k, nprobe)
 
   /** Cluster-balanced (diversity) corpus subsampling — the LLM-curation
     * pass that flattens head clusters instead of sampling uniformly:

@@ -195,6 +195,57 @@ object TextOps {
     * true conditional frequency. */
   val DefaultFamiliarityMinCount = 2
 
+  /** Reference-corpus LM quality score — the CCNet/KenLM curation shape
+    * ([[bigramFamiliarity]] scores a corpus against ITSELF and ignores
+    * unseen bigrams; this trains on one corpus and scores ANOTHER, with
+    * add-one smoothing so out-of-vocabulary material is penalized
+    * instead of skipped — the signal that separates "fluent but novel"
+    * from "out of domain"). Model: p(w2|w1) = (c2(w1,w2)+1) / (c1(w1)+V)
+    * over the training corpus's bigram/unigram counts, V = |training
+    * vocabulary|. Per target document: mean smoothed conditional over
+    * its adjacent token pairs, plus the OOV-pair count. Every per-pair
+    * contribution is quantized to micro-units with exact integer
+    * division and summed as BIGINT, so any partitioning folds to the
+    * identical result and a SQL oracle replays it bit-for-bit (the
+    * log-domain perplexity is a monotone per-pair transform away;
+    * staying linear keeps the arithmetic engine-exact).
+    *
+    * 100 TB shape: the two model tables (bigram and unigram counts) are
+    * vocabulary-sized — Zipf-truncate upstream if open-domain — and
+    * attach by equality join (broadcast under AQE when they fit); V is
+    * ONE driver-side long; the target side is one explode + one partial
+    * aggregation per doc; nothing joins the corpus to itself. */
+  def lmScore(train: DataFrame, target: DataFrame, id: String = "doc_id",
+              text: String = "text"): DataFrame = {
+    val uni = train.select(explode(tokens(col(text))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = uni.count() // |V|: one scalar to the driver — model-scale
+    require(v > 0, "lmScore: training corpus has no tokens")
+    val big = train.withColumn("__t", tokens(col(text)))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(bigrams(col("__t"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    target.withColumn("__t", tokens(col(text)))
+      .filter(size(col("__t")) >= 2)
+      .select(col(id).as("doc_id"), explode(bigrams(col("__t"))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
+      .join(big, Seq("bg"), "left")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(uni, Seq("w1"), "left")
+      .withColumn("p_micro", expr(
+        s"(cast(1000000 as bigint) * (coalesce(c2, cast(0 as bigint)) + 1)) " +
+          s"div (coalesce(c1, cast(0 as bigint)) + $v)"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_pairs"),
+        sum(when(col("c2").isNull, col("k")).otherwise(lit(0L)))
+          .as("oov_pairs"),
+        sum(col("k") * col("p_micro")).as("__s"))
+      .select(col("doc_id"), col("n_pairs").cast("long").as("n_pairs"),
+        col("oov_pairs").cast("long").as("oov_pairs"),
+        round(col("__s").cast("double") / col("n_pairs") / 1000000.0, 6)
+          .as("lm_score"))
+  }
+
   /** Per-document keyword extraction: the k most distinctive terms,
     * ranked by (tf desc, df asc, term asc) — most frequent in the
     * document, rarest across the corpus, lexicographic tie-break. The

@@ -84,6 +84,14 @@ object Extensions {
           TextOps.avgTokenLen(col("__t")).as("avg_token_len"),
           TextOps.stopwordRatio(col("__t")).as("stop_ratio"),
           TextOps.qualityScore(col("__t")).as("score"))),
+    // reference-corpus LM scoring (CCNet shape): train add-one-smoothed
+    // bigram LM on even docs, score odd docs — OOV pairs penalized via
+    // smoothing, not skipped (the signal text_familiarity cannot see)
+    "text_lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.lmScore(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
     // learned-classifier INFERENCE shape (vs text_quality's hand
     // heuristics): unigram+bigram features hashed into a 2^18-bucket
     // weight table, logit = sum of weights — scan-only, zero shuffles,
@@ -870,6 +878,18 @@ object Extensions {
     "sim_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), 10)
+    }),
+    // the DEPLOYMENT form of sim_ivf: quantizer + cell-partitioned
+    // corpus persisted (writeIvfIndex), probed from the stored index —
+    // no retrain, no assignment scan, dynamic partition pruning to the
+    // probed cells. Same probe math ⇒ shares sim_ivf's oracle exactly.
+    "sim_ivf_persisted" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.dir(
+        s"ivfidx_${java.util.UUID.randomUUID.toString.take(8)}")
+      Similarity.writeIvfIndex(e, dir)
+      Similarity.ivfTopKIndexed(Similarity.readIvfIndex(s, dir),
+        e.filter(col("vec_id") < 5), 10)
     }),
     // cluster-balanced diversity subsample over the SAME trained
     // quantizer as sim_ivf (memoized — the oracle unrolls the identical
@@ -2061,6 +2081,36 @@ object Extensions {
       FROM pd LEFT JOIN kept USING (bg)
               JOIN prefix ON split_part(pd.bg, ' ', 1) = prefix.w1
       GROUP BY pd.doc_id""",
+    // same token cut, same even/odd split, same micro-quantized add-one
+    // conditional, same exact integer division
+    "text_lm_score" -> s"""
+      WITH ttok AS (SELECT $duckTokens AS t FROM documents WHERE doc_id % 2 = 0),
+      uni AS (SELECT u AS w1, CAST(COUNT(1) AS BIGINT) AS c1
+              FROM (SELECT unnest(t) AS u FROM ttok) GROUP BY 1),
+      vv AS (SELECT CAST(COUNT(1) AS BIGINT) AS v FROM uni),
+      big AS (SELECT bg, CAST(COUNT(1) AS BIGINT) AS c2 FROM (
+                SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1])) AS bg
+                FROM ttok WHERE len(t) >= 2) GROUP BY 1),
+      pd AS (SELECT doc_id, bg, CAST(COUNT(1) AS BIGINT) AS k FROM (
+               SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1])) AS bg
+               FROM (SELECT doc_id, $duckTokens AS t FROM documents
+                     WHERE doc_id % 2 = 1)
+               WHERE len(t) >= 2) GROUP BY 1, 2)
+      SELECT pd.doc_id,
+             CAST(SUM(k) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN c2 IS NULL THEN k ELSE 0 END) AS BIGINT)
+               AS oov_pairs,
+             round(CAST(SUM(k * ((CAST(1000000 AS BIGINT) *
+                                  (COALESCE(c2, CAST(0 AS BIGINT)) + 1))
+                                 // (COALESCE(c1, CAST(0 AS BIGINT)) +
+                                    (SELECT v FROM vv)))) AS DOUBLE)
+                   / CAST(SUM(k) AS BIGINT) / 1000000.0, 6) AS lm_score
+      FROM pd LEFT JOIN big USING (bg)
+              LEFT JOIN uni ON split_part(pd.bg, ' ', 1) = uni.w1
+      GROUP BY pd.doc_id""",
     "dedup_exact" -> """
       SELECT md5(text) AS text_hash, COUNT(1) AS n_copies, MIN(doc_id) AS keeper
       FROM documents GROUP BY 1 HAVING COUNT(1) > 1""",
@@ -2414,6 +2464,8 @@ object Extensions {
                   least(len(a.hs), len(b.hs)), 6) >= 0.8""",
     "text_rolling_fp" -> rollingFpOracle,
     "sim_ivf" -> ivfOracle,
+    // stored-index probe must equal the fresh-train probe bit-for-bit
+    "sim_ivf_persisted" -> ivfOracle,
     "q_diversity_sample" -> diversityOracle,
     "q_join_asof_fast" -> Relational.oracles("q_join_asof"),
     "dedup_simhash" -> simhashOracle,

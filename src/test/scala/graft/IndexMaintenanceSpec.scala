@@ -112,6 +112,37 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(a.nonEmpty && a == b, "rebuilt index answers differently")
   }
 
+  test("persisted IVF index: stored probe == fresh probe, cell-partitioned layout prunes") {
+    val e = graft.sources.Tables.embeddings(spark, base)
+    val queries = e.filter(col("vec_id") < 3)
+    val dir = graft.sources.Scratch.dir("maint-ivf-persist")
+    Similarity.writeIvfIndex(e, dir, nCentroids = 8, iters = 3)
+    val idx = Similarity.readIvfIndex(spark, dir)
+    // bit-identical round trip: parquet preserves float bits, so the
+    // read-back quantizer IS the trained one and the probe answers match
+    // the fresh-train path exactly
+    val stored = canon(Similarity.ivfTopKIndexed(idx, queries, 5))
+    val fresh = canon(Similarity.ivfTopK(e, queries, 5,
+      nCentroids = 8, iters = 3))
+    assert(stored.nonEmpty && stored == fresh,
+      "stored-index probe diverges from fresh-train probe")
+    // the scale claim is the LAYOUT: one directory per cell, so a probe
+    // of nprobe cells reads nprobe directories, not the corpus
+    val cellDirs = new java.io.File(s"$dir/assigned")
+      .listFiles().filter(_.getName.startsWith("cent_id="))
+    assert(cellDirs.length > 1 && cellDirs.length <= 8,
+      s"expected cell-partitioned layout, got ${cellDirs.map(_.getName).toSeq}")
+    // and the cell join actually prunes: the executed probe plan carries
+    // a partition filter on cent_id (dynamic pruning from the broadcast
+    // probe side, or a static IN after AQE) rather than scanning all
+    // cells unconditionally
+    val plan = Similarity.ivfTopKIndexed(idx, queries, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") ||
+      plan.toLowerCase.contains("partitionfilters: [isnotnull(cent_id"),
+      "probe plan shows no cent_id partition pruning")
+  }
+
   test("rebuildEmbeddingIndex clears occupancy drift without the corpus") {
     val e = graft.sources.Tables.embeddings(spark, base)
     val corpus = e.filter(col("vec_id") % 2 === 0)

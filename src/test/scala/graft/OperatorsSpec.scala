@@ -496,6 +496,38 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(solo == ((9L, 3L, 0.666667)))
   }
 
+  test("lmScore: hand-computed smoothed conditionals, OOV penalized not skipped") {
+    // train: "a b", "a b", "a c" → unigrams c1(a)=3, c1(b)=2, c1(c)=1,
+    // V=3; bigrams c2("a b")=2, c2("a c")=1
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    // target doc 10: "a b" — seen pair: floor(1e6·(2+1)/(3+3)) = 500000
+    // target doc 11: "a z" — unseen pair, seen prefix:
+    //   floor(1e6·(0+1)/(3+3)) = 166666, oov_pairs = 1
+    // target doc 12: "q r" — unseen pair, UNSEEN prefix:
+    //   floor(1e6·1/(0+3)) = 333333, oov_pairs = 1
+    // target doc 13: "z" — single token → absent
+    val target = Seq((10L, "a b"), (11L, "a z"), (12L, "q r"), (13L, "z"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.lmScore(train, target)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (k, n, o, s) => k -> ((n, o, s)) }.toMap
+    assert(out.keySet == Set(10L, 11L, 12L))
+    assert(out(10L) == ((1L, 0L, 0.5)))
+    assert(out(11L) == ((1L, 1L, 0.166666)))
+    assert(out(12L) == ((1L, 1L, 0.333333)))
+    // familiarity-style self-scoring would give doc 11 and 12 identical
+    // zero contributions; the smoothed LM separates "novel continuation
+    // of a known word" from "fully out-of-domain" — that ordering (12's
+    // uniform-over-V beats 11's dilution by a(3)'s count) is the add-one
+    // law, asserted above, not an accident
+    val empty = intercept[IllegalArgumentException] {
+      graft.operators.TextOps.lmScore(
+        Seq((1L, "")).toDF("doc_id", "text"), target)
+    }
+    assert(empty.getMessage.contains("no tokens"))
+  }
+
   test("language ID picks marker-majority language, 'und' fallback") {
     val df = Seq(
       (1L, "der hund und die katze ist da"),

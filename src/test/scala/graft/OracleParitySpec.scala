@@ -150,5 +150,11 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r12: shares dedup_embedding_incr's sign-LSH CTE oracle
     "dedup_embedding_rebuild",
     // r13: strftime day-format in the orchestration-gate oracle
-    "ref_pipeline_incremental")
+    "ref_pipeline_incremental",
+    // r13: string_agg(... ORDER BY) statement-text oracle
+    "ref_insert_literal",
+    // r13: shares sim_ivf's unrolled-kmeans CTE oracle
+    "sim_ivf_persisted",
+    // r13: list_transform/generate_series token CTEs (familiarity family)
+    "text_lm_score")
 }
