@@ -31,7 +31,7 @@ object SparkEntry {
     * Correctness (`Verify`) always runs `queries`; `Bench` applies
     * these overrides so the sf0.1 numbers time the deployment plan. */
   def benchOverrides: Map[String, (SparkSession, String) => DataFrame] =
-    Relational3.benchDefs
+    Relational3.benchDefs ++ Extensions.benchDefs
 
   /** Bench-only exclusions: `q_profile` is the exact-multi-distinct
     * oracle twin kept for DuckDB comparability (its 100 TB form is
