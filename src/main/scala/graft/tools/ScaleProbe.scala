@@ -95,7 +95,12 @@ object ScaleProbe {
     // per-group signatures: the 20 sources persist across copies while
     // the corpus grows, so everything past the partial aggregate is a
     // constant G·k-row table — wall must track the signature scan
-    "q_corpus_overlap" -> graft.SparkEntry.queries("q_corpus_overlap"))
+    "q_corpus_overlap" -> graft.SparkEntry.queries("q_corpus_overlap"),
+    // r13: reference-LM scoring — train and target both grow with
+    // copies, the content-disjoint rotation grows the vocabulary
+    // ~linearly, so the two model tables and the attach joins must
+    // track the scan like text_keyterms' (post-persist-fix) shape
+    "text_lm_score" -> graft.SparkEntry.queries("text_lm_score"))
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(5)
