@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -112,6 +112,87 @@ object Maintain {
         .agg(hll_sketch_agg(col(valCol)).as("hll")))
       .groupBy(col(keyCol))
       .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("est"))
+
+  /** Quantile maintenance — the third leg of the triad (count/sum
+    * partials, HLL distinct state, and now rank statistics). Quantiles
+    * are not distributive, but per-(key, bin) HISTOGRAM COUNTS over a
+    * fixed value domain are: refresh folds delta bin counts into stored
+    * ones (plain integer addition — associative, commutative, any delta
+    * split lands on identical state), and the interpolated quantile
+    * estimate is a deterministic function of the state, so the whole
+    * path replays HASH-EXACT in an external oracle — no tolerance gate
+    * needed, which a KLL/t-digest sketch could not offer (and a typed
+    * KLL Aggregator would pay per-row sketch (de)serialization in
+    * partial aggregation). The trade: the domain [lo, hi) is fixed at
+    * state creation (out-of-range values clamp to the edge bins) and
+    * error is bounded by bin width — right for warehouse metrics with
+    * known ranges; reach for a mergeable KLL sketch when the domain is
+    * genuinely open. State size: |keys| × ≤ bins rows. */
+  private def binCol(v: Column, lo: Double, w: Double, bins: Int): Column =
+    least(lit(bins - 1), greatest(lit(0),
+      floor((v.cast("double") - lo) / w).cast("int")))
+
+  def writeQuantileState(df: DataFrame, keyCol: String, valCol: String,
+                         dir: String, lo: Double, hi: Double,
+                         bins: Int = 64): Unit = {
+    require(bins >= 2, s"writeQuantileState: bins must be >= 2, got $bins")
+    require(hi > lo, s"writeQuantileState: need hi > lo, got [$lo, $hi)")
+    val w = (hi - lo) / bins
+    df.groupBy(col(keyCol), binCol(col(valCol), lo, w, bins).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/state")
+    Dedup.writeMeta(df.sparkSession, dir, Map(
+      "kind" -> "quantile_hist", "q_lo" -> lo.toString,
+      "q_hi" -> hi.toString, "q_bins" -> bins.toString))
+  }
+
+  /** Refreshed histogram state = stored bin counts ∪ delta bin counts
+    * (binned with the STORED domain — the metadata is the contract),
+    * folded per (key, bin). Chains like [[mergeAggState]]. */
+  def mergeQuantileState(spark: SparkSession, dir: String, delta: DataFrame,
+                         keyCol: String, valCol: String): DataFrame = {
+    val meta = Dedup.readMeta(spark, dir)
+    require(meta.get("kind").contains("quantile_hist"),
+      s"$dir is not quantile-histogram state (kind=${meta.get("kind")})")
+    val (lo, hi, bins) = (meta("q_lo").toDouble, meta("q_hi").toDouble,
+      meta("q_bins").toInt)
+    val w = (hi - lo) / bins
+    spark.read.parquet(s"$dir/state")
+      .unionByName(delta
+        .groupBy(col(keyCol), binCol(col(valCol), lo, w, bins).as("bin"))
+        .agg(count(lit(1)).as("cnt")))
+      .groupBy(col(keyCol), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Interpolated quantiles from histogram state: per key and
+    * probability p, the continuous rank r = p·n lands in the first bin
+    * whose cumulative count reaches it; the estimate interpolates
+    * linearly inside that bin. Every step (bin cumsum window over ≤ bins
+    * rows per key, double arithmetic) is deterministic and
+    * engine-replayable. Returns (key, p, n, est). */
+  def estimateQuantiles(state: DataFrame, keyCol: String,
+                        probs: Seq[Double], lo: Double, hi: Double,
+                        bins: Int): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      s"estimateQuantiles: probs must be in (0,1), got $probs")
+    val w = (hi - lo) / bins
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy("bin")
+    val cum = state
+      .withColumn("cum", sum(col("cnt")).over(win))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keyCol)))
+    probs.map { p =>
+      cum.withColumn("r", lit(p) * col("n").cast("double"))
+        .filter(col("cum").cast("double") >= col("r") &&
+          (col("cum") - col("cnt")).cast("double") < col("r"))
+        .select(col(keyCol), lit(p).as("p"), col("n").cast("long").as("n"),
+          round(lit(lo) + lit(w) * (col("bin").cast("double") +
+            (col("r") - (col("cum") - col("cnt")).cast("double")) /
+              col("cnt").cast("double")), 6).as("est"))
+    }.reduce(_ unionByName _)
+  }
 
   /** Snapshot diff: classify every id in `prev` ∪ `next` as `added`
     * (only in next), `removed` (only in prev) or `changed` (in both

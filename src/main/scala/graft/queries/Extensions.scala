@@ -678,6 +678,26 @@ object Extensions {
             <= col("exact_custs").cast("double") * 0.05)
             .cast("int").as("within_5pct"))
     }),
+    // quantile maintenance gate — the triad's third leg: rank statistics
+    // refreshed from distributive per-(key, bin) histogram counts over a
+    // fixed domain. Unlike the sketch gates this one is HASH-EXACT (the
+    // estimate is a deterministic function of integer state), so the
+    // oracle replays binning + interpolation rather than pinning a
+    // tolerance.
+    "q_quantile_maintain" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val dir = graft.sources.Scratch.dir(
+        s"qhist_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Maintain.writeQuantileState(
+        o.filter(col("o_orderkey") % 10 =!= 0),
+        "o_orderstatus", "o_totalprice", dir, lo = 0.0, hi = 600000.0,
+        bins = 120)
+      val refreshed = graft.operators.Maintain.mergeQuantileState(s, dir,
+        o.filter(col("o_orderkey") % 10 === 0),
+        "o_orderstatus", "o_totalprice")
+      graft.operators.Maintain.estimateQuantiles(refreshed,
+        "o_orderstatus", Seq(0.5, 0.9), lo = 0.0, hi = 600000.0, bins = 120)
+    }),
     // q_agg_maintain's streaming twin: the SAME 10% delta arrives as a
     // 3-file stream (maxFilesPerTrigger=1 → three real micro-batches);
     // each batch's partials land in an ingest_batch partition and the
@@ -2470,6 +2490,29 @@ object Extensions {
              CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
              CAST(1 AS INT) AS within_5pct
       FROM orders GROUP BY o_orderstatus""",
+    // maintained histogram state ≡ one-shot binning; same clamped bin
+    // law, same continuous-rank interpolation, double-for-double
+    "q_quantile_maintain" -> """
+      WITH binned AS (
+        SELECT o_orderstatus AS k,
+               LEAST(119, GREATEST(0, CAST(FLOOR(
+                 (CAST(o_totalprice AS DOUBLE) - 0.0) / 5000.0) AS INT)))
+                 AS bin,
+               CAST(COUNT(1) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1, 2),
+      cum AS (
+        SELECT k, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY k) AS n
+        FROM binned),
+      ps AS (SELECT unnest([0.5, 0.9]) AS p)
+      SELECT k AS o_orderstatus, p, CAST(n AS BIGINT) AS n,
+             round(0.0 + 5000.0 * (CAST(bin AS DOUBLE) +
+               (p * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+                 / CAST(cnt AS DOUBLE)), 6) AS est
+      FROM cum, ps
+      WHERE CAST(cum AS DOUBLE) >= p * CAST(n AS DOUBLE)
+        AND CAST(cum - cnt AS DOUBLE) < p * CAST(n AS DOUBLE)""",
     // streaming fold over three micro-batches ≡ the same one-shot
     "stream_agg_maintain" -> """
       SELECT o_orderstatus, COUNT(1) AS cnt,

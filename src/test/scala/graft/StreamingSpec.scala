@@ -318,3 +318,73 @@ class DistinctMaintainSpec extends AnyFunSuite with SparkSpec {
     assert(once == twice, "idempotence: replayed delta moved the estimate")
   }
 }
+
+class QuantileMaintainSpec extends AnyFunSuite with SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.Maintain
+
+  test("histogram state: split-invariant fold, clamped domain, bin-width error bound") {
+    val dir = "/root/testdata/sf0.001"
+    val o = graft.sources.Tables.orders(spark, dir)
+    val (lo, hi, bins) = (0.0, 600000.0, 120)
+    def stateOf(splitMod: Int): Set[(String, Int, Long)] = {
+      val root = graft.sources.Scratch.dir(s"qh-law-$splitMod")
+      Maintain.writeQuantileState(
+        o.filter(col("o_orderkey") % splitMod =!= 0),
+        "o_orderstatus", "o_totalprice", root, lo, hi, bins)
+      Maintain.mergeQuantileState(spark, root,
+        o.filter(col("o_orderkey") % splitMod === 0),
+        "o_orderstatus", "o_totalprice")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    }
+    // bin-count addition is associative/commutative: any base/delta
+    // split folds to the IDENTICAL state (not merely close)
+    val s10 = stateOf(10)
+    assert(s10.nonEmpty && s10 == stateOf(3))
+    // and the folded state equals the one-shot binning of everything
+    val oneShotRoot = graft.sources.Scratch.dir("qh-law-oneshot")
+    Maintain.writeQuantileState(o, "o_orderstatus", "o_totalprice",
+      oneShotRoot, lo, hi, bins)
+    val oneShot = spark.read.parquet(s"$oneShotRoot/state")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(s10 == oneShot, "maintained state != one-shot state")
+    // estimates land within one bin width of the exact percentile
+    import spark.implicits._
+    val est = Maintain.estimateQuantiles(
+      spark.read.parquet(s"$oneShotRoot/state"), "o_orderstatus",
+      Seq(0.5, 0.9), lo, hi, bins)
+      .as[(String, Double, Long, Double)].collect()
+      .map { case (k, p, _, e) => (k, p) -> e }.toMap
+    val exact = o.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, array(0.5, 0.9))").as("q"))
+      .as[(String, Seq[Double])].collect()
+      .flatMap { case (k, qs) => Seq((k, 0.5) -> qs(0), (k, 0.9) -> qs(1)) }
+      .toMap
+    val w = (hi - lo) / bins
+    exact.foreach { case (kp, ex) =>
+      assert(math.abs(est(kp) - ex) <= w,
+        s"$kp: est ${est(kp)} vs exact $ex exceeds bin width $w")
+    }
+    // clamping: a delta entirely outside the domain folds into the edge
+    // bins instead of corrupting the bin math
+    val clampRoot = graft.sources.Scratch.dir("qh-law-clamp")
+    Maintain.writeQuantileState(o.limit(0), "o_orderstatus",
+      "o_totalprice", clampRoot, lo, hi, bins)
+    val wild = Seq(("X", -1e9), ("X", 1e9)).toDF("o_orderstatus", "o_totalprice")
+    val clamped = Maintain.mergeQuantileState(spark, clampRoot, wild,
+      "o_orderstatus", "o_totalprice")
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(clamped == Set((0, 1L), (bins - 1, 1L)),
+      s"out-of-domain values did not clamp to edge bins: $clamped")
+    // wrong-kind state dir refuses loudly
+    val mhRoot = graft.sources.Scratch.dir("qh-law-wrongkind")
+    graft.operators.Dedup.writeMinhashIndex(
+      graft.sources.Tables.documents(spark, dir).limit(10),
+      "doc_id", "text", mhRoot)
+    val ex2 = intercept[IllegalArgumentException] {
+      Maintain.mergeQuantileState(spark, mhRoot, o,
+        "o_orderstatus", "o_totalprice")
+    }
+    assert(ex2.getMessage.contains("quantile"))
+  }
+}
