@@ -151,17 +151,51 @@ object Maintain {
     * folded per (key, bin). Chains like [[mergeAggState]]. */
   def mergeQuantileState(spark: SparkSession, dir: String, delta: DataFrame,
                          keyCol: String, valCol: String): DataFrame = {
+    // partials first: its meta check turns a wrong-kind dir into a loud
+    // refusal instead of a missing-path read error
+    val deltaPartials =
+      quantileDeltaPartials(spark, dir, delta, keyCol, valCol)
+    spark.read.parquet(s"$dir/state")
+      .unionByName(deltaPartials)
+      .groupBy(col(keyCol), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** One delta's bin-count partials under the STORED domain — the
+    * per-micro-batch body of `StreamOps.maintainQuantileStream`, and the
+    * delta leg of [[mergeQuantileState]]. */
+  private[graft] def quantileDeltaPartials(spark: SparkSession, dir: String,
+                                           delta: DataFrame, keyCol: String,
+                                           valCol: String): DataFrame = {
     val meta = Dedup.readMeta(spark, dir)
     require(meta.get("kind").contains("quantile_hist"),
       s"$dir is not quantile-histogram state (kind=${meta.get("kind")})")
     val (lo, hi, bins) = (meta("q_lo").toDouble, meta("q_hi").toDouble,
       meta("q_bins").toInt)
     val w = (hi - lo) / bins
-    spark.read.parquet(s"$dir/state")
-      .unionByName(delta
-        .groupBy(col(keyCol), binCol(col(valCol), lo, w, bins).as("bin"))
-        .agg(count(lit(1)).as("cnt")))
-      .groupBy(col(keyCol), col("bin"))
+    delta.groupBy(col(keyCol), binCol(col(valCol), lo, w, bins).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Streaming-refresh read side, mirroring [[readAggRefreshed]]: base
+    * state ∪ every committed micro-batch's bin partials (written by
+    * `StreamOps.maintainQuantileStream` into `ingest_batch=<id>`
+    * overwrite partitions — replay rewrites identical partials, never
+    * double-folds), folded per (key, bin). */
+  def readQuantileRefreshed(spark: SparkSession, dir: String): DataFrame = {
+    val meta = Dedup.readMeta(spark, dir)
+    require(meta.get("kind").contains("quantile_hist"),
+      s"$dir is not quantile-histogram state (kind=${meta.get("kind")})")
+    val base = spark.read.parquet(s"$dir/state")
+    val batchesPath = new org.apache.hadoop.fs.Path(s"$dir/batches")
+    val fs = batchesPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val all =
+      if (fs.exists(batchesPath))
+        base.unionByName(
+          spark.read.parquet(s"$dir/batches").drop("ingest_batch"))
+      else base
+    all.groupBy(all.columns.filterNot(Set("cnt", "bin")).map(col) :+
+        col("bin"): _*)
       .agg(sum(col("cnt")).as("cnt"))
   }
 

@@ -698,6 +698,29 @@ object Extensions {
       graft.operators.Maintain.estimateQuantiles(refreshed,
         "o_orderstatus", Seq(0.5, 0.9), lo = 0.0, hi = 600000.0, bins = 120)
     }),
+    // q_quantile_maintain's streaming twin: the SAME 10% delta arrives
+    // as a 3-file stream; per-batch bin partials land in ingest_batch
+    // partitions and the read-side fold + interpolation must equal the
+    // one-shot binning (shared hash-exact oracle)
+    "stream_quantile_maintain" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val root = graft.sources.Scratch.dir(
+        s"qhs_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Maintain.writeQuantileState(
+        o.filter(col("o_orderkey") % 10 =!= 0),
+        "o_orderstatus", "o_totalprice", s"$root/hist",
+        lo = 0.0, hi = 600000.0, bins = 120)
+      o.filter(col("o_orderkey") % 10 === 0).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/delta")
+      val q = graft.streaming.StreamOps.maintainQuantileStream(
+        s.readStream.schema(o.schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/delta"),
+        "o_orderstatus", "o_totalprice", s"$root/hist", s"$root/ckpt")
+      q.stop()
+      graft.operators.Maintain.estimateQuantiles(
+        graft.operators.Maintain.readQuantileRefreshed(s, s"$root/hist"),
+        "o_orderstatus", Seq(0.5, 0.9), lo = 0.0, hi = 600000.0, bins = 120)
+    }),
     // q_agg_maintain's streaming twin: the SAME 10% delta arrives as a
     // 3-file stream (maxFilesPerTrigger=1 → three real micro-batches);
     // each batch's partials land in an ingest_batch partition and the
@@ -2015,6 +2038,32 @@ object Extensions {
       FROM v JOIN p ON v.user_id = p.user_id
        AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"""
 
+  /** Shared by `q_quantile_maintain` and `stream_quantile_maintain`:
+    * maintained (batch or streaming) histogram state must equal the
+    * one-shot binning of everything — same clamped bin law, same
+    * continuous-rank interpolation, double-for-double. */
+  private val quantileMaintainOracle: String = """
+      WITH binned AS (
+        SELECT o_orderstatus AS k,
+               LEAST(119, GREATEST(0, CAST(FLOOR(
+                 (CAST(o_totalprice AS DOUBLE) - 0.0) / 5000.0) AS INT)))
+                 AS bin,
+               CAST(COUNT(1) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1, 2),
+      cum AS (
+        SELECT k, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY k) AS n
+        FROM binned),
+      ps AS (SELECT unnest([0.5, 0.9]) AS p)
+      SELECT k AS o_orderstatus, p, CAST(n AS BIGINT) AS n,
+             round(0.0 + 5000.0 * (CAST(bin AS DOUBLE) +
+               (p * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+                 / CAST(cnt AS DOUBLE)), 6) AS est
+      FROM cum, ps
+      WHERE CAST(cum AS DOUBLE) >= p * CAST(n AS DOUBLE)
+        AND CAST(cum - cnt AS DOUBLE) < p * CAST(n AS DOUBLE)"""
+
   val oracles: Map[String, String] = Map(
     "q_attribution" -> attributionOracle,
     // tolerance oracle: DuckDB recomputes the exact distinct (integer —
@@ -2492,27 +2541,9 @@ object Extensions {
       FROM orders GROUP BY o_orderstatus""",
     // maintained histogram state ≡ one-shot binning; same clamped bin
     // law, same continuous-rank interpolation, double-for-double
-    "q_quantile_maintain" -> """
-      WITH binned AS (
-        SELECT o_orderstatus AS k,
-               LEAST(119, GREATEST(0, CAST(FLOOR(
-                 (CAST(o_totalprice AS DOUBLE) - 0.0) / 5000.0) AS INT)))
-                 AS bin,
-               CAST(COUNT(1) AS BIGINT) AS cnt
-        FROM orders GROUP BY 1, 2),
-      cum AS (
-        SELECT k, bin, cnt,
-               SUM(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum,
-               SUM(cnt) OVER (PARTITION BY k) AS n
-        FROM binned),
-      ps AS (SELECT unnest([0.5, 0.9]) AS p)
-      SELECT k AS o_orderstatus, p, CAST(n AS BIGINT) AS n,
-             round(0.0 + 5000.0 * (CAST(bin AS DOUBLE) +
-               (p * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
-                 / CAST(cnt AS DOUBLE)), 6) AS est
-      FROM cum, ps
-      WHERE CAST(cum AS DOUBLE) >= p * CAST(n AS DOUBLE)
-        AND CAST(cum - cnt AS DOUBLE) < p * CAST(n AS DOUBLE)""",
+    "q_quantile_maintain" -> quantileMaintainOracle,
+    // streaming bin-partial fold over three micro-batches ≡ one-shot
+    "stream_quantile_maintain" -> quantileMaintainOracle,
     // streaming fold over three micro-batches ≡ the same one-shot
     "stream_agg_maintain" -> """
       SELECT o_orderstatus, COUNT(1) AS cnt,

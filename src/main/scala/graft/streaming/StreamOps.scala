@@ -211,6 +211,29 @@ object StreamOps {
     q
   }
 
+  /** Quantile twin of [[maintainAggStream]]: each micro-batch's
+    * bin-count partials (binned under the state's STORED domain) land in
+    * their own `ingest_batch=<id>` overwrite partition; the read side
+    * (`Maintain.readQuantileRefreshed` → `estimateQuantiles`) folds base
+    * + batches. Same replay contract: a redelivered batch rewrites its
+    * partition with identical partials, so at-least-once delivery never
+    * double-folds. */
+  def maintainQuantileStream(delta: DataFrame, keyCol: String,
+                             valCol: String, stateDir: String,
+                             checkpointDir: String): StreamingQuery = {
+    val q = delta.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Maintain.quantileDeltaPartials(
+          batch.sparkSession, stateDir, batch, keyCol, valCol)
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/batches/ingest_batch=$batchId")
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Documents schema for the file-stream source (matches the testdata
     * parquet; file streams require an explicit schema). */
   val documentsSchema: StructType = StructType(Seq(

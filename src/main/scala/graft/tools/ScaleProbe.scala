@@ -254,7 +254,7 @@ object ScaleProbe {
     // snapshotDiff is different by design: its SCAN is linear in the
     // snapshots (ratio ≈ copies, reported per-copy) while its OUTPUT is
     // churn-bounded — both measured, same fixed churn at both scales.
-    def steadyMaintain(dir: String, tag: String): (Double, Double, Double, Long) = {
+    def steadyMaintain(dir: String, tag: String): (Double, Double, Double, Double, Long) = {
       val orders = spark.read.parquet(s"$dir/orders.parquet")
       val delta = spark.read.parquet(s"$base/orders.parquet").limit(1000)
         .withColumn("o_orderkey", col("o_orderkey") + 900000000L).persist()
@@ -277,6 +277,17 @@ object ScaleProbe {
         "o_orderstatus", "o_custkey")
         .write.format("noop").mode("overwrite").save()
       val tDst = (System.nanoTime() - t0) / 1e9
+      // quantile histogram state: same law — refresh folds |keys|×bins
+      // state rows + the fixed delta, corpus-independent
+      val qhDir = graft.sources.Scratch.dir(s"probe-maint-qh-$tag")
+      graft.operators.Maintain.writeQuantileState(orders, "o_orderstatus",
+        "o_totalprice", qhDir, lo = 0.0, hi = 600000.0, bins = 120)
+      System.gc()
+      t0 = System.nanoTime()
+      graft.operators.Maintain.mergeQuantileState(spark, qhDir, delta,
+        "o_orderstatus", "o_totalprice")
+        .write.format("noop").mode("overwrite").save()
+      val tQh = (System.nanoTime() - t0) / 1e9
       // fixed churn: mutate the payload of copy-0 keys < 600 only, so
       // the same ~600 rows change at every scale
       val next = orders.withColumn("o_orderpriority",
@@ -288,12 +299,13 @@ object ScaleProbe {
         .snapshotDiff(orders, next, "o_orderkey", "o_orderpriority").count()
       val tDiff = (System.nanoTime() - t0) / 1e9
       delta.unpersist()
-      (tAgg, tDst, tDiff, diffRows)
+      (tAgg, tDst, tQh, tDiff, diffRows)
     }
-    val (ma1, md1, sd1, dr1) = steadyMaintain(base, "1x")
-    val (maN, mdN, sdN, drN) = steadyMaintain(out, s"${copies}x")
+    val (ma1, md1, mq1, sd1, dr1) = steadyMaintain(base, "1x")
+    val (maN, mdN, mqN, sdN, drN) = steadyMaintain(out, s"${copies}x")
     println(f"[scaleprobe] maintain steady-state: agg $ma1%5.2fs->$maN%5.2fs " +
       f"ratio=${maN / ma1}%4.2f  distinct $md1%5.2fs->$mdN%5.2fs ratio=${mdN / md1}%4.2f  " +
+      f"quantile $mq1%5.2fs->$mqN%5.2fs ratio=${mqN / mq1}%4.2f  " +
       f"diff $sd1%5.2fs->$sdN%5.2fs perCopy=${sdN / sd1 / copies}%4.2f " +
       f"diffRows=$dr1->$drN")
     // index rebuild: honestly linear in index size (it re-cuts every
@@ -328,6 +340,7 @@ object ScaleProbe {
         f""""cand1":$sc1,"candN":$scN,"candRatio":${scN.toDouble / sc1}%.3f},""" +
         f""""maintain_steady":{"aggT1":$ma1%.3f,"aggTN":$maN%.3f,"aggRatio":${maN / ma1}%.3f,""" +
         f""""distinctT1":$md1%.3f,"distinctTN":$mdN%.3f,"distinctRatio":${mdN / md1}%.3f,""" +
+        f""""quantileT1":$mq1%.3f,"quantileTN":$mqN%.3f,"quantileRatio":${mqN / mq1}%.3f,""" +
         f""""diffT1":$sd1%.3f,"diffTN":$sdN%.3f,"diffPerCopy":${sdN / sd1 / copies}%.3f,""" +
         f""""diffRows1":$dr1,"diffRowsN":$drN},""" +
         f""""index_rebuild":{"t1":$rb1t%.3f,"tN":$rbNt%.3f,"perCopy":${rbNt / rb1t / copies}%.3f}}"""

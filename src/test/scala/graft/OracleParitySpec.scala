@@ -156,5 +156,7 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r13: shares sim_ivf's unrolled-kmeans CTE oracle
     "sim_ivf_persisted",
     // r13: list_transform/generate_series token CTEs (familiarity family)
-    "text_lm_score")
+    "text_lm_score",
+    // r13: unnest([...]) prob list in the shared quantile oracle
+    "q_quantile_maintain", "stream_quantile_maintain")
 }
