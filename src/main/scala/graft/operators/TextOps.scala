@@ -217,8 +217,13 @@ object TextOps {
     * aggregation per doc; nothing joins the corpus to itself. */
   def lmScore(train: DataFrame, target: DataFrame, id: String = "doc_id",
               text: String = "text"): DataFrame = {
+    // persisted: the unigram model feeds BOTH the |V| count and the
+    // attach join — without the persist the count action and the join
+    // each run the full scan+explode+aggregate (the keyTerms lesson:
+    // branch expression ids differ, so no exchange reuse saves you)
     val uni = train.select(explode(tokens(col(text))).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val v = uni.count() // |V|: one scalar to the driver — model-scale
     require(v > 0, "lmScore: training corpus has no tokens")
     val big = train.withColumn("__t", tokens(col(text)))
