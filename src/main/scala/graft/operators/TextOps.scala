@@ -413,4 +413,78 @@ object TextOps {
     * signal to split them — see `text_chunks`). */
   val LengthBucketBounds: Seq[Long] =
     Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L)
+
+  /** BM25 retrieval: top-k corpus documents per query, Okapi
+    * tf-saturation with a RATIONAL idf — the Robertson idf argument
+    * `(N − df + 0.5)/(df + 0.5)` kept in integer micro-units instead of
+    * its log (the [[keyTerms]]/[[TopK.TermTopKAgg]] rule: log is
+    * monotone, so per-term ordering is identical, and an external
+    * oracle replays every score bit-for-bit — `tf·ln(...)` cannot cross
+    * engines exactly). k1 = 1.2, b = 0.75 are folded into one exact
+    * integer division per (term, doc):
+    *
+    * {{{
+    * idf_micro  = (1e6 · (2(N−df)+1)) div (2·df+1)
+    * sat_micro  = (1e6 · tf · 22 · S) div (10·S·tf + 3·S + 9·dl·N)
+    * score      = Σ_terms (idf_micro · sat_micro) div 1e6
+    * }}}
+    *
+    * where N = corpus docs, S = total corpus tokens, dl = doc length —
+    * sat_micro is `tf(k1+1) / (tf + k1(1−b+b·dl/avgdl))` with avgdl
+    * = S/N multiplied through (×10S), so no intermediate rounding.
+    * All legs are positive, so Spark's truncating `div` and an ANSI
+    * engine's floor `//` agree.
+    *
+    * 100 TB shape: the postings build is ONE map-side-combined groupBy
+    * over the token explode, persisted spillable because it feeds both
+    * the df fold and the scoring join (the [[keyTerms]] branch-reuse
+    * lesson). (N, S) is a single aggregated row to the driver —
+    * model-scale, like [[lmScore]]'s |V|. df attaches term-keyed
+    * (colocated with the postings shuffle); the query-term table joins
+    * unhinted — query sets are usually tiny and broadcast under AQE,
+    * but nothing breaks if they shuffle. The per-query top-k runs
+    * through the bounded [[TopK.TopKAgg]] buffer: k rows per query per
+    * map partition cross the final shuffle, never the full scored
+    * (query × doc) table. Scores stay exact in the Double buffer up to
+    * 2^53 micro-units; past ~10⁹ docs shrink the 1e6 idf quantum one
+    * decade per 10× N.
+    *
+    * Returns (query_id, rk, doc_id, score_micro); queries with no
+    * matching term are absent. */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+               id: String = "doc_id", text: String = "text",
+               qid: String = "query_id", qtext: String = "query_text"): DataFrame = {
+    require(k > 0, s"bm25TopK: k must be positive, got $k")
+    val toks = corpus
+      .select(col(id).cast("long").as("doc_id"), tokens(col(text)).as("__t"))
+      .filter(size(col("__t")) > 0)
+      .withColumn("dl", size(col("__t")).cast("long"))
+    val postings = toks
+      .select(col("doc_id"), col("dl"), explode(col("__t")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val nDocs = stats.getLong(0)
+    require(nDocs > 0, "bm25TopK: corpus has no tokenized documents")
+    val sTok = stats.getLong(1)
+    val dft = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = queries
+      .select(col(qid).cast("long").as("query_id"),
+        explode(array_distinct(tokens(col(qtext)))).as("term"))
+    val scored = postings
+      .join(dft, Seq("term"))
+      .join(qterms, Seq("term"))
+      .withColumn("__idf", expr(
+        s"(cast(1000000 as bigint) * (2 * ($nDocs - df) + 1)) div (2 * df + 1)"))
+      .withColumn("__sat", expr(
+        s"(cast(1000000 as bigint) * tf * 22 * $sTok) div " +
+          s"(10 * cast($sTok as bigint) * tf + 3 * cast($sTok as bigint) + 9 * dl * $nDocs)"))
+      .withColumn("__sc", expr("(__idf * __sat) div cast(1000000 as bigint)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__sc")).as("score_micro"))
+    TopK.topKPerGroup(scored, "query_id", "doc_id", "score_micro", k)
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        col("score_micro").cast("long").as("score_micro"))
+  }
 }

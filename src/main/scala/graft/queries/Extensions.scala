@@ -146,6 +146,25 @@ object Extensions {
       TextOps.lmScore(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
     }),
+    // df-capped inverted index: the retrieval-side artifact (term →
+    // sorted postings), heavy-hitter terms kept as loud (term, df, NULL)
+    // accounting rows instead of corpus-sized reducer funnels
+    "text_index" -> ((s, d) =>
+      TextOps.invertedIndex(Tables.documents(s, d))),
+    // BM25 retrieval over the corpus's own postings: every 29th doc's
+    // 6-token prefix is a query, scored against the remaining corpus —
+    // rational-idf Okapi in integer micro-units (see TextOps.bm25TopK),
+    // top-5 per query through the bounded TopK buffer
+    "text_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.bm25TopK(
+        docs.filter(col("doc_id") % 29 =!= 0),
+        docs.filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+              .as("query_text")),
+        k = 5)
+    }),
     // learned-classifier INFERENCE shape (vs text_quality's hand
     // heuristics): unigram+bigram features hashed into a 2^18-bucket
     // weight table, logit = sum of weights — scan-only, zero shuffles,
@@ -271,6 +290,21 @@ object Extensions {
     "text_bpe_merges" -> ((s, d) =>
       graft.operators.Bpe.trainDf(Tables.documents(s, d), "text",
         bpeGateMerges)),
+    // the tokenizer's APPLY side: the trained merge table re-segments
+    // the distinct-word vocabulary — the artifact a serving encoder
+    // joins per-doc words against (vocab-bounded work, never a per-doc
+    // merge loop at corpus scale); one fold per merge, zero shuffles
+    // past the vocab build
+    "text_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.Bpe
+        .train(docs, "text", bpeGateMerges).map(m => (m.l, m.r))
+      graft.operators.Bpe
+        .segment(graft.operators.Bpe.wordFreqs(docs, "text"), merges)
+        .select(col("word"), col("f"),
+          size(col("seg")).cast("long").as("n_subwords"),
+          concat_ws(" ", col("seg")).as("seg_text"))
+    }),
 
     // ---- weighted (PPS) corpus sampling ----
     // deterministic inverse-CDF draw at md5 points over the two-phase
@@ -1878,7 +1912,9 @@ object Extensions {
        |         $pairCte.l || $pairCte.r
        |    ELSE acc || chr(31) || x END), chr(31)), s -> s <> '')""".stripMargin
 
-  private def duckBpeMerges(rounds: Int): String = {
+  // Shared trainer-unroll CTE chain: seg0 is the char-split vocabulary,
+  // each round k picks the argmax pair (p$k) and re-segments (seg$k).
+  private def duckBpeCtes(rounds: Int): String = {
     val ctes = Seq(
       """w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
         |       AS word FROM documents)""".stripMargin,
@@ -1896,10 +1932,20 @@ object Extensions {
           s"""seg$k AS (SELECT word, f, ${duckBpeReseg(s"p$k")} AS seg
              |  FROM seg${k - 1} CROSS JOIN p$k)""".stripMargin)
       }
-    "WITH " + ctes.mkString(",\n") + "\n" +
+    "WITH " + ctes.mkString(",\n") + "\n"
+  }
+
+  private def duckBpeMerges(rounds: Int): String =
+    duckBpeCtes(rounds) +
       (1 to rounds).map(k => s"SELECT $k AS rk, l, r, cnt FROM p$k")
         .mkString(" UNION ALL ")
-  }
+
+  // The apply-side artifact: the vocabulary AFTER all merge rounds —
+  // the same seg chain, read at its last generation.
+  private def duckBpeEncode(rounds: Int): String =
+    duckBpeCtes(rounds) +
+      s"""SELECT word, f, CAST(len(seg) AS BIGINT) AS n_subwords,
+         |  array_to_string(seg, ' ') AS seg_text FROM seg$rounds""".stripMargin
 
   // Morton interleave of two clamped BIGINT expressions — mirrors
   // ZOrderOps.interleave2 bit for bit (integer-only, so exact).
@@ -2234,6 +2280,52 @@ object Extensions {
       FROM pd LEFT JOIN big USING (bg)
               LEFT JOIN uni ON split_part(pd.bg, ' ', 1) = uni.w1
       GROUP BY pd.doc_id""",
+    // same presence cut, same 64-doc cap, same numeric postings order
+    "text_index" -> s"""
+      WITH pres AS (SELECT DISTINCT doc_id, term FROM (
+             SELECT doc_id, unnest($duckTokens) AS term FROM documents) z),
+      dft AS (SELECT term, CAST(COUNT(1) AS BIGINT) AS df,
+                     string_agg(CAST(doc_id AS VARCHAR), ','
+                                ORDER BY doc_id) AS p
+              FROM pres GROUP BY term)
+      SELECT term, df, CASE WHEN df <= 64 THEN p END AS postings
+      FROM dft""",
+    // same token cut, same 29-residue query split, same rational-idf
+    // micro-unit arithmetic — every division is integer, so the scores
+    // are replayed exactly, and the (score desc, doc_id) order is total
+    "text_bm25" -> s"""
+      WITH corpus AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+                      FROM (SELECT doc_id, $duckTokens AS t FROM documents
+                            WHERE doc_id % 29 <> 0) z
+                      WHERE len(t) > 0),
+      stats AS (SELECT CAST(COUNT(1) AS BIGINT) AS n,
+                       CAST(SUM(dl) AS BIGINT) AS s FROM corpus),
+      post AS (SELECT doc_id, term, CAST(COUNT(1) AS BIGINT) AS tf,
+                      MAX(dl) AS dl
+               FROM (SELECT doc_id, dl, unnest(t) AS term FROM corpus) z
+               GROUP BY doc_id, term),
+      dfreq AS (SELECT term, CAST(COUNT(1) AS BIGINT) AS df
+                FROM post GROUP BY term),
+      q AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:6])) AS term
+            FROM (SELECT doc_id, $duckTokens AS t FROM documents
+                  WHERE doc_id % 29 = 0) z),
+      sc AS (SELECT q.query_id, post.doc_id,
+               CAST(SUM(
+                 ((CAST(1000000 AS BIGINT)
+                   * (2 * ((SELECT n FROM stats) - df) + 1))
+                  // (2 * df + 1))
+                 * ((CAST(1000000 AS BIGINT) * tf * 22 * (SELECT s FROM stats))
+                    // (10 * (SELECT s FROM stats) * tf
+                       + 3 * (SELECT s FROM stats)
+                       + 9 * dl * (SELECT n FROM stats)))
+                 // CAST(1000000 AS BIGINT)) AS BIGINT) AS score_micro
+             FROM post JOIN dfreq USING (term) JOIN q USING (term)
+             GROUP BY q.query_id, post.doc_id)
+      SELECT query_id, CAST(rk AS INT) AS rk, doc_id, score_micro FROM (
+        SELECT query_id, doc_id, score_micro,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score_micro DESC, doc_id ASC) AS rk
+        FROM sc) r WHERE rk <= 5""",
     "dedup_exact" -> """
       SELECT md5(text) AS text_hash, COUNT(1) AS n_copies, MIN(doc_id) AS keeper
       FROM documents GROUP BY 1 HAVING COUNT(1) > 1""",
@@ -2726,6 +2818,7 @@ object Extensions {
     // the trainer's merge table: the oracle unrolls the same greedy
     // argmax-merge rounds over the distinct-word table
     "text_bpe_merges" -> duckBpeMerges(bpeGateMerges),
+    "text_bpe_encode" -> duckBpeEncode(bpeGateMerges),
     // round trip preserves content and the z-key is recomputed exactly
     // (integer shift/mask arithmetic both sides)
     "q_zorder" -> s"""

@@ -460,6 +460,60 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("null/non-numeric"))
   }
 
+  test("invertedIndex: sorted postings, df-capped terms stay as accounting rows") {
+    // 'a' in 3 docs (over cap 2 → NULL postings), 'b' in docs 1,3, 'c' in doc 2
+    val docs = Seq((3L, "a b"), (1L, "a b b"), (2L, "a c"))
+      .toDF("doc_id", "text")
+    val out = TextOps.invertedIndex(docs, dfCap = 2)
+      .as[(String, Long, Option[String])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out == Map(
+      "a" -> ((3L, None)), // over cap: df kept, postings not paid for
+      "b" -> ((2L, Some("1,3"))), // numeric order, repeated tokens deduped
+      "c" -> ((1L, Some("2")))))
+  }
+
+  test("bm25TopK: plain-Scala replay of the rational-idf formula, " +
+    "tie-break + bounded partial agg") {
+    // corpus: doc 1 "a b c", doc 2 "a a d", doc 3 "e f"; query "a d z"
+    // (z is OOV — must not score); N=3, S=8
+    val corpus = Seq((1L, "a b c"), (2L, "a a d"), (3L, "e f"))
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, "a d z")).toDF("query_id", "query_text")
+    val out = TextOps.bm25TopK(corpus, queries, k = 5)
+    val got = out.orderBy("query_id", "rk")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    // independent replay of the documented integer formula
+    val (n, s) = (3L, 8L)
+    def idf(df: Long) = (1000000L * (2 * (n - df) + 1)) / (2 * df + 1)
+    def sat(tf: Long, dl: Long) =
+      (1000000L * tf * 22 * s) / (10 * s * tf + 3 * s + 9 * dl * n)
+    val d1 = idf(2) * sat(1, 3) / 1000000L // 'a' in doc 1
+    val d2 = idf(2) * sat(2, 3) / 1000000L + // 'a' in doc 2
+      idf(1) * sat(1, 3) / 1000000L // 'd' in doc 2
+    assert(got == Seq((100L, 1, 2L, d2), (100L, 2, 1L, d1)),
+      s"bm25 scores diverged from the formula replay: $got")
+    assert(d2 > d1, "the doc matching the rarer term must rank first")
+    // equal-score tie breaks on doc_id asc: identical twin docs
+    val twins = Seq((7L, "x y"), (5L, "x y")).toDF("doc_id", "text")
+    val q2 = Seq((1L, "x")).toDF("query_id", "query_text")
+    val tied = TextOps.bm25TopK(twins, q2, k = 2)
+      .orderBy("rk").as[(Long, Int, Long, Long)].collect().toSeq
+    assert(tied.map(t => (t._2, t._3)) == Seq((1, 5L), (2, 7L)))
+    assert(tied(0)._4 == tied(1)._4, "twin docs must score identically")
+    // the per-query reduction is the bounded typed aggregator with
+    // PARTIAL aggregation — k rows per query per map partition cross
+    // the final shuffle, no window sorts the scored (query × doc) table
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial"),
+      "bm25TopK must reduce via the partial bounded aggregator")
+    assert(!plan.contains("Window"), "bm25TopK must not plan a window sort")
+    val empty = intercept[IllegalArgumentException] {
+      TextOps.bm25TopK(Seq((1L, " ")).toDF("doc_id", "text"), q2)
+    }
+    assert(empty.getMessage.contains("no tokenized documents"))
+  }
+
   test("bigram familiarity: hand-computed conditional frequencies") {
     // corpus: "a b", "a b", "a c", "z" →
     //   bigram counts: c("a b")=2, c("a c")=1; prefix c("a ·")=3
