@@ -436,10 +436,12 @@ object TextOps {
     * engine's floor `//` agree.
     *
     * 100 TB shape: the postings build is ONE map-side-combined groupBy
-    * over the token explode, persisted spillable because it feeds both
-    * the df fold and the scoring join (the [[keyTerms]] branch-reuse
-    * lesson). (N, S) is a single aggregated row to the driver —
-    * model-scale, like [[lmScore]]'s |V|. df attaches term-keyed
+    * over the token explode, persisted spillable because it feeds the
+    * df fold, the (N, S) stats, and the scoring join (the [[keyTerms]]
+    * branch-reuse lesson) — the corpus is scanned and tokenized exactly
+    * once. (N, S) is a single aggregated row off the persisted postings
+    * (N = distinct doc, S = Σtf) to the driver — model-scale, like
+    * [[lmScore]]'s |V|. df attaches term-keyed
     * (colocated with the postings shuffle); the query-term table joins
     * unhinted — query sets are usually tiny and broadcast under AQE,
     * but nothing breaks if they shuffle. The per-query top-k runs
@@ -464,7 +466,13 @@ object TextOps {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stats = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    // stats off the PERSISTED postings (materializes the cache), not a
+    // second tokenize pass over the raw corpus: one doc-keyed fold
+    // (map-side combined, no count-distinct Expand) gives N = docs and
+    // S = Σ dl = total tokens
+    val stats = postings.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+      .head()
     val nDocs = stats.getLong(0)
     require(nDocs > 0, "bm25TopK: corpus has no tokenized documents")
     val sTok = stats.getLong(1)
