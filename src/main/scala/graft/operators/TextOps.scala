@@ -451,12 +451,40 @@ object TextOps {
     * 2^53 micro-units; past ~10⁹ docs shrink the 1e6 idf quantum one
     * decade per 10× N.
     *
+    * The scored stream is the linear-growth term: |matches| =
+    * Σ_queries Σ_terms df(term). Exhaustive BM25 pays it by definition;
+    * `maxDfFrac` < 1 drops terms present in more than that fraction of
+    * the corpus from SCORING — the standard stopword-pruning trade
+    * (those terms carry the least idf weight and the most volume).
+    * Default 1.0 = exact BM25; the knob changes semantics, so it is a
+    * caller decision, never silent.
+    *
     * Returns (query_id, rk, doc_id, score_micro); queries with no
     * matching term are absent. */
   def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
                id: String = "doc_id", text: String = "text",
-               qid: String = "query_id", qtext: String = "query_text"): DataFrame = {
+               qid: String = "query_id", qtext: String = "query_text",
+               maxDfFrac: Double = 1.0): DataFrame = {
     require(k > 0, s"bm25TopK: k must be positive, got $k")
+    val scored = bm25TermScores(corpus, queries, id, text, qid, qtext,
+      maxDfFrac)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__sc")).as("score_micro"))
+    TopK.topKPerGroup(scored, "query_id", "doc_id", "score_micro", k)
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        col("score_micro").cast("long").as("score_micro"))
+  }
+
+  /** [[bm25TopK]]'s term-level match stream — one row per (query, term,
+    * matching doc) with the per-term micro-unit score `__sc`. Exposed
+    * for the scale probe: this stream's row count IS the operator's
+    * growth law. */
+  private[graft] def bm25TermScores(corpus: DataFrame, queries: DataFrame,
+                                    id: String, text: String, qid: String,
+                                    qtext: String,
+                                    maxDfFrac: Double): DataFrame = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"bm25TopK: maxDfFrac must be in (0, 1], got $maxDfFrac")
     val toks = corpus
       .select(col(id).cast("long").as("doc_id"), tokens(col(text)).as("__t"))
       .filter(size(col("__t")) > 0)
@@ -477,11 +505,14 @@ object TextOps {
     require(nDocs > 0, "bm25TopK: corpus has no tokenized documents")
     val sTok = stats.getLong(1)
     val dft = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val kept =
+      if (maxDfFrac >= 1.0) dft
+      else dft.filter(col("df") <= lit(math.ceil(maxDfFrac * nDocs).toLong))
     val qterms = queries
       .select(col(qid).cast("long").as("query_id"),
         explode(array_distinct(tokens(col(qtext)))).as("term"))
-    val scored = postings
-      .join(dft, Seq("term"))
+    postings
+      .join(kept, Seq("term"))
       .join(qterms, Seq("term"))
       .withColumn("__idf", expr(
         s"(cast(1000000 as bigint) * (2 * ($nDocs - df) + 1)) div (2 * df + 1)"))
@@ -489,10 +520,5 @@ object TextOps {
         s"(cast(1000000 as bigint) * tf * 22 * $sTok) div " +
           s"(10 * cast($sTok as bigint) * tf + 3 * cast($sTok as bigint) + 9 * dl * $nDocs)"))
       .withColumn("__sc", expr("(__idf * __sat) div cast(1000000 as bigint)"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("__sc")).as("score_micro"))
-    TopK.topKPerGroup(scored, "query_id", "doc_id", "score_micro", k)
-      .select(col("query_id"), col("rk"), col("doc_id"),
-        col("score_micro").cast("long").as("score_micro"))
   }
 }

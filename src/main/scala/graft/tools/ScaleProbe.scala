@@ -100,10 +100,30 @@ object ScaleProbe {
     // copies, the content-disjoint rotation grows the vocabulary
     // ~linearly, so the two model tables and the attach joins must
     // track the scan like text_keyterms' (post-persist-fix) shape
-    "text_lm_score" -> graft.SparkEntry.queries("text_lm_score"))
+    "text_lm_score" -> graft.SparkEntry.queries("text_lm_score"),
+    // r13: BM25 retrieval — rotated copies grow the vocabulary AND the
+    // query set ~linearly (the % 29 split lands on a shifted residue
+    // per copy since 1e9 % 29 = 18, and content-disjoint text keeps
+    // each query's matches inside its own copy), so postings, df
+    // attach, query join, and the bounded per-query top-k must all
+    // track the scan
+    "text_bm25" -> graft.SparkEntry.queries("text_bm25"),
+    // df-capped inverted index: postings grow linearly and per-term df
+    // stays within-copy, so no reducer outgrows the cap
+    "text_index" -> graft.SparkEntry.queries("text_index"),
+    // tokenizer train + apply: every merge round's pair space is
+    // bounded by the evolving symbol vocabulary; the distinct-word
+    // table grows ~linearly under rotation, so the per-round folds and
+    // the final re-segmentation must track the vocab scan
+    "text_bpe_encode" -> graft.SparkEntry.queries("text_bpe_encode"))
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(5)
+    // optional 2nd arg: comma-separated probe-row filter (local spot
+    // runs of newly added rows); filtered runs print per-query ratios
+    // only and skip the specialty sections + JSON artifact
+    val only: Set[String] =
+      if (args.length > 1) args(1).split(",").toSet else Set.empty
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -131,11 +151,12 @@ object ScaleProbe {
     // masquerade as growth
     time(base, "q1_agg"); time(out, "q1_agg")
 
-    val rows = probed.map { name =>
+    def keep(n: String): Boolean = only.isEmpty || only(n)
+    val rows = probed.filter(keep).map { name =>
       val t1 = time(base, name)
       val tN = time(out, name)
       (name, t1, tN, tN / t1)
-    } ++ dedupProbed.map { case (name, q) =>
+    } ++ dedupProbed.filter(p => keep(p._1)).map { case (name, q) =>
       val t1 = timed(base, name, q)
       val tN = timed(out, name, q)
       (name, t1, tN, tN / t1)
@@ -144,6 +165,32 @@ object ScaleProbe {
     rows.foreach { case (n, t1, tN, r) =>
       println(f"[scaleprobe] $n%-22s t1=$t1%6.2fs t${copies}x=$tN%6.2fs ratio=$r%5.2f perCopy=${r / copies}%4.2f")
     }
+    // BM25's direct growth signal: the term-level match stream
+    // |Σ_q Σ_t df(t)| — exhaustive BM25's cost by definition. Rotated
+    // copies keep df within-copy while queries grow with copies, so the
+    // law is perCopy ≈ 1 (linear matches); super-copy growth here would
+    // mean cross-copy term leakage or a df stage gone quadratic.
+    val (bm1, bmN) =
+      if (!keep("text_bm25")) (0L, 0L)
+      else {
+        def bm25Matches(dir: String): Long = {
+          val docs = graft.sources.Tables.documents(spark, dir)
+          graft.operators.TextOps.bm25TermScores(
+            docs.filter(col("doc_id") % 29 =!= 0),
+            docs.filter(col("doc_id") % 29 === 0)
+              .select(col("doc_id").as("query_id"),
+                concat_ws(" ", slice(
+                  graft.operators.TextOps.tokens(col("text")), 1, 6))
+                  .as("query_text")),
+            "doc_id", "text", "query_id", "query_text", 1.0).count()
+        }
+        val b1 = bm25Matches(base)
+        val bN = bm25Matches(out)
+        println(f"[scaleprobe] bm25 term matches: $b1 -> $bN " +
+          f"ratio=${bN.toDouble / b1}%5.2f perCopy=${bN.toDouble / b1 / copies}%4.2f")
+        (b1, bN)
+      }
+    if (only.nonEmpty) { spark.stop(); return }
     // the banded blocking's direct linearity signal: CANDIDATE counts at
     // 1x and Nx under auto rowBits — time ratios fold in fixed overheads,
     // the candidate stream is the thing that must not go quadratic
@@ -343,7 +390,8 @@ object ScaleProbe {
         f""""quantileT1":$mq1%.3f,"quantileTN":$mqN%.3f,"quantileRatio":${mqN / mq1}%.3f,""" +
         f""""diffT1":$sd1%.3f,"diffTN":$sdN%.3f,"diffPerCopy":${sdN / sd1 / copies}%.3f,""" +
         f""""diffRows1":$dr1,"diffRowsN":$drN},""" +
-        f""""index_rebuild":{"t1":$rb1t%.3f,"tN":$rbNt%.3f,"perCopy":${rbNt / rb1t / copies}%.3f}}"""
+        f""""index_rebuild":{"t1":$rb1t%.3f,"tN":$rbNt%.3f,"perCopy":${rbNt / rb1t / copies}%.3f},""" +
+        f""""bm25_matches":{"c1":$bm1,"cN":$bmN,"perCopy":${bmN.toDouble / bm1 / copies}%.3f}}"""
     println(json)
     // tracked artifact (VERDICT r7 #3): the driver snapshots
     // PROBE_r{N}.json like BENCH/CORRECTNESS so ratio regressions diff

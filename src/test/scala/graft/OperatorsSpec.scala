@@ -514,6 +514,29 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(empty.getMessage.contains("no tokenized documents"))
   }
 
+  test("bm25TopK maxDfFrac: pruning a common term == querying without it") {
+    // 'a' is in 3 of 4 docs (df frac 0.75); maxDfFrac = 0.5 must drop it
+    // from SCORING only — corpus stats (N, S, df of kept terms) are
+    // untouched, so the result equals the un-pruned run of the query
+    // with 'a' removed
+    val corpus = Seq((1L, "a b"), (2L, "a c"), (3L, "a d"), (4L, "e f"))
+      .toDF("doc_id", "text")
+    val pruned = TextOps.bm25TopK(corpus,
+        Seq((1L, "a b")).toDF("query_id", "query_text"), k = 4,
+        maxDfFrac = 0.5)
+      .orderBy("rk").as[(Long, Int, Long, Long)].collect().toSeq
+    val withoutTerm = TextOps.bm25TopK(corpus,
+        Seq((1L, "b")).toDF("query_id", "query_text"), k = 4)
+      .orderBy("rk").as[(Long, Int, Long, Long)].collect().toSeq
+    assert(pruned == withoutTerm && pruned.map(_._3) == Seq(1L),
+      s"pruned=$pruned withoutTerm=$withoutTerm")
+    val bad = intercept[IllegalArgumentException] {
+      TextOps.bm25TopK(corpus,
+        Seq((1L, "b")).toDF("query_id", "query_text"), maxDfFrac = 0.0)
+    }
+    assert(bad.getMessage.contains("maxDfFrac"))
+  }
+
   test("bigram familiarity: hand-computed conditional frequencies") {
     // corpus: "a b", "a b", "a c", "z" →
     //   bigram counts: c("a b")=2, c("a c")=1; prefix c("a ·")=3
