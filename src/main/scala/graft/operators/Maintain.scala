@@ -228,6 +228,53 @@ object Maintain {
     }.reduce(_ unionByName _)
   }
 
+  /** Top-k maintenance — the fourth leg (count/sum, HLL distinct,
+    * histogram quantiles, and now ranked leaderboards). Under
+    * APPEND-ONLY deltas, per-group top-k is exactly maintainable from
+    * k-bounded state: every row of topk(base ∪ delta) is either already
+    * in topk(base) or arrives in the delta (a base row outside the old
+    * top-k can never re-enter — appends only push scores UP the
+    * leaderboard). So the state is just the current top-k rows per
+    * group (≤ |groups| × k rows, corpus-independent), the refresh scans
+    * state + delta only, and the result is EXACT, not approximate —
+    * hash-gated against the one-shot recompute. Deletions void the
+    * argument (a removed leader exposes row k+1, which the state no
+    * longer holds); that is a documented contract, enforced nowhere
+    * cheaper than here. */
+  def writeTopKState(df: DataFrame, keyCol: String, idCol: String,
+                     scoreCol: String, k: Int, dir: String): Unit = {
+    require(k >= 1, s"writeTopKState: k must be >= 1, got $k")
+    TopK.topKPerGroup(df.select(col(keyCol), col(idCol), col(scoreCol)),
+        keyCol, idCol, scoreCol, k)
+      .drop("rk")
+      .write.mode("overwrite").parquet(s"$dir/state")
+    Dedup.writeMeta(df.sparkSession, dir, Map(
+      "kind" -> "topk", "topk_k" -> k.toString))
+  }
+
+  /** Refreshed leaderboard = topk(stored top-k rows ∪ delta rows) per
+    * group, through the same bounded [[TopK.TopKAgg]] buffer — only k
+    * rows per group per map partition cross the shuffle, and the union
+    * input is |state| + |delta|, never the base. Chains: fold delta 1,
+    * write, fold delta 2 ≡ one-shot over base ∪ both (set union is
+    * associative and the top-k of a union depends only on the operands'
+    * top-k's). Returns (key, id, score, rk) in the gate's total order
+    * (score desc, id asc). */
+  def mergeTopKState(spark: SparkSession, dir: String, delta: DataFrame,
+                     keyCol: String, idCol: String,
+                     scoreCol: String): DataFrame = {
+    val meta = Dedup.readMeta(spark, dir)
+    require(meta.get("kind").contains("topk"),
+      s"$dir is not top-k state (kind=${meta.get("kind")})")
+    val k = meta("topk_k").toInt
+    val state = spark.read.parquet(s"$dir/state")
+    TopK.topKPerGroup(
+      state.unionByName(
+        delta.select(col(keyCol), col(idCol),
+          col(scoreCol).cast("double").as(scoreCol))),
+      keyCol, idCol, scoreCol, k)
+  }
+
   /** Snapshot diff: classify every id in `prev` ∪ `next` as `added`
     * (only in next), `removed` (only in prev) or `changed` (in both
     * with different payload hash); unchanged rows are DROPPED — the

@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed PCA over an embedding column — the standard
+  * dimensionality-reduction step in front of ANN indexing and
+  * clustering (centering + decorrelation makes sign-LSH planes and IVF
+  * cells markedly better behaved on anisotropic embedding clouds).
+  *
+  * The 100 TB shape: PCA of d-dimensional vectors needs exactly TWO
+  * corpus statistics — the per-dimension first moments and the d×d
+  * second-moment (Gram) matrix — both distributive aggregations whose
+  * result size is d²-bounded, corpus-independent. So the plan is: one
+  * scan folding d(d+1)/2 upper-triangle products per row into a hash
+  * aggregate keyed by (i, j) (map-side combine collapses every
+  * partition to ≤ d² rows — the exploded products never cross the
+  * shuffle), a driver-side Jacobi eigensolve of the d×d covariance
+  * (microseconds for d ≤ a few hundred — the `.collect()` here is
+  * d²-bounded, never corpus-bounded), and a scan-only projection of
+  * the corpus through the resulting literal weight matrix (zero
+  * shuffles, codegen'd `zip_with`/`aggregate` arithmetic).
+  *
+  * Exactness contract: elements are quantized to integer micro-units
+  * (floor(x·10⁶ + 0.5) — the [[graft.functions.QuantExprs]] rounding,
+  * which an external SQL engine replays exactly), so moments and Gram
+  * sums are INTEGER sums — associative, fold-order-free, hash-gateable.
+  * The eigensolve consumes doubles derived from those exact integers;
+  * its outputs are gated by PCA's defining identities (orthonormality,
+  * eigen-residual, the Rayleigh variance law) rather than by value
+  * replay, since no external oracle carries an eigensolver. */
+object Pca {
+
+  /** Micro-unit quantization of a float/double array column:
+    * floor(x·10⁶ + 0.5) per element, as longs. */
+  private def microVec(vecCol: Column): Column =
+    transform(vecCol,
+      x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+
+  /** Upper-triangle second-moment sums: one row per 0 ≤ i ≤ j < d with
+    * n = corpus rows and sp = Σ_rows q_i·q_j (DECIMAL(38,0) — exact at
+    * any corpus size; the per-row products are ≤ ~10¹² for unit-scale
+    * embeddings, so the DECIMAL fold never sees a lossy double). The
+    * d²/2 exploded products per row collapse in the map-side hash
+    * aggregate (≤ d(d+1)/2 keys); only d²-bounded partials shuffle. */
+  def gram(df: DataFrame, vecCol: String): DataFrame =
+    df.select(microVec(col(vecCol)).as("__q"))
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(__q) - 1), i -> " +
+          "transform(sequence(i, size(__q) - 1), j -> " +
+          "named_struct('i', i, 'j', j, " +
+          "'p', element_at(__q, i + 1) * element_at(__q, j + 1)))))"))
+        .as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p").cast(DecimalType(38, 0))).as("sp"))
+
+  /** Per-dimension first moments: (i, n, s) with s = Σ q_i exact. */
+  def moments(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(microVec(col(vecCol))).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("s"))
+
+  /** Fitted model: `components(k)(i)` is the i-th coordinate of the
+    * k-th principal axis (rows orthonormal, eigenvalues descending,
+    * sign fixed so each axis's largest-|coordinate| entry is positive —
+    * a deterministic convention, since eigenvectors are sign-free). */
+  final case class PcaModel(dim: Int, n: Long, mean: Array[Double],
+                            eigenvalues: Array[Double],
+                            components: Array[Array[Double]],
+                            totalVariance: Double)
+
+  /** The exact integer sufficient statistics, collected: n, per-dim
+    * sums S_i, and the full symmetric products matrix P_ij — ONE driver
+    * round-trip of d² + d bounded rows (model-scale, like the centroid
+    * collects; never corpus-scale). */
+  final case class Stats(n: Long, s: Array[BigInt], p: Array[Array[BigInt]]) {
+    def dim: Int = s.length
+  }
+
+  def collectStats(df: DataFrame, vecCol: String): Stats = {
+    val gRows = gram(df, vecCol).collect()
+    require(gRows.nonEmpty, "Pca.collectStats: empty corpus")
+    val mRows = moments(df, vecCol).collect()
+    val dim = mRows.map(_.getInt(0)).max + 1
+    val n = mRows.head.getLong(1)
+    val s = Array.ofDim[BigInt](dim)
+    mRows.foreach(row => s(row.getInt(0)) = BigInt(row.getDecimal(2).toBigInteger))
+    val p = Array.ofDim[BigInt](dim, dim)
+    gRows.foreach { row =>
+      val (i, j) = (row.getInt(0), row.getInt(1))
+      val v = BigInt(row.getDecimal(3).toBigInteger)
+      p(i)(j) = v; p(j)(i) = v
+    }
+    Stats(n, s, p)
+  }
+
+  /** Exact integer numerator of the covariance trace:
+    * Σ_i (n·P_ii − S_i²) — the scalar that pins the distributed stats
+    * in an external oracle (trace = this / (n·(n−1)·10¹²)). */
+  def traceNumerator(stats: Stats): BigInt = {
+    val nB = BigInt(stats.n)
+    (0 until stats.dim)
+      .map(i => nB * stats.p(i)(i) - stats.s(i) * stats.s(i)).sum
+  }
+
+  /** Fit PCA from the exact integer statistics: covariance
+    * cov_ij = (n·P_ij − S_i·S_j) / (n·(n−1)) in micro² units, scaled
+    * back by 10⁻¹². Driver work and driver data are d²-bounded. */
+  def fit(df: DataFrame, vecCol: String, r: Int): PcaModel =
+    fitFromStats(collectStats(df, vecCol), r)
+
+  def fitFromStats(stats: Stats, r: Int): PcaModel = {
+    val dim = stats.dim
+    require(r >= 1 && r <= dim, s"Pca.fit: need 1 <= r <= $dim, got $r")
+    val n = stats.n
+    require(n >= 2, s"Pca.fit: need at least 2 rows, got $n")
+    val s = stats.s
+    val p = stats.p
+    val nB = BigInt(n)
+    val denom = (nB * (nB - 1)).toDouble * 1e12
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      (nB * p(i)(j) - s(i) * s(j)).toDouble / denom
+    }
+    val mean = Array.tabulate(dim)(i => s(i).toDouble / (n * 1e6))
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    val order = eigVals.indices.sortBy(k => -eigVals(k))
+    val topVals = order.take(r).map(eigVals).toArray
+    val topVecs = order.take(r).map { k =>
+      val v = Array.tabulate(dim)(i => eigVecs(i)(k))
+      // deterministic sign: largest-|coordinate| entry positive
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(pivot) < 0) v.map(-_) else v
+    }.toArray
+    PcaModel(dim, n, mean, topVals, topVecs, eigVals.sum)
+  }
+
+  /** Cyclic Jacobi eigensolve of a symmetric matrix: deterministic
+    * sweep order, rotations until the off-diagonal Frobenius mass
+    * falls below 1e-14 × trace-scale (≤ ~12 sweeps for d = 64 — d³
+    * driver flops, corpus-independent). Returns (eigenvalues,
+    * column-eigenvector matrix). Public-domain textbook algorithm
+    * (Golub & Van Loan §8.5). */
+  private[operators] def jacobiEigen(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val scale = math.max(1e-300, a.indices.map(i => math.abs(a(i)(i))).max)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-14 * scale && sweep < 50) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off = math.max(off, math.abs(apq))
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case sgn => sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sN = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - sN * akq
+              a(k)(q) = sN * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - sN * aqk
+              a(q)(k) = sN * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - sN * vkq
+              v(k)(q) = sN * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Scan-only projection: out_k = Σ_i V_k,i · (x_i − μ_i). The model
+    * enters the plan as LITERAL arrays (broadcast-free — it rides the
+    * serialized plan), centering is one `zip_with`, each component one
+    * codegen'd fold; no shuffle, no UDF. */
+  def project(df: DataFrame, model: PcaModel, vecCol: String,
+              outCol: String = "pca"): DataFrame = {
+    val muLit = array(model.mean.map(lit): _*)
+    val centered = zip_with(col(vecCol).cast("array<double>"), muLit,
+      (x, mu) => x - mu)
+    val comps = model.components.map { w =>
+      val wLit = array(w.map(lit): _*)
+      aggregate(zip_with(centered, wLit, (x, c) => x * c),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    df.withColumn(outCol, array(comps: _*))
+  }
+}

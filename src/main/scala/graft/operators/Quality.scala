@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint auditing — the dbt-test /
+  * Deequ-shaped "is this table still sane" pass a warehouse runs after
+  * every load. The reference pipeline's only integrity mechanism is the
+  * sink DDL (`dags/queries/ddl_orders_tbl.sql:4` PRIMARY KEY; NOT NULL
+  * is absent) — violations there surface as load-time Postgres errors.
+  * At 100 TB the audit must instead be a QUERY: scan once, count every
+  * violation class, emit a bounded report (one row per constraint).
+  *
+  * Scale design:
+  *   - All ROW-LOCAL checks against the same table (not-null, range,
+  *     accepted-values, regex) fold into ONE conditional-sum aggregate
+  *     — one scan per table regardless of how many checks it carries,
+  *     zero joins, full partial aggregation (the report is |checks|
+  *     rows; nothing corpus-sized moves).
+  *   - Uniqueness is one hash-groupBy on the key: violations = rows
+  *     beyond the first per key = n - distinct(n), computed as a
+  *     two-column aggregate over the grouped counts.
+  *   - Referential integrity is a left-anti join of the child's foreign
+  *     keys against the parent's primary keys — the parent side reduces
+  *     to DISTINCT keys first (dimension-bounded), so Spark broadcasts
+  *     it and the check never shuffles the fact table.
+  */
+object Quality {
+
+  /** One row-local predicate check: `violated` must be a deterministic
+    * row predicate that is TRUE when the row VIOLATES the constraint
+    * (null-safe: evaluate to true/false, never null). */
+  final case class RowCheck(name: String, violated: Column)
+
+  private val reportCols = Seq("constraint_name", "violations")
+
+  /** All row-local checks for one table in a single scan: each check
+    * contributes `sum(violated ? 1 : 0)`; the wide one-row aggregate is
+    * then unpivoted to (constraint_name, violations) via `stack` — a
+    * |checks|-row result, driver-safe by construction. */
+  def rowChecks(df: DataFrame, checks: Seq[RowCheck]): DataFrame = {
+    require(checks.nonEmpty, "rowChecks: need at least one check")
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"rowChecks: duplicate check names in ${checks.map(_.name)}")
+    val aggs = checks.map(c =>
+      sum(when(coalesce(c.violated, lit(true)), 1L).otherwise(0L))
+        .as(c.name))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = checks.map(c => s"'${c.name}', `${c.name}`")
+      .mkString(", ")
+    wide.selectExpr(
+      s"stack(${checks.size}, $stackArgs) AS (constraint_name, violations)")
+  }
+
+  /** Standard row-local constraint builders (violation predicates). */
+  def notNull(colName: String): RowCheck =
+    RowCheck(s"not_null:$colName", col(colName).isNull)
+
+  def acceptedValues(colName: String, values: Seq[String]): RowCheck =
+    RowCheck(s"accepted_values:$colName",
+      !col(colName).isin(values.map(lit): _*) || col(colName).isNull)
+
+  def inRange(colName: String, lo: Double, hi: Double): RowCheck =
+    RowCheck(s"in_range:$colName",
+      col(colName).isNull ||
+        col(colName).cast("double") < lo || col(colName).cast("double") > hi)
+
+  def matchesRegex(colName: String, pattern: String): RowCheck =
+    RowCheck(s"matches_regex:$colName",
+      col(colName).isNull || !col(colName).rlike(pattern))
+
+  /** Uniqueness: violations = rows in excess of one per key value
+    * (NULL keys are counted as violations outright — SQL UNIQUE ignores
+    * them, but a warehouse key audit wants them loud). One groupBy on
+    * the key (partial-agg combines per partition) plus a bins-bounded
+    * second fold. */
+  def unique(df: DataFrame, colName: String): DataFrame = {
+    val perKey = df.groupBy(col(colName).as("__k"))
+      .agg(count(lit(1)).as("__n"))
+    perKey.agg(
+      (sum(when(col("__k").isNotNull, col("__n") - 1).otherwise(col("__n"))))
+        .as("violations"))
+      .select(lit(s"unique:$colName").as("constraint_name"),
+        coalesce(col("violations"), lit(0L)).as("violations"))
+  }
+
+  /** Referential integrity: child rows whose `fkCol` has no match in
+    * the parent's `pkCol` (NULL foreign keys violate — same loud-audit
+    * stance as [[unique]]). Parent reduces to distinct keys before the
+    * anti-join, so the small side is dimension-cardinality-bounded and
+    * broadcast-eligible. */
+  def refIntegrity(child: DataFrame, fkCol: String,
+                   parent: DataFrame, pkCol: String): DataFrame = {
+    val pk = parent.select(col(pkCol).as("__pk")).distinct()
+    child.select(col(fkCol).as("__fk"))
+      .join(broadcast(pk), col("__fk") === col("__pk"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(s"ref_integrity:$fkCol->$pkCol").as("constraint_name"),
+        col("violations"))
+  }
+
+  /** Assemble a full audit report: union of per-family reports, ordered
+    * by constraint name for a stable, bounded (|checks| rows) result. */
+  def report(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "report: need at least one part")
+    parts.map(_.select(reportCols.map(col): _*))
+      .reduce(_ unionByName _)
+      .orderBy("constraint_name")
+  }
+}

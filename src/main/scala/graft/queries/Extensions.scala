@@ -165,6 +165,29 @@ object Extensions {
               .as("query_text")),
         k = 5)
     }),
+    // hybrid retrieval: RRF fusion of the two retrieval families this
+    // engine serves — the BM25 term leg and the embedding-cosine dense
+    // leg — rank-only arithmetic in integer micro-units (10⁶ div
+    // (60 + rank)), so the fused board replays bit-for-bit. Each leg
+    // fetches its top-20 per query through its own bounded buffer;
+    // fusion then moves ≤ 40 rows per query at ANY corpus size.
+    "retrieval_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val queries = docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+            .as("query_text"))
+      val bmLeg = TextOps.bm25TopK(
+        docs.filter(col("doc_id") % 29 =!= 0), queries, k = 20)
+        .select("query_id", "doc_id", "rk")
+      val annLeg = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 29 =!= 0),
+        emb.filter(col("vec_id") % 29 === 0), 20)
+        .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
+          col("rk"))
+      graft.operators.Retrieval.rrfFuse(Seq(bmLeg, annLeg), k = 10)
+    }),
     // learned-classifier INFERENCE shape (vs text_quality's hand
     // heuristics): unigram+bigram features hashed into a 2^18-bucket
     // weight table, logit = sum of weights — scan-only, zero shuffles,
@@ -779,6 +802,49 @@ object Extensions {
         .select(col("o_orderstatus"), col("cnt"),
           col("total").cast("double").as("total"))
     }),
+    // top-k maintenance gate — the Maintain family's fourth leg: the
+    // per-status price leaderboard persists as its own top-10 rows
+    // (k-bounded state), the held-out 10% folds in WITHOUT touching the
+    // base, and the refreshed board must equal the one-shot top-10 over
+    // everything — EXACT under append-only deltas (a base row outside
+    // the old top-k can never re-enter), so the gate is hash-exact.
+    "q_topk_maintain" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val dir = graft.sources.Scratch.dir(
+        s"topkst_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Maintain.writeTopKState(
+        o.filter(col("o_orderkey") % 10 =!= 0),
+        "o_orderstatus", "o_orderkey", "o_totalprice", 10, dir)
+      graft.operators.Maintain.mergeTopKState(s, dir,
+        o.filter(col("o_orderkey") % 10 === 0),
+        "o_orderstatus", "o_orderkey", "o_totalprice")
+    }),
+    // declarative constraint audit (dbt-test/Deequ shape): ALL row-local
+    // checks per table fold into ONE conditional-sum scan, uniqueness is
+    // a groupBy on the key, referential integrity a broadcast anti-join
+    // against the parent's distinct keys — the report is |checks| rows
+    // at any corpus size. The accepted-values and range rows are chosen
+    // to produce REAL nonzero counts on this data (status 'P' exists;
+    // l_discount runs to 0.10), so the gate exercises violation
+    // arithmetic, not just zeros.
+    "q_quality_audit" -> ((s, d) => {
+      import graft.operators.Quality
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val c = Tables.customer(s, d)
+      Quality.report(Seq(
+        Quality.rowChecks(o, Seq(
+          Quality.notNull("o_custkey"),
+          Quality.acceptedValues("o_orderstatus", Seq("O", "F")),
+          Quality.inRange("o_totalprice", 0.0, 600000.0))),
+        Quality.rowChecks(l, Seq(
+          Quality.inRange("l_discount", 0.0, 0.05),
+          Quality.inRange("l_quantity", 1.0, 50.0))),
+        Quality.rowChecks(c, Seq(
+          Quality.matchesRegex("c_name", "^Customer#[0-9]+$"))),
+        Quality.unique(o, "o_orderkey"),
+        Quality.refIntegrity(o, "o_custkey", c, "c_custkey")))
+    }),
     // churn-bounded snapshot diff gate: next = prev minus every 97th
     // order, every 89th repriced, every 83rd re-added under a shifted
     // key — classify added/removed/changed, drop unchanged. Output is
@@ -992,6 +1058,15 @@ object Extensions {
     }),
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text")),
+    // LOSSLESS exact similarity self-join (AllPairs/PPJoin prefix
+    // filtering): every pair with shingle-Jaccard ≥ 6/10 survives — no
+    // df cap, no bands, provably complete recall (the property the
+    // heuristic dedup candidates trade away). Integer threshold
+    // arithmetic end-to-end, so the oracle replays the identical
+    // prefix cut and verify.
+    "q_simjoin_prefix" -> ((s, d) =>
+      graft.operators.SimJoin.prefixJaccardJoin(
+        Tables.documents(s, d), "doc_id", "text", 6, 10)),
     // exact-substring criterion (token-level suffix-array semantics):
     // pairs sharing ANY verbatim run of >= substringWindow tokens —
     // deterministic recall for long verbatim overlap, no threshold
@@ -1028,6 +1103,51 @@ object Extensions {
     // are a deterministic md5 draw through the bounded top-k aggregator
     "q_diversity_sample" -> ((s, d) =>
       Similarity.clusterBalancedSample(Tables.embeddings(s, d), 100)),
+    // distributed PCA, leg 1 — the d²-bounded sufficient statistics:
+    // upper-triangle integer Gram sums over micro-quantized elements
+    // (floor(x·10⁶ + 0.5), the QuantExprs rounding) — exact integer
+    // arithmetic, so the corpus-side heavy lifting hash-replays. The
+    // gate casts the DECIMAL sums to BIGINT (safe to ~10⁷ rows at this
+    // value scale; the operator itself stays DECIMAL for beyond).
+    "q_pca_gram" -> ((s, d) =>
+      graft.operators.Pca.gram(Tables.embeddings(s, d), "embedding")
+        .select(col("i"), col("j"), col("n"),
+          col("sp").cast("long").as("sp"))),
+    // distributed PCA, leg 2 — fit (driver Jacobi on the d×d covariance
+    // from the SAME exact integer stats) + scan-only projection. No
+    // external engine carries an eigensolver, so the driver-side math
+    // is gated by PCA's defining identities as literal verdicts, while
+    // trace_num pins the distributed stats to the exact integer the
+    // oracle recomputes: per component k, Σ_rows proj_k² must equal
+    // (n−1)·λ_k (the Rayleigh variance law), the component rows must be
+    // orthonormal, and eigenvalues must arrive non-increasing.
+    "q_pca_project" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val stats = graft.operators.Pca.collectStats(e, "embedding")
+      val model = graft.operators.Pca.fitFromStats(stats, 8)
+      val traceNum = graft.operators.Pca.traceNumerator(stats)
+      val orthoOk = {
+        val v = model.components
+        val worst = (for (a <- v.indices; b <- v.indices) yield {
+          val dot = v(a).zip(v(b)).map { case (x, y) => x * y }.sum
+          math.abs(dot - (if (a == b) 1.0 else 0.0))
+        }).max
+        worst <= 1e-8
+      }
+      val descOk = model.eigenvalues.sliding(2)
+        .forall(w => w.length < 2 || w(0) >= w(1) - 1e-12)
+      val lamLit = array(model.eigenvalues.map(lit): _*)
+      graft.operators.Pca.project(e, model, "embedding", "pca")
+        .select(posexplode(col("pca")).as(Seq("comp", "v")))
+        .groupBy("comp").agg(sum(col("v") * col("v")).as("ss"))
+        .select(col("comp"),
+          lit(traceNum.longValue).as("trace_num"),
+          (abs(col("ss") / (model.n - 1.0)
+            - element_at(lamLit, col("comp") + 1))
+            <= lit(1e-4 * model.totalVariance)).cast("int").as("var_ok"),
+          lit(if (orthoOk) 1 else 0).as("ortho_ok"),
+          lit(if (descOk) 1 else 0).as("desc_ok"))
+    }),
     "q_join_asof_fast" -> ((s, d) => {
       // same semantics (and oracle) as q_join_asof, via the packed
       // binary-search as-of operator instead of join + window top-1
@@ -2326,6 +2446,66 @@ object Extensions {
                ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY score_micro DESC, doc_id ASC) AS rk
         FROM sc) r WHERE rk <= 5""",
+    // both legs replayed at fetch-20 (the bm25 micro-unit arithmetic and
+    // the rounded-cosine rank are the text_bm25 / sim_topk oracles'),
+    // fused by the same integer RRF formula, cut to 10
+    "retrieval_rrf" -> s"""
+      WITH corpus AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+                      FROM (SELECT doc_id, $duckTokens AS t FROM documents
+                            WHERE doc_id % 29 <> 0) z
+                      WHERE len(t) > 0),
+      stats AS (SELECT CAST(COUNT(1) AS BIGINT) AS n,
+                       CAST(SUM(dl) AS BIGINT) AS s FROM corpus),
+      post AS (SELECT doc_id, term, CAST(COUNT(1) AS BIGINT) AS tf,
+                      MAX(dl) AS dl
+               FROM (SELECT doc_id, dl, unnest(t) AS term FROM corpus) z
+               GROUP BY doc_id, term),
+      dfreq AS (SELECT term, CAST(COUNT(1) AS BIGINT) AS df
+                FROM post GROUP BY term),
+      q AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:6])) AS term
+            FROM (SELECT doc_id, $duckTokens AS t FROM documents
+                  WHERE doc_id % 29 = 0) z),
+      sc AS (SELECT q.query_id, post.doc_id,
+               CAST(SUM(
+                 ((CAST(1000000 AS BIGINT)
+                   * (2 * ((SELECT n FROM stats) - df) + 1))
+                  // (2 * df + 1))
+                 * ((CAST(1000000 AS BIGINT) * tf * 22 * (SELECT s FROM stats))
+                    // (10 * (SELECT s FROM stats) * tf
+                       + 3 * (SELECT s FROM stats)
+                       + 9 * dl * (SELECT n FROM stats)))
+                 // CAST(1000000 AS BIGINT)) AS BIGINT) AS score_micro
+             FROM post JOIN dfreq USING (term) JOIN q USING (term)
+             GROUP BY q.query_id, post.doc_id),
+      bm AS (SELECT query_id, doc_id, rk FROM (
+               SELECT query_id, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score_micro DESC, doc_id ASC) AS rk
+               FROM sc) r WHERE rk <= 20),
+      eq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+             WHERE vec_id % 29 = 0),
+      esc AS (SELECT qid, vec_id, ${duckCos("qv", "embedding")} AS sim
+              FROM embeddings CROSS JOIN eq WHERE vec_id % 29 <> 0),
+      el AS (SELECT qid AS query_id, vec_id AS doc_id, rk FROM (
+               SELECT qid, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, vec_id ASC) AS rk
+               FROM esc) r WHERE rk <= 20),
+      u AS (SELECT query_id, doc_id,
+                   CAST(1000000 AS BIGINT) // (60 + CAST(rk AS BIGINT)) AS c
+            FROM bm
+            UNION ALL
+            SELECT query_id, doc_id,
+                   CAST(1000000 AS BIGINT) // (60 + CAST(rk AS BIGINT))
+            FROM el),
+      f AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro
+            FROM u GROUP BY query_id, doc_id)
+      SELECT query_id, doc_id, rrf_micro, CAST(rk AS INT) AS rk
+      FROM (SELECT query_id, doc_id, rrf_micro,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rrf_micro DESC, doc_id ASC) AS rk
+            FROM f) t
+      WHERE rk <= 10""",
     "dedup_exact" -> """
       SELECT md5(text) AS text_hash, COUNT(1) AS n_copies, MIN(doc_id) AS keeper
       FROM documents GROUP BY 1 HAVING COUNT(1) > 1""",
@@ -2641,6 +2821,62 @@ object Extensions {
       SELECT o_orderstatus, COUNT(1) AS cnt,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY o_orderstatus""",
+    // one-shot top-10 per status over everything ≡ state + delta fold;
+    // same total order (score desc, id asc) as the bounded TopK buffer
+    "q_topk_maintain" -> """
+      SELECT o_orderstatus, o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             CAST(rk AS INT) AS rk
+      FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders) t
+      WHERE rk <= 10""",
+    // every constraint recomputed as its defining count; names must
+    // match the Quality builders' labels byte-for-byte
+    "q_quality_audit" -> """
+      SELECT constraint_name, violations FROM (
+        SELECT 'not_null:o_custkey' AS constraint_name,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS violations FROM orders
+        UNION ALL
+        SELECT 'accepted_values:o_orderstatus',
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                          OR o_orderstatus NOT IN ('O', 'F')
+                        THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'in_range:o_totalprice',
+               CAST(SUM(CASE WHEN o_totalprice IS NULL
+                          OR o_totalprice < 0 OR o_totalprice > 600000
+                        THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'in_range:l_discount',
+               CAST(SUM(CASE WHEN l_discount IS NULL
+                          OR l_discount < 0 OR l_discount > 0.05
+                        THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'in_range:l_quantity',
+               CAST(SUM(CASE WHEN l_quantity IS NULL
+                          OR l_quantity < 1 OR l_quantity > 50
+                        THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'matches_regex:c_name',
+               CAST(SUM(CASE WHEN c_name IS NULL
+                          OR NOT regexp_matches(c_name, '^Customer#[0-9]+$')
+                        THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+        UNION ALL
+        SELECT 'unique:o_orderkey',
+               COALESCE(CAST(SUM(CASE WHEN k IS NOT NULL THEN n - 1
+                                      ELSE n END) AS BIGINT), 0)
+        FROM (SELECT o_orderkey AS k, COUNT(1) AS n
+              FROM orders GROUP BY o_orderkey) g
+        UNION ALL
+        SELECT 'ref_integrity:o_custkey->c_custkey',
+               CAST(COUNT(1) AS BIGINT)
+        FROM orders o
+        WHERE o.o_custkey IS NULL OR NOT EXISTS (
+          SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      ) r ORDER BY constraint_name""",
     // value-equality classification of the same deterministic churn
     "q_snapshot_diff" -> """
       WITH prev AS (
@@ -2683,6 +2919,34 @@ object Extensions {
       WHERE round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
                   least(len(a.hs), len(b.hs)), 6) >= 0.8""",
     "text_rolling_fp" -> rollingFpOracle,
+    // identical global order (df asc, hash asc), identical integer
+    // prefix length ⌈6·sz/10⌉ arithmetic, identical verify — the
+    // lossless-join theorem means both engines compute ALL qualifying
+    // pairs, so the gate is hash-exact with no tolerance
+    "q_simjoin_prefix" -> s"""
+      WITH $shingleCtes,
+      u AS (SELECT doc_id, unnest(hs) AS h FROM hsx),
+      dft AS (SELECT h, CAST(COUNT(1) AS BIGINT) AS df FROM u GROUP BY h),
+      srt AS (SELECT u.doc_id, list(u.h ORDER BY dft.df ASC, u.h ASC) AS st,
+                     CAST(COUNT(1) AS BIGINT) AS sz
+              FROM u JOIN dft USING (h) GROUP BY u.doc_id),
+      pref AS (SELECT doc_id, sz,
+                      unnest(st[1:CAST(sz - ((6 * sz + 9) // 10) + 1
+                                       AS BIGINT)]) AS h
+               FROM srt),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM pref a JOIN pref b
+                 ON a.h = b.h AND a.doc_id < b.doc_id
+               WHERE GREATEST(a.sz, b.sz) * 6 <= LEAST(a.sz, b.sz) * 10),
+      ver AS (SELECT doc_a, doc_b,
+                     CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS inter,
+                     CAST(len(x.hs) + len(y.hs)
+                          - len(list_intersect(x.hs, y.hs)) AS BIGINT) AS un
+              FROM cand JOIN hsx x ON x.doc_id = doc_a
+                        JOIN hsx y ON y.doc_id = doc_b)
+      SELECT doc_a, doc_b, inter, un,
+             round(CAST(inter AS DOUBLE) / un, 6) AS jaccard
+      FROM ver WHERE inter * 10 >= un * 6""",
     "sim_ivf" -> ivfOracle,
     // stored-index probe must equal the fresh-train probe bit-for-bit
     "sim_ivf_persisted" -> ivfOracle,
@@ -2715,6 +2979,43 @@ object Extensions {
         UNION
         SELECT e.src, l.lbl FROM edges e JOIN lab l ON e.dst = l.id)
       SELECT id AS doc_id, MIN(lbl) AS cluster FROM lab GROUP BY id""",
+    // same micro quantization (floor(x·10⁶ + 0.5)), same upper
+    // triangle, integer sums replayed exactly
+    "q_pca_gram" -> """
+      WITH q AS (SELECT list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS qv
+                 FROM embeddings),
+      e AS (SELECT ii.i AS i, jj.j AS j,
+                   qv[CAST(ii.i AS INT) + 1] * qv[CAST(jj.j AS INT) + 1] AS p
+            FROM q,
+                 LATERAL unnest(generate_series(0, len(qv) - 1)) AS ii(i),
+                 LATERAL unnest(generate_series(0, len(qv) - 1)) AS jj(j)
+            WHERE jj.j >= ii.i)
+      SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             CAST(COUNT(1) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS sp
+      FROM e GROUP BY i, j""",
+    // the distributed stats pinned via the exact integer trace
+    // numerator Σ_i (n·P_ii − S_i²); the driver eigensolve's outputs
+    // are gated by PCA's defining identities — literal-verdict TRUEs
+    // the Spark side must EARN (Rayleigh variance law per component,
+    // orthonormal axes, non-increasing spectrum)
+    "q_pca_project" -> """
+      WITH q AS (SELECT list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS qv
+                 FROM embeddings),
+      d1 AS (SELECT ii.i AS i, qv[CAST(ii.i AS INT) + 1] AS x
+             FROM q,
+                  LATERAL unnest(generate_series(0, len(qv) - 1)) AS ii(i)),
+      agg AS (SELECT i, CAST(COUNT(1) AS BIGINT) AS n,
+                     SUM(x) AS s, SUM(x * x) AS p
+              FROM d1 GROUP BY i),
+      tn AS (SELECT CAST(SUM(n * p - s * s) AS BIGINT) AS trace_num
+             FROM agg)
+      SELECT CAST(g.comp AS INT) AS comp, tn.trace_num,
+             1 AS var_ok, 1 AS ortho_ok, 1 AS desc_ok
+      FROM generate_series(0, 7) AS g(comp), tn""",
     "sim_topk" -> s"""
       WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
       scored AS (SELECT qid, vec_id, ${duckCos("qv", "embedding")} AS sim

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Maintain, Quality}
+
+/** Top-k maintenance laws: under append-only deltas the k-bounded state
+  * refreshes EXACTLY — merge(state, delta) ≡ one-shot top-k, refreshes
+  * chain, and a wrong-kind state dir is refused loudly. */
+class TopKMaintainSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def board(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Double, Int)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+      r.getInt(3))).toSeq.sortBy(t => (t._1, t._4))
+
+  test("merge(state, delta) equals the one-shot top-k over everything") {
+    val o = graft.sources.Tables.orders(spark, dir)
+    val root = graft.sources.Scratch.dir("topk-maint-law")
+    Maintain.writeTopKState(o.filter(col("o_orderkey") % 10 =!= 0),
+      "o_orderstatus", "o_orderkey", "o_totalprice", 10, root)
+    val merged = Maintain.mergeTopKState(spark, root,
+      o.filter(col("o_orderkey") % 10 === 0),
+      "o_orderstatus", "o_orderkey", "o_totalprice")
+    val oneShot = graft.operators.TopK.topKPerGroup(
+      o.select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice")),
+      "o_orderstatus", "o_orderkey", "o_totalprice", 10)
+    assert(board(merged) == board(oneShot))
+  }
+
+  test("refreshes chain: fold delta1, rewrite, fold delta2 ≡ one-shot") {
+    val o = graft.sources.Tables.orders(spark, dir)
+    val root = graft.sources.Scratch.dir("topk-maint-chain")
+    Maintain.writeTopKState(o.filter(col("o_orderkey") % 3 === 0),
+      "o_orderstatus", "o_orderkey", "o_totalprice", 5, root)
+    val after1 = Maintain.mergeTopKState(spark, root,
+      o.filter(col("o_orderkey") % 3 === 1),
+      "o_orderstatus", "o_orderkey", "o_totalprice")
+    // persist the refreshed board as the new state (what a daily
+    // refresh job does), then fold the second delta
+    after1.drop("rk").write.mode("overwrite").parquet(s"$root/state")
+    val after2 = Maintain.mergeTopKState(spark, root,
+      o.filter(col("o_orderkey") % 3 === 2),
+      "o_orderstatus", "o_orderkey", "o_totalprice")
+    val oneShot = graft.operators.TopK.topKPerGroup(
+      o.select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice")),
+      "o_orderstatus", "o_orderkey", "o_totalprice", 5)
+    assert(board(after2) == board(oneShot))
+  }
+
+  test("wrong-kind state dir is refused loudly") {
+    val o = graft.sources.Tables.orders(spark, dir)
+    val root = graft.sources.Scratch.dir("topk-maint-wrongkind")
+    Maintain.writeQuantileState(o, "o_orderstatus", "o_totalprice",
+      root, lo = 0.0, hi = 600000.0, bins = 8)
+    val e = intercept[IllegalArgumentException] {
+      Maintain.mergeTopKState(spark, root, o.limit(1),
+        "o_orderstatus", "o_orderkey", "o_totalprice")
+    }
+    assert(e.getMessage.contains("not top-k state"))
+  }
+}
+
+/** Constraint-audit arithmetic on a crafted table with KNOWN violation
+  * counts of every class — nulls, out-of-range, rejected values,
+  * regex misses, duplicate keys, orphan and null foreign keys. */
+class QualityAuditSpec extends AnyFunSuite with SparkSpec {
+
+  test("every violation class counts exactly") {
+    import spark.implicits._
+    val child = Seq(
+      (1L, Option(10L), Option("O"), 5.0, "ok_1"),
+      (2L, Option(10L), Option("F"), -1.0, "ok_2"),   // range violation
+      (2L, Option(20L), Option("X"), 3.0, "bad name"), // dup key + rejected value + regex
+      (3L, None, Option("O"), 2.0, "ok_3"),           // null fk
+      (4L, Option(99L), None, 11.0, "ok_4")           // orphan fk + null status + range
+    ).toDF("id", "fk", "status", "v", "name")
+    val parent = Seq(10L, 20L).toDF("pk")
+
+    val rep = Quality.report(Seq(
+      Quality.rowChecks(child, Seq(
+        Quality.notNull("status"),
+        Quality.acceptedValues("status", Seq("O", "F")),
+        Quality.inRange("v", 0.0, 10.0),
+        Quality.matchesRegex("name", "^ok_[0-9]$"))),
+      Quality.unique(child, "id"),
+      Quality.refIntegrity(child, "fk", parent, "pk")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    assert(rep == Map(
+      "not_null:status" -> 1L,
+      "accepted_values:status" -> 2L, // 'X' plus the NULL
+      "in_range:v" -> 2L,             // -1.0 and 11.0
+      "matches_regex:name" -> 1L,
+      "unique:id" -> 1L,              // one extra row on id=2
+      "ref_integrity:fk->pk" -> 2L))  // null fk + orphan 99
+  }
+
+  test("all-clean table reports zeros, not missing rows") {
+    import spark.implicits._
+    val clean = Seq((1L, "A"), (2L, "B")).toDF("id", "tag")
+    val rep = Quality.report(Seq(
+      Quality.rowChecks(clean, Seq(Quality.notNull("tag"))),
+      Quality.unique(clean, "id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("not_null:tag" -> 0L, "unique:id" -> 0L))
+  }
+}

@@ -158,5 +158,14 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r13: list_transform/generate_series token CTEs (familiarity family)
     "text_lm_score",
     // r13: unnest([...]) prob list in the shared quantile oracle
-    "q_quantile_maintain", "stream_quantile_maintain")
+    "q_quantile_maintain", "stream_quantile_maintain",
+    // r13: `//` integer division + list CTEs in the retrieval family
+    // (BM25 micro-unit arithmetic; the RRF oracle embeds both legs)
+    "text_index", "text_bm25", "text_bpe_encode", "retrieval_rrf",
+    // r13: list_transform micro quantization + LATERAL unnest (PCA)
+    "q_pca_gram", "q_pca_project",
+    // r13: list CTEs + `//` prefix-length arithmetic (lossless simjoin)
+    "q_simjoin_prefix",
+    // r13: regexp_matches in the constraint-audit oracle
+    "q_quality_audit")
 }
