@@ -275,6 +275,44 @@ object Maintain {
       keyCol, idCol, scoreCol, k)
   }
 
+  /** One delta's k-bounded leaderboard partials under the STORED k —
+    * the per-micro-batch body of `StreamOps.maintainTopKStream`. Top-k
+    * of a union depends only on the operands' top-k's, so a batch's
+    * top-k rows ARE its mergeable partial (≤ |groups| × k rows). */
+  private[graft] def topKDeltaPartials(spark: SparkSession, dir: String,
+                                       delta: DataFrame, keyCol: String,
+                                       idCol: String,
+                                       scoreCol: String): DataFrame = {
+    val meta = Dedup.readMeta(spark, dir)
+    require(meta.get("kind").contains("topk"),
+      s"$dir is not top-k state (kind=${meta.get("kind")})")
+    TopK.topKPerGroup(
+      delta.select(col(keyCol), col(idCol), col(scoreCol)),
+      keyCol, idCol, scoreCol, meta("topk_k").toInt).drop("rk")
+  }
+
+  /** Streaming-refresh read side, mirroring [[readAggRefreshed]] /
+    * [[readQuantileRefreshed]]: base top-k state ∪ every committed
+    * micro-batch's top-k partials (each an `ingest_batch=<id>`
+    * overwrite partition — replay rewrites identical rows, never
+    * double-counts), re-cut to k per group. The fold input is
+    * |state| + Σ|batch partials| rows, every term k-bounded. */
+  def readTopKRefreshed(spark: SparkSession, dir: String, keyCol: String,
+                        idCol: String, scoreCol: String): DataFrame = {
+    val meta = Dedup.readMeta(spark, dir)
+    require(meta.get("kind").contains("topk"),
+      s"$dir is not top-k state (kind=${meta.get("kind")})")
+    val base = spark.read.parquet(s"$dir/state")
+    val batchesPath = new org.apache.hadoop.fs.Path(s"$dir/batches")
+    val fs = batchesPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val all =
+      if (fs.exists(batchesPath))
+        base.unionByName(
+          spark.read.parquet(s"$dir/batches").drop("ingest_batch"))
+      else base
+    TopK.topKPerGroup(all, keyCol, idCol, scoreCol, meta("topk_k").toInt)
+  }
+
   /** Snapshot diff: classify every id in `prev` ∪ `next` as `added`
     * (only in next), `removed` (only in prev) or `changed` (in both
     * with different payload hash); unchanged rows are DROPPED — the

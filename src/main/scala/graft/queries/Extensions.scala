@@ -802,6 +802,28 @@ object Extensions {
         .select(col("o_orderstatus"), col("cnt"),
           col("total").cast("double").as("total"))
     }),
+    // q_topk_maintain's streaming twin: the SAME 10% delta arrives as a
+    // 3-file stream; each micro-batch's k-bounded leaderboard partials
+    // land in an ingest_batch partition and the read-side re-cut must
+    // STILL equal the one-shot top-10 (shared oracle) — streaming ≡
+    // batch ≡ DuckDB for the whole maintenance family.
+    "stream_topk_maintain" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val root = graft.sources.Scratch.dir(
+        s"tkms_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Maintain.writeTopKState(
+        o.filter(col("o_orderkey") % 10 =!= 0),
+        "o_orderstatus", "o_orderkey", "o_totalprice", 10, root)
+      o.filter(col("o_orderkey") % 10 === 0).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/delta")
+      val q = graft.streaming.StreamOps.maintainTopKStream(
+        s.readStream.schema(o.schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/delta"),
+        "o_orderstatus", "o_orderkey", "o_totalprice", root, s"$root/ckpt")
+      q.stop()
+      graft.operators.Maintain.readTopKRefreshed(s, root,
+        "o_orderstatus", "o_orderkey", "o_totalprice")
+    }),
     // top-k maintenance gate — the Maintain family's fourth leg: the
     // per-status price leaderboard persists as its own top-10 rows
     // (k-bounded state), the held-out 10% folds in WITHOUT touching the
@@ -2821,6 +2843,17 @@ object Extensions {
       SELECT o_orderstatus, COUNT(1) AS cnt,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY o_orderstatus""",
+    // streaming partial fold over three micro-batches ≡ the same
+    // one-shot top-10 (shares q_topk_maintain's oracle text below)
+    "stream_topk_maintain" -> """
+      SELECT o_orderstatus, o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             CAST(rk AS INT) AS rk
+      FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders) t
+      WHERE rk <= 10""",
     // one-shot top-10 per status over everything ≡ state + delta fold;
     // same total order (score desc, id asc) as the bounded TopK buffer
     "q_topk_maintain" -> """

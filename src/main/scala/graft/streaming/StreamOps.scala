@@ -234,6 +234,29 @@ object StreamOps {
     q
   }
 
+  /** Top-k twin of [[maintainAggStream]]: each micro-batch's k-bounded
+    * per-group leaderboard partials land in their own
+    * `ingest_batch=<id>` overwrite partition; the read side
+    * (`Maintain.readTopKRefreshed`) re-cuts base + batches to k. Same
+    * replay contract — a redelivered batch rewrites identical partials
+    * (deterministic top-k of the same rows), so at-least-once delivery
+    * never double-counts. */
+  def maintainTopKStream(delta: DataFrame, keyCol: String, idCol: String,
+                         scoreCol: String, stateDir: String,
+                         checkpointDir: String): StreamingQuery = {
+    val q = delta.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Maintain.topKDeltaPartials(
+          batch.sparkSession, stateDir, batch, keyCol, idCol, scoreCol)
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/batches/ingest_batch=$batchId")
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Documents schema for the file-stream source (matches the testdata
     * parquet; file streams require an explicit schema). */
   val documentsSchema: StructType = StructType(Seq(

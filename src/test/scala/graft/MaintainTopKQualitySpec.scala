@@ -49,6 +49,36 @@ class TopKMaintainSpec extends AnyFunSuite with SparkSpec {
     assert(board(after2) == board(oneShot))
   }
 
+  test("streaming twin: multi-batch fold ≡ one-shot; replay rewrite idempotent") {
+    val o = graft.sources.Tables.orders(spark, dir)
+    val root = graft.sources.Scratch.dir("topk-maint-stream")
+    Maintain.writeTopKState(o.filter(col("o_orderkey") % 10 =!= 0),
+      "o_orderstatus", "o_orderkey", "o_totalprice", 10, root)
+    o.filter(col("o_orderkey") % 10 === 0).repartition(3)
+      .write.mode("overwrite").parquet(s"$root/delta")
+    val q = graft.streaming.StreamOps.maintainTopKStream(
+      spark.readStream.schema(o.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/delta"),
+      "o_orderstatus", "o_orderkey", "o_totalprice", root, s"$root/ckpt")
+    q.stop()
+    def refreshed() = board(Maintain.readTopKRefreshed(spark, root,
+      "o_orderstatus", "o_orderkey", "o_totalprice"))
+    val oneShot = board(graft.operators.TopK.topKPerGroup(
+      o.select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice")),
+      "o_orderstatus", "o_orderkey", "o_totalprice", 10))
+    assert(refreshed() == oneShot, "streamed fold != one-shot top-k")
+    val batches = spark.read.parquet(s"$root/batches")
+      .select("ingest_batch").distinct().count()
+    assert(batches == 3, s"expected 3 micro-batch partitions, saw $batches")
+    // replay: rewrite partition 0 with its own content — board must not move
+    val p0Path = s"$root/batches/ingest_batch=0"
+    val p0 = spark.read.parquet(p0Path)
+    val p0Rows = java.util.Arrays.asList(p0.collect(): _*)
+    spark.createDataFrame(p0Rows, p0.schema)
+      .write.mode("overwrite").parquet(p0Path)
+    assert(refreshed() == oneShot, "replayed partition rewrite moved the board")
+  }
+
   test("wrong-kind state dir is refused loudly") {
     val o = graft.sources.Tables.orders(spark, dir)
     val root = graft.sources.Scratch.dir("topk-maint-wrongkind")
