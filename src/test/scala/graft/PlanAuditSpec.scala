@@ -201,7 +201,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // domain-count agg + the G-row rate table's combine + the
       // unhinted rate attach; the corpus itself shuffles only for the
       // count
-      "q_temperature_mix" -> 3)
+      "q_temperature_mix" -> 3,
+      // r13 additions, pinned from the audited shapes:
+      // one exploded-triangle hash agg — the d²-bounded Gram fold
+      "q_pca_gram" -> 1,
+      // stats + eigensolve ran eagerly at construction; the returned
+      // projection plan is scan + posexplode + one per-comp agg
+      "q_pca_project" -> 1,
+      // k-bounded state ∪ delta re-cut through one partial top-k agg
+      "q_topk_maintain" -> 1,
+      // bm25 leg's postings/df/score exchanges + the fused bounded
+      // top-k; the dense leg broadcasts its query side
+      "retrieval_rrf" -> 4,
+      // shingle-df fold + per-doc (df,h) re-sort + candidate distinct
+      // + verify attach; a 5th exchange would mean the lossless join
+      // regressed to a global-rank sort
+      "q_simjoin_prefix" -> 4,
+      // three per-table conditional-sum scans (1 global-agg exchange
+      // each) + unique's groupBy→agg pair + FK distinct→agg pair; the
+      // |checks|-row report sort is metadata-scale
+      "q_quality_audit" -> 7)
     val byName = planOnly.toMap
     budgets.foreach { case (name, budget) =>
       val n = collectNodes(byName(name).queryExecution.executedPlan)
