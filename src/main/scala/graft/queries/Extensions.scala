@@ -119,6 +119,27 @@ object Extensions {
         s"refpipe_benchout_${java.util.UUID.randomUUID.toString.take(8)}")
       graft.pipelines.RefOrchestration.runIncremental(s, in, out)
       graft.pipelines.RefOrchestration.readOrdersSink(s, out)
+    }),
+    // the registered gate fuses the BRUTE dense leg (exhaustive by
+    // definition — chosen so the oracle replays it exactly); deployment
+    // fuses the IVF leg (nprobe cells per query, memoized quantizer) —
+    // time that
+    "retrieval_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val queries = docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+            .as("query_text"))
+      val bmLeg = TextOps.bm25TopK(
+        docs.filter(col("doc_id") % 29 =!= 0), queries, k = 20)
+        .select("query_id", "doc_id", "rk")
+      val annLeg = Similarity.ivfTopK(
+        emb.filter(col("vec_id") % 29 =!= 0),
+        emb.filter(col("vec_id") % 29 === 0), 20)
+        .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
+          col("rk"))
+      graft.operators.Retrieval.rrfFuse(Seq(bmLeg, annLeg), k = 10)
     }))
 
   val defs: Map[String, Q] = Map(

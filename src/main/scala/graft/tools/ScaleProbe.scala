@@ -115,7 +115,23 @@ object ScaleProbe {
     // bounded by the evolving symbol vocabulary; the distinct-word
     // table grows ~linearly under rotation, so the per-round folds and
     // the final re-segmentation must track the vocab scan
-    "text_bpe_encode" -> graft.SparkEntry.queries("text_bpe_encode"))
+    "text_bpe_encode" -> graft.SparkEntry.queries("text_bpe_encode"),
+    // r13.2: lossless prefix-filter similarity join — rotated copies
+    // keep shingle df within-copy, so the global order's prefix cut,
+    // the candidate join (within-copy by content-disjointness) and the
+    // verify must all track the scan; a super-copy ratio would mean
+    // common-shingle prefixes leaked across copies
+    "q_simjoin_prefix" -> graft.SparkEntry.queries("q_simjoin_prefix"),
+    // r13.2: PCA sufficient statistics — the exploded-triangle fold is
+    // d²/row flat work collapsing into a d²-bounded hash agg; growth
+    // must be exactly the scan's
+    "q_pca_gram" -> graft.SparkEntry.queries("q_pca_gram"),
+    // r13.2: hybrid RRF at its DEPLOYMENT legs — BM25 (linear match
+    // stream) + IVF dense retrieval (nprobe cells per query, not the
+    // brute gate leg, which is exhaustive-quadratic by definition);
+    // fusion itself moves ≤ legs·k rows per query at any scale
+    "retrieval_rrf_ivf" ->
+      ((s, d) => graft.SparkEntry.benchOverrides("retrieval_rrf")(s, d)))
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(5)
@@ -301,7 +317,7 @@ object ScaleProbe {
     // snapshotDiff is different by design: its SCAN is linear in the
     // snapshots (ratio ≈ copies, reported per-copy) while its OUTPUT is
     // churn-bounded — both measured, same fixed churn at both scales.
-    def steadyMaintain(dir: String, tag: String): (Double, Double, Double, Double, Long) = {
+    def steadyMaintain(dir: String, tag: String): (Double, Double, Double, Double, Double, Long) = {
       val orders = spark.read.parquet(s"$dir/orders.parquet")
       val delta = spark.read.parquet(s"$base/orders.parquet").limit(1000)
         .withColumn("o_orderkey", col("o_orderkey") + 900000000L).persist()
@@ -335,6 +351,18 @@ object ScaleProbe {
         "o_orderstatus", "o_totalprice")
         .write.format("noop").mode("overwrite").save()
       val tQh = (System.nanoTime() - t0) / 1e9
+      // top-k leaderboard state: refresh folds |groups|×k state rows +
+      // the fixed delta through the bounded top-k buffer — same
+      // corpus-independence law as the other three legs
+      val tkDir = graft.sources.Scratch.dir(s"probe-maint-tk-$tag")
+      graft.operators.Maintain.writeTopKState(orders, "o_orderstatus",
+        "o_orderkey", "o_totalprice", 10, tkDir)
+      System.gc()
+      t0 = System.nanoTime()
+      graft.operators.Maintain.mergeTopKState(spark, tkDir, delta,
+        "o_orderstatus", "o_orderkey", "o_totalprice")
+        .write.format("noop").mode("overwrite").save()
+      val tTk = (System.nanoTime() - t0) / 1e9
       // fixed churn: mutate the payload of copy-0 keys < 600 only, so
       // the same ~600 rows change at every scale
       val next = orders.withColumn("o_orderpriority",
@@ -346,13 +374,14 @@ object ScaleProbe {
         .snapshotDiff(orders, next, "o_orderkey", "o_orderpriority").count()
       val tDiff = (System.nanoTime() - t0) / 1e9
       delta.unpersist()
-      (tAgg, tDst, tQh, tDiff, diffRows)
+      (tAgg, tDst, tQh, tTk, tDiff, diffRows)
     }
-    val (ma1, md1, mq1, sd1, dr1) = steadyMaintain(base, "1x")
-    val (maN, mdN, mqN, sdN, drN) = steadyMaintain(out, s"${copies}x")
+    val (ma1, md1, mq1, mt1, sd1, dr1) = steadyMaintain(base, "1x")
+    val (maN, mdN, mqN, mtN, sdN, drN) = steadyMaintain(out, s"${copies}x")
     println(f"[scaleprobe] maintain steady-state: agg $ma1%5.2fs->$maN%5.2fs " +
       f"ratio=${maN / ma1}%4.2f  distinct $md1%5.2fs->$mdN%5.2fs ratio=${mdN / md1}%4.2f  " +
       f"quantile $mq1%5.2fs->$mqN%5.2fs ratio=${mqN / mq1}%4.2f  " +
+      f"topk $mt1%5.2fs->$mtN%5.2fs ratio=${mtN / mt1}%4.2f  " +
       f"diff $sd1%5.2fs->$sdN%5.2fs perCopy=${sdN / sd1 / copies}%4.2f " +
       f"diffRows=$dr1->$drN")
     // index rebuild: honestly linear in index size (it re-cuts every
@@ -388,6 +417,7 @@ object ScaleProbe {
         f""""maintain_steady":{"aggT1":$ma1%.3f,"aggTN":$maN%.3f,"aggRatio":${maN / ma1}%.3f,""" +
         f""""distinctT1":$md1%.3f,"distinctTN":$mdN%.3f,"distinctRatio":${mdN / md1}%.3f,""" +
         f""""quantileT1":$mq1%.3f,"quantileTN":$mqN%.3f,"quantileRatio":${mqN / mq1}%.3f,""" +
+        f""""topkT1":$mt1%.3f,"topkTN":$mtN%.3f,"topkRatio":${mtN / mt1}%.3f,""" +
         f""""diffT1":$sd1%.3f,"diffTN":$sdN%.3f,"diffPerCopy":${sdN / sd1 / copies}%.3f,""" +
         f""""diffRows1":$dr1,"diffRowsN":$drN},""" +
         f""""index_rebuild":{"t1":$rb1t%.3f,"tN":$rbNt%.3f,"perCopy":${rbNt / rb1t / copies}%.3f},""" +
