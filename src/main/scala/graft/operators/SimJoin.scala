@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** EXACT set-similarity self-join via prefix filtering — the lossless
@@ -91,5 +91,167 @@ object SimJoin {
       .filter(col("inter") * thrDen >= col("un") * thrNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("un"),
         round(col("inter").cast("double") / col("un"), 6).as("jaccard"))
+  }
+
+  /** Persisted form of the lossless join for INGESTION-TIME dedup —
+    * the prefix-filter sibling of `Dedup.writeMinhashIndex` and
+    * `Similarity.writeEmbeddingIndex`, completing the family: every
+    * candidate generator now has a write-once / check-batches form.
+    *
+    * Layout under `dir`: `sets` (doc_id, hs — the verify side),
+    * `df` (h, df — the global order's dictionary), `prefix`
+    * (doc_id, sz, h — precomputed prefix postings), plus metadata
+    * pinning (thrNum, thrDen, shingleWidth).
+    *
+    * Losslessness across the index boundary: the PPJoin lemma needs
+    * only that BOTH sides cut prefixes under one fixed total order —
+    * rarity makes the filter selective but is not load-bearing for
+    * recall. Incoming batches rank their shingles by the STORED df
+    * (unseen shingles take df = 0, sorting to the very front — they
+    * exist in no indexed document, so they cannot cost recall and the
+    * extra prefix volume they add is bounded by the batch's own novel
+    * content). Consequently a STALE dictionary after appends degrades
+    * selectivity only, never completeness; a rebuild refreshes the df
+    * order for pruning power. */
+  private val PrefixIndexKind = "prefix_index"
+
+  private def validatePrefixMeta(meta: Map[String, String],
+                                 dir: String): Unit =
+    require(meta.get("kind").contains(PrefixIndexKind),
+      s"$dir is not a prefix index (kind=${meta.getOrElse("kind", "<absent>")})")
+
+  def writePrefixIndex(df: DataFrame, id: String, text: String,
+                       thrNum: Int, thrDen: Int, dir: String,
+                       shingleWidth: Int = 3): Unit = {
+    require(thrNum > 0 && thrDen > 0 && thrNum <= thrDen,
+      s"writePrefixIndex: threshold must be in (0,1]: $thrNum/$thrDen")
+    val sets = Dedup.materialize(
+      Dedup.shingleHashesFlat(df, id, text, shingleWidth)
+        .filter(size(col("hs")) > 0))
+    val posting = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfreq = Dedup.materialize(
+      posting.groupBy("h").agg(count(lit(1)).as("df")))
+    Dedup.writeIndexTable(sets, -1L, s"$dir/sets", overwriteAll = true)
+    Dedup.writeIndexTable(dfreq, -1L, s"$dir/df", overwriteAll = true)
+    Dedup.writeIndexTable(prefixPostings(sets, dfreq, thrNum, thrDen),
+      -1L, s"$dir/prefix", overwriteAll = true)
+    Dedup.writeMeta(df.sparkSession, dir, Map(
+      "kind" -> PrefixIndexKind, "pj_num" -> thrNum.toString,
+      "pj_den" -> thrDen.toString, "pj_w" -> shingleWidth.toString))
+  }
+
+  /** (doc_id, sz, h) prefix postings of `sets` under the (df, h) order
+    * given by `dfreq` (shingles absent from `dfreq` take df = 0). */
+  private def prefixPostings(sets: DataFrame, dfreq: DataFrame,
+                             thrNum: Int, thrDen: Int): DataFrame = {
+    val posting = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sorted = posting.join(dfreq, Seq("h"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("st"),
+        count(lit(1)).as("sz"))
+    val prefixLen =
+      s"cast(sz - (($thrNum * sz + ${thrDen - 1}) div $thrDen) + 1 as int)"
+    sorted
+      .select(col("doc_id"), col("sz"),
+        explode(expr(s"slice(st, 1, $prefixLen)")).as("e"))
+      .select(col("doc_id"), col("sz"), col("e.h").as("h"))
+  }
+
+  /** EXACT bipartite similarity join of an incoming batch against the
+    * stored corpus: every (new, indexed) pair with Jaccard ≥ the
+    * index's threshold, provably none missed. The batch's shingle sets
+    * are cut under the STORED dictionary; candidates join batch prefix
+    * postings against the PRECOMPUTED index prefix postings (the
+    * corpus-side prefix work was paid once at write time); verify reads
+    * the stored sets. Returns (new_id, matched_id, inter, un, jaccard). */
+  def crossPrefixJoin(spark: SparkSession, newDocs: DataFrame, dir: String,
+                      id: String = "doc_id",
+                      text: String = "text"): DataFrame = {
+    val meta = Dedup.readMeta(spark, dir)
+    validatePrefixMeta(meta, dir)
+    val (thrNum, thrDen) = (meta("pj_num").toInt, meta("pj_den").toInt)
+    val w = meta("pj_w").toInt
+    val newSets = Dedup.materialize(
+      Dedup.shingleHashesFlat(newDocs, id, text, w)
+        .filter(size(col("hs")) > 0))
+    val dfreq = Dedup.committedOnly(
+      spark.read.parquet(s"$dir/df"), meta).select("h", "df")
+    val newPref = prefixPostings(newSets, dfreq, thrNum, thrDen)
+    val idxPref = Dedup.committedOnly(
+      spark.read.parquet(s"$dir/prefix"), meta).select("doc_id", "sz", "h")
+    val cand = newPref.as("x").join(idxPref.as("y"),
+        col("x.h") === col("y.h") &&
+          greatest(col("x.sz"), col("y.sz")) * thrNum <=
+            least(col("x.sz"), col("y.sz")) * thrDen)
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("matched_id"))
+      .distinct()
+    cand
+      .join(newSets.select(col("doc_id").as("new_id"), col("hs").as("ha")),
+        Seq("new_id"))
+      .join(Dedup.committedOnly(spark.read.parquet(s"$dir/sets"), meta)
+        .select(col("doc_id").as("matched_id"), col("hs").as("hb")),
+        Seq("matched_id"))
+      .withColumn("inter",
+        graft.functions.exprs.intersect_count(col("ha"), col("hb"))
+          .cast("long"))
+      .withColumn("un",
+        size(col("ha")).cast("long") + size(col("hb")) - col("inter"))
+      .filter(col("inter") * thrDen >= col("un") * thrNum)
+      .select(col("new_id"), col("matched_id"), col("inter"), col("un"),
+        round(col("inter").cast("double") / col("un"), 6).as("jaccard"))
+  }
+
+  /** Append a batch to the index WITHOUT refreshing the dictionary:
+    * the batch's sets and its prefix postings (cut under the STORED
+    * order) land in their own `ingest_batch` partition via the shared
+    * v2 index layout — a replayed batchId is skipped outright (durable
+    * commit marker) or, if its previous attempt crashed mid-append,
+    * dynamically overwrites its own partition. df is left stale —
+    * selectivity-only debt, by the losslessness argument above. */
+  def appendPrefixIndex(spark: SparkSession, dir: String,
+                        newDocs: DataFrame, batchId: Option[Long] = None,
+                        id: String = "doc_id",
+                        text: String = "text"): Unit = {
+    val meta = Dedup.readMeta(spark, dir)
+    validatePrefixMeta(meta, dir)
+    if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
+    val (thrNum, thrDen) = (meta("pj_num").toInt, meta("pj_den").toInt)
+    val w = meta("pj_w").toInt
+    val newSets = Dedup.materialize(
+      Dedup.shingleHashesFlat(newDocs, id, text, w)
+        .filter(size(col("hs")) > 0))
+    val dfreq = Dedup.committedOnly(
+      spark.read.parquet(s"$dir/df"), meta).select("h", "df")
+    val part = batchId.getOrElse(-1L)
+    Dedup.writeIndexTable(newSets, part, s"$dir/sets")
+    Dedup.writeIndexTable(prefixPostings(newSets, dfreq, thrNum, thrDen),
+      part, s"$dir/prefix")
+    Dedup.writeMeta(spark, dir,
+      meta ++ batchId.map(b => "last_committed_batch" -> b.toString))
+  }
+
+  /** Rebuild the dictionary and every stored prefix from the CURRENT
+    * committed sets (post-append hygiene): restores the df order's full
+    * pruning power. Linear in index size — the same honest cost class
+    * as `Dedup.rebuildMinhashIndex`; offline single-writer maintenance
+    * via the same write-sibling-then-swap. */
+  def rebuildPrefixIndex(spark: SparkSession, dir: String): Unit = {
+    val meta = Dedup.readMeta(spark, dir)
+    validatePrefixMeta(meta, dir)
+    val (thrNum, thrDen) = (meta("pj_num").toInt, meta("pj_den").toInt)
+    val sets = Dedup.materialize(
+      Dedup.committedOnly(spark.read.parquet(s"$dir/sets"), meta)
+        .select("doc_id", "hs"))
+    val posting = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfreq = Dedup.materialize(
+      posting.groupBy("h").agg(count(lit(1)).as("df")))
+    val pref = Dedup.materialize(
+      prefixPostings(sets, dfreq, thrNum, thrDen))
+    // materialized above so the swaps below never read the files they
+    // are replacing
+    Dedup.swapInTable(spark, s"$dir/sets", sets)
+    Dedup.swapInTable(spark, s"$dir/df", dfreq)
+    Dedup.swapInTable(spark, s"$dir/prefix", pref)
   }
 }

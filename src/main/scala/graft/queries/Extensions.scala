@@ -1110,6 +1110,39 @@ object Extensions {
     "q_simjoin_prefix" -> ((s, d) =>
       graft.operators.SimJoin.prefixJaccardJoin(
         Tables.documents(s, d), "doc_id", "text", 6, 10)),
+    // ingestion-time LOSSLESS dedup: the prefix-filter sibling of the
+    // minhash/embedding signature indexes — corpus-side prefix postings
+    // paid once at write time, each incoming batch cut under the STORED
+    // df order (unseen shingles rank first; recall is order-invariant,
+    // so a stale dictionary can never lose a pair). Every (new, indexed)
+    // pair at/above the index's threshold, provably none missed.
+    "dedup_prefix_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.sources.Scratch.dir(
+        s"pfxidx_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.SimJoin.writePrefixIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 6, 10, dir)
+      graft.operators.SimJoin.crossPrefixJoin(s,
+        docs.filter(col("doc_id") % 2 === 1), dir)
+    }),
+    // append + rebuild lifecycle: half the corpus indexed, the rest
+    // appended under the STALE dictionary (committed batch 0), then the
+    // dictionary rebuilt from the index's own sets — the post-rebuild
+    // check must equal the fresh-index check bit-for-bit (shared
+    // oracle); the pre-rebuild check already matches by the
+    // order-invariance of recall (law in SimJoinSpec).
+    "dedup_prefix_rebuild" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.sources.Scratch.dir(
+        s"pfxreb_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.SimJoin.writePrefixIndex(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", 6, 10, dir)
+      graft.operators.SimJoin.appendPrefixIndex(s, dir,
+        docs.filter(col("doc_id") % 4 === 2), batchId = Some(0L))
+      graft.operators.SimJoin.rebuildPrefixIndex(s, dir)
+      graft.operators.SimJoin.crossPrefixJoin(s,
+        docs.filter(col("doc_id") % 2 === 1), dir)
+    }),
     // exact-substring criterion (token-level suffix-array semantics):
     // pairs sharing ANY verbatim run of >= substringWindow tokens —
     // deterministic recall for long verbatim overlap, no threshold
@@ -1863,6 +1896,46 @@ object Extensions {
     }
     (init +: steps).mkString(",\n      ")
   }
+
+  /** Shared by `dedup_prefix_incr` and `dedup_prefix_rebuild` (append +
+    * rebuild must restore fresh-index blocking exactly). The dictionary
+    * is the EVEN corpus's df; odd-side unseen shingles take df 0 —
+    * byte-identical to `SimJoin.prefixPostings`' left-join fallback. */
+  private val prefixIncrOracle: String = s"""
+      WITH $shingleCtes,
+      evn AS (SELECT doc_id, hs FROM hsx WHERE doc_id % 2 = 0),
+      odd AS (SELECT doc_id, hs FROM hsx WHERE doc_id % 2 = 1),
+      u AS (SELECT doc_id, unnest(hs) AS h FROM evn),
+      dft AS (SELECT h, CAST(COUNT(1) AS BIGINT) AS df FROM u GROUP BY h),
+      srte AS (SELECT u.doc_id, list(u.h ORDER BY dft.df ASC, u.h ASC) AS st,
+                      CAST(COUNT(1) AS BIGINT) AS sz
+               FROM u JOIN dft USING (h) GROUP BY u.doc_id),
+      prfe AS (SELECT doc_id, sz,
+                      unnest(st[1:CAST(sz - ((6 * sz + 9) // 10) + 1
+                                       AS BIGINT)]) AS h
+               FROM srte),
+      uo AS (SELECT doc_id, unnest(hs) AS h FROM odd),
+      srto AS (SELECT uo.doc_id,
+                      list(uo.h ORDER BY COALESCE(dft.df, 0) ASC,
+                           uo.h ASC) AS st,
+                      CAST(COUNT(1) AS BIGINT) AS sz
+               FROM uo LEFT JOIN dft USING (h) GROUP BY uo.doc_id),
+      prfo AS (SELECT doc_id, sz,
+                      unnest(st[1:CAST(sz - ((6 * sz + 9) // 10) + 1
+                                       AS BIGINT)]) AS h
+               FROM srto),
+      cand AS (SELECT DISTINCT o.doc_id AS new_id, e.doc_id AS matched_id
+               FROM prfo o JOIN prfe e ON o.h = e.h
+               WHERE GREATEST(o.sz, e.sz) * 6 <= LEAST(o.sz, e.sz) * 10),
+      ver AS (SELECT new_id, matched_id,
+                     CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS inter,
+                     CAST(len(x.hs) + len(y.hs)
+                          - len(list_intersect(x.hs, y.hs)) AS BIGINT) AS un
+              FROM cand JOIN odd x ON x.doc_id = new_id
+                        JOIN evn y ON y.doc_id = matched_id)
+      SELECT new_id, matched_id, inter, un,
+             round(CAST(inter AS DOUBLE) / un, 6) AS jaccard
+      FROM ver WHERE inter * 10 >= un * 6"""
 
   private val ivfOracle: String = {
     val cos = duckCos("qv", "v")
@@ -3001,6 +3074,12 @@ object Extensions {
       SELECT doc_a, doc_b, inter, un,
              round(CAST(inter AS DOUBLE) / un, 6) AS jaccard
       FROM ver WHERE inter * 10 >= un * 6""",
+    // bipartite replay: even-corpus df dictionary (odd docs' unseen
+    // shingles COALESCE to df 0 — sorted first, exactly the Spark
+    // fallback), same integer prefix cut both sides, same verify
+    "dedup_prefix_incr" -> prefixIncrOracle,
+    // append + rebuild must restore the fresh-index blocking exactly
+    "dedup_prefix_rebuild" -> prefixIncrOracle,
     "sim_ivf" -> ivfOracle,
     // stored-index probe must equal the fresh-train probe bit-for-bit
     "sim_ivf_persisted" -> ivfOracle,

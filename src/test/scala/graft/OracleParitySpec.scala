@@ -164,8 +164,9 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "text_index", "text_bm25", "text_bpe_encode", "retrieval_rrf",
     // r13: list_transform micro quantization + LATERAL unnest (PCA)
     "q_pca_gram", "q_pca_project",
-    // r13: list CTEs + `//` prefix-length arithmetic (lossless simjoin)
-    "q_simjoin_prefix",
+    // r13: list CTEs + `//` prefix-length arithmetic (lossless simjoin
+    // + its persisted-index bipartite/lifecycle forms)
+    "q_simjoin_prefix", "dedup_prefix_incr", "dedup_prefix_rebuild",
     // r13: regexp_matches in the constraint-audit oracle
     "q_quality_audit")
 }

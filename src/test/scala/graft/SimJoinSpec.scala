@@ -44,6 +44,61 @@ class SimJoinSpec extends AnyFunSuite with SparkSpec {
     assert(at80.subsetOf(at50))
   }
 
+  test("persisted index: cross join is lossless vs brute bipartite") {
+    val dir = graft.sources.Scratch.dir("pfx-idx-law")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    SimJoin.writePrefixIndex(even, "doc_id", "text", 6, 10, dir)
+    val got = pairs(SimJoin.crossPrefixJoin(spark, odd, dir)
+      .select("new_id", "matched_id", "inter", "un"))
+    val sets = Dedup.shingleHashesFlat(docs, "doc_id", "text")
+      .filter(size(col("hs")) > 0)
+    val brute = sets.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("new_id"), col("hs").as("ha"))
+      .crossJoin(sets.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("matched_id"), col("hs").as("hb")))
+      .withColumn("inter",
+        graft.functions.exprs.intersect_count(col("ha"), col("hb"))
+          .cast("long"))
+      .withColumn("un",
+        size(col("ha")).cast("long") + size(col("hb")) - col("inter"))
+      .filter(col("inter") * 10 >= col("un") * 6)
+      .select("new_id", "matched_id", "inter", "un")
+    assert(got == pairs(brute), "indexed cross join diverged from brute force")
+    assert(got.nonEmpty, "bipartite fixture produced no pairs — gate vacuous")
+  }
+
+  test("append under a stale dictionary loses nothing; replay is a no-op") {
+    val dir = graft.sources.Scratch.dir("pfx-idx-append")
+    // fresh index over ALL even docs = the reference result
+    val freshDir = graft.sources.Scratch.dir("pfx-idx-fresh")
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    SimJoin.writePrefixIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", 6, 10, freshDir)
+    val fresh = pairs(SimJoin.crossPrefixJoin(spark, odd, freshDir)
+      .select("new_id", "matched_id", "inter", "un"))
+    // half-built index + append of the other half under the STALE df
+    SimJoin.writePrefixIndex(docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", 6, 10, dir)
+    SimJoin.appendPrefixIndex(spark, dir,
+      docs.filter(col("doc_id") % 4 === 2), batchId = Some(0L))
+    val stale = pairs(SimJoin.crossPrefixJoin(spark, odd, dir)
+      .select("new_id", "matched_id", "inter", "un"))
+    assert(stale == fresh,
+      "stale-dictionary recall differs — order-invariance law broken")
+    // replayed batchId: committed marker short-circuits, nothing changes
+    val setsBefore = spark.read.parquet(s"$dir/sets").count()
+    SimJoin.appendPrefixIndex(spark, dir,
+      docs.filter(col("doc_id") % 4 === 2), batchId = Some(0L))
+    assert(spark.read.parquet(s"$dir/sets").count() == setsBefore,
+      "replayed append mutated the index")
+    // rebuild refreshes the dictionary; the result must not move
+    SimJoin.rebuildPrefixIndex(spark, dir)
+    assert(pairs(SimJoin.crossPrefixJoin(spark, odd, dir)
+      .select("new_id", "matched_id", "inter", "un")) == fresh,
+      "rebuild changed the lossless result")
+  }
+
   test("threshold 1 (exact duplicates only) yields identical sets") {
     val dup = SimJoin.prefixJaccardJoin(docs, "doc_id", "text", 1, 1)
       .collect()
