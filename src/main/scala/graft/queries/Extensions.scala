@@ -49,6 +49,23 @@ object Extensions {
     })
   }
 
+  /** Prefix-index twin of [[gateMinhashIndex]]: the persisted
+    * corpus-side LOSSLESS index behind `stream_prefix_incr`, built on
+    * the even documents at the oracle's pinned 6/10 threshold. */
+  private val gatePfxIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gatePrefixIndex(s: SparkSession, d: String): String = {
+    val f = new java.io.File(s"$d/documents.parquet")
+    gatePfxIdxMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}", _ => {
+      val idxDir = graft.sources.Scratch.dir(
+        s"pfxgate_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.SimJoin.writePrefixIndex(
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", 6, 10, idxDir)
+      idxDir
+    })
+  }
+
   /** Embedding twin of [[gateMinhashIndex]]: the persisted corpus-side
     * index behind `stream_embedding_incr`, built at the PINNED gate
     * blocking ([[gateBands]] × [[gateRowBits]] — the static oracle's
@@ -1110,6 +1127,21 @@ object Extensions {
     "q_simjoin_prefix" -> ((s, d) =>
       graft.operators.SimJoin.prefixJaccardJoin(
         Tables.documents(s, d), "doc_id", "text", 6, 10)),
+    // stream_incremental_dedup's LOSSLESS sibling: the same persisted
+    // prefix index (memoized corpus-side build), odd docs arriving as a
+    // stream, each micro-batch checked inside foreachBatch — union over
+    // batches ≡ the one-shot bipartite join ≡ DuckDB (shared oracle)
+    "stream_prefix_incr" -> ((s, d) => {
+      val out = graft.sources.Scratch.dir(
+        s"spi_${java.util.UUID.randomUUID.toString.take(8)}")
+      val q = graft.streaming.StreamOps.incrementalPrefixJoinStream(
+        graft.streaming.StreamOps.documentsStream(s, d)
+          .filter(col("doc_id") % 2 === 1),
+        gatePrefixIndex(s, d), s"$out/pairs", s"$out/ckpt")
+      q.stop()
+      s.read.parquet(s"$out/pairs")
+        .select("new_id", "matched_id", "inter", "un", "jaccard")
+    }),
     // ingestion-time LOSSLESS dedup: the prefix-filter sibling of the
     // minhash/embedding signature indexes — corpus-side prefix postings
     // paid once at write time, each incoming batch cut under the STORED
@@ -3080,6 +3112,8 @@ object Extensions {
     "dedup_prefix_incr" -> prefixIncrOracle,
     // append + rebuild must restore the fresh-index blocking exactly
     "dedup_prefix_rebuild" -> prefixIncrOracle,
+    // micro-batched check against the same index ≡ one-shot bipartite
+    "stream_prefix_incr" -> prefixIncrOracle,
     "sim_ivf" -> ivfOracle,
     // stored-index probe must equal the fresh-train probe bit-for-bit
     "sim_ivf_persisted" -> ivfOracle,

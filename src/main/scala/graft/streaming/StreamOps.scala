@@ -406,6 +406,70 @@ object StreamOps {
     } finally b.unpersist()
   }
 
+  /** Check-only streaming form of the LOSSLESS prefix join
+    * ([[graft.operators.SimJoin.crossPrefixJoin]]): each micro-batch is
+    * checked against the persisted prefix index and its qualifying
+    * pairs land in a `batch=<id>` overwrite partition — union over
+    * batches ≡ the one-shot bipartite join (the join is per-new-doc
+    * independent), so the gate shares the batch oracle. Mirrors
+    * [[incrementalDedupStream]] on the minhash side. */
+  def incrementalPrefixJoinStream(docs: DataFrame, idxDir: String,
+                                  outDir: String,
+                                  checkpointDir: String): StreamingQuery = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.SimJoin
+          .crossPrefixJoin(batch.sparkSession, batch, idxDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Self-maintaining prefix-join ingestion loop, mirroring
+    * [[selfMaintainingDedupStream]]: flag each micro-batch against the
+    * index, persist the pairs, then fold the NOVEL documents in
+    * ([[graft.operators.SimJoin.appendPrefixIndex]] — stale-dictionary
+    * appends, recall-lossless by the order-invariance law) so later
+    * batches dedup against everything before them. Idempotence is the
+    * shared v2 contract: committed batches skip whole; a mid-append
+    * crash replays against the committed-only view and dynamically
+    * overwrites its own partitions. */
+  def selfMaintainingPrefixStream(docs: DataFrame, idxDir: String,
+                                  outDir: String,
+                                  checkpointDir: String): StreamingQuery = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processPrefixIngestBatch(batch, batchId, idxDir, outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  private[graft] def processPrefixIngestBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long, idxDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = graft.operators.Dedup.readMeta(spark, idxDir)
+    if (batchId <= graft.operators.Dedup.lastCommittedBatch(meta)) return
+    val b = batch.persist()
+    try {
+      val pairs = graft.operators.SimJoin
+        .crossPrefixJoin(spark, b, idxDir).persist()
+      try {
+        pairs.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        val novel = b.join(pairs.select(col("new_id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        graft.operators.SimJoin.appendPrefixIndex(spark, idxDir, novel,
+          batchId = Some(batchId))
+      } finally pairs.unpersist()
+    } finally b.unpersist()
+  }
+
   private val embeddingsSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),

@@ -99,6 +99,41 @@ class SimJoinSpec extends AnyFunSuite with SparkSpec {
       "rebuild changed the lossless result")
   }
 
+  test("self-maintaining stream folds novel docs so later batches match them") {
+    val root = graft.sources.Scratch.dir("pfx-selfmaint")
+    // seed index: first 100 docs; stream the rest in TWO batches split
+    // so batch 2 contains near-dups of batch-1 docs only via the fold
+    val seed = docs.filter(col("doc_id") < 100)
+    SimJoin.writePrefixIndex(seed, "doc_id", "text", 6, 10, s"$root/idx")
+    val rest = docs.filter(col("doc_id") >= 100)
+    rest.repartition(2).write.mode("overwrite").parquet(s"$root/in")
+    val q = graft.streaming.StreamOps.selfMaintainingPrefixStream(
+      spark.readStream.schema(rest.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/in"),
+      s"$root/idx", s"$root/pairs", s"$root/ckpt")
+    q.stop()
+    // exact fold accounting over SHINGLED docs (empty-shingle docs are
+    // invisible to both the index and the join): every shingled
+    // streamed doc either matched (in pairs) or was folded into the
+    // index — no third fate, no double counting
+    def shingled(df: org.apache.spark.sql.DataFrame): Long =
+      Dedup.shingleHashesFlat(df, "doc_id", "text")
+        .filter(size(col("hs")) > 0).count()
+    val idxDocs = spark.read.parquet(s"$root/idx/sets")
+      .select("doc_id").distinct().count()
+    val paired = spark.read.parquet(s"$root/pairs")
+      .select("new_id").distinct().count()
+    assert(idxDocs + paired == shingled(seed) + shingled(rest),
+      s"fold accounting broken: idx=$idxDocs paired=$paired " +
+        s"expected total ${shingled(seed) + shingled(rest)}")
+    // replay of an already-committed batch is a no-op on the index
+    val before = spark.read.parquet(s"$root/idx/sets").count()
+    graft.streaming.StreamOps.processPrefixIngestBatch(
+      rest.limit(5), 0L, s"$root/idx", s"$root/pairs")
+    assert(spark.read.parquet(s"$root/idx/sets").count() == before,
+      "replayed committed batch mutated the index")
+  }
+
   test("threshold 1 (exact duplicates only) yields identical sets") {
     val dup = SimJoin.prefixJaccardJoin(docs, "doc_id", "text", 1, 1)
       .collect()
