@@ -42,9 +42,11 @@ object Quality {
     require(checks.nonEmpty, "rowChecks: need at least one check")
     require(checks.map(_.name).distinct.size == checks.size,
       s"rowChecks: duplicate check names in ${checks.map(_.name)}")
+    // coalesce the sum itself: over an EMPTY table sum() is NULL, and
+    // an audit must report 0 violations there, not a null row
     val aggs = checks.map(c =>
-      sum(when(coalesce(c.violated, lit(true)), 1L).otherwise(0L))
-        .as(c.name))
+      coalesce(sum(when(coalesce(c.violated, lit(true)), 1L).otherwise(0L)),
+        lit(0L)).as(c.name))
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = checks.map(c => s"'${c.name}', `${c.name}`")
       .mkString(", ")

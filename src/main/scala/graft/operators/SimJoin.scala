@@ -177,9 +177,19 @@ object SimJoin {
         .filter(size(col("hs")) > 0))
     val dfreq = Dedup.committedOnly(
       spark.read.parquet(s"$dir/df"), meta).select("h", "df")
-    val newPref = prefixPostings(newSets, dfreq, thrNum, thrDen)
+    val newPref = Dedup.materialize(
+      prefixPostings(newSets, dfreq, thrNum, thrDen))
+    // batch-scoped index slice: the candidate join only ever needs
+    // stored postings whose shingle the BATCH's prefixes contain, and
+    // the batch's distinct prefix-shingle set is batch-bounded (the
+    // per-trigger unit, not corpus-derived) — broadcast it so the
+    // 100 TB-side posting scan reduces to a semi-joined sliver instead
+    // of shuffling the whole table per micro-batch (the
+    // crossMinhashPairs probed-slice shape).
+    val probedKeys = broadcast(newPref.select("h").distinct())
     val idxPref = Dedup.committedOnly(
       spark.read.parquet(s"$dir/prefix"), meta).select("doc_id", "sz", "h")
+      .join(probedKeys, Seq("h"), "left_semi")
     val cand = newPref.as("x").join(idxPref.as("y"),
         col("x.h") === col("y.h") &&
           greatest(col("x.sz"), col("y.sz")) * thrNum <=

@@ -308,6 +308,38 @@ object ScaleProbe {
     val (siN, scN) = steadyIngest(out, s"${copies}x")
     println(f"[scaleprobe] ingest steady-state: t1=$si1%6.2fs t${copies}x=$siN%6.2fs " +
       f"ratio=${siN / si1}%5.2f cand=$sc1 -> $scN candRatio=${scN.toDouble / sc1}%5.2f")
+    // The LOSSLESS ingestion path's steady state: fixed 200-doc batch
+    // (100 held + 100 novel, the steadyIngest construction) checked
+    // against a prefix index over the 1x / Nx corpus. The pair count
+    // must stay flat (content-disjoint copies: only copy-0 matches);
+    // wall may grow with the index's matched prefix-posting volume —
+    // the quantity reported next to it.
+    def steadyPrefix(dir: String, tag: String): (Double, Long) = {
+      val idxDir = graft.sources.Scratch.dir(s"probe-pfx-$tag")
+      graft.operators.SimJoin.writePrefixIndex(
+        graft.sources.Tables.documents(spark, dir), "doc_id", "text",
+        6, 10, idxDir)
+      val baseDocs = graft.sources.Tables.documents(spark, base)
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      val batch = baseDocs.sort("doc_id").limit(100).unionByName(
+        baseDocs.sort(desc("doc_id")).limit(100)
+          .withColumn("doc_id", col("doc_id") + 100000000000L)
+          .withColumn("text", translate(col("text"),
+            alpha + alpha.toUpperCase,
+            alpha.reverse + alpha.reverse.toUpperCase))).persist()
+      batch.count()
+      System.gc()
+      val t0 = System.nanoTime()
+      val nPairs = graft.operators.SimJoin
+        .crossPrefixJoin(spark, batch, idxDir).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      batch.unpersist()
+      (t, nPairs)
+    }
+    val (sp1, pp1) = steadyPrefix(base, "1x")
+    val (spN, ppN) = steadyPrefix(out, s"${copies}x")
+    println(f"[scaleprobe] prefix ingest steady-state: t1=$sp1%6.2fs " +
+      f"t${copies}x=$spN%6.2fs ratio=${spN / sp1}%5.2f pairs=$pp1 -> $ppN")
     // Maintenance family steady state (VERDICT r12 #4): the claim
     // "refresh scans state + delta, never the corpus" as a measured
     // ratio. State is built over the 1x / Nx corpus UNTIMED (that's the
@@ -414,6 +446,8 @@ object ScaleProbe {
         f""""ngram_candidates":{"c1":$g1,"cN":$gN,"perCopy":$ngramPerCopy%.3f},""" +
         f""""ingest_steady":{"t1":$si1%.3f,"tN":$siN%.3f,"ratio":${siN / si1}%.3f,""" +
         f""""cand1":$sc1,"candN":$scN,"candRatio":${scN.toDouble / sc1}%.3f},""" +
+        f""""prefix_ingest":{"t1":$sp1%.3f,"tN":$spN%.3f,"ratio":${spN / sp1}%.3f,""" +
+        f""""pairs1":$pp1,"pairsN":$ppN},""" +
         f""""maintain_steady":{"aggT1":$ma1%.3f,"aggTN":$maN%.3f,"aggRatio":${maN / ma1}%.3f,""" +
         f""""distinctT1":$md1%.3f,"distinctTN":$mdN%.3f,"distinctRatio":${mdN / md1}%.3f,""" +
         f""""quantileT1":$mq1%.3f,"quantileTN":$mqN%.3f,"quantileRatio":${mqN / mq1}%.3f,""" +

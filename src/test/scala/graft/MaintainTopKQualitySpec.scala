@@ -136,4 +136,16 @@ class QualityAuditSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rep == Map("not_null:tag" -> 0L, "unique:id" -> 0L))
   }
+
+  test("empty table reports zeros, never null violation counts") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "tag")
+    val rep = Quality.report(Seq(
+      Quality.rowChecks(empty, Seq(
+        Quality.notNull("tag"), Quality.inRange("id", 0.0, 10.0))),
+      Quality.unique(empty, "id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("not_null:tag" -> 0L, "in_range:id" -> 0L,
+      "unique:id" -> 0L))
+  }
 }
