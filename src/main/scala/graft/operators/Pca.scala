@@ -195,6 +195,68 @@ object Pca {
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 
+  /** Incremental-maintenance form of the sufficient statistics — the
+    * [[Maintain]] pattern applied to model fitting: the Gram and moment
+    * sums are EXACT INTEGER partials (associative, commutative), so a
+    * persisted state refreshes from a delta alone and the refit model
+    * is IDENTICAL to a from-scratch fit over base ∪ delta — retraining
+    * PCA after a daily append costs |state| (d²-bounded) + |delta|,
+    * never a corpus rescan. */
+  def writeStatsState(df: DataFrame, vecCol: String, dir: String): Unit = {
+    gram(df, vecCol).write.mode("overwrite").parquet(s"$dir/gram")
+    moments(df, vecCol).write.mode("overwrite").parquet(s"$dir/moments")
+    Dedup.writeMeta(df.sparkSession, dir, Map("kind" -> "pca_stats"))
+  }
+
+  private def requireStatsState(spark: SparkSession, dir: String): Unit = {
+    val meta = Dedup.readMeta(spark, dir)
+    require(meta.get("kind").contains("pca_stats"),
+      s"$dir is not PCA stats state (kind=${meta.get("kind")})")
+  }
+
+  /** Refreshed Gram partials: stored (i, j, n, sp) ∪ the delta's,
+    * folded per cell — integer addition, fold-order-free, chains. */
+  def mergeGramState(spark: SparkSession, dir: String, delta: DataFrame,
+                     vecCol: String): DataFrame = {
+    requireStatsState(spark, dir)
+    spark.read.parquet(s"$dir/gram")
+      .unionByName(gram(delta, vecCol))
+      .groupBy("i", "j")
+      .agg(sum(col("n")).as("n"),
+        sum(col("sp")).cast(DecimalType(38, 0)).as("sp"))
+  }
+
+  /** Refreshed first-moment partials, mirroring [[mergeGramState]]. */
+  def mergeMomentState(spark: SparkSession, dir: String, delta: DataFrame,
+                       vecCol: String): DataFrame = {
+    requireStatsState(spark, dir)
+    spark.read.parquet(s"$dir/moments")
+      .unionByName(moments(delta, vecCol))
+      .groupBy("i")
+      .agg(sum(col("n")).as("n"),
+        sum(col("s")).cast(DecimalType(38, 0)).as("s"))
+  }
+
+  /** Refit from refreshed state: collects the d²-bounded merged
+    * partials and solves — the model equals a from-scratch
+    * [[fit]] over base ∪ delta exactly (the statistics do). */
+  def fitRefreshed(spark: SparkSession, dir: String, delta: DataFrame,
+                   vecCol: String, r: Int): PcaModel = {
+    val gRows = mergeGramState(spark, dir, delta, vecCol).collect()
+    val mRows = mergeMomentState(spark, dir, delta, vecCol).collect()
+    val dim = mRows.map(_.getInt(0)).max + 1
+    val n = mRows.head.getLong(1)
+    val s = Array.ofDim[BigInt](dim)
+    mRows.foreach(row => s(row.getInt(0)) = BigInt(row.getDecimal(2).toBigInteger))
+    val p = Array.ofDim[BigInt](dim, dim)
+    gRows.foreach { row =>
+      val (i, j) = (row.getInt(0), row.getInt(1))
+      val v = BigInt(row.getDecimal(3).toBigInteger)
+      p(i)(j) = v; p(j)(i) = v
+    }
+    fitFromStats(Stats(n, s, p), r)
+  }
+
   /** Scan-only projection: out_k = Σ_i V_k,i · (x_i − μ_i). The model
     * enters the plan as LITERAL arrays (broadcast-free — it rides the
     * serialized plan), centering is one `zip_with`, each component one

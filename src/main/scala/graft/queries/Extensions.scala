@@ -1221,6 +1221,23 @@ object Extensions {
       graft.operators.Pca.gram(Tables.embeddings(s, d), "embedding")
         .select(col("i"), col("j"), col("n"),
           col("sp").cast("long").as("sp"))),
+    // PCA stats maintenance — the Maintain pattern applied to model
+    // fitting: Gram/moment sums are exact integer partials, so the
+    // state (written from 90% of the corpus) refreshes from the 10%
+    // delta alone and must equal the one-shot Gram over everything
+    // (shares q_pca_gram's oracle) — daily PCA retrain without a
+    // corpus rescan.
+    "q_pca_maintain" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.dir(
+        s"pcast_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Pca.writeStatsState(
+        e.filter(col("vec_id") % 10 =!= 0), "embedding", dir)
+      graft.operators.Pca.mergeGramState(s, dir,
+        e.filter(col("vec_id") % 10 === 0), "embedding")
+        .select(col("i"), col("j"), col("n"),
+          col("sp").cast("long").as("sp"))
+    }),
     // distributed PCA, leg 2 — fit (driver Jacobi on the d×d covariance
     // from the SAME exact integer stats) + scan-only projection. No
     // external engine carries an eigensolver, so the driver-side math
@@ -1968,6 +1985,23 @@ object Extensions {
       SELECT new_id, matched_id, inter, un,
              round(CAST(inter AS DOUBLE) / un, 6) AS jaccard
       FROM ver WHERE inter * 10 >= un * 6"""
+
+  /** Shared by `q_pca_gram` and `q_pca_maintain` (state + delta fold ≡
+    * one-shot — the partials are exact integers). */
+  private val pcaGramOracle: String = """
+      WITH q AS (SELECT list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS qv
+                 FROM embeddings),
+      e AS (SELECT ii.i AS i, jj.j AS j,
+                   qv[CAST(ii.i AS INT) + 1] * qv[CAST(jj.j AS INT) + 1] AS p
+            FROM q,
+                 LATERAL unnest(generate_series(0, len(qv) - 1)) AS ii(i),
+                 LATERAL unnest(generate_series(0, len(qv) - 1)) AS jj(j)
+            WHERE jj.j >= ii.i)
+      SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             CAST(COUNT(1) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS sp
+      FROM e GROUP BY i, j"""
 
   private val ivfOracle: String = {
     val cos = duckCos("qv", "v")
@@ -3148,20 +3182,10 @@ object Extensions {
       SELECT id AS doc_id, MIN(lbl) AS cluster FROM lab GROUP BY id""",
     // same micro quantization (floor(x·10⁶ + 0.5)), same upper
     // triangle, integer sums replayed exactly
-    "q_pca_gram" -> """
-      WITH q AS (SELECT list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
-                             AS BIGINT)) AS qv
-                 FROM embeddings),
-      e AS (SELECT ii.i AS i, jj.j AS j,
-                   qv[CAST(ii.i AS INT) + 1] * qv[CAST(jj.j AS INT) + 1] AS p
-            FROM q,
-                 LATERAL unnest(generate_series(0, len(qv) - 1)) AS ii(i),
-                 LATERAL unnest(generate_series(0, len(qv) - 1)) AS jj(j)
-            WHERE jj.j >= ii.i)
-      SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-             CAST(COUNT(1) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS sp
-      FROM e GROUP BY i, j""",
+    "q_pca_gram" -> pcaGramOracle,
+    // state + delta fold ≡ the one-shot Gram over everything — the
+    // partials are exact integers, so the shared oracle is exact too
+    "q_pca_maintain" -> pcaGramOracle,
     // the distributed stats pinned via the exact integer trace
     // numerator Σ_i (n·P_ii − S_i²); the driver eigensolve's outputs
     // are gated by PCA's defining identities — literal-verdict TRUEs

@@ -71,6 +71,36 @@ class PcaSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("refit from state + delta is BIT-IDENTICAL to a from-scratch fit") {
+    val dir = graft.sources.Scratch.dir("pca-stats-state")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    Pca.writeStatsState(base, "embedding", dir)
+    val refit = Pca.fitRefreshed(spark, dir, delta, "embedding", 8)
+    val scratch = Pca.fit(emb, "embedding", 8)
+    // the statistics are exact integers, so covariance, Jacobi and the
+    // resulting arrays are EXACTLY equal — not merely close
+    assert(refit.n == scratch.n)
+    assert(refit.mean.sameElements(scratch.mean))
+    assert(refit.eigenvalues.sameElements(scratch.eigenvalues))
+    assert(refit.components.length == scratch.components.length &&
+      refit.components.zip(scratch.components)
+        .forall { case (a, b) => a.sameElements(b) })
+    assert(refit.totalVariance == scratch.totalVariance)
+  }
+
+  test("wrong-kind dir is refused by the stats-state readers") {
+    val dir = graft.sources.Scratch.dir("pca-wrongkind")
+    graft.operators.Maintain.writeQuantileState(
+      graft.sources.Tables.orders(spark, "/root/testdata/sf0.001"),
+      "o_orderstatus", "o_totalprice", dir, lo = 0.0, hi = 600000.0,
+      bins = 8)
+    val e = intercept[IllegalArgumentException] {
+      Pca.mergeGramState(spark, dir, emb, "embedding")
+    }
+    assert(e.getMessage.contains("not PCA stats state"))
+  }
+
   test("mean reconstruction error shrinks as components grow") {
     val rows = emb.select("embedding").limit(50).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
