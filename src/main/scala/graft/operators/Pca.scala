@@ -237,6 +237,43 @@ object Pca {
         sum(col("s")).cast(DecimalType(38, 0)).as("s"))
   }
 
+  /** One delta's Gram partials — the per-micro-batch body of
+    * `StreamOps.maintainPcaStream` (meta-checked so a wrong-kind dir
+    * refuses loudly before any write). */
+  private[graft] def gramDeltaPartials(spark: SparkSession, dir: String,
+                                       delta: DataFrame,
+                                       vecCol: String): DataFrame = {
+    requireStatsState(spark, dir)
+    gram(delta, vecCol)
+  }
+
+  private[graft] def momentDeltaPartials(spark: SparkSession, dir: String,
+                                         delta: DataFrame,
+                                         vecCol: String): DataFrame = {
+    requireStatsState(spark, dir)
+    moments(delta, vecCol)
+  }
+
+  /** Streaming-refresh read side, mirroring
+    * [[Maintain.readAggRefreshed]]: base Gram state ∪ every committed
+    * micro-batch's partials (written by `StreamOps.maintainPcaStream`
+    * into `ingest_batch=<id>` overwrite partitions — replay rewrites
+    * identical partials, never double-folds), folded per (i, j). */
+  def readGramRefreshed(spark: SparkSession, dir: String): DataFrame = {
+    requireStatsState(spark, dir)
+    val base = spark.read.parquet(s"$dir/gram")
+    val batchesPath = new org.apache.hadoop.fs.Path(s"$dir/gram_batches")
+    val fs = batchesPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val all =
+      if (fs.exists(batchesPath))
+        base.unionByName(
+          spark.read.parquet(s"$dir/gram_batches").drop("ingest_batch"))
+      else base
+    all.groupBy("i", "j")
+      .agg(sum(col("n")).as("n"),
+        sum(col("sp")).cast(DecimalType(38, 0)).as("sp"))
+  }
+
   /** Refit from refreshed state: collects the d²-bounded merged
     * partials and solves — the model equals a from-scratch
     * [[fit]] over base ∪ delta exactly (the statistics do). */

@@ -49,6 +49,32 @@ object Extensions {
     })
   }
 
+  /** PCA gate fixtures, memoized on the embeddings file identity: the
+    * 90%-corpus stats state (behind `q_pca_maintain`'s bench override)
+    * and the fitted model (behind `q_pca_project`'s). */
+  private val gatePcaStateMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gatePcaState(s: SparkSession, d: String): String = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    gatePcaStateMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}", _ => {
+      val dir = graft.sources.Scratch.dir(
+        s"pcagate_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Pca.writeStatsState(
+        Tables.embeddings(s, d).filter(col("vec_id") % 10 =!= 0),
+        "embedding", dir)
+      dir
+    })
+  }
+  private val gatePcaModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      graft.operators.Pca.PcaModel]()
+  private def gatePcaModel(s: SparkSession,
+                           d: String): graft.operators.Pca.PcaModel = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    gatePcaModelMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}",
+      _ => graft.operators.Pca.fit(Tables.embeddings(s, d), "embedding", 8))
+  }
+
   /** Prefix-index twin of [[gateMinhashIndex]]: the persisted
     * corpus-side LOSSLESS index behind `stream_prefix_incr`, built on
     * the even documents at the oracle's pinned 6/10 threshold. */
@@ -137,6 +163,23 @@ object Extensions {
       graft.pipelines.RefOrchestration.runIncremental(s, in, out)
       graft.pipelines.RefOrchestration.readOrdersSink(s, out)
     }),
+    // deployment shapes for the PCA family: the registered gates build
+    // their own state / fit their own model so the correctness run is
+    // self-contained; a deployment fits ONCE and then pays only the
+    // recurring cost — the delta fold (maintenance) or the projection
+    // scan (inference). Memoized on the embeddings file identity like
+    // the other gate fixtures.
+    "q_pca_maintain" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.Pca.mergeGramState(s, gatePcaState(s, d),
+        e.filter(col("vec_id") % 10 === 0), "embedding")
+        .select(col("i"), col("j"), col("n"),
+          col("sp").cast("long").as("sp"))
+    }),
+    "q_pca_project" -> ((s, d) =>
+      graft.operators.Pca.project(Tables.embeddings(s, d),
+        gatePcaModel(s, d), "embedding", "pca")
+        .select(col("vec_id"), col("pca"))),
     // the registered gate fuses the BRUTE dense leg (exhaustive by
     // definition — chosen so the oracle replays it exactly); deployment
     // fuses the IVF leg (nprobe cells per query, memoized quantizer) —
@@ -1221,6 +1264,28 @@ object Extensions {
       graft.operators.Pca.gram(Tables.embeddings(s, d), "embedding")
         .select(col("i"), col("j"), col("n"),
           col("sp").cast("long").as("sp"))),
+    // q_pca_maintain's streaming twin: the SAME 10% delta arrives as a
+    // 3-file stream of embedding batches; per-batch integer Gram
+    // partials land in ingest_batch partitions and the read-side fold
+    // must equal the one-shot Gram (shared oracle) — the refit model
+    // is then bit-identical by construction.
+    "stream_pca_maintain" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val root = graft.sources.Scratch.dir(
+        s"pcams_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Pca.writeStatsState(
+        e.filter(col("vec_id") % 10 =!= 0), "embedding", root)
+      e.filter(col("vec_id") % 10 === 0).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/delta")
+      val q = graft.streaming.StreamOps.maintainPcaStream(
+        s.readStream.schema(e.schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/delta"),
+        "embedding", root, s"$root/ckpt")
+      q.stop()
+      graft.operators.Pca.readGramRefreshed(s, root)
+        .select(col("i"), col("j"), col("n"),
+          col("sp").cast("long").as("sp"))
+    }),
     // PCA stats maintenance — the Maintain pattern applied to model
     // fitting: Gram/moment sums are exact integer partials, so the
     // state (written from 90% of the corpus) refreshes from the 10%
@@ -3186,6 +3251,8 @@ object Extensions {
     // state + delta fold ≡ the one-shot Gram over everything — the
     // partials are exact integers, so the shared oracle is exact too
     "q_pca_maintain" -> pcaGramOracle,
+    // streaming fold over three micro-batches ≡ the same one-shot
+    "stream_pca_maintain" -> pcaGramOracle,
     // the distributed stats pinned via the exact integer trace
     // numerator Σ_i (n·P_ii − S_i²); the driver eigensolve's outputs
     // are gated by PCA's defining identities — literal-verdict TRUEs

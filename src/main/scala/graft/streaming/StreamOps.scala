@@ -406,6 +406,28 @@ object StreamOps {
     } finally b.unpersist()
   }
 
+  /** PCA twin of [[maintainAggStream]]: each micro-batch's integer
+    * Gram partials land in their own `ingest_batch=<id>` overwrite
+    * partition; the read side (`Pca.readGramRefreshed` →
+    * `fitFromStats`) folds base + batches to statistics BIT-IDENTICAL
+    * to a one-shot scan, so the refit model is too. Same replay
+    * contract as the other maintenance legs. */
+  def maintainPcaStream(delta: DataFrame, vecCol: String,
+                        stateDir: String,
+                        checkpointDir: String): StreamingQuery = {
+    val q = delta.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Pca.gramDeltaPartials(
+          batch.sparkSession, stateDir, batch, vecCol)
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/gram_batches/ingest_batch=$batchId")
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Check-only streaming form of the LOSSLESS prefix join
     * ([[graft.operators.SimJoin.crossPrefixJoin]]): each micro-batch is
     * checked against the persisted prefix index and its qualifying

@@ -164,6 +164,7 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "text_index", "text_bm25", "text_bpe_encode", "retrieval_rrf",
     // r13: list_transform micro quantization + LATERAL unnest (PCA)
     "q_pca_gram", "q_pca_project", "q_pca_maintain",
+    "stream_pca_maintain",
     // r13: list CTEs + `//` prefix-length arithmetic (lossless simjoin
     // + its persisted-index bipartite/lifecycle forms)
     "q_simjoin_prefix", "dedup_prefix_incr", "dedup_prefix_rebuild",

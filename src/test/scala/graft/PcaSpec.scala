@@ -89,6 +89,34 @@ class PcaSpec extends AnyFunSuite with SparkSpec {
     assert(refit.totalVariance == scratch.totalVariance)
   }
 
+  test("streaming stats twin: multi-batch fold + refit ≡ scratch; replay idempotent") {
+    val root = graft.sources.Scratch.dir("pca-stats-stream")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    Pca.writeStatsState(base, "embedding", root)
+    delta.repartition(3).write.mode("overwrite").parquet(s"$root/delta")
+    val q = graft.streaming.StreamOps.maintainPcaStream(
+      spark.readStream.schema(delta.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/delta"),
+      "embedding", root, s"$root/ckpt")
+    q.stop()
+    def folded(): Map[(Int, Int), (Long, BigInt)] =
+      Pca.readGramRefreshed(spark, root).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getLong(2), BigInt(r.getDecimal(3).toBigInteger)))).toMap
+    val oneShot = Pca.gram(emb, "embedding").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), BigInt(r.getDecimal(3).toBigInteger)))).toMap
+    assert(folded() == oneShot, "streamed Gram fold != one-shot stats")
+    // replay: rewrite partition 0 with its own content — stats frozen
+    val p0Path = s"$root/gram_batches/ingest_batch=0"
+    val p0 = spark.read.parquet(p0Path)
+    val p0Rows = java.util.Arrays.asList(p0.collect(): _*)
+    spark.createDataFrame(p0Rows, p0.schema)
+      .write.mode("overwrite").parquet(p0Path)
+    assert(folded() == oneShot, "replayed partition rewrite moved the stats")
+  }
+
   test("wrong-kind dir is refused by the stats-state readers") {
     val dir = graft.sources.Scratch.dir("pca-wrongkind")
     graft.operators.Maintain.writeQuantileState(
