@@ -45,7 +45,12 @@ object Pca {
     * d²/2 exploded products per row collapse in the map-side hash
     * aggregate (≤ d(d+1)/2 keys); only d²-bounded partials shuffle. */
   def gram(df: DataFrame, vecCol: String): DataFrame =
-    df.select(microVec(col(vecCol)).as("__q"))
+    // null/empty guard: sequence(0, -1) DESCENDS in Spark ([0, -1]),
+    // so an empty array would evaluate element_at(_, 0) and throw, and
+    // a null array would emit corrupt i = -1 cells — drop such rows,
+    // which is also what the oracle's generate_series(0, -1) does
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(microVec(col(vecCol)).as("__q"))
       .select(explode(expr(
         "flatten(transform(sequence(0, size(__q) - 1), i -> " +
           "transform(sequence(i, size(__q) - 1), j -> " +
@@ -57,9 +62,12 @@ object Pca {
       .agg(count(lit(1)).as("n"),
         sum(col("p").cast(DecimalType(38, 0))).as("sp"))
 
-  /** Per-dimension first moments: (i, n, s) with s = Σ q_i exact. */
+  /** Per-dimension first moments: (i, n, s) with s = Σ q_i exact.
+    * Same null/empty guard as [[gram]] so the two statistics always
+    * describe the identical row set. */
   def moments(df: DataFrame, vecCol: String): DataFrame =
-    df.select(posexplode(microVec(col(vecCol))).as(Seq("i", "x")))
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(posexplode(microVec(col(vecCol))).as(Seq("i", "x")))
       .groupBy("i")
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast(DecimalType(38, 0))).as("s"))
@@ -81,12 +89,24 @@ object Pca {
     def dim: Int = s.length
   }
 
-  def collectStats(df: DataFrame, vecCol: String): Stats = {
-    val gRows = gram(df, vecCol).collect()
-    require(gRows.nonEmpty, "Pca.collectStats: empty corpus")
-    val mRows = moments(df, vecCol).collect()
+  def collectStats(df: DataFrame, vecCol: String): Stats =
+    statsFromRows(gram(df, vecCol).collect(),
+      moments(df, vecCol).collect())
+
+  /** Shared Row → [[Stats]] assembly for [[collectStats]] and
+    * [[fitRefreshed]] (one parser, so the refit bit-identity law can
+    * never drift on a schema change). Validates that every dimension
+    * saw the SAME row count — ragged embedding lengths would otherwise
+    * silently yield a covariance built from mismatched n/S/P. */
+  private def statsFromRows(gRows: Array[org.apache.spark.sql.Row],
+                            mRows: Array[org.apache.spark.sql.Row]): Stats = {
+    require(gRows.nonEmpty && mRows.nonEmpty,
+      "Pca.statsFromRows: empty corpus (no rows with a non-empty vector)")
     val dim = mRows.map(_.getInt(0)).max + 1
-    val n = mRows.head.getLong(1)
+    val counts = mRows.map(_.getLong(1)).distinct
+    require(counts.length == 1,
+      s"Pca: ragged embedding dimensions — per-dim row counts ${counts.sorted.mkString(",")} differ; fix the corpus (every vector must have the same length)")
+    val n = counts.head
     val s = Array.ofDim[BigInt](dim)
     mRows.foreach(row => s(row.getInt(0)) = BigInt(row.getDecimal(2).toBigInteger))
     val p = Array.ofDim[BigInt](dim, dim)
@@ -261,38 +281,52 @@ object Pca {
     * identical partials, never double-folds), folded per (i, j). */
   def readGramRefreshed(spark: SparkSession, dir: String): DataFrame = {
     requireStatsState(spark, dir)
-    val base = spark.read.parquet(s"$dir/gram")
-    val batchesPath = new org.apache.hadoop.fs.Path(s"$dir/gram_batches")
-    val fs = batchesPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val all =
-      if (fs.exists(batchesPath))
-        base.unionByName(
-          spark.read.parquet(s"$dir/gram_batches").drop("ingest_batch"))
-      else base
-    all.groupBy("i", "j")
-      .agg(sum(col("n")).as("n"),
-        sum(col("sp")).cast(DecimalType(38, 0)).as("sp"))
+    foldWithBatches(spark, s"$dir/gram", s"$dir/gram_batches",
+      Seq("i", "j"), "n" -> "sp")
   }
+
+  /** First-moment twin of [[readGramRefreshed]] (the stream writes
+    * BOTH partial kinds — a Gram-only fold could not rebuild the mean,
+    * and the refit would silently mix full-corpus P with base-only S). */
+  def readMomentsRefreshed(spark: SparkSession, dir: String): DataFrame = {
+    requireStatsState(spark, dir)
+    foldWithBatches(spark, s"$dir/moments", s"$dir/moment_batches",
+      Seq("i"), "n" -> "s")
+  }
+
+  private def foldWithBatches(spark: SparkSession, basePath: String,
+                              batchesPath: String, keys: Seq[String],
+                              agg: (String, String)): DataFrame = {
+    val base = spark.read.parquet(basePath)
+    val bp = new org.apache.hadoop.fs.Path(batchesPath)
+    val fs = bp.getFileSystem(spark.sessionState.newHadoopConf())
+    val all =
+      if (fs.exists(bp))
+        base.unionByName(spark.read.parquet(batchesPath).drop("ingest_batch"))
+      else base
+    val (nCol, sCol) = agg
+    all.groupBy(keys.map(col): _*)
+      .agg(sum(col(nCol)).as(nCol),
+        sum(col(sCol)).cast(DecimalType(38, 0)).as(sCol))
+  }
+
+  /** Refit from the STREAMED state: both refreshed statistics collected
+    * and solved — equals a from-scratch [[fit]] over base ∪ every
+    * committed micro-batch, bit for bit. */
+  def fitStreamRefreshed(spark: SparkSession, dir: String,
+                         r: Int): PcaModel =
+    fitFromStats(statsFromRows(
+      readGramRefreshed(spark, dir).collect(),
+      readMomentsRefreshed(spark, dir).collect()), r)
 
   /** Refit from refreshed state: collects the d²-bounded merged
     * partials and solves — the model equals a from-scratch
     * [[fit]] over base ∪ delta exactly (the statistics do). */
   def fitRefreshed(spark: SparkSession, dir: String, delta: DataFrame,
-                   vecCol: String, r: Int): PcaModel = {
-    val gRows = mergeGramState(spark, dir, delta, vecCol).collect()
-    val mRows = mergeMomentState(spark, dir, delta, vecCol).collect()
-    val dim = mRows.map(_.getInt(0)).max + 1
-    val n = mRows.head.getLong(1)
-    val s = Array.ofDim[BigInt](dim)
-    mRows.foreach(row => s(row.getInt(0)) = BigInt(row.getDecimal(2).toBigInteger))
-    val p = Array.ofDim[BigInt](dim, dim)
-    gRows.foreach { row =>
-      val (i, j) = (row.getInt(0), row.getInt(1))
-      val v = BigInt(row.getDecimal(3).toBigInteger)
-      p(i)(j) = v; p(j)(i) = v
-    }
-    fitFromStats(Stats(n, s, p), r)
-  }
+                   vecCol: String, r: Int): PcaModel =
+    fitFromStats(statsFromRows(
+      mergeGramState(spark, dir, delta, vecCol).collect(),
+      mergeMomentState(spark, dir, delta, vecCol).collect()), r)
 
   /** Scan-only projection: out_k = Σ_i V_k,i · (x_i − μ_i). The model
     * enters the plan as LITERAL arrays (broadcast-free — it rides the

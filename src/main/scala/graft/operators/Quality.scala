@@ -42,6 +42,14 @@ object Quality {
     require(checks.nonEmpty, "rowChecks: need at least one check")
     require(checks.map(_.name).distinct.size == checks.size,
       s"rowChecks: duplicate check names in ${checks.map(_.name)}")
+    // names are spliced into stack()'s SQL below — restrict to a safe
+    // alphabet instead of escaping (a quote or backtick would break,
+    // or worse silently re-parse, the generated expression)
+    checks.foreach(c => require(
+      c.name.nonEmpty && c.name.forall(ch =>
+        ch.isLetterOrDigit || "_:.,<>=[]()/ -".contains(ch)),
+      s"rowChecks: check name '${c.name}' contains characters outside " +
+        "the safe set (letters, digits, '_:.,<>=[]()/ -')"))
     // coalesce the sum itself: over an EMPTY table sum() is NULL, and
     // an audit must report 0 violations there, not a null row
     val aggs = checks.map(c =>
@@ -102,11 +110,30 @@ object Quality {
   }
 
   /** Assemble a full audit report: union of per-family reports, ordered
-    * by constraint name for a stable, bounded (|checks| rows) result. */
+    * by constraint name for a stable, bounded (|checks| rows) result.
+    * Constraint names must be globally unique across the report — the
+    * builders name checks by column only, so the SAME check on two
+    * tables collides; callers auditing multiple tables with overlapping
+    * column names should disambiguate via [[RowCheck]]'s name (e.g.
+    * `not_null:orders.id`). The collision is checked eagerly (a
+    * |checks|-sized collect at plan-build time) because a keyed
+    * consumer of the report would otherwise silently drop rows. */
   def report(parts: Seq[DataFrame]): DataFrame = {
     require(parts.nonEmpty, "report: need at least one part")
-    parts.map(_.select(reportCols.map(col): _*))
+    val unioned = parts.map(_.select(reportCols.map(col): _*))
       .reduce(_ unionByName _)
+    // collision guard IN-PLAN (raise_error), not via a pre-collect —
+    // a driver-side check would execute every audit scan twice; the
+    // window here runs over the already-aggregated |checks| rows
+    val dupCount = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("constraint_name"))
+    unioned
+      .withColumn("violations",
+        when(dupCount > 1, raise_error(concat(
+          lit("Quality.report: constraint name collides across parts: "),
+          col("constraint_name"),
+          lit(" — disambiguate via RowCheck(name, ...)"))))
+          .otherwise(col("violations")))
       .orderBy("constraint_name")
   }
 }

@@ -58,17 +58,10 @@ object SimJoin {
     // IS the total order, so sorting each doc's (df, h) structs locally
     // is equivalent to ranking against a global dictionary — the exact
     // trick that keeps this one shuffle instead of an EntityRes-style
-    // range exchange.
-    val sorted = posting.join(dfreq, Seq("h"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("st"),
-        count(lit(1)).as("sz"))
-    val prefixLen =
-      s"cast(sz - (($thrNum * sz + ${thrDen - 1}) div $thrDen) + 1 as int)"
-    val pref = sorted
-      .select(col("doc_id"), col("sz"),
-        explode(expr(s"slice(st, 1, $prefixLen)")).as("e"))
-      .select(col("doc_id"), col("sz"), col("e.h").as("h"))
+    // range exchange. (Shared with the index paths via
+    // [[prefixPostings]] — the prefix-length arithmetic is
+    // losslessness-critical and must exist exactly once.)
+    val pref = prefixPostings(sets, dfreq, thrNum, thrDen)
     val cand = pref.as("x").join(pref.as("y"),
         col("x.h") === col("y.h") &&
           col("x.doc_id") < col("y.doc_id") &&

@@ -1316,6 +1316,11 @@ object Extensions {
       val stats = graft.operators.Pca.collectStats(e, "embedding")
       val model = graft.operators.Pca.fitFromStats(stats, 8)
       val traceNum = graft.operators.Pca.traceNumerator(stats)
+      // the oracle CASTs to BIGINT and errors loudly past the range;
+      // BigInt.longValue would silently WRAP — refuse first
+      require(traceNum.isValidLong,
+        s"q_pca_project: trace numerator $traceNum exceeds Long range " +
+          "— emit it as a decimal string instead of widening the fixture")
       val orthoOk = {
         val v = model.components
         val worst = (for (a <- v.indices; b <- v.indices) yield {

@@ -407,21 +407,31 @@ object StreamOps {
   }
 
   /** PCA twin of [[maintainAggStream]]: each micro-batch's integer
-    * Gram partials land in their own `ingest_batch=<id>` overwrite
-    * partition; the read side (`Pca.readGramRefreshed` →
-    * `fitFromStats`) folds base + batches to statistics BIT-IDENTICAL
-    * to a one-shot scan, so the refit model is too. Same replay
-    * contract as the other maintenance legs. */
+    * Gram AND first-moment partials land in their own
+    * `ingest_batch=<id>` overwrite partitions (both statistics — a
+    * Gram-only fold could not rebuild the mean, and a refit would
+    * silently mix full-corpus P with base-only S); the read side
+    * (`Pca.fitStreamRefreshed`) folds base + batches to statistics
+    * BIT-IDENTICAL to a one-shot scan, so the refit model is too.
+    * Same replay contract as the other maintenance legs — the batch is
+    * persisted so the two partial writes share one evaluation. */
   def maintainPcaStream(delta: DataFrame, vecCol: String,
                         stateDir: String,
                         checkpointDir: String): StreamingQuery = {
     val q = delta.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.operators.Pca.gramDeltaPartials(
-          batch.sparkSession, stateDir, batch, vecCol)
-          .write.mode("overwrite")
-          .parquet(s"$stateDir/gram_batches/ingest_batch=$batchId")
+        val b = batch.persist()
+        try {
+          graft.operators.Pca.gramDeltaPartials(
+            b.sparkSession, stateDir, b, vecCol)
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/gram_batches/ingest_batch=$batchId")
+          graft.operators.Pca.momentDeltaPartials(
+            b.sparkSession, stateDir, b, vecCol)
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/moment_batches/ingest_batch=$batchId")
+        } finally b.unpersist()
       }
       .start()
     q.processAllAvailable()

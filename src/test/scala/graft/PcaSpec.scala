@@ -108,6 +108,17 @@ class PcaSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1)) ->
         ((r.getLong(2), BigInt(r.getDecimal(3).toBigInteger)))).toMap
     assert(folded() == oneShot, "streamed Gram fold != one-shot stats")
+    // the full streamed REFIT (gram + moment partials) must equal a
+    // from-scratch fit bit-for-bit — this is what the moment_batches
+    // leg exists for (a Gram-only fold could not rebuild the mean)
+    val refit = Pca.fitStreamRefreshed(spark, root, 8)
+    val scratch = Pca.fit(emb, "embedding", 8)
+    assert(refit.n == scratch.n &&
+      refit.mean.sameElements(scratch.mean) &&
+      refit.eigenvalues.sameElements(scratch.eigenvalues) &&
+      refit.components.zip(scratch.components)
+        .forall { case (a, b) => a.sameElements(b) },
+      "streamed refit diverged from the from-scratch fit")
     // replay: rewrite partition 0 with its own content — stats frozen
     val p0Path = s"$root/gram_batches/ingest_batch=0"
     val p0 = spark.read.parquet(p0Path)
