@@ -905,6 +905,18 @@ object Extensions {
       graft.operators.Maintain.readTopKRefreshed(s, root,
         "o_orderstatus", "o_orderkey", "o_totalprice")
     }),
+    // group-wise standardization WITHOUT a fact-table window: G-row
+    // exact integer moments (cent-quantized DECIMAL sums) broadcast
+    // back, z = (n·q − S)/√(n·Q − S²) — one integer numerator, one
+    // sqrt of an exact integer, so the doubles replay identically and
+    // the gate is hash-exact at round-6 with no tolerance.
+    "q_group_zscore" -> ((s, d) =>
+      graft.operators.Normalize.groupZScore(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber",
+          "l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice", scale = 100L)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("z"))),
     // top-k maintenance gate — the Maintain family's fourth leg: the
     // per-status price leaderboard persists as its own top-10 rows
     // (k-bounded state), the held-out 10% folds in WITHOUT touching the
@@ -3073,6 +3085,29 @@ object Extensions {
       SELECT o_orderstatus, COUNT(1) AS cnt,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY o_orderstatus""",
+    // same cent quantization, same exact integer moments, same single
+    // sqrt — the z doubles derive from identical integers both sides.
+    // All moment arithmetic in DECIMAL(38,0): in Spark (where the
+    // in-suite parity guard executes this SQL too) SUM(BIGINT) and
+    // BIGINT×BIGINT stay 64-bit and overflow; DuckDB reads the same
+    // casts as exact decimals.
+    "q_group_zscore" -> """
+      WITH q AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                        CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100
+                                   + 0.5) AS BIGINT) AS qv
+                 FROM lineitem),
+      st AS (SELECT l_returnflag,
+                    CAST(COUNT(1) AS DECIMAL(38, 0)) AS n,
+                    SUM(CAST(qv AS DECIMAL(38, 0))) AS s,
+                    SUM(CAST(qv AS DECIMAL(19, 0))
+                        * CAST(qv AS DECIMAL(19, 0))) AS q2
+             FROM q GROUP BY l_returnflag)
+      SELECT q.l_orderkey, q.l_linenumber, q.l_returnflag,
+             CASE WHEN n * q2 - s * s > 0
+               THEN round(CAST(n * CAST(qv AS DECIMAL(38, 0)) - s AS DOUBLE)
+                          / sqrt(CAST(n * q2 - s * s AS DOUBLE)), 6)
+             END AS z
+      FROM q JOIN st USING (l_returnflag)""",
     // streaming partial fold over three micro-batches ≡ the same
     // one-shot top-10 (shares q_topk_maintain's oracle text below)
     "stream_topk_maintain" -> """

@@ -220,7 +220,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // three per-table conditional-sum scans (1 global-agg exchange
       // each) + unique's groupBy→agg pair + FK distinct→agg pair; the
       // |checks|-row report sort is metadata-scale
-      "q_quality_audit" -> 7)
+      "q_quality_audit" -> 7,
+      // G-row moment groupBy is the only exchange; the stats attach is
+      // an explicit broadcast and z is scan-side — a 2nd exchange
+      // would mean the window form crept back in
+      "q_group_zscore" -> 1)
     val byName = planOnly.toMap
     budgets.foreach { case (name, budget) =>
       val n = collectNodes(byName(name).queryExecution.executedPlan)
