@@ -118,7 +118,20 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"steady":$steadyJson,"errors":$errJson,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"steady":$steadyJson,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // stdout tails get truncated by capture harnesses (r13's driver
+    // artifact kept 54/198 timings) — always ALSO write the full JSON
+    // to a file, the ScaleProbe SPARK_GRAFT_PROBE_OUT pattern. Default
+    // path keeps the artifact available even when the env var is unset.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_LOCAL_LATEST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -33,7 +33,16 @@ object Normalize {
   /** Append a z-score column for `valCol` standardized within
     * `keyCol` groups. `scale` sets the value quantum (100 for cent
     * precision, 10⁶ for micro units). Groups with zero variance (or a
-    * single row) yield null z — loud in data, not NaN/Infinity. */
+    * single row) yield null z — loud in data, not NaN/Infinity. Rows
+    * whose group key is NULL also survive with null z (left join):
+    * the operator APPENDS a column, it never drops rows.
+    *
+    * The stats side carries one row per group. G is caller data, not
+    * a structural bound — per-user or per-document standardization
+    * makes G corpus-proportional — so the join carries NO forced
+    * broadcast hint: AQE measures the aggregated stats at runtime and
+    * converts to broadcast when it actually fits (the rare-gram
+    * precedent in [[graft.operators.Dedup.ngramJaccardPairs]]). */
   def groupZScore(df: DataFrame, keyCol: String, valCol: String,
                   scale: Long = 1000000L,
                   outCol: String = "z"): DataFrame = {
@@ -52,7 +61,7 @@ object Normalize {
         sqrt((col("__n") * col("__q2") - col("__s") * col("__s"))
           .cast("double")))
       .select(col(keyCol), col("__n"), col("__s"), col("__d"))
-    df.join(broadcast(stats), Seq(keyCol))
+    df.join(stats, Seq(keyCol), "left")
       .withColumn(outCol,
         // numerator in DECIMAL: a long×long n·q would overflow
         // silently at warehouse row counts

@@ -38,12 +38,23 @@ object Pca {
     transform(vecCol,
       x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
 
+  /** floor(sqrt(Long.MaxValue)) — the largest |q| whose square still
+    * fits a long. Unit-scale embeddings sit ~10³ below it. */
+  private val MaxGramElement = 3037000499L
+
   /** Upper-triangle second-moment sums: one row per 0 ≤ i ≤ j < d with
     * n = corpus rows and sp = Σ_rows q_i·q_j (DECIMAL(38,0) — exact at
     * any corpus size; the per-row products are ≤ ~10¹² for unit-scale
     * embeddings, so the DECIMAL fold never sees a lossy double). The
     * d²/2 exploded products per row collapse in the map-side hash
-    * aggregate (≤ d(d+1)/2 keys); only d²-bounded partials shuffle. */
+    * aggregate (≤ d(d+1)/2 keys); only d²-bounded partials shuffle.
+    *
+    * The per-row product q_i·q_j is long×long (codegen'd in the hot
+    * d²/2-per-row loop); past |q| = [[MaxGramElement]] (element ≈ 3034
+    * after 10⁶ quantization) it would WRAP silently under non-ANSI
+    * Spark — so out-of-range elements raise in-plan instead of
+    * corrupting the "exact" statistics. The check is d comparisons per
+    * row against d²/2 products: noise. */
   def gram(df: DataFrame, vecCol: String): DataFrame =
     // null/empty guard: sequence(0, -1) DESCENDS in Spark ([0, -1]),
     // so an empty array would evaluate element_at(_, 0) and throw, and
@@ -51,6 +62,11 @@ object Pca {
     // which is also what the oracle's generate_series(0, -1) does
     df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .select(microVec(col(vecCol)).as("__q"))
+      .select(when(exists(col("__q"), q => abs(q) > lit(MaxGramElement)),
+          raise_error(lit("Pca.gram: element magnitude exceeds " +
+            "~3034 after 10^6 quantization - q*q would overflow long; " +
+            "rescale the embedding column first")))
+        .otherwise(col("__q")).as("__q"))
       .select(explode(expr(
         "flatten(transform(sequence(0, size(__q) - 1), i -> " +
           "transform(sequence(i, size(__q) - 1), j -> " +
@@ -107,6 +123,16 @@ object Pca {
     require(counts.length == 1,
       s"Pca: ragged embedding dimensions — per-dim row counts ${counts.sorted.mkString(",")} differ; fix the corpus (every vector must have the same length)")
     val n = counts.head
+    // Gram and moments come from two independent jobs (and, under the
+    // streaming maintenance layout, two NON-ATOMIC per-batch writes:
+    // gram_batches then moment_batches). A crash between them leaves a
+    // micro-batch counted in one statistic but not the other, and a fit
+    // from mismatched n/S/P is silently wrong. Every Gram cell carries
+    // its own n, so consistency is a free cross-check here: all cells
+    // must agree with the moments' shared n.
+    val gramCounts = gRows.map(_.getLong(2)).distinct
+    require(gramCounts.length == 1 && gramCounts.head == n,
+      s"Pca: Gram/moment row counts disagree (gram n=${gramCounts.sorted.mkString(",")}, moments n=$n) — the two statistics describe different row sets (torn partial-batch write?); rebuild the stats state")
     val s = Array.ofDim[BigInt](dim)
     mRows.foreach(row => s(row.getInt(0)) = BigInt(row.getDecimal(2).toBigInteger))
     val p = Array.ofDim[BigInt](dim, dim)

@@ -97,13 +97,15 @@ object Quality {
   /** Referential integrity: child rows whose `fkCol` has no match in
     * the parent's `pkCol` (NULL foreign keys violate — same loud-audit
     * stance as [[unique]]). Parent reduces to distinct keys before the
-    * anti-join, so the small side is dimension-cardinality-bounded and
-    * broadcast-eligible. */
+    * anti-join; the parent is caller data, not structurally small
+    * (TPC-H customer grows with scale factor), so no forced broadcast
+    * hint — AQE converts the anti-join to broadcast when the measured
+    * distinct-key side fits (rare-gram precedent). */
   def refIntegrity(child: DataFrame, fkCol: String,
                    parent: DataFrame, pkCol: String): DataFrame = {
     val pk = parent.select(col(pkCol).as("__pk")).distinct()
     child.select(col(fkCol).as("__fk"))
-      .join(broadcast(pk), col("__fk") === col("__pk"), "left_anti")
+      .join(pk, col("__fk") === col("__pk"), "left_anti")
       .agg(count(lit(1)).as("violations"))
       .select(lit(s"ref_integrity:$fkCol->$pkCol").as("constraint_name"),
         col("violations"))

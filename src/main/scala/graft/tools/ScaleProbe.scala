@@ -167,6 +167,26 @@ object ScaleProbe {
     // masquerade as growth
     time(base, "q1_agg"); time(out, "q1_agg")
 
+    // Fixed-work contention sentinel (VERDICT r13 #1): a corpus-
+    // independent compute — a hash fold over a constant range — timed
+    // at the start, middle and end of the probe. Its cost never varies
+    // with `copies`, so (a) spread WITHIN a run flags transient box
+    // contention during that run, and (b) drift ACROSS artifacts flags
+    // a busy box; PROBE_r13b's q3 ratio 33.15 at identical candidate
+    // counts would have self-flagged on both.
+    val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sentinel(label: String): Unit = {
+      System.gc()
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .select(sum(xxhash64(col("id"))).as("h"))
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      sentinelTimes += t
+      println(f"[scaleprobe] sentinel($label) $t%5.2fs")
+    }
+    sentinel("start")
+
     def keep(n: String): Boolean = only.isEmpty || only(n)
     val rows = probed.filter(keep).map { name =>
       val t1 = time(base, name)
@@ -177,6 +197,7 @@ object ScaleProbe {
       val tN = timed(out, name, q)
       (name, t1, tN, tN / t1)
     }
+    sentinel("mid")
     println(f"""[scaleprobe] copies=$copies base=$base""")
     rows.foreach { case (n, t1, tN, r) =>
       println(f"[scaleprobe] $n%-22s t1=$t1%6.2fs t${copies}x=$tN%6.2fs ratio=$r%5.2f perCopy=${r / copies}%4.2f")
@@ -435,6 +456,12 @@ object ScaleProbe {
     val rbNt = rebuildProbe(out, s"${copies}x")
     println(f"[scaleprobe] index rebuild: t1=$rb1t%5.2fs t${copies}x=$rbNt%5.2fs " +
       f"ratio=${rbNt / rb1t}%5.2f perCopy=${rbNt / rb1t / copies}%4.2f")
+    sentinel("end")
+    val sentinelSpread = sentinelTimes.max / sentinelTimes.min
+    println(f"[scaleprobe] sentinel spread=${sentinelSpread}%4.2f " +
+      s"(runs ${sentinelTimes.map(t => f"$t%.2f").mkString(", ")}s; " +
+      "spread well above ~1.5 means the box was contended mid-run — " +
+      "re-measure before reading growth ratios)")
     val qs = rows.map { case (n, t1, tN, r) =>
       f""""$n":{"t1":$t1%.3f,"tN":$tN%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
@@ -455,7 +482,9 @@ object ScaleProbe {
         f""""diffT1":$sd1%.3f,"diffTN":$sdN%.3f,"diffPerCopy":${sdN / sd1 / copies}%.3f,""" +
         f""""diffRows1":$dr1,"diffRowsN":$drN},""" +
         f""""index_rebuild":{"t1":$rb1t%.3f,"tN":$rbNt%.3f,"perCopy":${rbNt / rb1t / copies}%.3f},""" +
-        f""""bm25_matches":{"c1":$bm1,"cN":$bmN,"perCopy":${bmN.toDouble / bm1 / copies}%.3f}}"""
+        f""""bm25_matches":{"c1":$bm1,"cN":$bmN,"perCopy":${bmN.toDouble / bm1 / copies}%.3f},""" +
+        s""""sentinel":{"runs":[${sentinelTimes.map(t => f"$t%.3f").mkString(",")}],""" +
+        f""""spread":$sentinelSpread%.3f,"contended":${sentinelSpread > 1.5}}}"""
     println(json)
     // tracked artifact (VERDICT r7 #3): the driver snapshots
     // PROBE_r{N}.json like BENCH/CORRECTNESS so ratio regressions diff

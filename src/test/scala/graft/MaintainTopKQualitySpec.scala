@@ -127,6 +127,20 @@ class QualityAuditSpec extends AnyFunSuite with SparkSpec {
       "ref_integrity:fk->pk" -> 2L))  // null fk + orphan 99
   }
 
+  test("refIntegrity carries no forced broadcast hint (parent scales)") {
+    import spark.implicits._
+    // TPC-H customer grows with scale factor — a forced broadcast of
+    // the parent's distinct keys dies at the 100 TB design point; the
+    // anti-join must be hint-free so AQE size-gates it at runtime.
+    val child = Seq((1L, 10L), (2L, 99L)).toDF("id", "fk")
+    val parent = Seq(10L, 20L).toDF("pk")
+    val rep = Quality.refIntegrity(child, "fk", parent, "pk")
+    val hints = rep.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, "refIntegrity forces a broadcast hint")
+  }
+
   test("all-clean table reports zeros, not missing rows") {
     import spark.implicits._
     val clean = Seq((1L, "A"), (2L, "B")).toDF("id", "tag")

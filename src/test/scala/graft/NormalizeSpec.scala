@@ -58,4 +58,29 @@ class NormalizeSpec extends AnyFunSuite with SparkSpec {
     z.foreach(r => assert(r.isNullAt(1),
       s"degenerate group row ${r.getLong(0)} got non-null z"))
   }
+
+  test("null-keyed rows survive with null z (append, never drop)") {
+    import spark.implicits._
+    val df = Seq((Option("a"), 1L, 1.0), (Option("a"), 2L, 3.0),
+      (Option.empty[String], 3L, 5.0)).toDF("g", "id", "x")
+    val z = Normalize.groupZScore(df, "g", "x").collect()
+    assert(z.length == 3, "groupZScore dropped rows")
+    val nullRow = z.find(_.getLong(z.head.fieldIndex("id")) == 3L).get
+    assert(nullRow.isNullAt(nullRow.fieldIndex("z")),
+      "null-keyed row should carry null z")
+  }
+
+  test("high-G safety: no forced broadcast hint in the plan") {
+    // per-user/per-document keys make G corpus-proportional; a forced
+    // broadcast of the stats side would OOM the driver there. The join
+    // must carry NO hint — AQE converts at runtime when stats fit.
+    val l = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val z = Normalize.groupZScore(
+      l.select("l_orderkey", "l_returnflag", "l_extendedprice"),
+      "l_returnflag", "l_extendedprice", scale = 100L)
+    val hints = z.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, "groupZScore forces a broadcast hint")
+  }
 }

@@ -128,6 +128,35 @@ class PcaSpec extends AnyFunSuite with SparkSpec {
     assert(folded() == oneShot, "replayed partition rewrite moved the stats")
   }
 
+  test("torn partial-batch state (gram without moments) is refused") {
+    // gram_batches and moment_batches are two non-atomic writes: a
+    // crash between them leaves a micro-batch in one statistic only,
+    // and a fit over mismatched n/S/P would be silently wrong. The
+    // refit path must cross-check the two row counts and refuse.
+    val root = graft.sources.Scratch.dir("pca-torn-state")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    Pca.writeStatsState(base, "embedding", root)
+    // simulate the crash: gram partials landed, moment partials did not
+    Pca.gram(delta, "embedding")
+      .write.mode("overwrite").parquet(s"$root/gram_batches/ingest_batch=0")
+    val e = intercept[IllegalArgumentException] {
+      Pca.fitStreamRefreshed(spark, root, 8)
+    }
+    assert(e.getMessage.contains("disagree"),
+      s"expected the torn-state refusal, got: ${e.getMessage}")
+  }
+
+  test("gram refuses elements whose square would overflow long") {
+    import spark.implicits._
+    val bad = Seq((1L, Array(0.5f, 4000.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] { Pca.gram(bad, "embedding").collect() }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: chain(t.getCause)
+    assert(chain(e).exists(_.contains("Pca.gram")),
+      s"expected the in-plan overflow refusal, got: ${chain(e).mkString(" | ")}")
+  }
+
   test("wrong-kind dir is refused by the stats-state readers") {
     val dir = graft.sources.Scratch.dir("pca-wrongkind")
     graft.operators.Maintain.writeQuantileState(
