@@ -466,13 +466,10 @@ object TextOps {
                qid: String = "query_id", qtext: String = "query_text",
                maxDfFrac: Double = 1.0): DataFrame = {
     require(k > 0, s"bm25TopK: k must be positive, got $k")
-    val scored = bm25TermScores(corpus, queries, id, text, qid, qtext,
+    bm25Board(bm25TermScores(corpus, queries, id, text, qid, qtext,
       maxDfFrac)
       .groupBy("query_id", "doc_id")
-      .agg(sum(col("__sc")).as("score_micro"))
-    TopK.topKPerGroup(scored, "query_id", "doc_id", "score_micro", k)
-      .select(col("query_id"), col("rk"), col("doc_id"),
-        col("score_micro").cast("long").as("score_micro"))
+      .agg(sum(col("__sc")).as("score_micro")), k)
   }
 
   /** [[bm25TopK]]'s term-level match stream — one row per (query, term,
@@ -485,40 +482,74 @@ object TextOps {
                                     maxDfFrac: Double): DataFrame = {
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"bm25TopK: maxDfFrac must be in (0, 1], got $maxDfFrac")
-    val toks = corpus
-      .select(col(id).cast("long").as("doc_id"), tokens(col(text)).as("__t"))
-      .filter(size(col("__t")) > 0)
-      .withColumn("dl", size(col("__t")).cast("long"))
-    val postings = toks
-      .select(col("doc_id"), col("dl"), explode(col("__t")).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val postings = docTermFreqs(corpus, id, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stats off the PERSISTED postings (materializes the cache), not a
     // second tokenize pass over the raw corpus: one doc-keyed fold
     // (map-side combined, no count-distinct Expand) gives N = docs and
     // S = Σ dl = total tokens
-    val stats = postings.groupBy("doc_id").agg(max(col("dl")).as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
-      .head()
+    val stats = bm25StatsPartials(postings).head()
     val nDocs = stats.getLong(0)
     require(nDocs > 0, "bm25TopK: corpus has no tokenized documents")
     val sTok = stats.getLong(1)
     val dft = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    val kept =
-      if (maxDfFrac >= 1.0) dft
-      else dft.filter(col("df") <= lit(math.ceil(maxDfFrac * nDocs).toLong))
-    val qterms = queries
-      .select(col(qid).cast("long").as("query_id"),
-        explode(array_distinct(tokens(col(qtext)))).as("term"))
+    val kept = bm25KeptTerms(dft, nDocs, maxDfFrac)
     postings
       .join(kept, Seq("term"))
-      .join(qterms, Seq("term"))
+      .join(bm25QueryTerms(queries, qid, qtext), Seq("term"))
+      .transform(withBm25Score(nDocs, sTok))
+  }
+
+  /** The per-(doc, term) postings table (doc_id, term, tf, dl) — the
+    * single tokenize-and-fold pass every BM25 path (inline
+    * [[bm25TopK]], persisted [[Bm25Index]]) builds on. One shared
+    * builder so the stored artifact can never drift from the inline
+    * semantics. */
+  private[graft] def docTermFreqs(corpus: DataFrame, id: String,
+                                  text: String): DataFrame =
+    corpus
+      .select(col(id).cast("long").as("doc_id"), tokens(col(text)).as("__t"))
+      .filter(size(col("__t")) > 0)
+      .withColumn("dl", size(col("__t")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("__t")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+  /** (n, s) corpus-stat fold off a postings table: N = docs, S = Σ dl.
+    * Distributive in the postings' doc partition — per-batch partials
+    * sum to the global stats exactly (what [[Bm25Index]] persists). */
+  private[operators] def bm25StatsPartials(postings: DataFrame): DataFrame =
+    postings.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+
+  private[operators] def bm25KeptTerms(dft: DataFrame, nDocs: Long,
+                                       maxDfFrac: Double): DataFrame =
+    if (maxDfFrac >= 1.0) dft
+    else dft.filter(col("df") <= lit(math.ceil(maxDfFrac * nDocs).toLong))
+
+  private[operators] def bm25QueryTerms(queries: DataFrame, qid: String,
+                                        qtext: String): DataFrame =
+    queries.select(col(qid).cast("long").as("query_id"),
+      explode(array_distinct(tokens(col(qtext)))).as("term"))
+
+  /** The exact integer Okapi arithmetic (see [[bm25TopK]]) over a
+    * matched (tf, dl, df) stream — shared verbatim by the inline and
+    * the index-serving paths, so the scores are bit-identical. */
+  private[operators] def withBm25Score(nDocs: Long, sTok: Long)
+                                      (matched: DataFrame): DataFrame =
+    matched
       .withColumn("__idf", expr(
         s"(cast(1000000 as bigint) * (2 * ($nDocs - df) + 1)) div (2 * df + 1)"))
       .withColumn("__sat", expr(
         s"(cast(1000000 as bigint) * tf * 22 * $sTok) div " +
           s"(10 * cast($sTok as bigint) * tf + 3 * cast($sTok as bigint) + 9 * dl * $nDocs)"))
       .withColumn("__sc", expr("(__idf * __sat) div cast(1000000 as bigint)"))
-  }
+
+  /** The shared board cut: per-query top-k through the bounded
+    * [[TopK.TopKAgg]] buffer under the (score desc, doc_id asc) total
+    * order, projected to the gate schema. */
+  private[operators] def bm25Board(scored: DataFrame, k: Int): DataFrame =
+    TopK.topKPerGroup(scored, "query_id", "doc_id", "score_micro", k)
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        col("score_micro").cast("long").as("score_micro"))
 }

@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Bm25Index, Dedup, TextOps}
+
+/** Persisted BM25 index laws: stored ≡ fresh (bit-identical boards at
+  * any append count), replay idempotence under the commit marker,
+  * torn-append exclusion, rebuild as pure compaction, and the
+  * query-bounded serving plan. */
+class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = graft.sources.Tables.documents(spark, sf)
+  private def queries = docs.filter(col("doc_id") % 29 === 0)
+    .select(col("doc_id").as("query_id"),
+      concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+        .as("query_text"))
+
+  private def board(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Long)] =
+    df.select("query_id", "rk", "doc_id", "score_micro")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+
+  test("stored ≡ fresh: one-shot index replays inline bm25TopK exactly") {
+    val dir = graft.sources.Scratch.dir("bm25-idx-oneshot")
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    Bm25Index.write(corpus, dir)
+    val stored = board(Bm25Index.crossBm25TopK(spark, queries, dir, k = 5))
+    val fresh = board(TextOps.bm25TopK(corpus, queries, k = 5))
+    assert(stored == fresh, "persisted serve diverged from inline bm25TopK")
+    assert(stored.nonEmpty, "fixture produced an empty board — gate is vacuous")
+  }
+
+  test("append law: base + two committed batches ≡ fresh over the union") {
+    val dir = graft.sources.Scratch.dir("bm25-idx-append")
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    Bm25Index.write(corpus.filter(col("doc_id") % 3 === 0), dir)
+    Bm25Index.append(spark, dir, corpus.filter(col("doc_id") % 3 === 1),
+      batchId = Some(0L))
+    Bm25Index.append(spark, dir, corpus.filter(col("doc_id") % 3 === 2),
+      batchId = Some(1L))
+    val stored = board(Bm25Index.crossBm25TopK(spark, queries, dir, k = 5))
+    val fresh = board(TextOps.bm25TopK(corpus, queries, k = 5))
+    assert(stored == fresh,
+      "append-folded stats diverged from the one-shot corpus")
+    // replayed committed batch is a no-op (marker holds it)
+    Bm25Index.append(spark, dir, corpus.filter(col("doc_id") % 3 === 1),
+      batchId = Some(0L))
+    assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, k = 5))
+      == fresh, "replaying a committed batch moved the board")
+  }
+
+  test("torn append (partials without marker) is excluded; replay heals") {
+    val dir = graft.sources.Scratch.dir("bm25-idx-torn")
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    val base = corpus.filter(col("doc_id") % 3 =!= 2)
+    val delta = corpus.filter(col("doc_id") % 3 === 2)
+    Bm25Index.write(base, dir)
+    val baseBoard = board(Bm25Index.crossBm25TopK(spark, queries, dir, 5))
+    // simulate the crash: postings + df partition land, stats and the
+    // commit marker do not
+    val post = TextOps.docTermFreqs(delta, "doc_id", "text")
+    post.withColumn("ingest_batch", lit(0L))
+      .write.partitionBy("ingest_batch").mode("append")
+      .parquet(s"$dir/postings")
+    assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5))
+      == baseBoard, "uncommitted partition leaked into the served board")
+    // the replayed batch overwrites its own partitions and commits
+    Bm25Index.append(spark, dir, delta, batchId = Some(0L))
+    assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5))
+      == board(TextOps.bm25TopK(corpus, queries, k = 5)),
+      "healed replay diverged from the one-shot corpus")
+  }
+
+  test("rebuild: pure compaction — board frozen, files drop, marker survives") {
+    val dir = graft.sources.Scratch.dir("bm25-idx-rebuild")
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    Bm25Index.write(corpus.filter(col("doc_id") % 3 =!= 2), dir)
+    Bm25Index.append(spark, dir, corpus.filter(col("doc_id") % 3 === 2),
+      batchId = Some(7L))
+    val before = board(Bm25Index.crossBm25TopK(spark, queries, dir, 5))
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = parquetFiles(s"$dir/postings")
+    Bm25Index.rebuild(spark, dir, targetFiles = 1)
+    assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5)) == before,
+      "rebuild moved the served board")
+    assert(parquetFiles(s"$dir/postings") < filesBefore,
+      "rebuild did not reduce the postings file count")
+    assert(Dedup.readMeta(spark, dir)
+      .get("last_committed_batch").contains("7"),
+      "rebuild lost the commit marker")
+    // a replayed batch ≤ marker still skips post-rebuild (its rows
+    // live on in the base partition — double-fold would corrupt df)
+    Bm25Index.append(spark, dir, corpus.filter(col("doc_id") % 3 === 2),
+      batchId = Some(7L))
+    assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5)) == before,
+      "replayed batch double-folded after rebuild")
+  }
+
+  test("maxDfFrac serving knob matches the inline form") {
+    val dir = graft.sources.Scratch.dir("bm25-idx-dffrac")
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    Bm25Index.write(corpus, dir)
+    assert(
+      board(Bm25Index.crossBm25TopK(spark, queries, dir, 5,
+        maxDfFrac = 0.2))
+        == board(TextOps.bm25TopK(corpus, queries, k = 5,
+          maxDfFrac = 0.2)),
+      "maxDfFrac behaves differently on the stored path")
+  }
+
+  test("wrong-kind dir and empty index are refused loudly") {
+    val dir = graft.sources.Scratch.dir("bm25-idx-wrongkind")
+    graft.operators.SimJoin.writePrefixIndex(
+      docs.limit(20), "doc_id", "text", 6, 10, dir)
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.crossBm25TopK(spark, queries, dir, 5)
+    }
+    assert(e.getMessage.contains("not a BM25 index"))
+    import spark.implicits._
+    val dir2 = graft.sources.Scratch.dir("bm25-idx-empty")
+    Bm25Index.write(Seq((1L, " ")).toDF("doc_id", "text"), dir2)
+    val e2 = intercept[IllegalArgumentException] {
+      Bm25Index.crossBm25TopK(spark, queries, dir2, 5)
+    }
+    assert(e2.getMessage.contains("no committed documents"))
+  }
+
+  test("serving plan is query-bounded: postings enter via a semi-join") {
+    val dir = graft.sources.Scratch.dir("bm25-idx-plan")
+    Bm25Index.write(docs.filter(col("doc_id") % 29 =!= 0), dir)
+    val plan = Bm25Index.crossBm25TopK(spark, queries, dir, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      "stored postings must reduce to the query-term sliver via a semi-join")
+  }
+}

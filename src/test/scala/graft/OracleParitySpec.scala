@@ -155,6 +155,9 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "ref_insert_literal",
     // r13: shares sim_ivf's unrolled-kmeans CTE oracle
     "sim_ivf_persisted",
+    // r14: shares text_bm25's integer-div (`//`) oracle — the persisted
+    // index folds are exact, stored ≡ fresh replays one oracle text
+    "retrieval_bm25_incr",
     // r13: list_transform/generate_series token CTEs (familiarity family)
     "text_lm_score",
     // r13: unnest([...]) prob list in the shared quantile oracle
