@@ -302,7 +302,14 @@ object Similarity {
     cents.map { case (cid, v) => (cid, v.toSeq) }
       .toDF("cent_id", "embedding")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    // the packed int8 codes ride along in their own column: parquet
+    // column pruning lets [[ivfTopKQuantized]]'s scoring scan read the
+    // 1 byte/dim codes without touching the 4 byte/dim floats — the 4×
+    // I/O cut exactly where the 100 TB ANN scan spends its time
     corpus.select(col("vec_id"), col("embedding").as("v"),
+      graft.functions.exprs.pack_codes(
+        graft.functions.exprs.quantize_vec(col("embedding"), QuantLevels))
+        .as("codes"),
       nearestCentroid(col("embedding"), cents).as("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$dir/assigned")
@@ -330,6 +337,70 @@ object Similarity {
   def ivfTopKIndexed(index: IvfIndex, queries: DataFrame, k: Int,
                      nprobe: Int = 2): DataFrame =
     probeAssigned(index.assigned, queries, index.cents, k, nprobe)
+
+  /** IVF × int8 combined serving path — the two levers composed where
+    * the 100 TB ANN budget is actually spent: the candidate-scoring
+    * scan reads ONLY the packed-codes column (1 byte/dim, a 4× I/O cut
+    * via parquet column pruning) of ONLY the probed cells (dynamic
+    * partition pruning via the cell-key join, nprobe/nCentroids of the
+    * corpus), cuts a per-query shortlist of `shortlist` candidates by
+    * quantized cosine through the bounded [[TopK.TopKAgg]] buffer, and
+    * re-ranks ONLY that shortlist in exact float — the float column is
+    * read for shortlist·|queries| rows (probed-cell pruned +
+    * broadcast-bounded), never for the scan.
+    *
+    * Result: top-k by EXACT cosine among the top-`shortlist` quantized
+    * candidates of the probed cells. Recall vs [[ivfTopKIndexed]]
+    * degrades only where quantization reorders a true top-k candidate
+    * below shortlist rank — the recall law in `QuantizationSpec`;
+    * `shortlist` (default 4k) is the recovery knob. All arithmetic is
+    * the [[quantizedTopK]] integer-dot + one rounded double, replayed
+    * exactly by the SQL oracle. */
+  def ivfTopKQuantized(index: IvfIndex, queries: DataFrame, k: Int,
+                       nprobe: Int = 2, shortlist: Int = 0): DataFrame = {
+    require(index.assigned.columns.contains("codes"),
+      "ivfTopKQuantized: index has no packed-codes column — rebuild it " +
+        "with writeIvfIndex (codes are written since the quantized path)")
+    val m = if (shortlist <= 0) 4 * k else shortlist
+    require(m >= k, s"ivfTopKQuantized: shortlist $m must be >= k $k")
+    val cents = index.cents
+    // probe side: nprobe nearest cells per query (the probeAssigned
+    // order), queries carrying BOTH their packed codes (phase-1
+    // scoring) and their float vector (phase-2 re-rank)
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        graft.functions.exprs.pack_codes(
+          graft.functions.exprs.quantize_vec(col("embedding"), QuantLevels))
+          .as("qc"),
+        explode(slice(reverse(array_sort(
+          array(centroidScores(col("embedding"), cents): _*))), 1, nprobe))
+          .as("c"))
+      .select(col("qid"), col("qv"), col("qc"), col("c.cid").as("cent_id"))
+    // phase 1 — quantized scoring: codes-only scan of the probed cells
+    val candScored = index.assigned
+      .select(col("cent_id"), col("vec_id"), col("codes"))
+      .join(probes.select("qid", "qc", "cent_id"), Seq("cent_id"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("sim_q", round(
+        graft.functions.exprs.quantized_cos(col("qc"), col("codes")), 6))
+    val short = TopK.topKPerGroup(
+      candScored.select(col("qid"), col("vec_id"), col("sim_q")),
+      "qid", "vec_id", "sim_q", m)
+      .select(col("qid"), col("vec_id"))
+    // phase 2 — exact re-rank: float vectors fetched for the shortlist
+    // only (probed-cell semi-join keeps the fetch partition-pruned; the
+    // shortlist is ≤ m·|queries| rows, broadcast-bounded by the same
+    // per-trigger contract as the query batch itself)
+    val qv = broadcast(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qv")))
+    val reranked = index.assigned.select(col("cent_id"), col("vec_id"), col("v"))
+      .join(broadcast(probes.select("cent_id").distinct()), Seq("cent_id"),
+        "left_semi")
+      .join(broadcast(short), Seq("vec_id"))
+      .join(qv, Seq("qid"))
+      .withColumn("sim", round(cosine("qv", "v"), 6))
+    topKReduce(reranked, k)
+  }
 
   /** Cluster-balanced (diversity) corpus subsampling — the LLM-curation
     * pass that flattens head clusters instead of sampling uniformly:

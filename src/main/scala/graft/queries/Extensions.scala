@@ -180,6 +180,13 @@ object Extensions {
       Similarity.ivfTopKIndexed(
         Similarity.readIvfIndex(s, gateIvfIndex(s, d)),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), 10)),
+    // standing-index serving shape for the quantized path too: the
+    // timed work is codes-scan + shortlist + float re-rank, not the
+    // train+write
+    "sim_ivf_quantized" -> ((s, d) =>
+      Similarity.ivfTopKQuantized(
+        Similarity.readIvfIndex(s, gateIvfIndex(s, d)),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10)),
     "ref_pipeline_incremental" -> ((s, d) => {
       val in = gateRefPipelineInputs(s, d)
       val out = graft.sources.Scratch.dir(
@@ -1319,6 +1326,19 @@ object Extensions {
       Similarity.ivfTopKIndexed(Similarity.readIvfIndex(s, dir),
         e.filter(col("vec_id") < 5), 10)
     }),
+    // IVF × int8 combined serving: quantized scoring over the packed
+    // codes column of the probed cells only (4× scan cut × cell
+    // pruning), bounded top-40 shortlist, exact float re-rank of the
+    // shortlist to the final top-10 — integer-dot + one rounded double,
+    // replayed exactly by the oracle's unrolled k-means + codes CTEs
+    "sim_ivf_quantized" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.dir(
+        s"ivfqidx_${java.util.UUID.randomUUID.toString.take(8)}")
+      Similarity.writeIvfIndex(e, dir)
+      Similarity.ivfTopKQuantized(Similarity.readIvfIndex(s, dir),
+        e.filter(col("vec_id") < 5), 10)
+    }),
     // cluster-balanced diversity subsample over the SAME trained
     // quantizer as sim_ivf (memoized — the oracle unrolls the identical
     // k-means): per-cell budget ∝ √size flattens head clusters, winners
@@ -2171,6 +2191,69 @@ object Extensions {
               CAST(row_number() OVER (PARTITION BY qid
                    ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rk
             FROM scored) t
+      WHERE rk <= 10"""
+  }
+
+  /** IVF × int8 serving: [[ivfOracle]]'s unrolled k-means + cell
+    * assignment/probing, `sim_quantized`'s maxabs-code + integer-dot
+    * arithmetic for the shortlist cut (top-40 by quantized cosine,
+    * vec_id tie-break), exact rounded cosine re-rank to the final
+    * top-10 — every leg integer or one rounded IEEE double, so the
+    * board replays bit-for-bit. */
+  private val ivfQuantizedOracle: String = {
+    s"""
+      WITH ${kmeansCtes(5)},
+      cents AS (SELECT cent_id, cv FROM c5),
+      mv AS (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS m
+             FROM embeddings),
+      icodes AS (SELECT vec_id,
+               CASE WHEN m = 0
+                    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5)
+                                AS BIGINT)) END AS cv8
+             FROM mv),
+      sd AS (SELECT vec_id, cv8,
+               list_aggregate(list_transform(cv8, x -> x * x), 'sum') AS self
+             FROM icodes),
+      acorp AS (SELECT vec_id, embedding AS v, cent_id,
+                  ${duckCos("embedding", "cv")} AS csim
+                FROM embeddings CROSS JOIN cents),
+      assigned AS (SELECT cent_id, vec_id, v
+                   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY csim DESC, cent_id ASC) AS rn FROM acorp)
+                   WHERE rn = 1),
+      aq AS (SELECT vec_id AS qid, embedding AS qv, cent_id,
+               ${duckCos("embedding", "cv")} AS csim
+             FROM embeddings CROSS JOIN cents WHERE vec_id < 5),
+      probes AS (SELECT cent_id, qid, qv
+                 FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY csim DESC, cent_id ASC) AS rn FROM aq)
+                 WHERE rn <= 2),
+      qs AS (SELECT qid, cent_id, qv, cv8 AS qc, self AS qself
+             FROM probes JOIN sd ON probes.qid = sd.vec_id),
+      cand AS (SELECT qid, a.vec_id, a.v, qv,
+                 CASE WHEN qself = 0 OR s.self = 0 THEN 0.0
+                      ELSE round(CAST(list_aggregate(list_transform(
+                             generate_series(1, len(qc)),
+                             i -> qc[i] * s.cv8[i]), 'sum') AS DOUBLE)
+                           / sqrt(CAST(qself AS DOUBLE)
+                                  * CAST(s.self AS DOUBLE)), 6) END AS sim_q
+               FROM assigned a JOIN qs USING (cent_id)
+                    JOIN sd s ON a.vec_id = s.vec_id
+               WHERE qid <> a.vec_id),
+      short AS (SELECT qid, vec_id, v, qv
+                FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY sim_q DESC, vec_id ASC) AS rn FROM cand)
+                WHERE rn <= 40),
+      rr AS (SELECT qid, vec_id, ${duckCos("qv", "v")} AS sim FROM short)
+      SELECT qid, vec_id, sim, rk
+      FROM (SELECT qid, vec_id, sim,
+              CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rk
+            FROM rr) t
       WHERE rk <= 10"""
   }
 
@@ -3322,6 +3405,7 @@ object Extensions {
     "sim_ivf" -> ivfOracle,
     // stored-index probe must equal the fresh-train probe bit-for-bit
     "sim_ivf_persisted" -> ivfOracle,
+    "sim_ivf_quantized" -> ivfQuantizedOracle,
     "q_diversity_sample" -> diversityOracle,
     "q_join_asof_fast" -> Relational.oracles("q_join_asof"),
     "dedup_simhash" -> simhashOracle,

@@ -158,6 +158,9 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r14: shares text_bm25's integer-div (`//`) oracle — the persisted
     // index folds are exact, stored ≡ fresh replays one oracle text
     "retrieval_bm25_incr",
+    // r14: ivfOracle's unrolled-kmeans CTEs + sim_quantized's
+    // list_transform codes for the IVF × int8 serving path
+    "sim_ivf_quantized",
     // r13: list_transform/generate_series token CTEs (familiarity family)
     "text_lm_score",
     // r13: unnest([...]) prob list in the shared quantile oracle

@@ -87,6 +87,70 @@ class QuantizationSpec extends AnyFunSuite with SparkSpec {
     assert(mean >= 0.9, s"mean recall@10 $mean < 0.9")
   }
 
+  test("ivfTopKQuantized: recall law vs the unquantized IVF board, " +
+    "and a generous shortlist recovers it exactly") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 10)
+    val dir = graft.sources.Scratch.dir("ivfq-recall")
+    Similarity.writeIvfIndex(e, dir)
+    val idx = Similarity.readIvfIndex(spark, dir)
+    def asSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val ivfExact = asSets(Similarity.ivfTopKIndexed(idx, q, 10))
+    val quant = asSets(Similarity.ivfTopKQuantized(idx, q, 10))
+    val recalls = ivfExact.map { case (qid, ex) =>
+      quant.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean < 0.9 vs unquantized IVF")
+    // a shortlist spanning the whole probed-cell candidate set makes
+    // the quantized cut a no-op: the re-ranked board must EQUAL the
+    // unquantized IVF board (exact cosine ranks the same candidates)
+    val full = asSets(Similarity.ivfTopKQuantized(idx, q, 10,
+      shortlist = e.count().toInt))
+    assert(full == ivfExact,
+      "full-shortlist quantized board diverged from the unquantized IVF board")
+  }
+
+  test("ivfTopKQuantized: scoring scan reads codes only, in probed cells") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = graft.sources.Scratch.dir("ivfq-plan")
+    Similarity.writeIvfIndex(e, dir)
+    val idx = Similarity.readIvfIndex(spark, dir)
+    val qe = Similarity.ivfTopKQuantized(idx, e.filter(col("vec_id") < 5), 10)
+      .queryExecution
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val self = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case other => Seq(other)
+      }
+      self ++ p.children.flatMap(allNodes) ++ p.subqueries.flatMap(allNodes)
+    }
+    val scans = allNodes(qe.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val assignedScans = scans.filter(
+      _.metadata.get("Location").exists(_.contains("assigned")))
+    assert(assignedScans.nonEmpty, "no scan of the assigned table found")
+    // phase-1 scan: the quantized-scoring read of the assigned table
+    // must NOT materialize the float vector column
+    val codesScan = assignedScans.find(
+      _.schema.fieldNames.contains("codes"))
+    assert(codesScan.isDefined, "no codes-column scan of the assigned table")
+    assert(!codesScan.get.schema.fieldNames.contains("v"),
+      s"quantized scoring scan reads the float column too: " +
+        s"${codesScan.get.schema.fieldNames.mkString(",")}")
+    // both assigned-table reads carry a partition filter on cent_id
+    // (dynamic pruning from the probe/semi joins — the partition
+    // column is the join key on both phases)
+    assert(assignedScans.forall(s => s.partitionFilters.exists(
+      _.references.exists(_.name == "cent_id"))),
+      "assigned-table scan lost its cent_id cell pruning")
+  }
+
   test("quantized scoring plan stays in whole-stage codegen") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = Similarity.quantizedTopK(e, e.filter(col("vec_id") < 5), 10)
