@@ -313,6 +313,137 @@ object Maintain {
     TopK.topKPerGroup(all, keyCol, idCol, scoreCol, meta("topk_k").toInt)
   }
 
+  /** Deletion-aware top-k maintenance — closes the one leg the
+    * append-only [[writeTopKState]] contract (correctly) refuses: a
+    * deleted leader exposes rank k+1, which k-bounded state no longer
+    * holds. The fix is k+slack state plus an explicit per-group depth
+    * ledger, with a LOUD refusal once deletions eat the slack:
+    *
+    *  - `state/` holds the true top-D_g rows per group (D_g the
+    *    group's current valid depth, initially min(|group|, k+slack));
+    *  - `caps/` holds (key, depth) — depth NULL means the state holds
+    *    the ENTIRE group ("complete": every delete is visible, the
+    *    board can never silently go stale);
+    *  - a tombstone that hits the stored board decrements depth (the
+    *    surviving rows are still the true top of the live corpus); a
+    *    tombstone below the horizon cannot touch the board by
+    *    construction (the state holds every live row above it) and
+    *    consumes NO slack;
+    *  - appended rows fold through the bounded top-k cut and never
+    *    shrink depth — but they cannot REGROW it either (a new row
+    *    below the stored floor is incomparable with unseen corpus
+    *    rows), so depth is monotone until a rebuild;
+    *  - the moment any group's depth would fall below k, the fold (and
+    *    every later serve) raises in-plan instead of serving a board
+    *    whose tail might be wrong: slack exhaustion is an ERROR with a
+    *    rebuild instruction, never a silent approximation.
+    *
+    * Refresh cost is |state| + |delta| + |tombstones| — the Maintain
+    * family law, corpus-independent. */
+  def writeTopKSlackState(df: DataFrame, keyCol: String, idCol: String,
+                          scoreCol: String, k: Int, slack: Int,
+                          dir: String): Unit = {
+    require(k >= 1, s"writeTopKSlackState: k must be >= 1, got $k")
+    require(slack >= 1, s"writeTopKSlackState: slack must be >= 1, got $slack")
+    val cap = k + slack
+    val rows = df.select(col(keyCol), col(idCol),
+      col(scoreCol).cast("double").as(scoreCol))
+    TopK.topKPerGroup(rows, keyCol, idCol, scoreCol, cap).drop("rk")
+      .write.mode("overwrite").parquet(s"$dir/state")
+    rows.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .select(col(keyCol),
+        when(col("__n") > cap, lit(cap.toLong)).as("depth"))
+      .write.mode("overwrite").parquet(s"$dir/caps")
+    Dedup.writeMeta(df.sparkSession, dir, Map(
+      "kind" -> "topk_slack", "topk_k" -> k.toString,
+      "topk_slack" -> slack.toString))
+  }
+
+  private def requireSlackState(meta: Map[String, String],
+                                dir: String): (Int, Int) = {
+    require(meta.get("kind").contains("topk_slack"),
+      s"$dir is not slack top-k state (kind=${meta.get("kind")})")
+    (meta("topk_k").toInt, meta("topk_slack").toInt)
+  }
+
+  /** In-plan slack guard: a non-complete depth below k raises with the
+    * offending group named. */
+  private def guardDepth(depth: Column, keyCol: String, k: Int): Column =
+    when(depth.isNotNull && depth < k,
+      raise_error(concat(
+        lit(s"top-k slack exhausted (depth < k=$k) for group "),
+        col(keyCol).cast("string"),
+        lit(" — deletions ate the slack; rebuild the state from the " +
+          "base corpus with writeTopKSlackState"))))
+      .otherwise(depth)
+
+  /** Fold one (delta, tombstones) refresh into the stored state IN
+    * PLACE: rewrites `state/` and `caps/`, refusing loudly if any
+    * group's depth falls below k. `deletes` carries (keyCol, idCol)
+    * tombstones; duplicates and tombstones for unseen/nonexistent ids
+    * are harmless. Folds chain (depth bookkeeping composes), so a
+    * daily delete-bearing refresh stays state+delta-bounded. */
+  def foldTopKSlackState(spark: SparkSession, dir: String, delta: DataFrame,
+                         deletes: DataFrame, keyCol: String, idCol: String,
+                         scoreCol: String): Unit = {
+    val meta = Dedup.readMeta(spark, dir)
+    val (k, slack) = requireSlackState(meta, dir)
+    val cap = k + slack
+    val state = spark.read.parquet(s"$dir/state")
+    val caps = spark.read.parquet(s"$dir/caps")
+    val tomb = deletes.select(col(keyCol), col(idCol)).distinct()
+    val live = state.join(tomb, Seq(keyCol, idCol), "left_anti")
+    val hits = state.join(tomb, Seq(keyCol, idCol), "left_semi")
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__hits"))
+    val union = live.unionByName(delta.select(col(keyCol), col(idCol),
+      col(scoreCol).cast("double").as(scoreCol)))
+    val cut = TopK.topKPerGroup(union, keyCol, idCol, scoreCol, cap)
+    val unionSizes = union.groupBy(col(keyCol)).agg(count(lit(1)).as("__un"))
+    // per-group depth transition: complete (null) stays complete until
+    // the group outgrows cap; incomplete shrinks by the board hits;
+    // delta-born groups (no caps row) are complete unless already > cap
+    // full outer: a group whose stored rows are ALL tombstoned has no
+    // union rows, but its ledger entry must survive to raise (an
+    // incomplete group wiped from the board still has unseen live rows
+    // below the horizon — dropping it silently would serve staleness)
+    val newCaps = caps.join(unionSizes, Seq(keyCol), "full_outer")
+      .join(hits, Seq(keyCol), "left")
+      .select(col(keyCol),
+        guardDepth(
+          when(col("depth").isNotNull,
+            col("depth") - coalesce(col("__hits"), lit(0L)))
+            .otherwise(
+              when(coalesce(col("__un"), lit(0L)) > cap, lit(cap.toLong))),
+          keyCol, k).as("depth"))
+    val newState = cut.join(newCaps, Seq(keyCol), "left")
+      .filter(col("depth").isNull || col("rk") <= col("depth"))
+      .select(col(keyCol), col(idCol), col(scoreCol))
+    // materialize before the in-place overwrite (the plans read the
+    // files they replace), then swap both tables
+    val (ns, relS) = Dedup.materializeTracked(newState)
+    val (nc, relC) = Dedup.materializeTracked(newCaps)
+    try {
+      ns.write.mode("overwrite").parquet(s"$dir/state")
+      nc.write.mode("overwrite").parquet(s"$dir/caps")
+    } finally { relS(); relC() }
+  }
+
+  /** The served leaderboard: top-k per group from the stored rows, in
+    * the gate's total order — guarded by the same depth refusal, so a
+    * state written by an older engine version (or tampered caps) can
+    * never serve a silently-stale board. */
+  def serveTopKSlack(spark: SparkSession, dir: String, keyCol: String,
+                     idCol: String, scoreCol: String): DataFrame = {
+    val meta = Dedup.readMeta(spark, dir)
+    val (k, _) = requireSlackState(meta, dir)
+    val board = TopK.topKPerGroup(spark.read.parquet(s"$dir/state"),
+      keyCol, idCol, scoreCol, k)
+    board.join(spark.read.parquet(s"$dir/caps"), Seq(keyCol), "left")
+      .withColumn("__d", guardDepth(col("depth"), keyCol, k))
+      .filter(col("__d").isNull || col("__d") >= k)
+      .drop("depth", "__d")
+  }
+
   /** Snapshot diff: classify every id in `prev` ∪ `next` as `added`
     * (only in next), `removed` (only in prev) or `changed` (in both
     * with different payload hash); unchanged rows are DROPPED — the

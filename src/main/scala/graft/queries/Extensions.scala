@@ -1000,6 +1000,29 @@ object Extensions {
         o.filter(col("o_orderkey") % 10 === 0),
         "o_orderstatus", "o_orderkey", "o_totalprice")
     }),
+    // deletion-aware top-k maintenance: k+slack state + depth ledger.
+    // The delta both APPENDS (the held-out 10%) and DELETES (the top-3
+    // leaders per status — board hits, so the fold really spends
+    // slack); the served board must equal the one-shot top-10 over
+    // (corpus − deletes), exactly
+    "q_topk_maintain_del" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 10 =!= 0)
+      val deletes = graft.operators.TopK.topKPerGroup(
+        base.select(col("o_orderstatus"), col("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice")),
+        "o_orderstatus", "o_orderkey", "o_totalprice", 3)
+        .select("o_orderstatus", "o_orderkey")
+      val dir = graft.sources.Scratch.dir(
+        s"topkdel_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Maintain.writeTopKSlackState(base, "o_orderstatus",
+        "o_orderkey", "o_totalprice", 10, 30, dir)
+      graft.operators.Maintain.foldTopKSlackState(s, dir,
+        o.filter(col("o_orderkey") % 10 === 0), deletes,
+        "o_orderstatus", "o_orderkey", "o_totalprice")
+      graft.operators.Maintain.serveTopKSlack(s, dir, "o_orderstatus",
+        "o_orderkey", "o_totalprice")
+    }),
     // declarative constraint audit (dbt-test/Deequ shape): ALL row-local
     // checks per table fold into ONE conditional-sum scan, uniqueness is
     // a groupBy on the key, referential integrity a broadcast anti-join
@@ -3278,6 +3301,30 @@ object Extensions {
                    row_number() OVER (PARTITION BY o_orderstatus
                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
             FROM orders) t
+      WHERE rk <= 10""",
+    // one-shot top-10 over (corpus − the base's top-3 leaders per
+    // status) — the delete-bearing refresh must reproduce it exactly
+    "q_topk_maintain_del" -> """
+      WITH del AS (
+        SELECT o_orderstatus, o_orderkey FROM (
+          SELECT o_orderstatus, o_orderkey,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders WHERE o_orderkey % 10 <> 0) t
+        WHERE rn <= 3),
+      live AS (
+        SELECT o.o_orderstatus, o.o_orderkey, o.o_totalprice
+        FROM orders o LEFT JOIN del d
+          ON o.o_orderstatus = d.o_orderstatus
+         AND o.o_orderkey = d.o_orderkey
+        WHERE d.o_orderkey IS NULL)
+      SELECT o_orderstatus, o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             CAST(rk AS INT) AS rk
+      FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM live) t
       WHERE rk <= 10""",
     // every constraint recomputed as its defining count; names must
     // match the Quality builders' labels byte-for-byte

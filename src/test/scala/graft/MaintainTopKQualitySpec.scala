@@ -79,6 +79,89 @@ class TopKMaintainSpec extends AnyFunSuite with SparkSpec {
     assert(refreshed() == oneShot, "replayed partition rewrite moved the board")
   }
 
+  test("slack state: delete-bearing fold ≡ one-shot over the live corpus") {
+    import spark.implicits._
+    // group a: 10 rows scored 100..91; group b: 6 rows 60..55
+    val base = ((1 to 10).map(i => ("a", i.toLong, 101.0 - i)) ++
+      (11 to 16).map(i => ("b", i.toLong, 71.0 - i))).toDF("g", "id", "s")
+    val dir = graft.sources.Scratch.dir("topk-slack-law")
+    Maintain.writeTopKSlackState(base, "g", "id", "s", k = 2, slack = 2, dir)
+    // delta appends a new leader to a; deletes take a's current top row
+    // (a board hit — real slack spend) and an unseen below-horizon row
+    // (id 8, outside a's stored top-4 — must consume NO slack)
+    val delta = Seq(("a", 99L, 250.0)).toDF("g", "id", "s")
+    val dels = Seq(("a", 1L), ("a", 8L)).toDF("g", "id")
+    Maintain.foldTopKSlackState(spark, dir, delta, dels, "g", "id", "s")
+    val served = Maintain.serveTopKSlack(spark, dir, "g", "id", "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(served == Set(("a", 99L, 250.0, 1), ("a", 2L, 99.0, 2),
+      ("b", 11L, 60.0, 1), ("b", 12L, 59.0, 2)),
+      s"served board wrong: $served")
+    // a second fold chains: delete a's new leader, depth math composes
+    Maintain.foldTopKSlackState(spark, dir,
+      spark.emptyDataset[(String, Long, Double)].toDF("g", "id", "s"),
+      Seq(("a", 99L)).toDF("g", "id"), "g", "id", "s")
+    val served2 = Maintain.serveTopKSlack(spark, dir, "g", "id", "s")
+      .filter(col("g") === "a")
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    assert(served2 == Set((2L, 1), (3L, 2)), s"chained fold wrong: $served2")
+  }
+
+  test("slack exhaustion raises loudly instead of serving staleness") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => ("a", i.toLong, 101.0 - i))
+      .toDF("g", "id", "s")
+    val dir = graft.sources.Scratch.dir("topk-slack-refuse")
+    Maintain.writeTopKSlackState(base, "g", "id", "s", k = 2, slack = 2, dir)
+    // delete 3 of the 4 stored rows: depth 4 → 1 < k — the true rank-2
+    // row (id 5) is below the horizon, so serving would be WRONG
+    val e = intercept[Exception] {
+      Maintain.foldTopKSlackState(spark, dir,
+        spark.emptyDataset[(String, Long, Double)].toDF("g", "id", "s"),
+        Seq(("a", 1L), ("a", 2L), ("a", 3L)).toDF("g", "id"), "g", "id", "s")
+      Maintain.serveTopKSlack(spark, dir, "g", "id", "s").collect()
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: chain(t.getCause)
+    assert(chain(e).exists(_.contains("slack exhausted")),
+      s"expected the slack refusal, got: ${chain(e).take(3).mkString(" | ")}")
+  }
+
+  test("complete groups tolerate any deletion depth (state holds all)") {
+    import spark.implicits._
+    // 3 rows, cap = 4 → complete: the ledger knows everything, so even
+    // deleting down to a single row serves exactly, never refuses
+    val base = Seq(("a", 1L, 9.0), ("a", 2L, 8.0), ("a", 3L, 7.0))
+      .toDF("g", "id", "s")
+    val dir = graft.sources.Scratch.dir("topk-slack-complete")
+    Maintain.writeTopKSlackState(base, "g", "id", "s", k = 2, slack = 2, dir)
+    Maintain.foldTopKSlackState(spark, dir,
+      spark.emptyDataset[(String, Long, Double)].toDF("g", "id", "s"),
+      Seq(("a", 1L), ("a", 2L)).toDF("g", "id"), "g", "id", "s")
+    val served = Maintain.serveTopKSlack(spark, dir, "g", "id", "s")
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    assert(served == Set((3L, 1)), s"complete-group board wrong: $served")
+  }
+
+  test("fully tombstoned incomplete group refuses (unseen rows remain)") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => ("a", i.toLong, 101.0 - i))
+      .toDF("g", "id", "s")
+    val dir = graft.sources.Scratch.dir("topk-slack-wipe")
+    Maintain.writeTopKSlackState(base, "g", "id", "s", k = 2, slack = 2, dir)
+    val e = intercept[Exception] {
+      Maintain.foldTopKSlackState(spark, dir,
+        spark.emptyDataset[(String, Long, Double)].toDF("g", "id", "s"),
+        (1 to 4).map(i => ("a", i.toLong)).toDF("g", "id"), "g", "id", "s")
+      Maintain.serveTopKSlack(spark, dir, "g", "id", "s").collect()
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: chain(t.getCause)
+    assert(chain(e).exists(_.contains("slack exhausted")),
+      "a fully tombstoned incomplete group must refuse, not vanish")
+  }
+
   test("wrong-kind state dir is refused loudly") {
     val o = graft.sources.Tables.orders(spark, dir)
     val root = graft.sources.Scratch.dir("topk-maint-wrongkind")
