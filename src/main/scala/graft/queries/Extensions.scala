@@ -335,6 +335,40 @@ object Extensions {
           col("rk"))
       graft.operators.Retrieval.rrfFuse(Seq(bmLeg, annLeg), k = 10)
     }),
+    // streaming hybrid-retrieval freshness: the query set arrives in
+    // micro-batches, each served from the PERSISTED BM25 index (the
+    // standing postings artifact — never a per-batch corpus re-tokenize)
+    // plus the dense leg, fused per batch into ingest_batch-partitioned
+    // boards. Per-query boards are independent, so the accreted table
+    // equals the one-shot fusion — shares retrieval_rrf's oracle.
+    "stream_retrieval_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val root = graft.sources.Scratch.dir(
+        s"srrf_${java.util.UUID.randomUUID.toString.take(8)}")
+      docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+            .as("query_text"))
+        .repartition(3).write.mode("overwrite").parquet(s"$root/queries")
+      val idxDir = gateBm25Index(s, d)
+      val corpusEmb = emb.filter(col("vec_id") % 29 =!= 0)
+      val q = graft.streaming.StreamOps.maintainRrfStream(
+        s.readStream.schema(s.read.parquet(s"$root/queries").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/queries"),
+        batch => Seq(
+          graft.operators.Bm25Index.crossBm25TopK(s, batch, idxDir, k = 20)
+            .select("query_id", "doc_id", "rk"),
+          Similarity.bruteForceTopK(corpusEmb,
+            emb.join(batch.select(col("query_id").as("vec_id")),
+              Seq("vec_id"), "left_semi"), 20)
+            .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
+              col("rk"))),
+        10, s"$root/fused", s"$root/ckpt")
+      q.stop()
+      s.read.parquet(s"$root/fused")
+        .select("query_id", "doc_id", "rrf_micro", "rk")
+    }),
     // learned-classifier INFERENCE shape (vs text_quality's hand
     // heuristics): unigram+bigram features hashed into a 2^18-bucket
     // weight table, logit = sum of weights — scan-only, zero shuffles,
@@ -2695,6 +2729,66 @@ object Extensions {
                  ORDER BY score_micro DESC, doc_id ASC) AS rk
         FROM sc) r WHERE rk <= 5"""
 
+  /** Shared by `retrieval_rrf` and `stream_retrieval_rrf` (batch-wise
+    * serving composes exactly over independent per-query boards). */
+  private val rrfOracle: String = s"""
+      WITH corpus AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+                      FROM (SELECT doc_id, $duckTokens AS t FROM documents
+                            WHERE doc_id % 29 <> 0) z
+                      WHERE len(t) > 0),
+      stats AS (SELECT CAST(COUNT(1) AS BIGINT) AS n,
+                       CAST(SUM(dl) AS BIGINT) AS s FROM corpus),
+      post AS (SELECT doc_id, term, CAST(COUNT(1) AS BIGINT) AS tf,
+                      MAX(dl) AS dl
+               FROM (SELECT doc_id, dl, unnest(t) AS term FROM corpus) z
+               GROUP BY doc_id, term),
+      dfreq AS (SELECT term, CAST(COUNT(1) AS BIGINT) AS df
+                FROM post GROUP BY term),
+      q AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:6])) AS term
+            FROM (SELECT doc_id, $duckTokens AS t FROM documents
+                  WHERE doc_id % 29 = 0) z),
+      sc AS (SELECT q.query_id, post.doc_id,
+               CAST(SUM(
+                 ((CAST(1000000 AS BIGINT)
+                   * (2 * ((SELECT n FROM stats) - df) + 1))
+                  // (2 * df + 1))
+                 * ((CAST(1000000 AS BIGINT) * tf * 22 * (SELECT s FROM stats))
+                    // (10 * (SELECT s FROM stats) * tf
+                       + 3 * (SELECT s FROM stats)
+                       + 9 * dl * (SELECT n FROM stats)))
+                 // CAST(1000000 AS BIGINT)) AS BIGINT) AS score_micro
+             FROM post JOIN dfreq USING (term) JOIN q USING (term)
+             GROUP BY q.query_id, post.doc_id),
+      bm AS (SELECT query_id, doc_id, rk FROM (
+               SELECT query_id, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score_micro DESC, doc_id ASC) AS rk
+               FROM sc) r WHERE rk <= 20),
+      eq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+             WHERE vec_id % 29 = 0),
+      esc AS (SELECT qid, vec_id, ${duckCos("qv", "embedding")} AS sim
+              FROM embeddings CROSS JOIN eq WHERE vec_id % 29 <> 0),
+      el AS (SELECT qid AS query_id, vec_id AS doc_id, rk FROM (
+               SELECT qid, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, vec_id ASC) AS rk
+               FROM esc) r WHERE rk <= 20),
+      u AS (SELECT query_id, doc_id,
+                   CAST(1000000 AS BIGINT) // (60 + CAST(rk AS BIGINT)) AS c
+            FROM bm
+            UNION ALL
+            SELECT query_id, doc_id,
+                   CAST(1000000 AS BIGINT) // (60 + CAST(rk AS BIGINT))
+            FROM el),
+      f AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro
+            FROM u GROUP BY query_id, doc_id)
+      SELECT query_id, doc_id, rrf_micro, CAST(rk AS INT) AS rk
+      FROM (SELECT query_id, doc_id, rrf_micro,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rrf_micro DESC, doc_id ASC) AS rk
+            FROM f) t
+      WHERE rk <= 10"""
+
   val oracles: Map[String, String] = Map(
     "q_attribution" -> attributionOracle,
     // tolerance oracle: DuckDB recomputes the exact distinct (integer —
@@ -2885,63 +2979,10 @@ object Extensions {
     // both legs replayed at fetch-20 (the bm25 micro-unit arithmetic and
     // the rounded-cosine rank are the text_bm25 / sim_topk oracles'),
     // fused by the same integer RRF formula, cut to 10
-    "retrieval_rrf" -> s"""
-      WITH corpus AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
-                      FROM (SELECT doc_id, $duckTokens AS t FROM documents
-                            WHERE doc_id % 29 <> 0) z
-                      WHERE len(t) > 0),
-      stats AS (SELECT CAST(COUNT(1) AS BIGINT) AS n,
-                       CAST(SUM(dl) AS BIGINT) AS s FROM corpus),
-      post AS (SELECT doc_id, term, CAST(COUNT(1) AS BIGINT) AS tf,
-                      MAX(dl) AS dl
-               FROM (SELECT doc_id, dl, unnest(t) AS term FROM corpus) z
-               GROUP BY doc_id, term),
-      dfreq AS (SELECT term, CAST(COUNT(1) AS BIGINT) AS df
-                FROM post GROUP BY term),
-      q AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:6])) AS term
-            FROM (SELECT doc_id, $duckTokens AS t FROM documents
-                  WHERE doc_id % 29 = 0) z),
-      sc AS (SELECT q.query_id, post.doc_id,
-               CAST(SUM(
-                 ((CAST(1000000 AS BIGINT)
-                   * (2 * ((SELECT n FROM stats) - df) + 1))
-                  // (2 * df + 1))
-                 * ((CAST(1000000 AS BIGINT) * tf * 22 * (SELECT s FROM stats))
-                    // (10 * (SELECT s FROM stats) * tf
-                       + 3 * (SELECT s FROM stats)
-                       + 9 * dl * (SELECT n FROM stats)))
-                 // CAST(1000000 AS BIGINT)) AS BIGINT) AS score_micro
-             FROM post JOIN dfreq USING (term) JOIN q USING (term)
-             GROUP BY q.query_id, post.doc_id),
-      bm AS (SELECT query_id, doc_id, rk FROM (
-               SELECT query_id, doc_id,
-                      ROW_NUMBER() OVER (PARTITION BY query_id
-                        ORDER BY score_micro DESC, doc_id ASC) AS rk
-               FROM sc) r WHERE rk <= 20),
-      eq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-             WHERE vec_id % 29 = 0),
-      esc AS (SELECT qid, vec_id, ${duckCos("qv", "embedding")} AS sim
-              FROM embeddings CROSS JOIN eq WHERE vec_id % 29 <> 0),
-      el AS (SELECT qid AS query_id, vec_id AS doc_id, rk FROM (
-               SELECT qid, vec_id,
-                      ROW_NUMBER() OVER (PARTITION BY qid
-                        ORDER BY sim DESC, vec_id ASC) AS rk
-               FROM esc) r WHERE rk <= 20),
-      u AS (SELECT query_id, doc_id,
-                   CAST(1000000 AS BIGINT) // (60 + CAST(rk AS BIGINT)) AS c
-            FROM bm
-            UNION ALL
-            SELECT query_id, doc_id,
-                   CAST(1000000 AS BIGINT) // (60 + CAST(rk AS BIGINT))
-            FROM el),
-      f AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro
-            FROM u GROUP BY query_id, doc_id)
-      SELECT query_id, doc_id, rrf_micro, CAST(rk AS INT) AS rk
-      FROM (SELECT query_id, doc_id, rrf_micro,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                     ORDER BY rrf_micro DESC, doc_id ASC) AS rk
-            FROM f) t
-      WHERE rk <= 10""",
+    "retrieval_rrf" -> rrfOracle,
+    // per-query boards are independent: the batch-accreted streaming
+    // table equals the one-shot fusion, so it replays the same oracle
+    "stream_retrieval_rrf" -> rrfOracle,
     "dedup_exact" -> """
       SELECT md5(text) AS text_hash, COUNT(1) AS n_copies, MIN(doc_id) AS keeper
       FROM documents GROUP BY 1 HAVING COUNT(1) > 1""",

@@ -257,6 +257,39 @@ object StreamOps {
     q
   }
 
+  /** Streaming hybrid-retrieval freshness — the §2.8 composition of
+    * [[graft.operators.Retrieval.rrfFuse]] with the persisted serving
+    * indexes: each micro-batch of QUERIES is served by the caller's
+    * `legs` builders (e.g. `Bm25Index.crossBm25TopK` against a standing
+    * postings artifact + a dense leg), fused, and the per-query fused
+    * boards land in their own `ingest_batch=<id>` overwrite partition
+    * of `outDir` — the accreting partitioned table IS the maintained
+    * leaderboard (per-query boards are independent, so batch-wise
+    * serving composes exactly: union over batches ≡ one-shot fusion
+    * over all queries).
+    *
+    * Replay-idempotent under at-least-once foreachBatch: the legs read
+    * only the batch and static index state, so a redelivered batchId
+    * recomputes identical boards and REWRITES its own partition.
+    * `checkpointDir` is required — the durable offset log carries the
+    * batchId sequence that makes the partition layout meaningful
+    * across restarts (the [[incrementalDedupStream]] contract). */
+  def maintainRrfStream(queries: DataFrame,
+                        legs: DataFrame => Seq[DataFrame], k: Int,
+                        outDir: String,
+                        checkpointDir: String): StreamingQuery = {
+    val q = queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Retrieval.rrfFuse(legs(batch.toDF()), k)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/ingest_batch=$batchId")
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Documents schema for the file-stream source (matches the testdata
     * parquet; file streams require an explicit schema). */
   val documentsSchema: StructType = StructType(Seq(

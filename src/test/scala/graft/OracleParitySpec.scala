@@ -161,6 +161,9 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r14: ivfOracle's unrolled-kmeans CTEs + sim_quantized's
     // list_transform codes for the IVF × int8 serving path
     "sim_ivf_quantized",
+    // r14: shares retrieval_rrf's dialect-bound oracle (batch-wise
+    // serving composes exactly over independent per-query boards)
+    "stream_retrieval_rrf",
     // r13: list_transform/generate_series token CTEs (familiarity family)
     "text_lm_score",
     // r13: unnest([...]) prob list in the shared quantile oracle

@@ -120,6 +120,53 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(total == Tables.events(spark, dir).count())
     } finally q.stop()
   }
+
+  test("maintainRrfStream: batched serving ≡ one-shot fusion; " +
+    "replayed partition rewrite is a no-op") {
+    import graft.operators.{Bm25Index, Similarity, TextOps}
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val root = graft.sources.Scratch.dir("srrf-law")
+    val queries = docs.filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+          .as("query_text"))
+    queries.repartition(3).write.mode("overwrite").parquet(s"$root/queries")
+    Bm25Index.write(docs.filter(col("doc_id") % 29 =!= 0), s"$root/idx")
+    val corpusEmb = emb.filter(col("vec_id") % 29 =!= 0)
+    def legs(batch: org.apache.spark.sql.DataFrame) = Seq(
+      Bm25Index.crossBm25TopK(spark, batch, s"$root/idx", k = 20)
+        .select("query_id", "doc_id", "rk"),
+      Similarity.bruteForceTopK(corpusEmb,
+        emb.join(batch.select(col("query_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"), 20)
+        .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
+          col("rk")))
+    val q = graft.streaming.StreamOps.maintainRrfStream(
+      spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/queries"),
+      legs, 10, s"$root/fused", s"$root/ckpt")
+    q.stop()
+    def fusedSet(): Set[(Long, Long, Long, Int)] =
+      spark.read.parquet(s"$root/fused")
+        .select("query_id", "doc_id", "rrf_micro", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+    val streamed = fusedSet()
+    val oneShot = graft.operators.Retrieval.rrfFuse(legs(queries), 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(streamed == oneShot, "batched fusion diverged from one-shot")
+    // at-least-once replay: rewriting a batch partition with its own
+    // recomputed content must leave the board frozen
+    val p0 = s"$root/fused/ingest_batch=0"
+    val rows = spark.read.parquet(p0)
+    val copy = spark.createDataFrame(
+      java.util.Arrays.asList(rows.collect(): _*), rows.schema)
+    copy.write.mode("overwrite").parquet(p0)
+    assert(fusedSet() == oneShot, "replayed partition rewrite moved the board")
+  }
 }
 
 /** Exactly-once across a restart: stop a checkpointed query mid-stream,
