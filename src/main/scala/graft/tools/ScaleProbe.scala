@@ -179,7 +179,9 @@ object ScaleProbe {
       System.gc()
       val t0 = System.nanoTime()
       spark.range(0L, 200000000L, 1L, cpus.toInt)
-        .select(sum(xxhash64(col("id"))).as("h"))
+        // bounded summand: a raw Σ xxhash64 overflows long (ANSI) at
+        // 2·10⁸ full-range terms; the mod keeps the hash work intact
+        .select(sum(pmod(xxhash64(col("id")), lit(1000L))).as("h"))
         .write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
       sentinelTimes += t
