@@ -183,8 +183,13 @@ object TextOps {
           expr("coalesce((cast(1000000 as bigint) * c2) div c1, " +
             "cast(0 as bigint))")).as("__s"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("__s").cast("double") / col("n_bigrams") / 1000000.0, 6)
-          .as("familiarity"))
+        // round-6 in EXACT integers: micro = round-half-up(__s / n) =
+        // (2·__s + n) div (2·n), then ONE exact /10⁶. The former
+        // round(double, 6) disagreed with DuckDB on half-way ties
+        // (decimal-string HALF_UP vs float rounding) — the sf0.1 sweep
+        // caught a 1-ulp tie at doc 668
+        (expr("(2 * __s + n_bigrams) div (2 * n_bigrams)").cast("double")
+          / lit(1000000.0)).as("familiarity"))
   }
 
   /** The gate's bigram-count floor — shared with the generated DuckDB
@@ -247,8 +252,10 @@ object TextOps {
         sum(col("k") * col("p_micro")).as("__s"))
       .select(col("doc_id"), col("n_pairs").cast("long").as("n_pairs"),
         col("oov_pairs").cast("long").as("oov_pairs"),
-        round(col("__s").cast("double") / col("n_pairs") / 1000000.0, 6)
-          .as("lm_score"))
+        // same exact integer round-6 as familiarity (tie-free across
+        // engines; the sf0.1 sweep caught 5 half-way ties here)
+        (expr("(2 * __s + n_pairs) div (2 * n_pairs)").cast("double")
+          / lit(1000000.0)).as("lm_score"))
   }
 
   /** Per-document keyword extraction: the k most distinctive terms,

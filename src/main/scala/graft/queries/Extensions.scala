@@ -2923,9 +2923,14 @@ object Extensions {
                WHERE c2 >= ${TextOps.DefaultFamiliarityMinCount})
       SELECT pd.doc_id,
              CAST(SUM(k) AS BIGINT) AS n_bigrams,
-             round(CAST(SUM(k * COALESCE((1000000 * c2) // c1,
-                                         CAST(0 AS BIGINT))) AS DOUBLE)
-                   / CAST(SUM(k) AS BIGINT) / 1000000.0, 6) AS familiarity
+             -- round-6 as EXACT integer half-up division (tie-free
+             -- across engines; round(double,6) disagreed on half-way
+             -- ties at sf0.1)
+             CAST((2 * CAST(SUM(k * COALESCE((1000000 * c2) // c1,
+                                             CAST(0 AS BIGINT))) AS BIGINT)
+                   + CAST(SUM(k) AS BIGINT))
+                  // (2 * CAST(SUM(k) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS familiarity
       FROM pd LEFT JOIN kept USING (bg)
               JOIN prefix ON split_part(pd.bg, ' ', 1) = prefix.w1
       GROUP BY pd.doc_id""",
@@ -2951,11 +2956,13 @@ object Extensions {
              CAST(SUM(k) AS BIGINT) AS n_pairs,
              CAST(SUM(CASE WHEN c2 IS NULL THEN k ELSE 0 END) AS BIGINT)
                AS oov_pairs,
-             round(CAST(SUM(k * ((CAST(1000000 AS BIGINT) *
+             CAST((2 * CAST(SUM(k * ((CAST(1000000 AS BIGINT) *
                                   (COALESCE(c2, CAST(0 AS BIGINT)) + 1))
                                  // (COALESCE(c1, CAST(0 AS BIGINT)) +
-                                    (SELECT v FROM vv)))) AS DOUBLE)
-                   / CAST(SUM(k) AS BIGINT) / 1000000.0, 6) AS lm_score
+                                    (SELECT v FROM vv)))) AS BIGINT)
+                   + CAST(SUM(k) AS BIGINT))
+                  // (2 * CAST(SUM(k) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS lm_score
       FROM pd LEFT JOIN big USING (bg)
               LEFT JOIN uni ON split_part(pd.bg, ' ', 1) = uni.w1
       GROUP BY pd.doc_id""",
