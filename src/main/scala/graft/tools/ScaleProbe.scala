@@ -363,6 +363,52 @@ object ScaleProbe {
     val (spN, ppN) = steadyPrefix(out, s"${copies}x")
     println(f"[scaleprobe] prefix ingest steady-state: t1=$sp1%6.2fs " +
       f"t${copies}x=$spN%6.2fs ratio=${spN / sp1}%5.2f pairs=$pp1 -> $ppN")
+    // BM25-index SERVING steady state: the r14 persisted-postings
+    // claim is "per-batch serving cost is the match stream, independent
+    // of index size". Build the index over the 1x / Nx corpus (one-time,
+    // untimed), then serve the SAME fixed query batch (100 held copy-0
+    // prefixes + 100 novel reflected texts — the steadyIngest
+    // construction as queries). Content-disjoint copies keep the held
+    // queries' term df within copy-0, so the match stream must stay
+    // FLAT; the timed serve may grow only with the vocab-bounded df
+    // fold — the honest sub-linear term, reported alongside.
+    def steadyBm25(dir: String, tag: String): (Double, Long) = {
+      val idxDir = graft.sources.Scratch.dir(s"probe-bm25-$tag")
+      graft.operators.Bm25Index.write(
+        graft.sources.Tables.documents(spark, dir), idxDir)
+      val baseDocs = graft.sources.Tables.documents(spark, base)
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      val batch = baseDocs.sort("doc_id").limit(100).unionByName(
+          baseDocs.sort(desc("doc_id")).limit(100)
+            .withColumn("doc_id", col("doc_id") + 100000000000L)
+            .withColumn("text", translate(col("text"),
+              alpha + alpha.toUpperCase,
+              alpha.reverse + alpha.reverse.toUpperCase)))
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(
+            graft.operators.TextOps.tokens(col("text")), 1, 6))
+            .as("query_text")).persist()
+      batch.count()
+      // the match stream |Σ_q Σ_t df(t)| — the serve's defining cost
+      val matchRows = batch
+        .select(explode(array_distinct(
+          graft.operators.TextOps.tokens(col("query_text")))).as("term"))
+        .join(graft.operators.Bm25Index.foldedDf(spark, idxDir),
+          Seq("term"))
+        .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
+      System.gc()
+      val t0 = System.nanoTime()
+      graft.operators.Bm25Index.crossBm25TopK(spark, batch, idxDir, 5)
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      batch.unpersist()
+      (t, matchRows)
+    }
+    val (sb1, mr1) = steadyBm25(base, "1x")
+    val (sbN, mrN) = steadyBm25(out, s"${copies}x")
+    println(f"[scaleprobe] bm25 serve steady-state: t1=$sb1%6.2fs " +
+      f"t${copies}x=$sbN%6.2fs ratio=${sbN / sb1}%5.2f " +
+      f"matches=$mr1 -> $mrN matchRatio=${mrN.toDouble / math.max(1, mr1)}%5.2f")
     // Maintenance family steady state (VERDICT r12 #4): the claim
     // "refresh scans state + delta, never the corpus" as a measured
     // ratio. State is built over the 1x / Nx corpus UNTIMED (that's the
@@ -477,6 +523,8 @@ object ScaleProbe {
         f""""cand1":$sc1,"candN":$scN,"candRatio":${scN.toDouble / sc1}%.3f},""" +
         f""""prefix_ingest":{"t1":$sp1%.3f,"tN":$spN%.3f,"ratio":${spN / sp1}%.3f,""" +
         f""""pairs1":$pp1,"pairsN":$ppN},""" +
+        f""""bm25_serve_steady":{"t1":$sb1%.3f,"tN":$sbN%.3f,"ratio":${sbN / sb1}%.3f,""" +
+        f""""matches1":$mr1,"matchesN":$mrN},""" +
         f""""maintain_steady":{"aggT1":$ma1%.3f,"aggTN":$maN%.3f,"aggRatio":${maN / ma1}%.3f,""" +
         f""""distinctT1":$md1%.3f,"distinctTN":$mdN%.3f,"distinctRatio":${mdN / md1}%.3f,""" +
         f""""quantileT1":$mq1%.3f,"quantileTN":$mqN%.3f,"quantileRatio":${mqN / mq1}%.3f,""" +
