@@ -3327,7 +3327,7 @@ object Extensions {
                THEN round(CAST(n * CAST(qv AS DECIMAL(38, 0)) - s AS DOUBLE)
                           / sqrt(CAST(n * q2 - s * s AS DOUBLE)), 6)
              END AS z
-      FROM q JOIN st USING (l_returnflag)""",
+      FROM q LEFT JOIN st USING (l_returnflag)""",
     // streaming partial fold over three micro-batches ≡ the same
     // one-shot top-10 (shares q_topk_maintain's oracle text below)
     "stream_topk_maintain" -> """
