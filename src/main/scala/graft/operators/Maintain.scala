@@ -378,16 +378,30 @@ object Maintain {
       .otherwise(depth)
 
   /** Fold one (delta, tombstones) refresh into the stored state IN
-    * PLACE: rewrites `state/` and `caps/`, refusing loudly if any
+    * PLACE: rewrites `caps/` and `state/`, refusing loudly if any
     * group's depth falls below k. `deletes` carries (keyCol, idCol)
     * tombstones; duplicates and tombstones for unseen/nonexistent ids
     * are harmless. Folds chain (depth bookkeeping composes), so a
-    * daily delete-bearing refresh stays state+delta-bounded. */
+    * daily delete-bearing refresh stays state+delta-bounded.
+    *
+    * Replay contract (the streaming twin's backbone): pass `batchId`
+    * and a batch ≤ the durable `last_committed_batch` marker skips
+    * outright; the marker is written strictly LAST. The fold body is
+    * additionally idempotent on its own — the union dedups exact
+    * (key, id, score) rows, and re-applied tombstones hit nothing —
+    * so the only crash window (caps written, state or marker not) can
+    * over-decrement depth on replay, which REFUSES EARLY rather than
+    * serving staleness: conservative, never wrong. (An id re-ingested
+    * with a DIFFERENT score is a caller contract violation, as
+    * documented on [[writeTopKSlackState]] — model updates as
+    * delete + insert.) */
   def foldTopKSlackState(spark: SparkSession, dir: String, delta: DataFrame,
                          deletes: DataFrame, keyCol: String, idCol: String,
-                         scoreCol: String): Unit = {
+                         scoreCol: String,
+                         batchId: Option[Long] = None): Unit = {
     val meta = Dedup.readMeta(spark, dir)
     val (k, slack) = requireSlackState(meta, dir)
+    if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
     val cap = k + slack
     val state = spark.read.parquet(s"$dir/state")
     val caps = spark.read.parquet(s"$dir/caps")
@@ -397,6 +411,7 @@ object Maintain {
       .groupBy(col(keyCol)).agg(count(lit(1)).as("__hits"))
     val union = live.unionByName(delta.select(col(keyCol), col(idCol),
       col(scoreCol).cast("double").as(scoreCol)))
+      .dropDuplicates(keyCol, idCol, scoreCol)
     val cut = TopK.topKPerGroup(union, keyCol, idCol, scoreCol, cap)
     val unionSizes = union.groupBy(col(keyCol)).agg(count(lit(1)).as("__un"))
     // per-group depth transition: complete (null) stays complete until
@@ -419,12 +434,16 @@ object Maintain {
       .filter(col("depth").isNull || col("rk") <= col("depth"))
       .select(col(keyCol), col(idCol), col(scoreCol))
     // materialize before the in-place overwrite (the plans read the
-    // files they replace), then swap both tables
+    // files they replace). Write order is load-bearing: caps first
+    // (depths can only end up conservatively LOW in a torn replay),
+    // state second, commit marker strictly last.
     val (ns, relS) = Dedup.materializeTracked(newState)
     val (nc, relC) = Dedup.materializeTracked(newCaps)
     try {
-      ns.write.mode("overwrite").parquet(s"$dir/state")
       nc.write.mode("overwrite").parquet(s"$dir/caps")
+      ns.write.mode("overwrite").parquet(s"$dir/state")
+      batchId.foreach(b => Dedup.writeMeta(spark, dir,
+        meta + ("last_committed_batch" -> b.toString)))
     } finally { relS(); relC() }
   }
 

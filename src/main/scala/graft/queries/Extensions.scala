@@ -1057,6 +1057,39 @@ object Extensions {
       graft.operators.Maintain.serveTopKSlack(s, dir, "o_orderstatus",
         "o_orderkey", "o_totalprice")
     }),
+    // the streaming CDC twin: the same delta AND the same leader
+    // deletes arrive as an insert/delete change stream over three
+    // micro-batches; the folded state must serve the identical board
+    // (shares q_topk_maintain_del's oracle)
+    "stream_topk_maintain_del" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 10 =!= 0)
+      val root = graft.sources.Scratch.dir(
+        s"stkd_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Maintain.writeTopKSlackState(base, "o_orderstatus",
+        "o_orderkey", "o_totalprice", 10, 30, root)
+      val inserts = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .withColumn("op", lit("insert"))
+      val deletes = graft.operators.TopK.topKPerGroup(
+        base.select(col("o_orderstatus"), col("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice")),
+        "o_orderstatus", "o_orderkey", "o_totalprice", 3)
+        .select(col("o_orderstatus"), col("o_orderkey"))
+        .withColumn("o_totalprice", lit(0.0))
+        .withColumn("op", lit("delete"))
+      inserts.unionByName(deletes).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/cdc")
+      val q = graft.streaming.StreamOps.maintainTopKSlackStream(
+        s.readStream.schema(s.read.parquet(s"$root/cdc").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
+        "o_orderstatus", "o_orderkey", "o_totalprice", "op",
+        root, s"$root/ckpt")
+      q.stop()
+      graft.operators.Maintain.serveTopKSlack(s, root, "o_orderstatus",
+        "o_orderkey", "o_totalprice")
+    }),
     // declarative constraint audit (dbt-test/Deequ shape): ALL row-local
     // checks per table fold into ONE conditional-sum scan, uniqueness is
     // a groupBy on the key, referential integrity a broadcast anti-join
@@ -3353,6 +3386,30 @@ object Extensions {
     // one-shot top-10 over (corpus − the base's top-3 leaders per
     // status) — the delete-bearing refresh must reproduce it exactly
     "q_topk_maintain_del" -> """
+      WITH del AS (
+        SELECT o_orderstatus, o_orderkey FROM (
+          SELECT o_orderstatus, o_orderkey,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders WHERE o_orderkey % 10 <> 0) t
+        WHERE rn <= 3),
+      live AS (
+        SELECT o.o_orderstatus, o.o_orderkey, o.o_totalprice
+        FROM orders o LEFT JOIN del d
+          ON o.o_orderstatus = d.o_orderstatus
+         AND o.o_orderkey = d.o_orderkey
+        WHERE d.o_orderkey IS NULL)
+      SELECT o_orderstatus, o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             CAST(rk AS INT) AS rk
+      FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM live) t
+      WHERE rk <= 10""",
+    // streaming CDC fold over three micro-batches ≡ the same
+    // delete-bearing one-shot (shares q_topk_maintain_del's text above)
+    "stream_topk_maintain_del" -> """
       WITH del AS (
         SELECT o_orderstatus, o_orderkey FROM (
           SELECT o_orderstatus, o_orderkey,

@@ -257,6 +257,46 @@ object StreamOps {
     q
   }
 
+  /** CDC-driven streaming twin of
+    * [[graft.operators.Maintain.foldTopKSlackState]] — deletion-aware
+    * leaderboard maintenance over a change stream: each micro-batch
+    * carries `opCol` ∈ {"insert", "delete"} rows, split and folded into
+    * the slack state with the batchId as the replay guard (durable
+    * marker, written strictly last — a redelivered batch skips; a torn
+    * fold can only over-decrement depth, i.e. refuse early, never
+    * serve staleness). Tombstones apply to PREVIOUSLY-STORED rows: a
+    * same-batch delete+insert of one id nets to the insert (upsert
+    * semantics), and per-id event order across batches is the caller's
+    * contract, as in any CDC consumer. Unknown op values refuse
+    * loudly. Per-batch cost is |state| + |batch| — the Maintain law. */
+  def maintainTopKSlackStream(cdc: DataFrame, keyCol: String, idCol: String,
+                              scoreCol: String, opCol: String,
+                              stateDir: String,
+                              checkpointDir: String): StreamingQuery = {
+    val q = cdc.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val unknown = b.filter(!col(opCol).isin("insert", "delete"))
+            .limit(1).collect()
+          require(unknown.isEmpty,
+            s"maintainTopKSlackStream: unknown $opCol value " +
+              s"'${unknown.headOption.map(_.getAs[Any](opCol))
+                .getOrElse("")}' — expected insert|delete")
+          graft.operators.Maintain.foldTopKSlackState(batch.sparkSession,
+            stateDir,
+            b.filter(col(opCol) === "insert"),
+            b.filter(col(opCol) === "delete"),
+            keyCol, idCol, scoreCol, batchId = Some(batchId))
+        } finally b.unpersist()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Streaming hybrid-retrieval freshness — the §2.8 composition of
     * [[graft.operators.Retrieval.rrfFuse]] with the persisted serving
     * indexes: each micro-batch of QUERIES is served by the caller's

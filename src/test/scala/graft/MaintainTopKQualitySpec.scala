@@ -108,6 +108,34 @@ class TopKMaintainSpec extends AnyFunSuite with SparkSpec {
     assert(served2 == Set((2L, 1), (3L, 2)), s"chained fold wrong: $served2")
   }
 
+  test("slack fold replay: committed batchId skips; unguarded re-fold " +
+    "is idempotent (dedup + tombstone re-miss)") {
+    import spark.implicits._
+    val base = (1 to 10).map(i => ("a", i.toLong, 101.0 - i))
+      .toDF("g", "id", "s")
+    val dir = graft.sources.Scratch.dir("topk-slack-replay")
+    Maintain.writeTopKSlackState(base, "g", "id", "s", k = 2, slack = 2, dir)
+    val delta = Seq(("a", 99L, 250.0)).toDF("g", "id", "s")
+    val dels = Seq(("a", 1L)).toDF("g", "id")
+    Maintain.foldTopKSlackState(spark, dir, delta, dels, "g", "id", "s",
+      batchId = Some(0L))
+    def served(): Seq[(Long, Int)] =
+      Maintain.serveTopKSlack(spark, dir, "g", "id", "s")
+        .collect().map(r => (r.getLong(1), r.getInt(3))).toSeq.sorted
+    val board = served()
+    assert(board == Seq((2L, 2), (99L, 1)))
+    // a redelivered batchId 0 with DIFFERENT content must skip outright
+    Maintain.foldTopKSlackState(spark, dir,
+      Seq(("a", 777L, 999.0)).toDF("g", "id", "s"),
+      Seq(("a", 2L)).toDF("g", "id"), "g", "id", "s", batchId = Some(0L))
+    assert(served() == board, "committed batchId replay was not skipped")
+    // an UNGUARDED re-fold of the same content (crash before the
+    // marker) is idempotent: dedup collapses the re-appended rows and
+    // the re-applied tombstone hits nothing
+    Maintain.foldTopKSlackState(spark, dir, delta, dels, "g", "id", "s")
+    assert(served() == board, "unguarded same-content re-fold moved the board")
+  }
+
   test("slack exhaustion raises loudly instead of serving staleness") {
     import spark.implicits._
     val base = (1 to 20).map(i => ("a", i.toLong, 101.0 - i))
