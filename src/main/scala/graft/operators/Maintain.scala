@@ -54,6 +54,39 @@ object Maintain {
         sum(col("total")).cast(DecimalType(18, 2)).as("total"))
   }
 
+  /** Deletion-aware refresh: count/sum are DISTRIBUTIVE over signed
+    * contributions, so a delete is just a NEGATIVE partial — unlike
+    * top-k (which needs the slack ledger) the aggregate leg stays
+    * EXACT under deletes with zero extra state. `deletes` carries the
+    * deleted rows' images (key + value — the standard CDC delete
+    * payload; a bare id cannot retract a sum). Retracting rows never
+    * inserted is a caller error and raises in-plan (negative count, or
+    * a zeroed count with a non-zero residual sum — a value-mismatched
+    * retraction); keys whose rows are all deleted drop from the
+    * result, matching the one-shot recompute. */
+  def mergeAggStateWithDeletes(spark: SparkSession, dir: String,
+                               delta: DataFrame, deletes: DataFrame,
+                               keyCol: String, valCol: String): DataFrame = {
+    val retract = aggPartials(deletes, keyCol, valCol)
+      .select(col(keyCol), (-col("cnt")).as("cnt"),
+        (-col("total")).cast(DecimalType(18, 2)).as("total"))
+    spark.read.parquet(dir)
+      .unionByName(aggPartials(delta, keyCol, valCol))
+      .unionByName(retract)
+      .groupBy(col(keyCol))
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("total")).cast(DecimalType(18, 2)).as("total"))
+      .withColumn("cnt",
+        when(col("cnt") < 0 ||
+          (col("cnt") === 0 && col("total") =!= lit(0).cast(DecimalType(18, 2))),
+          raise_error(concat(
+            lit("aggregate retraction exceeds the held rows for key "),
+            col(keyCol).cast("string"),
+            lit(" — deletes must be previously-inserted row images"))))
+          .otherwise(col("cnt")))
+      .filter(col("cnt") > 0)
+  }
+
   /** Streaming refresh layout: base partials at `$dir/base` plus one
     * `ingest_batch=<id>` partition per micro-batch under `$dir/batches`
     * (written by `StreamOps.maintainAggStream`); [[readAggRefreshed]]
@@ -159,6 +192,32 @@ object Maintain {
       .unionByName(deltaPartials)
       .groupBy(col(keyCol), col("bin"))
       .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Deletion-aware histogram refresh — [[mergeAggStateWithDeletes]]'s
+    * twin for the quantile leg: a deleted row's value re-bins (stored
+    * domain, deterministic) to exactly the bin its insert incremented,
+    * so the retraction is a negative bin count and the refreshed
+    * histogram is EXACT under deletes. Same loud contract: a bin
+    * driven negative raises; zeroed bins drop. */
+  def mergeQuantileStateWithDeletes(spark: SparkSession, dir: String,
+                                    delta: DataFrame, deletes: DataFrame,
+                                    keyCol: String,
+                                    valCol: String): DataFrame = {
+    val retract = quantileDeltaPartials(spark, dir, deletes, keyCol, valCol)
+      .select(col(keyCol), col("bin"), (-col("cnt")).as("cnt"))
+    mergeQuantileState(spark, dir, delta, keyCol, valCol)
+      .unionByName(retract)
+      .groupBy(col(keyCol), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumn("cnt",
+        when(col("cnt") < 0,
+          raise_error(concat(
+            lit("histogram retraction exceeds the held rows for key "),
+            col(keyCol).cast("string"),
+            lit(" — deletes must be previously-inserted row images"))))
+          .otherwise(col("cnt")))
+      .filter(col("cnt") > 0)
   }
 
   /** One delta's bin-count partials under the STORED domain — the

@@ -893,6 +893,43 @@ object Extensions {
         .select(col("o_orderstatus"), col("cnt"),
           col("total").cast("double").as("total"))
     }),
+    // deletion-aware aggregate refresh: deletes are NEGATIVE partials
+    // (count/sum are distributive over signed contributions), so the
+    // refresh is exact with zero extra state — the delete set spans
+    // base AND delta rows, exercising same-merge insert+retract nets
+    "q_agg_maintain_del" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val stateDir = graft.sources.Scratch.dir(
+        s"aggdel_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Maintain.writeAggState(
+        o.filter(col("o_orderkey") % 10 =!= 0),
+        "o_orderstatus", "o_totalprice", stateDir)
+      graft.operators.Maintain.mergeAggStateWithDeletes(s, stateDir,
+        o.filter(col("o_orderkey") % 10 === 0),
+        o.filter(col("o_orderkey") % 7 === 3),
+        "o_orderstatus", "o_totalprice")
+        .select(col("o_orderstatus"), col("cnt"),
+          col("total").cast("double").as("total"))
+    }),
+    // deletion-aware histogram refresh: the deleted row re-bins (stored
+    // domain, deterministic) to the bin its insert incremented — exact
+    // negative bin counts, then the same interpolation
+    "q_quantile_maintain_del" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val dir = graft.sources.Scratch.dir(
+        s"qhdel_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Maintain.writeQuantileState(
+        o.filter(col("o_orderkey") % 10 =!= 0),
+        "o_orderstatus", "o_totalprice", dir, lo = 0.0, hi = 600000.0,
+        bins = 120)
+      val refreshed = graft.operators.Maintain
+        .mergeQuantileStateWithDeletes(s, dir,
+          o.filter(col("o_orderkey") % 10 === 0),
+          o.filter(col("o_orderkey") % 7 === 3),
+          "o_orderstatus", "o_totalprice")
+      graft.operators.Maintain.estimateQuantiles(refreshed,
+        "o_orderstatus", Seq(0.5, 0.9), lo = 0.0, hi = 600000.0, bins = 120)
+    }),
     // approx-distinct maintenance gate: COUNT(DISTINCT) is the one
     // aggregate plain partials CANNOT refresh (it's not distributive) —
     // the persisted HLL sketches are; 90% base state + 10% delta union
@@ -2704,14 +2741,16 @@ object Extensions {
     * maintained (batch or streaming) histogram state must equal the
     * one-shot binning of everything — same clamped bin law, same
     * continuous-rank interpolation, double-for-double. */
-  private val quantileMaintainOracle: String = """
+  /** Parametrized on the live-row filter so the deletion-aware gate
+    * shares the binning/interpolation text verbatim. */
+  private def quantileMaintainOracleFor(where: String): String = s"""
       WITH binned AS (
         SELECT o_orderstatus AS k,
                LEAST(119, GREATEST(0, CAST(FLOOR(
                  (CAST(o_totalprice AS DOUBLE) - 0.0) / 5000.0) AS INT)))
                  AS bin,
                CAST(COUNT(1) AS BIGINT) AS cnt
-        FROM orders GROUP BY 1, 2),
+        FROM orders $where GROUP BY 1, 2),
       cum AS (
         SELECT k, bin, cnt,
                SUM(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum,
@@ -2725,6 +2764,8 @@ object Extensions {
       FROM cum, ps
       WHERE CAST(cum AS DOUBLE) >= p * CAST(n AS DOUBLE)
         AND CAST(cum - cnt AS DOUBLE) < p * CAST(n AS DOUBLE)"""
+
+  private val quantileMaintainOracle: String = quantileMaintainOracleFor("")
 
   /** Shared by `text_bm25` and `retrieval_bm25_incr` (the persisted
     * index's folds are exact, so stored ≡ fresh replays one oracle). */
@@ -3331,6 +3372,14 @@ object Extensions {
     // maintained histogram state ≡ one-shot binning; same clamped bin
     // law, same continuous-rank interpolation, double-for-double
     "q_quantile_maintain" -> quantileMaintainOracle,
+    // one-shot agg / binning over the live rows (corpus - deletes) -
+    // the retraction-folded refreshes must reproduce them exactly
+    "q_agg_maintain_del" -> """
+      SELECT o_orderstatus, COUNT(1) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY o_orderstatus""",
+    "q_quantile_maintain_del" ->
+      quantileMaintainOracleFor("WHERE o_orderkey % 7 <> 3"),
     // streaming bin-partial fold over three micro-batches ≡ one-shot
     "stream_quantile_maintain" -> quantileMaintainOracle,
     // streaming fold over three micro-batches ≡ the same one-shot

@@ -164,6 +164,9 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r14: shares retrieval_rrf's dialect-bound oracle (batch-wise
     // serving composes exactly over independent per-query boards)
     "stream_retrieval_rrf",
+    // r14: the quantile oracle's unnest([...]) prob list, filtered to
+    // the live rows for the deletion-aware gate
+    "q_quantile_maintain_del",
     // r13: list_transform/generate_series token CTEs (familiarity family)
     "text_lm_score",
     // r13: unnest([...]) prob list in the shared quantile oracle

@@ -331,6 +331,73 @@ class AggMaintainStreamSpec extends AnyFunSuite with SparkSpec {
   * commutative / IDEMPOTENT, so (a) any split of the corpus into deltas
   * folds to the identical estimate, and (b) re-folding a replayed delta
   * cannot move it — the property plain counters lack. */
+class RetractionMaintainSpec extends AnyFunSuite with SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.Maintain
+
+  test("agg retraction: fold(delta, deletes) ≡ one-shot over live rows; " +
+    "fully deleted keys drop") {
+    import spark.implicits._
+    val base = Seq(("a", 10.00), ("a", 20.00), ("b", 5.00), ("c", 7.00))
+      .toDF("g", "v")
+    val dir = graft.sources.Scratch.dir("agg-retract-law")
+    Maintain.writeAggState(base, "g", "v", dir)
+    // delta adds to a; deletes retract one a row, one same-merge delta
+    // row (net zero), and ALL of c (the key must vanish)
+    val delta = Seq(("a", 40.00), ("d", 1.00)).toDF("g", "v")
+    val dels = Seq(("a", 20.00), ("d", 1.00), ("c", 7.00)).toDF("g", "v")
+    val got = Maintain.mergeAggStateWithDeletes(spark, dir, delta, dels,
+      "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue))).toMap
+    assert(got == Map("a" -> ((2L, 50.0)), "b" -> ((1L, 5.0))),
+      s"retraction fold wrong: $got")
+  }
+
+  test("agg retraction of never-inserted rows raises loudly") {
+    import spark.implicits._
+    val base = Seq(("a", 10.00)).toDF("g", "v")
+    val dir = graft.sources.Scratch.dir("agg-retract-refuse")
+    Maintain.writeAggState(base, "g", "v", dir)
+    val e = intercept[Exception] {
+      Maintain.mergeAggStateWithDeletes(spark, dir,
+        spark.emptyDataset[(String, Double)].toDF("g", "v"),
+        Seq(("a", 10.00), ("a", 3.00)).toDF("g", "v"), "g", "v").collect()
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: chain(t.getCause)
+    assert(chain(e).exists(_.contains("retraction exceeds")),
+      s"expected the retraction refusal, got ${chain(e).take(3)}")
+  }
+
+  test("histogram retraction: refreshed bins ≡ one-shot binning of live rows") {
+    import spark.implicits._
+    val base = Seq(("a", 10.0), ("a", 110.0), ("a", 110.5), ("b", 50.0))
+      .toDF("g", "v")
+    val dir = graft.sources.Scratch.dir("qh-retract-law")
+    Maintain.writeQuantileState(base, "g", "v", dir, lo = 0.0, hi = 200.0,
+      bins = 4)
+    val delta = Seq(("a", 160.0)).toDF("g", "v")
+    val dels = Seq(("a", 110.0), ("b", 50.0)).toDF("g", "v")
+    val got = Maintain.mergeQuantileStateWithDeletes(spark, dir, delta,
+      dels, "g", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    // live rows: a@10 (bin 0), a@110.5 (bin 2), a@160 (bin 3); b gone
+    assert(got == Map(("a", 0) -> 1L, ("a", 2) -> 1L, ("a", 3) -> 1L),
+      s"histogram retraction wrong: $got")
+    // over-retraction of a bin raises
+    val e = intercept[Exception] {
+      Maintain.mergeQuantileStateWithDeletes(spark, dir,
+        spark.emptyDataset[(String, Double)].toDF("g", "v"),
+        Seq(("a", 11.0), ("a", 12.0)).toDF("g", "v"), "g", "v").collect()
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: chain(t.getCause)
+    assert(chain(e).exists(_.contains("retraction exceeds")))
+  }
+}
+
 class DistinctMaintainSpec extends AnyFunSuite with SparkSpec {
   import org.apache.spark.sql.functions._
 
