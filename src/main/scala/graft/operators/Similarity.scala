@@ -294,6 +294,19 @@ object Similarity {
     * by cell" layout the ivfTopK scale story assumes: a probe of
     * nprobe cells dynamically prunes to those directories instead of
     * scanning the corpus). */
+  private val IvfIndexKind = "ivf_index"
+
+  /** The per-vector index row under a given quantizer — shared by the
+    * initial write and every append, so stored and appended vectors
+    * can never drift in shape. */
+  private def ivfAssignedRows(vectors: DataFrame,
+                              cents: Seq[(Int, Array[Float])]): DataFrame =
+    vectors.select(col("vec_id"), col("embedding").as("v"),
+      graft.functions.exprs.pack_codes(
+        graft.functions.exprs.quantize_vec(col("embedding"), QuantLevels))
+        .as("codes"),
+      nearestCentroid(col("embedding"), cents).as("cent_id"))
+
   def writeIvfIndex(corpus: DataFrame, dir: String, nCentroids: Int = 16,
                     iters: Int = 5): Unit = {
     val spark = corpus.sparkSession
@@ -306,13 +319,67 @@ object Similarity {
     // column pruning lets [[ivfTopKQuantized]]'s scoring scan read the
     // 1 byte/dim codes without touching the 4 byte/dim floats — the 4×
     // I/O cut exactly where the 100 TB ANN scan spends its time
-    corpus.select(col("vec_id"), col("embedding").as("v"),
-      graft.functions.exprs.pack_codes(
-        graft.functions.exprs.quantize_vec(col("embedding"), QuantLevels))
-        .as("codes"),
-      nearestCentroid(col("embedding"), cents).as("cent_id"))
+    ivfAssignedRows(corpus, cents)
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$dir/assigned")
+    Dedup.writeMeta(spark, dir, Map(
+      "kind" -> IvfIndexKind, "nCentroids" -> nCentroids.toString,
+      "iters" -> iters.toString))
+  }
+
+  private def validateIvfMeta(meta: Map[String, String],
+                              dir: String): Unit =
+    require(meta.get("kind").contains(IvfIndexKind),
+      s"$dir is not an IVF index (kind=${meta.getOrElse("kind", "<absent>")})")
+
+  /** Append new vectors under the STORED quantizer — the index
+    * lifecycle leg every other index family already has. Assignment
+    * uses the centroids on disk, so the probe math stays exact over
+    * the union (cell membership is a function of the quantizer, and
+    * probes score the SAME quantizer); what staleness costs is cell
+    * balance/recall as the distribution drifts — the standard IVF
+    * trade, remedied by a retraining `writeIvfIndex`. Batch rows land
+    * in `assigned_batches/ingest_batch=<id>/cent_id=<c>/` — cell
+    * pruning keeps working on the second-level partition — with
+    * dynamic overwrite + marker-last commit (the v2 replay contract:
+    * redelivered batches skip; torn appends are excluded by the
+    * committed-only read and healed by the replay's overwrite). */
+  def appendIvfIndex(spark: SparkSession, dir: String,
+                     newVectors: DataFrame,
+                     batchId: Option[Long] = None): Unit = {
+    val meta = Dedup.readMeta(spark, dir)
+    validateIvfMeta(meta, dir)
+    if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
+    val cents = readIvfCentroids(spark, dir)
+    val rows = ivfAssignedRows(newVectors, cents)
+      .withColumn(Dedup.IngestBatchCol, lit(batchId.getOrElse(-1L)))
+    // replay replaces the batch's WHOLE subtree: with the two-level
+    // (ingest_batch, cent_id) layout a dynamic overwrite would only
+    // replace the cells the replay touches, so a torn attempt's other
+    // cells could linger and commit with the marker — delete the batch
+    // directory outright instead (single-writer; a crash between the
+    // delete and the write just leaves the batch uncommitted, exactly
+    // like a crash before the write)
+    batchId.foreach { b =>
+      val p = new org.apache.hadoop.fs.Path(
+        s"$dir/assigned_batches/${Dedup.IngestBatchCol}=$b")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    rows.write.partitionBy(Dedup.IngestBatchCol, "cent_id")
+      .mode("append").parquet(s"$dir/assigned_batches")
+    Dedup.writeMeta(spark, dir,
+      meta ++ batchId.map(b => "last_committed_batch" -> b.toString))
+  }
+
+  private def readIvfCentroids(spark: SparkSession,
+                               dir: String): Seq[(Int, Array[Float])] = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    require(cents.nonEmpty, s"readIvfIndex: no centroids under $dir")
+    cents
   }
 
   /** The stored quantizer + cell-partitioned corpus of [[writeIvfIndex]].
@@ -321,12 +388,20 @@ object Similarity {
                             assigned: DataFrame)
 
   def readIvfIndex(spark: SparkSession, dir: String): IvfIndex = {
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).toSeq
-    require(cents.nonEmpty, s"readIvfIndex: no centroids under $dir")
-    IvfIndex(cents, spark.read.parquet(s"$dir/assigned"))
+    val meta = Dedup.readMeta(spark, dir)
+    validateIvfMeta(meta, dir)
+    val cents = readIvfCentroids(spark, dir)
+    val base = spark.read.parquet(s"$dir/assigned")
+    val bp = new org.apache.hadoop.fs.Path(s"$dir/assigned_batches")
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val assigned =
+      if (fs.exists(bp))
+        base.unionByName(
+          Dedup.committedOnly(
+            spark.read.parquet(s"$dir/assigned_batches"), meta)
+            .drop(Dedup.IngestBatchCol))
+      else base
+    IvfIndex(cents, assigned)
   }
 
   /** [[ivfTopK]] against a stored index: identical probe math (same

@@ -1453,6 +1453,21 @@ object Extensions {
       Similarity.ivfTopKIndexed(Similarity.readIvfIndex(s, dir),
         e.filter(col("vec_id") < 5), 10)
     }),
+    // IVF index APPEND lifecycle: train + write on the 3/4 base,
+    // append the held-out quarter under the STORED quantizer (batch 0,
+    // marker-committed), probe the folded index — cell membership is a
+    // function of the quantizer, so the board equals an oracle that
+    // trains on the base and assigns everything
+    "sim_ivf_appended" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.dir(
+        s"ivfapp_${java.util.UUID.randomUUID.toString.take(8)}")
+      Similarity.writeIvfIndex(e.filter(col("vec_id") % 4 =!= 1), dir)
+      Similarity.appendIvfIndex(s, dir,
+        e.filter(col("vec_id") % 4 === 1), batchId = Some(0L))
+      Similarity.ivfTopKIndexed(Similarity.readIvfIndex(s, dir),
+        e.filter(col("vec_id") < 5), 10)
+    }),
     // IVF × int8 combined serving: quantized scoring over the packed
     // codes column of the probed cells only (4× scan cut × cell
     // pruning), bounded top-40 shortlist, exact float re-rank of the
@@ -2208,16 +2223,21 @@ object Extensions {
     * `Similarity.trainCentroids`: seed = 16 lowest vec_ids, `iters`
     * Lloyd iterations, element-wise means in integer micro-units, empty
     * cells keep their centroid). 64 = the testdata embedding dim. */
-  private def kmeansCtes(iters: Int): String = {
+  /** `trainWhere` filters the TRAIN corpus (seed + every assignment
+    * iteration) — "" trains on the full table; a predicate replays an
+    * index trained on a base subset (the `sim_ivf_appended` gate). */
+  private def kmeansCtes(iters: Int, trainWhere: String = ""): String = {
+    val andW = if (trainWhere.isEmpty) "" else s" AND ($trainWhere)"
+    val whereW = if (trainWhere.isEmpty) "" else s" WHERE ($trainWhere)"
     val init =
       "c0 AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cv " +
-        "FROM embeddings WHERE vec_id < 16)"
+        s"FROM embeddings WHERE vec_id < 16$andW)"
     val steps = (1 to iters).map { i =>
       val p = s"c${i - 1}"
       s"""a$i AS (SELECT vec_id, embedding AS v, cent_id,
                row_number() OVER (PARTITION BY vec_id
                  ORDER BY ${duckCos("embedding", "cv")} DESC, cent_id ASC) AS rn
-             FROM embeddings CROSS JOIN $p),
+             FROM (SELECT * FROM embeddings$whereW) CROSS JOIN $p),
       s$i AS (SELECT cent_id, d,
                 SUM(CAST(floor(CAST(v[d] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
                 COUNT(1) AS n
@@ -2291,10 +2311,13 @@ object Extensions {
              CAST(COUNT(1) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS sp
       FROM e GROUP BY i, j"""
 
-  private val ivfOracle: String = {
+  /** `trainWhere` as in [[kmeansCtes]]: the assignment/probe half
+    * always runs over the FULL table (appended vectors are assigned
+    * with the same stored-quantizer formula at serve time). */
+  private def ivfOracleFor(trainWhere: String): String = {
     val cos = duckCos("qv", "v")
     s"""
-      WITH ${kmeansCtes(5)},
+      WITH ${kmeansCtes(5, trainWhere)},
       cents AS (SELECT cent_id, cv FROM c5),
       acorp AS (SELECT vec_id, embedding AS v, cent_id,
                   ${duckCos("embedding", "cv")} AS csim
@@ -2320,6 +2343,13 @@ object Extensions {
             FROM scored) t
       WHERE rk <= 10"""
   }
+
+  private val ivfOracle: String = ivfOracleFor("")
+
+  /** Stored-quantizer append: train on the 3/4 base, assign + probe
+    * everything — exactly what write-on-base + append-under-stored-
+    * centroids serves. */
+  private val ivfAppendedOracle: String = ivfOracleFor("vec_id % 4 <> 1")
 
   /** IVF × int8 serving: [[ivfOracle]]'s unrolled k-means + cell
     * assignment/probing, `sim_quantized`'s maxabs-code + integer-dot
@@ -3607,6 +3637,7 @@ object Extensions {
     // stored-index probe must equal the fresh-train probe bit-for-bit
     "sim_ivf_persisted" -> ivfOracle,
     "sim_ivf_quantized" -> ivfQuantizedOracle,
+    "sim_ivf_appended" -> ivfAppendedOracle,
     "q_diversity_sample" -> diversityOracle,
     "q_join_asof_fast" -> Relational.oracles("q_join_asof"),
     "dedup_simhash" -> simhashOracle,

@@ -172,4 +172,53 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
     Similarity.appendToEmbeddingIndex(batch, idxDir)
     assert(Dedup.readMeta(spark, idxDir)("n_vectors").toLong == n0 + 2)
   }
+
+  test("IVF append: split-invariant, replay-skipped, torn-excluded") {
+    val e = graft.sources.Tables.embeddings(spark, base)
+    val eBase = e.filter(col("vec_id") % 4 =!= 1)
+    val d1 = e.filter(col("vec_id") % 8 === 1)
+    val d2 = e.filter(col("vec_id") % 8 === 5)
+    val q = e.filter(col("vec_id") < 5)
+    def board(dir: String): Set[Seq[String]] = canon(
+      Similarity.ivfTopKIndexed(Similarity.readIvfIndex(spark, dir), q, 10))
+    // one batch vs two batches: same folded index, same board
+    val one = graft.sources.Scratch.dir("ivf-app-one")
+    Similarity.writeIvfIndex(eBase, one)
+    Similarity.appendIvfIndex(spark, one, d1.unionByName(d2),
+      batchId = Some(0L))
+    val two = graft.sources.Scratch.dir("ivf-app-two")
+    Similarity.writeIvfIndex(eBase, two)
+    Similarity.appendIvfIndex(spark, two, d1, batchId = Some(0L))
+    Similarity.appendIvfIndex(spark, two, d2, batchId = Some(1L))
+    val b = board(one)
+    assert(b.nonEmpty && b == board(two),
+      "batch split changed the served board")
+    // every vector exactly once
+    assert(Similarity.readIvfIndex(spark, two).assigned.count() == e.count())
+    // committed replay with DIFFERENT content skips outright
+    Similarity.appendIvfIndex(spark, two, eBase.limit(3), batchId = Some(1L))
+    assert(board(two) == b, "committed batchId replay was not skipped")
+    // torn append (partition written, marker not) is excluded, and the
+    // replayed batch heals it by dynamic overwrite
+    val torn = graft.sources.Scratch.dir("ivf-app-torn")
+    Similarity.writeIvfIndex(eBase, torn)
+    val baseBoard = board(torn)
+    spark.read.parquet(s"$torn/assigned")
+      .limit(4).withColumn("ingest_batch", lit(0L))
+      .write.partitionBy("ingest_batch", "cent_id").mode("append")
+      .parquet(s"$torn/assigned_batches")
+    assert(board(torn) == baseBoard,
+      "uncommitted batch partition leaked into the served board")
+    Similarity.appendIvfIndex(spark, torn, d1.unionByName(d2),
+      batchId = Some(0L))
+    assert(board(torn) == b, "healed replay diverged from the clean fold")
+    // wrong-kind dir refuses
+    val wrong = graft.sources.Scratch.dir("ivf-app-wrong")
+    graft.operators.Bm25Index.write(
+      graft.sources.Tables.documents(spark, base).limit(20), wrong)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(spark, wrong, d1)
+    }
+    assert(ex.getMessage.contains("not an IVF index"))
+  }
 }

@@ -161,6 +161,9 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r14: ivfOracle's unrolled-kmeans CTEs + sim_quantized's
     // list_transform codes for the IVF × int8 serving path
     "sim_ivf_quantized",
+    // r14: the same kmeans CTEs trained on the base subset for the
+    // stored-quantizer append gate
+    "sim_ivf_appended",
     // r14: shares retrieval_rrf's dialect-bound oracle (batch-wise
     // serving composes exactly over independent per-query boards)
     "stream_retrieval_rrf",
