@@ -1468,6 +1468,26 @@ object Extensions {
       Similarity.ivfTopKIndexed(Similarity.readIvfIndex(s, dir),
         e.filter(col("vec_id") < 5), 10)
     }),
+    // the streaming ingestion twin: the held-out quarter arrives as a
+    // 3-file vector stream, each micro-batch appended under the stored
+    // quantizer — the folded index must serve the identical board
+    // (shares sim_ivf_appended's oracle)
+    "stream_ivf_appended" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val root = graft.sources.Scratch.dir(
+        s"sivfapp_${java.util.UUID.randomUUID.toString.take(8)}")
+      Similarity.writeIvfIndex(e.filter(col("vec_id") % 4 =!= 1),
+        s"$root/idx")
+      e.filter(col("vec_id") % 4 === 1).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/delta")
+      val q = graft.streaming.StreamOps.incrementalIvfStream(
+        s.readStream.schema(s.read.parquet(s"$root/delta").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/delta"),
+        s"$root/idx", s"$root/ckpt")
+      q.stop()
+      Similarity.ivfTopKIndexed(Similarity.readIvfIndex(s, s"$root/idx"),
+        e.filter(col("vec_id") < 5), 10)
+    }),
     // IVF × int8 combined serving: quantized scoring over the packed
     // codes column of the probed cells only (4× scan cut × cell
     // pruning), bounded top-40 shortlist, exact float re-rank of the
@@ -3638,6 +3658,8 @@ object Extensions {
     "sim_ivf_persisted" -> ivfOracle,
     "sim_ivf_quantized" -> ivfQuantizedOracle,
     "sim_ivf_appended" -> ivfAppendedOracle,
+    // streamed appends fold to the same committed content
+    "stream_ivf_appended" -> ivfAppendedOracle,
     "q_diversity_sample" -> diversityOracle,
     "q_join_asof_fast" -> Relational.oracles("q_join_asof"),
     "dedup_simhash" -> simhashOracle,

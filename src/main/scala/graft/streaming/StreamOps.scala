@@ -257,6 +257,26 @@ object StreamOps {
     q
   }
 
+  /** Streaming ingestion twin of
+    * [[graft.operators.Similarity.appendIvfIndex]] — the IVF index
+    * joins the other index families' continuously-fed form: each
+    * micro-batch of vectors is assigned under the STORED quantizer and
+    * appended as its own committed batch subtree. Replay-idempotent by
+    * the append's own contract (whole-subtree replacement + marker-last
+    * commit); `checkpointDir` carries the batchId sequence as ever. */
+  def incrementalIvfStream(vectors: DataFrame, indexDir: String,
+                           checkpointDir: String): StreamingQuery = {
+    val q = vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Similarity.appendIvfIndex(batch.sparkSession,
+          indexDir, batch.toDF(), batchId = Some(batchId))
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** CDC-driven streaming twin of
     * [[graft.operators.Maintain.foldTopKSlackState]] — deletion-aware
     * leaderboard maintenance over a change stream: each micro-batch
