@@ -372,6 +372,52 @@ object Similarity {
       meta ++ batchId.map(b => "last_committed_batch" -> b.toString))
   }
 
+  /** Retrain the quantizer from the index's OWN stored vectors and
+    * re-cut every cell — the stale-quantizer remedy WITHOUT the
+    * original corpus (the rebuild leg every other index family has).
+    * Exact integer k-means is fold-order-free and floats round-trip
+    * parquet exactly, so rebuilding an index holding corpus C yields
+    * the SAME quantizer and cells as a fresh `writeIvfIndex(C)`, bit
+    * for bit. Offline single-writer maintenance via
+    * write-sibling-then-swap; the commit marker SURVIVES (folded
+    * batches live on in the base, so a replayed batchId ≤ marker still
+    * skips instead of double-appending). */
+  def rebuildIvfIndex(spark: SparkSession, dir: String,
+                      nCentroids: Int = 16, iters: Int = 5): Unit = {
+    val meta = Dedup.readMeta(spark, dir)
+    validateIvfMeta(meta, dir)
+    val (vectors, release) = Dedup.materializeTracked(
+      readIvfIndex(spark, dir).assigned
+        .select(col("vec_id"), col("v").as("embedding")))
+    try {
+      val cents = trainCentroids(vectors, nCentroids, iters)
+      import spark.implicits._
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def swapIn(name: String)(write: String => Unit): Unit = {
+        val tmp = s"$dir/${name}__rebuild"
+        write(tmp)
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+        fs.delete(p, true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+          s"rename $tmp -> $p failed")
+      }
+      swapIn("centroids") { tmp =>
+        cents.map { case (cid, v) => (cid, v.toSeq) }
+          .toDF("cent_id", "embedding")
+          .repartition(1).write.mode("overwrite").parquet(tmp)
+      }
+      swapIn("assigned") { tmp =>
+        ivfAssignedRows(vectors, cents)
+          .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/assigned_batches"),
+        true)
+      Dedup.writeMeta(spark, dir, meta ++ Map(
+        "nCentroids" -> nCentroids.toString, "iters" -> iters.toString))
+    } finally release()
+  }
+
   private def readIvfCentroids(spark: SparkSession,
                                dir: String): Seq[(Int, Array[Float])] = {
     val cents = spark.read.parquet(s"$dir/centroids")

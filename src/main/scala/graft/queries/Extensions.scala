@@ -1468,6 +1468,21 @@ object Extensions {
       Similarity.ivfTopKIndexed(Similarity.readIvfIndex(s, dir),
         e.filter(col("vec_id") < 5), 10)
     }),
+    // rebuild closes the lifecycle: base + appended quarter retrained
+    // FROM THE INDEX'S OWN vectors — exact integer k-means makes the
+    // rebuilt index bit-identical to a fresh full-corpus write, so the
+    // gate shares sim_ivf's plain oracle
+    "sim_ivf_rebuilt" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.dir(
+        s"ivfreb_${java.util.UUID.randomUUID.toString.take(8)}")
+      Similarity.writeIvfIndex(e.filter(col("vec_id") % 4 =!= 1), dir)
+      Similarity.appendIvfIndex(s, dir,
+        e.filter(col("vec_id") % 4 === 1), batchId = Some(0L))
+      Similarity.rebuildIvfIndex(s, dir)
+      Similarity.ivfTopKIndexed(Similarity.readIvfIndex(s, dir),
+        e.filter(col("vec_id") < 5), 10)
+    }),
     // the streaming ingestion twin: the held-out quarter arrives as a
     // 3-file vector stream, each micro-batch appended under the stored
     // quantizer — the folded index must serve the identical board
@@ -3656,6 +3671,8 @@ object Extensions {
     "sim_ivf" -> ivfOracle,
     // stored-index probe must equal the fresh-train probe bit-for-bit
     "sim_ivf_persisted" -> ivfOracle,
+    // rebuilt-from-own-vectors index ≡ fresh full-corpus index
+    "sim_ivf_rebuilt" -> ivfOracle,
     "sim_ivf_quantized" -> ivfQuantizedOracle,
     "sim_ivf_appended" -> ivfAppendedOracle,
     // streamed appends fold to the same committed content

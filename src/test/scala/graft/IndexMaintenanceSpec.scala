@@ -221,4 +221,33 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
     }
     assert(ex.getMessage.contains("not an IVF index"))
   }
+
+  test("IVF rebuild: retrained-from-own-vectors ≡ fresh full-corpus " +
+    "index bit-for-bit; marker survives; batches fold away") {
+    val e = graft.sources.Tables.embeddings(spark, base)
+    val eBase = e.filter(col("vec_id") % 4 =!= 1)
+    val delta = e.filter(col("vec_id") % 4 === 1)
+    val q = e.filter(col("vec_id") < 5)
+    val dir = graft.sources.Scratch.dir("ivf-rebuild-law")
+    Similarity.writeIvfIndex(eBase, dir)
+    Similarity.appendIvfIndex(spark, dir, delta, batchId = Some(3L))
+    Similarity.rebuildIvfIndex(spark, dir)
+    val rebuilt = Similarity.readIvfIndex(spark, dir)
+    val fresh = graft.sources.Scratch.dir("ivf-rebuild-fresh")
+    Similarity.writeIvfIndex(e, fresh)
+    val freshIdx = Similarity.readIvfIndex(spark, fresh)
+    // exact integer training + float parquet round-trip: the rebuilt
+    // quantizer must EQUAL the fresh one, element for element
+    assert(rebuilt.cents.map(_._1) == freshIdx.cents.map(_._1))
+    rebuilt.cents.zip(freshIdx.cents).foreach { case ((_, a), (_, b)) =>
+      assert(a.sameElements(b), "rebuilt centroids diverged from fresh") }
+    assert(canon(Similarity.ivfTopKIndexed(rebuilt, q, 10)) ==
+      canon(Similarity.ivfTopKIndexed(freshIdx, q, 10)))
+    // batches folded into the base; marker survives so the replayed
+    // batchId still skips instead of double-appending
+    assert(rebuilt.assigned.count() == e.count())
+    Similarity.appendIvfIndex(spark, dir, delta, batchId = Some(3L))
+    assert(Similarity.readIvfIndex(spark, dir).assigned.count() == e.count(),
+      "replayed batch double-appended after rebuild")
+  }
 }

@@ -162,8 +162,9 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // list_transform codes for the IVF × int8 serving path
     "sim_ivf_quantized",
     // r14: the same kmeans CTEs trained on the base subset for the
-    // stored-quantizer append gate and its streaming twin
-    "sim_ivf_appended", "stream_ivf_appended",
+    // stored-quantizer append gate and its streaming twin; the rebuilt
+    // gate shares sim_ivf's full-corpus kmeans CTEs
+    "sim_ivf_appended", "stream_ivf_appended", "sim_ivf_rebuilt",
     // r14: shares retrieval_rrf's dialect-bound oracle (batch-wise
     // serving composes exactly over independent per-query boards)
     "stream_retrieval_rrf",
