@@ -125,8 +125,10 @@ object Bench {
     // artifact kept 54/198 timings) — always ALSO write the full JSON
     // to a file, the ScaleProbe SPARK_GRAFT_PROBE_OUT pattern. Default
     // path keeps the artifact available even when the env var is unset.
+    // cwd-relative default: a hardcoded absolute path would silently
+    // skip the artifact on any other checkout
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_LOCAL_LATEST.json")
+      "BENCH_LOCAL_LATEST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>

@@ -527,6 +527,27 @@ object Dedup {
       s"rename $tmp -> $path failed")
   }
 
+  /** Whole-DIRECTORY sibling swap for multi-table state: `build`
+    * writes a complete replacement layout into `<dir>__swap`, then the
+    * old directory is deleted and the sibling renamed in. A crash
+    * mid-build leaves the old state untouched; a crash inside the
+    * delete+rename window leaves the state loudly unreadable
+    * (recoverable by hand from the sibling) — NEVER a readable mix of
+    * old and new tables, which is the silent-staleness window a
+    * per-table swap cannot close when consistency spans tables.
+    * Single-writer offline maintenance, like [[swapInTable]]. */
+  private[graft] def swapInDir(spark: org.apache.spark.sql.SparkSession,
+                               dir: String)(build: String => Unit): Unit = {
+    val tmp = dir + "__swap"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    build(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(dir)), s"rename $tmp -> $dir failed")
+  }
+
   /** [[swapInTable]] for compaction: committed rows of the table at
     * `path`, projected to `cols`, coalesced to `targetFiles` output
     * files. Coalesce, not repartition — file-merging needs no shuffle. */

@@ -443,9 +443,13 @@ object Maintain {
     * are harmless. Folds chain (depth bookkeeping composes), so a
     * daily delete-bearing refresh stays state+delta-bounded.
     *
+    * The fold replaces the state DIRECTORY wholesale (sibling swap),
+    * so `dir` must hold nothing but this state — keep checkpoints and
+    * staging data beside it, never inside it.
+    *
     * Replay contract (the streaming twin's backbone): pass `batchId`
     * and a batch ≤ the durable `last_committed_batch` marker skips
-    * outright; the marker is written strictly LAST. The fold body is
+    * outright; the marker commits atomically with the swap. The fold body is
     * additionally idempotent on its own — the union dedups exact
     * (key, id, score) rows, and re-applied tombstones hit nothing —
     * so the only crash window (caps written, state or marker not) can
@@ -492,17 +496,20 @@ object Maintain {
     val newState = cut.join(newCaps, Seq(keyCol), "left")
       .filter(col("depth").isNull || col("rk") <= col("depth"))
       .select(col(keyCol), col(idCol), col(scoreCol))
-    // materialize before the in-place overwrite (the plans read the
-    // files they replace). Write order is load-bearing: caps first
-    // (depths can only end up conservatively LOW in a torn replay),
-    // state second, commit marker strictly last.
+    // materialize (the plans read the files being replaced), then swap
+    // state + caps + marker as ONE directory: per-table overwrites
+    // leave a readable caps-new/state-old window in which a reader
+    // would serve tombstoned leaders with a passing depth guard — the
+    // directory swap's only crash window is loudly unreadable instead
     val (ns, relS) = Dedup.materializeTracked(newState)
     val (nc, relC) = Dedup.materializeTracked(newCaps)
     try {
-      nc.write.mode("overwrite").parquet(s"$dir/caps")
-      ns.write.mode("overwrite").parquet(s"$dir/state")
-      batchId.foreach(b => Dedup.writeMeta(spark, dir,
-        meta + ("last_committed_batch" -> b.toString)))
+      Dedup.swapInDir(spark, dir) { tmp =>
+        nc.write.mode("overwrite").parquet(s"$tmp/caps")
+        ns.write.mode("overwrite").parquet(s"$tmp/state")
+        Dedup.writeMeta(spark, tmp,
+          meta ++ batchId.map(b => "last_committed_batch" -> b.toString))
+      }
     } finally { relS(); relC() }
   }
 
@@ -518,6 +525,9 @@ object Maintain {
       keyCol, idCol, scoreCol, k)
     board.join(spark.read.parquet(s"$dir/caps"), Seq(keyCol), "left")
       .withColumn("__d", guardDepth(col("depth"), keyCol, k))
+      // tautological by construction (guardDepth already raised for
+      // any depth < k) — its job is to REFERENCE __d so Catalyst
+      // cannot prune the unevaluated guard column away
       .filter(col("__d").isNull || col("__d") >= k)
       .drop("depth", "__d")
   }

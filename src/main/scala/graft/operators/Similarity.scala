@@ -332,6 +332,23 @@ object Similarity {
     require(meta.get("kind").contains(IvfIndexKind),
       s"$dir is not an IVF index (kind=${meta.getOrElse("kind", "<absent>")})")
 
+  /** Index metadata with an IVF-specific failure message: a layout
+    * persisted before `writeIvfIndex` emitted metadata would otherwise
+    * fail with an error naming the wrong writers. */
+  private def ivfMeta(spark: SparkSession,
+                      dir: String): Map[String, String] = {
+    val meta =
+      try Dedup.readMeta(spark, dir)
+      catch {
+        case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"$dir has no index metadata — IVF indexes written by an " +
+            "earlier engine version lack it; rebuild with writeIvfIndex",
+          e)
+      }
+    validateIvfMeta(meta, dir)
+    meta
+  }
+
   /** Append new vectors under the STORED quantizer — the index
     * lifecycle leg every other index family already has. Assignment
     * uses the centroids on disk, so the probe math stays exact over
@@ -347,8 +364,7 @@ object Similarity {
   def appendIvfIndex(spark: SparkSession, dir: String,
                      newVectors: DataFrame,
                      batchId: Option[Long] = None): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
-    validateIvfMeta(meta, dir)
+    val meta = ivfMeta(spark, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
     val cents = readIvfCentroids(spark, dir)
     val rows = ivfAssignedRows(newVectors, cents)
@@ -384,37 +400,30 @@ object Similarity {
     * skips instead of double-appending). */
   def rebuildIvfIndex(spark: SparkSession, dir: String,
                       nCentroids: Int = 16, iters: Int = 5): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
-    validateIvfMeta(meta, dir)
+    val meta = ivfMeta(spark, dir)
     val (vectors, release) = Dedup.materializeTracked(
       readIvfIndex(spark, dir).assigned
         .select(col("vec_id"), col("v").as("embedding")))
     try {
       val cents = trainCentroids(vectors, nCentroids, iters)
       import spark.implicits._
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def swapIn(name: String)(write: String => Unit): Unit = {
-        val tmp = s"$dir/${name}__rebuild"
-        write(tmp)
-        val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
-        fs.delete(p, true)
-        require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-          s"rename $tmp -> $p failed")
-      }
-      swapIn("centroids") { tmp =>
+      // the WHOLE index swaps as one directory: a per-table swap has
+      // two readable-but-wrong crash windows (new centroids over old
+      // cells; batch partitions surviving their fold into the base and
+      // double-counting under the preserved marker) — the directory
+      // swap's only crash window is loudly unreadable instead
+      Dedup.swapInDir(spark, dir) { tmp =>
         cents.map { case (cid, v) => (cid, v.toSeq) }
           .toDF("cent_id", "embedding")
-          .repartition(1).write.mode("overwrite").parquet(tmp)
-      }
-      swapIn("assigned") { tmp =>
+          .repartition(1).write.mode("overwrite").parquet(s"$tmp/centroids")
         ivfAssignedRows(vectors, cents)
-          .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+          .write.mode("overwrite").partitionBy("cent_id")
+          .parquet(s"$tmp/assigned")
+        // marker survives inside the new layout: folded batches live on
+        // in the base, so replayed batchIds ≤ marker still skip
+        Dedup.writeMeta(spark, tmp, meta ++ Map(
+          "nCentroids" -> nCentroids.toString, "iters" -> iters.toString))
       }
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/assigned_batches"),
-        true)
-      Dedup.writeMeta(spark, dir, meta ++ Map(
-        "nCentroids" -> nCentroids.toString, "iters" -> iters.toString))
     } finally release()
   }
 
@@ -434,8 +443,7 @@ object Similarity {
                             assigned: DataFrame)
 
   def readIvfIndex(spark: SparkSession, dir: String): IvfIndex = {
-    val meta = Dedup.readMeta(spark, dir)
-    validateIvfMeta(meta, dir)
+    val meta = ivfMeta(spark, dir)
     val cents = readIvfCentroids(spark, dir)
     val base = spark.read.parquet(s"$dir/assigned")
     val bp = new org.apache.hadoop.fs.Path(s"$dir/assigned_batches")

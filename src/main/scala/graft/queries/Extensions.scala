@@ -1103,8 +1103,10 @@ object Extensions {
       val base = o.filter(col("o_orderkey") % 10 =!= 0)
       val root = graft.sources.Scratch.dir(
         s"stkd_${java.util.UUID.randomUUID.toString.take(8)}")
+      // the slack state gets its OWN directory: the fold swaps the
+      // whole state dir, so ckpt/cdc must live beside it, not inside
       graft.operators.Maintain.writeTopKSlackState(base, "o_orderstatus",
-        "o_orderkey", "o_totalprice", 10, 30, root)
+        "o_orderkey", "o_totalprice", 10, 30, s"$root/state")
       val inserts = o.filter(col("o_orderkey") % 10 === 0)
         .select(col("o_orderstatus"), col("o_orderkey"),
           col("o_totalprice").cast("double").as("o_totalprice"))
@@ -1122,10 +1124,10 @@ object Extensions {
         s.readStream.schema(s.read.parquet(s"$root/cdc").schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
         "o_orderstatus", "o_orderkey", "o_totalprice", "op",
-        root, s"$root/ckpt")
+        s"$root/state", s"$root/ckpt")
       q.stop()
-      graft.operators.Maintain.serveTopKSlack(s, root, "o_orderstatus",
-        "o_orderkey", "o_totalprice")
+      graft.operators.Maintain.serveTopKSlack(s, s"$root/state",
+        "o_orderstatus", "o_orderkey", "o_totalprice")
     }),
     // declarative constraint audit (dbt-test/Deequ shape): ALL row-local
     // checks per table fold into ONE conditional-sum scan, uniqueness is

@@ -299,7 +299,11 @@ object StreamOps {
         val b = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val unknown = b.filter(!col(opCol).isin("insert", "delete"))
+          // isNull checked explicitly: under three-valued logic a NULL
+          // op makes `!isin(...)` NULL, which a bare filter would drop
+          // — the malformed row would vanish SILENTLY instead of here
+          val unknown = b.filter(col(opCol).isNull ||
+              !col(opCol).isin("insert", "delete"))
             .limit(1).collect()
           require(unknown.isEmpty,
             s"maintainTopKSlackStream: unknown $opCol value " +

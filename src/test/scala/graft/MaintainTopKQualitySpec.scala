@@ -190,6 +190,28 @@ class TopKMaintainSpec extends AnyFunSuite with SparkSpec {
       "a fully tombstoned incomplete group must refuse, not vanish")
   }
 
+  test("CDC stream: a NULL op row refuses loudly instead of vanishing") {
+    import spark.implicits._
+    val base = (1 to 10).map(i => ("a", i.toLong, 101.0 - i))
+      .toDF("g", "id", "s")
+    val root = graft.sources.Scratch.dir("topk-slack-nullop")
+    Maintain.writeTopKSlackState(base, "g", "id", "s", k = 2, slack = 2,
+      s"$root/state")
+    Seq((Option("insert"), "a", 99L, 250.0), (Option.empty[String], "a", 98L, 5.0))
+      .toDF("op", "g", "id", "s")
+      .write.mode("overwrite").parquet(s"$root/cdc")
+    val e = intercept[Exception] {
+      graft.streaming.StreamOps.maintainTopKSlackStream(
+        spark.readStream.schema(spark.read.parquet(s"$root/cdc").schema)
+          .parquet(s"$root/cdc"),
+        "g", "id", "s", "op", s"$root/state", s"$root/ckpt")
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: chain(t.getCause)
+    assert(chain(e).exists(_.contains("unknown op")),
+      s"expected the unknown-op refusal, got ${chain(e).take(3)}")
+  }
+
   test("wrong-kind state dir is refused loudly") {
     val o = graft.sources.Tables.orders(spark, dir)
     val root = graft.sources.Scratch.dir("topk-maint-wrongkind")
