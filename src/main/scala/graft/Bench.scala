@@ -42,6 +42,8 @@ object Bench {
           System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
         }
       })
+    val outPathName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_LOCAL_LATEST.json")
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // bench battery = registered queries, minus oracle-apparatus
     // exclusions, with deployment-plan overrides (see SparkEntry).
@@ -120,6 +122,18 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"steady":$steadyJson,"errors":$errJson,"sf":"$sfDir"}"""
+    // The driver's stdout capture truncates long tails (r13 kept 54/198
+    // timings of the full line; r14's artifact read "parsed": null), so
+    // print a COMPACT line FIRST — totals, the slowest-20 queries, and
+    // the error count — guaranteed under any sane truncation limit. The
+    // full battery goes to the file artifact (authoritative) and to a
+    // second stdout line for captures that keep everything.
+    val slowQs = results.filterNot { case (n, _) => errors.contains(n) }
+      .sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slowQs,"n_queries":${results.size},"n_errors":${errors.size},"note":"slowest-20 only; full battery in $outPathName","sf":"$sfDir"}""")
     println(json)
     // stdout tails get truncated by capture harnesses (r13's driver
     // artifact kept 54/198 timings) — always ALSO write the full JSON
@@ -127,8 +141,7 @@ object Bench {
     // path keeps the artifact available even when the env var is unset.
     // cwd-relative default: a hardcoded absolute path would silently
     // skip the artifact on any other checkout
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_LOCAL_LATEST.json")
+    val outPath = outPathName
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>

@@ -17,31 +17,52 @@ import org.apache.spark.sql.functions._
   *
   *  - `postings/` — (doc_id, term, tf, dl): the per-(doc, term) table
   *    from [[TextOps.docTermFreqs]], one partition per appended batch;
-  *  - `df/` — (term, df) PER-BATCH PARTIALS. df is a distributive
-  *    count over docs (a doc lives in exactly one batch), so the
-  *    read-side fold Σ_batches df is the EXACT global df — unlike the
-  *    prefix index's deliberately-stale dictionary, BM25's idf needs
-  *    current df, and here currency costs a vocab-bounded fold, never
-  *    a corpus rescan;
-  *  - `stats/` — (n, s) per-batch partials, same fold law (N = Σ n,
-  *    S = Σ s) — two driver longs off a ≤ |batches|-row read.
+  *  - `df/` — (term, df) PER-BATCH SIGNED PARTIALS. df is a
+  *    distributive count over docs (a doc lives in exactly one batch),
+  *    so the read-side fold Σ_batches df is the EXACT global df —
+  *    unlike the prefix index's deliberately-stale dictionary, BM25's
+  *    idf needs current df, and here currency costs a vocab-bounded
+  *    fold, never a corpus rescan. [[delete]] writes NEGATIVE partials
+  *    into the same table (df is distributive over signed
+  *    contributions — the `Maintain.mergeAggStateWithDeletes`
+  *    argument), so the fold stays exact under takedowns too;
+  *  - `stats/` — (n, s) per-batch signed partials, same fold law
+  *    (N = Σ n, S = Σ s) — two driver longs off a ≤ |batches|-row read;
+  *  - `tomb/` — (doc_id) per-batch tombstones written by [[delete]]:
+  *    the serving path anti-joins its (already query-term-bounded)
+  *    match stream against them, so a deleted doc can never surface on
+  *    a board even though its postings rows are still on disk until
+  *    the next [[rebuild]] compacts them away.
   *
-  * Because every statistic folds exactly, a served board equals the
-  * inline [[TextOps.bm25TopK]] over base ∪ all committed batches BIT
-  * FOR BIT, at any append count — "stored ≡ fresh" holds continuously,
-  * no rebuild required for correctness. [[rebuild]] is therefore pure
-  * compaction hygiene: fold the batch partitions into the base so scan
-  * cost stops accreting file-open overhead (the `compactMinhashIndex`
-  * argument).
+  * Because every statistic folds exactly — including the negative
+  * delete partials — a served board equals the inline
+  * [[TextOps.bm25TopK]] over (base ∪ all committed batches) −
+  * committed tombstones BIT FOR BIT, at any append/delete count:
+  * "stored ≡ fresh" holds continuously, no rebuild required for
+  * correctness. [[rebuild]] is therefore pure compaction hygiene: fold
+  * the batch partitions into the base, drop tombstoned postings
+  * physically, and reset the tombstone table, so scan cost stops
+  * accreting file-open overhead and the tombstone anti-join returns to
+  * zero-cost (the `compactMinhashIndex` argument).
   *
-  * Crash safety: the three table writes per append are non-atomic, but
-  * the commit marker is written strictly AFTER all three —
-  * [[Dedup.committedOnly]] reads exclude a torn append's partitions,
-  * and a replayed batchId either skips (marker holds it) or dynamically
-  * overwrites its own partitions. Single-writer contract as all v2
-  * indexes. Appends assume batch doc_ids are NEW (an id re-ingested in
-  * a later batch would double-count df/stats — the same uniqueness
-  * contract the minhash index's append carries). */
+  * Crash safety: the initial [[write]] and every [[rebuild]] land via
+  * [[Dedup.swapInDir]] (mid-build crash leaves the old state — or
+  * nothing — at `dir`; the delete+rename instant is loudly unreadable
+  * and repaired by [[Dedup.recoverSwap]]). [[append]]/[[delete]] write
+  * their tables non-atomically but the commit marker strictly LAST, so
+  * for batchId ≥ 0 calls [[Dedup.committedOnly]] reads exclude a torn
+  * call's partitions and a replayed batchId either skips (marker holds
+  * it) or dynamically overwrites its own partitions. A batchId=None
+  * (synchronous) call writes into the always-committed base partition
+  * with NO torn-write protection — it is a one-shot under the
+  * single-writer contract, exactly like `appendToMinhashIndex`'s
+  * synchronous path; route retried/streamed traffic through batchIds.
+  * Appends assume batch doc_ids are NEW (an id re-ingested in a later
+  * batch would double-count df/stats — the same uniqueness contract
+  * the minhash index's append carries), and a TOMBSTONED id stays gone
+  * until a rebuild drops the tombstone table: takedown semantics —
+  * re-ingesting a deleted id without rebuilding first is a contract
+  * violation (its stats would count a doc the boards must not show). */
 object Bm25Index {
 
   private val Kind = "bm25_index"
@@ -53,27 +74,46 @@ object Bm25Index {
   private def dfPartials(postings: DataFrame): DataFrame =
     postings.groupBy("term").agg(count(lit(1)).as("df"))
 
+  /** Committed tombstone ids, or None when no delete has ever run
+    * (missing `tomb/` = the common append-only case pays zero cost). */
+  private def committedTombs(spark: SparkSession, dir: String,
+                             meta: Map[String, String]): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tomb")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(Dedup.committedOnly(spark.read.parquet(s"$dir/tomb"), meta)
+        .select("doc_id"))
+    else None
+  }
+
   /** Build the index over `corpus` (one tokenize pass; postings feed
     * the df and stats folds off the same materialized table — the
-    * [[TextOps.bm25TopK]] branch-reuse shape, persisted). */
+    * [[TextOps.bm25TopK]] branch-reuse shape, persisted). Lands via a
+    * whole-directory swap: writing over an existing index replaces
+    * EVERYTHING — stale batch partitions and tombstones from the old
+    * index can never ride into the new one. */
   def write(corpus: DataFrame, dir: String, id: String = "doc_id",
             text: String = "text"): Unit = {
+    val spark = corpus.sparkSession
     val (post, release) = Dedup.materializeTracked(
       TextOps.docTermFreqs(corpus, id, text))
     try {
-      Dedup.writeIndexTable(post, -1L, s"$dir/postings", overwriteAll = true)
-      Dedup.writeIndexTable(dfPartials(post), -1L, s"$dir/df",
-        overwriteAll = true)
-      Dedup.writeIndexTable(TextOps.bm25StatsPartials(post), -1L,
-        s"$dir/stats", overwriteAll = true)
-      Dedup.writeMeta(corpus.sparkSession, dir, Map("kind" -> Kind))
+      Dedup.swapInDir(spark, dir) { tmp =>
+        Dedup.writeIndexTable(post, -1L, s"$tmp/postings", overwriteAll = true)
+        Dedup.writeIndexTable(dfPartials(post), -1L, s"$tmp/df",
+          overwriteAll = true)
+        Dedup.writeIndexTable(TextOps.bm25StatsPartials(post), -1L,
+          s"$tmp/stats", overwriteAll = true)
+        Dedup.writeMeta(spark, tmp, Map("kind" -> Kind))
+      }
     } finally release()
   }
 
   /** Append a batch: its postings, df partials and stats partials land
     * in their own `ingest_batch` partitions; the marker commits all
-    * three. Replay-idempotent (skip if committed, partition-overwrite
-    * if torn). */
+    * three. Replay-idempotent for batchId ≥ 0 (skip if committed,
+    * partition-overwrite if torn); batchId=None is a one-shot with no
+    * torn-write protection (see the object doc). */
   def append(spark: SparkSession, dir: String, newDocs: DataFrame,
              batchId: Option[Long] = None, id: String = "doc_id",
              text: String = "text"): Unit = {
@@ -93,16 +133,77 @@ object Bm25Index {
     } finally release()
   }
 
+  /** Delete documents from the index — the takedown /
+    * right-to-be-forgotten leg a daily-ingesting corpus needs daily.
+    * `tombstones` carries the doc ids to remove (any other columns are
+    * ignored; duplicates and ids the index never held are harmless).
+    *
+    * Mechanics: the retraction is derived FROM THE STORED POSTINGS —
+    * the deleted docs' (term, tf, dl) rows are exactly what their
+    * ingestion contributed, so writing their df counts and (n, s)
+    * stats NEGATED into the same partial tables makes every read-side
+    * fold exact over the live corpus (df and (N, S) are distributive
+    * over signed contributions — `Maintain.mergeAggStateWithDeletes`
+    * applied to retrieval). The ids land in `tomb/` and the serving
+    * path anti-joins its match stream against them; postings rows stay
+    * on disk (masked) until [[rebuild]] compacts them away. Ids
+    * already tombstoned by a COMMITTED earlier batch are skipped, so a
+    * double-delete can never double-retract. Cost: one postings
+    * semi-join (vocab of the deleted docs) + three batch-bounded
+    * writes — never a corpus rescan.
+    *
+    * Replay contract: identical to [[append]] — batchId ≥ 0 deletes
+    * are marker-committed (torn partitions excluded by every read,
+    * healed by the replay's partition overwrite; the replay re-derives
+    * the SAME retraction because single-writer monotone batchIds mean
+    * nothing else committed in between); batchId=None is a
+    * synchronous one-shot. */
+  def delete(spark: SparkSession, dir: String, tombstones: DataFrame,
+             batchId: Option[Long] = None, id: String = "doc_id"): Unit = {
+    val meta = Dedup.readMeta(spark, dir)
+    validate(meta, dir)
+    if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
+    val ids = tombstones.select(col(id).cast("long").as("doc_id")).distinct()
+    // materialized: the fresh-ids plan reads tomb/, which the write
+    // below appends to — and the retraction semi-join reuses it
+    val (fresh, relT) = Dedup.materializeTracked(
+      committedTombs(spark, dir, meta)
+        .fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti")))
+    try {
+      val (delPost, relP) = Dedup.materializeTracked(
+        Dedup.committedOnly(spark.read.parquet(s"$dir/postings"), meta)
+          .select("doc_id", "term", "tf", "dl")
+          .join(fresh, Seq("doc_id"), "left_semi"))
+      try {
+        val part = batchId.getOrElse(-1L)
+        Dedup.writeIndexTable(fresh, part, s"$dir/tomb")
+        Dedup.writeIndexTable(
+          dfPartials(delPost).select(col("term"), (-col("df")).as("df")),
+          part, s"$dir/df")
+        Dedup.writeIndexTable(
+          TextOps.bm25StatsPartials(delPost)
+            .select((-col("n")).as("n"), (-col("s")).as("s")),
+          part, s"$dir/stats")
+        Dedup.writeMeta(spark, dir,
+          meta ++ batchId.map(b => "last_committed_batch" -> b.toString))
+      } finally relP()
+    } finally relT()
+  }
+
   /** Exact global document frequencies: Σ over committed batch
-    * partials, vocab-bounded. */
+    * partials (appends positive, deletes negative), vocab-bounded.
+    * Terms whose docs are all deleted fold to 0 and drop — exactly as
+    * a fresh build over the live corpus would never emit them. */
   def foldedDf(spark: SparkSession, dir: String): DataFrame = {
     val meta = Dedup.readMeta(spark, dir)
     validate(meta, dir)
     Dedup.committedOnly(spark.read.parquet(s"$dir/df"), meta)
       .groupBy("term").agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
   }
 
-  /** Exact global (N, S): Σ over committed per-batch stat rows. */
+  /** Exact global (N, S): Σ over committed per-batch signed stat
+    * rows. */
   def foldedStats(spark: SparkSession, dir: String): (Long, Long) = {
     val meta = Dedup.readMeta(spark, dir)
     validate(meta, dir)
@@ -115,14 +216,19 @@ object Bm25Index {
 
   /** Serve a query batch from the stored index: top-k per query,
     * bit-identical to [[TextOps.bm25TopK]] over the index's full
-    * committed content. The corpus-side postings scan reduces to the
-    * batch's own distinct query terms (broadcast semi-join — the
-    * query batch is the per-trigger unit, batch-bounded by contract,
-    * never corpus-derived; the `crossPrefixJoin` probed-keys shape),
-    * so serving cost is Σ_q Σ_t df(t) — the match stream — plus a
-    * vocab-bounded df fold, independent of how many batches the index
-    * accreted. `maxDfFrac` is the same serving-path pruning knob as
-    * the inline form (a semantics change, caller-owned). */
+    * committed LIVE content (appends minus tombstoned docs). The
+    * corpus-side postings scan reduces to the batch's own distinct
+    * query terms (broadcast semi-join — the query batch is the
+    * per-trigger unit, batch-bounded by contract, never
+    * corpus-derived; the `crossPrefixJoin` probed-keys shape), then
+    * the match stream anti-joins the committed tombstones — the
+    * anti-join's probe side is the already-term-bounded match stream,
+    * so deletes cost one scan of the (single-column) tombstone table
+    * per serve, reclaimed by [[rebuild]]. Serving cost is Σ_q Σ_t
+    * df(t) — the match stream — plus a vocab-bounded df fold,
+    * independent of how many batches the index accreted. `maxDfFrac`
+    * is the same serving-path pruning knob as the inline form (a
+    * semantics change, caller-owned). */
   def crossBm25TopK(spark: SparkSession, queries: DataFrame, dir: String,
                     k: Int = 5, qid: String = "query_id",
                     qtext: String = "query_text",
@@ -136,10 +242,12 @@ object Bm25Index {
     val kept = TextOps.bm25KeptTerms(foldedDf(spark, dir), nDocs, maxDfFrac)
     val qterms = TextOps.bm25QueryTerms(queries, qid, qtext)
     val probedKeys = broadcast(qterms.select("term").distinct())
-    val post = Dedup.committedOnly(
+    val matched = Dedup.committedOnly(
       spark.read.parquet(s"$dir/postings"), meta)
       .select("doc_id", "term", "tf", "dl")
       .join(probedKeys, Seq("term"), "left_semi")
+    val post = committedTombs(spark, dir, meta)
+      .fold(matched)(t => matched.join(t, Seq("doc_id"), "left_anti"))
     val scored = post
       .join(kept, Seq("term"))
       .join(qterms, Seq("term"))
@@ -150,21 +258,34 @@ object Bm25Index {
   }
 
   /** Compaction hygiene (NOT a correctness op — the folds are already
-    * exact): fold every committed batch's postings into the base
-    * partition, re-derive df/stats from them, swap all three tables.
+    * exact): fold every committed batch's LIVE postings (appends minus
+    * tombstoned docs) into the base partition, re-derive df/stats from
+    * them, drop the tombstone table, and swap the WHOLE directory in
+    * one rename ([[Dedup.swapInDir]] — a per-table sequence would have
+    * readable-but-mixed crash windows; the directory swap's only crash
+    * window is loudly unreadable and [[Dedup.recoverSwap]]-repairable).
     * Metadata (including the commit marker) survives, so a replayed
-    * batch ≤ marker still skips — its rows live on in the base. */
+    * batch ≤ marker still skips — appended rows live on in the base
+    * and deleted rows are now physically gone. */
   def rebuild(spark: SparkSession, dir: String, targetFiles: Int = 4): Unit = {
     val meta = Dedup.readMeta(spark, dir)
     validate(meta, dir)
-    val (post, release) = Dedup.materializeTracked(
-      Dedup.committedOnly(spark.read.parquet(s"$dir/postings"), meta)
-        .select("doc_id", "term", "tf", "dl"))
+    val committed = Dedup.committedOnly(
+      spark.read.parquet(s"$dir/postings"), meta)
+      .select("doc_id", "term", "tf", "dl")
+    val live = committedTombs(spark, dir, meta)
+      .fold(committed)(t => committed.join(t, Seq("doc_id"), "left_anti"))
+    val (post, release) = Dedup.materializeTracked(live)
     try {
-      Dedup.swapInTable(spark, s"$dir/postings", post.coalesce(targetFiles))
-      Dedup.swapInTable(spark, s"$dir/df",
-        dfPartials(post).coalesce(targetFiles))
-      Dedup.swapInTable(spark, s"$dir/stats", TextOps.bm25StatsPartials(post))
+      Dedup.swapInDir(spark, dir) { tmp =>
+        Dedup.writeIndexTable(post.coalesce(targetFiles), -1L,
+          s"$tmp/postings", overwriteAll = true)
+        Dedup.writeIndexTable(dfPartials(post).coalesce(targetFiles), -1L,
+          s"$tmp/df", overwriteAll = true)
+        Dedup.writeIndexTable(TextOps.bm25StatsPartials(post), -1L,
+          s"$tmp/stats", overwriteAll = true)
+        Dedup.writeMeta(spark, tmp, meta)
+      }
     } finally release()
   }
 }

@@ -384,9 +384,20 @@ object Dedup {
                               dir: String): Map[String, String] = {
     val p = new org.apache.hadoop.fs.Path(dir, IndexMetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p),
-      s"no signature-index metadata at $p — not an index directory, or " +
-        "written by something other than writeMinhashIndex/writeEmbeddingIndex")
+    if (!fs.exists(p)) {
+      // the one state layout a reader can diagnose: main dir gone but a
+      // complete __swap sibling beside it = a maintenance op crashed
+      // inside its delete+rename instant — name the one-call repair
+      val sib = new org.apache.hadoop.fs.Path(dir + "__swap")
+      require(!(!fs.exists(new org.apache.hadoop.fs.Path(dir)) &&
+          fs.exists(sib)),
+        s"state at $dir is missing but a complete replacement survives at " +
+          s"$sib — a swap-in crashed between delete and rename; run " +
+          s"graft.operators.Dedup.recoverSwap(spark, \"$dir\") to repair")
+      require(false,
+        s"no signature-index metadata at $p — not an index directory, or " +
+          "written by something other than writeMinhashIndex/writeEmbeddingIndex")
+    }
     val props = new java.util.Properties()
     val in = fs.open(p)
     try props.load(in) finally in.close()
@@ -546,6 +557,29 @@ object Dedup {
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(dir)), s"rename $tmp -> $dir failed")
+  }
+
+  /** Crash repair for [[swapInDir]]'s one unrecoverable-by-reads
+    * window: a crash between the old directory's delete and the
+    * sibling's rename leaves `dir` missing while the fully-built
+    * replacement survives at `<dir>__swap`. This turns that 3 a.m.
+    * page into one call — if the main directory is MISSING and the
+    * sibling exists, rename the sibling in and return true. Any other
+    * configuration is a no-op returning false: in particular an intact
+    * main directory is NEVER touched, even with a sibling beside it (a
+    * leftover sibling from a crash mid-BUILD is stale garbage — the
+    * next maintenance run deletes it), so calling this on a healthy
+    * state is always safe. [[readMeta]] suggests it by name when it
+    * finds exactly this layout. */
+  def recoverSwap(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val sib = new org.apache.hadoop.fs.Path(dir + "__swap")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) && fs.exists(sib)) {
+      require(fs.rename(sib, p), s"recoverSwap: rename $sib -> $p failed")
+      true
+    } else false
   }
 
   /** [[swapInTable]] for compaction: committed rows of the table at

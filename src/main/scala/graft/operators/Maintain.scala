@@ -66,11 +66,21 @@ object Maintain {
     * result, matching the one-shot recompute. */
   def mergeAggStateWithDeletes(spark: SparkSession, dir: String,
                                delta: DataFrame, deletes: DataFrame,
-                               keyCol: String, valCol: String): DataFrame = {
+                               keyCol: String, valCol: String): DataFrame =
+    foldSignedAgg(spark.read.parquet(dir), delta, deletes, keyCol, valCol)
+
+  /** The signed fold shared by [[mergeAggStateWithDeletes]] (read-only
+    * refresh over the flat layout) and [[foldAggStateWithDeletes]]
+    * (in-place CDC fold over the meta'd layout): state ∪ delta
+    * partials ∪ NEGATED delete partials, summed per key, with the loud
+    * over-retraction guard in-plan. */
+  private def foldSignedAgg(state: DataFrame, delta: DataFrame,
+                            deletes: DataFrame, keyCol: String,
+                            valCol: String): DataFrame = {
     val retract = aggPartials(deletes, keyCol, valCol)
       .select(col(keyCol), (-col("cnt")).as("cnt"),
         (-col("total")).cast(DecimalType(18, 2)).as("total"))
-    spark.read.parquet(dir)
+    state
       .unionByName(aggPartials(delta, keyCol, valCol))
       .unionByName(retract)
       .groupBy(col(keyCol))
@@ -85,6 +95,66 @@ object Maintain {
             lit(" — deletes must be previously-inserted row images"))))
           .otherwise(col("cnt")))
       .filter(col("cnt") > 0)
+  }
+
+  /** The CDC-foldable persisted form of [[writeAggState]]: the same
+    * (key, cnt, total) partials, but under the meta'd single-state
+    * layout (`$dir/state` + kind + commit marker) that
+    * [[foldAggStateWithDeletes]]'s in-place refresh and its streaming
+    * twin (`StreamOps.maintainAggCdcStream`) need — a delete-bearing
+    * fold REPLACES state rather than accreting batch partials, so it
+    * must swap durably and carry the replay marker, exactly the
+    * [[writeTopKSlackState]] shape. `dir` must hold nothing but this
+    * state (checkpoints beside, never inside — the swap replaces the
+    * whole directory). */
+  def writeAggCdcState(df: DataFrame, keyCol: String, valCol: String,
+                       dir: String): Unit = {
+    aggPartials(df, keyCol, valCol)
+      .write.mode("overwrite").parquet(s"$dir/state")
+    Dedup.writeMeta(df.sparkSession, dir, Map("kind" -> "agg_cdc"))
+  }
+
+  private def requireAggCdcState(meta: Map[String, String],
+                                 dir: String): Unit =
+    require(meta.get("kind").contains("agg_cdc"),
+      s"$dir is not CDC aggregate state (kind=${meta.get("kind")}) — " +
+        "write it with writeAggCdcState")
+
+  /** Fold one (delta, deletes) refresh into the stored aggregate state
+    * IN PLACE — [[foldTopKSlackState]]'s shape for the count/sum leg:
+    * the signed fold ([[mergeAggStateWithDeletes]]'s exact argument —
+    * count and sum are distributive over signed contributions, so
+    * deletes need zero extra state and the result is EXACT), then
+    * state + metadata + marker swap as ONE directory. Replay contract:
+    * pass `batchId` and a batch ≤ the durable marker skips outright; a
+    * torn fold left the OLD state intact (the swap is all-or-nothing),
+    * so the replay re-folds byte-identically. Over-retraction raises
+    * in-plan during the fold, leaving the state untouched. */
+  def foldAggStateWithDeletes(spark: SparkSession, dir: String,
+                              delta: DataFrame, deletes: DataFrame,
+                              keyCol: String, valCol: String,
+                              batchId: Option[Long] = None): Unit = {
+    val meta = Dedup.readMeta(spark, dir)
+    requireAggCdcState(meta, dir)
+    if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
+    val (folded, release) = Dedup.materializeTracked(
+      foldSignedAgg(spark.read.parquet(s"$dir/state"), delta, deletes,
+        keyCol, valCol))
+    try {
+      Dedup.swapInDir(spark, dir) { tmp =>
+        folded.write.mode("overwrite").parquet(s"$tmp/state")
+        Dedup.writeMeta(spark, tmp,
+          meta ++ batchId.map(b => "last_committed_batch" -> b.toString))
+      }
+    } finally release()
+  }
+
+  /** The served aggregate from CDC state: the state rows ARE the
+    * result (every fold leaves them fully merged per key). */
+  def readAggCdcState(spark: SparkSession, dir: String): DataFrame = {
+    val meta = Dedup.readMeta(spark, dir)
+    requireAggCdcState(meta, dir)
+    spark.read.parquet(s"$dir/state")
   }
 
   /** Streaming refresh layout: base partials at `$dir/base` plus one
@@ -218,6 +288,60 @@ object Maintain {
             lit(" — deletes must be previously-inserted row images"))))
           .otherwise(col("cnt")))
       .filter(col("cnt") > 0)
+  }
+
+  /** Fold one (delta, deletes) refresh into the stored histogram state
+    * IN PLACE — the quantile twin of [[foldAggStateWithDeletes]],
+    * consuming a real CDC feed where the read-only
+    * [[mergeQuantileStateWithDeletes]] only computes: the signed bin
+    * fold (delete rows re-bin deterministically under the STORED
+    * domain to exactly the bins their inserts incremented), then
+    * state + metadata + marker swap as ONE directory. [[writeQuantileState]]
+    * already lays the state out in the required meta'd form, but the
+    * fold swaps `dir` wholesale — so a CDC-folded quantile state must
+    * live in its own directory (checkpoints beside, never inside), and
+    * cannot share a directory with `maintainQuantileStream`'s
+    * accreting `batches/` partitions. Same replay contract as the agg
+    * fold: batch ≤ marker skips; a torn fold left the old state
+    * intact; a driven-negative bin raises in-plan, state untouched. */
+  def foldQuantileStateWithDeletes(spark: SparkSession, dir: String,
+                                   delta: DataFrame, deletes: DataFrame,
+                                   keyCol: String, valCol: String,
+                                   batchId: Option[Long] = None): Unit = {
+    val meta = Dedup.readMeta(spark, dir)
+    require(meta.get("kind").contains("quantile_hist"),
+      s"$dir is not quantile-histogram state (kind=${meta.get("kind")})")
+    if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
+    val (folded, release) = Dedup.materializeTracked(
+      mergeQuantileStateWithDeletes(spark, dir, delta, deletes,
+        keyCol, valCol))
+    try {
+      Dedup.swapInDir(spark, dir) { tmp =>
+        folded.write.mode("overwrite").parquet(s"$tmp/state")
+        Dedup.writeMeta(spark, tmp,
+          meta ++ batchId.map(b => "last_committed_batch" -> b.toString))
+      }
+    } finally release()
+  }
+
+  /** The CDC-folded histogram state rows (key, bin, cnt) with the
+    * kind guard — feed them to [[estimateQuantiles]] with the domain
+    * from [[readQuantileDomain]]. */
+  def readQuantileState(spark: SparkSession, dir: String): DataFrame = {
+    val meta = Dedup.readMeta(spark, dir)
+    require(meta.get("kind").contains("quantile_hist"),
+      s"$dir is not quantile-histogram state (kind=${meta.get("kind")})")
+    spark.read.parquet(s"$dir/state")
+  }
+
+  /** The (lo, hi, bins) domain a quantile state was created with — the
+    * binning contract every fold and estimate must share. */
+  def readQuantileDomain(spark: SparkSession,
+                         dir: String): (Double, Double, Int) = {
+    val meta = Dedup.readMeta(spark, dir)
+    require(meta.get("kind").contains("quantile_hist"),
+      s"$dir is not quantile-histogram state (kind=${meta.get("kind")})")
+    (meta("q_lo").toDouble, meta("q_hi").toDouble, meta("q_bins").toInt)
   }
 
   /** One delta's bin-count partials under the STORED domain — the
@@ -449,12 +573,14 @@ object Maintain {
     *
     * Replay contract (the streaming twin's backbone): pass `batchId`
     * and a batch ≤ the durable `last_committed_batch` marker skips
-    * outright; the marker commits atomically with the swap. The fold body is
-    * additionally idempotent on its own — the union dedups exact
-    * (key, id, score) rows, and re-applied tombstones hit nothing —
-    * so the only crash window (caps written, state or marker not) can
-    * over-decrement depth on replay, which REFUSES EARLY rather than
-    * serving staleness: conservative, never wrong. (An id re-ingested
+    * outright; the marker commits atomically with the swap — caps,
+    * state and marker land together or not at all, so replays see
+    * either the whole previous fold or none of it. The crash windows
+    * are [[Dedup.swapInDir]]'s: a crash mid-build leaves the old state
+    * intact (the replay re-folds from it, byte-identically), and a
+    * crash inside the delete+rename instant leaves the state loudly
+    * unreadable — repairable with [[Dedup.recoverSwap]], never a
+    * readable caps-new/state-old mix. (An id re-ingested
     * with a DIFFERENT score is a caller contract violation, as
     * documented on [[writeTopKSlackState]] — model updates as
     * delete + insert.) */

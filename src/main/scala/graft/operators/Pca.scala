@@ -62,7 +62,12 @@ object Pca {
     // which is also what the oracle's generate_series(0, -1) does
     df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .select(microVec(col(vecCol)).as("__q"))
-      .select(when(exists(col("__q"), q => abs(q) > lit(MaxGramElement)),
+      // explicit range check, not abs(): a double big enough to saturate
+      // the non-ANSI cast to exactly Long.MinValue has abs(Long.MinValue)
+      // = Long.MinValue (negative), which an abs() predicate passes —
+      // the product would then wrap silently instead of raising
+      .select(when(exists(col("__q"), q =>
+          q > lit(MaxGramElement) || q < lit(-MaxGramElement)),
           raise_error(lit("Pca.gram: element magnitude exceeds " +
             "~3034 after 10^6 quantization - q*q would overflow long; " +
             "rescale the embedding column first")))

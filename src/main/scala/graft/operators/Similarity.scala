@@ -296,6 +296,48 @@ object Similarity {
     * scanning the corpus). */
   private val IvfIndexKind = "ivf_index"
 
+  /** Serialized per-cell occupancy histogram kept in the index
+    * metadata (`cell_hist` = "cid:count,cid:count,…" — nCentroids
+    * driver-side longs, model-scale). It records the distribution of
+    * INGESTED vectors — initial write + every append — which is
+    * exactly the distribution the stored quantizer has seen; deletes
+    * do not move it (they don't retrain the quantizer, so the drift
+    * baseline is unchanged) and a rebuild re-baselines it from the
+    * retrained cut. [[appendIvfIndex]]'s drift sentinel compares each
+    * appended batch against it. */
+  private def parseCellHist(meta: Map[String, String]): Option[Map[Int, Long]] =
+    meta.get("cell_hist").map(_.split(",").iterator.filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf(':')
+        kv.take(i).toInt -> kv.drop(i + 1).toLong
+      }.toMap)
+
+  private def cellHistStr(h: Map[Int, Long]): String =
+    h.toSeq.sortBy(_._1).map { case (c, n) => s"$c:$n" }.mkString(",")
+
+  /** Per-cell row counts of a freshly-written `assigned` layout —
+    * cent_id is the partition column, so this reads directory names +
+    * parquet footers, never vector data. */
+  private def cellCountsOf(spark: SparkSession, path: String): Map[Int, Long] =
+    spark.read.parquet(path).groupBy("cent_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Drift sentinel floor: batches below 20 rows/cell are too small
+    * for their empirical cell shares to mean anything — a single
+    * vector lands in one cell and would read as "total drift". Small
+    * batches pass unchecked (documented contract; the histogram still
+    * folds them in, so sustained small-batch drift surfaces on the
+    * first batch big enough to measure). */
+  private val DriftMinRowsPerCell = 20L
+
+  /** Refusal bound on the total-variation distance (½·Σ|share_batch −
+    * share_stored| ∈ [0,1]) between an appended batch's cell histogram
+    * and the stored distribution. 0.5 = half the batch's mass sits in
+    * cells where the trained distribution doesn't — past that, cell
+    * balance (and with it probe recall) is degrading, and the remedy
+    * is a retraining rebuild, not more appends. */
+  private val MaxCellDrift = 0.5
+
   /** The per-vector index row under a given quantizer — shared by the
     * initial write and every append, so stored and appended vectors
     * can never drift in shape. */
@@ -312,19 +354,31 @@ object Similarity {
     val spark = corpus.sparkSession
     val cents = trainCentroids(corpus, nCentroids, iters)
     import spark.implicits._
-    cents.map { case (cid, v) => (cid, v.toSeq) }
-      .toDF("cent_id", "embedding")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    // the packed int8 codes ride along in their own column: parquet
-    // column pruning lets [[ivfTopKQuantized]]'s scoring scan read the
-    // 1 byte/dim codes without touching the 4 byte/dim floats — the 4×
-    // I/O cut exactly where the 100 TB ANN scan spends its time
-    ivfAssignedRows(corpus, cents)
-      .write.mode("overwrite").partitionBy("cent_id")
-      .parquet(s"$dir/assigned")
-    Dedup.writeMeta(spark, dir, Map(
-      "kind" -> IvfIndexKind, "nCentroids" -> nCentroids.toString,
-      "iters" -> iters.toString))
+    // the whole layout lands via a directory swap, for two reasons: (a)
+    // writing OVER an existing index with per-table overwrites would
+    // replace centroids/assigned/meta but leave a prior assigned_batches/
+    // subtree in place — fresh meta has no marker so batch ≥ 0 leftovers
+    // are excluded, but a prior synchronous append lives in the
+    // always-committed ingest_batch=-1 partition and would silently ride
+    // into the new index carrying cent_ids from the OLD quantizer; (b)
+    // the swap closes the torn-initial-write window for free (mid-build
+    // crash leaves no half-index at `dir`)
+    Dedup.swapInDir(spark, dir) { tmp =>
+      cents.map { case (cid, v) => (cid, v.toSeq) }
+        .toDF("cent_id", "embedding")
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+      // the packed int8 codes ride along in their own column: parquet
+      // column pruning lets [[ivfTopKQuantized]]'s scoring scan read the
+      // 1 byte/dim codes without touching the 4 byte/dim floats — the 4×
+      // I/O cut exactly where the 100 TB ANN scan spends its time
+      ivfAssignedRows(corpus, cents)
+        .write.mode("overwrite").partitionBy("cent_id")
+        .parquet(s"$tmp/assigned")
+      Dedup.writeMeta(spark, tmp, Map(
+        "kind" -> IvfIndexKind, "nCentroids" -> nCentroids.toString,
+        "iters" -> iters.toString,
+        "cell_hist" -> cellHistStr(cellCountsOf(spark, s"$tmp/assigned"))))
+    }
   }
 
   private def validateIvfMeta(meta: Map[String, String],
@@ -360,32 +414,120 @@ object Similarity {
     * pruning keeps working on the second-level partition — with
     * dynamic overwrite + marker-last commit (the v2 replay contract:
     * redelivered batches skip; torn appends are excluded by the
-    * committed-only read and healed by the replay's overwrite). */
+    * committed-only read and healed by the replay's overwrite).
+    *
+    * Drift sentinel (closing the asymmetry with
+    * [[appendToEmbeddingIndex]]'s occupancy refusal): the batch's
+    * per-cell histogram is compared to the stored `cell_hist`
+    * distribution, and a batch whose total-variation distance exceeds
+    * [[MaxCellDrift]] REFUSES with the rebuild instruction instead of
+    * silently degrading recall — a drifting appended distribution
+    * piles into cells the quantizer never cut for, so probes stop
+    * finding the true neighbors. Batches under
+    * [[DriftMinRowsPerCell]]·nCentroids rows pass unchecked (their
+    * empirical shares are noise) but still fold into the histogram;
+    * `allowCellDrift = true` accepts the recall cost consciously
+    * (mid-migration), mirroring `allowOccupancyDrift`. Indexes written
+    * before the histogram existed (no `cell_hist` key) skip the check
+    * until a write/rebuild baselines them. */
   def appendIvfIndex(spark: SparkSession, dir: String,
                      newVectors: DataFrame,
-                     batchId: Option[Long] = None): Unit = {
+                     batchId: Option[Long] = None,
+                     allowCellDrift: Boolean = false): Unit = {
     val meta = ivfMeta(spark, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
     val cents = readIvfCentroids(spark, dir)
-    val rows = ivfAssignedRows(newVectors, cents)
-      .withColumn(Dedup.IngestBatchCol, lit(batchId.getOrElse(-1L)))
-    // replay replaces the batch's WHOLE subtree: with the two-level
-    // (ingest_batch, cent_id) layout a dynamic overwrite would only
-    // replace the cells the replay touches, so a torn attempt's other
-    // cells could linger and commit with the marker — delete the batch
-    // directory outright instead (single-writer; a crash between the
-    // delete and the write just leaves the batch uncommitted, exactly
-    // like a crash before the write)
-    batchId.foreach { b =>
-      val p = new org.apache.hadoop.fs.Path(
-        s"$dir/assigned_batches/${Dedup.IngestBatchCol}=$b")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
-    rows.write.partitionBy(Dedup.IngestBatchCol, "cent_id")
-      .mode("append").parquet(s"$dir/assigned_batches")
+    // materialized: the cell histogram below and the write both
+    // consume it — without this the quantize+argmax runs twice
+    val (rows, release) = Dedup.materializeTracked(
+      ivfAssignedRows(newVectors, cents)
+        .withColumn(Dedup.IngestBatchCol, lit(batchId.getOrElse(-1L))))
+    try {
+      val batchHist = rows.groupBy("cent_id").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val batchN = batchHist.values.sum
+      val stored = parseCellHist(meta)
+      stored.filter(_ => !allowCellDrift &&
+          batchN >= DriftMinRowsPerCell * cents.size).foreach { hist =>
+        val storedN = math.max(1L, hist.values.sum).toDouble
+        val tv = 0.5 * (hist.keySet ++ batchHist.keySet).toSeq.map { c =>
+          math.abs(batchHist.getOrElse(c, 0L) / batchN.toDouble -
+            hist.getOrElse(c, 0L) / storedN)
+        }.sum
+        require(tv <= MaxCellDrift,
+          f"appendIvfIndex: batch cell distribution drifted tv=$tv%.3f " +
+            f"from the stored quantizer's (bound $MaxCellDrift%.2f) — " +
+            "appends under a stale quantizer pile into mis-cut cells and " +
+            "probe recall degrades. Retrain with rebuildIvfIndex (or " +
+            "writeIvfIndex over the full corpus), or pass " +
+            "allowCellDrift=true to accept the recall cost")
+      }
+      // replay replaces the batch's WHOLE subtree: with the two-level
+      // (ingest_batch, cent_id) layout a dynamic overwrite would only
+      // replace the cells the replay touches, so a torn attempt's other
+      // cells could linger and commit with the marker — delete the batch
+      // directory outright instead (single-writer; a crash between the
+      // delete and the write just leaves the batch uncommitted, exactly
+      // like a crash before the write)
+      batchId.foreach { b =>
+        val p = new org.apache.hadoop.fs.Path(
+          s"$dir/assigned_batches/${Dedup.IngestBatchCol}=$b")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      rows.write.partitionBy(Dedup.IngestBatchCol, "cent_id")
+        .mode("append").parquet(s"$dir/assigned_batches")
+      val grown = stored.map(h =>
+        "cell_hist" -> cellHistStr((h.keySet ++ batchHist.keySet).iterator
+          .map(c => c -> (h.getOrElse(c, 0L) + batchHist.getOrElse(c, 0L)))
+          .toMap))
+      Dedup.writeMeta(spark, dir,
+        meta ++ grown ++ batchId.map(b => "last_committed_batch" -> b.toString))
+    } finally release()
+  }
+
+  /** Delete vectors from the index — the takedown leg mirroring
+    * [[graft.operators.Bm25Index.delete]]. `tombstones` carries the
+    * vec_ids to remove (other columns ignored; duplicates and unknown
+    * ids harmless). Cell membership is a function of the quantizer and
+    * the quantizer is unchanged, so deletion needs NO statistics
+    * retraction at all: the ids land in `tomb/` as their own committed
+    * batch and [[readIvfIndex]] anti-joins the assembled corpus
+    * against them — boards drop deleted leaders exactly (the top-k
+    * reduce only ever sees live vectors), at the cost of one
+    * single-column tombstone scan per read. The masked vector rows
+    * stay on disk until [[rebuildIvfIndex]], which reads the LIVE set,
+    * retrains, and swaps a tombstone-free layout in — physical removal
+    * plus the usual cell-balance remedy in one op.
+    *
+    * Replay contract: identical to [[appendIvfIndex]] — batchId ≥ 0
+    * deletes are marker-committed (torn partitions excluded by
+    * committed-only reads, healed by replay's partition overwrite);
+    * batchId=None is a synchronous single-writer one-shot. A
+    * tombstoned vec_id stays gone until a rebuild drops the tombstone
+    * table — re-appending it first is a contract violation (the
+    * anti-join would mask the NEW vector too). */
+  def deleteFromIvfIndex(spark: SparkSession, dir: String,
+                         tombstones: DataFrame,
+                         batchId: Option[Long] = None): Unit = {
+    val meta = ivfMeta(spark, dir)
+    if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
+    val ids = tombstones.select(col("vec_id")).distinct()
+    Dedup.writeIndexTable(ids, batchId.getOrElse(-1L), s"$dir/tomb")
     Dedup.writeMeta(spark, dir,
       meta ++ batchId.map(b => "last_committed_batch" -> b.toString))
+  }
+
+  /** Committed tombstoned vec_ids, or None when no delete ever ran —
+    * the append-only read path pays zero cost. */
+  private def ivfTombs(spark: SparkSession, dir: String,
+                       meta: Map[String, String]): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tomb")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(Dedup.committedOnly(spark.read.parquet(s"$dir/tomb"), meta)
+        .select("vec_id"))
+    else None
   }
 
   /** Retrain the quantizer from the index's OWN stored vectors and
@@ -397,7 +539,9 @@ object Similarity {
     * for bit. Offline single-writer maintenance via
     * write-sibling-then-swap; the commit marker SURVIVES (folded
     * batches live on in the base, so a replayed batchId ≤ marker still
-    * skips instead of double-appending). */
+    * skips instead of double-appending). Reads the LIVE set — rebuild
+    * after [[deleteFromIvfIndex]] physically drops tombstoned vectors
+    * and the tombstone table itself (the delete-compaction leg). */
   def rebuildIvfIndex(spark: SparkSession, dir: String,
                       nCentroids: Int = 16, iters: Int = 5): Unit = {
     val meta = ivfMeta(spark, dir)
@@ -420,9 +564,12 @@ object Similarity {
           .write.mode("overwrite").partitionBy("cent_id")
           .parquet(s"$tmp/assigned")
         // marker survives inside the new layout: folded batches live on
-        // in the base, so replayed batchIds ≤ marker still skip
-        Dedup.writeMeta(spark, tmp, meta ++ Map(
-          "nCentroids" -> nCentroids.toString, "iters" -> iters.toString))
+        // in the base, so replayed batchIds ≤ marker still skip; the
+        // drift baseline re-cuts from the retrained quantizer, and any
+        // tombstones are gone — the new layout holds only live vectors
+        Dedup.writeMeta(spark, tmp, meta - "cell_hist" ++ Map(
+          "nCentroids" -> nCentroids.toString, "iters" -> iters.toString,
+          "cell_hist" -> cellHistStr(cellCountsOf(spark, s"$tmp/assigned"))))
       }
     } finally release()
   }
@@ -448,13 +595,18 @@ object Similarity {
     val base = spark.read.parquet(s"$dir/assigned")
     val bp = new org.apache.hadoop.fs.Path(s"$dir/assigned_batches")
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val assigned =
+    val unioned =
       if (fs.exists(bp))
         base.unionByName(
           Dedup.committedOnly(
             spark.read.parquet(s"$dir/assigned_batches"), meta)
             .drop(Dedup.IngestBatchCol))
       else base
+    // tombstone mask LAST, over base ∪ batches: every downstream
+    // consumer (indexed probe, quantized serving, rebuild's retrain)
+    // sees only live vectors through this one choke point
+    val assigned = ivfTombs(spark, dir, meta)
+      .fold(unioned)(t => unioned.join(t, Seq("vec_id"), "left_anti"))
     IvfIndex(cents, assigned)
   }
 

@@ -151,6 +151,49 @@ object Extensions {
     })
   }
 
+  /** Deletion-bearing twin of [[gateBm25Index]]: the same committed
+    * content MINUS the 13≡5 tombstones — the standing artifact behind
+    * `retrieval_bm25_del`'s bench override, so the perf row times the
+    * steady-state serve (match stream + tombstone anti-join), not the
+    * build+delete apparatus. */
+  private val gateBm25DelIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gateBm25DelIndex(s: SparkSession, d: String): String = {
+    val f = new java.io.File(s"$d/documents.parquet")
+    gateBm25DelIdxMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}", _ => {
+      val idxDir = graft.sources.Scratch.dir(
+        s"bm25del_bench_${java.util.UUID.randomUUID.toString.take(8)}")
+      val corpus = Tables.documents(s, d).filter(col("doc_id") % 29 =!= 0)
+      graft.operators.Bm25Index.write(
+        corpus.filter(col("doc_id") % 10 =!= 3), idxDir)
+      graft.operators.Bm25Index.append(s, idxDir,
+        corpus.filter(col("doc_id") % 10 === 3), batchId = Some(0L))
+      graft.operators.Bm25Index.delete(s, idxDir,
+        corpus.filter(col("doc_id") % 13 === 5).select("doc_id"),
+        batchId = Some(1L))
+      idxDir
+    })
+  }
+
+  /** Deletion-bearing twin of [[gateIvfIndex]] (full-corpus quantizer,
+    * 7≡2 vec_ids tombstoned) behind `sim_ivf_del`'s bench override —
+    * the timed work is the probe over the masked index. */
+  private val gateIvfDelIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gateIvfDelIndex(s: SparkSession, d: String): String = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    gateIvfDelIdxMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}", _ => {
+      val idxDir = graft.sources.Scratch.dir(
+        s"ivfdel_bench_${java.util.UUID.randomUUID.toString.take(8)}")
+      val e = Tables.embeddings(s, d)
+      Similarity.writeIvfIndex(e, idxDir)
+      Similarity.deleteFromIvfIndex(s, idxDir,
+        e.filter(col("vec_id") % 7 === 2).select("vec_id"),
+        batchId = Some(0L))
+      idxDir
+    })
+  }
+
   /** Pre-staged orchestration inputs for `ref_pipeline_incremental`'s
     * bench override: fixture GENERATION (deriving reference-shaped csv/
     * json from the sf tables) is gate apparatus — a deployment's files
@@ -187,6 +230,13 @@ object Extensions {
       Similarity.ivfTopKQuantized(
         Similarity.readIvfIndex(s, gateIvfIndex(s, d)),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), 10)),
+    // serving over a standing tombstoned index: the timed delta vs
+    // sim_ivf_persisted is the anti-join mask, the honest per-probe
+    // cost of deletion before a rebuild compacts it away
+    "sim_ivf_del" -> ((s, d) =>
+      Similarity.ivfTopKIndexed(
+        Similarity.readIvfIndex(s, gateIvfDelIndex(s, d)),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10)),
     "ref_pipeline_incremental" -> ((s, d) => {
       val in = gateRefPipelineInputs(s, d)
       val out = graft.sources.Scratch.dir(
@@ -222,6 +272,18 @@ object Extensions {
             concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
               .as("query_text")),
         gateBm25Index(s, d), k = 5)
+    }),
+    // the same serve over a standing tombstoned index: the timed delta
+    // vs retrieval_bm25_incr is the match-stream anti-join — what
+    // un-rebuilt deletions honestly cost per query batch
+    "retrieval_bm25_del" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Bm25Index.crossBm25TopK(s,
+        docs.filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+              .as("query_text")),
+        gateBm25DelIndex(s, d), k = 5)
     }),
     // the registered gate fuses the BRUTE dense leg (exhaustive by
     // definition — chosen so the oracle replays it exactly); deployment
@@ -305,6 +367,33 @@ object Extensions {
         corpus.filter(col("doc_id") % 10 =!= 3), dir)
       graft.operators.Bm25Index.append(s, dir,
         corpus.filter(col("doc_id") % 10 === 3), batchId = Some(0L))
+      graft.operators.Bm25Index.crossBm25TopK(s,
+        docs.filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+              .as("query_text")),
+        dir, k = 5)
+    }),
+    // the takedown leg of the persisted-BM25 lifecycle: build on ~90%
+    // of the corpus, append the rest (batch 0), then DELETE every
+    // 13≡5th doc (batch 1 — ids span BOTH the base and the appended
+    // partition, so the retraction really exercises signed cross-batch
+    // folds). The served board must equal a fresh build over
+    // corpus − deletes bit for bit: df/(N,S) fold the deleted docs out
+    // exactly (signed partials), the tombstone anti-join hides their
+    // postings until a rebuild compacts them away
+    "retrieval_bm25_del" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+      val dir = graft.sources.Scratch.dir(
+        s"bm25del_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Bm25Index.write(
+        corpus.filter(col("doc_id") % 10 =!= 3), dir)
+      graft.operators.Bm25Index.append(s, dir,
+        corpus.filter(col("doc_id") % 10 === 3), batchId = Some(0L))
+      graft.operators.Bm25Index.delete(s, dir,
+        corpus.filter(col("doc_id") % 13 === 5).select("doc_id"),
+        batchId = Some(1L))
       graft.operators.Bm25Index.crossBm25TopK(s,
         docs.filter(col("doc_id") % 29 === 0)
           .select(col("doc_id").as("query_id"),
@@ -1129,6 +1218,72 @@ object Extensions {
       graft.operators.Maintain.serveTopKSlack(s, s"$root/state",
         "o_orderstatus", "o_orderkey", "o_totalprice")
     }),
+    // CDC streaming twin of q_agg_maintain_del: inserts (the held-out
+    // 10%, minus its 7≡3 rows) and deletes (the BASE's 7≡3 row images
+    // — always already in state, so event order across batches is
+    // trivially valid) arrive as one insert/delete change stream over
+    // three micro-batches; each batch folds signed partials and swaps
+    // the state whole. Net live set = orders with o_orderkey%7<>3, so
+    // the gate shares q_agg_maintain_del's one-shot oracle
+    "stream_agg_maintain_del" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 10 =!= 0)
+      val root = graft.sources.Scratch.dir(
+        s"sagd_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Maintain.writeAggCdcState(base, "o_orderstatus",
+        "o_totalprice", s"$root/state")
+      val inserts = o.filter(col("o_orderkey") % 10 === 0 &&
+          col("o_orderkey") % 7 =!= 3)
+        .select(col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("op", lit("insert"))
+      val deletes = base.filter(col("o_orderkey") % 7 === 3)
+        .select(col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("op", lit("delete"))
+      inserts.unionByName(deletes).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/cdc")
+      val q = graft.streaming.StreamOps.maintainAggCdcStream(
+        s.readStream.schema(s.read.parquet(s"$root/cdc").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
+        "o_orderstatus", "o_totalprice", "op",
+        s"$root/state", s"$root/ckpt")
+      q.stop()
+      graft.operators.Maintain.readAggCdcState(s, s"$root/state")
+        .select(col("o_orderstatus"), col("cnt"),
+          col("total").cast("double").as("total"))
+    }),
+    // CDC streaming twin of q_quantile_maintain_del: the same change
+    // stream shape over the histogram leg — deleted rows re-bin under
+    // the STORED domain to exactly the bins their inserts incremented,
+    // so the streaming-maintained estimate shares the deletion gate's
+    // hash-exact oracle
+    "stream_quantile_maintain_del" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 10 =!= 0)
+      val root = graft.sources.Scratch.dir(
+        s"sqmd_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Maintain.writeQuantileState(base, "o_orderstatus",
+        "o_totalprice", s"$root/state", lo = 0.0, hi = 600000.0,
+        bins = 120)
+      val inserts = o.filter(col("o_orderkey") % 10 === 0 &&
+          col("o_orderkey") % 7 =!= 3)
+        .select(col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("op", lit("insert"))
+      val deletes = base.filter(col("o_orderkey") % 7 === 3)
+        .select(col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("op", lit("delete"))
+      inserts.unionByName(deletes).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/cdc")
+      val q = graft.streaming.StreamOps.maintainQuantileCdcStream(
+        s.readStream.schema(s.read.parquet(s"$root/cdc").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
+        "o_orderstatus", "o_totalprice", "op",
+        s"$root/state", s"$root/ckpt")
+      q.stop()
+      graft.operators.Maintain.estimateQuantiles(
+        graft.operators.Maintain.readQuantileState(s, s"$root/state"),
+        "o_orderstatus", Seq(0.5, 0.9), lo = 0.0, hi = 600000.0,
+        bins = 120)
+    }),
     // declarative constraint audit (dbt-test/Deequ shape): ALL row-local
     // checks per table fold into ONE conditional-sum scan, uniqueness is
     // a groupBy on the key, referential integrity a broadcast anti-join
@@ -1516,6 +1671,24 @@ object Extensions {
         s"ivfqidx_${java.util.UUID.randomUUID.toString.take(8)}")
       Similarity.writeIvfIndex(e, dir)
       Similarity.ivfTopKQuantized(Similarity.readIvfIndex(s, dir),
+        e.filter(col("vec_id") < 5), 10)
+    }),
+    // IVF takedown leg: every 7≡2nd vector tombstoned (batch 0,
+    // marker-committed) — cell membership is a function of the
+    // unchanged quantizer, so deletion is pure masking and the served
+    // board must equal probing an index that never held the deleted
+    // vectors: train on EVERYTHING (deletes don't retrain), boards cut
+    // over the live rows only. Deleted leaders drop exactly — ranks
+    // below them close up
+    "sim_ivf_del" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.dir(
+        s"ivfdel_${java.util.UUID.randomUUID.toString.take(8)}")
+      Similarity.writeIvfIndex(e, dir)
+      Similarity.deleteFromIvfIndex(s, dir,
+        e.filter(col("vec_id") % 7 === 2).select("vec_id"),
+        batchId = Some(0L))
+      Similarity.ivfTopKIndexed(Similarity.readIvfIndex(s, dir),
         e.filter(col("vec_id") < 5), 10)
     }),
     // cluster-balanced diversity subsample over the SAME trained
@@ -2351,14 +2524,16 @@ object Extensions {
   /** `trainWhere` as in [[kmeansCtes]]: the assignment/probe half
     * always runs over the FULL table (appended vectors are assigned
     * with the same stored-quantizer formula at serve time). */
-  private def ivfOracleFor(trainWhere: String): String = {
+  private def ivfOracleFor(trainWhere: String,
+                           corpusWhere: String = ""): String = {
     val cos = duckCos("qv", "v")
+    val liveFilter = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
     s"""
       WITH ${kmeansCtes(5, trainWhere)},
       cents AS (SELECT cent_id, cv FROM c5),
       acorp AS (SELECT vec_id, embedding AS v, cent_id,
                   ${duckCos("embedding", "cv")} AS csim
-                FROM embeddings CROSS JOIN cents),
+                FROM embeddings CROSS JOIN cents$liveFilter),
       assigned AS (SELECT cent_id, vec_id, v
                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                            ORDER BY csim DESC, cent_id ASC) AS rn FROM acorp)
@@ -2382,6 +2557,12 @@ object Extensions {
   }
 
   private val ivfOracle: String = ivfOracleFor("")
+
+  /** Takedown leg: quantizer trained on the FULL corpus (deletion
+    * never retrains), boards cut over the live rows only — exactly
+    * what write + deleteFromIvfIndex + tombstone-masked read serves. */
+  private val ivfDeletedOracle: String =
+    ivfOracleFor("", corpusWhere = "vec_id % 7 <> 2")
 
   /** Stored-quantizer append: train on the 3/4 base, assign + probe
     * everything — exactly what write-on-base + append-under-stored-
@@ -2835,11 +3016,14 @@ object Extensions {
   private val quantileMaintainOracle: String = quantileMaintainOracleFor("")
 
   /** Shared by `text_bm25` and `retrieval_bm25_incr` (the persisted
-    * index's folds are exact, so stored ≡ fresh replays one oracle). */
-  private val bm25Oracle: String = s"""
+    * index's folds are exact, so stored ≡ fresh replays one oracle);
+    * parametrized on the live-corpus predicate so the deletion gate
+    * (`retrieval_bm25_del`) replays the identical arithmetic over
+    * corpus − tombstones. */
+  private def bm25OracleFor(corpusWhere: String): String = s"""
       WITH corpus AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
                       FROM (SELECT doc_id, $duckTokens AS t FROM documents
-                            WHERE doc_id % 29 <> 0) z
+                            WHERE $corpusWhere) z
                       WHERE len(t) > 0),
       stats AS (SELECT CAST(COUNT(1) AS BIGINT) AS n,
                        CAST(SUM(dl) AS BIGINT) AS s FROM corpus),
@@ -2869,6 +3053,14 @@ object Extensions {
                ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY score_micro DESC, doc_id ASC) AS rk
         FROM sc) r WHERE rk <= 5"""
+
+  private val bm25Oracle: String = bm25OracleFor("doc_id % 29 <> 0")
+
+  /** write + append + delete must serve the board a fresh build over
+    * the live corpus would: signed df/(N,S) partials fold the deleted
+    * docs out exactly, the tombstone anti-join hides their postings. */
+  private val bm25DeletedOracle: String =
+    bm25OracleFor("doc_id % 29 <> 0 AND doc_id % 13 <> 5")
 
   /** Shared by `retrieval_rrf` and `stream_retrieval_rrf` (batch-wise
     * serving composes exactly over independent per-query boards). */
@@ -3124,6 +3316,8 @@ object Extensions {
     // stored ≡ fresh: the persisted-index serve folds df/(N,S) exactly,
     // so it replays the same one-shot oracle text
     "retrieval_bm25_incr" -> bm25Oracle,
+    // write + append + delete ≡ fresh build over corpus − tombstones
+    "retrieval_bm25_del" -> bm25DeletedOracle,
     // both legs replayed at fetch-20 (the bm25 micro-unit arithmetic and
     // the rounded-cosine rank are the text_bm25 / sim_topk oracles'),
     // fused by the same integer RRF formula, cut to 10
@@ -3447,6 +3641,14 @@ object Extensions {
       FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY o_orderstatus""",
     "q_quantile_maintain_del" ->
       quantileMaintainOracleFor("WHERE o_orderkey % 7 <> 3"),
+    // the CDC streaming twins replay the same one-shot live-row
+    // oracles: three micro-batch folds ≡ one simultaneous merge
+    "stream_agg_maintain_del" -> """
+      SELECT o_orderstatus, COUNT(1) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY o_orderstatus""",
+    "stream_quantile_maintain_del" ->
+      quantileMaintainOracleFor("WHERE o_orderkey % 7 <> 3"),
     // streaming bin-partial fold over three micro-batches ≡ one-shot
     "stream_quantile_maintain" -> quantileMaintainOracle,
     // streaming fold over three micro-batches ≡ the same one-shot
@@ -3675,6 +3877,9 @@ object Extensions {
     "sim_ivf_persisted" -> ivfOracle,
     // rebuilt-from-own-vectors index ≡ fresh full-corpus index
     "sim_ivf_rebuilt" -> ivfOracle,
+    // full-corpus quantizer, live-rows-only boards (deletes mask, never
+    // retrain)
+    "sim_ivf_del" -> ivfDeletedOracle,
     "sim_ivf_quantized" -> ivfQuantizedOracle,
     "sim_ivf_appended" -> ivfAppendedOracle,
     // streamed appends fold to the same committed content

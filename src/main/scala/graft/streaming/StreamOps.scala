@@ -292,28 +292,79 @@ object StreamOps {
   def maintainTopKSlackStream(cdc: DataFrame, keyCol: String, idCol: String,
                               scoreCol: String, opCol: String,
                               stateDir: String,
-                              checkpointDir: String): StreamingQuery = {
+                              checkpointDir: String): StreamingQuery =
+    cdcFoldStream(cdc, opCol, checkpointDir, "maintainTopKSlackStream") {
+      (b, inserts, deletes, batchId) =>
+        graft.operators.Maintain.foldTopKSlackState(b.sparkSession,
+          stateDir, inserts, deletes, keyCol, idCol, scoreCol,
+          batchId = Some(batchId))
+    }
+
+  /** CDC twin of [[maintainAggStream]] — deletion-aware count/sum
+    * maintenance over a change stream: each micro-batch's insert rows
+    * fold in as positive partials and its delete rows as NEGATIVE ones
+    * (`Maintain.foldAggStateWithDeletes` — exact, zero extra state),
+    * with the batchId as the durable replay guard. Unlike the
+    * insert-only stream there are no accreting batch partitions: a
+    * delete-bearing fold must REPLACE state, so each batch swaps the
+    * state directory whole (old state on a torn fold, marker-committed
+    * new state otherwise — never a mix). Per-batch cost is
+    * |state| + |batch|, the Maintain law. Unknown/NULL op values
+    * refuse loudly; tombstones must be previously-inserted row images
+    * (key + value), per the fold's contract. */
+  def maintainAggCdcStream(cdc: DataFrame, keyCol: String, valCol: String,
+                           opCol: String, stateDir: String,
+                           checkpointDir: String): StreamingQuery =
+    cdcFoldStream(cdc, opCol, checkpointDir, "maintainAggCdcStream") {
+      (b, inserts, deletes, batchId) =>
+        graft.operators.Maintain.foldAggStateWithDeletes(b.sparkSession,
+          stateDir, inserts, deletes, keyCol, valCol,
+          batchId = Some(batchId))
+    }
+
+  /** CDC twin of [[maintainQuantileStream]] — the histogram leg:
+    * deleted rows re-bin under the state's STORED domain to exactly
+    * the bins their inserts incremented
+    * (`Maintain.foldQuantileStateWithDeletes`), so the maintained
+    * quantile estimate stays hash-exact under deletes. Same swap/replay
+    * contract as [[maintainAggCdcStream]]. */
+  def maintainQuantileCdcStream(cdc: DataFrame, keyCol: String,
+                                valCol: String, opCol: String,
+                                stateDir: String,
+                                checkpointDir: String): StreamingQuery =
+    cdcFoldStream(cdc, opCol, checkpointDir, "maintainQuantileCdcStream") {
+      (b, inserts, deletes, batchId) =>
+        graft.operators.Maintain.foldQuantileStateWithDeletes(b.sparkSession,
+          stateDir, inserts, deletes, keyCol, valCol,
+          batchId = Some(batchId))
+    }
+
+  /** The shared CDC-consumption harness: persist the micro-batch
+    * (validation + both op splits reuse it), refuse loudly on any op
+    * outside {insert, delete}, split, hand (batch, inserts, deletes,
+    * batchId) to the fold. NULL ops are checked explicitly — under
+    * three-valued logic a NULL makes `!isin(...)` NULL, which a bare
+    * filter would drop, and the malformed row would vanish SILENTLY
+    * instead of here. */
+  private def cdcFoldStream(cdc: DataFrame, opCol: String,
+                            checkpointDir: String, who: String)(
+      fold: (DataFrame, DataFrame, DataFrame, Long) => Unit): StreamingQuery = {
     val q = cdc.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          // isNull checked explicitly: under three-valued logic a NULL
-          // op makes `!isin(...)` NULL, which a bare filter would drop
-          // — the malformed row would vanish SILENTLY instead of here
           val unknown = b.filter(col(opCol).isNull ||
               !col(opCol).isin("insert", "delete"))
             .limit(1).collect()
           require(unknown.isEmpty,
-            s"maintainTopKSlackStream: unknown $opCol value " +
+            s"$who: unknown $opCol value " +
               s"'${unknown.headOption.map(_.getAs[Any](opCol))
                 .getOrElse("")}' — expected insert|delete")
-          graft.operators.Maintain.foldTopKSlackState(batch.sparkSession,
-            stateDir,
+          fold(b,
             b.filter(col(opCol) === "insert"),
-            b.filter(col(opCol) === "delete"),
-            keyCol, idCol, scoreCol, batchId = Some(batchId))
+            b.filter(col(opCol) === "delete"), batchId)
         } finally b.unpersist()
       }
       .start()

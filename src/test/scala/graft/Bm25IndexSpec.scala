@@ -102,6 +102,90 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
       "replayed batch double-folded after rebuild")
   }
 
+  test("delete law: write + append + delete ≡ fresh over corpus − deletes") {
+    val dir = graft.sources.Scratch.dir("bm25-idx-del")
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    Bm25Index.write(corpus.filter(col("doc_id") % 3 =!= 2), dir)
+    Bm25Index.append(spark, dir, corpus.filter(col("doc_id") % 3 === 2),
+      batchId = Some(0L))
+    // tombstones span the base AND the appended batch
+    Bm25Index.delete(spark, dir,
+      corpus.filter(col("doc_id") % 5 === 1).select("doc_id"),
+      batchId = Some(1L))
+    val live = corpus.filter(col("doc_id") % 5 =!= 1)
+    val fresh = board(TextOps.bm25TopK(live, queries, k = 5))
+    assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5)) == fresh,
+      "deletion-folded serve diverged from a fresh build over the live corpus")
+    assert(fresh.nonEmpty, "deletion fixture produced an empty board")
+    // the deletion actually moved the board (fixture is non-vacuous)
+    assert(fresh != board(TextOps.bm25TopK(corpus, queries, k = 5)),
+      "tombstones did not intersect any served board — fixture is vacuous")
+    // double-delete of already-committed tombstones retracts nothing
+    Bm25Index.delete(spark, dir,
+      corpus.filter(col("doc_id") % 5 === 1).select("doc_id"),
+      batchId = Some(2L))
+    assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5)) == fresh,
+      "double-delete double-retracted df/stats")
+    // replay of a committed delete batch is a marker no-op
+    Bm25Index.delete(spark, dir,
+      corpus.filter(col("doc_id") % 5 === 1).select("doc_id"),
+      batchId = Some(1L))
+    assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5)) == fresh,
+      "replaying a committed delete moved the board")
+    // tombstones for ids the index never held are harmless
+    import spark.implicits._
+    Bm25Index.delete(spark, dir, Seq(999999901L, 999999902L).toDF("doc_id"),
+      batchId = Some(3L))
+    assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5)) == fresh,
+      "unknown-id tombstones perturbed the served stats")
+  }
+
+  test("torn delete (partials without marker) is excluded; replay heals") {
+    val dir = graft.sources.Scratch.dir("bm25-idx-torndel")
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    Bm25Index.write(corpus, dir)
+    val before = board(Bm25Index.crossBm25TopK(spark, queries, dir, 5))
+    val tomb = corpus.filter(col("doc_id") % 5 === 1).select("doc_id")
+    // simulate the crash: the NEGATIVE df partials of batch 0 land but
+    // the tombstones, stats and the commit marker do not — the nastiest
+    // torn layout, because a committed-side read of it would misscore
+    // every term the deleted docs carried
+    val delPost = TextOps.docTermFreqs(
+      corpus.filter(col("doc_id") % 5 === 1), "doc_id", "text")
+    delPost.groupBy("term").agg((-count(lit(1))).as("df"))
+      .withColumn("ingest_batch", lit(0L))
+      .write.partitionBy("ingest_batch").mode("append").parquet(s"$dir/df")
+    assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5)) == before,
+      "uncommitted delete partials leaked into the served board")
+    // replay overwrites the torn partition and commits all four pieces
+    Bm25Index.delete(spark, dir, tomb, batchId = Some(0L))
+    assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5))
+      == board(TextOps.bm25TopK(corpus.filter(col("doc_id") % 5 =!= 1),
+        queries, k = 5)),
+      "healed delete replay diverged from the live-corpus one-shot")
+  }
+
+  test("rebuild after delete: tombstones compact away, board frozen") {
+    val dir = graft.sources.Scratch.dir("bm25-idx-delreb")
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    Bm25Index.write(corpus, dir)
+    Bm25Index.delete(spark, dir,
+      corpus.filter(col("doc_id") % 5 === 1).select("doc_id"),
+      batchId = Some(0L))
+    val before = board(Bm25Index.crossBm25TopK(spark, queries, dir, 5))
+    val postRows = spark.read.parquet(s"$dir/postings").count()
+    Bm25Index.rebuild(spark, dir, targetFiles = 1)
+    assert(!new java.io.File(s"$dir/tomb").exists(),
+      "rebuild left the tombstone table behind")
+    assert(spark.read.parquet(s"$dir/postings").count() < postRows,
+      "rebuild did not physically drop tombstoned postings")
+    assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5)) == before,
+      "delete-compacting rebuild moved the served board")
+    assert(Dedup.readMeta(spark, dir)
+      .get("last_committed_batch").contains("0"),
+      "rebuild lost the commit marker")
+  }
+
   test("maxDfFrac serving knob matches the inline form") {
     val dir = graft.sources.Scratch.dir("bm25-idx-dffrac")
     val corpus = docs.filter(col("doc_id") % 29 =!= 0)

@@ -171,6 +171,12 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r14: the quantile oracle's unnest([...]) prob list, filtered to
     // the live rows for the deletion-aware gate
     "q_quantile_maintain_del",
+    // r15: its CDC streaming twin shares the same dialect-bound text
+    "stream_quantile_maintain_del",
+    // r15: shares text_bm25's integer-div oracle over corpus − deletes
+    "retrieval_bm25_del",
+    // r15: ivfOracle's unrolled-kmeans CTEs with a live-rows corpus cut
+    "sim_ivf_del",
     // r13: list_transform/generate_series token CTEs (familiarity family)
     "text_lm_score",
     // r13: unnest([...]) prob list in the shared quantile oracle
