@@ -166,6 +166,13 @@ object Similarity {
               .sorted.mkString(",")
           case other => other.toString
         }
+      // a (local)checkpointed frame — e.g. rebuildIvfIndex training from
+      // the index's own materialized vectors — reaches here as a
+      // LogicalRDD, whose CANONICALIZED form is schema-only: without the
+      // context-unique rdd id, two same-schema checkpoints (two rebuilds
+      // of DIFFERENT indexes in one session) would collide and the
+      // second would silently train on the first's cached quantizer
+      case r: org.apache.spark.sql.execution.LogicalRDD => s"rdd#${r.rdd.id}"
     }.mkString(";")
     val key = (corpus.queryExecution.analyzed.canonicalized.toString +
       "|" + srcs, nCentroids, iters)

@@ -504,6 +504,105 @@ object ScaleProbe {
     val rbNt = rebuildProbe(out, s"${copies}x")
     println(f"[scaleprobe] index rebuild: t1=$rb1t%5.2fs t${copies}x=$rbNt%5.2fs " +
       f"ratio=${rbNt / rb1t}%5.2f perCopy=${rbNt / rb1t / copies}%4.2f")
+    // IVF serving steady state (VERDICT r14 #6): both serving paths
+    // against a standing index built over the 1x / Nx corpus (untimed),
+    // same fixed 5-query batch. An IVF probe reads nprobe/nCentroids of
+    // the corpus BY DESIGN, so the honest law is LINEAR wall growth
+    // (perCopy ≈ 1 — the probed-cell volume grows with the cells), with
+    // the quantized path's wall at or under the float path's at every
+    // scale: its phase-1 scan reads the 1 byte/dim codes column of the
+    // SAME probed cells, so any super-float ratio would mean the
+    // shortlist or re-rank stage stopped being shortlist-bounded.
+    def ivfServe(dir: String, tag: String): (Double, Double) = {
+      val idxDir = graft.sources.Scratch.dir(s"probe-ivfserve-$tag")
+      graft.operators.Similarity.writeIvfIndex(
+        graft.sources.Tables.embeddings(spark, dir), idxDir)
+      val idx = graft.operators.Similarity.readIvfIndex(spark, idxDir)
+      val q = graft.sources.Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < 5)
+      def t(df: => DataFrame): Double = {
+        df.write.format("noop").mode("overwrite").save() // warm
+        System.gc()
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (t(graft.operators.Similarity.ivfTopKIndexed(idx, q, 10)),
+        t(graft.operators.Similarity.ivfTopKQuantized(idx, q, 10)))
+    }
+    val (if1, iq1) = ivfServe(base, "1x")
+    val (ifN, iqN) = ivfServe(out, s"${copies}x")
+    println(f"[scaleprobe] ivf serve: float $if1%5.2fs->$ifN%5.2fs " +
+      f"perCopy=${ifN / if1 / copies}%4.2f  quantized $iq1%5.2fs->$iqN%5.2fs " +
+      f"perCopy=${iqN / iq1 / copies}%4.2f quantized/float=${iqN / ifN}%4.2f")
+    // Slack-state fold cost as groups grow (VERDICT r14 #6): the
+    // deletion-aware top-k claim is "refresh scans |state| + |delta| +
+    // |tombstones|". Key the board by o_orderkey/10 so GROUP count (and
+    // with it state rows) grows with copies, then fold the SAME fixed
+    // delta + tombstone set into the 1x and Nx states — the wall must
+    // track the state scan (perCopy ≈ 1, linear), never groups².
+    def slackFold(dir: String, tag: String): (Double, Long) = {
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .withColumn("grp", (col("o_orderkey") / 10).cast("long"))
+      val st = graft.sources.Scratch.dir(s"probe-slack-$tag")
+      graft.operators.Maintain.writeTopKSlackState(o, "grp", "o_orderkey",
+        "o_totalprice", 5, 5, st)
+      val delta = spark.read.parquet(s"$base/orders.parquet").limit(1000)
+        .withColumn("grp", (col("o_orderkey") / 10).cast("long"))
+        .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+        .select("grp", "o_orderkey", "o_totalprice").persist()
+      val tomb = spark.read.parquet(s"$base/orders.parquet").limit(200)
+        .withColumn("grp", (col("o_orderkey") / 10).cast("long"))
+        .select("grp", "o_orderkey").persist()
+      delta.count(); tomb.count()
+      val stateRows = spark.read.parquet(s"$st/state").count()
+      System.gc()
+      val t0 = System.nanoTime()
+      graft.operators.Maintain.foldTopKSlackState(spark, st, delta, tomb,
+        "grp", "o_orderkey", "o_totalprice")
+      val t = (System.nanoTime() - t0) / 1e9
+      delta.unpersist(); tomb.unpersist()
+      (t, stateRows)
+    }
+    val (sf1, sr1) = slackFold(base, "1x")
+    val (sfN, srN) = slackFold(out, s"${copies}x")
+    println(f"[scaleprobe] slack fold: t1=$sf1%5.2fs t${copies}x=$sfN%5.2fs " +
+      f"perCopy=${sfN / sf1 / copies}%4.2f stateRows=$sr1->$srN")
+    // Recall under a deliberately drifted append (VERDICT r15 pre-work /
+    // r14 #3): append a rotation-shifted batch (orthogonal — true
+    // cosines survive, but the stored quantizer never saw the
+    // distribution) with allowCellDrift=true, then measure top-10
+    // recall vs brute-force truth for in-distribution and shifted
+    // queries. The GAP is what the drift sentinel's refusal protects
+    // against; the sentinel itself refuses exactly this batch.
+    def driftRecall(): (Double, Double) = {
+      val e = graft.sources.Tables.embeddings(spark, base)
+      val idxDir = graft.sources.Scratch.dir("probe-driftrec")
+      graft.operators.Similarity.writeIvfIndex(e, idxDir)
+      val shifted = perturbEmbeddings(e, 7)
+        .withColumn("vec_id", col("vec_id") + 500000000L)
+      graft.operators.Similarity.appendIvfIndex(spark, idxDir, shifted,
+        batchId = Some(0L), allowCellDrift = true)
+      val idx = graft.operators.Similarity.readIvfIndex(spark, idxDir)
+      val corpus = idx.assigned
+        .select(col("vec_id"), col("v").as("embedding"))
+      def recall(queries: DataFrame): Double = {
+        def pairs(df: DataFrame): Set[(Long, Long)] =
+          df.select(col("qid"), col("vec_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val truth = pairs(graft.operators.Similarity
+          .bruteForceTopK(corpus, queries, 10))
+        val got = pairs(graft.operators.Similarity
+          .ivfTopKIndexed(idx, queries, 10))
+        got.intersect(truth).size.toDouble / math.max(1, truth.size)
+      }
+      (recall(e.filter(col("vec_id") < 5)),
+        recall(shifted.filter(col("vec_id") < 500000005L)))
+    }
+    val (recIn, recShift) = driftRecall()
+    println(f"[scaleprobe] drift recall: inDist=$recIn%4.2f " +
+      f"shiftedAppend=$recShift%4.2f (gap = what the cell-drift " +
+      "sentinel's refusal protects against)")
     sentinel("end")
     val sentinelSpread = sentinelTimes.max / sentinelTimes.min
     println(f"[scaleprobe] sentinel spread=${sentinelSpread}%4.2f " +
@@ -532,6 +631,12 @@ object ScaleProbe {
         f""""diffT1":$sd1%.3f,"diffTN":$sdN%.3f,"diffPerCopy":${sdN / sd1 / copies}%.3f,""" +
         f""""diffRows1":$dr1,"diffRowsN":$drN},""" +
         f""""index_rebuild":{"t1":$rb1t%.3f,"tN":$rbNt%.3f,"perCopy":${rbNt / rb1t / copies}%.3f},""" +
+        f""""ivf_serve":{"floatT1":$if1%.3f,"floatTN":$ifN%.3f,"floatPerCopy":${ifN / if1 / copies}%.3f,""" +
+        f""""quantT1":$iq1%.3f,"quantTN":$iqN%.3f,"quantPerCopy":${iqN / iq1 / copies}%.3f,""" +
+        f""""quantOverFloat":${iqN / ifN}%.3f},""" +
+        f""""slack_fold":{"t1":$sf1%.3f,"tN":$sfN%.3f,"perCopy":${sfN / sf1 / copies}%.3f,""" +
+        f""""stateRows1":$sr1,"stateRowsN":$srN},""" +
+        f""""drift_recall":{"inDist":$recIn%.3f,"shifted":$recShift%.3f},""" +
         f""""bm25_matches":{"c1":$bm1,"cN":$bmN,"perCopy":${bmN.toDouble / bm1 / copies}%.3f},""" +
         s""""sentinel":{"runs":[${sentinelTimes.map(t => f"$t%.3f").mkString(",")}],""" +
         f""""spread":$sentinelSpread%.3f,"contended":${sentinelSpread > 1.5}}}"""

@@ -222,6 +222,125 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("not an IVF index"))
   }
 
+  test("IVF delete: tombstones mask exactly, quantizer untouched, " +
+    "rebuild compacts to a live-only index") {
+    val e = graft.sources.Tables.embeddings(spark, base)
+    val q = e.filter(col("vec_id") < 5)
+    val dir = graft.sources.Scratch.dir("ivf-del-law")
+    Similarity.writeIvfIndex(e, dir)
+    val before = canon(Similarity.ivfTopKIndexed(
+      Similarity.readIvfIndex(spark, dir), q, 10))
+    val tomb = e.filter(col("vec_id") % 7 === 2).select("vec_id")
+    Similarity.deleteFromIvfIndex(spark, dir, tomb, batchId = Some(0L))
+    val masked = Similarity.readIvfIndex(spark, dir)
+    // the reference: an untouched twin index, masked by a plain filter —
+    // deletion must be EXACTLY that (same quantizer, live rows only)
+    val twinDir = graft.sources.Scratch.dir("ivf-del-twin")
+    Similarity.writeIvfIndex(e, twinDir)
+    val twin = Similarity.readIvfIndex(spark, twinDir)
+    val expected = canon(Similarity.ivfTopKIndexed(
+      twin.copy(assigned = twin.assigned.filter(col("vec_id") % 7 =!= 2)),
+      q, 10))
+    val got = canon(Similarity.ivfTopKIndexed(masked, q, 10))
+    assert(got == expected, "tombstone mask diverged from a plain filter")
+    assert(got != before, "deletion touched no served board — vacuous fixture")
+    // the quantized serving path flows through the same mask
+    val qgot = Similarity.ivfTopKQuantized(masked, q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(tomb.collect().map(_.getLong(0)).toSet.intersect(qgot).isEmpty,
+      "quantized serving surfaced a tombstoned vector")
+    // committed replay skips; double-delete is harmless
+    Similarity.deleteFromIvfIndex(spark, dir, tomb, batchId = Some(0L))
+    Similarity.deleteFromIvfIndex(spark, dir, tomb, batchId = Some(1L))
+    assert(canon(Similarity.ivfTopKIndexed(
+      Similarity.readIvfIndex(spark, dir), q, 10)) == got)
+    // rebuild: physically live-only, tombstone table gone, and the
+    // retrained index ≡ a fresh write over the live corpus bit-for-bit
+    Similarity.rebuildIvfIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/tomb").exists(),
+      "rebuild left the tombstone table behind")
+    val rebuilt = Similarity.readIvfIndex(spark, dir)
+    assert(rebuilt.assigned.count() ==
+      e.filter(col("vec_id") % 7 =!= 2).count())
+    val freshDir = graft.sources.Scratch.dir("ivf-del-fresh")
+    Similarity.writeIvfIndex(e.filter(col("vec_id") % 7 =!= 2), freshDir)
+    val fresh = Similarity.readIvfIndex(spark, freshDir)
+    rebuilt.cents.zip(fresh.cents).foreach { case ((_, a), (_, b)) =>
+      assert(a.sameElements(b),
+        "live-set rebuild diverged from a fresh live-corpus write") }
+  }
+
+  test("IVF append drift sentinel: shifted batch refuses, " +
+    "in-distribution batch lands, override accepted") {
+    val e = graft.sources.Tables.embeddings(spark, base)
+    val dir = graft.sources.Scratch.dir("ivf-drift")
+    Similarity.writeIvfIndex(e, dir)
+    val idx = Similarity.readIvfIndex(spark, dir)
+    val n = idx.assigned.count()
+    // a batch cloned from ONE cell's vectors (fresh ids): same argmax →
+    // the whole batch lands in that cell, total-variation ≈ 1 − share
+    val cell = idx.assigned.groupBy("cent_id").count()
+      .orderBy(col("count").asc, col("cent_id").asc).head().getInt(0)
+    val cellVecs = idx.assigned.filter(col("cent_id") === cell)
+      .select(col("vec_id"), col("v").as("embedding"))
+    val cn = cellVecs.count()
+    val reps = (340L / cn + 1L).toInt
+    def clone(src: org.apache.spark.sql.DataFrame, m: Int,
+              off: Long = 1000000L) =
+      src.crossJoin(spark.range(m).select(col("id").as("__r")))
+        .select((col("vec_id") + lit(off) * (col("__r") + 1))
+          .as("vec_id"), col("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(spark, dir, clone(cellVecs, reps),
+        batchId = Some(0L))
+    }
+    assert(ex.getMessage.contains("drifted") &&
+      ex.getMessage.contains("rebuildIvfIndex"),
+      s"drift refusal missing the remedy: ${ex.getMessage}")
+    assert(Similarity.readIvfIndex(spark, dir).assigned.count() == n,
+      "refused batch still landed")
+    // a big batch cloned from the WHOLE corpus has the stored shares
+    // exactly → tv = 0 → lands unchallenged
+    val all = idx.assigned.select(col("vec_id"), col("v").as("embedding"))
+    val reps2 = (340L / n + 1L).toInt
+    Similarity.appendIvfIndex(spark, dir, clone(all, reps2),
+      batchId = Some(0L))
+    assert(Similarity.readIvfIndex(spark, dir).assigned.count()
+      == n + n * reps2, "in-distribution batch did not land")
+    // conscious override on a second shifted batch (fresh id range —
+    // appends assume new ids)
+    Similarity.appendIvfIndex(spark, dir, clone(cellVecs, reps,
+      off = 2000000000L), batchId = Some(1L), allowCellDrift = true)
+    assert(Similarity.readIvfIndex(spark, dir).assigned.count()
+      == n + n * reps2 + cn * reps, "allowCellDrift append did not land")
+  }
+
+  test("recoverSwap repairs the delete+rename crash window; " +
+    "no-op on healthy state") {
+    val docs = graft.sources.Tables.documents(spark, base).limit(40)
+    val dir = graft.sources.Scratch.dir("recov-swap")
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", dir)
+    val before = canon(Dedup.readMinhashIndex(spark, dir).sets)
+    // healthy state: recoverSwap must refuse to touch it, sibling or not
+    assert(!Dedup.recoverSwap(spark, dir), "recoverSwap acted on healthy state")
+    // simulate the crash: state fully built at the sibling, main dir
+    // already deleted, rename never ran
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__swap")))
+    // a reader diagnoses the layout and names the repair
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.readMinhashIndex(spark, dir)
+    }
+    assert(ex.getMessage.contains("recoverSwap"),
+      s"reader did not suggest the repair: ${ex.getMessage}")
+    assert(Dedup.recoverSwap(spark, dir), "recoverSwap found nothing to repair")
+    assert(canon(Dedup.readMinhashIndex(spark, dir).sets) == before,
+      "recovered state diverged")
+    assert(!Dedup.recoverSwap(spark, dir), "second recoverSwap was not a no-op")
+  }
+
   test("IVF rebuild: retrained-from-own-vectors ≡ fresh full-corpus " +
     "index bit-for-bit; marker survives; batches fold away") {
     val e = graft.sources.Tables.embeddings(spark, base)

@@ -167,6 +167,68 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     copy.write.mode("overwrite").parquet(p0)
     assert(fusedSet() == oneShot, "replayed partition rewrite moved the board")
   }
+
+  test("interleaved Bm25Index.append + query batches: each batch is " +
+    "served from the index state at its own boundary") {
+    // The grow-while-serving schedule a production retrieval corpus
+    // actually runs: serve a query batch, append to the index, serve
+    // the next batch THROUGH THE SAME CHECKPOINT. Each batch's boards
+    // must equal one-shot fusion over the index state at that batch's
+    // boundary — batch 1 sees base only, batch 2 sees base ∪ appended
+    // (the legs re-read the index per trigger, so growth is picked up
+    // with no restart of anything but the drain).
+    import graft.operators.{Bm25Index, Retrieval, TextOps}
+    val docs = Tables.documents(spark, dir)
+    val root = graft.sources.Scratch.dir("srrf-grow")
+    val corpusA = docs.filter(col("doc_id") % 29 =!= 0 &&
+      col("doc_id") % 3 =!= 2)
+    val corpusB = docs.filter(col("doc_id") % 29 =!= 0 &&
+      col("doc_id") % 3 === 2)
+    Bm25Index.write(corpusA, s"$root/idx")
+    val queries = docs.filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+          .as("query_text"))
+    val q1 = queries.filter(col("query_id") % 2 === 0)
+    val q2 = queries.filter(col("query_id") % 2 === 1)
+    def legs(batch: org.apache.spark.sql.DataFrame) = Seq(
+      Bm25Index.crossBm25TopK(spark, batch, s"$root/idx", k = 20)
+        .select("query_id", "doc_id", "rk"))
+    def fuse(qs: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Int)] =
+      Retrieval.rrfFuse(legs(qs), 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+    def run(): Unit = graft.streaming.StreamOps.maintainRrfStream(
+      spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/queries"),
+      legs, 10, s"$root/fused", s"$root/ckpt").stop()
+    // phase 1: only q1 staged — drained against index@A. The expected
+    // boards are computed NOW (the index mutates before phase 2).
+    q1.coalesce(1).write.mode("append").parquet(s"$root/queries")
+    run()
+    val expect1 = fuse(q1)
+    // the index grows between the two drains
+    Bm25Index.append(spark, s"$root/idx", corpusB, batchId = Some(0L))
+    // phase 2: q2 staged, SAME checkpoint — only the new file drains,
+    // served against index@A∪B; q1's batch-0 boards must NOT re-run
+    // (if they did, they'd be recomputed against the grown index and
+    // diverge from expect1)
+    q2.coalesce(1).write.mode("append").parquet(s"$root/queries")
+    run()
+    val expect2 = fuse(q2)
+    val got = spark.read.parquet(s"$root/fused")
+      .select("query_id", "doc_id", "rrf_micro", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(expect1.nonEmpty && expect2.nonEmpty)
+    assert(got == expect1 ++ expect2,
+      "interleaved append+serve diverged from per-boundary one-shot fusion")
+    // the growth was visible: at least one q2 board row surfaces an
+    // appended (3≡2) doc — otherwise the schedule never exercised the
+    // grown state and the law is vacuous
+    assert(expect2.exists { case (_, docId, _, _) => docId % 3 == 2 },
+      "no appended doc reached a served board — fixture is vacuous")
+  }
 }
 
 /** Exactly-once across a restart: stop a checkpointed query mid-stream,
