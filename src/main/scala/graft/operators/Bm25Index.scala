@@ -190,6 +190,60 @@ object Bm25Index {
     } finally relT()
   }
 
+  /** One CDC change-batch applied atomically under ONE commit marker —
+    * the per-trigger body of
+    * [[graft.streaming.StreamOps.maintainBm25CdcStream]]. [[append]]
+    * then [[delete]] with the same batchId cannot compose (the first
+    * commits the marker, the second would skip), and two
+    * partition-overwrite writes into the same `ingest_batch` would
+    * clobber each other — so the combined op writes the batch's insert
+    * postings, its SIGNED df/(N,S) partials (insert positives ∪ delete
+    * negatives in one table write each), and its tombstones into one
+    * partition, marker strictly last. Deletes apply to PREVIOUSLY
+    * COMMITTED docs only — per-id event order across batches is the
+    * caller's CDC contract (a delete arriving before its doc's insert
+    * would mask postings whose stats were never retracted). Within ONE
+    * batch the tombstone outranks the batch's own insert (delete
+    * wins): the overlapped doc is neither indexed nor stat-counted, so
+    * mask and statistics stay consistent by construction. */
+  def applyCdc(spark: SparkSession, dir: String, newDocs: DataFrame,
+               tombstones: DataFrame, batchId: Long,
+               id: String = "doc_id", text: String = "text"): Unit = {
+    val meta = Dedup.readMeta(spark, dir)
+    validate(meta, dir)
+    if (batchId <= Dedup.lastCommittedBatch(meta)) return
+    val ids = tombstones.select(col(id).cast("long").as("doc_id")).distinct()
+    val (fresh, relT) = Dedup.materializeTracked(
+      committedTombs(spark, dir, meta)
+        .fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti")))
+    try {
+      val (post, relI) = Dedup.materializeTracked(
+        TextOps.docTermFreqs(
+          newDocs.join(ids.withColumnRenamed("doc_id", id), Seq(id),
+            "left_anti"),
+          id, text))
+      val (delPost, relD) = Dedup.materializeTracked(
+        Dedup.committedOnly(spark.read.parquet(s"$dir/postings"), meta)
+          .select("doc_id", "term", "tf", "dl")
+          .join(fresh, Seq("doc_id"), "left_semi"))
+      try {
+        Dedup.writeIndexTable(post, batchId, s"$dir/postings")
+        Dedup.writeIndexTable(fresh, batchId, s"$dir/tomb")
+        Dedup.writeIndexTable(
+          dfPartials(post).unionByName(
+            dfPartials(delPost).select(col("term"), (-col("df")).as("df"))),
+          batchId, s"$dir/df")
+        Dedup.writeIndexTable(
+          TextOps.bm25StatsPartials(post).unionByName(
+            TextOps.bm25StatsPartials(delPost)
+              .select((-col("n")).as("n"), (-col("s")).as("s"))),
+          batchId, s"$dir/stats")
+        Dedup.writeMeta(spark, dir,
+          meta + ("last_committed_batch" -> batchId.toString))
+      } finally { relI(); relD() }
+    } finally relT()
+  }
+
   /** Exact global document frequencies: Σ over committed batch
     * partials (appends positive, deletes negative), vocab-bounded.
     * Terms whose docs are all deleted fold to 0 and drop — exactly as

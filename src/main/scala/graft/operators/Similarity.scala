@@ -443,6 +443,50 @@ object Similarity {
                      allowCellDrift: Boolean = false): Unit = {
     val meta = ivfMeta(spark, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
+    val histUpdate = appendIvfRowsCore(spark, dir, meta, newVectors,
+      batchId, allowCellDrift)
+    Dedup.writeMeta(spark, dir,
+      meta ++ histUpdate ++ batchId.map(b => "last_committed_batch" -> b.toString))
+  }
+
+  /** One CDC change-batch applied atomically under ONE commit marker —
+    * the per-trigger body of
+    * [[graft.streaming.StreamOps.maintainIvfCdcStream]], mirroring
+    * [[graft.operators.Bm25Index.applyCdc]]: the batch's inserted
+    * vectors land as their `ingest_batch` subtree, its tombstones in
+    * `tomb/`'s matching partition, marker strictly last — an
+    * append-then-delete composition with one batchId cannot exist (the
+    * first call would commit the marker, the second skip). Deletes
+    * apply to previously COMMITTED vectors; per-id event order across
+    * batches is the caller's CDC contract, and within one batch the
+    * tombstone outranks the batch's own insert (delete wins — the
+    * overlapped vector is never indexed, so the mask has nothing
+    * inconsistent to hide). Inserts flow through the same drift
+    * sentinel as [[appendIvfIndex]]. */
+  def applyIvfCdc(spark: SparkSession, dir: String, newVectors: DataFrame,
+                  tombstones: DataFrame, batchId: Long,
+                  allowCellDrift: Boolean = false): Unit = {
+    val meta = ivfMeta(spark, dir)
+    if (batchId <= Dedup.lastCommittedBatch(meta)) return
+    val ids = tombstones.select(col("vec_id")).distinct()
+    val histUpdate = appendIvfRowsCore(spark, dir, meta,
+      newVectors.join(ids, Seq("vec_id"), "left_anti"),
+      Some(batchId), allowCellDrift)
+    Dedup.writeIndexTable(ids, batchId, s"$dir/tomb")
+    Dedup.writeMeta(spark, dir, meta ++ histUpdate +
+      ("last_committed_batch" -> batchId.toString))
+  }
+
+  /** The shared append body (assign under the stored quantizer, drift
+    * sentinel, whole-subtree replay replacement, data write) WITHOUT
+    * the marker commit — callers own the marker so a combined
+    * insert+delete batch commits once. Returns the folded `cell_hist`
+    * metadata update. */
+  private def appendIvfRowsCore(spark: SparkSession, dir: String,
+                                meta: Map[String, String],
+                                newVectors: DataFrame,
+                                batchId: Option[Long],
+                                allowCellDrift: Boolean): Map[String, String] = {
     val cents = readIvfCentroids(spark, dir)
     // materialized: the cell histogram below and the write both
     // consume it — without this the quantize+argmax runs twice
@@ -484,12 +528,10 @@ object Similarity {
       }
       rows.write.partitionBy(Dedup.IngestBatchCol, "cent_id")
         .mode("append").parquet(s"$dir/assigned_batches")
-      val grown = stored.map(h =>
+      stored.fold(Map.empty[String, String])(h => Map(
         "cell_hist" -> cellHistStr((h.keySet ++ batchHist.keySet).iterator
           .map(c => c -> (h.getOrElse(c, 0L) + batchHist.getOrElse(c, 0L)))
-          .toMap))
-      Dedup.writeMeta(spark, dir,
-        meta ++ grown ++ batchId.map(b => "last_committed_batch" -> b.toString))
+          .toMap)))
     } finally release()
   }
 

@@ -401,6 +401,39 @@ object Extensions {
               .as("query_text")),
         dir, k = 5)
     }),
+    // the WHOLE BM25 lifecycle as one change stream: the index is
+    // written on ~90% of the corpus, then a 3-micro-batch CDC feed
+    // inserts the rest and deletes the base's 13≡5 docs — each batch
+    // indexes its inserts and tombstones its deletes under ONE commit
+    // marker (Bm25Index.applyCdc). The served board must equal a fresh
+    // build over the net live corpus, bit for bit
+    "stream_bm25_cdc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+      val root = graft.sources.Scratch.dir(
+        s"sbmcdc_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Bm25Index.write(
+        corpus.filter(col("doc_id") % 10 =!= 3), s"$root/idx")
+      val ins = corpus.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), col("text")).withColumn("op", lit("insert"))
+      val dels = corpus.filter(col("doc_id") % 10 =!= 3 &&
+          col("doc_id") % 13 === 5)
+        .select(col("doc_id"), lit(null).cast("string").as("text"))
+        .withColumn("op", lit("delete"))
+      ins.unionByName(dels).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/cdc")
+      val q = graft.streaming.StreamOps.maintainBm25CdcStream(
+        s.readStream.schema(s.read.parquet(s"$root/cdc").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
+        "op", s"$root/idx", s"$root/ckpt")
+      q.stop()
+      graft.operators.Bm25Index.crossBm25TopK(s,
+        docs.filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+              .as("query_text")),
+        s"$root/idx", k = 5)
+    }),
     // hybrid retrieval: RRF fusion of the two retrieval families this
     // engine serves — the BM25 term leg and the embedding-cosine dense
     // leg — rank-only arithmetic in integer micro-units (10⁶ div
@@ -1691,6 +1724,36 @@ object Extensions {
       Similarity.ivfTopKIndexed(Similarity.readIvfIndex(s, dir),
         e.filter(col("vec_id") < 5), 10)
     }),
+    // the IVF lifecycle as one change stream: write on the 3/4 base,
+    // then a 3-micro-batch CDC feed inserts the held-out quarter
+    // (assigned under the STORED quantizer, drift-sentineled) and
+    // tombstones the base's 7≡2 vectors — one commit marker per batch
+    // (Similarity.applyIvfCdc); the board must equal an oracle that
+    // trains on the base and cuts boards over the net live rows
+    "stream_ivf_cdc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val root = graft.sources.Scratch.dir(
+        s"sivfcdc_${java.util.UUID.randomUUID.toString.take(8)}")
+      Similarity.writeIvfIndex(e.filter(col("vec_id") % 4 =!= 1),
+        s"$root/idx")
+      val ins = e.filter(col("vec_id") % 4 === 1)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("op", lit("insert"))
+      val dels = e.filter(col("vec_id") % 4 =!= 1 &&
+          col("vec_id") % 7 === 2)
+        .select(col("vec_id"),
+          lit(null).cast("array<float>").as("embedding"))
+        .withColumn("op", lit("delete"))
+      ins.unionByName(dels).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/cdc")
+      val q = graft.streaming.StreamOps.maintainIvfCdcStream(
+        s.readStream.schema(s.read.parquet(s"$root/cdc").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
+        "op", s"$root/idx", s"$root/ckpt")
+      q.stop()
+      Similarity.ivfTopKIndexed(Similarity.readIvfIndex(s, s"$root/idx"),
+        e.filter(col("vec_id") < 5), 10)
+    }),
     // cluster-balanced diversity subsample over the SAME trained
     // quantizer as sim_ivf (memoized — the oracle unrolls the identical
     // k-means): per-cell budget ∝ √size flattens head clusters, winners
@@ -2564,6 +2627,11 @@ object Extensions {
   private val ivfDeletedOracle: String =
     ivfOracleFor("", corpusWhere = "vec_id % 7 <> 2")
 
+  /** IVF CDC stream: quantizer trained on the 3/4 base, live rows =
+    * everything minus the base's 7≡2 tombstones. */
+  private val ivfCdcOracle: String = ivfOracleFor("vec_id % 4 <> 1",
+    corpusWhere = "NOT (vec_id % 7 = 2 AND vec_id % 4 <> 1)")
+
   /** Stored-quantizer append: train on the 3/4 base, assign + probe
     * everything — exactly what write-on-base + append-under-stored-
     * centroids serves. */
@@ -3062,6 +3130,12 @@ object Extensions {
   private val bm25DeletedOracle: String =
     bm25OracleFor("doc_id % 29 <> 0 AND doc_id % 13 <> 5")
 
+  /** CDC stream: base (%10≠3) minus its 13≡5 deletes, plus the
+    * inserted %10=3 batch — the net live corpus after the change
+    * stream drains. */
+  private val bm25CdcOracle: String = bm25OracleFor(
+    "doc_id % 29 <> 0 AND NOT (doc_id % 13 = 5 AND doc_id % 10 <> 3)")
+
   /** Shared by `retrieval_rrf` and `stream_retrieval_rrf` (batch-wise
     * serving composes exactly over independent per-query boards). */
   private val rrfOracle: String = s"""
@@ -3318,6 +3392,8 @@ object Extensions {
     "retrieval_bm25_incr" -> bm25Oracle,
     // write + append + delete ≡ fresh build over corpus − tombstones
     "retrieval_bm25_del" -> bm25DeletedOracle,
+    // 3-batch CDC drain ≡ fresh build over the net live corpus
+    "stream_bm25_cdc" -> bm25CdcOracle,
     // both legs replayed at fetch-20 (the bm25 micro-unit arithmetic and
     // the rounded-cosine rank are the text_bm25 / sim_topk oracles'),
     // fused by the same integer RRF formula, cut to 10
@@ -3880,6 +3956,8 @@ object Extensions {
     // full-corpus quantizer, live-rows-only boards (deletes mask, never
     // retrain)
     "sim_ivf_del" -> ivfDeletedOracle,
+    // base-trained quantizer, net live rows after the CDC drain
+    "stream_ivf_cdc" -> ivfCdcOracle,
     "sim_ivf_quantized" -> ivfQuantizedOracle,
     "sim_ivf_appended" -> ivfAppendedOracle,
     // streamed appends fold to the same committed content

@@ -339,6 +339,41 @@ object StreamOps {
           batchId = Some(batchId))
     }
 
+  /** CDC twin for the PERSISTED BM25 INDEX itself — the full
+    * grow-and-shrink lifecycle as one change stream: each micro-batch's
+    * insert rows are indexed (postings + signed partials) and its
+    * delete rows tombstoned, all under one commit marker
+    * (`Bm25Index.applyCdc` — append-then-delete with one batchId
+    * cannot compose, and split partition writes would clobber each
+    * other). Deletes apply to previously committed docs (within a
+    * batch, delete wins); serving stays bit-exact over the live corpus
+    * at every batch boundary because df/(N,S) fold signed partials
+    * exactly. Replay: a redelivered batch recomputes identical
+    * partition content and skips once its marker is durable. */
+  def maintainBm25CdcStream(cdc: DataFrame, opCol: String,
+                            indexDir: String, checkpointDir: String,
+                            id: String = "doc_id",
+                            text: String = "text"): StreamingQuery =
+    cdcFoldStream(cdc, opCol, checkpointDir, "maintainBm25CdcStream") {
+      (b, inserts, deletes, batchId) =>
+        graft.operators.Bm25Index.applyCdc(b.sparkSession, indexDir,
+          inserts, deletes, batchId, id, text)
+    }
+
+  /** CDC twin for the IVF index — inserts assigned under the stored
+    * quantizer (drift sentinel included), deletes tombstoned, one
+    * marker per micro-batch (`Similarity.applyIvfCdc`). The served
+    * board after any prefix of the stream equals an index that only
+    * ever held the live vectors, cell membership untouched. */
+  def maintainIvfCdcStream(cdc: DataFrame, opCol: String,
+                           indexDir: String,
+                           checkpointDir: String): StreamingQuery =
+    cdcFoldStream(cdc, opCol, checkpointDir, "maintainIvfCdcStream") {
+      (b, inserts, deletes, batchId) =>
+        graft.operators.Similarity.applyIvfCdc(b.sparkSession, indexDir,
+          inserts, deletes, batchId)
+    }
+
   /** The shared CDC-consumption harness: persist the micro-batch
     * (validation + both op splits reuse it), refuse loudly on any op
     * outside {insert, delete}, split, hand (batch, inserts, deletes,

@@ -165,6 +165,43 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
       "healed delete replay diverged from the live-corpus one-shot")
   }
 
+  test("applyCdc: insert+delete under one marker ≡ fresh over the net " +
+    "live corpus; same-batch overlap nets to the delete; replay skips") {
+    val dir = graft.sources.Scratch.dir("bm25-idx-cdc")
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    Bm25Index.write(corpus.filter(col("doc_id") % 3 === 0), dir)
+    // batch 0: insert the 3≡1 docs, delete committed 3≡0 ∧ 5≡1 docs
+    Bm25Index.applyCdc(spark, dir,
+      corpus.filter(col("doc_id") % 3 === 1),
+      corpus.filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 1)
+        .select("doc_id"),
+      batchId = 0L)
+    val live1 = corpus.filter((col("doc_id") % 3 === 0 ||
+      col("doc_id") % 3 === 1) &&
+      !(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 1))
+    val fresh1 = board(TextOps.bm25TopK(live1, queries, k = 5))
+    assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5)) == fresh1,
+      "one-marker CDC batch diverged from the net-live fresh build")
+    // committed replay (different content) skips outright
+    Bm25Index.applyCdc(spark, dir, corpus.limit(3),
+      corpus.limit(0).select("doc_id"), batchId = 0L)
+    assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5)) == fresh1,
+      "replayed committed CDC batch was not skipped")
+    // batch 1: inserts the 3≡2 docs but ALSO tombstones the 7≡0 subset
+    // of them in the SAME batch — delete wins: the overlapped docs are
+    // neither indexed nor stat-counted
+    Bm25Index.applyCdc(spark, dir,
+      corpus.filter(col("doc_id") % 3 === 2),
+      corpus.filter(col("doc_id") % 3 === 2 && col("doc_id") % 7 === 0)
+        .select("doc_id"),
+      batchId = 1L)
+    val live2 = live1.unionByName(corpus.filter(col("doc_id") % 3 === 2 &&
+      col("doc_id") % 7 =!= 0))
+    assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5))
+      == board(TextOps.bm25TopK(live2, queries, k = 5)),
+      "same-batch insert+delete overlap leaked into stats or boards")
+  }
+
   test("rebuild after delete: tombstones compact away, board frozen") {
     val dir = graft.sources.Scratch.dir("bm25-idx-delreb")
     val corpus = docs.filter(col("doc_id") % 29 =!= 0)

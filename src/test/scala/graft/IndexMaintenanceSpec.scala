@@ -270,6 +270,44 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
         "live-set rebuild diverged from a fresh live-corpus write") }
   }
 
+  test("applyIvfCdc: insert+delete under one marker ≡ filtered twin; " +
+    "same-batch overlap nets to the delete") {
+    val e = graft.sources.Tables.embeddings(spark, base)
+    val q = e.filter(col("vec_id") < 5)
+    val dir = graft.sources.Scratch.dir("ivf-cdc-law")
+    Similarity.writeIvfIndex(e.filter(col("vec_id") % 4 =!= 1), dir)
+    // one batch: insert the held-out quarter, delete the base's 7≡2
+    // vectors AND (same-batch overlap) the quarter's 11≡3 subset
+    Similarity.applyIvfCdc(spark, dir,
+      e.filter(col("vec_id") % 4 === 1).select("vec_id", "embedding"),
+      e.filter((col("vec_id") % 4 =!= 1 && col("vec_id") % 7 === 2) ||
+          (col("vec_id") % 4 === 1 && col("vec_id") % 11 === 3))
+        .select("vec_id"),
+      batchId = 0L)
+    val got = canon(Similarity.ivfTopKIndexed(
+      Similarity.readIvfIndex(spark, dir), q, 10))
+    // reference: the same quantizer (trained on the base) over exactly
+    // the net live rows, via the untouched append-only twin + filter
+    val twinDir = graft.sources.Scratch.dir("ivf-cdc-twin")
+    Similarity.writeIvfIndex(e.filter(col("vec_id") % 4 =!= 1), twinDir)
+    Similarity.appendIvfIndex(spark, twinDir,
+      e.filter(col("vec_id") % 4 === 1), batchId = Some(0L))
+    val twin = Similarity.readIvfIndex(spark, twinDir)
+    val expected = canon(Similarity.ivfTopKIndexed(
+      twin.copy(assigned = twin.assigned.filter(
+        !(col("vec_id") % 4 =!= 1 && col("vec_id") % 7 === 2) &&
+          !(col("vec_id") % 4 === 1 && col("vec_id") % 11 === 3))),
+      q, 10))
+    assert(got == expected,
+      "one-marker IVF CDC batch diverged from the filtered twin")
+    // replay of the committed batch (different content) skips
+    Similarity.applyIvfCdc(spark, dir, e.limit(3),
+      e.limit(0).select("vec_id"), batchId = 0L)
+    assert(canon(Similarity.ivfTopKIndexed(
+      Similarity.readIvfIndex(spark, dir), q, 10)) == got,
+      "replayed committed IVF CDC batch was not skipped")
+  }
+
   test("IVF append drift sentinel: shifted batch refuses, " +
     "in-distribution batch lands, override accepted") {
     val e = graft.sources.Tables.embeddings(spark, base)

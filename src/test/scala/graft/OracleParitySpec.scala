@@ -177,6 +177,9 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "retrieval_bm25_del",
     // r15: ivfOracle's unrolled-kmeans CTEs with a live-rows corpus cut
     "sim_ivf_del",
+    // r15: the serving-index CDC twins share the same dialect-bound
+    // texts with net-live-corpus cuts
+    "stream_bm25_cdc", "stream_ivf_cdc",
     // r13: list_transform/generate_series token CTEs (familiarity family)
     "text_lm_score",
     // r13: unnest([...]) prob list in the shared quantile oracle
