@@ -458,21 +458,81 @@ object Dedup {
         s"$MinhashFamily — its band keys are not reproducible here; rebuild")
   }
 
+  /** Committed tombstoned ids of a v2 index (single id column), or
+    * None when no delete ever ran — the append-only read path pays
+    * zero cost for the feature's existence. */
+  private[graft] def committedTombsAt(spark: org.apache.spark.sql.SparkSession,
+                                      path: String,
+                                      meta: Map[String, String],
+                                      idCol: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(committedOnly(spark.read.parquet(path), meta).select(idCol))
+    else None
+  }
+
+  /** Takedown leg for the minhash signature index — a right-to-be-
+    * forgotten delete must remove a document's CONTENT FINGERPRINT
+    * from the dedup index too, or future batches keep matching (and
+    * thereby re-identifying) data the corpus no longer holds. Bands
+    * and sets rows are per-document independent (no cross-document
+    * statistics — unlike BM25's df there is nothing to retract), so
+    * deletion is pure masking: the ids land in `tomb/` as their own
+    * committed batch and [[readMinhashIndex]] anti-joins BOTH tables —
+    * a deleted doc can never appear as a candidate, a verify partner,
+    * or a bucket representative. `n_docs` decrements by the
+    * newly-tombstoned ids actually held, keeping the sizing metadata a
+    * live count. Physical removal happens at the next
+    * [[rebuildMinhashIndex]], which reads the live set and swaps a
+    * tombstone-free layout in. Same replay contract as the appends
+    * (batchId ≥ 0 marker-committed, None = synchronous one-shot);
+    * a tombstoned id stays gone until a rebuild — re-appending it
+    * first is the same contract violation as in the serving
+    * indexes. */
+  def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, tombstones: DataFrame,
+                             batchId: Option[Long] = None): Unit = {
+    val meta = readMeta(spark, dir)
+    validateMinhashMeta(meta, dir)
+    if (batchId.exists(_ <= lastCommittedBatch(meta))) return
+    val ids = tombstones.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct()
+    // materialized: the plan reads tomb/, which the write below appends
+    // to — and the n_docs count reuses it
+    val (fresh, relT) = materializeTracked(
+      committedTombsAt(spark, s"$dir/tomb", meta, "doc_id")
+        .fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti")))
+    try {
+      val nDel = committedOnly(spark.read.parquet(s"$dir/sets"), meta)
+        .select("doc_id").join(fresh, Seq("doc_id"), "left_semi").count()
+      writeIndexTable(fresh, batchId.getOrElse(-1L), s"$dir/tomb")
+      writeMeta(spark, dir,
+        meta + ("n_docs" -> (meta("n_docs").toLong - nDel).toString)
+          ++ batchId.map(b => "last_committed_batch" -> b.toString))
+    } finally relT()
+  }
+
   /** Loads a [[writeMinhashIndex]] artifact, refusing (with an
     * actionable message) an index whose kind or hash-family fingerprint
     * doesn't match this engine — the silent failure mode would be a
     * band-key join that simply never matches. Parameters come FROM the
     * metadata, so callers cannot pair an index with the wrong
-    * numHashes/bands. */
+    * numHashes/bands. Tombstoned docs ([[deleteFromMinhashIndex]]) are
+    * masked out of both tables at this one choke point — every
+    * consumer (cross checks, streams, rebuild) sees only live docs. */
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String): MinhashIndex = {
     val meta = readMeta(spark, dir)
     validateMinhashMeta(meta, dir)
+    val tombs = committedTombsAt(spark, s"$dir/tomb", meta, "doc_id")
+    def live(df: DataFrame): DataFrame =
+      tombs.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
     MinhashIndex(
-      committedOnly(spark.read.parquet(s"$dir/bands"), meta)
-        .select("doc_id", "band_idx", "band_key"),
-      committedOnly(spark.read.parquet(s"$dir/sets"), meta)
-        .select("doc_id", "hs"),
+      live(committedOnly(spark.read.parquet(s"$dir/bands"), meta)
+        .select("doc_id", "band_idx", "band_key")),
+      live(committedOnly(spark.read.parquet(s"$dir/sets"), meta)
+        .select("doc_id", "hs")),
       meta("numHashes").toInt, meta("bands").toInt)
   }
 
@@ -622,7 +682,11 @@ object Dedup {
     * recomputed at `numHashes`/`bands` (0 = keep the current value), so
     * re-banding a years-old index needs no access to the original
     * documents. Also compacts as a side effect (everything lands in the
-    * base partition) and preserves `last_committed_batch`.
+    * base partition) and preserves `last_committed_batch`. Reads the
+    * LIVE set: after [[deleteFromMinhashIndex]], tombstoned docs are
+    * physically dropped and the tombstone table vanishes with the old
+    * layout — the whole index swaps as ONE directory
+    * ([[swapInDir]]; repair a crashed swap with [[recoverSwap]]).
     * Offline single-writer maintenance, like [[compactMinhashIndex]]. */
   def rebuildMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           dir: String, numHashes: Int = 0,
@@ -633,17 +697,26 @@ object Dedup {
     val nb = if (bands > 0) bands else meta("bands").toInt
     require(nh % nb == 0,
       s"rebuildMinhashIndex: numHashes=$nh not divisible by bands=$nb")
-    // materialized: the swaps below delete the files this reads
-    val sigs = materialize(
-      committedOnly(spark.read.parquet(s"$dir/sets"), meta)
-        .select(col("doc_id"), col("hs"),
-          graft.functions.exprs.minhash_sig(col("hs"), nh,
-            999983L, 424243L, 12345L, 7L, P).as("sig")))
-    swapInTable(spark, s"$dir/bands", bandKeysOf(sigs, nh, nb))
-    swapInTable(spark, s"$dir/sets", sigs.select(col("doc_id"), col("hs")))
-    writeMeta(spark, dir, meta
-      + ("numHashes" -> nh.toString) + ("bands" -> nb.toString)
-      + ("n_docs" -> sigs.count().toString))
+    val held = committedOnly(spark.read.parquet(s"$dir/sets"), meta)
+    val liveSets = committedTombsAt(spark, s"$dir/tomb", meta, "doc_id")
+      .fold(held)(t => held.join(t, Seq("doc_id"), "left_anti"))
+    // materialized: the swap below deletes the files this reads
+    val (sigs, release) = materializeTracked(
+      liveSets.select(col("doc_id"), col("hs"),
+        graft.functions.exprs.minhash_sig(col("hs"), nh,
+          999983L, 424243L, 12345L, 7L, P).as("sig")))
+    try {
+      val n = sigs.count()
+      swapInDir(spark, dir) { tmp =>
+        writeIndexTable(bandKeysOf(sigs, nh, nb), -1L, s"$tmp/bands",
+          overwriteAll = true)
+        writeIndexTable(sigs.select(col("doc_id"), col("hs")), -1L,
+          s"$tmp/sets", overwriteAll = true)
+        writeMeta(spark, tmp, meta
+          + ("numHashes" -> nh.toString) + ("bands" -> nb.toString)
+          + ("n_docs" -> n.toString))
+      }
+    } finally release()
   }
 
   /** Ingestion-time near-dup check — the operation a continuously-fed

@@ -985,12 +985,49 @@ object Similarity {
                          dir: String): EmbeddingIndex = {
     val meta = Dedup.readMeta(spark, dir)
     validateEmbeddingMeta(meta, dir)
+    // tombstone mask at the one choke point every consumer shares —
+    // see deleteFromEmbeddingIndex
+    val tombs = Dedup.committedTombsAt(spark, s"$dir/tomb", meta, "vec_id")
+    def live(df: DataFrame): DataFrame =
+      tombs.fold(df)(t => df.join(t, Seq("vec_id"), "left_anti"))
     EmbeddingIndex(
-      Dedup.committedOnly(spark.read.parquet(s"$dir/bands"), meta)
-        .select("vec_id", "band_idx", "band_key"),
-      Dedup.committedOnly(spark.read.parquet(s"$dir/vectors"), meta)
-        .select("vec_id", "embedding"),
+      live(Dedup.committedOnly(spark.read.parquet(s"$dir/bands"), meta)
+        .select("vec_id", "band_idx", "band_key")),
+      live(Dedup.committedOnly(spark.read.parquet(s"$dir/vectors"), meta)
+        .select("vec_id", "embedding")),
       meta("bands").toInt, meta("rowBits").toInt)
+  }
+
+  /** Takedown leg for the embedding index, mirroring
+    * [[graft.operators.Dedup.deleteFromMinhashIndex]]: a deleted
+    * vector's sign-LSH fingerprint must leave the near-dup index too.
+    * Band and vector rows are per-vector independent, so deletion is
+    * pure masking — ids land in `tomb/` as their own committed batch,
+    * [[readEmbeddingIndex]] anti-joins both tables, and `n_vectors`
+    * decrements by the newly-tombstoned held ids (the occupancy-drift
+    * refusal keeps sizing against the LIVE count). Physical removal at
+    * the next [[rebuildEmbeddingIndex]]. Same replay contract as the
+    * appends; a tombstoned id stays gone until a rebuild. */
+  def deleteFromEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, tombstones: DataFrame,
+                               batchId: Option[Long] = None): Unit = {
+    val meta = Dedup.readMeta(spark, dir)
+    validateEmbeddingMeta(meta, dir)
+    if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
+    val ids = tombstones.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct()
+    val (fresh, relT) = Dedup.materializeTracked(
+      Dedup.committedTombsAt(spark, s"$dir/tomb", meta, "vec_id")
+        .fold(ids)(t => ids.join(t, Seq("vec_id"), "left_anti")))
+    try {
+      val nDel = Dedup.committedOnly(
+        spark.read.parquet(s"$dir/vectors"), meta)
+        .select("vec_id").join(fresh, Seq("vec_id"), "left_semi").count()
+      Dedup.writeIndexTable(fresh, batchId.getOrElse(-1L), s"$dir/tomb")
+      Dedup.writeMeta(spark, dir,
+        meta + ("n_vectors" -> (meta("n_vectors").toLong - nDel).toString)
+          ++ batchId.map(b => "last_committed_batch" -> b.toString))
+    } finally relT()
   }
 
   /** Folds a batch into a persisted embedding index IN PLACE, keying it
@@ -1068,17 +1105,27 @@ object Similarity {
     val meta = Dedup.readMeta(spark, dir)
     validateEmbeddingMeta(meta, dir)
     val nb = if (bands > 0) bands else meta("bands").toInt
-    // materialized: the swaps below delete the files this reads
-    val cc = Dedup.materialize(
-      Dedup.committedOnly(spark.read.parquet(s"$dir/vectors"), meta)
-        .select(col("vec_id"), col("embedding")))
-    val n = cc.count()
-    val rb = if (rowBits > 0) rowBits else autoRowBits(n)
-    Dedup.swapInTable(spark, s"$dir/bands", withBandKeys(cc, nb, rb))
-    Dedup.swapInTable(spark, s"$dir/vectors", cc)
-    Dedup.writeMeta(spark, dir, meta
-      + ("bands" -> nb.toString) + ("rowBits" -> rb.toString)
-      + ("n_vectors" -> n.toString))
+    val held = Dedup.committedOnly(spark.read.parquet(s"$dir/vectors"), meta)
+      .select(col("vec_id"), col("embedding"))
+    // LIVE set only: tombstoned vectors are physically dropped and the
+    // tombstone table vanishes with the old layout (one-directory swap;
+    // Dedup.recoverSwap repairs its crash window)
+    val liveVecs = Dedup.committedTombsAt(spark, s"$dir/tomb", meta, "vec_id")
+      .fold(held)(t => held.join(t, Seq("vec_id"), "left_anti"))
+    // materialized: the swap below deletes the files this reads
+    val (cc, release) = Dedup.materializeTracked(liveVecs)
+    try {
+      val n = cc.count()
+      val rb = if (rowBits > 0) rowBits else autoRowBits(n)
+      Dedup.swapInDir(spark, dir) { tmp =>
+        Dedup.writeIndexTable(withBandKeys(cc, nb, rb), -1L, s"$tmp/bands",
+          overwriteAll = true)
+        Dedup.writeIndexTable(cc, -1L, s"$tmp/vectors", overwriteAll = true)
+        Dedup.writeMeta(spark, tmp, meta
+          + ("bands" -> nb.toString) + ("rowBits" -> rb.toString)
+          + ("n_vectors" -> n.toString))
+      }
+    } finally release()
   }
 
   /** Ingestion-time embedding near-dup check — the bipartite counterpart

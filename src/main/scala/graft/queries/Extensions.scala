@@ -822,6 +822,25 @@ object Extensions {
       Dedup.crossMinhashPairs(docs.filter(col("doc_id") % 2 === 1),
         Dedup.readMinhashIndex(s, idxDir), "doc_id", "text", 0.5)
     }),
+    // signature-index TAKEDOWN gate: a deleted document's content
+    // fingerprint must leave the dedup index too (right-to-be-forgotten
+    // — a masked corpus that still MATCHES deleted content re-identifies
+    // it). The even-id corpus is indexed, its 5≡1 docs tombstoned
+    // (committed batch 0), and the incoming odd batch checked against
+    // the masked index must equal a fresh check against the live corpus
+    "dedup_incremental_del" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idxDir = graft.sources.Scratch.dir(
+        s"mhdel_${java.util.UUID.randomUUID.toString.take(8)}")
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", idxDir)
+      Dedup.deleteFromMinhashIndex(s, idxDir,
+        docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 5 === 1)
+          .select("doc_id"),
+        batchId = Some(0L))
+      Dedup.crossMinhashPairs(docs.filter(col("doc_id") % 2 === 1),
+        Dedup.readMinhashIndex(s, idxDir), "doc_id", "text", 0.5)
+    }),
     // ORCHESTRATION gate (the reference's scheduler semantics,
     // dags/etl.py:148-157): the three reference sinks driven by
     // file-arrival through RefOrchestration.runIncremental. Two fact
@@ -1533,6 +1552,24 @@ object Extensions {
       Similarity.rebuildEmbeddingIndex(s, idxDir,
         bands = gateBands, rowBits = gateRowBits)
       Similarity.compactEmbeddingIndex(s, idxDir)
+      Similarity.crossEmbeddingPairs(e.filter(col("vec_id") % 2 === 1),
+        Similarity.readEmbeddingIndex(s, idxDir), 0.3,
+        graft.operators.Dedup.DefaultMaxBucket)
+    }),
+    // embedding-index takedown twin of dedup_incremental_del: the
+    // even-id vectors indexed at the gate blocking, 5≡1 tombstoned,
+    // incoming odds checked against the masked index ≡ fresh check
+    // against the live corpus
+    "dedup_embedding_del" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idxDir = graft.sources.Scratch.dir(
+        s"embdel_${java.util.UUID.randomUUID.toString.take(8)}")
+      Similarity.writeEmbeddingIndex(e.filter(col("vec_id") % 2 === 0),
+        idxDir, bands = gateBands, rowBits = gateRowBits)
+      Similarity.deleteFromEmbeddingIndex(s, idxDir,
+        e.filter(col("vec_id") % 2 === 0 && col("vec_id") % 5 === 1)
+          .select("vec_id"),
+        batchId = Some(0L))
       Similarity.crossEmbeddingPairs(e.filter(col("vec_id") % 2 === 1),
         Similarity.readEmbeddingIndex(s, idxDir), 0.3,
         graft.operators.Dedup.DefaultMaxBucket)
@@ -2443,14 +2480,17 @@ object Extensions {
   // bipartite variant — odd ids are the incoming batch, even the corpus
   // (mirrors the dedup_incremental gate registration); signatures are
   // per-document, so banding the whole table and filtering parity in the
-  // pair join is identical to banding the two halves separately
-  private val incrementalOracle: String =
+  // pair join is identical to banding the two halves separately.
+  // Parametrized on the corpus-side predicate so the takedown gate
+  // (dedup_incremental_del) replays the identical banding over the
+  // live corpus only.
+  private def incrementalOracleFor(corpusPred: String): String =
     s"""
       WITH $minhashBandCtes,
       pairs AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS matched_id
                 FROM bands a JOIN bands b
                   ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+                WHERE a.doc_id % 2 = 1 AND ($corpusPred)),
       jac AS (SELECT new_id, matched_id,
                 len(list_intersect(x.hs, y.hs)) AS li,
                 len(x.hs) + len(y.hs) AS lu
@@ -2460,6 +2500,15 @@ object Extensions {
              round(li / CAST(lu - li AS DOUBLE), 6) AS jaccard
       FROM jac
       WHERE round(li / CAST(lu - li AS DOUBLE), 6) >= 0.5"""
+
+  private val incrementalOracle: String =
+    incrementalOracleFor("b.doc_id % 2 = 0")
+
+  /** Minhash-index takedown: the even-id corpus minus its 5≡1
+    * tombstones — a deleted doc must stop matching as candidate AND
+    * verify partner. */
+  private val incrementalDelOracle: String =
+    incrementalOracleFor("b.doc_id % 2 = 0 AND b.doc_id % 5 <> 1")
 
   private val ngramOracle: String =
     s"""
@@ -3003,18 +3052,25 @@ object Extensions {
   /** Bipartite (incoming ⋈ corpus) embedding near-dup semantics, shared
     * by `dedup_embedding_incr` (batch) and `stream_embedding_incr` (the
     * same check streamed against the persisted index — identical
-    * blocking, identical verify). */
-  private lazy val embeddingIncrOracle: String = s"""
+    * blocking, identical verify). Parametrized on the corpus predicate
+    * for the takedown gate (`dedup_embedding_del`). */
+  private def embeddingIncrOracleFor(corpusPred: String): String = s"""
       WITH $duckBandedSigCtes,
       cand AS (SELECT DISTINCT x.vec_id AS new_id, y.vec_id AS matched_id
                FROM banded x JOIN banded y
                  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-               WHERE x.vec_id % 2 = 1 AND y.vec_id % 2 = 0)
+               WHERE x.vec_id % 2 = 1 AND ($corpusPred))
       SELECT new_id, matched_id,
              ${duckCos("a.embedding", "c.embedding")} AS cos
       FROM cand JOIN embeddings a ON a.vec_id = new_id
                 JOIN embeddings c ON c.vec_id = matched_id
       WHERE ${duckCos("a.embedding", "c.embedding")} >= 0.3"""
+
+  private lazy val embeddingIncrOracle: String =
+    embeddingIncrOracleFor("y.vec_id % 2 = 0")
+
+  private lazy val embeddingDelOracle: String =
+    embeddingIncrOracleFor("y.vec_id % 2 = 0 AND y.vec_id % 5 <> 1")
 
   /** Shared by `q_session_window` (batch) and `stream_session_window`:
     * both truncate event time to seconds before the 30-minute-gap
@@ -3681,6 +3737,8 @@ object Extensions {
                  ELSE 0 END""",
     "dedup_minhash" -> minhashOracle,
     "dedup_incremental" -> incrementalOracle,
+    // masked index ≡ fresh check against the live corpus
+    "dedup_incremental_del" -> incrementalDelOracle,
     // rebuild+compact must be lossless → same oracle as the fresh index
     "dedup_index_rebuild" -> incrementalOracle,
     // incremental (2 arrival chunks + no-op rerun) ≡ one-shot batch join:
@@ -3975,6 +4033,8 @@ object Extensions {
     "dedup_embedding_incr" -> embeddingIncrOracle,
     // rebuild+compact must be lossless → same oracle as fresh blocking
     "dedup_embedding_rebuild" -> embeddingIncrOracle,
+    // masked embedding index ≡ fresh check against the live corpus
+    "dedup_embedding_del" -> embeddingDelOracle,
     // the streamed form checks micro-batches against the same persisted
     // blocking — streaming ≡ batch ≡ DuckDB
     "stream_embedding_incr" -> embeddingIncrOracle,

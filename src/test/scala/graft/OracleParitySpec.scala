@@ -180,6 +180,9 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r15: the serving-index CDC twins share the same dialect-bound
     // texts with net-live-corpus cuts
     "stream_bm25_cdc", "stream_ivf_cdc",
+    // r15: signature-index takedown gates share the minhash / sign-LSH
+    // CTE oracles with live-corpus cuts
+    "dedup_incremental_del", "dedup_embedding_del",
     // r13: list_transform/generate_series token CTEs (familiarity family)
     "text_lm_score",
     // r13: unnest([...]) prob list in the shared quantile oracle

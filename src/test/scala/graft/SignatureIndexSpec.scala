@@ -52,6 +52,82 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
       s"only-index=${(b -- a).take(3)}")
   }
 
+  test("minhash takedown: masked index ≡ fresh live-corpus index; " +
+    "n_docs tracks live; rebuild physically removes; replay skips") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val live = corpus.filter(col("doc_id") % 5 =!= 1)
+    val idxDir = graft.sources.Scratch.dir("sigidx-mhdel")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxDir)
+    val n0 = Dedup.readMeta(spark, idxDir)("n_docs").toLong
+    val tomb = corpus.filter(col("doc_id") % 5 === 1).select("doc_id")
+    Dedup.deleteFromMinhashIndex(spark, idxDir, tomb, batchId = Some(0L))
+    val expected = canon(Dedup.crossMinhashPairs(incoming, live,
+      "doc_id", "text"))
+    val got = canon(Dedup.crossMinhashPairs(incoming,
+      Dedup.readMinhashIndex(spark, idxDir), "doc_id", "text", 0.5))
+    assert(expected.nonEmpty && got == expected,
+      "masked index diverged from a fresh live-corpus check")
+    // the deletion actually changed the result (non-vacuous)
+    assert(got != canon(Dedup.crossMinhashPairs(incoming, corpus,
+      "doc_id", "text")), "tombstones hit no pairs — vacuous fixture")
+    // n_docs now counts live docs only
+    val nDel = corpus.join(tomb, Seq("doc_id"), "left_semi").count()
+    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong == n0 - nDel,
+      "n_docs did not track the live count")
+    // committed replay + double-delete are no-ops
+    Dedup.deleteFromMinhashIndex(spark, idxDir, tomb, batchId = Some(0L))
+    Dedup.deleteFromMinhashIndex(spark, idxDir, tomb, batchId = Some(1L))
+    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong == n0 - nDel,
+      "replay or double-delete moved n_docs")
+    // rebuild physically drops tombstoned rows and the tombstone table
+    val setsBefore = spark.read.parquet(s"$idxDir/sets").count()
+    Dedup.rebuildMinhashIndex(spark, idxDir)
+    assert(!new java.io.File(s"$idxDir/tomb").exists(),
+      "rebuild left the tombstone table behind")
+    assert(spark.read.parquet(s"$idxDir/sets").count() < setsBefore,
+      "rebuild did not physically drop tombstoned sets rows")
+    assert(canon(Dedup.crossMinhashPairs(incoming,
+      Dedup.readMinhashIndex(spark, idxDir), "doc_id", "text", 0.5))
+      == expected, "delete-compacting rebuild moved the pairs")
+  }
+
+  test("embedding takedown: masked index ≡ fresh live-corpus index; " +
+    "rebuild physically removes") {
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val incoming = e.filter(col("vec_id") % 2 === 1)
+    val corpus = e.filter(col("vec_id") % 2 === 0)
+    val live = corpus.filter(col("vec_id") % 5 =!= 1)
+    val idxDir = graft.sources.Scratch.dir("sigidx-embdel")
+    Similarity.writeEmbeddingIndex(corpus, idxDir)
+    val n0 = Dedup.readMeta(spark, idxDir)("n_vectors").toLong
+    val tomb = corpus.filter(col("vec_id") % 5 === 1).select("vec_id")
+    Similarity.deleteFromEmbeddingIndex(spark, idxDir, tomb,
+      batchId = Some(0L))
+    // reference built at the SAME rowBits as the held index (auto
+    // sizing could differ on the smaller live corpus)
+    val rb = Dedup.readMeta(spark, idxDir)("rowBits").toInt
+    val expected = canon(Similarity.crossEmbeddingPairs(incoming, live,
+      rowBits = rb))
+    val got = canon(Similarity.crossEmbeddingPairs(incoming,
+      Similarity.readEmbeddingIndex(spark, idxDir), 0.3))
+    assert(expected.nonEmpty && got == expected,
+      "masked embedding index diverged from a fresh live-corpus check")
+    assert(Dedup.readMeta(spark, idxDir)("n_vectors").toLong
+      == n0 - corpus.join(tomb, Seq("vec_id"), "left_semi").count(),
+      "n_vectors did not track the live count")
+    val vecsBefore = spark.read.parquet(s"$idxDir/vectors").count()
+    Similarity.rebuildEmbeddingIndex(spark, idxDir, rowBits = rb)
+    assert(!new java.io.File(s"$idxDir/tomb").exists(),
+      "rebuild left the tombstone table behind")
+    assert(spark.read.parquet(s"$idxDir/vectors").count() < vecsBefore,
+      "rebuild did not physically drop tombstoned vectors")
+    assert(canon(Similarity.crossEmbeddingPairs(incoming,
+      Similarity.readEmbeddingIndex(spark, idxDir), 0.3)) == expected,
+      "delete-compacting rebuild moved the pairs")
+  }
+
   test("load is fail-loud on kind/family mismatch and on a non-index dir") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val idxDir = graft.sources.Scratch.dir("sigidx-tamper")
