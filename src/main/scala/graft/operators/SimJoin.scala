@@ -113,6 +113,50 @@ object SimJoin {
     require(meta.get("kind").contains(PrefixIndexKind),
       s"$dir is not a prefix index (kind=${meta.getOrElse("kind", "<absent>")})")
 
+  /** Anti-join mask over the committed tombstones ([[deleteFromPrefixIndex]]);
+    * identity when no delete ever ran, so the append-only path pays
+    * nothing for the feature. */
+  private def liveOnly(spark: SparkSession, dir: String,
+                       meta: Map[String, String])(df: DataFrame): DataFrame =
+    Dedup.committedTombsAt(spark, s"$dir/tomb", meta, "doc_id")
+      .fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
+
+  /** Takedown leg for the prefix index — the lossless sibling of
+    * `Dedup.deleteFromMinhashIndex`: a right-to-be-forgotten delete
+    * must remove a document's shingle sets and prefix postings from
+    * the dedup index too, or future batches keep matching (and thereby
+    * re-identifying) content the corpus no longer holds. `sets` and
+    * `prefix` rows are per-document, so deletion is pure masking: ids
+    * land in `tomb/` as their own committed batch and every read path
+    * anti-joins them out. The `df` dictionary DOES hold cross-document
+    * counts, but by the order-invariance argument above it is
+    * selectivity-only — a stale (over-counting) df order can never
+    * change the VERIFIED result, the same contract appends already
+    * rely on — so nothing is retracted from it. Physical removal (and
+    * df refresh) happens at the next [[rebuildPrefixIndex]]. Same
+    * replay contract as the appends (batchId ≥ 0 marker-committed,
+    * None = synchronous one-shot); a tombstoned id stays gone until a
+    * rebuild — re-appending it first is a contract violation. */
+  def deleteFromPrefixIndex(spark: SparkSession, dir: String,
+                            tombstones: DataFrame,
+                            batchId: Option[Long] = None): Unit = {
+    val meta = Dedup.readMeta(spark, dir)
+    validatePrefixMeta(meta, dir)
+    if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
+    val ids = tombstones.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct()
+    // materialized: the plan may read tomb/, which the write below
+    // appends to
+    val (fresh, release) = Dedup.materializeTracked(
+      Dedup.committedTombsAt(spark, s"$dir/tomb", meta, "doc_id")
+        .fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti")))
+    try {
+      Dedup.writeIndexTable(fresh, batchId.getOrElse(-1L), s"$dir/tomb")
+      Dedup.writeMeta(spark, dir,
+        meta ++ batchId.map(b => "last_committed_batch" -> b.toString))
+    } finally release()
+  }
+
   def writePrefixIndex(df: DataFrame, id: String, text: String,
                        thrNum: Int, thrDen: Int, dir: String,
                        shingleWidth: Int = 3): Unit = {
@@ -179,9 +223,13 @@ object SimJoin {
     // 100 TB-side posting scan reduces to a semi-joined sliver instead
     // of shuffling the whole table per micro-batch (the
     // crossMinhashPairs probed-slice shape).
+    // tombstoned docs ([[deleteFromPrefixIndex]]) are masked out of
+    // BOTH the candidate side and the verify side at this one choke
+    // point — a deleted doc can never surface as candidate or partner
+    val live = liveOnly(spark, dir, meta) _
     val probedKeys = broadcast(newPref.select("h").distinct())
-    val idxPref = Dedup.committedOnly(
-      spark.read.parquet(s"$dir/prefix"), meta).select("doc_id", "sz", "h")
+    val idxPref = live(Dedup.committedOnly(
+      spark.read.parquet(s"$dir/prefix"), meta).select("doc_id", "sz", "h"))
       .join(probedKeys, Seq("h"), "left_semi")
     val cand = newPref.as("x").join(idxPref.as("y"),
         col("x.h") === col("y.h") &&
@@ -192,7 +240,7 @@ object SimJoin {
     cand
       .join(newSets.select(col("doc_id").as("new_id"), col("hs").as("ha")),
         Seq("new_id"))
-      .join(Dedup.committedOnly(spark.read.parquet(s"$dir/sets"), meta)
+      .join(live(Dedup.committedOnly(spark.read.parquet(s"$dir/sets"), meta))
         .select(col("doc_id").as("matched_id"), col("hs").as("hb")),
         Seq("matched_id"))
       .withColumn("inter",
@@ -235,26 +283,34 @@ object SimJoin {
   }
 
   /** Rebuild the dictionary and every stored prefix from the CURRENT
-    * committed sets (post-append hygiene): restores the df order's full
-    * pruning power. Linear in index size — the same honest cost class
-    * as `Dedup.rebuildMinhashIndex`; offline single-writer maintenance
-    * via the same write-sibling-then-swap. */
+    * committed LIVE sets (post-append/post-delete hygiene): restores
+    * the df order's full pruning power and physically removes
+    * tombstoned docs ([[deleteFromPrefixIndex]]) — the tombstone table
+    * vanishes with the old layout. Linear in index size — the same
+    * honest cost class as `Dedup.rebuildMinhashIndex`; the whole index
+    * swaps as ONE directory (`Dedup.swapInDir`; repair a crashed swap
+    * with `Dedup.recoverSwap`), never a readable mix of old and new
+    * tables. Offline single-writer maintenance. */
   def rebuildPrefixIndex(spark: SparkSession, dir: String): Unit = {
     val meta = Dedup.readMeta(spark, dir)
     validatePrefixMeta(meta, dir)
     val (thrNum, thrDen) = (meta("pj_num").toInt, meta("pj_den").toInt)
-    val sets = Dedup.materialize(
-      Dedup.committedOnly(spark.read.parquet(s"$dir/sets"), meta)
+    // materialized: the swap below deletes the files this reads
+    val (sets, release) = Dedup.materializeTracked(
+      liveOnly(spark, dir, meta)(
+        Dedup.committedOnly(spark.read.parquet(s"$dir/sets"), meta))
         .select("doc_id", "hs"))
-    val posting = sets.select(col("doc_id"), explode(col("hs")).as("h"))
-    val dfreq = Dedup.materialize(
-      posting.groupBy("h").agg(count(lit(1)).as("df")))
-    val pref = Dedup.materialize(
-      prefixPostings(sets, dfreq, thrNum, thrDen))
-    // materialized above so the swaps below never read the files they
-    // are replacing
-    Dedup.swapInTable(spark, s"$dir/sets", sets)
-    Dedup.swapInTable(spark, s"$dir/df", dfreq)
-    Dedup.swapInTable(spark, s"$dir/prefix", pref)
+    try {
+      val posting = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+      val dfreq = Dedup.materialize(
+        posting.groupBy("h").agg(count(lit(1)).as("df")))
+      Dedup.swapInDir(spark, dir) { tmp =>
+        Dedup.writeIndexTable(sets, -1L, s"$tmp/sets", overwriteAll = true)
+        Dedup.writeIndexTable(dfreq, -1L, s"$tmp/df", overwriteAll = true)
+        Dedup.writeIndexTable(prefixPostings(sets, dfreq, thrNum, thrDen),
+          -1L, s"$tmp/prefix", overwriteAll = true)
+        Dedup.writeMeta(spark, tmp, meta)
+      }
+    } finally release()
   }
 }

@@ -1650,6 +1650,26 @@ object Extensions {
       graft.operators.SimJoin.crossPrefixJoin(s,
         docs.filter(col("doc_id") % 2 === 1), dir)
     }),
+    // prefix-index TAKEDOWN gate — the LOSSLESS sibling of
+    // dedup_incremental_del: the even-id corpus is indexed, its 5≡1
+    // docs tombstoned (committed batch 0), and the incoming odd batch
+    // checked against the masked index must equal a fresh lossless
+    // check against the live corpus. The masked path serves under the
+    // STALE full-corpus df order, the oracle under the live one —
+    // agreement is exactly the order-invariance of verified recall.
+    "dedup_prefix_del" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.sources.Scratch.dir(
+        s"pfxdel_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.SimJoin.writePrefixIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 6, 10, dir)
+      graft.operators.SimJoin.deleteFromPrefixIndex(s, dir,
+        docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 5 === 1)
+          .select("doc_id"),
+        batchId = Some(0L))
+      graft.operators.SimJoin.crossPrefixJoin(s,
+        docs.filter(col("doc_id") % 2 === 1), dir)
+    }),
     // exact-substring criterion (token-level suffix-array semantics):
     // pairs sharing ANY verbatim run of >= substringWindow tokens —
     // deterministic recall for long verbatim overlap, no threshold
@@ -2578,11 +2598,17 @@ object Extensions {
 
   /** Shared by `dedup_prefix_incr` and `dedup_prefix_rebuild` (append +
     * rebuild must restore fresh-index blocking exactly). The dictionary
-    * is the EVEN corpus's df; odd-side unseen shingles take df 0 —
-    * byte-identical to `SimJoin.prefixPostings`' left-join fallback. */
-  private val prefixIncrOracle: String = s"""
+    * is the corpus side's df; odd-side unseen shingles take df 0 —
+    * byte-identical to `SimJoin.prefixPostings`' left-join fallback.
+    * Parametrized on the corpus predicate for the takedown gate
+    * (`dedup_prefix_del`): the oracle's dictionary is the LIVE
+    * corpus's df while the masked index serves under the stale full
+    * one, but the VERIFIED output is order-invariant (PPJoin
+    * losslessness holds under any one total order; verify filters to
+    * qualifying pairs only), so they agree hash-exactly. */
+  private def prefixIncrOracleFor(corpusPred: String): String = s"""
       WITH $shingleCtes,
-      evn AS (SELECT doc_id, hs FROM hsx WHERE doc_id % 2 = 0),
+      evn AS (SELECT doc_id, hs FROM hsx WHERE $corpusPred),
       odd AS (SELECT doc_id, hs FROM hsx WHERE doc_id % 2 = 1),
       u AS (SELECT doc_id, unnest(hs) AS h FROM evn),
       dft AS (SELECT h, CAST(COUNT(1) AS BIGINT) AS df FROM u GROUP BY h),
@@ -2615,6 +2641,15 @@ object Extensions {
       SELECT new_id, matched_id, inter, un,
              round(CAST(inter AS DOUBLE) / un, 6) AS jaccard
       FROM ver WHERE inter * 10 >= un * 6"""
+
+  private val prefixIncrOracle: String =
+    prefixIncrOracleFor("doc_id % 2 = 0")
+
+  /** Prefix-index takedown: the even-id corpus minus its 5≡1
+    * tombstones — a deleted doc must stop matching as candidate AND
+    * verify partner, lossless recall over the live set preserved. */
+  private val prefixDelOracle: String =
+    prefixIncrOracleFor("doc_id % 2 = 0 AND doc_id % 5 <> 1")
 
   /** Shared by `q_pca_gram` and `q_pca_maintain` (state + delta fold ≡
     * one-shot — the partials are exact integers). */
@@ -4002,6 +4037,9 @@ object Extensions {
     // shingles COALESCE to df 0 — sorted first, exactly the Spark
     // fallback), same integer prefix cut both sides, same verify
     "dedup_prefix_incr" -> prefixIncrOracle,
+    // takedown twin: live-corpus dictionary + live verify side; equal
+    // to the masked-index result by order-invariance of verified recall
+    "dedup_prefix_del" -> prefixDelOracle,
     // append + rebuild must restore the fresh-index blocking exactly
     "dedup_prefix_rebuild" -> prefixIncrOracle,
     // micro-batched check against the same index ≡ one-shot bipartite

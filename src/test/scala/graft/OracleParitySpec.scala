@@ -196,7 +196,7 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r13: list CTEs + `//` prefix-length arithmetic (lossless simjoin
     // + its persisted-index bipartite/lifecycle forms)
     "q_simjoin_prefix", "dedup_prefix_incr", "dedup_prefix_rebuild",
-    "stream_prefix_incr",
+    "stream_prefix_incr", "dedup_prefix_del",
     // r13: regexp_matches in the constraint-audit oracle
     "q_quality_audit")
 }

@@ -134,6 +134,50 @@ class SimJoinSpec extends AnyFunSuite with SparkSpec {
       "replayed committed batch mutated the index")
   }
 
+  test("takedown: masked index equals a fresh live-corpus index; " +
+    "rebuild removes tombstones physically") {
+    val docs2 = docs
+    val even = docs2.filter(col("doc_id") % 2 === 0)
+    val odd = docs2.filter(col("doc_id") % 2 === 1)
+    val tombs = even.filter(col("doc_id") % 5 === 1).select("doc_id")
+    // fresh index over the LIVE corpus = the reference result
+    val liveDir = graft.sources.Scratch.dir("pfx-del-live")
+    SimJoin.writePrefixIndex(even.filter(col("doc_id") % 5 =!= 1),
+      "doc_id", "text", 6, 10, liveDir)
+    val fresh = pairs(SimJoin.crossPrefixJoin(spark, odd, liveDir)
+      .select("new_id", "matched_id", "inter", "un"))
+    // full index + tombstone mask must match it exactly
+    val dir = graft.sources.Scratch.dir("pfx-del-mask")
+    SimJoin.writePrefixIndex(even, "doc_id", "text", 6, 10, dir)
+    val before = pairs(SimJoin.crossPrefixJoin(spark, odd, dir)
+      .select("new_id", "matched_id", "inter", "un"))
+    SimJoin.deleteFromPrefixIndex(spark, dir, tombs, batchId = Some(0L))
+    val masked = pairs(SimJoin.crossPrefixJoin(spark, odd, dir)
+      .select("new_id", "matched_id", "inter", "un"))
+    assert(masked == fresh,
+      "masked index diverged from a fresh live-corpus index")
+    assert(masked != before,
+      "tombstones removed no matching pairs — takedown law is vacuous")
+    // replayed delete batch: committed marker short-circuits
+    val tombRows = spark.read.parquet(s"$dir/tomb").count()
+    SimJoin.deleteFromPrefixIndex(spark, dir, tombs, batchId = Some(0L))
+    assert(spark.read.parquet(s"$dir/tomb").count() == tombRows,
+      "replayed delete mutated the tombstone table")
+    // rebuild compacts tombstones away: tomb/ gone, result unchanged,
+    // deleted ids physically absent from the stored sets
+    SimJoin.rebuildPrefixIndex(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tomb")),
+      "rebuild kept the tombstone table")
+    assert(spark.read.parquet(s"$dir/sets")
+      .join(tombs, Seq("doc_id"), "left_semi").count() == 0,
+      "rebuild kept tombstoned docs in the stored sets")
+    assert(pairs(SimJoin.crossPrefixJoin(spark, odd, dir)
+      .select("new_id", "matched_id", "inter", "un")) == fresh,
+      "rebuild-after-delete changed the lossless result")
+  }
+
   test("threshold 1 (exact duplicates only) yields identical sets") {
     val dup = SimJoin.prefixJaccardJoin(docs, "doc_id", "text", 1, 1)
       .collect()
