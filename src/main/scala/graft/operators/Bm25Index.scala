@@ -75,16 +75,15 @@ object Bm25Index {
     postings.groupBy("term").agg(count(lit(1)).as("df"))
 
   /** Committed tombstone ids, or None when no delete has ever run
-    * (missing `tomb/` = the common append-only case pays zero cost). */
+    * (missing `tomb/` = the common append-only case pays zero cost; an
+    * empty-born tomb table from an insert-only CDC batch counts as
+    * absent — `Dedup.indexTableHasData`). */
   private def committedTombs(spark: SparkSession, dir: String,
-                             meta: Map[String, String]): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/tomb")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
+                             meta: Map[String, String]): Option[DataFrame] =
+    if (Dedup.indexTableHasData(spark, s"$dir/tomb"))
       Some(Dedup.committedOnly(spark.read.parquet(s"$dir/tomb"), meta)
         .select("doc_id"))
     else None
-  }
 
   /** Build the index over `corpus` (one tokenize pass; postings feed
     * the df and stats folds off the same materialized table — the

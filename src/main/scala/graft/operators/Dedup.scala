@@ -458,19 +458,33 @@ object Dedup {
         s"$MinhashFamily — its band keys are not reproducible here; rebuild")
   }
 
+  /** True iff the v2 index table at `path` holds at least one WRITTEN
+    * partition. A zero-row [[writeIndexTable]] — e.g. the tombstone
+    * write of an insert-only CDC change batch, or the postings write
+    * of a delete-only one — creates the directory with a _SUCCESS
+    * marker but no `ingest_batch=` partition subdirs; reading that is
+    * an UNABLE_TO_INFER_SCHEMA analysis error, so readers of tables
+    * that can be BORN empty must treat it as absent. */
+  private[graft] def indexTableHasData(spark: org.apache.spark.sql.SparkSession,
+                                       path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith(IngestBatchCol + "="))
+  }
+
   /** Committed tombstoned ids of a v2 index (single id column), or
     * None when no delete ever ran — the append-only read path pays
-    * zero cost for the feature's existence. */
+    * zero cost for the feature's existence. A tombstone table that
+    * exists but holds no written partition (insert-only CDC batches)
+    * counts as absent ([[indexTableHasData]]). */
   private[graft] def committedTombsAt(spark: org.apache.spark.sql.SparkSession,
                                       path: String,
                                       meta: Map[String, String],
-                                      idCol: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
+                                      idCol: String): Option[DataFrame] =
+    if (indexTableHasData(spark, path))
       Some(committedOnly(spark.read.parquet(path), meta).select(idCol))
     else None
-  }
 
   /** Takedown leg for the minhash signature index — a right-to-be-
     * forgotten delete must remove a document's CONTENT FINGERPRINT
@@ -510,6 +524,54 @@ object Dedup {
       writeMeta(spark, dir,
         meta + ("n_docs" -> (meta("n_docs").toLong - nDel).toString)
           ++ batchId.map(b => "last_committed_batch" -> b.toString))
+    } finally relT()
+  }
+
+  /** One CDC change-batch applied to the minhash index atomically
+    * under ONE commit marker — the per-trigger body of
+    * [[graft.streaming.StreamOps.maintainMinhashCdcStream]], completing
+    * the grow-and-shrink lifecycle the serving indexes got in
+    * `Bm25Index.applyCdc`: [[appendToMinhashIndex]] then
+    * [[deleteFromMinhashIndex]] with the same batchId cannot compose
+    * (the first commits the marker, the second would skip), so the
+    * combined op writes the batch's band keys, sets, and tombstones
+    * into one `ingest_batch` partition, marker strictly last. Within
+    * ONE batch the tombstone outranks the batch's own insert (delete
+    * wins — the overlapped doc is never signed, so `n_docs` stays
+    * consistent by construction); deletes otherwise apply to
+    * previously COMMITTED docs, per-id cross-batch order being the
+    * caller's CDC contract. `n_docs` nets the batch's signed inserts
+    * against its newly-tombstoned held docs — the live count. */
+  def applyMinhashCdc(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, newDocs: DataFrame,
+                      tombstones: DataFrame, batchId: Long,
+                      id: String = "doc_id", text: String = "text"): Unit = {
+    val meta = readMeta(spark, dir)
+    validateMinhashMeta(meta, dir)
+    if (batchId <= lastCommittedBatch(meta)) return
+    val ids = tombstones.select(col(id).cast("long").as("doc_id")).distinct()
+    // materialized: the fresh-ids plan reads tomb/, which the write
+    // below appends to — and the n_docs semi-join reuses it
+    val (fresh, relT) = materializeTracked(
+      committedTombsAt(spark, s"$dir/tomb", meta, "doc_id")
+        .fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti")))
+    try {
+      val nh = meta("numHashes").toInt
+      val nb = meta("bands").toInt
+      // delete wins within the batch: an overlapped doc is never signed
+      val sigs = minhashSignatures(
+        newDocs.join(ids.withColumnRenamed("doc_id", id), Seq(id),
+          "left_anti"), id, text, nh)
+      val nDel = committedOnly(spark.read.parquet(s"$dir/sets"), meta)
+        .select("doc_id").join(fresh, Seq("doc_id"), "left_semi").count()
+      writeIndexTable(bandKeysOf(sigs, nh, nb), batchId, s"$dir/bands")
+      writeIndexTable(sigs.select(col("doc_id"), col("hs")), batchId,
+        s"$dir/sets")
+      writeIndexTable(fresh, batchId, s"$dir/tomb")
+      writeMeta(spark, dir,
+        meta + ("n_docs" ->
+          (meta("n_docs").toLong + sigs.count() - nDel).toString)
+          + ("last_committed_batch" -> batchId.toString))
     } finally relT()
   }
 

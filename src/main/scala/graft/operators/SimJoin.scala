@@ -282,6 +282,48 @@ object SimJoin {
       meta ++ batchId.map(b => "last_committed_batch" -> b.toString))
   }
 
+  /** One CDC change-batch applied to the prefix index atomically under
+    * ONE commit marker — the per-trigger body of
+    * [[graft.streaming.StreamOps.maintainPrefixCdcStream]], the
+    * lossless twin of `Dedup.applyMinhashCdc`: inserts are shingled
+    * and their prefixes cut under the STORED dictionary (order
+    * staleness is selectivity-only, per the losslessness argument
+    * above), deletes tombstoned, sets + prefixes + tombstones all in
+    * one `ingest_batch` partition with the marker strictly last.
+    * Within one batch the tombstone outranks its own insert (delete
+    * wins); deletes otherwise apply to previously committed docs. */
+  def applyPrefixCdc(spark: SparkSession, dir: String, newDocs: DataFrame,
+                     tombstones: DataFrame, batchId: Long,
+                     id: String = "doc_id", text: String = "text"): Unit = {
+    val meta = Dedup.readMeta(spark, dir)
+    validatePrefixMeta(meta, dir)
+    if (batchId <= Dedup.lastCommittedBatch(meta)) return
+    val ids = tombstones.select(col(id).cast("long").as("doc_id")).distinct()
+    // materialized: the plan reads tomb/, which the write below
+    // appends to
+    val (fresh, relT) = Dedup.materializeTracked(
+      Dedup.committedTombsAt(spark, s"$dir/tomb", meta, "doc_id")
+        .fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti")))
+    try {
+      val (thrNum, thrDen) = (meta("pj_num").toInt, meta("pj_den").toInt)
+      val w = meta("pj_w").toInt
+      // delete wins within the batch: an overlapped doc is never indexed
+      val newSets = Dedup.materialize(
+        Dedup.shingleHashesFlat(
+          newDocs.join(ids.withColumnRenamed("doc_id", id), Seq(id),
+            "left_anti"), id, text, w)
+          .filter(size(col("hs")) > 0))
+      val dfreq = Dedup.committedOnly(
+        spark.read.parquet(s"$dir/df"), meta).select("h", "df")
+      Dedup.writeIndexTable(newSets, batchId, s"$dir/sets")
+      Dedup.writeIndexTable(prefixPostings(newSets, dfreq, thrNum, thrDen),
+        batchId, s"$dir/prefix")
+      Dedup.writeIndexTable(fresh, batchId, s"$dir/tomb")
+      Dedup.writeMeta(spark, dir,
+        meta + ("last_committed_batch" -> batchId.toString))
+    } finally relT()
+  }
+
   /** Rebuild the dictionary and every stored prefix from the CURRENT
     * committed LIVE sets (post-append/post-delete hygiene): restores
     * the df order's full pruning power and physically removes

@@ -568,16 +568,15 @@ object Similarity {
   }
 
   /** Committed tombstoned vec_ids, or None when no delete ever ran —
-    * the append-only read path pays zero cost. */
+    * the append-only read path pays zero cost. An empty-born tomb
+    * table (insert-only CDC batch) counts as absent
+    * (`Dedup.indexTableHasData`). */
   private def ivfTombs(spark: SparkSession, dir: String,
-                       meta: Map[String, String]): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/tomb")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
+                       meta: Map[String, String]): Option[DataFrame] =
+    if (Dedup.indexTableHasData(spark, s"$dir/tomb"))
       Some(Dedup.committedOnly(spark.read.parquet(s"$dir/tomb"), meta)
         .select("vec_id"))
     else None
-  }
 
   /** Retrain the quantizer from the index's OWN stored vectors and
     * re-cut every cell — the stale-quantizer remedy WITHOUT the
@@ -642,10 +641,11 @@ object Similarity {
     val meta = ivfMeta(spark, dir)
     val cents = readIvfCentroids(spark, dir)
     val base = spark.read.parquet(s"$dir/assigned")
-    val bp = new org.apache.hadoop.fs.Path(s"$dir/assigned_batches")
-    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // indexTableHasData, not a bare exists: a delete-only CDC batch
+    // appends zero assigned rows, which can create the directory with
+    // no partition subdirs — reading that is an analysis error
     val unioned =
-      if (fs.exists(bp))
+      if (Dedup.indexTableHasData(spark, s"$dir/assigned_batches"))
         base.unionByName(
           Dedup.committedOnly(
             spark.read.parquet(s"$dir/assigned_batches"), meta)
@@ -1070,6 +1070,60 @@ object Similarity {
     Dedup.writeIndexTable(cc, part, s"$dir/vectors")
     Dedup.writeMeta(spark, dir, meta + ("n_vectors" -> nNew.toString)
       ++ batchId.map(b => "last_committed_batch" -> b.toString))
+  }
+
+  /** One CDC change-batch applied to the embedding index atomically
+    * under ONE commit marker — the per-trigger body of
+    * [[graft.streaming.StreamOps.maintainEmbeddingCdcStream]], the
+    * sign-LSH twin of [[graft.operators.Dedup.applyMinhashCdc]]:
+    * inserts are keyed under the index's stored (bands, rowBits),
+    * deletes tombstoned, band keys + vectors + tombstones all in one
+    * `ingest_batch` partition with the marker strictly last (append
+    * then delete with one batchId cannot compose). Within one batch
+    * the tombstone outranks its own insert (delete wins — the
+    * overlapped vector is never keyed); deletes otherwise apply to
+    * previously committed vectors. `n_vectors` nets inserts against
+    * newly-tombstoned held ids, so the occupancy-drift refusal sizes
+    * against the LIVE count — a stream that deletes as fast as it
+    * inserts never trips it. */
+  def applyEmbeddingCdc(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, newVectors: DataFrame,
+                        tombstones: DataFrame, batchId: Long,
+                        allowOccupancyDrift: Boolean = false): Unit = {
+    val meta = Dedup.readMeta(spark, dir)
+    validateEmbeddingMeta(meta, dir)
+    if (batchId <= Dedup.lastCommittedBatch(meta)) return
+    val ids = tombstones.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct()
+    val (fresh, relT) = Dedup.materializeTracked(
+      Dedup.committedTombsAt(spark, s"$dir/tomb", meta, "vec_id")
+        .fold(ids)(t => ids.join(t, Seq("vec_id"), "left_anti")))
+    try {
+      val bands = meta("bands").toInt
+      val rowBits = meta("rowBits").toInt
+      // delete wins within the batch: an overlapped vector is never keyed
+      val cc = Dedup.materialize(
+        newVectors.join(ids, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("embedding")))
+      val nDel = Dedup.committedOnly(
+        spark.read.parquet(s"$dir/vectors"), meta)
+        .select("vec_id").join(fresh, Seq("vec_id"), "left_semi").count()
+      val nNew = meta("n_vectors").toLong + cc.count() - nDel
+      if (!allowOccupancyDrift) {
+        val auto = autoRowBits(nNew)
+        require(auto == rowBits,
+          s"applyEmbeddingCdc: index at $dir at live n=$nNew vectors " +
+            s"-> autoRowBits=$auto, but its keys were cut at " +
+            s"rowBits=$rowBits — rebuild with writeEmbeddingIndex, or " +
+            "pass allowOccupancyDrift=true to accept the extra candidates")
+      }
+      Dedup.writeIndexTable(withBandKeys(cc, bands, rowBits), batchId,
+        s"$dir/bands")
+      Dedup.writeIndexTable(cc, batchId, s"$dir/vectors")
+      Dedup.writeIndexTable(fresh, batchId, s"$dir/tomb")
+      Dedup.writeMeta(spark, dir, meta + ("n_vectors" -> nNew.toString)
+        + ("last_committed_batch" -> batchId.toString))
+    } finally relT()
   }
 
   /** Embedding-side twin of

@@ -841,6 +841,36 @@ object Extensions {
       Dedup.crossMinhashPairs(docs.filter(col("doc_id") % 2 === 1),
         Dedup.readMinhashIndex(s, idxDir), "doc_id", "text", 0.5)
     }),
+    // CDC change-stream twin for the DEDUP minhash index (the
+    // stream_bm25_cdc shape applied to a signature index): the even
+    // corpus minus its %10=4 docs is indexed, then a 3-batch change
+    // stream inserts those docs and deletes the 5≡1 held ones. Inserts
+    // (%10=4 ⇒ %5=4) and deletes (%5=1 ⇒ %10=6) are disjoint, so the
+    // net live corpus is exactly even ∧ %5≠1 — the takedown gate's
+    // oracle applies unchanged; the checked batch must match it as if
+    // the index only ever held the live docs.
+    "stream_minhash_cdc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val root = graft.sources.Scratch.dir(
+        s"smhcdc_${java.util.UUID.randomUUID.toString.take(8)}")
+      Dedup.writeMinhashIndex(even.filter(col("doc_id") % 10 =!= 4),
+        "doc_id", "text", s"$root/idx")
+      val ins = even.filter(col("doc_id") % 10 === 4)
+        .select(col("doc_id"), col("text")).withColumn("op", lit("insert"))
+      val dels = even.filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), lit(null).cast("string").as("text"))
+        .withColumn("op", lit("delete"))
+      ins.unionByName(dels).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/cdc")
+      val q = graft.streaming.StreamOps.maintainMinhashCdcStream(
+        s.readStream.schema(s.read.parquet(s"$root/cdc").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
+        "op", s"$root/idx", s"$root/ckpt")
+      q.stop()
+      Dedup.crossMinhashPairs(docs.filter(col("doc_id") % 2 === 1),
+        Dedup.readMinhashIndex(s, s"$root/idx"), "doc_id", "text", 0.5)
+    }),
     // ORCHESTRATION gate (the reference's scheduler semantics,
     // dags/etl.py:148-157): the three reference sinks driven by
     // file-arrival through RefOrchestration.runIncremental. Two fact
@@ -1574,6 +1604,35 @@ object Extensions {
         Similarity.readEmbeddingIndex(s, idxDir), 0.3,
         graft.operators.Dedup.DefaultMaxBucket)
     }),
+    // CDC change-stream twin for the embedding index
+    // (stream_minhash_cdc's sign-LSH sibling, same disjoint
+    // insert/delete split ⇒ net live = even ∧ %5≠1, shares the
+    // takedown gate's oracle)
+    "stream_embedding_cdc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val even = e.filter(col("vec_id") % 2 === 0)
+      val root = graft.sources.Scratch.dir(
+        s"sembcdc_${java.util.UUID.randomUUID.toString.take(8)}")
+      Similarity.writeEmbeddingIndex(even.filter(col("vec_id") % 10 =!= 4),
+        s"$root/idx", bands = gateBands, rowBits = gateRowBits)
+      val ins = even.filter(col("vec_id") % 10 === 4)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("op", lit("insert"))
+      val dels = even.filter(col("vec_id") % 5 === 1)
+        .select(col("vec_id"),
+          lit(null).cast("array<float>").as("embedding"))
+        .withColumn("op", lit("delete"))
+      ins.unionByName(dels).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/cdc")
+      val q = graft.streaming.StreamOps.maintainEmbeddingCdcStream(
+        s.readStream.schema(s.read.parquet(s"$root/cdc").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
+        "op", s"$root/idx", s"$root/ckpt")
+      q.stop()
+      Similarity.crossEmbeddingPairs(e.filter(col("vec_id") % 2 === 1),
+        Similarity.readEmbeddingIndex(s, s"$root/idx"), 0.3,
+        graft.operators.Dedup.DefaultMaxBucket)
+    }),
     // dedup_embedding_incr's deployment form (mirrors
     // stream_incremental_dedup on the text side): corpus band keys cut
     // once into a persisted EmbeddingIndex, incoming vectors streamed
@@ -1669,6 +1728,33 @@ object Extensions {
         batchId = Some(0L))
       graft.operators.SimJoin.crossPrefixJoin(s,
         docs.filter(col("doc_id") % 2 === 1), dir)
+    }),
+    // CDC change-stream twin for the LOSSLESS prefix index
+    // (stream_minhash_cdc's exact sibling — same disjoint split, net
+    // live = even ∧ %5≠1, shares the takedown gate's oracle; inserts
+    // are cut under the STORED dictionary, exact by order-invariance)
+    "stream_prefix_cdc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val root = graft.sources.Scratch.dir(
+        s"spfxcdc_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.SimJoin.writePrefixIndex(
+        even.filter(col("doc_id") % 10 =!= 4), "doc_id", "text", 6, 10,
+        s"$root/idx")
+      val ins = even.filter(col("doc_id") % 10 === 4)
+        .select(col("doc_id"), col("text")).withColumn("op", lit("insert"))
+      val dels = even.filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), lit(null).cast("string").as("text"))
+        .withColumn("op", lit("delete"))
+      ins.unionByName(dels).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/cdc")
+      val q = graft.streaming.StreamOps.maintainPrefixCdcStream(
+        s.readStream.schema(s.read.parquet(s"$root/cdc").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
+        "op", s"$root/idx", s"$root/ckpt")
+      q.stop()
+      graft.operators.SimJoin.crossPrefixJoin(s,
+        docs.filter(col("doc_id") % 2 === 1), s"$root/idx")
     }),
     // exact-substring criterion (token-level suffix-array semantics):
     // pairs sharing ANY verbatim run of >= substringWindow tokens —
@@ -3774,6 +3860,10 @@ object Extensions {
     "dedup_incremental" -> incrementalOracle,
     // masked index ≡ fresh check against the live corpus
     "dedup_incremental_del" -> incrementalDelOracle,
+    // CDC change stream nets to the same live corpus (inserts %10=4
+    // and deletes %5=1 are disjoint on evens) — shares the takedown
+    // oracle; the stream path must be indistinguishable from it
+    "stream_minhash_cdc" -> incrementalDelOracle,
     // rebuild+compact must be lossless → same oracle as the fresh index
     "dedup_index_rebuild" -> incrementalOracle,
     // incremental (2 arrival chunks + no-op rerun) ≡ one-shot batch join:
@@ -4040,6 +4130,7 @@ object Extensions {
     // takedown twin: live-corpus dictionary + live verify side; equal
     // to the masked-index result by order-invariance of verified recall
     "dedup_prefix_del" -> prefixDelOracle,
+    "stream_prefix_cdc" -> prefixDelOracle,
     // append + rebuild must restore the fresh-index blocking exactly
     "dedup_prefix_rebuild" -> prefixIncrOracle,
     // micro-batched check against the same index ≡ one-shot bipartite
@@ -4073,6 +4164,7 @@ object Extensions {
     "dedup_embedding_rebuild" -> embeddingIncrOracle,
     // masked embedding index ≡ fresh check against the live corpus
     "dedup_embedding_del" -> embeddingDelOracle,
+    "stream_embedding_cdc" -> embeddingDelOracle,
     // the streamed form checks micro-batches against the same persisted
     // blocking — streaming ≡ batch ≡ DuckDB
     "stream_embedding_incr" -> embeddingIncrOracle,

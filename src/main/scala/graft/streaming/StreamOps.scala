@@ -374,6 +374,54 @@ object StreamOps {
           inserts, deletes, batchId)
     }
 
+  /** CDC twin for the DEDUP minhash signature index — right-to-be-
+    * forgotten at stream cadence: each micro-batch's insert docs are
+    * signed and banded under the index's stored parameters, its delete
+    * docs tombstoned out of candidate AND verify sides, one commit
+    * marker per batch (`Dedup.applyMinhashCdc` — delete wins within a
+    * batch, deletes otherwise apply to previously committed docs).
+    * After any prefix of the stream, a batch checked against the index
+    * matches exactly the live corpus at that boundary. */
+  def maintainMinhashCdcStream(cdc: DataFrame, opCol: String,
+                               indexDir: String, checkpointDir: String,
+                               id: String = "doc_id",
+                               text: String = "text"): StreamingQuery =
+    cdcFoldStream(cdc, opCol, checkpointDir, "maintainMinhashCdcStream") {
+      (b, inserts, deletes, batchId) =>
+        graft.operators.Dedup.applyMinhashCdc(b.sparkSession, indexDir,
+          inserts, deletes, batchId, id, text)
+    }
+
+  /** CDC twin for the sign-LSH embedding index
+    * (`Similarity.applyEmbeddingCdc`) — inserts keyed under the stored
+    * (bands, rowBits), deletes tombstoned, `n_vectors` netted to the
+    * live count so the occupancy refusal tracks reality, one marker
+    * per micro-batch. */
+  def maintainEmbeddingCdcStream(cdc: DataFrame, opCol: String,
+                                 indexDir: String,
+                                 checkpointDir: String): StreamingQuery =
+    cdcFoldStream(cdc, opCol, checkpointDir, "maintainEmbeddingCdcStream") {
+      (b, inserts, deletes, batchId) =>
+        graft.operators.Similarity.applyEmbeddingCdc(b.sparkSession,
+          indexDir, inserts, deletes, batchId)
+    }
+
+  /** CDC twin for the LOSSLESS prefix index
+    * (`SimJoin.applyPrefixCdc`) — inserts cut under the stored
+    * dictionary (selectivity-only staleness, never a lost pair),
+    * deletes tombstoned, one marker per micro-batch. Completes the
+    * family: every persisted index this engine ships now consumes the
+    * same change-stream contract. */
+  def maintainPrefixCdcStream(cdc: DataFrame, opCol: String,
+                              indexDir: String, checkpointDir: String,
+                              id: String = "doc_id",
+                              text: String = "text"): StreamingQuery =
+    cdcFoldStream(cdc, opCol, checkpointDir, "maintainPrefixCdcStream") {
+      (b, inserts, deletes, batchId) =>
+        graft.operators.SimJoin.applyPrefixCdc(b.sparkSession, indexDir,
+          inserts, deletes, batchId, id, text)
+    }
+
   /** The shared CDC-consumption harness: persist the micro-batch
     * (validation + both op splits reuse it), refuse loudly on any op
     * outside {insert, delete}, split, hand (batch, inserts, deletes,

@@ -183,6 +183,9 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r15: signature-index takedown gates share the minhash / sign-LSH
     // CTE oracles with live-corpus cuts
     "dedup_incremental_del", "dedup_embedding_del",
+    // r15: dedup-index CDC twins share the takedown oracles (the CDC
+    // stream nets to the same live corpus by construction)
+    "stream_minhash_cdc", "stream_embedding_cdc", "stream_prefix_cdc",
     // r13: list_transform/generate_series token CTEs (familiarity family)
     "text_lm_score",
     // r13: unnest([...]) prob list in the shared quantile oracle

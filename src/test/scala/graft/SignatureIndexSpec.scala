@@ -128,6 +128,88 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
       "delete-compacting rebuild moved the pairs")
   }
 
+  test("minhash CDC: change batches ≡ fresh net-live index; same-batch " +
+    "overlap nets to delete; committed replay skips") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val base = even.filter(col("doc_id") % 10 =!= 4)
+    val idxDir = graft.sources.Scratch.dir("sigidx-mhcdc")
+    Dedup.writeMinhashIndex(base, "doc_id", "text", idxDir)
+    // batch 0: insert the held-out docs; batch 1: delete the 5≡1 held
+    Dedup.applyMinhashCdc(spark, idxDir,
+      even.filter(col("doc_id") % 10 === 4),
+      even.limit(0).select("doc_id"), batchId = 0L)
+    Dedup.applyMinhashCdc(spark, idxDir, even.limit(0),
+      even.filter(col("doc_id") % 5 === 1).select("doc_id"), batchId = 1L)
+    val live = even.filter(col("doc_id") % 5 =!= 1)
+    val expected = canon(Dedup.crossMinhashPairs(incoming, live,
+      "doc_id", "text"))
+    val got = canon(Dedup.crossMinhashPairs(incoming,
+      Dedup.readMinhashIndex(spark, idxDir), "doc_id", "text", 0.5))
+    assert(expected.nonEmpty && got == expected,
+      "CDC-maintained index diverged from a fresh net-live index")
+    // n_docs tracks the live count through both change batches
+    def shingled(df: DataFrame): Long =
+      Dedup.shingleHashesFlat(df, "doc_id", "text")
+        .filter(size(col("hs")) > 0).count()
+    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong == shingled(live),
+      "n_docs did not net inserts against deletes")
+    // same-batch overlap: the overlapped doc is never indexed and the
+    // batch's net n_docs contribution counts only the clean insert
+    val overlapDir = graft.sources.Scratch.dir("sigidx-mhcdc-ov")
+    Dedup.writeMinhashIndex(base, "doc_id", "text", overlapDir)
+    val n0 = Dedup.readMeta(spark, overlapDir)("n_docs").toLong
+    val two = even.filter(col("doc_id") % 10 === 4).limit(2)
+    val ovId = two.select(min("doc_id")).head().getLong(0)
+    Dedup.applyMinhashCdc(spark, overlapDir, two,
+      two.filter(col("doc_id") === ovId).select("doc_id"), batchId = 0L)
+    assert(spark.read.parquet(s"$overlapDir/sets")
+      .filter(col("doc_id") === ovId).count() == 0,
+      "same-batch delete did not win over its own insert")
+    assert(Dedup.readMeta(spark, overlapDir)("n_docs").toLong
+      == n0 + shingled(two.filter(col("doc_id") =!= ovId)),
+      "overlap batch mis-counted n_docs")
+    // committed replay is skipped whole
+    val setsBefore = spark.read.parquet(s"$idxDir/sets").count()
+    Dedup.applyMinhashCdc(spark, idxDir,
+      even.filter(col("doc_id") % 10 === 4),
+      even.filter(col("doc_id") % 5 === 1).select("doc_id"), batchId = 1L)
+    assert(spark.read.parquet(s"$idxDir/sets").count() == setsBefore,
+      "committed CDC replay mutated the index")
+  }
+
+  test("embedding CDC: change batches ≡ fresh net-live index; " +
+    "n_vectors nets; committed replay skips") {
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val incoming = e.filter(col("vec_id") % 2 === 1)
+    val even = e.filter(col("vec_id") % 2 === 0)
+    val base = even.filter(col("vec_id") % 10 =!= 4)
+    val idxDir = graft.sources.Scratch.dir("sigidx-embcdc")
+    Similarity.writeEmbeddingIndex(base, idxDir)
+    val rb = Dedup.readMeta(spark, idxDir)("rowBits").toInt
+    Similarity.applyEmbeddingCdc(spark, idxDir,
+      even.filter(col("vec_id") % 10 === 4),
+      even.limit(0).select("vec_id"), batchId = 0L)
+    Similarity.applyEmbeddingCdc(spark, idxDir, even.limit(0),
+      even.filter(col("vec_id") % 5 === 1).select("vec_id"), batchId = 1L)
+    val live = even.filter(col("vec_id") % 5 =!= 1)
+    val expected = canon(Similarity.crossEmbeddingPairs(incoming, live,
+      rowBits = rb))
+    val got = canon(Similarity.crossEmbeddingPairs(incoming,
+      Similarity.readEmbeddingIndex(spark, idxDir), 0.3))
+    assert(expected.nonEmpty && got == expected,
+      "CDC-maintained embedding index diverged from fresh net-live")
+    assert(Dedup.readMeta(spark, idxDir)("n_vectors").toLong == live.count(),
+      "n_vectors did not net inserts against deletes")
+    val vecsBefore = spark.read.parquet(s"$idxDir/vectors").count()
+    Similarity.applyEmbeddingCdc(spark, idxDir,
+      even.filter(col("vec_id") % 10 === 4),
+      even.filter(col("vec_id") % 5 === 1).select("vec_id"), batchId = 1L)
+    assert(spark.read.parquet(s"$idxDir/vectors").count() == vecsBefore,
+      "committed CDC replay mutated the index")
+  }
+
   test("load is fail-loud on kind/family mismatch and on a non-index dir") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val idxDir = graft.sources.Scratch.dir("sigidx-tamper")

@@ -178,6 +178,48 @@ class SimJoinSpec extends AnyFunSuite with SparkSpec {
       "rebuild-after-delete changed the lossless result")
   }
 
+  test("CDC: change batches ≡ fresh net-live index; same-batch overlap " +
+    "nets to delete; committed replay skips") {
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val base = even.filter(col("doc_id") % 10 =!= 4)
+    val idxDir = graft.sources.Scratch.dir("pfx-cdc")
+    SimJoin.writePrefixIndex(base, "doc_id", "text", 6, 10, idxDir)
+    // batch 0: insert held-out docs; batch 1: delete the 5≡1 held ones
+    SimJoin.applyPrefixCdc(spark, idxDir,
+      even.filter(col("doc_id") % 10 === 4),
+      even.limit(0).select("doc_id"), batchId = 0L)
+    SimJoin.applyPrefixCdc(spark, idxDir, even.limit(0),
+      even.filter(col("doc_id") % 5 === 1).select("doc_id"), batchId = 1L)
+    // reference: a fresh index over exactly the net live corpus
+    val liveDir = graft.sources.Scratch.dir("pfx-cdc-live")
+    SimJoin.writePrefixIndex(even.filter(col("doc_id") % 5 =!= 1),
+      "doc_id", "text", 6, 10, liveDir)
+    val expected = pairs(SimJoin.crossPrefixJoin(spark, odd, liveDir)
+      .select("new_id", "matched_id", "inter", "un"))
+    val got = pairs(SimJoin.crossPrefixJoin(spark, odd, idxDir)
+      .select("new_id", "matched_id", "inter", "un"))
+    assert(expected.nonEmpty && got == expected,
+      "CDC-maintained prefix index diverged from fresh net-live")
+    // same-batch overlap: delete wins, the doc is never indexed
+    val ovDir = graft.sources.Scratch.dir("pfx-cdc-ov")
+    SimJoin.writePrefixIndex(base, "doc_id", "text", 6, 10, ovDir)
+    val two = even.filter(col("doc_id") % 10 === 4).limit(2)
+    val ovId = two.select(min("doc_id")).head().getLong(0)
+    SimJoin.applyPrefixCdc(spark, ovDir, two,
+      two.filter(col("doc_id") === ovId).select("doc_id"), batchId = 0L)
+    assert(spark.read.parquet(s"$ovDir/sets")
+      .filter(col("doc_id") === ovId).count() == 0,
+      "same-batch delete did not win over its own insert")
+    // committed replay is skipped whole
+    val setsBefore = spark.read.parquet(s"$idxDir/sets").count()
+    SimJoin.applyPrefixCdc(spark, idxDir,
+      even.filter(col("doc_id") % 10 === 4),
+      even.filter(col("doc_id") % 5 === 1).select("doc_id"), batchId = 1L)
+    assert(spark.read.parquet(s"$idxDir/sets").count() == setsBefore,
+      "committed CDC replay mutated the index")
+  }
+
   test("threshold 1 (exact duplicates only) yields identical sets") {
     val dup = SimJoin.prefixJaccardJoin(docs, "doc_id", "text", 1, 1)
       .collect()
