@@ -243,6 +243,34 @@ object Bm25Index {
     } finally relT()
   }
 
+  /** Folds a CDC/append-fed index's per-batch partitions back into
+    * `targetFiles` files per table — the retrieval twin of
+    * `Dedup.compactMinhashIndex`: at micro-batch cadence postings, the
+    * signed df/(N,S) partials, and the tombstones fragment one file
+    * set per batch, the classic streaming-sink killer. Committed rows
+    * are preserved EXACTLY (the signed partials keep folding to the
+    * same totals), so a readable mix of compacted and uncompacted
+    * TABLES is content-identical and the per-table swap sequence is
+    * safe here — unlike [[rebuild]], whose content changes and
+    * therefore swaps one directory. `last_committed_batch` survives in
+    * the metadata: folded batches live on in the base partition, so
+    * replayed batchIds still skip. Physical tombstone removal stays
+    * [[rebuild]]'s job. Offline single-writer maintenance. */
+  def compact(spark: SparkSession, dir: String,
+              targetFiles: Int = 4): Unit = {
+    val meta = Dedup.readMeta(spark, dir)
+    validate(meta, dir)
+    Dedup.compactTable(spark, s"$dir/postings", meta, targetFiles,
+      Seq("doc_id", "term", "tf", "dl"))
+    Dedup.compactTable(spark, s"$dir/df", meta, targetFiles,
+      Seq("term", "df"))
+    Dedup.compactTable(spark, s"$dir/stats", meta, targetFiles,
+      Seq("n", "s"))
+    if (Dedup.indexTableHasData(spark, s"$dir/tomb"))
+      Dedup.compactTable(spark, s"$dir/tomb", meta, targetFiles,
+        Seq("doc_id"))
+  }
+
   /** Exact global document frequencies: Σ over committed batch
     * partials (appends positive, deletes negative), vocab-bounded.
     * Terms whose docs are all deleted fold to 0 and drop — exactly as

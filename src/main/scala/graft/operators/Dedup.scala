@@ -735,6 +735,11 @@ object Dedup {
       Seq("doc_id", "band_idx", "band_key"))
     compactTable(spark, s"$dir/sets", meta, targetFiles,
       Seq("doc_id", "hs"))
+    // a delete-heavy CDC stream fragments the tombstone table at the
+    // same per-batch cadence — fold it too (rows preserved; physical
+    // removal stays rebuild's job)
+    if (indexTableHasData(spark, s"$dir/tomb"))
+      compactTable(spark, s"$dir/tomb", meta, targetFiles, Seq("doc_id"))
   }
 
   /** Re-cuts a persisted index's blocking FROM ITS OWN `sets` table —

@@ -324,6 +324,29 @@ object SimJoin {
     } finally relT()
   }
 
+  /** Folds a CDC/append-fed prefix index's per-batch partitions back
+    * into `targetFiles` files per table — `Dedup.compactMinhashIndex`
+    * for the lossless family. Committed rows are preserved EXACTLY
+    * (content-identical tables ⇒ the per-table sequence is safe,
+    * unlike [[rebuildPrefixIndex]] whose content changes and swaps one
+    * directory); `last_committed_batch` survives, so replayed batchIds
+    * still skip. The stale-df debt and physical tombstone removal stay
+    * [[rebuildPrefixIndex]]'s job. Offline single-writer maintenance. */
+  def compactPrefixIndex(spark: SparkSession, dir: String,
+                         targetFiles: Int = 4): Unit = {
+    val meta = Dedup.readMeta(spark, dir)
+    validatePrefixMeta(meta, dir)
+    Dedup.compactTable(spark, s"$dir/sets", meta, targetFiles,
+      Seq("doc_id", "hs"))
+    Dedup.compactTable(spark, s"$dir/df", meta, targetFiles,
+      Seq("h", "df"))
+    Dedup.compactTable(spark, s"$dir/prefix", meta, targetFiles,
+      Seq("doc_id", "sz", "h"))
+    if (Dedup.indexTableHasData(spark, s"$dir/tomb"))
+      Dedup.compactTable(spark, s"$dir/tomb", meta, targetFiles,
+        Seq("doc_id"))
+  }
+
   /** Rebuild the dictionary and every stored prefix from the CURRENT
     * committed LIVE sets (post-append/post-delete hygiene): restores
     * the df order's full pruning power and physically removes

@@ -622,6 +622,47 @@ object Similarity {
     } finally release()
   }
 
+  /** Folds the per-batch `assigned_batches` accretion back into the
+    * base cell layout WITHOUT retraining — the IVF twin of
+    * `Dedup.compactMinhashIndex` for a CDC/stream-fed index: at
+    * micro-batch cadence the two-level (ingest_batch, cent_id) tree
+    * fragments into thousands of small files, and every probe pays
+    * file-open (and driver listing) cost for them. Rows, cell
+    * assignments, the quantizer, tombstones, `cell_hist`, and
+    * `last_committed_batch` are preserved EXACTLY — served boards
+    * before ≡ after; folded batches live on in the base so replayed
+    * batchIds still skip. Physical tombstone removal and cell re-cuts
+    * remain [[rebuildIvfIndex]]'s job — this is the cheap hygiene op
+    * (no k-means, one linear rewrite). The whole index swaps as ONE
+    * directory, like rebuild. Offline single-writer maintenance. */
+  def compactIvfIndex(spark: SparkSession, dir: String): Unit = {
+    val meta = ivfMeta(spark, dir)
+    val base = spark.read.parquet(s"$dir/assigned")
+    val unioned =
+      if (Dedup.indexTableHasData(spark, s"$dir/assigned_batches"))
+        base.unionByName(
+          Dedup.committedOnly(
+            spark.read.parquet(s"$dir/assigned_batches"), meta)
+            .drop(Dedup.IngestBatchCol))
+      else base
+    // all three materialized: the swap deletes the files they read
+    val (rows, relR) = Dedup.materializeTracked(unioned)
+    val (cents, relC) = Dedup.materializeTracked(
+      spark.read.parquet(s"$dir/centroids"))
+    val tombM = ivfTombs(spark, dir, meta).map(Dedup.materializeTracked)
+    try {
+      Dedup.swapInDir(spark, dir) { tmp =>
+        cents.repartition(1).write.mode("overwrite")
+          .parquet(s"$tmp/centroids")
+        rows.write.mode("overwrite").partitionBy("cent_id")
+          .parquet(s"$tmp/assigned")
+        tombM.foreach { case (t, _) =>
+          Dedup.writeIndexTable(t, -1L, s"$tmp/tomb", overwriteAll = true) }
+        Dedup.writeMeta(spark, tmp, meta)
+      }
+    } finally { relR(); relC(); tombM.foreach(_._2()) }
+  }
+
   private def readIvfCentroids(spark: SparkSession,
                                dir: String): Seq[(Int, Array[Float])] = {
     val cents = spark.read.parquet(s"$dir/centroids")
@@ -1136,6 +1177,12 @@ object Similarity {
                             dir: String, targetFiles: Int = 4): Unit = {
     val meta = Dedup.readMeta(spark, dir)
     validateEmbeddingMeta(meta, dir)
+    // a delete-heavy CDC stream fragments the tombstone table at the
+    // same per-batch cadence — fold it too (rows preserved; physical
+    // removal stays rebuild's job)
+    if (Dedup.indexTableHasData(spark, s"$dir/tomb"))
+      Dedup.compactTable(spark, s"$dir/tomb", meta, targetFiles,
+        Seq("vec_id"))
     Dedup.compactTable(spark, s"$dir/bands", meta, targetFiles,
       Seq("vec_id", "band_idx", "band_key"))
     Dedup.compactTable(spark, s"$dir/vectors", meta, targetFiles,

@@ -427,6 +427,7 @@ object Extensions {
           .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
         "op", s"$root/idx", s"$root/ckpt")
       q.stop()
+      graft.operators.Bm25Index.compact(s, s"$root/idx")
       graft.operators.Bm25Index.crossBm25TopK(s,
         docs.filter(col("doc_id") % 29 === 0)
           .select(col("doc_id").as("query_id"),
@@ -868,6 +869,9 @@ object Extensions {
           .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
         "op", s"$root/idx", s"$root/ckpt")
       q.stop()
+      // fold the per-batch fragmentation before serving (row-preserving
+      // hygiene — the checked result must not move)
+      Dedup.compactMinhashIndex(s, s"$root/idx")
       Dedup.crossMinhashPairs(docs.filter(col("doc_id") % 2 === 1),
         Dedup.readMinhashIndex(s, s"$root/idx"), "doc_id", "text", 0.5)
     }),
@@ -1629,6 +1633,7 @@ object Extensions {
           .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
         "op", s"$root/idx", s"$root/ckpt")
       q.stop()
+      Similarity.compactEmbeddingIndex(s, s"$root/idx")
       Similarity.crossEmbeddingPairs(e.filter(col("vec_id") % 2 === 1),
         Similarity.readEmbeddingIndex(s, s"$root/idx"), 0.3,
         graft.operators.Dedup.DefaultMaxBucket)
@@ -1753,6 +1758,7 @@ object Extensions {
           .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
         "op", s"$root/idx", s"$root/ckpt")
       q.stop()
+      graft.operators.SimJoin.compactPrefixIndex(s, s"$root/idx")
       graft.operators.SimJoin.crossPrefixJoin(s,
         docs.filter(col("doc_id") % 2 === 1), s"$root/idx")
     }),
@@ -1894,6 +1900,7 @@ object Extensions {
           .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
         "op", s"$root/idx", s"$root/ckpt")
       q.stop()
+      Similarity.compactIvfIndex(s, s"$root/idx")
       Similarity.ivfTopKIndexed(Similarity.readIvfIndex(s, s"$root/idx"),
         e.filter(col("vec_id") < 5), 10)
     }),

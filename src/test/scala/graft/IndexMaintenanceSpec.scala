@@ -88,6 +88,102 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(parquetFiles(s"$idxDir/vectors") < filesBefore)
   }
 
+  test("Bm25Index.compact: boards identical, files drop, marker + " +
+    "tombstones survive") {
+    val docs = graft.sources.Tables.documents(spark, base)
+    val idxDir = graft.sources.Scratch.dir("maint-bmcompact")
+    graft.operators.Bm25Index.write(
+      docs.filter(col("doc_id") % 2 === 0), idxDir)
+    // fragment the way a CDC stream does: per-batch partitions with a
+    // delete leg, so postings, signed partials AND tombstones accrete
+    (0 to 2).foreach { b =>
+      graft.operators.Bm25Index.applyCdc(spark, idxDir,
+        docs.filter(col("doc_id") % 6 === 2 * b + 1),
+        docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 30 === 10 * b)
+          .select("doc_id"), batchId = b.toLong)
+    }
+    val queries = docs.filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(graft.operators.TextOps.tokens(col("text")),
+          1, 6)).as("query_text"))
+    def board() = canon(graft.operators.Bm25Index.crossBm25TopK(
+      spark, queries, idxDir, k = 5))
+    val metaBefore = Dedup.readMeta(spark, idxDir)
+    val before = board()
+    assert(before.nonEmpty, "no board before compaction — vacuous")
+    val filesBefore = parquetFiles(s"$idxDir/postings")
+    graft.operators.Bm25Index.compact(spark, idxDir, targetFiles = 1)
+    assert(board() == before, "BM25 compaction changed served boards")
+    assert(parquetFiles(s"$idxDir/postings") < filesBefore)
+    assert(Dedup.readMeta(spark, idxDir) == metaBefore,
+      "compaction must preserve metadata exactly")
+    // tombstones still mask after folding into the base partition
+    graft.operators.Bm25Index.applyCdc(spark, idxDir,
+      docs.filter(col("doc_id") % 6 === 1),
+      docs.limit(0).select("doc_id"), batchId = 2L)
+    assert(board() == before,
+      "compaction lost the replay marker — folded batch re-applied")
+  }
+
+  test("compactIvfIndex: boards identical, files drop, meta survives") {
+    val e = graft.sources.Tables.embeddings(spark, base)
+    val idxDir = graft.sources.Scratch.dir("maint-ivfcompact")
+    Similarity.writeIvfIndex(e.filter(col("vec_id") % 4 =!= 1), idxDir)
+    (0 to 2).foreach { b =>
+      Similarity.applyIvfCdc(spark, idxDir,
+        e.filter(col("vec_id") % 12 === 4 * b + 1),
+        e.filter(col("vec_id") % 4 =!= 1 && col("vec_id") % 20 === 5 * b)
+          .select("vec_id"), batchId = b.toLong)
+    }
+    def board() = canon(Similarity.ivfTopKIndexed(
+      Similarity.readIvfIndex(spark, idxDir),
+      e.filter(col("vec_id") < 5), 10))
+    val metaBefore = Dedup.readMeta(spark, idxDir)
+    val before = board()
+    assert(before.nonEmpty, "no board before compaction — vacuous")
+    assert(new java.io.File(s"$idxDir/assigned_batches").exists(),
+      "fixture never fragmented — vacuous")
+    Similarity.compactIvfIndex(spark, idxDir)
+    assert(!new java.io.File(s"$idxDir/assigned_batches").exists(),
+      "compaction left the per-batch subtree behind")
+    assert(board() == before, "IVF compaction changed served boards")
+    assert(Dedup.readMeta(spark, idxDir) == metaBefore,
+      "compaction must preserve metadata (marker, cell_hist) exactly")
+    // folded batches still skip on replay
+    val nBefore = Similarity.readIvfIndex(spark, idxDir).assigned.count()
+    Similarity.applyIvfCdc(spark, idxDir,
+      e.filter(col("vec_id") % 12 === 1), e.limit(0).select("vec_id"),
+      batchId = 2L)
+    assert(Similarity.readIvfIndex(spark, idxDir).assigned.count()
+      == nBefore, "compaction lost the replay marker")
+  }
+
+  test("compactPrefixIndex: pairs identical, files drop, marker survives") {
+    val docs = graft.sources.Tables.documents(spark, base)
+    val idxDir = graft.sources.Scratch.dir("maint-pfxcompact")
+    graft.operators.SimJoin.writePrefixIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 6, 10, idxDir)
+    (0 to 2).foreach { b =>
+      graft.operators.SimJoin.applyPrefixCdc(spark, idxDir,
+        docs.filter(col("doc_id") % 6 === 2 * b + 1),
+        docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 30 === 10 * b)
+          .select("doc_id"), batchId = b.toLong)
+    }
+    val probe = docs.filter(col("doc_id") % 4 === 2)
+    def pairs() = canon(graft.operators.SimJoin.crossPrefixJoin(
+      spark, probe, idxDir))
+    val metaBefore = Dedup.readMeta(spark, idxDir)
+    val before = pairs()
+    assert(before.nonEmpty, "no pairs before compaction — vacuous")
+    val filesBefore = parquetFiles(s"$idxDir/sets")
+    graft.operators.SimJoin.compactPrefixIndex(spark, idxDir,
+      targetFiles = 1)
+    assert(pairs() == before, "prefix compaction changed results")
+    assert(parquetFiles(s"$idxDir/sets") < filesBefore)
+    assert(Dedup.readMeta(spark, idxDir) == metaBefore,
+      "compaction must preserve metadata exactly")
+  }
+
   test("rebuildMinhashIndex re-bands from the sets table alone") {
     val docs = graft.sources.Tables.documents(spark, base)
     val corpus = docs.filter(col("doc_id") % 2 === 0)
