@@ -603,6 +603,56 @@ object ScaleProbe {
     println(f"[scaleprobe] drift recall: inDist=$recIn%4.2f " +
       f"shiftedAppend=$recShift%4.2f (gap = what the cell-drift " +
       "sentinel's refusal protects against)")
+    // Compaction effect (r15): a CDC-fed index accretes one file set
+    // per change batch; serve cost picks up file-open and listing
+    // overhead on top of the real scan. Fragment a BM25 index with
+    // many tiny change batches, time the SAME serve before and after
+    // Bm25Index.compact (which provably never moves the board — the
+    // IndexMaintenanceSpec law and the in-gate oracle check). The
+    // measured quantity is what the hygiene op buys at stream cadence.
+    def compactEffect(): (Int, Int, Double, Double) = {
+      val docs = graft.sources.Tables.documents(spark, base)
+      val idxDir = graft.sources.Scratch.dir("probe-compact")
+      graft.operators.Bm25Index.write(
+        docs.filter(col("doc_id") % 2 === 0), idxDir)
+      val k = 24
+      (0 until k).foreach { b =>
+        graft.operators.Bm25Index.applyCdc(spark, idxDir,
+          docs.filter(col("doc_id") % (2 * k) === 2 * b + 1),
+          docs.filter(col("doc_id") % 2 === 0 &&
+            col("doc_id") % (10 * k) === 10 * b).select("doc_id"),
+          batchId = b.toLong)
+      }
+      def files(): Int = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(idxDir)).count(_.getName.endsWith(".parquet"))
+      }
+      val q2 = docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ",
+            slice(graft.operators.TextOps.tokens(col("text")), 1, 6))
+            .as("query_text"))
+      def serve(): Double = {
+        val df = graft.operators.Bm25Index.crossBm25TopK(spark, q2,
+          idxDir, k = 5)
+        df.write.format("noop").mode("overwrite").save() // warm
+        System.gc()
+        val t0 = System.nanoTime()
+        graft.operators.Bm25Index.crossBm25TopK(spark, q2, idxDir, k = 5)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val fFrag = files()
+      val tFrag = serve()
+      graft.operators.Bm25Index.compact(spark, idxDir)
+      val fCpt = files()
+      val tCpt = serve()
+      (fFrag, fCpt, tFrag, tCpt)
+    }
+    val (cfF, cfC, ctF, ctC) = compactEffect()
+    println(f"[scaleprobe] compact effect: files $cfF->$cfC " +
+      f"serve $ctF%5.2fs->$ctC%5.2fs speedup=${ctF / ctC}%4.2f")
     sentinel("end")
     val sentinelSpread = sentinelTimes.max / sentinelTimes.min
     println(f"[scaleprobe] sentinel spread=${sentinelSpread}%4.2f " +
@@ -637,6 +687,9 @@ object ScaleProbe {
         f""""slack_fold":{"t1":$sf1%.3f,"tN":$sfN%.3f,"perCopy":${sfN / sf1 / copies}%.3f,""" +
         f""""stateRows1":$sr1,"stateRowsN":$srN},""" +
         f""""drift_recall":{"inDist":$recIn%.3f,"shifted":$recShift%.3f},""" +
+        f""""compact_effect":{"filesFrag":$cfF,"filesCompact":$cfC,""" +
+        f""""serveFrag":$ctF%.3f,"serveCompact":$ctC%.3f,""" +
+        f""""speedup":${ctF / ctC}%.3f},""" +
         f""""bm25_matches":{"c1":$bm1,"cN":$bmN,"perCopy":${bmN.toDouble / bm1 / copies}%.3f},""" +
         s""""sentinel":{"runs":[${sentinelTimes.map(t => f"$t%.3f").mkString(",")}],""" +
         f""""spread":$sentinelSpread%.3f,"contended":${sentinelSpread > 1.5}}}"""
