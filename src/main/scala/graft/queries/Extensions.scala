@@ -842,6 +842,24 @@ object Extensions {
       Dedup.crossMinhashPairs(docs.filter(col("doc_id") % 2 === 1),
         Dedup.readMinhashIndex(s, idxDir), "doc_id", "text", 0.5)
     }),
+    // fsck CANARY gate (the q_events_ts_canary pattern): a healthy
+    // lifecycle'd index — write, marker-committed append, takedown
+    // delete — must audit to a FIXED scale-independent (chk, status)
+    // set; any layout/marker/count drift in the write paths turns this
+    // gate red. The unhealthy diagnoses are covered in IndexAuditSpec.
+    "q_index_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idxDir = graft.sources.Scratch.dir(
+        s"audit_${java.util.UUID.randomUUID.toString.take(8)}")
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", idxDir)
+      Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 4 === 1),
+        "doc_id", "text", idxDir, batchId = Some(0L))
+      Dedup.deleteFromMinhashIndex(s, idxDir,
+        docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 5 === 1)
+          .select("doc_id"), batchId = Some(1L))
+      graft.operators.IndexAudit.audit(s, idxDir).select("chk", "status")
+    }),
     // CDC change-stream twin for the DEDUP minhash index (the
     // stream_bm25_cdc shape applied to a signature index): the even
     // corpus minus its %10=4 docs is indexed, then a 3-batch change
@@ -3871,6 +3889,14 @@ object Extensions {
     // and deletes %5=1 are disjoint on evens) — shares the takedown
     // oracle; the stream path must be indistinguishable from it
     "stream_minhash_cdc" -> incrementalDelOracle,
+    // canary: a healthy index's audit row set is literal and
+    // scale-independent (counts live in the unselected detail column)
+    "q_index_audit" -> """
+      SELECT chk, status FROM (VALUES
+        ('swap_residue', 'OK'), ('layout', 'OK'), ('kind', 'OK'),
+        ('table:bands', 'OK'), ('uncommitted:bands', 'OK'),
+        ('table:sets', 'OK'), ('uncommitted:sets', 'OK'),
+        ('tomb', 'OK'), ('count', 'OK')) AS t(chk, status)""",
     // rebuild+compact must be lossless → same oracle as the fresh index
     "dedup_index_rebuild" -> incrementalOracle,
     // incremental (2 arrival chunks + no-op rerun) ≡ one-shot batch join:

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, IndexAudit, Similarity}
+
+/** The fsck contract: a healthy index audits clean; each failure mode
+  * the layout discipline can produce is diagnosed with the right
+  * status and the right repair named — and the audit itself never
+  * mutates the index. */
+class IndexAuditSpec extends AnyFunSuite with SparkSpec {
+
+  private val base = "/root/testdata/sf0.001"
+  private def docs = graft.sources.Tables.documents(spark, base)
+
+  private def statuses(dir: String): Map[String, String] =
+    IndexAudit.audit(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  private def detailOf(dir: String, chk: String): String =
+    IndexAudit.audit(spark, dir).filter(col("chk") === chk)
+      .head().getString(2)
+
+  test("healthy lifecycle'd index audits all-OK; audit is read-only") {
+    val dir = graft.sources.Scratch.dir("audit-healthy")
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir)
+    Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 4 === 1),
+      "doc_id", "text", dir, batchId = Some(0L))
+    Dedup.deleteFromMinhashIndex(spark, dir,
+      docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 5 === 1)
+        .select("doc_id"), batchId = Some(1L))
+    val metaBefore = Dedup.readMeta(spark, dir)
+    val s = statuses(dir)
+    assert(s.values.forall(_ == "OK"), s"healthy index not clean: $s")
+    assert(s.keySet == Set("swap_residue", "layout", "kind",
+      "table:bands", "uncommitted:bands", "table:sets",
+      "uncommitted:sets", "tomb", "count"))
+    assert(Dedup.readMeta(spark, dir) == metaBefore,
+      "audit mutated the index metadata")
+  }
+
+  test("torn swap window: ERROR naming recoverSwap; repair then clean") {
+    val dir = graft.sources.Scratch.dir("audit-torn")
+    Dedup.writeMinhashIndex(docs.limit(50), "doc_id", "text", dir)
+    // simulate the crash between delete and rename
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__swap")))
+    val s = statuses(dir)
+    assert(s("layout") == "ERROR")
+    assert(detailOf(dir, "layout").contains("recoverSwap"),
+      "torn-swap diagnosis must name the one-call repair")
+    assert(Dedup.recoverSwap(spark, dir))
+    assert(statuses(dir).values.forall(_ == "OK"))
+  }
+
+  test("mid-build swap residue: WARN, index itself stays OK") {
+    val dir = graft.sources.Scratch.dir("audit-residue")
+    Dedup.writeMinhashIndex(docs.limit(50), "doc_id", "text", dir)
+    new java.io.File(dir + "__swap").mkdirs()
+    val s = statuses(dir)
+    assert(s("swap_residue") == "WARN")
+    assert(s.filterKeys(_ != "swap_residue").values.forall(_ == "OK"))
+  }
+
+  test("torn append past the marker: WARN on the table, reads unaffected") {
+    val dir = graft.sources.Scratch.dir("audit-tornappend")
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir)
+    Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 4 === 1),
+      "doc_id", "text", dir, batchId = Some(0L))
+    // simulate a crash mid-append: partition 5 written, marker never
+    // advanced (copy partition 0's files under ingest_batch=5)
+    val src = new java.io.File(s"$dir/sets/ingest_batch=0")
+    val dst = new java.io.File(s"$dir/sets/ingest_batch=5")
+    dst.mkdirs()
+    src.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(dst, f.getName).toPath)
+    }
+    val s = statuses(dir)
+    assert(s("uncommitted:sets") == "WARN",
+      s"torn append not flagged: $s")
+    assert(detailOf(dir, "uncommitted:sets").contains("replay"))
+    assert(s("table:sets") == "OK", "committed rows must still read OK")
+  }
+
+  test("metadata count drift: ERROR naming rebuild") {
+    val dir = graft.sources.Scratch.dir("audit-drift")
+    Dedup.writeMinhashIndex(docs.limit(50), "doc_id", "text", dir)
+    // tamper n_docs the way a contract-violating second writer would
+    val meta = Dedup.readMeta(spark, dir)
+    Dedup.writeMeta(spark, dir,
+      meta + ("n_docs" -> (meta("n_docs").toLong + 7).toString))
+    val s = statuses(dir)
+    assert(s("count") == "ERROR", s"count drift not flagged: $s")
+    assert(detailOf(dir, "count").contains("rebuild"))
+  }
+
+  test("bm25 and ivf kinds audit clean through their lifecycles") {
+    val bmDir = graft.sources.Scratch.dir("audit-bm")
+    graft.operators.Bm25Index.write(
+      docs.filter(col("doc_id") % 2 === 0), bmDir)
+    graft.operators.Bm25Index.applyCdc(spark, bmDir,
+      docs.filter(col("doc_id") % 4 === 1),
+      docs.filter(col("doc_id") % 10 === 2).select("doc_id"),
+      batchId = 0L)
+    val sb = statuses(bmDir)
+    assert(sb.values.forall(_ == "OK"), s"bm25 lifecycle not clean: $sb")
+    assert(sb.contains("stats_fold"))
+    val e = graft.sources.Tables.embeddings(spark, base)
+    val ivfDir = graft.sources.Scratch.dir("audit-ivf")
+    Similarity.writeIvfIndex(e.filter(col("vec_id") % 4 =!= 1), ivfDir)
+    Similarity.applyIvfCdc(spark, ivfDir,
+      e.filter(col("vec_id") % 8 === 1),
+      e.filter(col("vec_id") % 20 === 0).select("vec_id"), batchId = 0L)
+    val si = statuses(ivfDir)
+    assert(si.values.forall(_ == "OK"), s"ivf lifecycle not clean: $si")
+    assert(si.contains("cell_hist"))
+  }
+
+  test("non-index directory: loud, structured, no exception") {
+    val dir = graft.sources.Scratch.dir("audit-nonidx")
+    new java.io.File(dir).mkdirs()
+    val s = statuses(dir)
+    assert(s("layout") == "ERROR")
+    val missing = graft.sources.Scratch.dir("audit-missing-never-made")
+    assert(statuses(missing)("layout") == "ERROR")
+  }
+}
