@@ -140,6 +140,13 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     Dedup.applyMinhashCdc(spark, idxDir,
       even.filter(col("doc_id") % 10 === 4),
       even.limit(0).select("doc_id"), batchId = 0L)
+    // serve-while-changing: at EVERY batch boundary the index answers
+    // as if it only ever held that boundary's live corpus — not just
+    // after the stream drains
+    assert(canon(Dedup.crossMinhashPairs(incoming,
+      Dedup.readMinhashIndex(spark, idxDir), "doc_id", "text", 0.5))
+      == canon(Dedup.crossMinhashPairs(incoming, even, "doc_id", "text")),
+      "mid-stream boundary diverged from the boundary-live corpus")
     Dedup.applyMinhashCdc(spark, idxDir, even.limit(0),
       even.filter(col("doc_id") % 5 === 1).select("doc_id"), batchId = 1L)
     val live = even.filter(col("doc_id") % 5 =!= 1)
