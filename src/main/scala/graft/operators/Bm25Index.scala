@@ -358,6 +358,11 @@ object Bm25Index {
       .fold(committed)(t => committed.join(t, Seq("doc_id"), "left_anti"))
     val (post, release) = Dedup.materializeTracked(live)
     try {
+      // an all-deleted corpus would rebuild to empty-born tables that
+      // no reader can open — refuse with the honest instruction instead
+      require(post.head(1).nonEmpty,
+        s"Bm25Index.rebuild: every document in $dir is deleted — " +
+          "nothing to rebuild; delete the index directory instead")
       Dedup.swapInDir(spark, dir) { tmp =>
         Dedup.writeIndexTable(post.coalesce(targetFiles), -1L,
           s"$tmp/postings", overwriteAll = true)

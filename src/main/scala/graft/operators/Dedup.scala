@@ -774,6 +774,11 @@ object Dedup {
           999983L, 424243L, 12345L, 7L, P).as("sig")))
     try {
       val n = sigs.count()
+      // an all-deleted corpus would rebuild to empty-born tables that
+      // no reader can open — refuse with the honest instruction instead
+      require(n > 0,
+        s"rebuildMinhashIndex: every document in $dir is deleted — " +
+          "nothing to rebuild; delete the index directory instead")
       swapInDir(spark, dir) { tmp =>
         writeIndexTable(bandKeysOf(sigs, nh, nb), -1L, s"$tmp/bands",
           overwriteAll = true)

@@ -366,6 +366,11 @@ object SimJoin {
         Dedup.committedOnly(spark.read.parquet(s"$dir/sets"), meta))
         .select("doc_id", "hs"))
     try {
+      // an all-deleted corpus would rebuild to empty-born tables that
+      // no reader can open — refuse with the honest instruction instead
+      require(sets.head(1).nonEmpty,
+        s"rebuildPrefixIndex: every document in $dir is deleted — " +
+          "nothing to rebuild; delete the index directory instead")
       val posting = sets.select(col("doc_id"), explode(col("hs")).as("h"))
       val dfreq = Dedup.materialize(
         posting.groupBy("h").agg(count(lit(1)).as("df")))

@@ -597,6 +597,11 @@ object Similarity {
       readIvfIndex(spark, dir).assigned
         .select(col("vec_id"), col("v").as("embedding")))
     try {
+      // an all-deleted corpus would rebuild to empty-born tables that
+      // no reader can open — refuse with the honest instruction instead
+      require(vectors.head(1).nonEmpty,
+        s"rebuildIvfIndex: every vector in $dir is deleted — " +
+          "nothing to rebuild; delete the index directory instead")
       val cents = trainCentroids(vectors, nCentroids, iters)
       import spark.implicits._
       // the WHOLE index swaps as one directory: a per-table swap has
@@ -1217,6 +1222,11 @@ object Similarity {
     val (cc, release) = Dedup.materializeTracked(liveVecs)
     try {
       val n = cc.count()
+      // an all-deleted corpus would rebuild to empty-born tables that
+      // no reader can open — refuse with the honest instruction instead
+      require(n > 0,
+        s"rebuildEmbeddingIndex: every vector in $dir is deleted — " +
+          "nothing to rebuild; delete the index directory instead")
       val rb = if (rowBits > 0) rowBits else autoRowBits(n)
       Dedup.swapInDir(spark, dir) { tmp =>
         Dedup.writeIndexTable(withBandKeys(cc, nb, rb), -1L, s"$tmp/bands",

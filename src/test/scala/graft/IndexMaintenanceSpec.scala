@@ -184,6 +184,24 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
       "compaction must preserve metadata exactly")
   }
 
+  test("rebuild of a fully-deleted index refuses with the honest " +
+    "instruction, state untouched") {
+    val docs = graft.sources.Tables.documents(spark, base)
+    val idxDir = graft.sources.Scratch.dir("maint-alldel")
+    val corpus = docs.limit(40)
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxDir)
+    Dedup.deleteFromMinhashIndex(spark, idxDir, corpus.select("doc_id"))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.rebuildMinhashIndex(spark, idxDir)
+    }
+    assert(ex.getMessage.contains("delete the index directory"),
+      s"refusal must name the honest remedy: ${ex.getMessage}")
+    // the failed rebuild left the old state fully readable
+    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong == 0L)
+    assert(spark.read.parquet(s"$idxDir/sets").count() > 0,
+      "refused rebuild must leave the old state untouched")
+  }
+
   test("rebuildMinhashIndex re-bands from the sets table alone") {
     val docs = graft.sources.Tables.documents(spark, base)
     val corpus = docs.filter(col("doc_id") % 2 === 0)
