@@ -278,6 +278,49 @@ object Extensions {
     })
   }
 
+  /** CDC-lifecycle'd BM25 / IVF fixtures for the serving-index CDC
+    * gates' bench overrides (same net state as the gates: write +
+    * change batches + compact). */
+  private val gateBm25CdcMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gateBm25CdcIndex(s: SparkSession, d: String): String = {
+    val f = new java.io.File(s"$d/documents.parquet")
+    gateBm25CdcMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}", _ => {
+      val idx = graft.sources.Scratch.dir(
+        s"bmcdc_bench_${java.util.UUID.randomUUID.toString.take(8)}")
+      val corpus = Tables.documents(s, d).filter(col("doc_id") % 29 =!= 0)
+      graft.operators.Bm25Index.write(
+        corpus.filter(col("doc_id") % 10 =!= 3), idx)
+      graft.operators.Bm25Index.applyCdc(s, idx,
+        corpus.filter(col("doc_id") % 10 === 3),
+        corpus.limit(0).select("doc_id"), batchId = 0L)
+      graft.operators.Bm25Index.applyCdc(s, idx, corpus.limit(0),
+        corpus.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 13 === 5)
+          .select("doc_id"), batchId = 1L)
+      graft.operators.Bm25Index.compact(s, idx)
+      idx
+    })
+  }
+
+  private val gateIvfCdcMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gateIvfCdcIndex(s: SparkSession, d: String): String = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    gateIvfCdcMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}", _ => {
+      val idx = graft.sources.Scratch.dir(
+        s"ivfcdc_bench_${java.util.UUID.randomUUID.toString.take(8)}")
+      val e = Tables.embeddings(s, d)
+      Similarity.writeIvfIndex(e.filter(col("vec_id") % 4 =!= 1), idx)
+      Similarity.applyIvfCdc(s, idx, e.filter(col("vec_id") % 4 === 1),
+        e.limit(0).select("vec_id"), batchId = 0L)
+      Similarity.applyIvfCdc(s, idx, e.limit(0),
+        e.filter(col("vec_id") % 4 =!= 1 && col("vec_id") % 7 === 2)
+          .select("vec_id"), batchId = 1L)
+      Similarity.compactIvfIndex(s, idx)
+      idx
+    })
+  }
+
   /** Tombstoned prefix index behind `dedup_prefix_del`'s bench
     * override — the serve-over-masked-state cost, not the write +
     * delete apparatus. */
@@ -329,6 +372,23 @@ object Extensions {
     "q_index_audit" -> ((s, d) =>
       graft.operators.IndexAudit.audit(s, gateMinhashCdcIndex(s, d))
         .select("chk", "status")),
+    // serving-index CDC twins: the per-query serve over the standing
+    // change-fed state, not the stream lifecycle
+    "stream_bm25_cdc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Bm25Index.crossBm25TopK(s,
+        docs.filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+              .as("query_text")),
+        gateBm25CdcIndex(s, d), k = 5)
+    }),
+    "stream_ivf_cdc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopKIndexed(
+        Similarity.readIvfIndex(s, gateIvfCdcIndex(s, d)),
+        e.filter(col("vec_id") < 5), 10)
+    }),
     "sim_ivf_persisted" -> ((s, d) =>
       Similarity.ivfTopKIndexed(
         Similarity.readIvfIndex(s, gateIvfIndex(s, d)),
