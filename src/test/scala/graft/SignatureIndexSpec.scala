@@ -497,6 +497,86 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     assert(held == Seq(1L, 10L, 30L), s"index after restart: $held")
   }
 
+  test("CDC stream survives a real process restart through its " +
+    "checkpoint — deletes and inserts exactly once") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    // the maintainMinhashCdcStream twin of the ingestion restart law:
+    // change batches (including DELETES) delivered across a stop +
+    // new-query restart must land exactly once, and a restart that
+    // discards the checkpoint must hit the documented marker-skip
+    // hazard loudly visible in state, not silently half-apply.
+    def writeOneFile(df: org.apache.spark.sql.DataFrame, dest: String,
+                     mtime: Long): Unit = {
+      val tmp = graft.sources.Scratch.dir(
+        s"crs-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(
+        _.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(dest),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val cdcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType)))
+    def stream(dir: String) = spark.readStream.schema(cdcSchema)
+      .format("parquet").option("maxFilesPerTrigger", 1).load(dir)
+    val t = System.currentTimeMillis()
+    val idxDir = graft.sources.Scratch.dir("crs-idx")
+    val ckptDir = graft.sources.Scratch.dir("crs-ckpt")
+    val streamDir = graft.sources.Scratch.dir("crs-in")
+    Dedup.writeMinhashIndex(
+      Seq((1L, other), (2L, other2)).toDF("doc_id", "text"),
+      "doc_id", "text", idxDir)
+    // interrupted run: insert doc 10, drain, STOP
+    writeOneFile(Seq((10L, near1, "insert")).toDF("doc_id", "text", "op"),
+      s"$streamDir/b0.parquet", t - 60000)
+    graft.streaming.StreamOps.maintainMinhashCdcStream(
+      stream(streamDir), "op", idxDir, ckptDir).stop()
+    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong == 3L)
+    // while the process is down: a DELETE of a held doc and an insert
+    writeOneFile(Seq((1L, null.asInstanceOf[String], "delete"))
+      .toDF("doc_id", "text", "op"), s"$streamDir/b1.parquet", t - 30000)
+    writeOneFile(Seq((30L, near2, "insert")).toDF("doc_id", "text", "op"),
+      s"$streamDir/b2.parquet", t)
+    // negative control: a FRESH checkpoint re-forms one batch 0 from
+    // all files; batchId 0 <= marker makes the guard skip EVERYTHING —
+    // the delete must NOT have half-applied
+    graft.streaming.StreamOps.maintainMinhashCdcStream(
+      spark.readStream.schema(cdcSchema).format("parquet").load(streamDir),
+      "op", idxDir, graft.sources.Scratch.dir("crs-ckpt-fresh")).stop()
+    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong == 3L,
+      "fresh-checkpoint restart should have skipped the re-formed " +
+        "batch whole (marker guard) — a partial apply is the real bug")
+    // the real restart: SAME checkpoint → batches 1 and 2 delivered
+    graft.streaming.StreamOps.maintainMinhashCdcStream(
+      stream(streamDir), "op", idxDir, ckptDir).stop()
+    val held = Dedup.readMinhashIndex(spark, idxDir).sets
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(held == Seq(2L, 10L, 30L),
+      s"post-restart live set wrong (delete lost, or insert doubled/" +
+        s"dropped): $held")
+    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong == 3L,
+      "n_docs did not net the delete against the inserts")
+    // uninterrupted reference run: identical end state
+    val refIdx = graft.sources.Scratch.dir("crs-ref-idx")
+    Dedup.writeMinhashIndex(
+      Seq((1L, other), (2L, other2)).toDF("doc_id", "text"),
+      "doc_id", "text", refIdx)
+    graft.streaming.StreamOps.maintainMinhashCdcStream(
+      stream(streamDir), "op", refIdx,
+      graft.sources.Scratch.dir("crs-ref-ckpt")).stop()
+    val refHeld = Dedup.readMinhashIndex(spark, refIdx).sets
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(refHeld == held,
+      "stop/restart-through-checkpoint diverged from uninterrupted run")
+  }
+
   test("static-index ingestion restart: partition layout stays append-only through the checkpoint") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import spark.implicits._
