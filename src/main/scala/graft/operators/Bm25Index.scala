@@ -65,7 +65,7 @@ import org.apache.spark.sql.functions._
   * violation (its stats would count a doc the boards must not show). */
 object Bm25Index {
 
-  private val Kind = "bm25_index"
+  private[graft] val Kind = "bm25_index"
 
   private def validate(meta: Map[String, String], dir: String): Unit =
     require(meta.get("kind").contains(Kind),
@@ -94,6 +94,7 @@ object Bm25Index {
   def write(corpus: DataFrame, dir: String, id: String = "doc_id",
             text: String = "text"): Unit = {
     val spark = corpus.sparkSession
+    IndexLease.withLease(spark, dir, "Bm25Index.write") {
     val (post, release) = Dedup.materializeTracked(
       TextOps.docTermFreqs(corpus, id, text))
     try {
@@ -106,6 +107,7 @@ object Bm25Index {
         Dedup.writeMeta(spark, tmp, Map("kind" -> Kind))
       }
     } finally release()
+    }
   }
 
   /** Append a batch: its postings, df partials and stats partials land
@@ -115,19 +117,23 @@ object Bm25Index {
     * torn-write protection (see the object doc). */
   def append(spark: SparkSession, dir: String, newDocs: DataFrame,
              batchId: Option[Long] = None, id: String = "doc_id",
-             text: String = "text"): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
+             text: String = "text"): Unit =
+    IndexLease.withLease(spark, dir, "Bm25Index.append") {
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
     validate(meta, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
+    Dedup.refuseTombedReinserts(newDocs, id,
+      committedTombs(spark, root, meta), "doc_id", "Bm25Index.append", dir)
     val (post, release) = Dedup.materializeTracked(
       TextOps.docTermFreqs(newDocs, id, text))
     try {
       val part = batchId.getOrElse(-1L)
-      Dedup.writeIndexTable(post, part, s"$dir/postings")
-      Dedup.writeIndexTable(dfPartials(post), part, s"$dir/df")
+      Dedup.writeIndexTable(post, part, s"$root/postings")
+      Dedup.writeIndexTable(dfPartials(post), part, s"$root/df")
       Dedup.writeIndexTable(TextOps.bm25StatsPartials(post), part,
-        s"$dir/stats")
-      Dedup.writeMeta(spark, dir,
+        s"$root/stats")
+      Dedup.writeMeta(spark, root,
         meta ++ batchId.map(b => "last_committed_batch" -> b.toString))
     } finally release()
   }
@@ -158,32 +164,34 @@ object Bm25Index {
     * nothing else committed in between); batchId=None is a
     * synchronous one-shot. */
   def delete(spark: SparkSession, dir: String, tombstones: DataFrame,
-             batchId: Option[Long] = None, id: String = "doc_id"): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
+             batchId: Option[Long] = None, id: String = "doc_id"): Unit =
+    IndexLease.withLease(spark, dir, "Bm25Index.delete") {
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
     validate(meta, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
     val ids = tombstones.select(col(id).cast("long").as("doc_id")).distinct()
     // materialized: the fresh-ids plan reads tomb/, which the write
     // below appends to — and the retraction semi-join reuses it
     val (fresh, relT) = Dedup.materializeTracked(
-      committedTombs(spark, dir, meta)
+      committedTombs(spark, root, meta)
         .fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti")))
     try {
       val (delPost, relP) = Dedup.materializeTracked(
-        Dedup.committedOnly(spark.read.parquet(s"$dir/postings"), meta)
+        Dedup.committedOnly(spark.read.parquet(s"$root/postings"), meta)
           .select("doc_id", "term", "tf", "dl")
           .join(fresh, Seq("doc_id"), "left_semi"))
       try {
         val part = batchId.getOrElse(-1L)
-        Dedup.writeIndexTable(fresh, part, s"$dir/tomb")
+        Dedup.writeIndexTable(fresh, part, s"$root/tomb")
         Dedup.writeIndexTable(
           dfPartials(delPost).select(col("term"), (-col("df")).as("df")),
-          part, s"$dir/df")
+          part, s"$root/df")
         Dedup.writeIndexTable(
           TextOps.bm25StatsPartials(delPost)
             .select((-col("n")).as("n"), (-col("s")).as("s")),
-          part, s"$dir/stats")
-        Dedup.writeMeta(spark, dir,
+          part, s"$root/stats")
+        Dedup.writeMeta(spark, root,
           meta ++ batchId.map(b => "last_committed_batch" -> b.toString))
       } finally relP()
     } finally relT()
@@ -207,13 +215,18 @@ object Bm25Index {
     * mask and statistics stay consistent by construction. */
   def applyCdc(spark: SparkSession, dir: String, newDocs: DataFrame,
                tombstones: DataFrame, batchId: Long,
-               id: String = "doc_id", text: String = "text"): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
+               id: String = "doc_id", text: String = "text"): Unit =
+    IndexLease.withLease(spark, dir, "Bm25Index.applyCdc") {
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
     validate(meta, dir)
     if (batchId <= Dedup.lastCommittedBatch(meta)) return
     val ids = tombstones.select(col(id).cast("long").as("doc_id")).distinct()
+    val priorTombs = committedTombs(spark, root, meta)
+    Dedup.refuseTombedReinserts(newDocs, id, priorTombs, "doc_id",
+      "Bm25Index.applyCdc", dir)
     val (fresh, relT) = Dedup.materializeTracked(
-      committedTombs(spark, dir, meta)
+      priorTombs
         .fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti")))
     try {
       val (post, relI) = Dedup.materializeTracked(
@@ -222,22 +235,22 @@ object Bm25Index {
             "left_anti"),
           id, text))
       val (delPost, relD) = Dedup.materializeTracked(
-        Dedup.committedOnly(spark.read.parquet(s"$dir/postings"), meta)
+        Dedup.committedOnly(spark.read.parquet(s"$root/postings"), meta)
           .select("doc_id", "term", "tf", "dl")
           .join(fresh, Seq("doc_id"), "left_semi"))
       try {
-        Dedup.writeIndexTable(post, batchId, s"$dir/postings")
-        Dedup.writeIndexTable(fresh, batchId, s"$dir/tomb")
+        Dedup.writeIndexTable(post, batchId, s"$root/postings")
+        Dedup.writeIndexTable(fresh, batchId, s"$root/tomb")
         Dedup.writeIndexTable(
           dfPartials(post).unionByName(
             dfPartials(delPost).select(col("term"), (-col("df")).as("df"))),
-          batchId, s"$dir/df")
+          batchId, s"$root/df")
         Dedup.writeIndexTable(
           TextOps.bm25StatsPartials(post).unionByName(
             TextOps.bm25StatsPartials(delPost)
               .select((-col("n")).as("n"), (-col("s")).as("s"))),
-          batchId, s"$dir/stats")
-        Dedup.writeMeta(spark, dir,
+          batchId, s"$root/stats")
+        Dedup.writeMeta(spark, root,
           meta + ("last_committed_batch" -> batchId.toString))
       } finally { relI(); relD() }
     } finally relT()
@@ -257,28 +270,25 @@ object Bm25Index {
     * replayed batchIds still skip. Physical tombstone removal stays
     * [[rebuild]]'s job. Offline single-writer maintenance. */
   def compact(spark: SparkSession, dir: String,
-              targetFiles: Int = 4): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
-    validate(meta, dir)
-    Dedup.compactTable(spark, s"$dir/postings", meta, targetFiles,
-      Seq("doc_id", "term", "tf", "dl"))
-    Dedup.compactTable(spark, s"$dir/df", meta, targetFiles,
-      Seq("term", "df"))
-    Dedup.compactTable(spark, s"$dir/stats", meta, targetFiles,
-      Seq("n", "s"))
-    if (Dedup.indexTableHasData(spark, s"$dir/tomb"))
-      Dedup.compactTable(spark, s"$dir/tomb", meta, targetFiles,
-        Seq("doc_id"))
-  }
+              targetFiles: Int = 4): Unit =
+    IndexLease.withLease(spark, dir, "Bm25Index.compact") {
+      validate(Dedup.readMeta(spark, Dedup.indexRoot(spark, dir)), dir)
+      Dedup.compactTables(spark, dir, targetFiles,
+        Seq("postings" -> Seq("doc_id", "term", "tf", "dl"),
+          "df" -> Seq("term", "df"),
+          "stats" -> Seq("n", "s")),
+        optional = Seq("tomb" -> Seq("doc_id")))
+    }
 
   /** Exact global document frequencies: Σ over committed batch
     * partials (appends positive, deletes negative), vocab-bounded.
     * Terms whose docs are all deleted fold to 0 and drop — exactly as
     * a fresh build over the live corpus would never emit them. */
   def foldedDf(spark: SparkSession, dir: String): DataFrame = {
-    val meta = Dedup.readMeta(spark, dir)
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
     validate(meta, dir)
-    Dedup.committedOnly(spark.read.parquet(s"$dir/df"), meta)
+    Dedup.committedOnly(spark.read.parquet(s"$root/df"), meta)
       .groupBy("term").agg(sum(col("df")).as("df"))
       .filter(col("df") > 0)
   }
@@ -286,9 +296,10 @@ object Bm25Index {
   /** Exact global (N, S): Σ over committed per-batch signed stat
     * rows. */
   def foldedStats(spark: SparkSession, dir: String): (Long, Long) = {
-    val meta = Dedup.readMeta(spark, dir)
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
     validate(meta, dir)
-    val r = Dedup.committedOnly(spark.read.parquet(s"$dir/stats"), meta)
+    val r = Dedup.committedOnly(spark.read.parquet(s"$root/stats"), meta)
       .agg(sum(col("n")).as("n"), sum(col("s")).as("s")).head()
     require(!r.isNullAt(0) && r.getLong(0) > 0,
       s"BM25 index at $dir holds no committed documents")
@@ -317,17 +328,18 @@ object Bm25Index {
     require(k > 0, s"crossBm25TopK: k must be positive, got $k")
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"crossBm25TopK: maxDfFrac must be in (0, 1], got $maxDfFrac")
-    val meta = Dedup.readMeta(spark, dir)
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
     validate(meta, dir)
     val (nDocs, sTok) = foldedStats(spark, dir)
     val kept = TextOps.bm25KeptTerms(foldedDf(spark, dir), nDocs, maxDfFrac)
     val qterms = TextOps.bm25QueryTerms(queries, qid, qtext)
     val probedKeys = broadcast(qterms.select("term").distinct())
     val matched = Dedup.committedOnly(
-      spark.read.parquet(s"$dir/postings"), meta)
+      spark.read.parquet(s"$root/postings"), meta)
       .select("doc_id", "term", "tf", "dl")
       .join(probedKeys, Seq("term"), "left_semi")
-    val post = committedTombs(spark, dir, meta)
+    val post = committedTombs(spark, root, meta)
       .fold(matched)(t => matched.join(t, Seq("doc_id"), "left_anti"))
     val scored = post
       .join(kept, Seq("term"))
@@ -336,6 +348,42 @@ object Bm25Index {
       .groupBy("query_id", "doc_id")
       .agg(sum(col("__sc")).as("score_micro"))
     TextOps.bm25Board(scored, k)
+  }
+
+  /** Recomputes df and (N, S) from the LIVE postings (committed minus
+    * tombstoned) and diffs them against the folded signed partials —
+    * the [[graft.operators.IndexAudit]] cross-check that makes a torn
+    * synchronous delete DETECTABLE: a batchId=None [[delete]] performs
+    * three non-atomic writes (tomb, negative df, negative stats), and a
+    * crash mid-call leaves a doc masked while its statistics still
+    * count (or df retracted but N/S not) — skew no marker can diagnose,
+    * because the base partition is always committed. Under any
+    * crash-free history the partials fold EXACTLY to the live
+    * recompute, so any nonzero diff here is that torn write (or a
+    * second writer). Costs one full postings scan — the audit's
+    * countChecks tier, not the metadata tier. Returns
+    * (mismatched df terms, N diff, S diff); all-zero = consistent. */
+  private[graft] def statsConsistency(spark: SparkSession,
+                                      dir: String): (Long, Long, Long) = {
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
+    validate(meta, dir)
+    val committed = Dedup.committedOnly(
+      spark.read.parquet(s"$root/postings"), meta)
+      .select("doc_id", "term", "tf", "dl")
+    val live = committedTombs(spark, root, meta)
+      .fold(committed)(t => committed.join(t, Seq("doc_id"), "left_anti"))
+    val dfMismatch = dfPartials(live).withColumnRenamed("df", "df_live")
+      .join(foldedDf(spark, dir).withColumnRenamed("df", "df_fold"),
+        Seq("term"), "full_outer")
+      .filter(coalesce(col("df_live"), lit(0L)) =!=
+        coalesce(col("df_fold"), lit(0L)))
+      .count()
+    val liveStats = TextOps.bm25StatsPartials(live)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("s")), lit(0L)).as("s")).head()
+    val (nFold, sFold) = foldedStats(spark, dir)
+    (dfMismatch, liveStats.getLong(0) - nFold, liveStats.getLong(1) - sFold)
   }
 
   /** Compaction hygiene (NOT a correctness op — the folds are already
@@ -348,13 +396,15 @@ object Bm25Index {
     * Metadata (including the commit marker) survives, so a replayed
     * batch ≤ marker still skips — appended rows live on in the base
     * and deleted rows are now physically gone. */
-  def rebuild(spark: SparkSession, dir: String, targetFiles: Int = 4): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
+  def rebuild(spark: SparkSession, dir: String, targetFiles: Int = 4): Unit =
+    IndexLease.withLease(spark, dir, "Bm25Index.rebuild") {
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
     validate(meta, dir)
     val committed = Dedup.committedOnly(
-      spark.read.parquet(s"$dir/postings"), meta)
+      spark.read.parquet(s"$root/postings"), meta)
       .select("doc_id", "term", "tf", "dl")
-    val live = committedTombs(spark, dir, meta)
+    val live = committedTombs(spark, root, meta)
       .fold(committed)(t => committed.join(t, Seq("doc_id"), "left_anti"))
     val (post, release) = Dedup.materializeTracked(live)
     try {

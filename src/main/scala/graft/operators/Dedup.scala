@@ -333,7 +333,7 @@ object Dedup {
     * corpus + synchronous appends; ≥ 0 = streaming micro-batches) and
     * the metadata carries a `last_committed_batch` marker, the pair that
     * makes streamed appends idempotent under at-least-once replay. */
-  private val MinhashIndexKind = "minhash-v2"
+  private[graft] val MinhashIndexKind = "minhash-v2"
   /** The partition column the v2 layout adds to every index table. Data
     * columns never collide with it; readers project it away. */
   private[graft] val IngestBatchCol = "ingest_batch"
@@ -366,6 +366,10 @@ object Dedup {
     * in between (rename is atomic on HDFS and local fs). */
   private[graft] def writeMeta(spark: org.apache.spark.sql.SparkSession,
                                dir: String, kv: Map[String, String]): Unit = {
+    // in-place commit point (the marker/metadata rename): a leased
+    // writer that lost its lease to a stale takeover must abort HERE,
+    // before publishing — see IndexLease.verifyBeforeCommit
+    IndexLease.verifyBeforeCommit(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir, IndexMetaFile)
     val tmp = new org.apache.hadoop.fs.Path(dir, IndexMetaFile + ".tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -415,15 +419,24 @@ object Dedup {
   def writeMinhashIndex(corpus: DataFrame, id: String, text: String,
                         dir: String, numHashes: Int = 16,
                         bands: Int = 4): Unit = {
-    val idx = buildMinhashIndex(corpus, id, text, numHashes, bands)
-    writeIndexTable(idx.bands, -1L, s"$dir/bands", overwriteAll = true)
-    writeIndexTable(idx.sets, -1L, s"$dir/sets", overwriteAll = true)
-    writeMeta(corpus.sparkSession, dir, Map(
-      "kind" -> MinhashIndexKind,
-      "numHashes" -> numHashes.toString,
-      "bands" -> bands.toString,
-      "family" -> MinhashFamily,
-      "n_docs" -> idx.sets.count().toString))
+    val spark = corpus.sparkSession
+    IndexLease.withLease(spark, dir, "writeMinhashIndex") {
+      val idx = buildMinhashIndex(corpus, id, text, numHashes, bands)
+      // pointer commit: writing over an existing index replaces
+      // EVERYTHING atomically — stale batch partitions and tombstones
+      // from the old index can never ride into the new one, and
+      // readers of the old one keep serving it
+      swapInDir(spark, dir) { tmp =>
+        writeIndexTable(idx.bands, -1L, s"$tmp/bands", overwriteAll = true)
+        writeIndexTable(idx.sets, -1L, s"$tmp/sets", overwriteAll = true)
+        writeMeta(spark, tmp, Map(
+          "kind" -> MinhashIndexKind,
+          "numHashes" -> numHashes.toString,
+          "bands" -> bands.toString,
+          "family" -> MinhashFamily,
+          "n_docs" -> idx.sets.count().toString))
+      }
+    }
   }
 
   /** One index-table write under the v2 layout: rows land in the
@@ -486,6 +499,39 @@ object Dedup {
       Some(committedOnly(spark.read.parquet(path), meta).select(idCol))
     else None
 
+  /** Refuses an insert batch whose ids overlap COMMITTED tombstones —
+    * the one CDC shape the masking design cannot absorb: a re-inserted
+    * tombstoned id would be indexed (and, where the family keeps
+    * statistics, stat-counted) yet stay masked forever by the
+    * tombstone anti-join, silently losing the doc from every board
+    * while skewing the folded stats. Detecting it costs one semi-join
+    * of the batch-bounded insert ids against the single-column tomb
+    * table; the remedy is the rebuild that physically drops the
+    * tombstones (an upsert is delete+insert only ACROSS a rebuild —
+    * within one batch delete-wins already handles the overlap). `tombs`
+    * is the committed tombstone frame with id column `idCol`; `None`
+    * (no delete ever ran) costs nothing. */
+  private[graft] def refuseTombedReinserts(inserts: DataFrame, idCol: String,
+                                           tombs: Option[DataFrame],
+                                           tombIdCol: String,
+                                           op: String, dir: String): Unit =
+    tombs.foreach { t =>
+      val hits = inserts.select(col(idCol).cast("long").as("__rid"))
+        .distinct()
+        .join(t.select(col(tombIdCol).cast("long").as("__rid")),
+          Seq("__rid"), "left_semi")
+        .limit(3).collect().map(_.getLong(0))
+      require(hits.isEmpty,
+        s"$op: insert batch re-uses tombstoned id(s) " +
+          s"${hits.mkString("(", ", ", ")")} at $dir — a tombstoned id " +
+          "stays masked until a rebuild, so the re-inserted row would be " +
+          "invisible on every board while its index rows (and any folded " +
+          "statistics) silently accrete. Rebuild the index first " +
+          "(physically dropping the tombstones), then re-insert; within " +
+          "one CDC batch delete+insert of the same id is delete-wins by " +
+          "contract")
+    }
+
   /** Takedown leg for the minhash signature index — a right-to-be-
     * forgotten delete must remove a document's CONTENT FINGERPRINT
     * from the dedup index too, or future batches keep matching (and
@@ -506,8 +552,10 @@ object Dedup {
     * indexes. */
   def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                              dir: String, tombstones: DataFrame,
-                             batchId: Option[Long] = None): Unit = {
-    val meta = readMeta(spark, dir)
+                             batchId: Option[Long] = None): Unit =
+    IndexLease.withLease(spark, dir, "deleteFromMinhashIndex") {
+    val root = indexRoot(spark, dir)
+    val meta = readMeta(spark, root)
     validateMinhashMeta(meta, dir)
     if (batchId.exists(_ <= lastCommittedBatch(meta))) return
     val ids = tombstones.select(col("doc_id").cast("long").as("doc_id"))
@@ -515,13 +563,13 @@ object Dedup {
     // materialized: the plan reads tomb/, which the write below appends
     // to — and the n_docs count reuses it
     val (fresh, relT) = materializeTracked(
-      committedTombsAt(spark, s"$dir/tomb", meta, "doc_id")
+      committedTombsAt(spark, s"$root/tomb", meta, "doc_id")
         .fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti")))
     try {
-      val nDel = committedOnly(spark.read.parquet(s"$dir/sets"), meta)
+      val nDel = committedOnly(spark.read.parquet(s"$root/sets"), meta)
         .select("doc_id").join(fresh, Seq("doc_id"), "left_semi").count()
-      writeIndexTable(fresh, batchId.getOrElse(-1L), s"$dir/tomb")
-      writeMeta(spark, dir,
+      writeIndexTable(fresh, batchId.getOrElse(-1L), s"$root/tomb")
+      writeMeta(spark, root,
         meta + ("n_docs" -> (meta("n_docs").toLong - nDel).toString)
           ++ batchId.map(b => "last_committed_batch" -> b.toString))
     } finally relT()
@@ -545,15 +593,20 @@ object Dedup {
   def applyMinhashCdc(spark: org.apache.spark.sql.SparkSession,
                       dir: String, newDocs: DataFrame,
                       tombstones: DataFrame, batchId: Long,
-                      id: String = "doc_id", text: String = "text"): Unit = {
-    val meta = readMeta(spark, dir)
+                      id: String = "doc_id", text: String = "text"): Unit =
+    IndexLease.withLease(spark, dir, "applyMinhashCdc") {
+    val root = indexRoot(spark, dir)
+    val meta = readMeta(spark, root)
     validateMinhashMeta(meta, dir)
     if (batchId <= lastCommittedBatch(meta)) return
     val ids = tombstones.select(col(id).cast("long").as("doc_id")).distinct()
+    val priorTombs = committedTombsAt(spark, s"$root/tomb", meta, "doc_id")
+    refuseTombedReinserts(newDocs, id, priorTombs, "doc_id",
+      "applyMinhashCdc", dir)
     // materialized: the fresh-ids plan reads tomb/, which the write
     // below appends to — and the n_docs semi-join reuses it
     val (fresh, relT) = materializeTracked(
-      committedTombsAt(spark, s"$dir/tomb", meta, "doc_id")
+      priorTombs
         .fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti")))
     try {
       val nh = meta("numHashes").toInt
@@ -562,13 +615,13 @@ object Dedup {
       val sigs = minhashSignatures(
         newDocs.join(ids.withColumnRenamed("doc_id", id), Seq(id),
           "left_anti"), id, text, nh)
-      val nDel = committedOnly(spark.read.parquet(s"$dir/sets"), meta)
+      val nDel = committedOnly(spark.read.parquet(s"$root/sets"), meta)
         .select("doc_id").join(fresh, Seq("doc_id"), "left_semi").count()
-      writeIndexTable(bandKeysOf(sigs, nh, nb), batchId, s"$dir/bands")
+      writeIndexTable(bandKeysOf(sigs, nh, nb), batchId, s"$root/bands")
       writeIndexTable(sigs.select(col("doc_id"), col("hs")), batchId,
-        s"$dir/sets")
-      writeIndexTable(fresh, batchId, s"$dir/tomb")
-      writeMeta(spark, dir,
+        s"$root/sets")
+      writeIndexTable(fresh, batchId, s"$root/tomb")
+      writeMeta(spark, root,
         meta + ("n_docs" ->
           (meta("n_docs").toLong + sigs.count() - nDel).toString)
           + ("last_committed_batch" -> batchId.toString))
@@ -585,15 +638,18 @@ object Dedup {
     * consumer (cross checks, streams, rebuild) sees only live docs. */
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String): MinhashIndex = {
-    val meta = readMeta(spark, dir)
+    // version snapshot: resolve once — this handle keeps serving the
+    // resolved version even while a rebuild commits the next one
+    val root = indexRoot(spark, dir)
+    val meta = readMeta(spark, root)
     validateMinhashMeta(meta, dir)
-    val tombs = committedTombsAt(spark, s"$dir/tomb", meta, "doc_id")
+    val tombs = committedTombsAt(spark, s"$root/tomb", meta, "doc_id")
     def live(df: DataFrame): DataFrame =
       tombs.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
     MinhashIndex(
-      live(committedOnly(spark.read.parquet(s"$dir/bands"), meta)
+      live(committedOnly(spark.read.parquet(s"$root/bands"), meta)
         .select("doc_id", "band_idx", "band_key")),
-      live(committedOnly(spark.read.parquet(s"$dir/sets"), meta)
+      live(committedOnly(spark.read.parquet(s"$root/sets"), meta)
         .select("doc_id", "hs")),
       meta("numHashes").toInt, meta("bands").toInt)
   }
@@ -622,63 +678,156 @@ object Dedup {
                            dir: String,
                            batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
-    val meta = readMeta(spark, dir)
+    IndexLease.withLease(spark, dir, "appendToMinhashIndex") {
+    val root = indexRoot(spark, dir)
+    val meta = readMeta(spark, root)
     validateMinhashMeta(meta, dir)
     if (batchId.exists(_ <= lastCommittedBatch(meta))) return // replayed, durable
+    refuseTombedReinserts(batch, id,
+      committedTombsAt(spark, s"$root/tomb", meta, "doc_id"), "doc_id",
+      "appendToMinhashIndex", dir)
     val numHashes = meta("numHashes").toInt
     val bands = meta("bands").toInt
     // materialized once (inside minhashSignatures): both writes and the
     // count below reuse it
     val sigs = minhashSignatures(batch, id, text, numHashes)
     val part = batchId.getOrElse(-1L)
-    writeIndexTable(bandKeysOf(sigs, numHashes, bands), part, s"$dir/bands")
-    writeIndexTable(sigs.select(col("doc_id"), col("hs")), part, s"$dir/sets")
-    writeMeta(spark, dir,
+    writeIndexTable(bandKeysOf(sigs, numHashes, bands), part, s"$root/bands")
+    writeIndexTable(sigs.select(col("doc_id"), col("hs")), part, s"$root/sets")
+    writeMeta(spark, root,
       meta + ("n_docs" -> (meta("n_docs").toLong + sigs.count()).toString)
         ++ batchId.map(b => "last_committed_batch" -> b.toString))
+    }
   }
 
-  /** Rewrites `rows` as the new content of the index table at `path`
-    * (all in the base `ingest_batch=-1` partition), via a
-    * write-sibling-then-swap: the replacement is fully written to
-    * `<path>__compact` BEFORE the old table is touched. The swap itself
-    * is delete + rename — a crash in that window leaves the table
-    * loudly unreadable (recoverable by hand from the sibling), never
-    * silently wrong; compaction/rebuild are offline single-writer
-    * maintenance ops (stop the stream, run, resume), not concurrent
-    * mutators. `rows` must not read lazily from `path` itself —
-    * callers either pre-materialize ([[materialize]]) or derive from a
-    * different table. */
-  private[graft] def swapInTable(spark: org.apache.spark.sql.SparkSession,
-                                 path: String, rows: DataFrame): Unit = {
-    val tmp = path + "__compact"
-    writeIndexTable(rows, -1L, tmp, overwriteAll = true)
-    val p = new org.apache.hadoop.fs.Path(path)
+  /** ---- Version-pointer commits (r16) ----
+    *
+    * Replacement ops (write/rebuild/compact/state folds — anything that
+    * must land a multi-table state atomically) commit through a
+    * VERSIONED layout:
+    *
+    *   - `<dir>/CURRENT` — one line, `v<N>`: the pointer;
+    *   - `<dir>/v<N>/…` — a complete layout, immutable once committed
+    *     except for the in-place marker protocol;
+    *   - `<dir>/v<N+1>/…` — the next replacement, built IN FULL beside
+    *     the serving one.
+    *
+    * The commit is ONE atomic rename of the pointer file. Readers
+    * resolve the pointer at open ([[indexRoot]]) and keep serving the
+    * version they opened — an hours-long rebuild or compaction never
+    * blocks serving, and there is NO unreadable window (the
+    * delete+rename sibling swap this replaces had one; its repair,
+    * [[recoverSwap]], survives as legacy compat for pre-pointer
+    * crashes). A crash at ANY point before the pointer rename leaves a
+    * partial `v<N+1>` the next attempt deletes; after it, the commit is
+    * complete. Retention: the PREVIOUS version is kept at commit (open
+    * readers may hold its file list) and pruned when the version after
+    * next commits — one-commit grace, driver-side listing cost only.
+    *
+    * In-place ops (append/delete/applyCdc) mutate the CURRENT version
+    * root under the marker protocol — additive partitions with the
+    * marker strictly last — which preserves open-reader snapshots by
+    * itself.
+    *
+    * A directory with NO `CURRENT` file is the flat pre-pointer
+    * layout: readers use it as the root unchanged; its first
+    * replacement op migrates it (builds `v1`, commits the pointer),
+    * and the flat tables are pruned at the `v2` commit like any other
+    * previous version — which is why an index home must contain ONLY
+    * the index (checkpoints/CDC feeds beside it, never inside — the
+    * same contract the old whole-directory swap imposed). */
+  private[graft] val PointerFile = "CURRENT"
+  private[graft] val LeaseFile = "LEASE"
+  private val VersionRe = "^v(\\d+)$".r
+
+  /** The committed version number at `dir`, or None for a flat
+    * pre-pointer layout (or a not-yet-written index). */
+  private[graft] def pointerVersion(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir, PointerFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-      s"rename $tmp -> $path failed")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      content match {
+        case VersionRe(n) => Some(n.toInt)
+        case other =>
+          throw new IllegalArgumentException(
+            s"corrupt version pointer at $p ('$other') — point CURRENT " +
+              "at the newest complete v<k> directory (one line, e.g. " +
+              "'v3') to restore serving")
+      }
+    }
   }
 
-  /** Whole-DIRECTORY sibling swap for multi-table state: `build`
-    * writes a complete replacement layout into `<dir>__swap`, then the
-    * old directory is deleted and the sibling renamed in. A crash
-    * mid-build leaves the old state untouched; a crash inside the
-    * delete+rename window leaves the state loudly unreadable
-    * (recoverable by hand from the sibling) — NEVER a readable mix of
-    * old and new tables, which is the silent-staleness window a
-    * per-table swap cannot close when consistency spans tables.
-    * Single-writer offline maintenance, like [[swapInTable]]. */
+  /** Resolves the directory the CURRENT tables live in: `<dir>/v<N>`
+    * under the pointer layout, `dir` itself for flat legacy. EVERY
+    * read and every in-place mutation resolves through here once, at
+    * entry — the resolved root is a consistent snapshot for the whole
+    * operation even if a concurrent replacement commits meanwhile. */
+  private[graft] def indexRoot(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): String =
+    pointerVersion(spark, dir) match {
+      case Some(v) =>
+        val root = s"$dir/v$v"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(new org.apache.hadoop.fs.Path(root)),
+          s"index at $dir: CURRENT points to v$v but $root is missing — " +
+            "the pointer was hand-edited or retention was violated; " +
+            "point CURRENT at the newest complete v<k> directory")
+        root
+      case None => dir
+    }
+
+  private def writePointer(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, v: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, PointerFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, PointerFile + ".tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(s"v$v\n".getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.makeQualified(p).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(fs.makeQualified(tmp), fs.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Whole-layout replacement via version-pointer commit: `build`
+    * writes a COMPLETE new layout into `<dir>/v<N+1>` (reading the
+    * serving version lazily is safe — it is not touched), then the
+    * pointer swings in one atomic rename. See the layout doc above for
+    * the crash and retention story. Single-writer maintenance
+    * (enforced by the lease where the entry point takes one); readers
+    * need no coordination at all. */
   private[graft] def swapInDir(spark: org.apache.spark.sql.SparkSession,
                                dir: String)(build: String => Unit): Unit = {
-    val tmp = dir + "__swap"
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    build(tmp)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(dir)), s"rename $tmp -> $dir failed")
+    val next = pointerVersion(spark, dir).getOrElse(0) + 1
+    val target = s"$dir/v$next"
+    // garbage from a crashed prior attempt — the pointer never moved,
+    // so nothing served from it
+    fs.delete(new org.apache.hadoop.fs.Path(target), true)
+    build(target)
+    IndexLease.verifyBeforeCommit(spark, dir)
+    writePointer(spark, dir, next)
+    if (next >= 2) {
+      // prune everything but the new version, its predecessor (open
+      // readers may hold its file list — one-commit grace), and the
+      // control files; this is also where a migrated flat layout's
+      // legacy tables go away
+      val keep =
+        Set(PointerFile, PointerFile + ".tmp", LeaseFile,
+          s"v${next - 1}", s"v$next")
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { s =>
+        if (!keep.contains(s.getPath.getName)) fs.delete(s.getPath, true)
+      }
+    }
   }
 
   /** Crash repair for [[swapInDir]]'s one unrecoverable-by-reads
@@ -707,12 +856,34 @@ object Dedup {
   /** [[swapInTable]] for compaction: committed rows of the table at
     * `path`, projected to `cols`, coalesced to `targetFiles` output
     * files. Coalesce, not repartition — file-merging needs no shuffle. */
-  private[graft] def compactTable(spark: org.apache.spark.sql.SparkSession,
-                                  path: String, meta: Map[String, String],
-                                  targetFiles: Int, cols: Seq[String]): Unit =
-    swapInTable(spark, path,
-      committedOnly(spark.read.parquet(path), meta)
-        .select(cols.map(col): _*).coalesce(targetFiles))
+  /** Version-commit compaction for the standard multi-table layouts:
+    * rewrites each named table's COMMITTED rows (projected to `cols`,
+    * coalesced to `targetFiles` files, all in the base partition) into
+    * the next version, copying the metadata — the marker included, so
+    * folded batches live on in the base and replayed batchIds still
+    * skip. `optional` tables (tomb/) ride along only when they hold
+    * data. Reads the serving version LAZILY — safe under pointer
+    * commits, which never touch it; coalesce, not repartition — file
+    * merging needs no shuffle. Rows are preserved exactly, so served
+    * results before ≡ after. */
+  private[graft] def compactTables(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, targetFiles: Int,
+                                   tables: Seq[(String, Seq[String])],
+                                   optional: Seq[(String, Seq[String])] =
+                                     Seq.empty): Unit = {
+    val root = indexRoot(spark, dir)
+    val meta = readMeta(spark, root)
+    swapInDir(spark, dir) { tmp =>
+      (tables ++ optional.filter { case (t, _) =>
+        indexTableHasData(spark, s"$root/$t") }).foreach { case (t, cols) =>
+        writeIndexTable(
+          committedOnly(spark.read.parquet(s"$root/$t"), meta)
+            .select(cols.map(col): _*).coalesce(targetFiles),
+          -1L, s"$tmp/$t", overwriteAll = true)
+      }
+      writeMeta(spark, tmp, meta)
+    }
+  }
 
   /** Folds a micro-batch-fed index back into `targetFiles` files per
     * table. [[graft.streaming.StreamOps.selfMaintainingDedupStream]]-style
@@ -728,19 +899,17 @@ object Dedup {
     * single writer's schedule — e.g. every N batches or when the file
     * count passes a threshold. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-                          dir: String, targetFiles: Int = 4): Unit = {
-    val meta = readMeta(spark, dir)
-    validateMinhashMeta(meta, dir)
-    compactTable(spark, s"$dir/bands", meta, targetFiles,
-      Seq("doc_id", "band_idx", "band_key"))
-    compactTable(spark, s"$dir/sets", meta, targetFiles,
-      Seq("doc_id", "hs"))
-    // a delete-heavy CDC stream fragments the tombstone table at the
-    // same per-batch cadence — fold it too (rows preserved; physical
-    // removal stays rebuild's job)
-    if (indexTableHasData(spark, s"$dir/tomb"))
-      compactTable(spark, s"$dir/tomb", meta, targetFiles, Seq("doc_id"))
-  }
+                          dir: String, targetFiles: Int = 4): Unit =
+    IndexLease.withLease(spark, dir, "compactMinhashIndex") {
+      validateMinhashMeta(readMeta(spark, indexRoot(spark, dir)), dir)
+      // tomb rides along when present: a delete-heavy CDC stream
+      // fragments it at the same per-batch cadence (rows preserved;
+      // physical removal stays rebuild's job)
+      compactTables(spark, dir, targetFiles,
+        Seq("bands" -> Seq("doc_id", "band_idx", "band_key"),
+          "sets" -> Seq("doc_id", "hs")),
+        optional = Seq("tomb" -> Seq("doc_id")))
+    }
 
   /** Re-cuts a persisted index's blocking FROM ITS OWN `sets` table —
     * the held corpus never needs to exist outside the index. The stored
@@ -757,17 +926,19 @@ object Dedup {
     * Offline single-writer maintenance, like [[compactMinhashIndex]]. */
   def rebuildMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           dir: String, numHashes: Int = 0,
-                          bands: Int = 0): Unit = {
-    val meta = readMeta(spark, dir)
+                          bands: Int = 0): Unit =
+    IndexLease.withLease(spark, dir, "rebuildMinhashIndex") {
+    val root = indexRoot(spark, dir)
+    val meta = readMeta(spark, root)
     validateMinhashMeta(meta, dir)
     val nh = if (numHashes > 0) numHashes else meta("numHashes").toInt
     val nb = if (bands > 0) bands else meta("bands").toInt
     require(nh % nb == 0,
       s"rebuildMinhashIndex: numHashes=$nh not divisible by bands=$nb")
-    val held = committedOnly(spark.read.parquet(s"$dir/sets"), meta)
-    val liveSets = committedTombsAt(spark, s"$dir/tomb", meta, "doc_id")
+    val held = committedOnly(spark.read.parquet(s"$root/sets"), meta)
+    val liveSets = committedTombsAt(spark, s"$root/tomb", meta, "doc_id")
       .fold(held)(t => held.join(t, Seq("doc_id"), "left_anti"))
-    // materialized: the swap below deletes the files this reads
+    // materialized: both derived tables and the count reuse it
     val (sigs, release) = materializeTracked(
       liveSets.select(col("doc_id"), col("hs"),
         graft.functions.exprs.minhash_sig(col("hs"), nh,

@@ -22,13 +22,28 @@ import org.apache.spark.sql.functions._
   *     writer violated the single-writer contract — sizing decisions
   *     (occupancy refusals) are now lying;
   *   - an empty-born table (a directory with no written partition, the
-  *     insert-only-CDC-batch shape) reads as absent by design.
+  *     insert-only-CDC-batch shape) reads as absent by design;
+  *   - a table fragmented past `maxFilesPerTable` data files (the
+  *     one-file-set-per-micro-batch accretion) serves with file-open
+  *     overhead the family's `compact` op reclaims — WARN, not ERROR.
+  *
+  * Two tiers, because the checks split cleanly by cost:
+  * `countChecks = true` (default) additionally runs the DATA-SCAN
+  * checks — committed/uncommitted row counts, live-count vs declared
+  * metadata, the BM25 folded-stats vs live-postings cross-check
+  * ([[Bm25Index.statsConsistency]], the one probe that catches a torn
+  * synchronous delete's silent skew). `countChecks = false` is the
+  * metadata-only fsck — file listings, partition names, metadata,
+  * readability — O(files), never O(rows): the form a 100 TB deployment
+  * runs at page cadence. Uncommitted-partition detection is listing-
+  * based in both tiers (partition NAMES carry the batch id).
   *
   * Returns one row per check: (chk, status ∈ OK|WARN|ERROR, detail).
   * Statuses are scale-independent (details carry the counts), so a
-  * healthy index audits to a FIXED row set — the `q_index_audit` gate
-  * pins it against a literal oracle, the canary pattern. Read-only:
-  * the audit never mutates the index, it only names the repair. */
+  * healthy index audits to a FIXED row set per tier — the
+  * `q_index_audit` gate pins the countChecks tier against a literal
+  * oracle, the canary pattern. Read-only: the audit never mutates the
+  * index, it only names the repair. */
 object IndexAudit {
 
   /** Core tables per index kind (tomb/ and the IVF batch subtree are
@@ -42,7 +57,40 @@ object IndexAudit {
 
   private val vecKinds = Set("signlsh-v2", "ivf_index")
 
-  def audit(spark: SparkSession, dir: String): DataFrame = {
+  /** The compact op to name when fragmentation warns, per kind. */
+  private val compactOp: Map[String, String] = Map(
+    "minhash-v2" -> "Dedup.compactMinhashIndex",
+    "signlsh-v2" -> "Similarity.compactEmbeddingIndex",
+    "prefix_index" -> "SimJoin.compactPrefixIndex",
+    "bm25_index" -> "Bm25Index.compact",
+    "ivf_index" -> "Similarity.compactIvfIndex")
+
+  private def countParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                p: org.apache.hadoop.fs.Path): Long = {
+    var n = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
+  /** Batch ids present as partition DIRECTORIES above the commit
+    * marker — listing-based (the partition name carries the id), so
+    * torn appends are detectable without scanning a row. */
+  private def uncommittedParts(fs: org.apache.hadoop.fs.FileSystem,
+                               p: org.apache.hadoop.fs.Path,
+                               marker: Long): Seq[Long] =
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(Dedup.IngestBatchCol + "="))
+      .map(_.getPath.getName.stripPrefix(Dedup.IngestBatchCol + "=").toLong)
+      .filter(_ > marker).sorted
+
+  def audit(spark: SparkSession, dir: String,
+            countChecks: Boolean = true,
+            maxFilesPerTable: Int = 512): DataFrame = {
     val rows = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
     def done(): DataFrame = {
       import spark.implicits._
@@ -68,8 +116,19 @@ object IndexAudit {
         "__swap sibling beside an intact index — stale mid-build " +
           "leftovers from a crashed maintenance run; safe to delete"
       else ""))
+    // version-pointer resolution: audit the SERVING version's tables;
+    // a pointer naming a missing version dir is the one pointer-layout
+    // corruption a reader cannot survive
+    val root =
+      try Dedup.indexRoot(spark, dir)
+      catch {
+        case e: Exception =>
+          rows += (("layout", "ERROR",
+            s"version pointer broken: ${e.getMessage}"))
+          return done()
+      }
     val meta =
-      try Dedup.readMeta(spark, dir)
+      try Dedup.readMeta(spark, root)
       catch {
         case e: Exception =>
           rows += (("layout", "ERROR",
@@ -77,6 +136,31 @@ object IndexAudit {
           return done()
       }
     rows += (("layout", "OK", ""))
+    val verDirs = fs.listStatus(main).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("^v\\d+$"))
+      .map(_.getPath.getName).sorted
+    rows += (("versions",
+      if (verDirs.size <= 2) "OK" else "WARN",
+      if (root == dir) "flat pre-pointer layout"
+      else {
+        val cur = root.substring(root.lastIndexOf('/') + 1)
+        val stale = verDirs.filterNot(_ == cur)
+        s"serving $cur" +
+          (if (stale.isEmpty) "" else s", retained ${stale.mkString(",")}") +
+          (if (verDirs.size <= 2) ""
+           else " — more than one stale version retained; the next " +
+             "replacement commit prunes them")
+      }))
+    val lease = IndexLease.status(spark, dir)
+    rows += (("lease", if (lease.isEmpty) "OK" else "WARN",
+      lease.fold("no writer lease")(l =>
+        if (l.ageMs < IndexLease.ttlMs)
+          s"writer active: op=${l.op}, age ${l.ageMs / 1000}s — " +
+            "maintenance in flight; serving reads are unaffected " +
+            "(version snapshots)"
+        else s"STALE lease: op=${l.op}, age ${l.ageMs / 1000}s > ttl " +
+          s"${IndexLease.ttlMs / 1000}s — holder presumed crashed; the " +
+          "next writer takes over automatically")))
     val kind = meta.getOrElse("kind", "<absent>")
     layout.get(kind) match {
       case None =>
@@ -86,50 +170,69 @@ object IndexAudit {
       case Some(tables) =>
         rows += (("kind", "OK", kind))
         val marker = Dedup.lastCommittedBatch(meta)
+        var worstFrag: Option[(String, Long)] = None
         tables.foreach { t =>
-          val p = s"$dir/$t"
-          if (!fs.exists(new org.apache.hadoop.fs.Path(p)))
+          val p = s"$root/$t"
+          val hp = new org.apache.hadoop.fs.Path(p)
+          if (!fs.exists(hp))
             rows += ((s"table:$t", "ERROR", "missing"))
-          else scala.util.Try(spark.read.parquet(p)).toOption match {
-            case None =>
-              rows += ((s"table:$t", "ERROR",
-                "unreadable (no inferable schema — empty-born core table?)"))
-            case Some(d) if d.columns.contains(Dedup.IngestBatchCol) =>
-              val committed =
-                d.filter(col(Dedup.IngestBatchCol) <= marker).count()
-              val uncommitted =
-                d.filter(col(Dedup.IngestBatchCol) > marker).count()
-              rows += ((s"table:$t",
-                if (committed > 0) "OK" else "ERROR",
-                if (committed > 0) s"committed=$committed"
-                else "no committed rows"))
-              rows += ((s"uncommitted:$t",
-                if (uncommitted == 0) "OK" else "WARN",
-                if (uncommitted == 0) ""
-                else s"$uncommitted rows in partitions past the marker — " +
-                  "a torn append awaiting its replay (reads already " +
-                  "exclude them)"))
-            case Some(d) =>
-              rows += ((s"table:$t", "OK", s"rows=${d.count()}"))
+          else {
+            val nFiles = countParquetFiles(fs, hp)
+            if (worstFrag.forall(_._2 < nFiles)) worstFrag = Some((t, nFiles))
+            scala.util.Try(spark.read.parquet(p)).toOption match {
+              case None =>
+                rows += ((s"table:$t", "ERROR",
+                  "unreadable (no inferable schema — empty-born core table?)"))
+              case Some(d) if d.columns.contains(Dedup.IngestBatchCol) =>
+                if (countChecks) {
+                  val committed =
+                    d.filter(col(Dedup.IngestBatchCol) <= marker).count()
+                  rows += ((s"table:$t",
+                    if (committed > 0) "OK" else "ERROR",
+                    if (committed > 0) s"committed=$committed"
+                    else "no committed rows"))
+                } else
+                  rows += ((s"table:$t", "OK", s"files=$nFiles"))
+                val torn = uncommittedParts(fs, hp, marker)
+                rows += ((s"uncommitted:$t",
+                  if (torn.isEmpty) "OK" else "WARN",
+                  if (torn.isEmpty) ""
+                  else s"partition(s) ${torn.mkString(",")} past the " +
+                    "marker — a torn append awaiting its replay (reads " +
+                    "already exclude them)"))
+              case Some(d) =>
+                rows += ((s"table:$t", "OK",
+                  if (countChecks) s"rows=${d.count()}" else s"files=$nFiles"))
+            }
           }
         }
+        rows += (("fragmentation",
+          if (worstFrag.forall(_._2 <= maxFilesPerTable)) "OK" else "WARN",
+          worstFrag.fold("") { case (t, n) =>
+            if (n <= maxFilesPerTable) s"max $t=$n files"
+            else s"$t holds $n data files (bound $maxFilesPerTable) — " +
+              "micro-batch accretion is taxing every open; run " +
+              compactOp(kind) }))
         val idCol = if (vecKinds(kind)) "vec_id" else "doc_id"
+        val tombsPresent = Dedup.indexTableHasData(spark, s"$root/tomb")
         val tombs =
-          if (Dedup.indexTableHasData(spark, s"$dir/tomb"))
+          if (tombsPresent && countChecks)
             Some(Dedup.committedOnly(
-              spark.read.parquet(s"$dir/tomb"), meta)
+              spark.read.parquet(s"$root/tomb"), meta)
               .select(idCol).distinct())
           else None
         rows += (("tomb", "OK",
-          tombs.fold("no tombstones")(t => s"tombstoned=${t.count()}")))
+          if (!tombsPresent) "no tombstones"
+          else tombs.fold("tombstones present")(t =>
+            s"tombstoned=${t.count()}")))
         def liveCount(table: String): Long = {
           val base = Dedup.committedOnly(
-            spark.read.parquet(s"$dir/$table"), meta).select(idCol)
+            spark.read.parquet(s"$root/$table"), meta).select(idCol)
           tombs.fold(base)(t => base.join(t, Seq(idCol), "left_anti"))
             .count()
         }
         kind match {
-          case "minhash-v2" =>
+          case "minhash-v2" if countChecks =>
             val declared = meta("n_docs").toLong
             val live = liveCount("sets")
             rows += (("count",
@@ -138,7 +241,7 @@ object IndexAudit {
               else s"meta n_docs=$declared but live sets hold $live — " +
                 "metadata edited or single-writer contract violated; " +
                 "rebuild restores truth from the tables"))
-          case "signlsh-v2" =>
+          case "signlsh-v2" if countChecks =>
             val declared = meta("n_vectors").toLong
             val live = liveCount("vectors")
             rows += (("count",
@@ -146,29 +249,42 @@ object IndexAudit {
               if (declared == live) s"n_vectors=$declared"
               else s"meta n_vectors=$declared but live vectors hold " +
                 s"$live — occupancy sizing is lying; rebuild"))
-          case "bm25_index" =>
+          case "bm25_index" if countChecks =>
             val fold = scala.util.Try(
               graft.operators.Bm25Index.foldedStats(spark, dir))
             rows += (("stats_fold",
               if (fold.isSuccess) "OK" else "ERROR",
               fold.fold(e => e.getMessage,
                 { case (n, s) => s"n=$n s=$s" })))
+            // the one probe that catches a TORN synchronous delete: its
+            // three writes land in the always-committed base partition,
+            // so no marker excludes a half-applied retraction — only
+            // recomputing df/(N,S) from the live postings can expose the
+            // skew (advisor r15). Scan-tier by construction.
+            val cons = scala.util.Try(
+              graft.operators.Bm25Index.statsConsistency(spark, dir))
+            rows += (("stats_consistency",
+              if (cons.toOption.contains((0L, 0L, 0L))) "OK" else "ERROR",
+              cons.fold(e => e.getMessage, { case (dfm, nd, sd) =>
+                if ((dfm, nd, sd) == ((0L, 0L, 0L)))
+                  "folded partials == live recompute"
+                else s"folded partials diverge from live postings " +
+                  s"(df terms off=$dfm, N off by ${-nd}, S off by " +
+                  s"${-sd}) — a torn synchronous delete or a second " +
+                  "writer; rebuild restores truth from the live rows" })))
           case "ivf_index" =>
             rows += (("cell_hist",
               if (meta.contains("cell_hist")) "OK" else "WARN",
               if (meta.contains("cell_hist")) ""
               else "no stored cell histogram — the append drift " +
                 "sentinel cannot run; rebuild re-baselines it"))
-            if (Dedup.indexTableHasData(spark, s"$dir/assigned_batches")) {
-              val b = spark.read.parquet(s"$dir/assigned_batches")
-              val uncommitted =
-                b.filter(col(Dedup.IngestBatchCol) > marker).count()
-              rows += (("uncommitted:assigned_batches",
-                if (uncommitted == 0) "OK" else "WARN",
-                if (uncommitted == 0) "" else s"$uncommitted rows await " +
-                  "their replay (reads already exclude them)"))
-            } else
-              rows += (("uncommitted:assigned_batches", "OK", ""))
+            val bp = new org.apache.hadoop.fs.Path(s"$root/assigned_batches")
+            val torn = uncommittedParts(fs, bp, marker)
+            rows += (("uncommitted:assigned_batches",
+              if (torn.isEmpty) "OK" else "WARN",
+              if (torn.isEmpty) "" else s"partition(s) " +
+                s"${torn.mkString(",")} await their replay (reads " +
+                "already exclude them)"))
           case _ => ()
         }
     }

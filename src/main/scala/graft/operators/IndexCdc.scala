@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One façade over the five per-family CDC appliers. All five persisted
+  * index families (BM25, IVF, embedding-LSH, minhash-LSH, prefix) share
+  * the same change-stream contract — one marker bump per batch,
+  * delete-wins within a batch, committed counts netting to the live row
+  * set, replayed batchIds skipping, re-insert of a committed tombstone
+  * refused loudly — but grew five parallel implementations as the
+  * families evolved. The façade makes the contract a single call site:
+  * it reads the index's own `kind` metadata and dispatches, so a CDC
+  * feed (or a composite pipeline fanning one change stream into several
+  * indexes) never hard-codes family-specific entry points, and the
+  * cross-family contract law in `IndexMaintenanceSpec` pins all five
+  * behaviours to stay aligned as they evolve.
+  *
+  * Column contract, by family:
+  *   - document families (`bm25_index`, `minhash-v2`, `prefix_index`):
+  *     `inserts` carries (`id`, `text`); `deletes` carries `id`;
+  *   - vector families (`ivf_index`, `signlsh-v2`): `inserts` carries
+  *     (`vec_id`, `embedding`); `deletes` carries `vec_id`; the
+  *     `id`/`text` names are ignored.
+  *
+  * Same single-writer lease, replay, and tombstone semantics as the
+  * family methods — this is routing, not a sixth implementation. */
+object IndexCdc {
+
+  private def kindOf(spark: SparkSession, dir: String): String = {
+    val meta = Dedup.readMeta(spark, Dedup.indexRoot(spark, dir))
+    meta.getOrElse("kind", throw new IllegalArgumentException(
+      s"IndexCdc: no index kind in metadata at $dir — not a graft index"))
+  }
+
+  /** Applies one CDC batch (`inserts` + `deletes`, durable `batchId`)
+    * to the index at `dir`, whatever its family. */
+  def apply(spark: SparkSession, dir: String, inserts: DataFrame,
+            deletes: DataFrame, batchId: Long,
+            id: String = "doc_id", text: String = "text"): Unit =
+    kindOf(spark, dir) match {
+      case Bm25Index.Kind =>
+        Bm25Index.applyCdc(spark, dir, inserts, deletes, batchId, id, text)
+      case Dedup.MinhashIndexKind =>
+        Dedup.applyMinhashCdc(spark, dir, inserts, deletes, batchId, id, text)
+      case SimJoin.PrefixIndexKind =>
+        SimJoin.applyPrefixCdc(spark, dir, inserts, deletes, batchId, id, text)
+      case Similarity.IvfIndexKind =>
+        Similarity.applyIvfCdc(spark, dir, inserts, deletes, batchId)
+      case Similarity.EmbeddingIndexKind =>
+        Similarity.applyEmbeddingCdc(spark, dir, inserts, deletes, batchId)
+      case other => throw new IllegalArgumentException(
+        s"IndexCdc: index at $dir has kind '$other', which has no CDC " +
+          "applier — supported: bm25_index, minhash-v2, prefix_index, " +
+          "ivf_index, signlsh-v2")
+    }
+
+  /** Folds the per-batch partitions a CDC stream accretes back into
+    * `targetFiles` files per table, whatever the family — rows (and
+    * served results) preserved exactly. */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 4): Unit =
+    kindOf(spark, dir) match {
+      case Bm25Index.Kind => Bm25Index.compact(spark, dir, targetFiles)
+      case Dedup.MinhashIndexKind =>
+        Dedup.compactMinhashIndex(spark, dir, targetFiles)
+      case SimJoin.PrefixIndexKind =>
+        SimJoin.compactPrefixIndex(spark, dir, targetFiles)
+      case Similarity.IvfIndexKind => Similarity.compactIvfIndex(spark, dir)
+      case Similarity.EmbeddingIndexKind =>
+        Similarity.compactEmbeddingIndex(spark, dir, targetFiles)
+      case other => throw new IllegalArgumentException(
+        s"IndexCdc: index at $dir has kind '$other', which has no " +
+          "compaction")
+    }
+
+  /** The LIVE id set of the index at `dir` — committed rows minus
+    * committed tombstones, one column named `id` — read through each
+    * family's own masking choke point. This is the observable the
+    * cross-family CDC contract law quantifies over: the same change
+    * history applied to every family must net to the same live set. */
+  def liveIds(spark: SparkSession, dir: String): DataFrame =
+    kindOf(spark, dir) match {
+      case Bm25Index.Kind =>
+        val root = Dedup.indexRoot(spark, dir)
+        val meta = Dedup.readMeta(spark, root)
+        val docs = Dedup.committedOnly(
+          spark.read.parquet(s"$root/postings"), meta)
+          .select(col("doc_id").as("id")).distinct()
+        Dedup.committedTombsAt(spark, s"$root/tomb", meta, "doc_id")
+          .fold(docs)(t => docs.join(
+            t.withColumnRenamed("doc_id", "id"), Seq("id"), "left_anti"))
+      case Dedup.MinhashIndexKind =>
+        Dedup.readMinhashIndex(spark, dir).sets
+          .select(col("doc_id").as("id")).distinct()
+      case SimJoin.PrefixIndexKind =>
+        val root = Dedup.indexRoot(spark, dir)
+        val meta = Dedup.readMeta(spark, root)
+        val docs = Dedup.committedOnly(
+          spark.read.parquet(s"$root/sets"), meta)
+          .select(col("doc_id").as("id")).distinct()
+        Dedup.committedTombsAt(spark, s"$root/tomb", meta, "doc_id")
+          .fold(docs)(t => docs.join(
+            t.withColumnRenamed("doc_id", "id"), Seq("id"), "left_anti"))
+      case Similarity.IvfIndexKind =>
+        Similarity.readIvfIndex(spark, dir).assigned
+          .select(col("vec_id").as("id")).distinct()
+      case Similarity.EmbeddingIndexKind =>
+        Similarity.readEmbeddingIndex(spark, dir).vectors
+          .select(col("vec_id").as("id")).distinct()
+      case other => throw new IllegalArgumentException(
+        s"IndexCdc: index at $dir has kind '$other', which has no live-id " +
+          "reader")
+    }
+}

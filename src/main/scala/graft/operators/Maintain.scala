@@ -134,11 +134,12 @@ object Maintain {
                               delta: DataFrame, deletes: DataFrame,
                               keyCol: String, valCol: String,
                               batchId: Option[Long] = None): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
     requireAggCdcState(meta, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
     val (folded, release) = Dedup.materializeTracked(
-      foldSignedAgg(spark.read.parquet(s"$dir/state"), delta, deletes,
+      foldSignedAgg(spark.read.parquet(s"$root/state"), delta, deletes,
         keyCol, valCol))
     try {
       Dedup.swapInDir(spark, dir) { tmp =>
@@ -152,9 +153,10 @@ object Maintain {
   /** The served aggregate from CDC state: the state rows ARE the
     * result (every fold leaves them fully merged per key). */
   def readAggCdcState(spark: SparkSession, dir: String): DataFrame = {
-    val meta = Dedup.readMeta(spark, dir)
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
     requireAggCdcState(meta, dir)
-    spark.read.parquet(s"$dir/state")
+    spark.read.parquet(s"$root/state")
   }
 
   /** Streaming refresh layout: base partials at `$dir/base` plus one
@@ -258,7 +260,7 @@ object Maintain {
     // refusal instead of a missing-path read error
     val deltaPartials =
       quantileDeltaPartials(spark, dir, delta, keyCol, valCol)
-    spark.read.parquet(s"$dir/state")
+    spark.read.parquet(s"${Dedup.indexRoot(spark, dir)}/state")
       .unionByName(deltaPartials)
       .groupBy(col(keyCol), col("bin"))
       .agg(sum(col("cnt")).as("cnt"))
@@ -308,7 +310,7 @@ object Maintain {
                                    delta: DataFrame, deletes: DataFrame,
                                    keyCol: String, valCol: String,
                                    batchId: Option[Long] = None): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
+    val meta = Dedup.readMeta(spark, Dedup.indexRoot(spark, dir))
     require(meta.get("kind").contains("quantile_hist"),
       s"$dir is not quantile-histogram state (kind=${meta.get("kind")})")
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
@@ -328,17 +330,18 @@ object Maintain {
     * kind guard — feed them to [[estimateQuantiles]] with the domain
     * from [[readQuantileDomain]]. */
   def readQuantileState(spark: SparkSession, dir: String): DataFrame = {
-    val meta = Dedup.readMeta(spark, dir)
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
     require(meta.get("kind").contains("quantile_hist"),
       s"$dir is not quantile-histogram state (kind=${meta.get("kind")})")
-    spark.read.parquet(s"$dir/state")
+    spark.read.parquet(s"$root/state")
   }
 
   /** The (lo, hi, bins) domain a quantile state was created with — the
     * binning contract every fold and estimate must share. */
   def readQuantileDomain(spark: SparkSession,
                          dir: String): (Double, Double, Int) = {
-    val meta = Dedup.readMeta(spark, dir)
+    val meta = Dedup.readMeta(spark, Dedup.indexRoot(spark, dir))
     require(meta.get("kind").contains("quantile_hist"),
       s"$dir is not quantile-histogram state (kind=${meta.get("kind")})")
     (meta("q_lo").toDouble, meta("q_hi").toDouble, meta("q_bins").toInt)
@@ -350,7 +353,7 @@ object Maintain {
   private[graft] def quantileDeltaPartials(spark: SparkSession, dir: String,
                                            delta: DataFrame, keyCol: String,
                                            valCol: String): DataFrame = {
-    val meta = Dedup.readMeta(spark, dir)
+    val meta = Dedup.readMeta(spark, Dedup.indexRoot(spark, dir))
     require(meta.get("kind").contains("quantile_hist"),
       s"$dir is not quantile-histogram state (kind=${meta.get("kind")})")
     val (lo, hi, bins) = (meta("q_lo").toDouble, meta("q_hi").toDouble,
@@ -366,10 +369,11 @@ object Maintain {
     * overwrite partitions — replay rewrites identical partials, never
     * double-folds), folded per (key, bin). */
   def readQuantileRefreshed(spark: SparkSession, dir: String): DataFrame = {
-    val meta = Dedup.readMeta(spark, dir)
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
     require(meta.get("kind").contains("quantile_hist"),
       s"$dir is not quantile-histogram state (kind=${meta.get("kind")})")
-    val base = spark.read.parquet(s"$dir/state")
+    val base = spark.read.parquet(s"$root/state")
     val batchesPath = new org.apache.hadoop.fs.Path(s"$dir/batches")
     val fs = batchesPath.getFileSystem(spark.sessionState.newHadoopConf())
     val all =
@@ -588,12 +592,13 @@ object Maintain {
                          deletes: DataFrame, keyCol: String, idCol: String,
                          scoreCol: String,
                          batchId: Option[Long] = None): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
     val (k, slack) = requireSlackState(meta, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
     val cap = k + slack
-    val state = spark.read.parquet(s"$dir/state")
-    val caps = spark.read.parquet(s"$dir/caps")
+    val state = spark.read.parquet(s"$root/state")
+    val caps = spark.read.parquet(s"$root/caps")
     val tomb = deletes.select(col(keyCol), col(idCol)).distinct()
     val live = state.join(tomb, Seq(keyCol, idCol), "left_anti")
     val hits = state.join(tomb, Seq(keyCol, idCol), "left_semi")
@@ -645,11 +650,12 @@ object Maintain {
     * never serve a silently-stale board. */
   def serveTopKSlack(spark: SparkSession, dir: String, keyCol: String,
                      idCol: String, scoreCol: String): DataFrame = {
-    val meta = Dedup.readMeta(spark, dir)
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
     val (k, _) = requireSlackState(meta, dir)
-    val board = TopK.topKPerGroup(spark.read.parquet(s"$dir/state"),
+    val board = TopK.topKPerGroup(spark.read.parquet(s"$root/state"),
       keyCol, idCol, scoreCol, k)
-    board.join(spark.read.parquet(s"$dir/caps"), Seq(keyCol), "left")
+    board.join(spark.read.parquet(s"$root/caps"), Seq(keyCol), "left")
       .withColumn("__d", guardDepth(col("depth"), keyCol, k))
       // tautological by construction (guardDepth already raised for
       // any depth < k) — its job is to REFERENCE __d so Catalyst

@@ -106,7 +106,7 @@ object SimJoin {
     * content). Consequently a STALE dictionary after appends degrades
     * selectivity only, never completeness; a rebuild refreshes the df
     * order for pruning power. */
-  private val PrefixIndexKind = "prefix_index"
+  private[graft] val PrefixIndexKind = "prefix_index"
 
   private def validatePrefixMeta(meta: Map[String, String],
                                  dir: String): Unit =
@@ -115,7 +115,7 @@ object SimJoin {
 
   /** Anti-join mask over the committed tombstones ([[deleteFromPrefixIndex]]);
     * identity when no delete ever ran, so the append-only path pays
-    * nothing for the feature. */
+    * nothing for the feature. `dir` is the RESOLVED version root. */
   private def liveOnly(spark: SparkSession, dir: String,
                        meta: Map[String, String])(df: DataFrame): DataFrame =
     Dedup.committedTombsAt(spark, s"$dir/tomb", meta, "doc_id")
@@ -139,8 +139,10 @@ object SimJoin {
     * rebuild — re-appending it first is a contract violation. */
   def deleteFromPrefixIndex(spark: SparkSession, dir: String,
                             tombstones: DataFrame,
-                            batchId: Option[Long] = None): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
+                            batchId: Option[Long] = None): Unit =
+    IndexLease.withLease(spark, dir, "deleteFromPrefixIndex") {
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
     validatePrefixMeta(meta, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
     val ids = tombstones.select(col("doc_id").cast("long").as("doc_id"))
@@ -148,11 +150,11 @@ object SimJoin {
     // materialized: the plan may read tomb/, which the write below
     // appends to
     val (fresh, release) = Dedup.materializeTracked(
-      Dedup.committedTombsAt(spark, s"$dir/tomb", meta, "doc_id")
+      Dedup.committedTombsAt(spark, s"$root/tomb", meta, "doc_id")
         .fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti")))
     try {
-      Dedup.writeIndexTable(fresh, batchId.getOrElse(-1L), s"$dir/tomb")
-      Dedup.writeMeta(spark, dir,
+      Dedup.writeIndexTable(fresh, batchId.getOrElse(-1L), s"$root/tomb")
+      Dedup.writeMeta(spark, root,
         meta ++ batchId.map(b => "last_committed_batch" -> b.toString))
     } finally release()
   }
@@ -168,13 +170,20 @@ object SimJoin {
     val posting = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val dfreq = Dedup.materialize(
       posting.groupBy("h").agg(count(lit(1)).as("df")))
-    Dedup.writeIndexTable(sets, -1L, s"$dir/sets", overwriteAll = true)
-    Dedup.writeIndexTable(dfreq, -1L, s"$dir/df", overwriteAll = true)
-    Dedup.writeIndexTable(prefixPostings(sets, dfreq, thrNum, thrDen),
-      -1L, s"$dir/prefix", overwriteAll = true)
-    Dedup.writeMeta(df.sparkSession, dir, Map(
-      "kind" -> PrefixIndexKind, "pj_num" -> thrNum.toString,
-      "pj_den" -> thrDen.toString, "pj_w" -> shingleWidth.toString))
+    val spark = df.sparkSession
+    IndexLease.withLease(spark, dir, "writePrefixIndex") {
+      // pointer commit: replaces everything atomically; readers of the
+      // old index keep serving it
+      Dedup.swapInDir(spark, dir) { tmp =>
+        Dedup.writeIndexTable(sets, -1L, s"$tmp/sets", overwriteAll = true)
+        Dedup.writeIndexTable(dfreq, -1L, s"$tmp/df", overwriteAll = true)
+        Dedup.writeIndexTable(prefixPostings(sets, dfreq, thrNum, thrDen),
+          -1L, s"$tmp/prefix", overwriteAll = true)
+        Dedup.writeMeta(spark, tmp, Map(
+          "kind" -> PrefixIndexKind, "pj_num" -> thrNum.toString,
+          "pj_den" -> thrDen.toString, "pj_w" -> shingleWidth.toString))
+      }
+    }
   }
 
   /** (doc_id, sz, h) prefix postings of `sets` under the (df, h) order
@@ -205,7 +214,10 @@ object SimJoin {
   def crossPrefixJoin(spark: SparkSession, newDocs: DataFrame, dir: String,
                       id: String = "doc_id",
                       text: String = "text"): DataFrame = {
-    val meta = Dedup.readMeta(spark, dir)
+    // version snapshot: resolve once — this probe keeps reading the
+    // resolved version even while a rebuild commits the next one
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
     validatePrefixMeta(meta, dir)
     val (thrNum, thrDen) = (meta("pj_num").toInt, meta("pj_den").toInt)
     val w = meta("pj_w").toInt
@@ -213,7 +225,7 @@ object SimJoin {
       Dedup.shingleHashesFlat(newDocs, id, text, w)
         .filter(size(col("hs")) > 0))
     val dfreq = Dedup.committedOnly(
-      spark.read.parquet(s"$dir/df"), meta).select("h", "df")
+      spark.read.parquet(s"$root/df"), meta).select("h", "df")
     val newPref = Dedup.materialize(
       prefixPostings(newSets, dfreq, thrNum, thrDen))
     // batch-scoped index slice: the candidate join only ever needs
@@ -226,10 +238,10 @@ object SimJoin {
     // tombstoned docs ([[deleteFromPrefixIndex]]) are masked out of
     // BOTH the candidate side and the verify side at this one choke
     // point — a deleted doc can never surface as candidate or partner
-    val live = liveOnly(spark, dir, meta) _
+    val live = liveOnly(spark, root, meta) _
     val probedKeys = broadcast(newPref.select("h").distinct())
     val idxPref = live(Dedup.committedOnly(
-      spark.read.parquet(s"$dir/prefix"), meta).select("doc_id", "sz", "h"))
+      spark.read.parquet(s"$root/prefix"), meta).select("doc_id", "sz", "h"))
       .join(probedKeys, Seq("h"), "left_semi")
     val cand = newPref.as("x").join(idxPref.as("y"),
         col("x.h") === col("y.h") &&
@@ -240,7 +252,7 @@ object SimJoin {
     cand
       .join(newSets.select(col("doc_id").as("new_id"), col("hs").as("ha")),
         Seq("new_id"))
-      .join(live(Dedup.committedOnly(spark.read.parquet(s"$dir/sets"), meta))
+      .join(live(Dedup.committedOnly(spark.read.parquet(s"$root/sets"), meta))
         .select(col("doc_id").as("matched_id"), col("hs").as("hb")),
         Seq("matched_id"))
       .withColumn("inter",
@@ -263,22 +275,27 @@ object SimJoin {
   def appendPrefixIndex(spark: SparkSession, dir: String,
                         newDocs: DataFrame, batchId: Option[Long] = None,
                         id: String = "doc_id",
-                        text: String = "text"): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
+                        text: String = "text"): Unit =
+    IndexLease.withLease(spark, dir, "appendPrefixIndex") {
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
     validatePrefixMeta(meta, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
+    Dedup.refuseTombedReinserts(newDocs, id,
+      Dedup.committedTombsAt(spark, s"$root/tomb", meta, "doc_id"),
+      "doc_id", "appendPrefixIndex", dir)
     val (thrNum, thrDen) = (meta("pj_num").toInt, meta("pj_den").toInt)
     val w = meta("pj_w").toInt
     val newSets = Dedup.materialize(
       Dedup.shingleHashesFlat(newDocs, id, text, w)
         .filter(size(col("hs")) > 0))
     val dfreq = Dedup.committedOnly(
-      spark.read.parquet(s"$dir/df"), meta).select("h", "df")
+      spark.read.parquet(s"$root/df"), meta).select("h", "df")
     val part = batchId.getOrElse(-1L)
-    Dedup.writeIndexTable(newSets, part, s"$dir/sets")
+    Dedup.writeIndexTable(newSets, part, s"$root/sets")
     Dedup.writeIndexTable(prefixPostings(newSets, dfreq, thrNum, thrDen),
-      part, s"$dir/prefix")
-    Dedup.writeMeta(spark, dir,
+      part, s"$root/prefix")
+    Dedup.writeMeta(spark, root,
       meta ++ batchId.map(b => "last_committed_batch" -> b.toString))
   }
 
@@ -294,15 +311,21 @@ object SimJoin {
     * wins); deletes otherwise apply to previously committed docs. */
   def applyPrefixCdc(spark: SparkSession, dir: String, newDocs: DataFrame,
                      tombstones: DataFrame, batchId: Long,
-                     id: String = "doc_id", text: String = "text"): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
+                     id: String = "doc_id", text: String = "text"): Unit =
+    IndexLease.withLease(spark, dir, "applyPrefixCdc") {
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
     validatePrefixMeta(meta, dir)
     if (batchId <= Dedup.lastCommittedBatch(meta)) return
     val ids = tombstones.select(col(id).cast("long").as("doc_id")).distinct()
+    val priorTombs =
+      Dedup.committedTombsAt(spark, s"$root/tomb", meta, "doc_id")
+    Dedup.refuseTombedReinserts(newDocs, id, priorTombs, "doc_id",
+      "applyPrefixCdc", dir)
     // materialized: the plan reads tomb/, which the write below
     // appends to
     val (fresh, relT) = Dedup.materializeTracked(
-      Dedup.committedTombsAt(spark, s"$dir/tomb", meta, "doc_id")
+      priorTombs
         .fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti")))
     try {
       val (thrNum, thrDen) = (meta("pj_num").toInt, meta("pj_den").toInt)
@@ -314,12 +337,12 @@ object SimJoin {
             "left_anti"), id, text, w)
           .filter(size(col("hs")) > 0))
       val dfreq = Dedup.committedOnly(
-        spark.read.parquet(s"$dir/df"), meta).select("h", "df")
-      Dedup.writeIndexTable(newSets, batchId, s"$dir/sets")
+        spark.read.parquet(s"$root/df"), meta).select("h", "df")
+      Dedup.writeIndexTable(newSets, batchId, s"$root/sets")
       Dedup.writeIndexTable(prefixPostings(newSets, dfreq, thrNum, thrDen),
-        batchId, s"$dir/prefix")
-      Dedup.writeIndexTable(fresh, batchId, s"$dir/tomb")
-      Dedup.writeMeta(spark, dir,
+        batchId, s"$root/prefix")
+      Dedup.writeIndexTable(fresh, batchId, s"$root/tomb")
+      Dedup.writeMeta(spark, root,
         meta + ("last_committed_batch" -> batchId.toString))
     } finally relT()
   }
@@ -333,19 +356,16 @@ object SimJoin {
     * still skip. The stale-df debt and physical tombstone removal stay
     * [[rebuildPrefixIndex]]'s job. Offline single-writer maintenance. */
   def compactPrefixIndex(spark: SparkSession, dir: String,
-                         targetFiles: Int = 4): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
-    validatePrefixMeta(meta, dir)
-    Dedup.compactTable(spark, s"$dir/sets", meta, targetFiles,
-      Seq("doc_id", "hs"))
-    Dedup.compactTable(spark, s"$dir/df", meta, targetFiles,
-      Seq("h", "df"))
-    Dedup.compactTable(spark, s"$dir/prefix", meta, targetFiles,
-      Seq("doc_id", "sz", "h"))
-    if (Dedup.indexTableHasData(spark, s"$dir/tomb"))
-      Dedup.compactTable(spark, s"$dir/tomb", meta, targetFiles,
-        Seq("doc_id"))
-  }
+                         targetFiles: Int = 4): Unit =
+    IndexLease.withLease(spark, dir, "compactPrefixIndex") {
+      validatePrefixMeta(
+        Dedup.readMeta(spark, Dedup.indexRoot(spark, dir)), dir)
+      Dedup.compactTables(spark, dir, targetFiles,
+        Seq("sets" -> Seq("doc_id", "hs"),
+          "df" -> Seq("h", "df"),
+          "prefix" -> Seq("doc_id", "sz", "h")),
+        optional = Seq("tomb" -> Seq("doc_id")))
+    }
 
   /** Rebuild the dictionary and every stored prefix from the CURRENT
     * committed LIVE sets (post-append/post-delete hygiene): restores
@@ -356,14 +376,16 @@ object SimJoin {
     * swaps as ONE directory (`Dedup.swapInDir`; repair a crashed swap
     * with `Dedup.recoverSwap`), never a readable mix of old and new
     * tables. Offline single-writer maintenance. */
-  def rebuildPrefixIndex(spark: SparkSession, dir: String): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
+  def rebuildPrefixIndex(spark: SparkSession, dir: String): Unit =
+    IndexLease.withLease(spark, dir, "rebuildPrefixIndex") {
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
     validatePrefixMeta(meta, dir)
     val (thrNum, thrDen) = (meta("pj_num").toInt, meta("pj_den").toInt)
-    // materialized: the swap below deletes the files this reads
+    // materialized: three derived tables reuse it
     val (sets, release) = Dedup.materializeTracked(
-      liveOnly(spark, dir, meta)(
-        Dedup.committedOnly(spark.read.parquet(s"$dir/sets"), meta))
+      liveOnly(spark, root, meta)(
+        Dedup.committedOnly(spark.read.parquet(s"$root/sets"), meta))
         .select("doc_id", "hs"))
     try {
       // an all-deleted corpus would rebuild to empty-born tables that

@@ -301,7 +301,7 @@ object Similarity {
     * by cell" layout the ivfTopK scale story assumes: a probe of
     * nprobe cells dynamically prunes to those directories instead of
     * scanning the corpus). */
-  private val IvfIndexKind = "ivf_index"
+  private[graft] val IvfIndexKind = "ivf_index"
 
   /** Serialized per-cell occupancy histogram kept in the index
     * metadata (`cell_hist` = "cid:count,cid:count,…" — nCentroids
@@ -359,6 +359,7 @@ object Similarity {
   def writeIvfIndex(corpus: DataFrame, dir: String, nCentroids: Int = 16,
                     iters: Int = 5): Unit = {
     val spark = corpus.sparkSession
+    IndexLease.withLease(spark, dir, "writeIvfIndex") {
     val cents = trainCentroids(corpus, nCentroids, iters)
     import spark.implicits._
     // the whole layout lands via a directory swap, for two reasons: (a)
@@ -386,6 +387,7 @@ object Similarity {
         "iters" -> iters.toString,
         "cell_hist" -> cellHistStr(cellCountsOf(spark, s"$tmp/assigned"))))
     }
+    }
   }
 
   private def validateIvfMeta(meta: Map[String, String],
@@ -396,10 +398,13 @@ object Similarity {
   /** Index metadata with an IVF-specific failure message: a layout
     * persisted before `writeIvfIndex` emitted metadata would otherwise
     * fail with an error naming the wrong writers. */
+  /** Resolves the version root and validates metadata in one step —
+    * every IVF entry point's first line. */
   private def ivfMeta(spark: SparkSession,
-                      dir: String): Map[String, String] = {
+                      dir: String): (String, Map[String, String]) = {
+    val root = Dedup.indexRoot(spark, dir)
     val meta =
-      try Dedup.readMeta(spark, dir)
+      try Dedup.readMeta(spark, root)
       catch {
         case e: IllegalArgumentException => throw new IllegalArgumentException(
           s"$dir has no index metadata — IVF indexes written by an " +
@@ -407,7 +412,7 @@ object Similarity {
           e)
       }
     validateIvfMeta(meta, dir)
-    meta
+    (root, meta)
   }
 
   /** Append new vectors under the STORED quantizer — the index
@@ -440,12 +445,15 @@ object Similarity {
   def appendIvfIndex(spark: SparkSession, dir: String,
                      newVectors: DataFrame,
                      batchId: Option[Long] = None,
-                     allowCellDrift: Boolean = false): Unit = {
-    val meta = ivfMeta(spark, dir)
+                     allowCellDrift: Boolean = false): Unit =
+    IndexLease.withLease(spark, dir, "appendIvfIndex") {
+    val (root, meta) = ivfMeta(spark, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
-    val histUpdate = appendIvfRowsCore(spark, dir, meta, newVectors,
+    Dedup.refuseTombedReinserts(newVectors, "vec_id",
+      ivfTombs(spark, root, meta), "vec_id", "appendIvfIndex", dir)
+    val histUpdate = appendIvfRowsCore(spark, root, meta, newVectors,
       batchId, allowCellDrift)
-    Dedup.writeMeta(spark, dir,
+    Dedup.writeMeta(spark, root,
       meta ++ histUpdate ++ batchId.map(b => "last_committed_batch" -> b.toString))
   }
 
@@ -465,15 +473,22 @@ object Similarity {
     * sentinel as [[appendIvfIndex]]. */
   def applyIvfCdc(spark: SparkSession, dir: String, newVectors: DataFrame,
                   tombstones: DataFrame, batchId: Long,
-                  allowCellDrift: Boolean = false): Unit = {
-    val meta = ivfMeta(spark, dir)
+                  allowCellDrift: Boolean = false): Unit =
+    IndexLease.withLease(spark, dir, "applyIvfCdc") {
+    val (root, meta) = ivfMeta(spark, dir)
     if (batchId <= Dedup.lastCommittedBatch(meta)) return
-    val ids = tombstones.select(col("vec_id")).distinct()
-    val histUpdate = appendIvfRowsCore(spark, dir, meta,
+    // cast like every other family: an int-typed CDC feed would land
+    // int32 tomb partitions beside other writers' int64 ones, and the
+    // schema merge / anti-join behavior of that mix is undefined
+    val ids = tombstones.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct()
+    Dedup.refuseTombedReinserts(newVectors, "vec_id",
+      ivfTombs(spark, root, meta), "vec_id", "applyIvfCdc", dir)
+    val histUpdate = appendIvfRowsCore(spark, root, meta,
       newVectors.join(ids, Seq("vec_id"), "left_anti"),
       Some(batchId), allowCellDrift)
-    Dedup.writeIndexTable(ids, batchId, s"$dir/tomb")
-    Dedup.writeMeta(spark, dir, meta ++ histUpdate +
+    Dedup.writeIndexTable(ids, batchId, s"$root/tomb")
+    Dedup.writeMeta(spark, root, meta ++ histUpdate +
       ("last_committed_batch" -> batchId.toString))
   }
 
@@ -481,7 +496,7 @@ object Similarity {
     * sentinel, whole-subtree replay replacement, data write) WITHOUT
     * the marker commit — callers own the marker so a combined
     * insert+delete batch commits once. Returns the folded `cell_hist`
-    * metadata update. */
+    * metadata update. `dir` here is the RESOLVED version root. */
   private def appendIvfRowsCore(spark: SparkSession, dir: String,
                                 meta: Map[String, String],
                                 newVectors: DataFrame,
@@ -558,12 +573,15 @@ object Similarity {
     * anti-join would mask the NEW vector too). */
   def deleteFromIvfIndex(spark: SparkSession, dir: String,
                          tombstones: DataFrame,
-                         batchId: Option[Long] = None): Unit = {
-    val meta = ivfMeta(spark, dir)
+                         batchId: Option[Long] = None): Unit =
+    IndexLease.withLease(spark, dir, "deleteFromIvfIndex") {
+    val (root, meta) = ivfMeta(spark, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
-    val ids = tombstones.select(col("vec_id")).distinct()
-    Dedup.writeIndexTable(ids, batchId.getOrElse(-1L), s"$dir/tomb")
-    Dedup.writeMeta(spark, dir,
+    // long cast for tomb-partition type stability (see applyIvfCdc)
+    val ids = tombstones.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct()
+    Dedup.writeIndexTable(ids, batchId.getOrElse(-1L), s"$root/tomb")
+    Dedup.writeMeta(spark, root,
       meta ++ batchId.map(b => "last_committed_batch" -> b.toString))
   }
 
@@ -571,6 +589,7 @@ object Similarity {
     * the append-only read path pays zero cost. An empty-born tomb
     * table (insert-only CDC batch) counts as absent
     * (`Dedup.indexTableHasData`). */
+  /** `dir` is the RESOLVED version root. */
   private def ivfTombs(spark: SparkSession, dir: String,
                        meta: Map[String, String]): Option[DataFrame] =
     if (Dedup.indexTableHasData(spark, s"$dir/tomb"))
@@ -591,8 +610,9 @@ object Similarity {
     * after [[deleteFromIvfIndex]] physically drops tombstoned vectors
     * and the tombstone table itself (the delete-compaction leg). */
   def rebuildIvfIndex(spark: SparkSession, dir: String,
-                      nCentroids: Int = 16, iters: Int = 5): Unit = {
-    val meta = ivfMeta(spark, dir)
+                      nCentroids: Int = 16, iters: Int = 5): Unit =
+    IndexLease.withLease(spark, dir, "rebuildIvfIndex") {
+    val (_, meta) = ivfMeta(spark, dir)
     val (vectors, release) = Dedup.materializeTracked(
       readIvfIndex(spark, dir).assigned
         .select(col("vec_id"), col("v").as("embedding")))
@@ -640,34 +660,34 @@ object Similarity {
     * remain [[rebuildIvfIndex]]'s job — this is the cheap hygiene op
     * (no k-means, one linear rewrite). The whole index swaps as ONE
     * directory, like rebuild. Offline single-writer maintenance. */
-  def compactIvfIndex(spark: SparkSession, dir: String): Unit = {
-    val meta = ivfMeta(spark, dir)
-    val base = spark.read.parquet(s"$dir/assigned")
+  def compactIvfIndex(spark: SparkSession, dir: String): Unit =
+    IndexLease.withLease(spark, dir, "compactIvfIndex") {
+    val (root, meta) = ivfMeta(spark, dir)
+    val base = spark.read.parquet(s"$root/assigned")
     val unioned =
-      if (Dedup.indexTableHasData(spark, s"$dir/assigned_batches"))
+      if (Dedup.indexTableHasData(spark, s"$root/assigned_batches"))
         base.unionByName(
           Dedup.committedOnly(
-            spark.read.parquet(s"$dir/assigned_batches"), meta)
+            spark.read.parquet(s"$root/assigned_batches"), meta)
             .drop(Dedup.IngestBatchCol))
       else base
-    // all three materialized: the swap deletes the files they read
-    val (rows, relR) = Dedup.materializeTracked(unioned)
-    val (cents, relC) = Dedup.materializeTracked(
-      spark.read.parquet(s"$dir/centroids"))
-    val tombM = ivfTombs(spark, dir, meta).map(Dedup.materializeTracked)
-    try {
-      Dedup.swapInDir(spark, dir) { tmp =>
-        cents.repartition(1).write.mode("overwrite")
-          .parquet(s"$tmp/centroids")
-        rows.write.mode("overwrite").partitionBy("cent_id")
-          .parquet(s"$tmp/assigned")
-        tombM.foreach { case (t, _) =>
-          Dedup.writeIndexTable(t, -1L, s"$tmp/tomb", overwriteAll = true) }
-        Dedup.writeMeta(spark, tmp, meta)
-      }
-    } finally { relR(); relC(); tombM.foreach(_._2()) }
+    val cents = spark.read.parquet(s"$root/centroids")
+    val tomb = ivfTombs(spark, root, meta)
+    // pointer commit: the serving version is read LAZILY while the
+    // replacement builds beside it — nothing to pre-materialize, the
+    // old version is untouched until two commits later
+    Dedup.swapInDir(spark, dir) { tmp =>
+      cents.repartition(1).write.mode("overwrite")
+        .parquet(s"$tmp/centroids")
+      unioned.write.mode("overwrite").partitionBy("cent_id")
+        .parquet(s"$tmp/assigned")
+      tomb.foreach(t =>
+        Dedup.writeIndexTable(t, -1L, s"$tmp/tomb", overwriteAll = true))
+      Dedup.writeMeta(spark, tmp, meta)
+    }
   }
 
+  /** `dir` is the RESOLVED version root. */
   private def readIvfCentroids(spark: SparkSession,
                                dir: String): Seq[(Int, Array[Float])] = {
     val cents = spark.read.parquet(s"$dir/centroids")
@@ -684,23 +704,25 @@ object Similarity {
                             assigned: DataFrame)
 
   def readIvfIndex(spark: SparkSession, dir: String): IvfIndex = {
-    val meta = ivfMeta(spark, dir)
-    val cents = readIvfCentroids(spark, dir)
-    val base = spark.read.parquet(s"$dir/assigned")
+    // version snapshot: resolve once — this handle keeps serving the
+    // resolved version even while a rebuild commits the next one
+    val (root, meta) = ivfMeta(spark, dir)
+    val cents = readIvfCentroids(spark, root)
+    val base = spark.read.parquet(s"$root/assigned")
     // indexTableHasData, not a bare exists: a delete-only CDC batch
     // appends zero assigned rows, which can create the directory with
     // no partition subdirs — reading that is an analysis error
     val unioned =
-      if (Dedup.indexTableHasData(spark, s"$dir/assigned_batches"))
+      if (Dedup.indexTableHasData(spark, s"$root/assigned_batches"))
         base.unionByName(
           Dedup.committedOnly(
-            spark.read.parquet(s"$dir/assigned_batches"), meta)
+            spark.read.parquet(s"$root/assigned_batches"), meta)
             .drop(Dedup.IngestBatchCol))
       else base
     // tombstone mask LAST, over base ∪ batches: every downstream
     // consumer (indexed probe, quantized serving, rebuild's retrain)
     // sees only live vectors through this one choke point
-    val assigned = ivfTombs(spark, dir, meta)
+    val assigned = ivfTombs(spark, root, meta)
       .fold(unioned)(t => unioned.join(t, Seq("vec_id"), "left_anti"))
     IvfIndex(cents, assigned)
   }
@@ -984,7 +1006,7 @@ object Similarity {
     * v2: `ingest_batch`-partitioned tables + `last_committed_batch`
     * marker, the replay-idempotency layout shared with the minhash
     * side. */
-  private val EmbeddingIndexKind = "signlsh-v2"
+  private[graft] val EmbeddingIndexKind = "signlsh-v2"
   /** Fingerprint of [[graft.functions.VectorOps.bandWeight]]:
     * (((i+1)(j+1)·7919 + i·31 + j·17) mod 1009) − 504. */
   private val SignLshLattice = "bandweight:((i+1)(j+1)*7919+i*31+j*17)%1009-504"
@@ -997,16 +1019,24 @@ object Similarity {
     * plus one equality join. */
   def writeEmbeddingIndex(corpus: DataFrame, dir: String,
                           bands: Int = DefaultBands, rowBits: Int = 0): Unit = {
-    val idx = buildEmbeddingIndex(corpus, bands, rowBits)
-    Dedup.writeIndexTable(idx.bands, -1L, s"$dir/bands", overwriteAll = true)
-    Dedup.writeIndexTable(idx.vectors, -1L, s"$dir/vectors",
-      overwriteAll = true)
-    Dedup.writeMeta(corpus.sparkSession, dir, Map(
-      "kind" -> EmbeddingIndexKind,
-      "bands" -> idx.nBands.toString,
-      "rowBits" -> idx.rowBits.toString,
-      "lattice" -> SignLshLattice,
-      "n_vectors" -> idx.vectors.count().toString))
+    val spark = corpus.sparkSession
+    IndexLease.withLease(spark, dir, "writeEmbeddingIndex") {
+      val idx = buildEmbeddingIndex(corpus, bands, rowBits)
+      // pointer commit: replaces everything atomically; readers of the
+      // old index keep serving it
+      Dedup.swapInDir(spark, dir) { tmp =>
+        Dedup.writeIndexTable(idx.bands, -1L, s"$tmp/bands",
+          overwriteAll = true)
+        Dedup.writeIndexTable(idx.vectors, -1L, s"$tmp/vectors",
+          overwriteAll = true)
+        Dedup.writeMeta(spark, tmp, Map(
+          "kind" -> EmbeddingIndexKind,
+          "bands" -> idx.nBands.toString,
+          "rowBits" -> idx.rowBits.toString,
+          "lattice" -> SignLshLattice,
+          "n_vectors" -> idx.vectors.count().toString))
+      }
+    }
   }
 
   private def validateEmbeddingMeta(meta: Map[String, String],
@@ -1020,6 +1050,16 @@ object Similarity {
         s"$SignLshLattice — its band keys are not reproducible here; rebuild")
   }
 
+  /** Resolves the version root and validates metadata in one step —
+    * every embedding-index entry point's first line. */
+  private def embMeta(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): (String, Map[String, String]) = {
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
+    validateEmbeddingMeta(meta, dir)
+    (root, meta)
+  }
+
   /** Loads a [[writeEmbeddingIndex]] artifact, refusing an index whose
     * kind or lattice fingerprint this engine cannot reproduce. bands and
     * rowBits come FROM the metadata — the blocking that cut the
@@ -1029,17 +1069,18 @@ object Similarity {
     * auditable: rebuild when autoRowBits(held corpus) != rowBits). */
   def readEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
                          dir: String): EmbeddingIndex = {
-    val meta = Dedup.readMeta(spark, dir)
-    validateEmbeddingMeta(meta, dir)
+    // version snapshot: resolve once — this handle keeps serving the
+    // resolved version even while a rebuild commits the next one
+    val (root, meta) = embMeta(spark, dir)
     // tombstone mask at the one choke point every consumer shares —
     // see deleteFromEmbeddingIndex
-    val tombs = Dedup.committedTombsAt(spark, s"$dir/tomb", meta, "vec_id")
+    val tombs = Dedup.committedTombsAt(spark, s"$root/tomb", meta, "vec_id")
     def live(df: DataFrame): DataFrame =
       tombs.fold(df)(t => df.join(t, Seq("vec_id"), "left_anti"))
     EmbeddingIndex(
-      live(Dedup.committedOnly(spark.read.parquet(s"$dir/bands"), meta)
+      live(Dedup.committedOnly(spark.read.parquet(s"$root/bands"), meta)
         .select("vec_id", "band_idx", "band_key")),
-      live(Dedup.committedOnly(spark.read.parquet(s"$dir/vectors"), meta)
+      live(Dedup.committedOnly(spark.read.parquet(s"$root/vectors"), meta)
         .select("vec_id", "embedding")),
       meta("bands").toInt, meta("rowBits").toInt)
   }
@@ -1056,21 +1097,21 @@ object Similarity {
     * appends; a tombstoned id stays gone until a rebuild. */
   def deleteFromEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
                                dir: String, tombstones: DataFrame,
-                               batchId: Option[Long] = None): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
-    validateEmbeddingMeta(meta, dir)
+                               batchId: Option[Long] = None): Unit =
+    IndexLease.withLease(spark, dir, "deleteFromEmbeddingIndex") {
+    val (root, meta) = embMeta(spark, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
     val ids = tombstones.select(col("vec_id").cast("long").as("vec_id"))
       .distinct()
     val (fresh, relT) = Dedup.materializeTracked(
-      Dedup.committedTombsAt(spark, s"$dir/tomb", meta, "vec_id")
+      Dedup.committedTombsAt(spark, s"$root/tomb", meta, "vec_id")
         .fold(ids)(t => ids.join(t, Seq("vec_id"), "left_anti")))
     try {
       val nDel = Dedup.committedOnly(
-        spark.read.parquet(s"$dir/vectors"), meta)
+        spark.read.parquet(s"$root/vectors"), meta)
         .select("vec_id").join(fresh, Seq("vec_id"), "left_semi").count()
-      Dedup.writeIndexTable(fresh, batchId.getOrElse(-1L), s"$dir/tomb")
-      Dedup.writeMeta(spark, dir,
+      Dedup.writeIndexTable(fresh, batchId.getOrElse(-1L), s"$root/tomb")
+      Dedup.writeMeta(spark, root,
         meta + ("n_vectors" -> (meta("n_vectors").toLong - nDel).toString)
           ++ batchId.map(b => "last_committed_batch" -> b.toString))
     } finally relT()
@@ -1094,9 +1135,12 @@ object Similarity {
                              allowOccupancyDrift: Boolean = false,
                              batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
-    val meta = Dedup.readMeta(spark, dir)
-    validateEmbeddingMeta(meta, dir)
+    IndexLease.withLease(spark, dir, "appendToEmbeddingIndex") {
+    val (root, meta) = embMeta(spark, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
+    Dedup.refuseTombedReinserts(batch, "vec_id",
+      Dedup.committedTombsAt(spark, s"$root/tomb", meta, "vec_id"),
+      "vec_id", "appendToEmbeddingIndex", dir)
     val bands = meta("bands").toInt
     val rowBits = meta("rowBits").toInt
     val cc = Dedup.materialize(batch.select(col("vec_id"), col("embedding")))
@@ -1112,10 +1156,11 @@ object Similarity {
     }
     val part = batchId.getOrElse(-1L)
     Dedup.writeIndexTable(withBandKeys(cc, bands, rowBits), part,
-      s"$dir/bands")
-    Dedup.writeIndexTable(cc, part, s"$dir/vectors")
-    Dedup.writeMeta(spark, dir, meta + ("n_vectors" -> nNew.toString)
+      s"$root/bands")
+    Dedup.writeIndexTable(cc, part, s"$root/vectors")
+    Dedup.writeMeta(spark, root, meta + ("n_vectors" -> nNew.toString)
       ++ batchId.map(b => "last_committed_batch" -> b.toString))
+    }
   }
 
   /** One CDC change-batch applied to the embedding index atomically
@@ -1135,14 +1180,18 @@ object Similarity {
   def applyEmbeddingCdc(spark: org.apache.spark.sql.SparkSession,
                         dir: String, newVectors: DataFrame,
                         tombstones: DataFrame, batchId: Long,
-                        allowOccupancyDrift: Boolean = false): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
-    validateEmbeddingMeta(meta, dir)
+                        allowOccupancyDrift: Boolean = false): Unit =
+    IndexLease.withLease(spark, dir, "applyEmbeddingCdc") {
+    val (root, meta) = embMeta(spark, dir)
     if (batchId <= Dedup.lastCommittedBatch(meta)) return
     val ids = tombstones.select(col("vec_id").cast("long").as("vec_id"))
       .distinct()
+    val priorTombs =
+      Dedup.committedTombsAt(spark, s"$root/tomb", meta, "vec_id")
+    Dedup.refuseTombedReinserts(newVectors, "vec_id", priorTombs, "vec_id",
+      "applyEmbeddingCdc", dir)
     val (fresh, relT) = Dedup.materializeTracked(
-      Dedup.committedTombsAt(spark, s"$dir/tomb", meta, "vec_id")
+      priorTombs
         .fold(ids)(t => ids.join(t, Seq("vec_id"), "left_anti")))
     try {
       val bands = meta("bands").toInt
@@ -1152,22 +1201,29 @@ object Similarity {
         newVectors.join(ids, Seq("vec_id"), "left_anti")
           .select(col("vec_id"), col("embedding")))
       val nDel = Dedup.committedOnly(
-        spark.read.parquet(s"$dir/vectors"), meta)
+        spark.read.parquet(s"$root/vectors"), meta)
         .select("vec_id").join(fresh, Seq("vec_id"), "left_semi").count()
       val nNew = meta("n_vectors").toLong + cc.count() - nDel
       if (!allowOccupancyDrift) {
+        // growth direction ONLY (auto > rowBits): occupancy past the
+        // sizing target inflates per-batch candidate volume — refuse.
+        // The shrink direction (a net-deleting stream dropping n below
+        // the current rowBits bracket) is NOT refused: the stored keys
+        // stay valid, occupancy falls BELOW target (fewer candidates,
+        // same recall), and a delete-heavy stream must keep draining —
+        // rebuilding to re-tighten the bucket space is optional hygiene.
         val auto = autoRowBits(nNew)
-        require(auto == rowBits,
-          s"applyEmbeddingCdc: index at $dir at live n=$nNew vectors " +
-            s"-> autoRowBits=$auto, but its keys were cut at " +
+        require(auto <= rowBits,
+          s"applyEmbeddingCdc: index at $dir grown to live n=$nNew " +
+            s"vectors -> autoRowBits=$auto, but its keys were cut at " +
             s"rowBits=$rowBits — rebuild with writeEmbeddingIndex, or " +
             "pass allowOccupancyDrift=true to accept the extra candidates")
       }
       Dedup.writeIndexTable(withBandKeys(cc, bands, rowBits), batchId,
-        s"$dir/bands")
-      Dedup.writeIndexTable(cc, batchId, s"$dir/vectors")
-      Dedup.writeIndexTable(fresh, batchId, s"$dir/tomb")
-      Dedup.writeMeta(spark, dir, meta + ("n_vectors" -> nNew.toString)
+        s"$root/bands")
+      Dedup.writeIndexTable(cc, batchId, s"$root/vectors")
+      Dedup.writeIndexTable(fresh, batchId, s"$root/tomb")
+      Dedup.writeMeta(spark, root, meta + ("n_vectors" -> nNew.toString)
         + ("last_committed_batch" -> batchId.toString))
     } finally relT()
   }
@@ -1180,18 +1236,16 @@ object Similarity {
     * maintenance. */
   def compactEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
                             dir: String, targetFiles: Int = 4): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
-    validateEmbeddingMeta(meta, dir)
-    // a delete-heavy CDC stream fragments the tombstone table at the
-    // same per-batch cadence — fold it too (rows preserved; physical
-    // removal stays rebuild's job)
-    if (Dedup.indexTableHasData(spark, s"$dir/tomb"))
-      Dedup.compactTable(spark, s"$dir/tomb", meta, targetFiles,
-        Seq("vec_id"))
-    Dedup.compactTable(spark, s"$dir/bands", meta, targetFiles,
-      Seq("vec_id", "band_idx", "band_key"))
-    Dedup.compactTable(spark, s"$dir/vectors", meta, targetFiles,
-      Seq("vec_id", "embedding"))
+    IndexLease.withLease(spark, dir, "compactEmbeddingIndex") {
+      embMeta(spark, dir) // validate kind/lattice before committing
+      // tomb rides along when present: a delete-heavy CDC stream
+      // fragments it at the same per-batch cadence (rows preserved;
+      // physical removal stays rebuild's job)
+      Dedup.compactTables(spark, dir, targetFiles,
+        Seq("bands" -> Seq("vec_id", "band_idx", "band_key"),
+          "vectors" -> Seq("vec_id", "embedding")),
+        optional = Seq("tomb" -> Seq("vec_id")))
+    }
   }
 
   /** Re-cuts a persisted embedding index's band keys FROM ITS OWN
@@ -1207,18 +1261,18 @@ object Similarity {
     * skips folded batches. Offline single-writer maintenance. */
   def rebuildEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
                             dir: String, bands: Int = 0,
-                            rowBits: Int = 0): Unit = {
-    val meta = Dedup.readMeta(spark, dir)
-    validateEmbeddingMeta(meta, dir)
+                            rowBits: Int = 0): Unit =
+    IndexLease.withLease(spark, dir, "rebuildEmbeddingIndex") {
+    val (root, meta) = embMeta(spark, dir)
     val nb = if (bands > 0) bands else meta("bands").toInt
-    val held = Dedup.committedOnly(spark.read.parquet(s"$dir/vectors"), meta)
+    val held = Dedup.committedOnly(spark.read.parquet(s"$root/vectors"), meta)
       .select(col("vec_id"), col("embedding"))
     // LIVE set only: tombstoned vectors are physically dropped and the
-    // tombstone table vanishes with the old layout (one-directory swap;
-    // Dedup.recoverSwap repairs its crash window)
-    val liveVecs = Dedup.committedTombsAt(spark, s"$dir/tomb", meta, "vec_id")
+    // tombstone table vanishes with the old layout (pointer commit —
+    // the new version simply has no tomb table)
+    val liveVecs = Dedup.committedTombsAt(spark, s"$root/tomb", meta, "vec_id")
       .fold(held)(t => held.join(t, Seq("vec_id"), "left_anti"))
-    // materialized: the swap below deletes the files this reads
+    // materialized: both derived tables and the count reuse it
     val (cc, release) = Dedup.materializeTracked(liveVecs)
     try {
       val n = cc.count()

@@ -1063,6 +1063,97 @@ object Extensions {
       Dedup.crossMinhashPairs(docs.filter(col("doc_id") % 2 === 1),
         Dedup.readMinhashIndex(s, s"$root/idx"), "doc_id", "text", 0.5)
     }),
+    // END-TO-END lifecycle composite (one gate, four families): ONE
+    // change history fans through the IndexCdc façade into
+    // minhash + prefix + BM25 + IVF simultaneously — write on the even
+    // corpus minus its %10=4 slice, three CDC batches inserting that
+    // slice (%30 ∈ {4,14,24}) and deleting the %10=6 docs
+    // (%30 ∈ {6,16,26}), then a delete-only takedown batch (%10=8),
+    // compaction, and a full fsck — before ALL FOUR boards are served
+    // from the stored artifacts and unioned under one schema. Net live
+    // everywhere = even ∧ %10∉{6,8}; the oracle replays each family's
+    // own arithmetic over exactly that corpus. Per-family gates can't
+    // see cross-family interactions (shared scratch roots, memo
+    // collisions, marker/meta conventions drifting apart) — this one
+    // does, and it exercises apply → takedown → compact → audit →
+    // serve as one history, not five.
+    "lifecycle_composite" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val e = Tables.embeddings(s, d)
+      val root = graft.sources.Scratch.dir(
+        s"lccomp_${java.util.UUID.randomUUID.toString.take(8)}")
+      val (mh, pfx, bm, ivf) =
+        (s"$root/mh", s"$root/pfx", s"$root/bm", s"$root/ivf")
+      val baseDocs = docs.filter(col("doc_id") % 2 === 0 &&
+        col("doc_id") % 10 =!= 4)
+      Dedup.writeMinhashIndex(baseDocs, "doc_id", "text", mh)
+      graft.operators.SimJoin.writePrefixIndex(baseDocs, "doc_id", "text",
+        6, 10, pfx)
+      graft.operators.Bm25Index.write(baseDocs, bm)
+      Similarity.writeIvfIndex(e.filter(col("vec_id") % 2 === 0 &&
+        col("vec_id") % 10 =!= 4), ivf)
+      val docDirs = Seq(mh, pfx, bm)
+      (0 to 2).foreach { b =>
+        val ins = docs.filter(col("doc_id") % 30 === 10 * b + 4)
+        val del = docs.filter(col("doc_id") % 30 === 10 * b + 6)
+          .select("doc_id")
+        docDirs.foreach(dir =>
+          graft.operators.IndexCdc.apply(s, dir, ins, del, b.toLong))
+        graft.operators.IndexCdc.apply(s, ivf,
+          e.filter(col("vec_id") % 30 === 10 * b + 4),
+          e.filter(col("vec_id") % 30 === 10 * b + 6).select("vec_id"),
+          b.toLong)
+      }
+      // the takedown is itself a CDC batch — delete-only, empty insert
+      // side (the born-empty shape the index readers must absorb)
+      docDirs.foreach(dir => graft.operators.IndexCdc.apply(s, dir,
+        docs.limit(0), docs.filter(col("doc_id") % 10 === 8)
+          .select("doc_id"), 3L))
+      graft.operators.IndexCdc.apply(s, ivf, e.limit(0),
+        e.filter(col("vec_id") % 10 === 8).select("vec_id"), 3L)
+      // hygiene + fsck before serving: fold the per-batch fragmentation,
+      // then require a clean bill — IN the gate, so a cross-family
+      // regression fails the correctness battery, not just a unit law
+      (docDirs :+ ivf).foreach { dir =>
+        graft.operators.IndexCdc.compact(s, dir)
+        val errs = graft.operators.IndexAudit.audit(s, dir)
+          .filter(col("status") === "ERROR")
+          .select("chk").limit(3).collect().map(_.getString(0))
+        require(errs.isEmpty,
+          s"lifecycle_composite: fsck found ${errs.mkString(", ")} at $dir")
+      }
+      val probe = docs.filter(col("doc_id") % 2 === 1)
+      val nullRk = lit(null).cast("int").as("rk")
+      val mhBoard = Dedup.crossMinhashPairs(probe,
+        Dedup.readMinhashIndex(s, mh), "doc_id", "text", 0.5)
+        .select(lit("minhash").as("board"),
+          col("new_id").cast("long").as("a"),
+          col("matched_id").cast("long").as("b"),
+          col("jaccard").cast("double").as("score"), nullRk)
+      val pfxBoard = graft.operators.SimJoin.crossPrefixJoin(s, probe, pfx)
+        .select(lit("prefix").as("board"),
+          col("new_id").cast("long").as("a"),
+          col("matched_id").cast("long").as("b"),
+          col("jaccard").cast("double").as("score"), nullRk)
+      val bmBoard = graft.operators.Bm25Index.crossBm25TopK(s,
+        docs.filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+              .as("query_text")), bm, k = 5)
+        .select(lit("bm25").as("board"),
+          col("query_id").cast("long").as("a"),
+          col("doc_id").cast("long").as("b"),
+          col("score_micro").cast("double").as("score"),
+          col("rk").cast("int").as("rk"))
+      val ivfBoard = Similarity.ivfTopKIndexed(
+        Similarity.readIvfIndex(s, ivf), e.filter(col("vec_id") < 5), 10)
+        .select(lit("ivf").as("board"), col("qid").cast("long").as("a"),
+          col("vec_id").cast("long").as("b"),
+          col("sim").cast("double").as("score"),
+          col("rk").cast("int").as("rk"))
+      mhBoard.unionByName(pfxBoard).unionByName(bmBoard)
+        .unionByName(ivfBoard)
+    }),
     // ORCHESTRATION gate (the reference's scheduler semantics,
     // dags/etl.py:148-157): the three reference sinks driven by
     // file-arrival through RefOrchestration.runIncremental. Two fact
@@ -3508,6 +3599,35 @@ object Extensions {
   private val bm25CdcOracle: String = bm25OracleFor(
     "doc_id % 29 <> 0 AND NOT (doc_id % 13 = 5 AND doc_id % 10 <> 3)")
 
+  /** The four-family lifecycle composite: every board replayed by its
+    * own family's oracle arithmetic over the ONE net-live corpus the
+    * shared change history leaves (even ∧ %10∉{6,8} — base evens minus
+    * %10=4, CDC re-inserting %10=4 and deleting %10=6, takedown %10=8),
+    * then unioned under the gate's harmonized (board, a, b, score, rk)
+    * schema. IVF trains on the BASE (the stored quantizer never
+    * retrains on append), like the sim_ivf_appended replay. */
+  private val lifecycleCompositeOracle: String = {
+    val docLive = "doc_id % 2 = 0 AND doc_id % 10 <> 6 AND doc_id % 10 <> 8"
+    s"""
+      SELECT 'minhash' AS board, new_id AS a, matched_id AS b,
+             jaccard AS score, CAST(NULL AS INTEGER) AS rk
+      FROM (${incrementalOracleFor(
+        "b.doc_id % 2 = 0 AND b.doc_id % 10 <> 6 AND b.doc_id % 10 <> 8")}) mhx
+      UNION ALL
+      SELECT 'prefix' AS board, new_id AS a, matched_id AS b,
+             jaccard AS score, CAST(NULL AS INTEGER) AS rk
+      FROM (${prefixIncrOracleFor(docLive)}) pfxx
+      UNION ALL
+      SELECT 'bm25' AS board, query_id AS a, doc_id AS b,
+             CAST(score_micro AS DOUBLE) AS score, rk
+      FROM (${bm25OracleFor(docLive)}) bmx
+      UNION ALL
+      SELECT 'ivf' AS board, qid AS a, vec_id AS b, sim AS score, rk
+      FROM (${ivfOracleFor("vec_id % 2 = 0 AND vec_id % 10 <> 4",
+        corpusWhere =
+          "vec_id % 2 = 0 AND vec_id % 10 <> 6 AND vec_id % 10 <> 8")}) ivfx"""
+  }
+
   /** Shared by `retrieval_rrf` and `stream_retrieval_rrf` (batch-wise
     * serving composes exactly over independent per-query boards). */
   private val rrfOracle: String = s"""
@@ -4064,8 +4184,10 @@ object Extensions {
     "q_index_audit" -> """
       SELECT chk, status FROM (VALUES
         ('swap_residue', 'OK'), ('layout', 'OK'), ('kind', 'OK'),
+        ('versions', 'OK'), ('lease', 'OK'),
         ('table:bands', 'OK'), ('uncommitted:bands', 'OK'),
         ('table:sets', 'OK'), ('uncommitted:sets', 'OK'),
+        ('fragmentation', 'OK'),
         ('tomb', 'OK'), ('count', 'OK')) AS t(chk, status)""",
     // rebuild+compact must be lossless → same oracle as the fresh index
     "dedup_index_rebuild" -> incrementalOracle,
@@ -4348,6 +4470,7 @@ object Extensions {
     "sim_ivf_del" -> ivfDeletedOracle,
     // base-trained quantizer, net live rows after the CDC drain
     "stream_ivf_cdc" -> ivfCdcOracle,
+    "lifecycle_composite" -> lifecycleCompositeOracle,
     "sim_ivf_quantized" -> ivfQuantizedOracle,
     "sim_ivf_appended" -> ivfAppendedOracle,
     // streamed appends fold to the same committed content

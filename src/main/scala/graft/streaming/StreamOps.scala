@@ -619,7 +619,8 @@ object StreamOps {
                                         outDir: String,
                                         jaccardMin: Double): Unit = {
     val spark = batch.sparkSession
-    val meta = graft.operators.Dedup.readMeta(spark, idxDir)
+    val meta = graft.operators.Dedup.readMeta(spark,
+      graft.operators.Dedup.indexRoot(spark, idxDir))
     if (batchId <= graft.operators.Dedup.lastCommittedBatch(meta)) return
     val b = batch.persist()
     try {
@@ -717,7 +718,8 @@ object StreamOps {
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       batchId: Long, idxDir: String, outDir: String): Unit = {
     val spark = batch.sparkSession
-    val meta = graft.operators.Dedup.readMeta(spark, idxDir)
+    val meta = graft.operators.Dedup.readMeta(spark,
+      graft.operators.Dedup.indexRoot(spark, idxDir))
     if (batchId <= graft.operators.Dedup.lastCommittedBatch(meta)) return
     val b = batch.persist()
     try {
@@ -808,7 +810,8 @@ object StreamOps {
                                                  outDir: String,
                                                  cosMin: Double): Unit = {
     val spark = batch.sparkSession
-    val meta = graft.operators.Dedup.readMeta(spark, idxDir)
+    val meta = graft.operators.Dedup.readMeta(spark,
+      graft.operators.Dedup.indexRoot(spark, idxDir))
     if (batchId <= graft.operators.Dedup.lastCommittedBatch(meta)) return
     val b = batch.persist()
     try {

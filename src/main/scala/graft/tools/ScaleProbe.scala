@@ -653,6 +653,62 @@ object ScaleProbe {
     val (cfF, cfC, ctF, ctC) = compactEffect()
     println(f"[scaleprobe] compact effect: files $cfF->$cfC " +
       f"serve $ctF%5.2fs->$ctC%5.2fs speedup=${ctF / ctC}%4.2f")
+    // Churn resilience for ANN serving (VERDICT r15 missing #3): the
+    // delete-heavy twin of drift_recall. Tombstone ~50% of an IVF
+    // index's vectors (batch-fragmented, like a real CDC feed), then
+    // measure top-10 recall vs the LIVE-corpus brute-force truth and
+    // the serve wall at each lifecycle station: fresh → deleted
+    // (masked, cells thinned) → compacted (tomb folded, rows
+    // preserved) → rebuilt (physical removal + retrain). Recall is the
+    // semantics claim (masking serves the live board exactly as cut
+    // cells allow); the serve walls price what masking costs and what
+    // compact/rebuild each reclaim.
+    def churnRecall(): (Seq[Double], Seq[Double]) = {
+      val e = graft.sources.Tables.embeddings(spark, base)
+      val idxDir = graft.sources.Scratch.dir("probe-churnrec")
+      graft.operators.Similarity.writeIvfIndex(e, idxDir)
+      val queries = e.filter(col("vec_id") < 5)
+      def pairs(df: DataFrame): Set[(Long, Long)] =
+        df.select(col("qid"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def station(): (Double, Double) = {
+        val idx = graft.operators.Similarity.readIvfIndex(spark, idxDir)
+        val corpus = idx.assigned
+          .select(col("vec_id"), col("v").as("embedding"))
+        val truth = pairs(graft.operators.Similarity
+          .bruteForceTopK(corpus, queries, 10))
+        val board = graft.operators.Similarity.ivfTopKIndexed(idx,
+          queries, 10)
+        val rec = pairs(board).intersect(truth).size.toDouble /
+          math.max(1, truth.size)
+        board.write.format("noop").mode("overwrite").save() // warm
+        System.gc()
+        val t0 = System.nanoTime()
+        graft.operators.Similarity.ivfTopKIndexed(
+          graft.operators.Similarity.readIvfIndex(spark, idxDir),
+          queries, 10).write.format("noop").mode("overwrite").save()
+        (rec, (System.nanoTime() - t0) / 1e9)
+      }
+      val fresh = station()
+      // ~50% churn, fragmented across 4 tombstone batches the way a
+      // delete-heavy CDC feed lands it
+      (0 until 4).foreach { b =>
+        graft.operators.Similarity.deleteFromIvfIndex(spark, idxDir,
+          e.filter(col("vec_id") % 8 === 2 * b + 1).select("vec_id"),
+          batchId = Some(b.toLong))
+      }
+      val deleted = station()
+      graft.operators.Similarity.compactIvfIndex(spark, idxDir)
+      val compacted = station()
+      graft.operators.Similarity.rebuildIvfIndex(spark, idxDir)
+      val rebuilt = station()
+      (Seq(fresh._1, deleted._1, compacted._1, rebuilt._1),
+        Seq(fresh._2, deleted._2, compacted._2, rebuilt._2))
+    }
+    val (chRec, chServe) = churnRecall()
+    println(f"[scaleprobe] churn recall (fresh/del/compact/rebuild): " +
+      s"recall ${chRec.map(r => f"$r%.2f").mkString("/")} " +
+      s"serve ${chServe.map(t => f"$t%.2f").mkString("/")}s")
     sentinel("end")
     val sentinelSpread = sentinelTimes.max / sentinelTimes.min
     println(f"[scaleprobe] sentinel spread=${sentinelSpread}%4.2f " +
@@ -687,6 +743,13 @@ object ScaleProbe {
         f""""slack_fold":{"t1":$sf1%.3f,"tN":$sfN%.3f,"perCopy":${sfN / sf1 / copies}%.3f,""" +
         f""""stateRows1":$sr1,"stateRowsN":$srN},""" +
         f""""drift_recall":{"inDist":$recIn%.3f,"shifted":$recShift%.3f},""" +
+        f""""churn_recall":{"recallFresh":${chRec(0)}%.3f,""" +
+        f""""recallDeleted":${chRec(1)}%.3f,""" +
+        f""""recallCompacted":${chRec(2)}%.3f,""" +
+        f""""recallRebuilt":${chRec(3)}%.3f,""" +
+        f""""serveFresh":${chServe(0)}%.3f,"serveDeleted":${chServe(1)}%.3f,""" +
+        f""""serveCompacted":${chServe(2)}%.3f,""" +
+        f""""serveRebuilt":${chServe(3)}%.3f},""" +
         f""""compact_effect":{"filesFrag":$cfF,"filesCompact":$cfC,""" +
         f""""serveFrag":$ctF%.3f,"serveCompact":$ctC%.3f,""" +
         f""""speedup":${ctF / ctC}%.3f},""" +

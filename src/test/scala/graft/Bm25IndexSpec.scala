@@ -63,7 +63,7 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
     val post = TextOps.docTermFreqs(delta, "doc_id", "text")
     post.withColumn("ingest_batch", lit(0L))
       .write.partitionBy("ingest_batch").mode("append")
-      .parquet(s"$dir/postings")
+      .parquet(s"${idxRoot(dir)}/postings")
     assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5))
       == baseBoard, "uncommitted partition leaked into the served board")
     // the replayed batch overwrites its own partitions and commits
@@ -85,13 +85,13 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
       walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
     }
-    val filesBefore = parquetFiles(s"$dir/postings")
+    val filesBefore = parquetFiles(s"${idxRoot(dir)}/postings")
     Bm25Index.rebuild(spark, dir, targetFiles = 1)
     assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5)) == before,
       "rebuild moved the served board")
-    assert(parquetFiles(s"$dir/postings") < filesBefore,
+    assert(parquetFiles(s"${idxRoot(dir)}/postings") < filesBefore,
       "rebuild did not reduce the postings file count")
-    assert(Dedup.readMeta(spark, dir)
+    assert(Dedup.readMeta(spark, idxRoot(dir))
       .get("last_committed_batch").contains("7"),
       "rebuild lost the commit marker")
     // a replayed batch ≤ marker still skips post-rebuild (its rows
@@ -154,7 +154,7 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
       corpus.filter(col("doc_id") % 5 === 1), "doc_id", "text")
     delPost.groupBy("term").agg((-count(lit(1))).as("df"))
       .withColumn("ingest_batch", lit(0L))
-      .write.partitionBy("ingest_batch").mode("append").parquet(s"$dir/df")
+      .write.partitionBy("ingest_batch").mode("append").parquet(s"${idxRoot(dir)}/df")
     assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5)) == before,
       "uncommitted delete partials leaked into the served board")
     // replay overwrites the torn partition and commits all four pieces
@@ -210,15 +210,15 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
       corpus.filter(col("doc_id") % 5 === 1).select("doc_id"),
       batchId = Some(0L))
     val before = board(Bm25Index.crossBm25TopK(spark, queries, dir, 5))
-    val postRows = spark.read.parquet(s"$dir/postings").count()
+    val postRows = spark.read.parquet(s"${idxRoot(dir)}/postings").count()
     Bm25Index.rebuild(spark, dir, targetFiles = 1)
-    assert(!new java.io.File(s"$dir/tomb").exists(),
+    assert(!new java.io.File(s"${idxRoot(dir)}/tomb").exists(),
       "rebuild left the tombstone table behind")
-    assert(spark.read.parquet(s"$dir/postings").count() < postRows,
+    assert(spark.read.parquet(s"${idxRoot(dir)}/postings").count() < postRows,
       "rebuild did not physically drop tombstoned postings")
     assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5)) == before,
       "delete-compacting rebuild moved the served board")
-    assert(Dedup.readMeta(spark, dir)
+    assert(Dedup.readMeta(spark, idxRoot(dir))
       .get("last_committed_batch").contains("0"),
       "rebuild lost the commit marker")
   }

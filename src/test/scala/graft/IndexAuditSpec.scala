@@ -30,14 +30,55 @@ class IndexAuditSpec extends AnyFunSuite with SparkSpec {
     Dedup.deleteFromMinhashIndex(spark, dir,
       docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 5 === 1)
         .select("doc_id"), batchId = Some(1L))
-    val metaBefore = Dedup.readMeta(spark, dir)
+    val metaBefore = Dedup.readMeta(spark, idxRoot(dir))
     val s = statuses(dir)
     assert(s.values.forall(_ == "OK"), s"healthy index not clean: $s")
-    assert(s.keySet == Set("swap_residue", "layout", "kind",
-      "table:bands", "uncommitted:bands", "table:sets",
-      "uncommitted:sets", "tomb", "count"))
-    assert(Dedup.readMeta(spark, dir) == metaBefore,
+    assert(s.keySet == Set("swap_residue", "layout", "versions", "lease",
+      "kind", "table:bands", "uncommitted:bands", "table:sets",
+      "uncommitted:sets", "fragmentation", "tomb", "count"))
+    assert(Dedup.readMeta(spark, idxRoot(dir)) == metaBefore,
       "audit mutated the index metadata")
+    // the metadata-only tier: same structural checks, NO data scans —
+    // the count/scan rows are absent, everything else still audits OK
+    val sm = IndexAudit.audit(spark, dir, countChecks = false).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sm.values.forall(_ == "OK"), s"metadata tier not clean: $sm")
+    assert(sm.keySet == Set("swap_residue", "layout", "versions", "lease",
+      "kind", "table:bands", "uncommitted:bands", "table:sets",
+      "uncommitted:sets", "fragmentation", "tomb"),
+      "metadata-only tier must drop exactly the scan-tier rows")
+  }
+
+  test("fragmentation past the file bound: WARN naming the compact op") {
+    val dir = graft.sources.Scratch.dir("audit-frag")
+    Dedup.writeMinhashIndex(docs.limit(50), "doc_id", "text", dir)
+    val s = IndexAudit.audit(spark, dir, countChecks = false,
+      maxFilesPerTable = 0).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(s("fragmentation") == "WARN")
+    val det = IndexAudit.audit(spark, dir, countChecks = false,
+      maxFilesPerTable = 0).filter(col("chk") === "fragmentation")
+      .head().getString(2)
+    assert(det.contains("compactMinhashIndex"),
+      s"fragmentation WARN must name the family's compact op, got: $det")
+  }
+
+  test("torn synchronous bm25 delete: stats_consistency catches the " +
+    "silent skew no marker can") {
+    val dir = graft.sources.Scratch.dir("audit-tornbmdel")
+    graft.operators.Bm25Index.write(
+      docs.filter(col("doc_id") % 2 === 0), dir)
+    assert(statuses(dir)("stats_consistency") == "OK")
+    // simulate a batchId=None delete crashing after its tomb write but
+    // before the negative df/stats partials land: doc masked, stats
+    // still counted — the base partition is always committed, so no
+    // replay heals it and only the live-recompute cross-check sees it
+    import spark.implicits._
+    Dedup.writeIndexTable(Seq(0L, 2L).toDF("doc_id"), -1L, s"${idxRoot(dir)}/tomb")
+    val s = statuses(dir)
+    assert(s("stats_consistency") == "ERROR",
+      s"torn delete skew not flagged: $s")
+    assert(detailOf(dir, "stats_consistency").contains("rebuild"))
   }
 
   test("torn swap window: ERROR naming recoverSwap; repair then clean") {
@@ -73,8 +114,8 @@ class IndexAuditSpec extends AnyFunSuite with SparkSpec {
       "doc_id", "text", dir, batchId = Some(0L))
     // simulate a crash mid-append: partition 5 written, marker never
     // advanced (copy partition 0's files under ingest_batch=5)
-    val src = new java.io.File(s"$dir/sets/ingest_batch=0")
-    val dst = new java.io.File(s"$dir/sets/ingest_batch=5")
+    val src = new java.io.File(s"${idxRoot(dir)}/sets/ingest_batch=0")
+    val dst = new java.io.File(s"${idxRoot(dir)}/sets/ingest_batch=5")
     dst.mkdirs()
     src.listFiles().foreach { f =>
       java.nio.file.Files.copy(f.toPath,
@@ -91,8 +132,8 @@ class IndexAuditSpec extends AnyFunSuite with SparkSpec {
     val dir = graft.sources.Scratch.dir("audit-drift")
     Dedup.writeMinhashIndex(docs.limit(50), "doc_id", "text", dir)
     // tamper n_docs the way a contract-violating second writer would
-    val meta = Dedup.readMeta(spark, dir)
-    Dedup.writeMeta(spark, dir,
+    val meta = Dedup.readMeta(spark, idxRoot(dir))
+    Dedup.writeMeta(spark, idxRoot(dir),
       meta + ("n_docs" -> (meta("n_docs").toLong + 7).toString))
     val s = statuses(dir)
     assert(s("count") == "ERROR", s"count drift not flagged: $s")
@@ -110,6 +151,8 @@ class IndexAuditSpec extends AnyFunSuite with SparkSpec {
     val sb = statuses(bmDir)
     assert(sb.values.forall(_ == "OK"), s"bm25 lifecycle not clean: $sb")
     assert(sb.contains("stats_fold"))
+    assert(sb.contains("stats_consistency"),
+      "bm25 scan tier must cross-check folded partials vs live postings")
     val e = graft.sources.Tables.embeddings(spark, base)
     val ivfDir = graft.sources.Scratch.dir("audit-ivf")
     Similarity.writeIvfIndex(e.filter(col("vec_id") % 4 =!= 1), ivfDir)

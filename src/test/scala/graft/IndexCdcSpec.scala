@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Bm25Index, Dedup, IndexCdc, Similarity, SimJoin}
+
+/** The cross-family CDC contract, pinned as ONE law (VERDICT r15 ask
+  * #6): the five persisted index families share the change-stream
+  * contract — one marker per batch, delete-wins in batch, counts
+  * netting to live, replay skipping — in five separate appliers, which
+  * is exactly the shape that drifts as families evolve. `IndexCdc`
+  * routes on the index's own `kind` metadata; this spec drives the SAME
+  * change history through every family via the façade and demands the
+  * same observable: the live id set equals the net of the history. */
+class IndexCdcSpec extends AnyFunSuite with SparkSpec {
+
+  val base = "/root/testdata/sf0.001"
+
+  // the shared change history, as id predicates: initial load is the
+  // evens; two CDC batches insert disjoint odd slices and tombstone
+  // even slices (disjoint from all inserts — re-inserting a committed
+  // tombstone is refused by contract, tested per-family elsewhere)
+  private def initial(idc: String) = col(idc) % 2 === 0
+  private val batches = Seq(
+    (1L, (idc: String) => col(idc) % 10 === 3,
+      (idc: String) => col(idc) % 20 === 4),
+    (2L, (idc: String) => col(idc) % 10 === 7,
+      (idc: String) => col(idc) % 20 === 12))
+  private def netLive(idc: String) =
+    (initial(idc) && col(idc) % 20 =!= 4 && col(idc) % 20 =!= 12) ||
+      col(idc) % 10 === 3 || col(idc) % 10 === 7
+
+  private def ids(df: DataFrame, idc: String): Set[Long] =
+    df.select(col(idc).cast("long")).collect().map(_.getLong(0)).toSet
+
+  test("one change history through all five families nets to the same " +
+    "live set; replay skips; compact preserves it") {
+    val docs = graft.sources.Tables.documents(spark, base)
+    val embs = graft.sources.Tables.embeddings(spark, base)
+
+    val bm25 = graft.sources.Scratch.dir("cdcf-bm25")
+    val mh = graft.sources.Scratch.dir("cdcf-mh")
+    val pfx = graft.sources.Scratch.dir("cdcf-pfx")
+    val ivf = graft.sources.Scratch.dir("cdcf-ivf")
+    val emb = graft.sources.Scratch.dir("cdcf-emb")
+
+    Bm25Index.write(docs.filter(initial("doc_id")), bm25)
+    Dedup.writeMinhashIndex(docs.filter(initial("doc_id")),
+      "doc_id", "text", mh)
+    SimJoin.writePrefixIndex(docs.filter(initial("doc_id")),
+      "doc_id", "text", 1, 2, pfx)
+    Similarity.writeIvfIndex(embs.filter(initial("vec_id")), ivf,
+      nCentroids = 4)
+    Similarity.writeEmbeddingIndex(embs.filter(initial("vec_id")), emb)
+
+    val docDirs = Seq(bm25, mh, pfx)
+    val vecDirs = Seq(ivf, emb)
+    batches.foreach { case (b, ins, del) =>
+      docDirs.foreach { d =>
+        IndexCdc.apply(spark, d, docs.filter(ins("doc_id")),
+          docs.filter(del("doc_id")).select("doc_id"), b)
+      }
+      vecDirs.foreach { d =>
+        IndexCdc.apply(spark, d, embs.filter(ins("vec_id")),
+          embs.filter(del("vec_id")).select("vec_id"), b)
+      }
+    }
+
+    val expectDocs = ids(docs.filter(netLive("doc_id")), "doc_id")
+    val expectVecs = ids(embs.filter(netLive("vec_id")), "vec_id")
+    assert(expectDocs.nonEmpty && expectVecs.nonEmpty, "vacuous history")
+    (docDirs.map(_ -> expectDocs) ++ vecDirs.map(_ -> expectVecs))
+      .foreach { case (d, want) =>
+        assert(ids(IndexCdc.liveIds(spark, d), "id") == want,
+          s"live set diverged from the contract at $d")
+      }
+
+    // replayed batch (same durable batchId): every family skips — the
+    // live set is byte-identical, no family double-applies
+    docDirs.foreach { d =>
+      IndexCdc.apply(spark, d, docs.filter(batches.last._2("doc_id")),
+        docs.filter(batches.last._3("doc_id")).select("doc_id"), 2L)
+      assert(ids(IndexCdc.liveIds(spark, d), "id") == expectDocs,
+        s"replayed batch re-applied at $d")
+    }
+
+    // façade compaction folds the per-batch fragmentation without
+    // touching the observable, whatever the family
+    (docDirs ++ vecDirs).foreach(d => IndexCdc.compact(spark, d))
+    (docDirs.map(_ -> expectDocs) ++ vecDirs.map(_ -> expectVecs))
+      .foreach { case (d, want) =>
+        assert(ids(IndexCdc.liveIds(spark, d), "id") == want,
+          s"compaction changed the live set at $d")
+      }
+  }
+
+  test("routing refuses unknown kinds and non-index dirs by name") {
+    val stranger = graft.sources.Scratch.dir("cdcf-stranger")
+    Dedup.writeMeta(spark, stranger, Map("kind" -> "not_an_index"))
+    val e = intercept[IllegalArgumentException] {
+      IndexCdc.apply(spark, stranger,
+        spark.range(1).select(col("id").as("doc_id"),
+          lit("x").as("text")),
+        spark.range(0).select(col("id").as("doc_id")), 1L)
+    }
+    assert(e.getMessage.contains("not_an_index"))
+    intercept[Exception] {
+      IndexCdc.liveIds(spark, graft.sources.Scratch.dir("cdcf-void"))
+    }
+  }
+}

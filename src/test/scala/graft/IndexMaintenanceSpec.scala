@@ -43,28 +43,28 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
     val probe = docs.filter(col("doc_id") % 2 === 1)
     def pairs() = canon(Dedup.crossMinhashPairs(probe,
       Dedup.readMinhashIndex(spark, idxDir), "doc_id", "text", 0.5))
-    val metaBefore = Dedup.readMeta(spark, idxDir)
+    val metaBefore = Dedup.readMeta(spark, idxRoot(idxDir))
     val pairsBefore = pairs()
     assert(pairsBefore.nonEmpty, "no pairs before compaction — vacuous")
-    val filesBefore = parquetFiles(s"$idxDir/bands")
+    val filesBefore = parquetFiles(s"${idxRoot(idxDir)}/bands")
     Dedup.compactMinhashIndex(spark, idxDir, targetFiles = 1)
     assert(pairs() == pairsBefore, "compaction changed query results")
-    val filesAfter = parquetFiles(s"$idxDir/bands")
+    val filesAfter = parquetFiles(s"${idxRoot(idxDir)}/bands")
     assert(filesAfter < filesBefore && filesAfter <= 1,
       s"bands files $filesBefore -> $filesAfter, expected <= 1")
-    assert(Dedup.readMeta(spark, idxDir) == metaBefore,
+    assert(Dedup.readMeta(spark, idxRoot(idxDir)) == metaBefore,
       "compaction must preserve metadata exactly")
     // the replay marker still works: a redelivered folded batch is a
     // no-op, the next batch id appends
-    val n0 = Dedup.readMeta(spark, idxDir)("n_docs").toLong
+    val n0 = Dedup.readMeta(spark, idxRoot(idxDir))("n_docs").toLong
     Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 6 === 1),
       "doc_id", "text", idxDir, batchId = Some(2L))
-    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong == n0,
+    assert(Dedup.readMeta(spark, idxRoot(idxDir))("n_docs").toLong == n0,
       "compaction lost the replay marker — folded batch re-appended")
     Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 6 === 3)
       .withColumn("doc_id", col("doc_id") + 100000), "doc_id", "text",
       idxDir, batchId = Some(3L))
-    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong > n0,
+    assert(Dedup.readMeta(spark, idxRoot(idxDir))("n_docs").toLong > n0,
       "post-compaction append failed")
   }
 
@@ -82,10 +82,10 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
       Similarity.readEmbeddingIndex(spark, idxDir), 0.3))
     val before = pairs()
     assert(before.nonEmpty, "no pairs before compaction — vacuous")
-    val filesBefore = parquetFiles(s"$idxDir/vectors")
+    val filesBefore = parquetFiles(s"${idxRoot(idxDir)}/vectors")
     Similarity.compactEmbeddingIndex(spark, idxDir, targetFiles = 1)
     assert(pairs() == before, "embedding compaction changed query results")
-    assert(parquetFiles(s"$idxDir/vectors") < filesBefore)
+    assert(parquetFiles(s"${idxRoot(idxDir)}/vectors") < filesBefore)
   }
 
   test("Bm25Index.compact: boards identical, files drop, marker + " +
@@ -108,14 +108,14 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
           1, 6)).as("query_text"))
     def board() = canon(graft.operators.Bm25Index.crossBm25TopK(
       spark, queries, idxDir, k = 5))
-    val metaBefore = Dedup.readMeta(spark, idxDir)
+    val metaBefore = Dedup.readMeta(spark, idxRoot(idxDir))
     val before = board()
     assert(before.nonEmpty, "no board before compaction — vacuous")
-    val filesBefore = parquetFiles(s"$idxDir/postings")
+    val filesBefore = parquetFiles(s"${idxRoot(idxDir)}/postings")
     graft.operators.Bm25Index.compact(spark, idxDir, targetFiles = 1)
     assert(board() == before, "BM25 compaction changed served boards")
-    assert(parquetFiles(s"$idxDir/postings") < filesBefore)
-    assert(Dedup.readMeta(spark, idxDir) == metaBefore,
+    assert(parquetFiles(s"${idxRoot(idxDir)}/postings") < filesBefore)
+    assert(Dedup.readMeta(spark, idxRoot(idxDir)) == metaBefore,
       "compaction must preserve metadata exactly")
     // tombstones still mask after folding into the base partition
     graft.operators.Bm25Index.applyCdc(spark, idxDir,
@@ -138,16 +138,16 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
     def board() = canon(Similarity.ivfTopKIndexed(
       Similarity.readIvfIndex(spark, idxDir),
       e.filter(col("vec_id") < 5), 10))
-    val metaBefore = Dedup.readMeta(spark, idxDir)
+    val metaBefore = Dedup.readMeta(spark, idxRoot(idxDir))
     val before = board()
     assert(before.nonEmpty, "no board before compaction — vacuous")
-    assert(new java.io.File(s"$idxDir/assigned_batches").exists(),
+    assert(new java.io.File(s"${idxRoot(idxDir)}/assigned_batches").exists(),
       "fixture never fragmented — vacuous")
     Similarity.compactIvfIndex(spark, idxDir)
-    assert(!new java.io.File(s"$idxDir/assigned_batches").exists(),
+    assert(!new java.io.File(s"${idxRoot(idxDir)}/assigned_batches").exists(),
       "compaction left the per-batch subtree behind")
     assert(board() == before, "IVF compaction changed served boards")
-    assert(Dedup.readMeta(spark, idxDir) == metaBefore,
+    assert(Dedup.readMeta(spark, idxRoot(idxDir)) == metaBefore,
       "compaction must preserve metadata (marker, cell_hist) exactly")
     // folded batches still skip on replay
     val nBefore = Similarity.readIvfIndex(spark, idxDir).assigned.count()
@@ -172,15 +172,15 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
     val probe = docs.filter(col("doc_id") % 4 === 2)
     def pairs() = canon(graft.operators.SimJoin.crossPrefixJoin(
       spark, probe, idxDir))
-    val metaBefore = Dedup.readMeta(spark, idxDir)
+    val metaBefore = Dedup.readMeta(spark, idxRoot(idxDir))
     val before = pairs()
     assert(before.nonEmpty, "no pairs before compaction — vacuous")
-    val filesBefore = parquetFiles(s"$idxDir/sets")
+    val filesBefore = parquetFiles(s"${idxRoot(idxDir)}/sets")
     graft.operators.SimJoin.compactPrefixIndex(spark, idxDir,
       targetFiles = 1)
     assert(pairs() == before, "prefix compaction changed results")
-    assert(parquetFiles(s"$idxDir/sets") < filesBefore)
-    assert(Dedup.readMeta(spark, idxDir) == metaBefore,
+    assert(parquetFiles(s"${idxRoot(idxDir)}/sets") < filesBefore)
+    assert(Dedup.readMeta(spark, idxRoot(idxDir)) == metaBefore,
       "compaction must preserve metadata exactly")
   }
 
@@ -197,8 +197,8 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("delete the index directory"),
       s"refusal must name the honest remedy: ${ex.getMessage}")
     // the failed rebuild left the old state fully readable
-    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong == 0L)
-    assert(spark.read.parquet(s"$idxDir/sets").count() > 0,
+    assert(Dedup.readMeta(spark, idxRoot(idxDir))("n_docs").toLong == 0L)
+    assert(spark.read.parquet(s"${idxRoot(idxDir)}/sets").count() > 0,
       "refused rebuild must leave the old state untouched")
   }
 
@@ -242,7 +242,7 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
       "stored-index probe diverges from fresh-train probe")
     // the scale claim is the LAYOUT: one directory per cell, so a probe
     // of nprobe cells reads nprobe directories, not the corpus
-    val cellDirs = new java.io.File(s"$dir/assigned")
+    val cellDirs = new java.io.File(s"${idxRoot(dir)}/assigned")
       .listFiles().filter(_.getName.startsWith("cent_id="))
     assert(cellDirs.length > 1 && cellDirs.length <= 8,
       s"expected cell-partitioned layout, got ${cellDirs.map(_.getName).toSeq}")
@@ -282,9 +282,9 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
         Similarity.readEmbeddingIndex(spark, fresh), 0.3)))
     assert(a.nonEmpty && a == b, "rebuilt embedding index answers differently")
     // and the drift is cleared: the append that refused now lands
-    val n0 = Dedup.readMeta(spark, idxDir)("n_vectors").toLong
+    val n0 = Dedup.readMeta(spark, idxRoot(idxDir))("n_vectors").toLong
     Similarity.appendToEmbeddingIndex(batch, idxDir)
-    assert(Dedup.readMeta(spark, idxDir)("n_vectors").toLong == n0 + 2)
+    assert(Dedup.readMeta(spark, idxRoot(idxDir))("n_vectors").toLong == n0 + 2)
   }
 
   test("IVF append: split-invariant, replay-skipped, torn-excluded") {
@@ -317,10 +317,10 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
     val torn = graft.sources.Scratch.dir("ivf-app-torn")
     Similarity.writeIvfIndex(eBase, torn)
     val baseBoard = board(torn)
-    spark.read.parquet(s"$torn/assigned")
+    spark.read.parquet(s"${idxRoot(torn)}/assigned")
       .limit(4).withColumn("ingest_batch", lit(0L))
       .write.partitionBy("ingest_batch", "cent_id").mode("append")
-      .parquet(s"$torn/assigned_batches")
+      .parquet(s"${idxRoot(torn)}/assigned_batches")
     assert(board(torn) == baseBoard,
       "uncommitted batch partition leaked into the served board")
     Similarity.appendIvfIndex(spark, torn, d1.unionByName(d2),
@@ -371,7 +371,7 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
     // rebuild: physically live-only, tombstone table gone, and the
     // retrained index ≡ a fresh write over the live corpus bit-for-bit
     Similarity.rebuildIvfIndex(spark, dir)
-    assert(!new java.io.File(s"$dir/tomb").exists(),
+    assert(!new java.io.File(s"${idxRoot(dir)}/tomb").exists(),
       "rebuild left the tombstone table behind")
     val rebuilt = Similarity.readIvfIndex(spark, dir)
     assert(rebuilt.assigned.count() ==
@@ -520,5 +520,72 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
     Similarity.appendIvfIndex(spark, dir, delta, batchId = Some(3L))
     assert(Similarity.readIvfIndex(spark, dir).assigned.count() == e.count(),
       "replayed batch double-appended after rebuild")
+  }
+
+  test("re-insert of a committed-tombstoned id refuses loudly in every " +
+    "family; rebuild clears the path") {
+    // The CDC shape masking cannot absorb: a tombstoned id re-inserted
+    // in a LATER batch would be indexed (and stat-counted where the
+    // family folds statistics) yet stay masked forever. Every
+    // append/applyCdc path must detect it against the committed tomb
+    // table and refuse naming the rebuild remedy — silent corruption
+    // (advisor r15) becomes a loud contract error.
+    val docs = graft.sources.Tables.documents(spark, base)
+    val e = graft.sources.Tables.embeddings(spark, base)
+    val held = docs.filter(col("doc_id") % 2 === 0)
+    val deadDocs = docs.filter(col("doc_id") % 10 === 2)
+    val otherDocs = docs.filter(col("doc_id") % 10 === 5)
+    def refuses(body: => Unit): Unit = {
+      val ex = intercept[IllegalArgumentException](body)
+      assert(ex.getMessage.contains("tombstoned id") &&
+        ex.getMessage.contains("Rebuild"),
+        s"refusal must name the cause and remedy, got: ${ex.getMessage}")
+    }
+
+    // minhash: append AND cdc paths
+    val mh = graft.sources.Scratch.dir("reins-mh")
+    Dedup.writeMinhashIndex(held, "doc_id", "text", mh)
+    Dedup.deleteFromMinhashIndex(spark, mh, deadDocs.select("doc_id"))
+    refuses(Dedup.appendToMinhashIndex(deadDocs, "doc_id", "text", mh))
+    refuses(Dedup.applyMinhashCdc(spark, mh, deadDocs,
+      docs.filter(lit(false)), batchId = 7L))
+    // a clean batch still lands (the check must not over-block)
+    Dedup.applyMinhashCdc(spark, mh, otherDocs, docs.filter(lit(false)),
+      batchId = 7L)
+    // rebuild physically drops the tombstones -> re-insert is legal
+    Dedup.rebuildMinhashIndex(spark, mh)
+    Dedup.appendToMinhashIndex(deadDocs, "doc_id", "text", mh,
+      batchId = Some(8L))
+
+    // bm25: append and cdc
+    val bm = graft.sources.Scratch.dir("reins-bm")
+    graft.operators.Bm25Index.write(held, bm)
+    graft.operators.Bm25Index.delete(spark, bm, deadDocs.select("doc_id"))
+    refuses(graft.operators.Bm25Index.append(spark, bm, deadDocs))
+    refuses(graft.operators.Bm25Index.applyCdc(spark, bm, deadDocs,
+      docs.filter(lit(false)), batchId = 7L))
+
+    // embedding LSH: cdc
+    val em = graft.sources.Scratch.dir("reins-em")
+    val heldE = e.filter(col("vec_id") % 2 === 0)
+    val deadE = e.filter(col("vec_id") % 10 === 2)
+    Similarity.writeEmbeddingIndex(heldE, em)
+    Similarity.deleteFromEmbeddingIndex(spark, em, deadE.select("vec_id"))
+    refuses(Similarity.applyEmbeddingCdc(spark, em, deadE,
+      e.filter(lit(false)), batchId = 7L))
+
+    // IVF: append
+    val iv = graft.sources.Scratch.dir("reins-iv")
+    Similarity.writeIvfIndex(heldE, iv)
+    Similarity.deleteFromIvfIndex(spark, iv, deadE.select("vec_id"))
+    refuses(Similarity.appendIvfIndex(spark, iv, deadE))
+
+    // prefix: cdc
+    val pf = graft.sources.Scratch.dir("reins-pf")
+    graft.operators.SimJoin.writePrefixIndex(held, "doc_id", "text", 1, 2, pf)
+    graft.operators.SimJoin.deleteFromPrefixIndex(spark, pf,
+      deadDocs.select("doc_id"))
+    refuses(graft.operators.SimJoin.applyPrefixCdc(spark, pf, deadDocs,
+      docs.filter(lit(false)), batchId = 7L))
   }
 }

@@ -186,6 +186,9 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r15: dedup-index CDC twins share the takedown oracles (the CDC
     // stream nets to the same live corpus by construction)
     "stream_minhash_cdc", "stream_embedding_cdc", "stream_prefix_cdc",
+    // r16: the four-family union embeds the minhash/prefix/bm25/ivf
+    // dialect-bound oracle texts with composite live-corpus cuts
+    "lifecycle_composite",
     // r13: list_transform/generate_series token CTEs (familiarity family)
     "text_lm_score",
     // r13: unnest([...]) prob list in the shared quantile oracle

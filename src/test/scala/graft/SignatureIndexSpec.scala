@@ -60,7 +60,7 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     val live = corpus.filter(col("doc_id") % 5 =!= 1)
     val idxDir = graft.sources.Scratch.dir("sigidx-mhdel")
     Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxDir)
-    val n0 = Dedup.readMeta(spark, idxDir)("n_docs").toLong
+    val n0 = Dedup.readMeta(spark, idxRoot(idxDir))("n_docs").toLong
     val tomb = corpus.filter(col("doc_id") % 5 === 1).select("doc_id")
     Dedup.deleteFromMinhashIndex(spark, idxDir, tomb, batchId = Some(0L))
     val expected = canon(Dedup.crossMinhashPairs(incoming, live,
@@ -74,19 +74,19 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
       "doc_id", "text")), "tombstones hit no pairs — vacuous fixture")
     // n_docs now counts live docs only
     val nDel = corpus.join(tomb, Seq("doc_id"), "left_semi").count()
-    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong == n0 - nDel,
+    assert(Dedup.readMeta(spark, idxRoot(idxDir))("n_docs").toLong == n0 - nDel,
       "n_docs did not track the live count")
     // committed replay + double-delete are no-ops
     Dedup.deleteFromMinhashIndex(spark, idxDir, tomb, batchId = Some(0L))
     Dedup.deleteFromMinhashIndex(spark, idxDir, tomb, batchId = Some(1L))
-    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong == n0 - nDel,
+    assert(Dedup.readMeta(spark, idxRoot(idxDir))("n_docs").toLong == n0 - nDel,
       "replay or double-delete moved n_docs")
     // rebuild physically drops tombstoned rows and the tombstone table
-    val setsBefore = spark.read.parquet(s"$idxDir/sets").count()
+    val setsBefore = spark.read.parquet(s"${idxRoot(idxDir)}/sets").count()
     Dedup.rebuildMinhashIndex(spark, idxDir)
-    assert(!new java.io.File(s"$idxDir/tomb").exists(),
+    assert(!new java.io.File(s"${idxRoot(idxDir)}/tomb").exists(),
       "rebuild left the tombstone table behind")
-    assert(spark.read.parquet(s"$idxDir/sets").count() < setsBefore,
+    assert(spark.read.parquet(s"${idxRoot(idxDir)}/sets").count() < setsBefore,
       "rebuild did not physically drop tombstoned sets rows")
     assert(canon(Dedup.crossMinhashPairs(incoming,
       Dedup.readMinhashIndex(spark, idxDir), "doc_id", "text", 0.5))
@@ -101,27 +101,27 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     val live = corpus.filter(col("vec_id") % 5 =!= 1)
     val idxDir = graft.sources.Scratch.dir("sigidx-embdel")
     Similarity.writeEmbeddingIndex(corpus, idxDir)
-    val n0 = Dedup.readMeta(spark, idxDir)("n_vectors").toLong
+    val n0 = Dedup.readMeta(spark, idxRoot(idxDir))("n_vectors").toLong
     val tomb = corpus.filter(col("vec_id") % 5 === 1).select("vec_id")
     Similarity.deleteFromEmbeddingIndex(spark, idxDir, tomb,
       batchId = Some(0L))
     // reference built at the SAME rowBits as the held index (auto
     // sizing could differ on the smaller live corpus)
-    val rb = Dedup.readMeta(spark, idxDir)("rowBits").toInt
+    val rb = Dedup.readMeta(spark, idxRoot(idxDir))("rowBits").toInt
     val expected = canon(Similarity.crossEmbeddingPairs(incoming, live,
       rowBits = rb))
     val got = canon(Similarity.crossEmbeddingPairs(incoming,
       Similarity.readEmbeddingIndex(spark, idxDir), 0.3))
     assert(expected.nonEmpty && got == expected,
       "masked embedding index diverged from a fresh live-corpus check")
-    assert(Dedup.readMeta(spark, idxDir)("n_vectors").toLong
+    assert(Dedup.readMeta(spark, idxRoot(idxDir))("n_vectors").toLong
       == n0 - corpus.join(tomb, Seq("vec_id"), "left_semi").count(),
       "n_vectors did not track the live count")
-    val vecsBefore = spark.read.parquet(s"$idxDir/vectors").count()
+    val vecsBefore = spark.read.parquet(s"${idxRoot(idxDir)}/vectors").count()
     Similarity.rebuildEmbeddingIndex(spark, idxDir, rowBits = rb)
-    assert(!new java.io.File(s"$idxDir/tomb").exists(),
+    assert(!new java.io.File(s"${idxRoot(idxDir)}/tomb").exists(),
       "rebuild left the tombstone table behind")
-    assert(spark.read.parquet(s"$idxDir/vectors").count() < vecsBefore,
+    assert(spark.read.parquet(s"${idxRoot(idxDir)}/vectors").count() < vecsBefore,
       "rebuild did not physically drop tombstoned vectors")
     assert(canon(Similarity.crossEmbeddingPairs(incoming,
       Similarity.readEmbeddingIndex(spark, idxDir), 0.3)) == expected,
@@ -160,29 +160,29 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     def shingled(df: DataFrame): Long =
       Dedup.shingleHashesFlat(df, "doc_id", "text")
         .filter(size(col("hs")) > 0).count()
-    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong == shingled(live),
+    assert(Dedup.readMeta(spark, idxRoot(idxDir))("n_docs").toLong == shingled(live),
       "n_docs did not net inserts against deletes")
     // same-batch overlap: the overlapped doc is never indexed and the
     // batch's net n_docs contribution counts only the clean insert
     val overlapDir = graft.sources.Scratch.dir("sigidx-mhcdc-ov")
     Dedup.writeMinhashIndex(base, "doc_id", "text", overlapDir)
-    val n0 = Dedup.readMeta(spark, overlapDir)("n_docs").toLong
+    val n0 = Dedup.readMeta(spark, idxRoot(overlapDir))("n_docs").toLong
     val two = even.filter(col("doc_id") % 10 === 4).limit(2)
     val ovId = two.select(min("doc_id")).head().getLong(0)
     Dedup.applyMinhashCdc(spark, overlapDir, two,
       two.filter(col("doc_id") === ovId).select("doc_id"), batchId = 0L)
-    assert(spark.read.parquet(s"$overlapDir/sets")
+    assert(spark.read.parquet(s"${idxRoot(overlapDir)}/sets")
       .filter(col("doc_id") === ovId).count() == 0,
       "same-batch delete did not win over its own insert")
-    assert(Dedup.readMeta(spark, overlapDir)("n_docs").toLong
+    assert(Dedup.readMeta(spark, idxRoot(overlapDir))("n_docs").toLong
       == n0 + shingled(two.filter(col("doc_id") =!= ovId)),
       "overlap batch mis-counted n_docs")
     // committed replay is skipped whole
-    val setsBefore = spark.read.parquet(s"$idxDir/sets").count()
+    val setsBefore = spark.read.parquet(s"${idxRoot(idxDir)}/sets").count()
     Dedup.applyMinhashCdc(spark, idxDir,
       even.filter(col("doc_id") % 10 === 4),
       even.filter(col("doc_id") % 5 === 1).select("doc_id"), batchId = 1L)
-    assert(spark.read.parquet(s"$idxDir/sets").count() == setsBefore,
+    assert(spark.read.parquet(s"${idxRoot(idxDir)}/sets").count() == setsBefore,
       "committed CDC replay mutated the index")
   }
 
@@ -194,7 +194,7 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     val base = even.filter(col("vec_id") % 10 =!= 4)
     val idxDir = graft.sources.Scratch.dir("sigidx-embcdc")
     Similarity.writeEmbeddingIndex(base, idxDir)
-    val rb = Dedup.readMeta(spark, idxDir)("rowBits").toInt
+    val rb = Dedup.readMeta(spark, idxRoot(idxDir))("rowBits").toInt
     Similarity.applyEmbeddingCdc(spark, idxDir,
       even.filter(col("vec_id") % 10 === 4),
       even.limit(0).select("vec_id"), batchId = 0L)
@@ -207,13 +207,13 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
       Similarity.readEmbeddingIndex(spark, idxDir), 0.3))
     assert(expected.nonEmpty && got == expected,
       "CDC-maintained embedding index diverged from fresh net-live")
-    assert(Dedup.readMeta(spark, idxDir)("n_vectors").toLong == live.count(),
+    assert(Dedup.readMeta(spark, idxRoot(idxDir))("n_vectors").toLong == live.count(),
       "n_vectors did not net inserts against deletes")
-    val vecsBefore = spark.read.parquet(s"$idxDir/vectors").count()
+    val vecsBefore = spark.read.parquet(s"${idxRoot(idxDir)}/vectors").count()
     Similarity.applyEmbeddingCdc(spark, idxDir,
       even.filter(col("vec_id") % 10 === 4),
       even.filter(col("vec_id") % 5 === 1).select("vec_id"), batchId = 1L)
-    assert(spark.read.parquet(s"$idxDir/vectors").count() == vecsBefore,
+    assert(spark.read.parquet(s"${idxRoot(idxDir)}/vectors").count() == vecsBefore,
       "committed CDC replay mutated the index")
   }
 
@@ -225,14 +225,14 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     Dedup.readMinhashIndex(spark, idxDir)
     // tamper the hash-family fingerprint: a foreign family's band keys
     // must be refused, never silently joined against
-    val meta = Dedup.readMeta(spark, idxDir)
-    Dedup.writeMeta(spark, idxDir, meta + ("family" -> "shingle5:murmur3"))
+    val meta = Dedup.readMeta(spark, idxRoot(idxDir))
+    Dedup.writeMeta(spark, idxRoot(idxDir), meta + ("family" -> "shingle5:murmur3"))
     val ex = intercept[IllegalArgumentException] {
       Dedup.readMinhashIndex(spark, idxDir)
     }
     assert(ex.getMessage.contains("hash family"))
     // wrong kind: an embedding index is not a minhash index
-    Dedup.writeMeta(spark, idxDir, meta + ("kind" -> "signlsh-v1"))
+    Dedup.writeMeta(spark, idxRoot(idxDir), meta + ("kind" -> "signlsh-v1"))
     intercept[IllegalArgumentException](Dedup.readMinhashIndex(spark, idxDir))
     // and a directory with no metadata at all
     intercept[IllegalArgumentException](
@@ -242,8 +242,8 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     Similarity.writeEmbeddingIndex(
       graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001"), eIdxDir)
     Similarity.readEmbeddingIndex(spark, eIdxDir)
-    val eMeta = Dedup.readMeta(spark, eIdxDir)
-    Dedup.writeMeta(spark, eIdxDir, eMeta + ("lattice" -> "random-gaussian"))
+    val eMeta = Dedup.readMeta(spark, idxRoot(eIdxDir))
+    Dedup.writeMeta(spark, idxRoot(eIdxDir), eMeta + ("lattice" -> "random-gaussian"))
     val ex2 = intercept[IllegalArgumentException] {
       Similarity.readEmbeddingIndex(spark, eIdxDir)
     }
@@ -318,8 +318,8 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     // hs arrays render order-stably (insertion order of a deterministic
     // single-pass builder), so whole-row canon is exact
     assert(canon(gi.sets) == canon(oi.sets), "sets tables diverge")
-    assert(Dedup.readMeta(spark, grown)("n_docs") ==
-      Dedup.readMeta(spark, oneShot)("n_docs"))
+    assert(Dedup.readMeta(spark, idxRoot(grown))("n_docs") ==
+      Dedup.readMeta(spark, idxRoot(oneShot))("n_docs"))
     // and the grown index answers queries identically
     val probe = docs.filter(col("doc_id") % 3 === 2)
     assert(canon(Dedup.crossMinhashPairs(probe, gi, "doc_id", "text", 0.5)) ==
@@ -332,13 +332,13 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     Similarity.writeEmbeddingIndex(e.filter(col("vec_id") % 2 === 0), idxDir)
     val batch = e.filter(col("vec_id") % 2 === 1).limit(1)
     // growth inside the occupancy target appends cleanly
-    val n0 = Dedup.readMeta(spark, idxDir)("n_vectors").toLong
+    val n0 = Dedup.readMeta(spark, idxRoot(idxDir))("n_vectors").toLong
     Similarity.appendToEmbeddingIndex(batch, idxDir)
-    assert(Dedup.readMeta(spark, idxDir)("n_vectors").toLong == n0 + 1)
+    assert(Dedup.readMeta(spark, idxRoot(idxDir))("n_vectors").toLong == n0 + 1)
     // push the recorded corpus size to the rowBits=8 clamp edge: the
     // next append drifts autoRowBits to 9 and must be refused
-    val meta = Dedup.readMeta(spark, idxDir)
-    Dedup.writeMeta(spark, idxDir, meta + ("n_vectors" -> "2048"))
+    val meta = Dedup.readMeta(spark, idxRoot(idxDir))
+    Dedup.writeMeta(spark, idxRoot(idxDir), meta + ("n_vectors" -> "2048"))
     val ex = intercept[IllegalArgumentException] {
       Similarity.appendToEmbeddingIndex(batch, idxDir)
     }
@@ -346,7 +346,7 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     // the conscious override still appends and updates the count
     Similarity.appendToEmbeddingIndex(batch, idxDir,
       allowOccupancyDrift = true)
-    assert(Dedup.readMeta(spark, idxDir)("n_vectors").toLong == 2049L)
+    assert(Dedup.readMeta(spark, idxRoot(idxDir))("n_vectors").toLong == 2049L)
   }
 
   test("selfMaintainingDedupStream: batch 2 dedups against batch 1's novel docs") {
@@ -401,7 +401,7 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
       s"expected batch-2 doc to match batch-1's novel doc, got $pairs")
     // the index grew by exactly the novel documents (1 held + doc 10;
     // doc 20 matched, so it was NOT admitted)
-    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong == 2L)
+    assert(Dedup.readMeta(spark, idxRoot(idxDir))("n_docs").toLong == 2L)
     val held = Dedup.readMinhashIndex(spark, idxDir).sets
       .select("doc_id").as[Long].collect().toSet
     assert(held == Set(1L, 10L))
@@ -464,7 +464,7 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
       spark.readStream.schema(docsSchema).format("parquet").load(streamDir),
       idxDir, outDir, graft.sources.Scratch.dir("rst-ckpt-fresh"))
       .stop()
-    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong == 2L,
+    assert(Dedup.readMeta(spark, idxRoot(idxDir))("n_docs").toLong == 2L,
       "fresh-checkpoint restart should have skipped everything " +
         "(the documented drop hazard) — the marker guard moved?")
 
@@ -538,7 +538,7 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
       s"$streamDir/b0.parquet", t - 60000)
     graft.streaming.StreamOps.maintainMinhashCdcStream(
       stream(streamDir), "op", idxDir, ckptDir).stop()
-    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong == 3L)
+    assert(Dedup.readMeta(spark, idxRoot(idxDir))("n_docs").toLong == 3L)
     // while the process is down: a DELETE of a held doc and an insert
     writeOneFile(Seq((1L, null.asInstanceOf[String], "delete"))
       .toDF("doc_id", "text", "op"), s"$streamDir/b1.parquet", t - 30000)
@@ -550,7 +550,7 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     graft.streaming.StreamOps.maintainMinhashCdcStream(
       spark.readStream.schema(cdcSchema).format("parquet").load(streamDir),
       "op", idxDir, graft.sources.Scratch.dir("crs-ckpt-fresh")).stop()
-    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong == 3L,
+    assert(Dedup.readMeta(spark, idxRoot(idxDir))("n_docs").toLong == 3L,
       "fresh-checkpoint restart should have skipped the re-formed " +
         "batch whole (marker guard) — a partial apply is the real bug")
     // the real restart: SAME checkpoint → batches 1 and 2 delivered
@@ -561,7 +561,7 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     assert(held == Seq(2L, 10L, 30L),
       s"post-restart live set wrong (delete lost, or insert doubled/" +
         s"dropped): $held")
-    assert(Dedup.readMeta(spark, idxDir)("n_docs").toLong == 3L,
+    assert(Dedup.readMeta(spark, idxRoot(idxDir))("n_docs").toLong == 3L,
       "n_docs did not net the delete against the inserts")
     // uninterrupted reference run: identical end state
     val refIdx = graft.sources.Scratch.dir("crs-ref-idx")
@@ -661,11 +661,11 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
   private def ingestState(idxDir: String, outDir: String) = {
     // canon sets AND raw counts: a double-append writes byte-identical
     // rows, which a set-compare alone would silently collapse
-    val bandsDf = spark.read.parquet(s"$idxDir/bands")
-    val setsDf = spark.read.parquet(s"$idxDir/sets")
+    val bandsDf = spark.read.parquet(s"${idxRoot(idxDir)}/bands")
+    val setsDf = spark.read.parquet(s"${idxRoot(idxDir)}/sets")
     val pairsDf = spark.read.parquet(outDir)
       .select("new_id", "matched_id", "jaccard")
-    val meta = Dedup.readMeta(spark, idxDir)
+    val meta = Dedup.readMeta(spark, idxRoot(idxDir))
     (canon(bandsDf), canon(setsDf), canon(pairsDf),
       bandsDf.count(), setsDf.count(), pairsDf.count(),
       meta("n_docs"), meta.get("last_committed_batch"))
@@ -684,13 +684,13 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     // half-written signatures, not an empty set
     val b1 = Seq((20L, near2), (30L, other2)).toDF("doc_id", "text")
     graft.streaming.StreamOps.processIngestBatch(b0, 0L, idxDir, outDir, 0.5)
-    val metaAfterB0 = Dedup.readMeta(spark, idxDir)
+    val metaAfterB0 = Dedup.readMeta(spark, idxRoot(idxDir))
     graft.streaming.StreamOps.processIngestBatch(b1, 1L, idxDir, outDir, 0.5)
     if (crashBeforeCommit)
       // batch 1's table partitions and pairs are on disk but the commit
       // marker is not — exactly the state a crash between the appends
       // and the (strictly-last, atomic-rename) metadata write leaves
-      Dedup.writeMeta(spark, idxDir, metaAfterB0)
+      Dedup.writeMeta(spark, idxRoot(idxDir), metaAfterB0)
     (idxDir, outDir)
   }
 
@@ -731,11 +731,11 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     val idxDir = graft.sources.Scratch.dir("replay-emb")
     Similarity.writeEmbeddingIndex(e.filter(col("vec_id") % 2 === 0), idxDir)
     val batch = e.filter(col("vec_id") % 2 === 1).limit(3)
-    def snap() = (canon(spark.read.parquet(s"$idxDir/bands")),
-      canon(spark.read.parquet(s"$idxDir/vectors")),
-      spark.read.parquet(s"$idxDir/bands").count(),
-      spark.read.parquet(s"$idxDir/vectors").count(),
-      Dedup.readMeta(spark, idxDir)("n_vectors"))
+    def snap() = (canon(spark.read.parquet(s"${idxRoot(idxDir)}/bands")),
+      canon(spark.read.parquet(s"${idxRoot(idxDir)}/vectors")),
+      spark.read.parquet(s"${idxRoot(idxDir)}/bands").count(),
+      spark.read.parquet(s"${idxRoot(idxDir)}/vectors").count(),
+      Dedup.readMeta(spark, idxRoot(idxDir))("n_vectors"))
     Similarity.appendToEmbeddingIndex(batch, idxDir, batchId = Some(0L))
     val s1 = snap()
     Similarity.appendToEmbeddingIndex(batch, idxDir, batchId = Some(0L))
@@ -774,11 +774,11 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
   private val vC  = vec(0f, 0f, 1f, 0f, 0f, 0f, 0.1f, 0f)
 
   private def embState(idxDir: String, outDir: String) = {
-    val bandsDf = spark.read.parquet(s"$idxDir/bands")
-    val vecsDf = spark.read.parquet(s"$idxDir/vectors")
+    val bandsDf = spark.read.parquet(s"${idxRoot(idxDir)}/bands")
+    val vecsDf = spark.read.parquet(s"${idxRoot(idxDir)}/vectors")
     val pairsDf = spark.read.parquet(outDir)
       .select("new_id", "matched_id", "cos")
-    val meta = Dedup.readMeta(spark, idxDir)
+    val meta = Dedup.readMeta(spark, idxRoot(idxDir))
     (canon(bandsDf), canon(vecsDf.select("vec_id")), canon(pairsDf),
       bandsDf.count(), vecsDf.count(), pairsDf.count(),
       meta("n_vectors"), meta.get("last_committed_batch"))
@@ -797,11 +797,11 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
     val b1 = Seq((20L, vA2), (30L, vC)).toDF("vec_id", "embedding")
     graft.streaming.StreamOps
       .processEmbeddingIngestBatch(b0, 0L, idxDir, outDir, 0.3)
-    val metaAfterB0 = Dedup.readMeta(spark, idxDir)
+    val metaAfterB0 = Dedup.readMeta(spark, idxRoot(idxDir))
     graft.streaming.StreamOps
       .processEmbeddingIngestBatch(b1, 1L, idxDir, outDir, 0.3)
     if (crashBeforeCommit)
-      Dedup.writeMeta(spark, idxDir, metaAfterB0)
+      Dedup.writeMeta(spark, idxRoot(idxDir), metaAfterB0)
     (idxDir, outDir)
   }
 
@@ -880,7 +880,7 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
       .select("new_id", "matched_id").as[(Long, Long)].collect().toSet
     assert(pairs == Set((20L, 10L)),
       s"expected batch-2 vector to match batch-1's novel vector, got $pairs")
-    assert(Dedup.readMeta(spark, idxDir)("n_vectors").toLong == 2L)
+    assert(Dedup.readMeta(spark, idxRoot(idxDir))("n_vectors").toLong == 2L)
     val held = Similarity.readEmbeddingIndex(spark, idxDir).vectors
       .select("vec_id").as[Long].collect().toSet
     assert(held == Set(1L, 10L))

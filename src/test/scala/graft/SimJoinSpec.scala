@@ -87,10 +87,10 @@ class SimJoinSpec extends AnyFunSuite with SparkSpec {
     assert(stale == fresh,
       "stale-dictionary recall differs — order-invariance law broken")
     // replayed batchId: committed marker short-circuits, nothing changes
-    val setsBefore = spark.read.parquet(s"$dir/sets").count()
+    val setsBefore = spark.read.parquet(s"${idxRoot(dir)}/sets").count()
     SimJoin.appendPrefixIndex(spark, dir,
       docs.filter(col("doc_id") % 4 === 2), batchId = Some(0L))
-    assert(spark.read.parquet(s"$dir/sets").count() == setsBefore,
+    assert(spark.read.parquet(s"${idxRoot(dir)}/sets").count() == setsBefore,
       "replayed append mutated the index")
     // rebuild refreshes the dictionary; the result must not move
     SimJoin.rebuildPrefixIndex(spark, dir)
@@ -119,7 +119,7 @@ class SimJoinSpec extends AnyFunSuite with SparkSpec {
     def shingled(df: org.apache.spark.sql.DataFrame): Long =
       Dedup.shingleHashesFlat(df, "doc_id", "text")
         .filter(size(col("hs")) > 0).count()
-    val idxDocs = spark.read.parquet(s"$root/idx/sets")
+    val idxDocs = spark.read.parquet(s"${idxRoot(s"$root/idx")}/sets")
       .select("doc_id").distinct().count()
     val paired = spark.read.parquet(s"$root/pairs")
       .select("new_id").distinct().count()
@@ -127,10 +127,10 @@ class SimJoinSpec extends AnyFunSuite with SparkSpec {
       s"fold accounting broken: idx=$idxDocs paired=$paired " +
         s"expected total ${shingled(seed) + shingled(rest)}")
     // replay of an already-committed batch is a no-op on the index
-    val before = spark.read.parquet(s"$root/idx/sets").count()
+    val before = spark.read.parquet(s"${idxRoot(s"$root/idx")}/sets").count()
     graft.streaming.StreamOps.processPrefixIngestBatch(
       rest.limit(5), 0L, s"$root/idx", s"$root/pairs")
-    assert(spark.read.parquet(s"$root/idx/sets").count() == before,
+    assert(spark.read.parquet(s"${idxRoot(s"$root/idx")}/sets").count() == before,
       "replayed committed batch mutated the index")
   }
 
@@ -159,18 +159,18 @@ class SimJoinSpec extends AnyFunSuite with SparkSpec {
     assert(masked != before,
       "tombstones removed no matching pairs — takedown law is vacuous")
     // replayed delete batch: committed marker short-circuits
-    val tombRows = spark.read.parquet(s"$dir/tomb").count()
+    val tombRows = spark.read.parquet(s"${idxRoot(dir)}/tomb").count()
     SimJoin.deleteFromPrefixIndex(spark, dir, tombs, batchId = Some(0L))
-    assert(spark.read.parquet(s"$dir/tomb").count() == tombRows,
+    assert(spark.read.parquet(s"${idxRoot(dir)}/tomb").count() == tombRows,
       "replayed delete mutated the tombstone table")
     // rebuild compacts tombstones away: tomb/ gone, result unchanged,
     // deleted ids physically absent from the stored sets
     SimJoin.rebuildPrefixIndex(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tomb")),
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${idxRoot(dir)}/tomb")),
       "rebuild kept the tombstone table")
-    assert(spark.read.parquet(s"$dir/sets")
+    assert(spark.read.parquet(s"${idxRoot(dir)}/sets")
       .join(tombs, Seq("doc_id"), "left_semi").count() == 0,
       "rebuild kept tombstoned docs in the stored sets")
     assert(pairs(SimJoin.crossPrefixJoin(spark, odd, dir)
@@ -208,15 +208,15 @@ class SimJoinSpec extends AnyFunSuite with SparkSpec {
     val ovId = two.select(min("doc_id")).head().getLong(0)
     SimJoin.applyPrefixCdc(spark, ovDir, two,
       two.filter(col("doc_id") === ovId).select("doc_id"), batchId = 0L)
-    assert(spark.read.parquet(s"$ovDir/sets")
+    assert(spark.read.parquet(s"${idxRoot(ovDir)}/sets")
       .filter(col("doc_id") === ovId).count() == 0,
       "same-batch delete did not win over its own insert")
     // committed replay is skipped whole
-    val setsBefore = spark.read.parquet(s"$idxDir/sets").count()
+    val setsBefore = spark.read.parquet(s"${idxRoot(idxDir)}/sets").count()
     SimJoin.applyPrefixCdc(spark, idxDir,
       even.filter(col("doc_id") % 10 === 4),
       even.filter(col("doc_id") % 5 === 1).select("doc_id"), batchId = 1L)
-    assert(spark.read.parquet(s"$idxDir/sets").count() == setsBefore,
+    assert(spark.read.parquet(s"${idxRoot(idxDir)}/sets").count() == setsBefore,
       "committed CDC replay mutated the index")
   }
 

@@ -23,4 +23,10 @@ object SparkSpec {
 
 trait SparkSpec {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** The CURRENT version root of an index home — resolve at USE time
+    * (maintenance ops bump the version, so a cached root goes stale).
+    * Specs peeking at index internals must go through this. */
+  def idxRoot(dir: String): String =
+    graft.operators.Dedup.indexRoot(spark, dir)
 }
