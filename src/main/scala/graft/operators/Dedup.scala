@@ -325,7 +325,7 @@ object Dedup {
       sigs.select(col("doc_id"), col("hs")), numHashes, bands)
   }
 
-  private val IndexMetaFile = "_graft_index_meta.properties"
+  private[graft] val IndexMetaFile = "_graft_index_meta.properties"
   /** Bumped on any change to the signature math (shingle n, hash family,
     * band-key encoding) OR the on-disk layout — a persisted index from
     * an older scheme must fail loudly at load, never silently join

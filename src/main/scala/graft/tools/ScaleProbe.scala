@@ -626,7 +626,13 @@ object ScaleProbe {
       def files(): Int = {
         def walk(f: java.io.File): Seq[java.io.File] =
           if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-        walk(new java.io.File(idxDir)).count(_.getName.endsWith(".parquet"))
+        // count the CURRENT version root only: the one-commit retention
+        // grace keeps the previous (fragmented) version on disk for open
+        // readers, but serving never touches it — counting it would
+        // report compaction as GROWING the file count
+        walk(new java.io.File(
+          graft.operators.Dedup.indexRoot(spark, idxDir)))
+          .count(_.getName.endsWith(".parquet"))
       }
       val q2 = docs.filter(col("doc_id") % 29 === 0)
         .select(col("doc_id").as("query_id"),
