@@ -28,11 +28,14 @@ import org.apache.spark.sql.functions._
   *    argument), so the fold stays exact under takedowns too;
   *  - `stats/` — (n, s) per-batch signed partials, same fold law
   *    (N = Σ n, S = Σ s) — two driver longs off a ≤ |batches|-row read;
-  *  - `tomb/` — (doc_id) per-batch tombstones written by [[delete]]:
-  *    the serving path anti-joins its (already query-term-bounded)
-  *    match stream against them, so a deleted doc can never surface on
-  *    a board even though its postings rows are still on disk until
-  *    the next [[rebuild]] compacts them away.
+  *  - `tomb/` — (doc_id, shadow_upto) per-batch SHADOW tombstones
+  *    written by [[delete]] (`Dedup.ShadowCol`): each kills the doc's
+  *    rows from batches ≤ its `shadow_upto` (the marker at delete
+  *    time) and spares later batches, so a batched re-insert — or a
+  *    delete+insert UPDATE within one CDC batch — serves its new
+  *    image. The serving path masks its (already query-term-bounded)
+  *    match stream against them; dead postings stay on disk until
+  *    [[rebuild]] or [[compact]] folds them away.
   *
   * Because every statistic folds exactly — including the negative
   * delete partials — a served board equals the inline
@@ -57,12 +60,15 @@ import org.apache.spark.sql.functions._
   * with NO torn-write protection — it is a one-shot under the
   * single-writer contract, exactly like `appendToMinhashIndex`'s
   * synchronous path; route retried/streamed traffic through batchIds.
-  * Appends assume batch doc_ids are NEW (an id re-ingested in a later
-  * batch would double-count df/stats — the same uniqueness contract
-  * the minhash index's append carries), and a TOMBSTONED id stays gone
-  * until a rebuild drops the tombstone table: takedown semantics —
-  * re-ingesting a deleted id without rebuilding first is a contract
-  * violation (its stats would count a doc the boards must not show). */
+  * Appends assume batch doc_ids are not currently LIVE in the index
+  * (a live id re-ingested without a delete double-counts df/stats —
+  * the same uniqueness contract the minhash index's append carries).
+  * A DELETED id may be re-ingested through any batched path: its old
+  * rows and stats were retracted at delete time and the shadow
+  * tombstone spares the new batch — an update is delete+insert, in
+  * one CDC batch or across batches. Only the synchronous
+  * (batchId=None) append refuses re-inserts, because its rows land in
+  * the always-shadowed base partition ([[Dedup.refuseShadowedInserts]]). */
 object Bm25Index {
 
   private[graft] val Kind = "bm25_index"
@@ -74,16 +80,13 @@ object Bm25Index {
   private def dfPartials(postings: DataFrame): DataFrame =
     postings.groupBy("term").agg(count(lit(1)).as("df"))
 
-  /** Committed tombstone ids, or None when no delete has ever run
-    * (missing `tomb/` = the common append-only case pays zero cost; an
-    * empty-born tomb table from an insert-only CDC batch counts as
-    * absent — `Dedup.indexTableHasData`). */
+  /** Committed shadow tombstones — (doc_id, `Dedup.ShadowCol`) — or
+    * None when no delete has ever run (missing `tomb/` = the common
+    * append-only case pays zero cost; an empty-born tomb table from an
+    * insert-only CDC batch counts as absent). */
   private def committedTombs(spark: SparkSession, dir: String,
                              meta: Map[String, String]): Option[DataFrame] =
-    if (Dedup.indexTableHasData(spark, s"$dir/tomb"))
-      Some(Dedup.committedOnly(spark.read.parquet(s"$dir/tomb"), meta)
-        .select("doc_id"))
-    else None
+    Dedup.committedTombsAt(spark, s"$dir/tomb", meta, "doc_id")
 
   /** Build the index over `corpus` (one tokenize pass; postings feed
     * the df and stats folds off the same materialized table — the
@@ -123,8 +126,9 @@ object Bm25Index {
     val meta = Dedup.readMeta(spark, root)
     validate(meta, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
-    Dedup.refuseTombedReinserts(newDocs, id,
-      committedTombs(spark, root, meta), "doc_id", "Bm25Index.append", dir)
+    Dedup.refuseShadowedInserts(newDocs, id,
+      committedTombs(spark, root, meta), "doc_id", "Bm25Index.append", dir,
+      syncPath = batchId.isEmpty)
     val (post, release) = Dedup.materializeTracked(
       TextOps.docTermFreqs(newDocs, id, text))
     try {
@@ -149,13 +153,16 @@ object Bm25Index {
     * stats NEGATED into the same partial tables makes every read-side
     * fold exact over the live corpus (df and (N, S) are distributive
     * over signed contributions — `Maintain.mergeAggStateWithDeletes`
-    * applied to retrieval). The ids land in `tomb/` and the serving
-    * path anti-joins its match stream against them; postings rows stay
-    * on disk (masked) until [[rebuild]] compacts them away. Ids
-    * already tombstoned by a COMMITTED earlier batch are skipped, so a
-    * double-delete can never double-retract. Cost: one postings
-    * semi-join (vocab of the deleted docs) + three batch-bounded
-    * writes — never a corpus rescan.
+    * applied to retrieval). The ids land in `tomb/` as SHADOW
+    * tombstones (`Dedup.ShadowCol` — they kill only rows from batches
+    * ≤ the marker at delete time, so a later batched re-insert of the
+    * id serves and re-counts); the serving path masks its match
+    * stream against them, and postings rows stay on disk until
+    * [[rebuild]]/[[compact]] fold them away. The retraction targets
+    * only ids the index currently holds LIVE, so a double-delete (or
+    * a delete of an unknown id) retracts and tombstones nothing.
+    * Cost: one postings semi-join (vocab of the deleted docs) + three
+    * batch-bounded writes — never a corpus rescan.
     *
     * Replay contract: identical to [[append]] — batchId ≥ 0 deletes
     * are marker-committed (torn partitions excluded by every read,
@@ -171,19 +178,24 @@ object Bm25Index {
     validate(meta, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
     val ids = tombstones.select(col(id).cast("long").as("doc_id")).distinct()
-    // materialized: the fresh-ids plan reads tomb/, which the write
-    // below appends to — and the retraction semi-join reuses it
+    val tombs = committedTombs(spark, root, meta)
+    // LIVE postings only: a re-deleted id's earlier (already-shadowed,
+    // already-retracted) postings must not retract again
+    val livePost = Dedup.maskShadowed(
+      Dedup.committedOnly(spark.read.parquet(s"$root/postings"), meta),
+      "doc_id", tombs, "doc_id")
+      .select("doc_id", "term", "tf", "dl")
+    // materialized: the fresh-ids plan reads tomb/ (via the mask),
+    // which the write below appends to — the retraction reuses it
     val (fresh, relT) = Dedup.materializeTracked(
-      committedTombs(spark, root, meta)
-        .fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti")))
+      Dedup.liveAmong(ids, "doc_id", livePost, "doc_id"))
     try {
       val (delPost, relP) = Dedup.materializeTracked(
-        Dedup.committedOnly(spark.read.parquet(s"$root/postings"), meta)
-          .select("doc_id", "term", "tf", "dl")
-          .join(fresh, Seq("doc_id"), "left_semi"))
+        livePost.join(fresh, Seq("doc_id"), "left_semi"))
       try {
         val part = batchId.getOrElse(-1L)
-        Dedup.writeIndexTable(fresh, part, s"$root/tomb")
+        Dedup.writeTombs(fresh, Dedup.lastCommittedBatch(meta), part,
+          s"$root/tomb")
         Dedup.writeIndexTable(
           dfPartials(delPost).select(col("term"), (-col("df")).as("df")),
           part, s"$root/df")
@@ -206,13 +218,15 @@ object Bm25Index {
     * clobber each other — so the combined op writes the batch's insert
     * postings, its SIGNED df/(N,S) partials (insert positives ∪ delete
     * negatives in one table write each), and its tombstones into one
-    * partition, marker strictly last. Deletes apply to PREVIOUSLY
-    * COMMITTED docs only — per-id event order across batches is the
-    * caller's CDC contract (a delete arriving before its doc's insert
-    * would mask postings whose stats were never retracted). Within ONE
-    * batch the tombstone outranks the batch's own insert (delete
-    * wins): the overlapped doc is neither indexed nor stat-counted, so
-    * mask and statistics stay consistent by construction. */
+    * partition, marker strictly last. Deletes apply FIRST, to the
+    * PRE-batch state (the shadow tombstone's `shadow_upto` is the
+    * pre-batch marker, so it kills no row of this batch): a
+    * delete+insert of one id in the batch is an UPDATE — the old
+    * image's stats retract, the new image indexes and counts — and a
+    * re-insert of an id deleted in an earlier batch serves the same
+    * way, no rebuild required. Inserting a currently-live id WITHOUT
+    * deleting it in the same batch remains the double-count
+    * caller-contract violation it always was. */
   def applyCdc(spark: SparkSession, dir: String, newDocs: DataFrame,
                tombstones: DataFrame, batchId: Long,
                id: String = "doc_id", text: String = "text"): Unit =
@@ -223,24 +237,26 @@ object Bm25Index {
     if (batchId <= Dedup.lastCommittedBatch(meta)) return
     val ids = tombstones.select(col(id).cast("long").as("doc_id")).distinct()
     val priorTombs = committedTombs(spark, root, meta)
-    Dedup.refuseTombedReinserts(newDocs, id, priorTombs, "doc_id",
-      "Bm25Index.applyCdc", dir)
+    Dedup.refuseShadowedInserts(newDocs, id, priorTombs, "doc_id",
+      "Bm25Index.applyCdc", dir, syncPath = false)
+    // LIVE pre-batch postings: the retraction must see exactly what
+    // this batch's tombstones newly kill, never already-shadowed rows
+    val livePost = Dedup.maskShadowed(
+      Dedup.committedOnly(spark.read.parquet(s"$root/postings"), meta),
+      "doc_id", priorTombs, "doc_id")
+      .select("doc_id", "term", "tf", "dl")
     val (fresh, relT) = Dedup.materializeTracked(
-      priorTombs
-        .fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti")))
+      Dedup.liveAmong(ids, "doc_id", livePost, "doc_id"))
     try {
+      // deletes-first: ALL inserts index (an update's new image too)
       val (post, relI) = Dedup.materializeTracked(
-        TextOps.docTermFreqs(
-          newDocs.join(ids.withColumnRenamed("doc_id", id), Seq(id),
-            "left_anti"),
-          id, text))
+        TextOps.docTermFreqs(newDocs, id, text))
       val (delPost, relD) = Dedup.materializeTracked(
-        Dedup.committedOnly(spark.read.parquet(s"$root/postings"), meta)
-          .select("doc_id", "term", "tf", "dl")
-          .join(fresh, Seq("doc_id"), "left_semi"))
+        livePost.join(fresh, Seq("doc_id"), "left_semi"))
       try {
         Dedup.writeIndexTable(post, batchId, s"$root/postings")
-        Dedup.writeIndexTable(fresh, batchId, s"$root/tomb")
+        Dedup.writeTombs(fresh, Dedup.lastCommittedBatch(meta), batchId,
+          s"$root/tomb")
         Dedup.writeIndexTable(
           dfPartials(post).unionByName(
             dfPartials(delPost).select(col("term"), (-col("df")).as("df"))),
@@ -267,17 +283,21 @@ object Bm25Index {
     * safe here — unlike [[rebuild]], whose content changes and
     * therefore swaps one directory. `last_committed_batch` survives in
     * the metadata: folded batches live on in the base partition, so
-    * replayed batchIds still skip. Physical tombstone removal stays
-    * [[rebuild]]'s job. Offline single-writer maintenance. */
+    * replayed batchIds still skip. Tombstoned postings are folded away
+    * physically and the tombstone table dropped (squashing batches
+    * into the base would erase the shadow ordering — see
+    * `Dedup.compactTables`); the signed df/(N,S) partials fold
+    * verbatim, so every read-side total is unchanged. Offline
+    * single-writer maintenance. */
   def compact(spark: SparkSession, dir: String,
               targetFiles: Int = 4): Unit =
     IndexLease.withLease(spark, dir, "Bm25Index.compact") {
       validate(Dedup.readMeta(spark, Dedup.indexRoot(spark, dir)), dir)
       Dedup.compactTables(spark, dir, targetFiles,
-        Seq("postings" -> Seq("doc_id", "term", "tf", "dl"),
-          "df" -> Seq("term", "df"),
-          "stats" -> Seq("n", "s")),
-        optional = Seq("tomb" -> Seq("doc_id")))
+        masked = Seq("postings" -> Seq("doc_id", "term", "tf", "dl")),
+        idCol = "doc_id",
+        unmasked = Seq("df" -> Seq("term", "df"),
+          "stats" -> Seq("n", "s")))
     }
 
   /** Exact global document frequencies: Σ over committed batch
@@ -337,10 +357,10 @@ object Bm25Index {
     val probedKeys = broadcast(qterms.select("term").distinct())
     val matched = Dedup.committedOnly(
       spark.read.parquet(s"$root/postings"), meta)
-      .select("doc_id", "term", "tf", "dl")
       .join(probedKeys, Seq("term"), "left_semi")
-    val post = committedTombs(spark, root, meta)
-      .fold(matched)(t => matched.join(t, Seq("doc_id"), "left_anti"))
+    val post = Dedup.maskShadowed(matched, "doc_id",
+      committedTombs(spark, root, meta), "doc_id")
+      .select("doc_id", "term", "tf", "dl")
     val scored = post
       .join(kept, Seq("term"))
       .join(qterms, Seq("term"))
@@ -370,9 +390,9 @@ object Bm25Index {
     validate(meta, dir)
     val committed = Dedup.committedOnly(
       spark.read.parquet(s"$root/postings"), meta)
+    val live = Dedup.maskShadowed(committed, "doc_id",
+      committedTombs(spark, root, meta), "doc_id")
       .select("doc_id", "term", "tf", "dl")
-    val live = committedTombs(spark, root, meta)
-      .fold(committed)(t => committed.join(t, Seq("doc_id"), "left_anti"))
     val dfMismatch = dfPartials(live).withColumnRenamed("df", "df_live")
       .join(foldedDf(spark, dir).withColumnRenamed("df", "df_fold"),
         Seq("term"), "full_outer")
@@ -403,9 +423,9 @@ object Bm25Index {
     validate(meta, dir)
     val committed = Dedup.committedOnly(
       spark.read.parquet(s"$root/postings"), meta)
+    val live = Dedup.maskShadowed(committed, "doc_id",
+      committedTombs(spark, root, meta), "doc_id")
       .select("doc_id", "term", "tf", "dl")
-    val live = committedTombs(spark, root, meta)
-      .fold(committed)(t => committed.join(t, Seq("doc_id"), "left_anti"))
     val (post, release) = Dedup.materializeTracked(live)
     try {
       // an all-deleted corpus would rebuild to empty-born tables that

@@ -486,50 +486,138 @@ object Dedup {
       s.isDirectory && s.getPath.getName.startsWith(IngestBatchCol + "="))
   }
 
-  /** Committed tombstoned ids of a v2 index (single id column), or
-    * None when no delete ever ran — the append-only read path pays
+  /** ---- Shadow tombstones (r16): deletion that UPDATES can cross ----
+    *
+    * A tombstone row is (id, [[ShadowCol]]): it kills exactly the
+    * index rows of that id whose `ingest_batch` is ≤ `shadow_upto` —
+    * never rows from later batches. Every delete leg stamps
+    * `shadow_upto = lastCommittedBatch` AT APPLY TIME, which is ≥ the
+    * batch of every row then committed, so a plain delete still kills
+    * everything it sees — but a LATER insert of the same id lands in a
+    * strictly higher batch and serves. This is the LSM tombstone
+    * ordering, and it makes the CDC surface able to express updates:
+    *
+    *   - within one batch `b`, deletes apply to the PRE-batch state
+    *     (`shadow_upto = b-1`-or-less) and inserts land at batch `b` —
+    *     delete+insert of one id in a batch is an UPDATE (the new
+    *     image serves, the old rows and their statistics retract);
+    *   - across batches, re-inserting a previously deleted id just
+    *     works — no rebuild required;
+    *   - inserting an id that is currently LIVE (without deleting it
+    *     in the same batch) remains the caller-contract violation it
+    *     always was: the index would hold two images of one id.
+    *
+    * The synchronous (batchId = None) paths write into the base
+    * partition (-1), which every tombstone's `shadow_upto ≥ -1`
+    * shadows — so a synchronous RE-insert of a deleted id cannot be
+    * expressed and refuses loudly ([[refuseShadowedInserts]]); route
+    * re-inserts through a batchId. Compaction and rebuild apply the
+    * mask physically (live rows only, tombstones dropped), which is
+    * what keeps the shadow ordering consistent with their fold of all
+    * batches into the base partition. Tombstones written before this
+    * scheme carry no ordering column and are read as
+    * `shadow_upto = Long.MaxValue` — they keep masking everything,
+    * exactly their original semantics, and a re-insert against them
+    * still refuses with the rebuild remedy. */
+  private[graft] val ShadowCol = "shadow_upto"
+
+  /** Committed tombstones of a v2 index — (idCol, [[ShadowCol]]) — or
+    * None when no delete ever ran, so the append-only read path pays
     * zero cost for the feature's existence. A tombstone table that
     * exists but holds no written partition (insert-only CDC batches)
-    * counts as absent ([[indexTableHasData]]). */
+    * counts as absent ([[indexTableHasData]]). Pre-shadow tombstones
+    * (no [[ShadowCol]] on disk) read as Long.MaxValue — mask
+    * everything, their original semantics; mergeSchema keeps a table
+    * holding BOTH generations readable. */
   private[graft] def committedTombsAt(spark: org.apache.spark.sql.SparkSession,
                                       path: String,
                                       meta: Map[String, String],
                                       idCol: String): Option[DataFrame] =
-    if (indexTableHasData(spark, path))
-      Some(committedOnly(spark.read.parquet(path), meta).select(idCol))
-    else None
+    if (indexTableHasData(spark, path)) {
+      val raw = spark.read.option("mergeSchema", "true").parquet(path)
+      val shadowed =
+        if (raw.columns.contains(ShadowCol))
+          raw.withColumn(ShadowCol,
+            coalesce(col(ShadowCol), lit(Long.MaxValue)))
+        else raw.withColumn(ShadowCol, lit(Long.MaxValue))
+      Some(committedOnly(shadowed, meta).select(idCol, ShadowCol))
+    } else None
 
-  /** Refuses an insert batch whose ids overlap COMMITTED tombstones —
-    * the one CDC shape the masking design cannot absorb: a re-inserted
-    * tombstoned id would be indexed (and, where the family keeps
-    * statistics, stat-counted) yet stay masked forever by the
-    * tombstone anti-join, silently losing the doc from every board
-    * while skewing the folded stats. Detecting it costs one semi-join
-    * of the batch-bounded insert ids against the single-column tomb
-    * table; the remedy is the rebuild that physically drops the
-    * tombstones (an upsert is delete+insert only ACROSS a rebuild —
-    * within one batch delete-wins already handles the overlap). `tombs`
-    * is the committed tombstone frame with id column `idCol`; `None`
-    * (no delete ever ran) costs nothing. */
-  private[graft] def refuseTombedReinserts(inserts: DataFrame, idCol: String,
+  /** One tombstone-table write: `ids` (single id column) stamped with
+    * `shadow_upto = shadowUpto`, landing in the `ingest_batch = batch`
+    * partition under the usual replay semantics. */
+  private[graft] def writeTombs(ids: DataFrame, shadowUpto: Long,
+                                batch: Long, path: String): Unit =
+    writeIndexTable(ids.withColumn(ShadowCol, lit(shadowUpto)), batch, path)
+
+  /** THE masking choke point: drops every row of `rows` that a
+    * committed tombstone shadows (same id, `shadow_upto ≥` the row's
+    * `ingest_batch`). `rows` must still carry [[IngestBatchCol]];
+    * identity when no delete ever ran. The tombstone side aggregates
+    * to one (id, max shadow) row per deleted id before the join —
+    * takedown-scale, broadcastable by AQE like the anti-join this
+    * generalizes. */
+  private[graft] def maskShadowed(rows: DataFrame, idCol: String,
+                                  tombs: Option[DataFrame],
+                                  tombIdCol: String): DataFrame =
+    tombs.fold(rows) { t =>
+      val sh = t.groupBy(col(tombIdCol).as("__tid"))
+        .agg(max(col(ShadowCol)).as("__shadow"))
+      rows.join(sh, rows(idCol) === sh("__tid"), "left")
+        .filter(col("__shadow").isNull ||
+          col(IngestBatchCol) > col("__shadow"))
+        .drop("__tid", "__shadow")
+    }
+
+  /** The ids of `ids` that are currently LIVE in the masked frame
+    * `liveRows` (which must carry `liveIdCol`) — the delete legs'
+    * "what does this tombstone actually kill" set: double-deletes and
+    * never-held ids drop out, so counts stay exact and the tombstone
+    * table never accretes no-op rows. */
+  private[graft] def liveAmong(ids: DataFrame, idCol: String,
+                               liveRows: DataFrame,
+                               liveIdCol: String): DataFrame =
+    ids.join(liveRows.select(col(liveIdCol).as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+
+  /** Refuses the two insert shapes shadow masking cannot absorb:
+    * synchronous (base-partition) inserts of ANY tombstoned id — the
+    * base partition is shadowed by every tombstone, so the row would
+    * be silently invisible — and batched inserts of ids held by
+    * PRE-SHADOW tombstones (`shadow_upto = Long.MaxValue`, written
+    * before the ordering column existed), which mask all future
+    * batches too. Batched re-inserts against shadow-aware tombstones
+    * are legal and not checked here. Costs one semi-join of the
+    * batch-bounded insert ids against the single-column tomb side;
+    * `None` (no delete ever ran) costs nothing. */
+  private[graft] def refuseShadowedInserts(inserts: DataFrame, idCol: String,
                                            tombs: Option[DataFrame],
                                            tombIdCol: String,
-                                           op: String, dir: String): Unit =
+                                           op: String, dir: String,
+                                           syncPath: Boolean): Unit =
     tombs.foreach { t =>
+      val blocking =
+        if (syncPath) t else t.filter(col(ShadowCol) === Long.MaxValue)
       val hits = inserts.select(col(idCol).cast("long").as("__rid"))
         .distinct()
-        .join(t.select(col(tombIdCol).cast("long").as("__rid")),
+        .join(blocking.select(col(tombIdCol).cast("long").as("__rid")),
           Seq("__rid"), "left_semi")
         .limit(3).collect().map(_.getLong(0))
       require(hits.isEmpty,
-        s"$op: insert batch re-uses tombstoned id(s) " +
-          s"${hits.mkString("(", ", ", ")")} at $dir — a tombstoned id " +
-          "stays masked until a rebuild, so the re-inserted row would be " +
-          "invisible on every board while its index rows (and any folded " +
-          "statistics) silently accrete. Rebuild the index first " +
-          "(physically dropping the tombstones), then re-insert; within " +
-          "one CDC batch delete+insert of the same id is delete-wins by " +
-          "contract")
+        if (syncPath)
+          s"$op: synchronous (batchId=None) insert re-uses deleted id(s) " +
+            s"${hits.mkString("(", ", ", ")")} at $dir — synchronous " +
+            "inserts land in the base partition, which every tombstone " +
+            "shadows, so the row would be invisible on every board. " +
+            "Route the re-insert through a batchId (append/applyCdc with " +
+            "batchId > the commit marker), or rebuild the index first"
+        else
+          s"$op: insert batch re-uses id(s) " +
+            s"${hits.mkString("(", ", ", ")")} deleted by a PRE-SHADOW " +
+            s"tombstone at $dir (written before tombstones carried an " +
+            "ordering column; it masks all batches, including this one). " +
+            "Rebuild the index — the rebuild folds the old tombstones " +
+            "away physically — then re-insert")
     }
 
   /** Takedown leg for the minhash signature index — a right-to-be-
@@ -544,12 +632,15 @@ object Dedup {
     * or a bucket representative. `n_docs` decrements by the
     * newly-tombstoned ids actually held, keeping the sizing metadata a
     * live count. Physical removal happens at the next
-    * [[rebuildMinhashIndex]], which reads the live set and swaps a
-    * tombstone-free layout in. Same replay contract as the appends
-    * (batchId ≥ 0 marker-committed, None = synchronous one-shot);
-    * a tombstoned id stays gone until a rebuild — re-appending it
-    * first is the same contract violation as in the serving
-    * indexes. */
+    * [[rebuildMinhashIndex]] or [[compactMinhashIndex]], which read
+    * the live set and swap a tombstone-free layout in. Same replay
+    * contract as the appends (batchId ≥ 0 marker-committed, None =
+    * synchronous one-shot). Tombstones are SHADOW tombstones
+    * ([[ShadowCol]]): they kill only rows from batches ≤ the marker at
+    * delete time, so a later batched re-insert of the id serves —
+    * delete is no longer a one-way door. Deleting an id the index
+    * does not currently hold is a no-op (nothing written, nothing
+    * decremented), which also makes double-deletes exact. */
   def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                              dir: String, tombstones: DataFrame,
                              batchId: Option[Long] = None): Unit =
@@ -560,15 +651,17 @@ object Dedup {
     if (batchId.exists(_ <= lastCommittedBatch(meta))) return
     val ids = tombstones.select(col("doc_id").cast("long").as("doc_id"))
       .distinct()
-    // materialized: the plan reads tomb/, which the write below appends
-    // to — and the n_docs count reuses it
+    val tombs = committedTombsAt(spark, s"$root/tomb", meta, "doc_id")
+    // materialized: the plan reads tomb/ (via the mask), which the
+    // write below appends to — and the n_docs count reuses it
     val (fresh, relT) = materializeTracked(
-      committedTombsAt(spark, s"$root/tomb", meta, "doc_id")
-        .fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti")))
+      liveAmong(ids, "doc_id",
+        maskShadowed(committedOnly(spark.read.parquet(s"$root/sets"), meta),
+          "doc_id", tombs, "doc_id"), "doc_id"))
     try {
-      val nDel = committedOnly(spark.read.parquet(s"$root/sets"), meta)
-        .select("doc_id").join(fresh, Seq("doc_id"), "left_semi").count()
-      writeIndexTable(fresh, batchId.getOrElse(-1L), s"$root/tomb")
+      val nDel = fresh.count()
+      writeTombs(fresh, lastCommittedBatch(meta), batchId.getOrElse(-1L),
+        s"$root/tomb")
       writeMeta(spark, root,
         meta + ("n_docs" -> (meta("n_docs").toLong - nDel).toString)
           ++ batchId.map(b => "last_committed_batch" -> b.toString))
@@ -584,12 +677,15 @@ object Dedup {
     * (the first commits the marker, the second would skip), so the
     * combined op writes the batch's band keys, sets, and tombstones
     * into one `ingest_batch` partition, marker strictly last. Within
-    * ONE batch the tombstone outranks the batch's own insert (delete
-    * wins — the overlapped doc is never signed, so `n_docs` stays
-    * consistent by construction); deletes otherwise apply to
-    * previously COMMITTED docs, per-id cross-batch order being the
-    * caller's CDC contract. `n_docs` nets the batch's signed inserts
-    * against its newly-tombstoned held docs — the live count. */
+    * ONE batch deletes apply FIRST (to the pre-batch state) and
+    * inserts land after: delete+insert of one id is an UPDATE — the
+    * new image serves, the old rows fall under the shadow tombstone
+    * ([[ShadowCol]]) — and a re-insert of an id deleted in an earlier
+    * batch serves the same way, no rebuild required. Inserting a
+    * currently-live id WITHOUT deleting it in the same batch remains
+    * the duplicate-image caller-contract violation it always was.
+    * `n_docs` nets the batch's signed inserts against its
+    * newly-tombstoned held docs — the live count (an upsert nets 0). */
   def applyMinhashCdc(spark: org.apache.spark.sql.SparkSession,
                       dir: String, newDocs: DataFrame,
                       tombstones: DataFrame, batchId: Long,
@@ -601,26 +697,27 @@ object Dedup {
     if (batchId <= lastCommittedBatch(meta)) return
     val ids = tombstones.select(col(id).cast("long").as("doc_id")).distinct()
     val priorTombs = committedTombsAt(spark, s"$root/tomb", meta, "doc_id")
-    refuseTombedReinserts(newDocs, id, priorTombs, "doc_id",
-      "applyMinhashCdc", dir)
-    // materialized: the fresh-ids plan reads tomb/, which the write
-    // below appends to — and the n_docs semi-join reuses it
+    refuseShadowedInserts(newDocs, id, priorTombs, "doc_id",
+      "applyMinhashCdc", dir, syncPath = false)
+    // materialized: the fresh-ids plan reads tomb/ (via the mask),
+    // which the write below appends to — and the n_docs count reuses it
     val (fresh, relT) = materializeTracked(
-      priorTombs
-        .fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti")))
+      liveAmong(ids, "doc_id",
+        maskShadowed(committedOnly(spark.read.parquet(s"$root/sets"), meta),
+          "doc_id", priorTombs, "doc_id"), "doc_id"))
     try {
       val nh = meta("numHashes").toInt
       val nb = meta("bands").toInt
-      // delete wins within the batch: an overlapped doc is never signed
-      val sigs = minhashSignatures(
-        newDocs.join(ids.withColumnRenamed("doc_id", id), Seq(id),
-          "left_anti"), id, text, nh)
-      val nDel = committedOnly(spark.read.parquet(s"$root/sets"), meta)
-        .select("doc_id").join(fresh, Seq("doc_id"), "left_semi").count()
+      // deletes apply FIRST, to the pre-batch state; the batch's own
+      // inserts land at this batchId, above every shadow_upto, so
+      // delete+insert of one id in this batch is an UPDATE — the new
+      // image is signed and serves
+      val sigs = minhashSignatures(newDocs, id, text, nh)
+      val nDel = fresh.count()
       writeIndexTable(bandKeysOf(sigs, nh, nb), batchId, s"$root/bands")
       writeIndexTable(sigs.select(col("doc_id"), col("hs")), batchId,
         s"$root/sets")
-      writeIndexTable(fresh, batchId, s"$root/tomb")
+      writeTombs(fresh, lastCommittedBatch(meta), batchId, s"$root/tomb")
       writeMeta(spark, root,
         meta + ("n_docs" ->
           (meta("n_docs").toLong + sigs.count() - nDel).toString)
@@ -645,12 +742,12 @@ object Dedup {
     validateMinhashMeta(meta, dir)
     val tombs = committedTombsAt(spark, s"$root/tomb", meta, "doc_id")
     def live(df: DataFrame): DataFrame =
-      tombs.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
+      maskShadowed(df, "doc_id", tombs, "doc_id")
     MinhashIndex(
-      live(committedOnly(spark.read.parquet(s"$root/bands"), meta)
-        .select("doc_id", "band_idx", "band_key")),
-      live(committedOnly(spark.read.parquet(s"$root/sets"), meta)
-        .select("doc_id", "hs")),
+      live(committedOnly(spark.read.parquet(s"$root/bands"), meta))
+        .select("doc_id", "band_idx", "band_key"),
+      live(committedOnly(spark.read.parquet(s"$root/sets"), meta))
+        .select("doc_id", "hs"),
       meta("numHashes").toInt, meta("bands").toInt)
   }
 
@@ -683,9 +780,9 @@ object Dedup {
     val meta = readMeta(spark, root)
     validateMinhashMeta(meta, dir)
     if (batchId.exists(_ <= lastCommittedBatch(meta))) return // replayed, durable
-    refuseTombedReinserts(batch, id,
+    refuseShadowedInserts(batch, id,
       committedTombsAt(spark, s"$root/tomb", meta, "doc_id"), "doc_id",
-      "appendToMinhashIndex", dir)
+      "appendToMinhashIndex", dir, syncPath = batchId.isEmpty)
     val numHashes = meta("numHashes").toInt
     val bands = meta("bands").toInt
     // materialized once (inside minhashSignatures): both writes and the
@@ -739,6 +836,65 @@ object Dedup {
   private[graft] val PointerFile = "CURRENT"
   private[graft] val LeaseFile = "LEASE"
   private val VersionRe = "^v(\\d+)$".r
+
+  /** How many committed versions a replacement commit leaves on disk
+    * (the new one included). The default 2 is the minimum: the
+    * previous version stays for one commit so open readers holding its
+    * file list finish their scans. Deployments with LONG-lived readers
+    * (a training job pinned to a snapshot for hours while maintenance
+    * commits several times) raise `-Dgraft.index.retain.versions` —
+    * retention is the only thing standing between an open snapshot and
+    * a prune. Values below 2 are clamped up: pruning the version a
+    * commit just replaced would re-open the unreadable window the
+    * pointer layout exists to kill. */
+  def retainVersions: Int =
+    math.max(2, sys.props.get("graft.index.retain.versions")
+      .flatMap(_.toIntOption).getOrElse(2))
+
+  /** The version numbers present on disk at `dir`, ascending — the
+    * committed one is [[pointerVersion]]; older entries are retained
+    * snapshots still open-able via [[versionRoot]] until retention
+    * prunes them. Empty for a flat pre-pointer layout. */
+  def listVersions(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.collect {
+      case s if s.isDirectory => s.getPath.getName
+    }.collect { case VersionRe(n) => n.toInt }.sorted
+  }
+
+  /** Pinned-snapshot root: the path to read version `v` of the index
+    * at `dir` — pass it anywhere a reader takes an index directory
+    * (`readMinhashIndex(spark, versionRoot(...))`, ...): a version
+    * root has no pointer file of its own, so readers use it as-is.
+    * This is the time-travel/reproducibility read (serve or train
+    * against the EXACT snapshot a run started from, while maintenance
+    * commits newer versions beside it). A version is FROZEN once it is
+    * no longer CURRENT — in-place maintenance (append/delete/applyCdc)
+    * only ever touches the serving version, and replacement commits
+    * build new version dirs — so pin a version the next replacement
+    * commit has moved past (or schedule a cheap compact as the freeze
+    * point). The pin stays valid until retention ([[retainVersions]])
+    * prunes the version, and refuses by name when it already has.
+    * Read-only by contract — run maintenance against `dir`, never
+    * against a version root. */
+  def versionRoot(spark: org.apache.spark.sql.SparkSession,
+                  dir: String, version: Int): String = {
+    val root = s"$dir/v$version"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(root)), {
+      val have = listVersions(spark, dir)
+      s"index at $dir has no version $version" +
+        (if (have.isEmpty) " (flat pre-pointer layout — no versions yet)"
+         else s" — on disk: ${have.mkString("v", ", v", "")}; older " +
+           "versions are pruned by retention (raise " +
+           "-Dgraft.index.retain.versions to keep more)")
+    })
+    root
+  }
 
   /** The committed version number at `dir`, or None for a flat
     * pre-pointer layout (or a not-yet-written index). */
@@ -816,14 +972,16 @@ object Dedup {
     build(target)
     IndexLease.verifyBeforeCommit(spark, dir)
     writePointer(spark, dir, next)
-    if (next >= 2) {
-      // prune everything but the new version, its predecessor (open
-      // readers may hold its file list — one-commit grace), and the
-      // control files; this is also where a migrated flat layout's
-      // legacy tables go away
+    if (next >= retainVersions) {
+      // prune everything but the newest `retainVersions` versions
+      // (default 2: the new one + its predecessor, whose file lists
+      // open readers may hold) and the control files; this is also
+      // where a migrated flat layout's legacy tables go away. Raising
+      // -Dgraft.index.retain.versions keeps deeper snapshot history
+      // for pinned readers (see versionRoot).
       val keep =
-        Set(PointerFile, PointerFile + ".tmp", LeaseFile,
-          s"v${next - 1}", s"v$next")
+        Set(PointerFile, PointerFile + ".tmp", LeaseFile) ++
+          (next - retainVersions + 1 to next).map(v => s"v$v")
       fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { s =>
         if (!keep.contains(s.getPath.getName)) fs.delete(s.getPath, true)
       }
@@ -853,29 +1011,51 @@ object Dedup {
     } else false
   }
 
-  /** [[swapInTable]] for compaction: committed rows of the table at
-    * `path`, projected to `cols`, coalesced to `targetFiles` output
-    * files. Coalesce, not repartition — file-merging needs no shuffle. */
   /** Version-commit compaction for the standard multi-table layouts:
-    * rewrites each named table's COMMITTED rows (projected to `cols`,
-    * coalesced to `targetFiles` files, all in the base partition) into
-    * the next version, copying the metadata — the marker included, so
-    * folded batches live on in the base and replayed batchIds still
-    * skip. `optional` tables (tomb/) ride along only when they hold
-    * data. Reads the serving version LAZILY — safe under pointer
+    * folds each table's committed rows (projected to `cols`, coalesced
+    * to `targetFiles` files, all in the base partition) into the next
+    * version, copying the metadata — the marker included, so folded
+    * batches live on in the base and replayed batchIds still skip.
+    *
+    * `masked` tables carry per-id rows and are folded LIVE-ONLY
+    * ([[maskShadowed]]), with the tombstone table dropped from the new
+    * version — compaction squashes every row into the base partition,
+    * which erases the batch ordering shadow tombstones kill by, so the
+    * mask must be applied physically here rather than carried. Served
+    * results are unchanged (the mask was already hiding those rows);
+    * physical removal simply stops being a rebuild-only event.
+    * `unmasked` tables (BM25's signed df/stats partials) hold no
+    * per-id rows and fold verbatim — their signed sums are
+    * order-free. Reads the serving version LAZILY — safe under pointer
     * commits, which never touch it; coalesce, not repartition — file
-    * merging needs no shuffle. Rows are preserved exactly, so served
-    * results before ≡ after. */
+    * merging needs no shuffle. */
   private[graft] def compactTables(spark: org.apache.spark.sql.SparkSession,
                                    dir: String, targetFiles: Int,
-                                   tables: Seq[(String, Seq[String])],
-                                   optional: Seq[(String, Seq[String])] =
+                                   masked: Seq[(String, Seq[String])],
+                                   idCol: String,
+                                   unmasked: Seq[(String, Seq[String])] =
                                      Seq.empty): Unit = {
     val root = indexRoot(spark, dir)
     val meta = readMeta(spark, root)
+    val tombs = committedTombsAt(spark, s"$root/tomb", meta, idCol)
+    def liveOf(t: String, cols: Seq[String]): DataFrame =
+      maskShadowed(
+        committedOnly(spark.read.parquet(s"$root/$t"), meta),
+        idCol, tombs, idCol)
+        .select(cols.map(col): _*)
+    // an all-deleted index would compact to empty-born tables no
+    // reader can open — refuse with the honest instruction instead
+    masked.headOption.filter(_ => tombs.nonEmpty).foreach { case (t, cols) =>
+      require(liveOf(t, cols).head(1).nonEmpty,
+        s"compact: every row in $dir is deleted — nothing to fold; " +
+          "delete the index directory instead")
+    }
     swapInDir(spark, dir) { tmp =>
-      (tables ++ optional.filter { case (t, _) =>
-        indexTableHasData(spark, s"$root/$t") }).foreach { case (t, cols) =>
+      masked.foreach { case (t, cols) =>
+        writeIndexTable(liveOf(t, cols).coalesce(targetFiles),
+          -1L, s"$tmp/$t", overwriteAll = true)
+      }
+      unmasked.foreach { case (t, cols) =>
         writeIndexTable(
           committedOnly(spark.read.parquet(s"$root/$t"), meta)
             .select(cols.map(col): _*).coalesce(targetFiles),
@@ -902,13 +1082,13 @@ object Dedup {
                           dir: String, targetFiles: Int = 4): Unit =
     IndexLease.withLease(spark, dir, "compactMinhashIndex") {
       validateMinhashMeta(readMeta(spark, indexRoot(spark, dir)), dir)
-      // tomb rides along when present: a delete-heavy CDC stream
-      // fragments it at the same per-batch cadence (rows preserved;
-      // physical removal stays rebuild's job)
+      // live rows only, tombstones folded away physically: squashing
+      // batches into the base would erase the ordering shadow
+      // tombstones mask by, so the mask is applied here instead
       compactTables(spark, dir, targetFiles,
-        Seq("bands" -> Seq("doc_id", "band_idx", "band_key"),
+        masked = Seq("bands" -> Seq("doc_id", "band_idx", "band_key"),
           "sets" -> Seq("doc_id", "hs")),
-        optional = Seq("tomb" -> Seq("doc_id")))
+        idCol = "doc_id")
     }
 
   /** Re-cuts a persisted index's blocking FROM ITS OWN `sets` table —
@@ -936,8 +1116,8 @@ object Dedup {
     require(nh % nb == 0,
       s"rebuildMinhashIndex: numHashes=$nh not divisible by bands=$nb")
     val held = committedOnly(spark.read.parquet(s"$root/sets"), meta)
-    val liveSets = committedTombsAt(spark, s"$root/tomb", meta, "doc_id")
-      .fold(held)(t => held.join(t, Seq("doc_id"), "left_anti"))
+    val liveSets = maskShadowed(held, "doc_id",
+      committedTombsAt(spark, s"$root/tomb", meta, "doc_id"), "doc_id")
     // materialized: both derived tables and the count reuse it
     val (sigs, release) = materializeTracked(
       liveSets.select(col("doc_id"), col("hs"),

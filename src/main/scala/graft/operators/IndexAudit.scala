@@ -140,16 +140,17 @@ object IndexAudit {
       .filter(s => s.isDirectory && s.getPath.getName.matches("^v\\d+$"))
       .map(_.getPath.getName).sorted
     rows += (("versions",
-      if (verDirs.size <= 2) "OK" else "WARN",
+      if (verDirs.size <= Dedup.retainVersions) "OK" else "WARN",
       if (root == dir) "flat pre-pointer layout"
       else {
         val cur = root.substring(root.lastIndexOf('/') + 1)
         val stale = verDirs.filterNot(_ == cur)
         s"serving $cur" +
           (if (stale.isEmpty) "" else s", retained ${stale.mkString(",")}") +
-          (if (verDirs.size <= 2) ""
-           else " — more than one stale version retained; the next " +
-             "replacement commit prunes them")
+          (if (verDirs.size <= Dedup.retainVersions) ""
+           else s" — more versions than retention " +
+             s"(${Dedup.retainVersions}) keeps; the next replacement " +
+             "commit prunes the excess")
       }))
     val lease = IndexLease.status(spark, dir)
     rows += (("lease", if (lease.isEmpty) "OK" else "WARN",
@@ -217,20 +218,17 @@ object IndexAudit {
         val tombsPresent = Dedup.indexTableHasData(spark, s"$root/tomb")
         val tombs =
           if (tombsPresent && countChecks)
-            Some(Dedup.committedOnly(
-              spark.read.parquet(s"$root/tomb"), meta)
-              .select(idCol).distinct())
+            Dedup.committedTombsAt(spark, s"$root/tomb", meta, idCol)
           else None
         rows += (("tomb", "OK",
           if (!tombsPresent) "no tombstones"
           else tombs.fold("tombstones present")(t =>
-            s"tombstoned=${t.count()}")))
-        def liveCount(table: String): Long = {
-          val base = Dedup.committedOnly(
-            spark.read.parquet(s"$root/$table"), meta).select(idCol)
-          tombs.fold(base)(t => base.join(t, Seq(idCol), "left_anti"))
-            .count()
-        }
+            s"tombstoned=${t.select(idCol).distinct().count()}")))
+        def liveCount(table: String): Long =
+          Dedup.maskShadowed(
+            Dedup.committedOnly(spark.read.parquet(s"$root/$table"), meta),
+            idCol, tombs, idCol)
+            .select(idCol).count()
         kind match {
           case "minhash-v2" if countChecks =>
             val declared = meta("n_docs").toLong

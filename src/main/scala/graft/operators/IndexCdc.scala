@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** One façade over the five per-family CDC appliers. All five persisted
   * index families (BM25, IVF, embedding-LSH, minhash-LSH, prefix) share
   * the same change-stream contract — one marker bump per batch,
-  * delete-wins within a batch, committed counts netting to the live row
-  * set, replayed batchIds skipping, re-insert of a committed tombstone
-  * refused loudly — but grew five parallel implementations as the
-  * families evolved. The façade makes the contract a single call site:
+  * deletes-apply-first within a batch (delete+insert of one id is an
+  * UPDATE: the new image serves, the old one falls under its shadow
+  * tombstone — `Dedup.ShadowCol`), re-inserts of previously deleted ids
+  * serving without a rebuild, committed counts netting to the live row
+  * set, and replayed batchIds skipping — but grew five parallel
+  * implementations as the families evolved. The façade makes the
+  * contract a single call site:
   * it reads the index's own `kind` metadata and dispatches, so a CDC
   * feed (or a composite pipeline fanning one change stream into several
   * indexes) never hard-codes family-specific entry points, and the
@@ -83,24 +86,24 @@ object IndexCdc {
       case Bm25Index.Kind =>
         val root = Dedup.indexRoot(spark, dir)
         val meta = Dedup.readMeta(spark, root)
-        val docs = Dedup.committedOnly(
-          spark.read.parquet(s"$root/postings"), meta)
+        Dedup.maskShadowed(
+          Dedup.committedOnly(spark.read.parquet(s"$root/postings"), meta),
+          "doc_id",
+          Dedup.committedTombsAt(spark, s"$root/tomb", meta, "doc_id"),
+          "doc_id")
           .select(col("doc_id").as("id")).distinct()
-        Dedup.committedTombsAt(spark, s"$root/tomb", meta, "doc_id")
-          .fold(docs)(t => docs.join(
-            t.withColumnRenamed("doc_id", "id"), Seq("id"), "left_anti"))
       case Dedup.MinhashIndexKind =>
         Dedup.readMinhashIndex(spark, dir).sets
           .select(col("doc_id").as("id")).distinct()
       case SimJoin.PrefixIndexKind =>
         val root = Dedup.indexRoot(spark, dir)
         val meta = Dedup.readMeta(spark, root)
-        val docs = Dedup.committedOnly(
-          spark.read.parquet(s"$root/sets"), meta)
+        Dedup.maskShadowed(
+          Dedup.committedOnly(spark.read.parquet(s"$root/sets"), meta),
+          "doc_id",
+          Dedup.committedTombsAt(spark, s"$root/tomb", meta, "doc_id"),
+          "doc_id")
           .select(col("doc_id").as("id")).distinct()
-        Dedup.committedTombsAt(spark, s"$root/tomb", meta, "doc_id")
-          .fold(docs)(t => docs.join(
-            t.withColumnRenamed("doc_id", "id"), Seq("id"), "left_anti"))
       case Similarity.IvfIndexKind =>
         Similarity.readIvfIndex(spark, dir).assigned
           .select(col("vec_id").as("id")).distinct()

@@ -113,13 +113,15 @@ object SimJoin {
     require(meta.get("kind").contains(PrefixIndexKind),
       s"$dir is not a prefix index (kind=${meta.getOrElse("kind", "<absent>")})")
 
-  /** Anti-join mask over the committed tombstones ([[deleteFromPrefixIndex]]);
-    * identity when no delete ever ran, so the append-only path pays
-    * nothing for the feature. `dir` is the RESOLVED version root. */
+  /** Shadow-tombstone mask over the committed tombstones
+    * ([[deleteFromPrefixIndex]], `Dedup.maskShadowed`); identity when
+    * no delete ever ran, so the append-only path pays nothing for the
+    * feature. `df` must still carry `ingest_batch`; `dir` is the
+    * RESOLVED version root. */
   private def liveOnly(spark: SparkSession, dir: String,
                        meta: Map[String, String])(df: DataFrame): DataFrame =
-    Dedup.committedTombsAt(spark, s"$dir/tomb", meta, "doc_id")
-      .fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
+    Dedup.maskShadowed(df, "doc_id",
+      Dedup.committedTombsAt(spark, s"$dir/tomb", meta, "doc_id"), "doc_id")
 
   /** Takedown leg for the prefix index — the lossless sibling of
     * `Dedup.deleteFromMinhashIndex`: a right-to-be-forgotten delete
@@ -135,8 +137,13 @@ object SimJoin {
     * rely on — so nothing is retracted from it. Physical removal (and
     * df refresh) happens at the next [[rebuildPrefixIndex]]. Same
     * replay contract as the appends (batchId ≥ 0 marker-committed,
-    * None = synchronous one-shot); a tombstoned id stays gone until a
-    * rebuild — re-appending it first is a contract violation. */
+    * None = synchronous one-shot). Tombstones are SHADOW tombstones
+    * (`Dedup.ShadowCol`): they kill only rows from batches ≤ the
+    * marker at delete time, so a later batched re-insert of the id
+    * serves — no rebuild required. No statistics and no counts hang
+    * off this family's tombstones, so the ids are written as-is
+    * (deduped), no index scan at all — deleting unknown ids stays
+    * free and harmless. */
   def deleteFromPrefixIndex(spark: SparkSession, dir: String,
                             tombstones: DataFrame,
                             batchId: Option[Long] = None): Unit =
@@ -147,16 +154,10 @@ object SimJoin {
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
     val ids = tombstones.select(col("doc_id").cast("long").as("doc_id"))
       .distinct()
-    // materialized: the plan may read tomb/, which the write below
-    // appends to
-    val (fresh, release) = Dedup.materializeTracked(
-      Dedup.committedTombsAt(spark, s"$root/tomb", meta, "doc_id")
-        .fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti")))
-    try {
-      Dedup.writeIndexTable(fresh, batchId.getOrElse(-1L), s"$root/tomb")
-      Dedup.writeMeta(spark, root,
-        meta ++ batchId.map(b => "last_committed_batch" -> b.toString))
-    } finally release()
+    Dedup.writeTombs(ids, Dedup.lastCommittedBatch(meta),
+      batchId.getOrElse(-1L), s"$root/tomb")
+    Dedup.writeMeta(spark, root,
+      meta ++ batchId.map(b => "last_committed_batch" -> b.toString))
   }
 
   def writePrefixIndex(df: DataFrame, id: String, text: String,
@@ -241,7 +242,8 @@ object SimJoin {
     val live = liveOnly(spark, root, meta) _
     val probedKeys = broadcast(newPref.select("h").distinct())
     val idxPref = live(Dedup.committedOnly(
-      spark.read.parquet(s"$root/prefix"), meta).select("doc_id", "sz", "h"))
+      spark.read.parquet(s"$root/prefix"), meta))
+      .select("doc_id", "sz", "h")
       .join(probedKeys, Seq("h"), "left_semi")
     val cand = newPref.as("x").join(idxPref.as("y"),
         col("x.h") === col("y.h") &&
@@ -252,7 +254,8 @@ object SimJoin {
     cand
       .join(newSets.select(col("doc_id").as("new_id"), col("hs").as("ha")),
         Seq("new_id"))
-      .join(live(Dedup.committedOnly(spark.read.parquet(s"$root/sets"), meta))
+      .join(live(Dedup.committedOnly(spark.read.parquet(s"$root/sets"),
+          meta))
         .select(col("doc_id").as("matched_id"), col("hs").as("hb")),
         Seq("matched_id"))
       .withColumn("inter",
@@ -281,9 +284,9 @@ object SimJoin {
     val meta = Dedup.readMeta(spark, root)
     validatePrefixMeta(meta, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
-    Dedup.refuseTombedReinserts(newDocs, id,
+    Dedup.refuseShadowedInserts(newDocs, id,
       Dedup.committedTombsAt(spark, s"$root/tomb", meta, "doc_id"),
-      "doc_id", "appendPrefixIndex", dir)
+      "doc_id", "appendPrefixIndex", dir, syncPath = batchId.isEmpty)
     val (thrNum, thrDen) = (meta("pj_num").toInt, meta("pj_den").toInt)
     val w = meta("pj_w").toInt
     val newSets = Dedup.materialize(
@@ -307,8 +310,10 @@ object SimJoin {
     * staleness is selectivity-only, per the losslessness argument
     * above), deletes tombstoned, sets + prefixes + tombstones all in
     * one `ingest_batch` partition with the marker strictly last.
-    * Within one batch the tombstone outranks its own insert (delete
-    * wins); deletes otherwise apply to previously committed docs. */
+    * Within one batch deletes apply FIRST (shadow tombstones kill
+    * only pre-batch rows), so delete+insert of one id is an UPDATE
+    * and a re-insert of an id deleted in an earlier batch serves —
+    * see `Dedup.ShadowCol`. */
   def applyPrefixCdc(spark: SparkSession, dir: String, newDocs: DataFrame,
                      tombstones: DataFrame, batchId: Long,
                      id: String = "doc_id", text: String = "text"): Unit =
@@ -320,51 +325,46 @@ object SimJoin {
     val ids = tombstones.select(col(id).cast("long").as("doc_id")).distinct()
     val priorTombs =
       Dedup.committedTombsAt(spark, s"$root/tomb", meta, "doc_id")
-    Dedup.refuseTombedReinserts(newDocs, id, priorTombs, "doc_id",
-      "applyPrefixCdc", dir)
-    // materialized: the plan reads tomb/, which the write below
-    // appends to
-    val (fresh, relT) = Dedup.materializeTracked(
-      priorTombs
-        .fold(ids)(t => ids.join(t, Seq("doc_id"), "left_anti")))
-    try {
-      val (thrNum, thrDen) = (meta("pj_num").toInt, meta("pj_den").toInt)
-      val w = meta("pj_w").toInt
-      // delete wins within the batch: an overlapped doc is never indexed
-      val newSets = Dedup.materialize(
-        Dedup.shingleHashesFlat(
-          newDocs.join(ids.withColumnRenamed("doc_id", id), Seq(id),
-            "left_anti"), id, text, w)
-          .filter(size(col("hs")) > 0))
-      val dfreq = Dedup.committedOnly(
-        spark.read.parquet(s"$root/df"), meta).select("h", "df")
-      Dedup.writeIndexTable(newSets, batchId, s"$root/sets")
-      Dedup.writeIndexTable(prefixPostings(newSets, dfreq, thrNum, thrDen),
-        batchId, s"$root/prefix")
-      Dedup.writeIndexTable(fresh, batchId, s"$root/tomb")
-      Dedup.writeMeta(spark, root,
-        meta + ("last_committed_batch" -> batchId.toString))
-    } finally relT()
+    Dedup.refuseShadowedInserts(newDocs, id, priorTombs, "doc_id",
+      "applyPrefixCdc", dir, syncPath = false)
+    val (thrNum, thrDen) = (meta("pj_num").toInt, meta("pj_den").toInt)
+    val w = meta("pj_w").toInt
+    // deletes apply first (the shadow tombstone kills pre-batch rows
+    // only), so the batch's own inserts — including an update's new
+    // image — are all indexed
+    val newSets = Dedup.materialize(
+      Dedup.shingleHashesFlat(newDocs, id, text, w)
+        .filter(size(col("hs")) > 0))
+    val dfreq = Dedup.committedOnly(
+      spark.read.parquet(s"$root/df"), meta).select("h", "df")
+    Dedup.writeIndexTable(newSets, batchId, s"$root/sets")
+    Dedup.writeIndexTable(prefixPostings(newSets, dfreq, thrNum, thrDen),
+      batchId, s"$root/prefix")
+    Dedup.writeTombs(ids, Dedup.lastCommittedBatch(meta), batchId,
+      s"$root/tomb")
+    Dedup.writeMeta(spark, root,
+      meta + ("last_committed_batch" -> batchId.toString))
   }
 
   /** Folds a CDC/append-fed prefix index's per-batch partitions back
     * into `targetFiles` files per table — `Dedup.compactMinhashIndex`
-    * for the lossless family. Committed rows are preserved EXACTLY
-    * (content-identical tables ⇒ the per-table sequence is safe,
-    * unlike [[rebuildPrefixIndex]] whose content changes and swaps one
-    * directory); `last_committed_batch` survives, so replayed batchIds
-    * still skip. The stale-df debt and physical tombstone removal stay
-    * [[rebuildPrefixIndex]]'s job. Offline single-writer maintenance. */
+    * for the lossless family. Live rows only, tombstones folded away
+    * physically (`Dedup.compactTables` — squashing batches into the
+    * base would erase the shadow ordering); served pairs before ≡
+    * after, and `last_committed_batch` survives so replayed batchIds
+    * still skip. The stale-df debt stays [[rebuildPrefixIndex]]'s
+    * job — df is selectivity-only and folds verbatim. Offline
+    * single-writer maintenance. */
   def compactPrefixIndex(spark: SparkSession, dir: String,
                          targetFiles: Int = 4): Unit =
     IndexLease.withLease(spark, dir, "compactPrefixIndex") {
       validatePrefixMeta(
         Dedup.readMeta(spark, Dedup.indexRoot(spark, dir)), dir)
       Dedup.compactTables(spark, dir, targetFiles,
-        Seq("sets" -> Seq("doc_id", "hs"),
-          "df" -> Seq("h", "df"),
+        masked = Seq("sets" -> Seq("doc_id", "hs"),
           "prefix" -> Seq("doc_id", "sz", "h")),
-        optional = Seq("tomb" -> Seq("doc_id")))
+        idCol = "doc_id",
+        unmasked = Seq("df" -> Seq("h", "df")))
     }
 
   /** Rebuild the dictionary and every stored prefix from the CURRENT

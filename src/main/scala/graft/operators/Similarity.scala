@@ -449,8 +449,9 @@ object Similarity {
     IndexLease.withLease(spark, dir, "appendIvfIndex") {
     val (root, meta) = ivfMeta(spark, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
-    Dedup.refuseTombedReinserts(newVectors, "vec_id",
-      ivfTombs(spark, root, meta), "vec_id", "appendIvfIndex", dir)
+    Dedup.refuseShadowedInserts(newVectors, "vec_id",
+      ivfTombs(spark, root, meta), "vec_id", "appendIvfIndex", dir,
+      syncPath = batchId.isEmpty)
     val histUpdate = appendIvfRowsCore(spark, root, meta, newVectors,
       batchId, allowCellDrift)
     Dedup.writeMeta(spark, root,
@@ -465,11 +466,12 @@ object Similarity {
     * `tomb/`'s matching partition, marker strictly last — an
     * append-then-delete composition with one batchId cannot exist (the
     * first call would commit the marker, the second skip). Deletes
-    * apply to previously COMMITTED vectors; per-id event order across
-    * batches is the caller's CDC contract, and within one batch the
-    * tombstone outranks the batch's own insert (delete wins — the
-    * overlapped vector is never indexed, so the mask has nothing
-    * inconsistent to hide). Inserts flow through the same drift
+    * apply FIRST, to the pre-batch state (shadow tombstones —
+    * `Dedup.ShadowCol` — kill only rows from batches ≤ the pre-batch
+    * marker): delete+insert of one vec_id in the batch is an UPDATE
+    * (the new vector is assigned and serves, the old one falls under
+    * the shadow), and a re-insert of a vec_id deleted in an earlier
+    * batch serves the same way. Inserts flow through the same drift
     * sentinel as [[appendIvfIndex]]. */
   def applyIvfCdc(spark: SparkSession, dir: String, newVectors: DataFrame,
                   tombstones: DataFrame, batchId: Long,
@@ -482,12 +484,15 @@ object Similarity {
     // schema merge / anti-join behavior of that mix is undefined
     val ids = tombstones.select(col("vec_id").cast("long").as("vec_id"))
       .distinct()
-    Dedup.refuseTombedReinserts(newVectors, "vec_id",
-      ivfTombs(spark, root, meta), "vec_id", "applyIvfCdc", dir)
-    val histUpdate = appendIvfRowsCore(spark, root, meta,
-      newVectors.join(ids, Seq("vec_id"), "left_anti"),
+    Dedup.refuseShadowedInserts(newVectors, "vec_id",
+      ivfTombs(spark, root, meta), "vec_id", "applyIvfCdc", dir,
+      syncPath = false)
+    // deletes-first: ALL inserts are assigned (an update's new image
+    // too — the pre-batch shadow_upto spares this batch's rows)
+    val histUpdate = appendIvfRowsCore(spark, root, meta, newVectors,
       Some(batchId), allowCellDrift)
-    Dedup.writeIndexTable(ids, batchId, s"$root/tomb")
+    Dedup.writeTombs(ids, Dedup.lastCommittedBatch(meta), batchId,
+      s"$root/tomb")
     Dedup.writeMeta(spark, root, meta ++ histUpdate +
       ("last_committed_batch" -> batchId.toString))
   }
@@ -567,10 +572,12 @@ object Similarity {
     * Replay contract: identical to [[appendIvfIndex]] — batchId ≥ 0
     * deletes are marker-committed (torn partitions excluded by
     * committed-only reads, healed by replay's partition overwrite);
-    * batchId=None is a synchronous single-writer one-shot. A
-    * tombstoned vec_id stays gone until a rebuild drops the tombstone
-    * table — re-appending it first is a contract violation (the
-    * anti-join would mask the NEW vector too). */
+    * batchId=None is a synchronous single-writer one-shot. Tombstones
+    * are SHADOW tombstones (`Dedup.ShadowCol` — they kill only rows
+    * from batches ≤ the marker at delete time), so a later batched
+    * re-insert of the vec_id serves; deleting unknown ids stays free
+    * and harmless (no counts hang off this family's tombstones, so
+    * the ids are written as-is, no index scan). */
   def deleteFromIvfIndex(spark: SparkSession, dir: String,
                          tombstones: DataFrame,
                          batchId: Option[Long] = None): Unit =
@@ -580,22 +587,19 @@ object Similarity {
     // long cast for tomb-partition type stability (see applyIvfCdc)
     val ids = tombstones.select(col("vec_id").cast("long").as("vec_id"))
       .distinct()
-    Dedup.writeIndexTable(ids, batchId.getOrElse(-1L), s"$root/tomb")
+    Dedup.writeTombs(ids, Dedup.lastCommittedBatch(meta),
+      batchId.getOrElse(-1L), s"$root/tomb")
     Dedup.writeMeta(spark, root,
       meta ++ batchId.map(b => "last_committed_batch" -> b.toString))
   }
 
-  /** Committed tombstoned vec_ids, or None when no delete ever ran —
-    * the append-only read path pays zero cost. An empty-born tomb
-    * table (insert-only CDC batch) counts as absent
-    * (`Dedup.indexTableHasData`). */
-  /** `dir` is the RESOLVED version root. */
+  /** Committed shadow tombstones — (vec_id, `Dedup.ShadowCol`) — or
+    * None when no delete ever ran, so the append-only read path pays
+    * zero cost. An empty-born tomb table (insert-only CDC batch)
+    * counts as absent. `dir` is the RESOLVED version root. */
   private def ivfTombs(spark: SparkSession, dir: String,
                        meta: Map[String, String]): Option[DataFrame] =
-    if (Dedup.indexTableHasData(spark, s"$dir/tomb"))
-      Some(Dedup.committedOnly(spark.read.parquet(s"$dir/tomb"), meta)
-        .select("vec_id"))
-    else None
+    Dedup.committedTombsAt(spark, s"$dir/tomb", meta, "vec_id")
 
   /** Retrain the quantizer from the index's OWN stored vectors and
     * re-cut every cell — the stale-quantizer remedy WITHOUT the
@@ -652,37 +656,36 @@ object Similarity {
     * `Dedup.compactMinhashIndex` for a CDC/stream-fed index: at
     * micro-batch cadence the two-level (ingest_batch, cent_id) tree
     * fragments into thousands of small files, and every probe pays
-    * file-open (and driver listing) cost for them. Rows, cell
-    * assignments, the quantizer, tombstones, `cell_hist`, and
-    * `last_committed_batch` are preserved EXACTLY — served boards
-    * before ≡ after; folded batches live on in the base so replayed
-    * batchIds still skip. Physical tombstone removal and cell re-cuts
-    * remain [[rebuildIvfIndex]]'s job — this is the cheap hygiene op
-    * (no k-means, one linear rewrite). The whole index swaps as ONE
-    * directory, like rebuild. Offline single-writer maintenance. */
+    * file-open (and driver listing) cost for them. LIVE rows, cell
+    * assignments, the quantizer, `cell_hist`, and
+    * `last_committed_batch` are preserved — served boards before ≡
+    * after; folded batches live on in the base so replayed batchIds
+    * still skip. Tombstoned vectors are folded away physically and
+    * the tombstone table dropped (squashing batches into the base
+    * would erase the shadow ordering — see `Dedup.compactTables`);
+    * cell re-cuts remain [[rebuildIvfIndex]]'s job — this is the
+    * cheap hygiene op (no k-means, one linear rewrite). The whole
+    * index swaps as ONE version, like rebuild. Offline single-writer
+    * maintenance. */
   def compactIvfIndex(spark: SparkSession, dir: String): Unit =
     IndexLease.withLease(spark, dir, "compactIvfIndex") {
     val (root, meta) = ivfMeta(spark, dir)
-    val base = spark.read.parquet(s"$root/assigned")
-    val unioned =
-      if (Dedup.indexTableHasData(spark, s"$root/assigned_batches"))
-        base.unionByName(
-          Dedup.committedOnly(
-            spark.read.parquet(s"$root/assigned_batches"), meta)
-            .drop(Dedup.IngestBatchCol))
-      else base
+    // the live choke-point view: base ∪ committed batches, shadow-
+    // masked — exactly what serving sees, so folding it preserves
+    // every board
+    val live = readIvfIndex(spark, dir).assigned
+    require(live.head(1).nonEmpty,
+      s"compactIvfIndex: every vector in $dir is deleted — nothing to " +
+        "fold; delete the index directory instead")
     val cents = spark.read.parquet(s"$root/centroids")
-    val tomb = ivfTombs(spark, root, meta)
     // pointer commit: the serving version is read LAZILY while the
     // replacement builds beside it — nothing to pre-materialize, the
     // old version is untouched until two commits later
     Dedup.swapInDir(spark, dir) { tmp =>
       cents.repartition(1).write.mode("overwrite")
         .parquet(s"$tmp/centroids")
-      unioned.write.mode("overwrite").partitionBy("cent_id")
+      live.write.mode("overwrite").partitionBy("cent_id")
         .parquet(s"$tmp/assigned")
-      tomb.foreach(t =>
-        Dedup.writeIndexTable(t, -1L, s"$tmp/tomb", overwriteAll = true))
       Dedup.writeMeta(spark, tmp, meta)
     }
   }
@@ -708,22 +711,26 @@ object Similarity {
     // resolved version even while a rebuild commits the next one
     val (root, meta) = ivfMeta(spark, dir)
     val cents = readIvfCentroids(spark, root)
-    val base = spark.read.parquet(s"$root/assigned")
+    // base rows are batch -1 (the assigned/ table is cent_id-
+    // partitioned only); batch rows keep their ingest_batch so the
+    // shadow mask can order them against the tombstones.
     // indexTableHasData, not a bare exists: a delete-only CDC batch
     // appends zero assigned rows, which can create the directory with
     // no partition subdirs — reading that is an analysis error
+    val base = spark.read.parquet(s"$root/assigned")
+      .withColumn(Dedup.IngestBatchCol, lit(-1L))
     val unioned =
       if (Dedup.indexTableHasData(spark, s"$root/assigned_batches"))
         base.unionByName(
           Dedup.committedOnly(
-            spark.read.parquet(s"$root/assigned_batches"), meta)
-            .drop(Dedup.IngestBatchCol))
+            spark.read.parquet(s"$root/assigned_batches"), meta))
       else base
-    // tombstone mask LAST, over base ∪ batches: every downstream
-    // consumer (indexed probe, quantized serving, rebuild's retrain)
-    // sees only live vectors through this one choke point
-    val assigned = ivfTombs(spark, root, meta)
-      .fold(unioned)(t => unioned.join(t, Seq("vec_id"), "left_anti"))
+    // shadow-tombstone mask LAST, over base ∪ batches: every
+    // downstream consumer (indexed probe, quantized serving, rebuild's
+    // retrain) sees only live vectors through this one choke point
+    val assigned = Dedup.maskShadowed(unioned, "vec_id",
+      ivfTombs(spark, root, meta), "vec_id")
+      .drop(Dedup.IngestBatchCol)
     IvfIndex(cents, assigned)
   }
 
@@ -1072,16 +1079,16 @@ object Similarity {
     // version snapshot: resolve once — this handle keeps serving the
     // resolved version even while a rebuild commits the next one
     val (root, meta) = embMeta(spark, dir)
-    // tombstone mask at the one choke point every consumer shares —
-    // see deleteFromEmbeddingIndex
+    // shadow-tombstone mask at the one choke point every consumer
+    // shares — see deleteFromEmbeddingIndex
     val tombs = Dedup.committedTombsAt(spark, s"$root/tomb", meta, "vec_id")
     def live(df: DataFrame): DataFrame =
-      tombs.fold(df)(t => df.join(t, Seq("vec_id"), "left_anti"))
+      Dedup.maskShadowed(df, "vec_id", tombs, "vec_id")
     EmbeddingIndex(
-      live(Dedup.committedOnly(spark.read.parquet(s"$root/bands"), meta)
-        .select("vec_id", "band_idx", "band_key")),
-      live(Dedup.committedOnly(spark.read.parquet(s"$root/vectors"), meta)
-        .select("vec_id", "embedding")),
+      live(Dedup.committedOnly(spark.read.parquet(s"$root/bands"), meta))
+        .select("vec_id", "band_idx", "band_key"),
+      live(Dedup.committedOnly(spark.read.parquet(s"$root/vectors"), meta))
+        .select("vec_id", "embedding"),
       meta("bands").toInt, meta("rowBits").toInt)
   }
 
@@ -1103,14 +1110,19 @@ object Similarity {
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
     val ids = tombstones.select(col("vec_id").cast("long").as("vec_id"))
       .distinct()
+    val tombs = Dedup.committedTombsAt(spark, s"$root/tomb", meta, "vec_id")
+    // only ids the index currently holds LIVE tombstone and decrement —
+    // double-deletes and unknown ids are no-ops, keeping n_vectors a
+    // live count under any delete/re-insert history
     val (fresh, relT) = Dedup.materializeTracked(
-      Dedup.committedTombsAt(spark, s"$root/tomb", meta, "vec_id")
-        .fold(ids)(t => ids.join(t, Seq("vec_id"), "left_anti")))
+      Dedup.liveAmong(ids, "vec_id",
+        Dedup.maskShadowed(
+          Dedup.committedOnly(spark.read.parquet(s"$root/vectors"), meta),
+          "vec_id", tombs, "vec_id"), "vec_id"))
     try {
-      val nDel = Dedup.committedOnly(
-        spark.read.parquet(s"$root/vectors"), meta)
-        .select("vec_id").join(fresh, Seq("vec_id"), "left_semi").count()
-      Dedup.writeIndexTable(fresh, batchId.getOrElse(-1L), s"$root/tomb")
+      val nDel = fresh.count()
+      Dedup.writeTombs(fresh, Dedup.lastCommittedBatch(meta),
+        batchId.getOrElse(-1L), s"$root/tomb")
       Dedup.writeMeta(spark, root,
         meta + ("n_vectors" -> (meta("n_vectors").toLong - nDel).toString)
           ++ batchId.map(b => "last_committed_batch" -> b.toString))
@@ -1138,9 +1150,9 @@ object Similarity {
     IndexLease.withLease(spark, dir, "appendToEmbeddingIndex") {
     val (root, meta) = embMeta(spark, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
-    Dedup.refuseTombedReinserts(batch, "vec_id",
+    Dedup.refuseShadowedInserts(batch, "vec_id",
       Dedup.committedTombsAt(spark, s"$root/tomb", meta, "vec_id"),
-      "vec_id", "appendToEmbeddingIndex", dir)
+      "vec_id", "appendToEmbeddingIndex", dir, syncPath = batchId.isEmpty)
     val bands = meta("bands").toInt
     val rowBits = meta("rowBits").toInt
     val cc = Dedup.materialize(batch.select(col("vec_id"), col("embedding")))
@@ -1171,12 +1183,13 @@ object Similarity {
     * deletes tombstoned, band keys + vectors + tombstones all in one
     * `ingest_batch` partition with the marker strictly last (append
     * then delete with one batchId cannot compose). Within one batch
-    * the tombstone outranks its own insert (delete wins — the
-    * overlapped vector is never keyed); deletes otherwise apply to
-    * previously committed vectors. `n_vectors` nets inserts against
-    * newly-tombstoned held ids, so the occupancy-drift refusal sizes
-    * against the LIVE count — a stream that deletes as fast as it
-    * inserts never trips it. */
+    * deletes apply FIRST (the shadow tombstone — `Dedup.ShadowCol` —
+    * kills pre-batch rows only), so delete+insert of one vec_id is an
+    * UPDATE and a re-insert of an id deleted in an earlier batch
+    * serves — no rebuild required. `n_vectors` nets inserts against
+    * newly-tombstoned held ids (an upsert nets 0), so the
+    * occupancy-drift refusal sizes against the LIVE count — a stream
+    * that deletes as fast as it inserts never trips it. */
   def applyEmbeddingCdc(spark: org.apache.spark.sql.SparkSession,
                         dir: String, newVectors: DataFrame,
                         tombstones: DataFrame, batchId: Long,
@@ -1188,21 +1201,23 @@ object Similarity {
       .distinct()
     val priorTombs =
       Dedup.committedTombsAt(spark, s"$root/tomb", meta, "vec_id")
-    Dedup.refuseTombedReinserts(newVectors, "vec_id", priorTombs, "vec_id",
-      "applyEmbeddingCdc", dir)
+    Dedup.refuseShadowedInserts(newVectors, "vec_id", priorTombs, "vec_id",
+      "applyEmbeddingCdc", dir, syncPath = false)
+    // only currently-LIVE ids tombstone and decrement (see
+    // deleteFromEmbeddingIndex)
     val (fresh, relT) = Dedup.materializeTracked(
-      priorTombs
-        .fold(ids)(t => ids.join(t, Seq("vec_id"), "left_anti")))
+      Dedup.liveAmong(ids, "vec_id",
+        Dedup.maskShadowed(
+          Dedup.committedOnly(spark.read.parquet(s"$root/vectors"), meta),
+          "vec_id", priorTombs, "vec_id"), "vec_id"))
     try {
       val bands = meta("bands").toInt
       val rowBits = meta("rowBits").toInt
-      // delete wins within the batch: an overlapped vector is never keyed
+      // deletes-first: ALL inserts are keyed (an update's new image
+      // too — the pre-batch shadow_upto spares this batch's rows)
       val cc = Dedup.materialize(
-        newVectors.join(ids, Seq("vec_id"), "left_anti")
-          .select(col("vec_id"), col("embedding")))
-      val nDel = Dedup.committedOnly(
-        spark.read.parquet(s"$root/vectors"), meta)
-        .select("vec_id").join(fresh, Seq("vec_id"), "left_semi").count()
+        newVectors.select(col("vec_id"), col("embedding")))
+      val nDel = fresh.count()
       val nNew = meta("n_vectors").toLong + cc.count() - nDel
       if (!allowOccupancyDrift) {
         // growth direction ONLY (auto > rowBits): occupancy past the
@@ -1222,7 +1237,8 @@ object Similarity {
       Dedup.writeIndexTable(withBandKeys(cc, bands, rowBits), batchId,
         s"$root/bands")
       Dedup.writeIndexTable(cc, batchId, s"$root/vectors")
-      Dedup.writeIndexTable(fresh, batchId, s"$root/tomb")
+      Dedup.writeTombs(fresh, Dedup.lastCommittedBatch(meta), batchId,
+        s"$root/tomb")
       Dedup.writeMeta(spark, root, meta + ("n_vectors" -> nNew.toString)
         + ("last_committed_batch" -> batchId.toString))
     } finally relT()
@@ -1238,13 +1254,12 @@ object Similarity {
                             dir: String, targetFiles: Int = 4): Unit = {
     IndexLease.withLease(spark, dir, "compactEmbeddingIndex") {
       embMeta(spark, dir) // validate kind/lattice before committing
-      // tomb rides along when present: a delete-heavy CDC stream
-      // fragments it at the same per-batch cadence (rows preserved;
-      // physical removal stays rebuild's job)
+      // live rows only, tombstones folded away physically (squashing
+      // batches into the base would erase the shadow ordering)
       Dedup.compactTables(spark, dir, targetFiles,
-        Seq("bands" -> Seq("vec_id", "band_idx", "band_key"),
+        masked = Seq("bands" -> Seq("vec_id", "band_idx", "band_key"),
           "vectors" -> Seq("vec_id", "embedding")),
-        optional = Seq("tomb" -> Seq("vec_id")))
+        idCol = "vec_id")
     }
   }
 
@@ -1266,12 +1281,12 @@ object Similarity {
     val (root, meta) = embMeta(spark, dir)
     val nb = if (bands > 0) bands else meta("bands").toInt
     val held = Dedup.committedOnly(spark.read.parquet(s"$root/vectors"), meta)
-      .select(col("vec_id"), col("embedding"))
     // LIVE set only: tombstoned vectors are physically dropped and the
     // tombstone table vanishes with the old layout (pointer commit —
     // the new version simply has no tomb table)
-    val liveVecs = Dedup.committedTombsAt(spark, s"$root/tomb", meta, "vec_id")
-      .fold(held)(t => held.join(t, Seq("vec_id"), "left_anti"))
+    val liveVecs = Dedup.maskShadowed(held, "vec_id",
+      Dedup.committedTombsAt(spark, s"$root/tomb", meta, "vec_id"), "vec_id")
+      .select(col("vec_id"), col("embedding"))
     // materialized: both derived tables and the count reuse it
     val (cc, release) = Dedup.materializeTracked(liveVecs)
     try {

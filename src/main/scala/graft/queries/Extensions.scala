@@ -302,6 +302,38 @@ object Extensions {
     })
   }
 
+  /** Upsert-lifecycle'd BM25 fixture behind `retrieval_bm25_upsert`'s
+    * bench override — the same history as the registered gate (growth,
+    * same-batch update, takedown + re-insert, compact); the perf row
+    * then times the recurring serve over the updated state. */
+  private val gateBm25UpsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gateBm25UpsertIndex(s: SparkSession, d: String): String = {
+    val f = new java.io.File(s"$d/documents.parquet")
+    gateBm25UpsMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}", _ => {
+      val idx = graft.sources.Scratch.dir(
+        s"bmups_bench_${java.util.UUID.randomUUID.toString.take(8)}")
+      val corpus = Tables.documents(s, d).filter(col("doc_id") % 29 =!= 0)
+      graft.operators.Bm25Index.write(
+        corpus.filter(col("doc_id") % 10 =!= 3), idx)
+      graft.operators.Bm25Index.applyCdc(s, idx,
+        corpus.filter(col("doc_id") % 10 === 3),
+        corpus.limit(0).select("doc_id"), batchId = 0L)
+      val upd = corpus.filter(col("doc_id") % 13 === 5)
+        .withColumn("text", concat(lit("updated copy "), col("text")))
+      graft.operators.Bm25Index.applyCdc(s, idx, upd,
+        upd.select("doc_id"), batchId = 1L)
+      val back = corpus.filter(col("doc_id") % 17 === 2 &&
+        col("doc_id") % 13 =!= 5)
+      graft.operators.Bm25Index.applyCdc(s, idx, corpus.limit(0),
+        back.select("doc_id"), batchId = 2L)
+      graft.operators.Bm25Index.applyCdc(s, idx, back,
+        corpus.limit(0).select("doc_id"), batchId = 3L)
+      graft.operators.Bm25Index.compact(s, idx)
+      idx
+    })
+  }
+
   private val gateIvfCdcMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def gateIvfCdcIndex(s: SparkSession, d: String): String = {
@@ -474,6 +506,17 @@ object Extensions {
       Similarity.ivfTopKIndexed(
         Similarity.readIvfIndex(s, gateIvfCdcIndex(s, d)),
         e.filter(col("vec_id") < 5), 10)
+    }),
+    // the upsert gate's recurring cost is the same serve — the update
+    // history is standing state, not per-query work
+    "retrieval_bm25_upsert" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Bm25Index.crossBm25TopK(s,
+        docs.filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+              .as("query_text")),
+        gateBm25UpsertIndex(s, d), k = 5)
     }),
     "sim_ivf_persisted" -> ((s, d) =>
       Similarity.ivfTopKIndexed(
@@ -690,6 +733,48 @@ object Extensions {
             concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
               .as("query_text")),
         s"$root/idx", k = 5)
+    }),
+    // CDC UPDATE surface (advisor r16): the shape the r15 design
+    // refused — an upsert — is now first-class under shadow tombstones
+    // (Dedup.ShadowCol). One history exercises all three previously-
+    // impossible moves: batch 1 UPDATES the %13=5 docs (delete+insert
+    // of the same ids under ONE marker — the old image's stats retract,
+    // the new image indexes), batch 2 takes the %17=2 slice down, and
+    // batch 3 RE-INSERTS it (a tombstoned id serving again, no rebuild).
+    // After compaction the board must equal a fresh build over the full
+    // corpus with the updated docs carrying their NEW text, bit for bit
+    // — the oracle folds the whole history to one CASE expression.
+    "retrieval_bm25_upsert" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+      val dir = graft.sources.Scratch.dir(
+        s"bm25ups_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Bm25Index.write(
+        corpus.filter(col("doc_id") % 10 =!= 3), dir)
+      // batch 0: insert the held-out slice (plain growth)
+      graft.operators.Bm25Index.applyCdc(s, dir,
+        corpus.filter(col("doc_id") % 10 === 3),
+        corpus.limit(0).select("doc_id"), batchId = 0L)
+      // batch 1: UPDATE — same ids deleted and re-imaged in one batch
+      val upd = corpus.filter(col("doc_id") % 13 === 5)
+        .withColumn("text", concat(lit("updated copy "), col("text")))
+      graft.operators.Bm25Index.applyCdc(s, dir, upd,
+        upd.select("doc_id"), batchId = 1L)
+      // batches 2-3: takedown, then cross-batch re-insert (original
+      // image) — the delete round-trips instead of dead-ending
+      val back = corpus.filter(col("doc_id") % 17 === 2 &&
+        col("doc_id") % 13 =!= 5)
+      graft.operators.Bm25Index.applyCdc(s, dir, corpus.limit(0),
+        back.select("doc_id"), batchId = 2L)
+      graft.operators.Bm25Index.applyCdc(s, dir, back,
+        corpus.limit(0).select("doc_id"), batchId = 3L)
+      graft.operators.Bm25Index.compact(s, dir)
+      graft.operators.Bm25Index.crossBm25TopK(s,
+        docs.filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+              .as("query_text")),
+        dir, k = 5)
     }),
     // hybrid retrieval: RRF fusion of the two retrieval families this
     // engine serves — the BM25 term leg and the embedding-cosine dense
@@ -3634,13 +3719,14 @@ object Extensions {
 
   /** Shared by `text_bm25` and `retrieval_bm25_incr` (the persisted
     * index's folds are exact, so stored ≡ fresh replays one oracle);
-    * parametrized on the live-corpus predicate so the deletion gate
-    * (`retrieval_bm25_del`) replays the identical arithmetic over
-    * corpus − tombstones. */
-  private def bm25OracleFor(corpusWhere: String): String = s"""
+    * parametrized on the live-corpus SUBQUERY — a (doc_id, text)
+    * relation — so the deletion gate replays the identical arithmetic
+    * over corpus − tombstones and the upsert gate over a corpus whose
+    * updated docs carry their NEW text. */
+  private def bm25OracleOver(corpusSelect: String): String = s"""
       WITH corpus AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
-                      FROM (SELECT doc_id, $duckTokens AS t FROM documents
-                            WHERE $corpusWhere) z
+                      FROM (SELECT doc_id, $duckTokens AS t
+                            FROM ($corpusSelect) src) z
                       WHERE len(t) > 0),
       stats AS (SELECT CAST(COUNT(1) AS BIGINT) AS n,
                        CAST(SUM(dl) AS BIGINT) AS s FROM corpus),
@@ -3671,6 +3757,9 @@ object Extensions {
                  ORDER BY score_micro DESC, doc_id ASC) AS rk
         FROM sc) r WHERE rk <= 5"""
 
+  private def bm25OracleFor(corpusWhere: String): String =
+    bm25OracleOver(s"SELECT doc_id, text FROM documents WHERE $corpusWhere")
+
   private val bm25Oracle: String = bm25OracleFor("doc_id % 29 <> 0")
 
   /** write + append + delete must serve the board a fresh build over
@@ -3684,6 +3773,17 @@ object Extensions {
     * stream drains. */
   private val bm25CdcOracle: String = bm25OracleFor(
     "doc_id % 29 <> 0 AND NOT (doc_id % 13 = 5 AND doc_id % 10 <> 3)")
+
+  /** CDC upsert history (`retrieval_bm25_upsert`): after an update
+    * batch (delete+insert of the %13=5 docs with re-imaged text) and a
+    * takedown-then-re-insert round trip of the %17=2 slice, the net
+    * live corpus is the FULL corpus with the updated docs carrying
+    * their new text — the whole history folds to one CASE. */
+  private val bm25UpsertOracle: String = bm25OracleOver(
+    """SELECT doc_id,
+              CASE WHEN doc_id % 13 = 5 THEN 'updated copy ' || text
+                   ELSE text END AS text
+       FROM documents WHERE doc_id % 29 <> 0""")
 
   /** The four-family lifecycle composite: every board replayed by its
     * own family's oracle arithmetic over the ONE net-live corpus the
@@ -3972,6 +4072,7 @@ object Extensions {
     "retrieval_bm25_del" -> bm25DeletedOracle,
     // 3-batch CDC drain ≡ fresh build over the net live corpus
     "stream_bm25_cdc" -> bm25CdcOracle,
+    "retrieval_bm25_upsert" -> bm25UpsertOracle,
     // both legs replayed at fetch-20 (the bm25 micro-unit arithmetic and
     // the rounded-cosine rank are the text_bm25 / sim_topk oracles'),
     // fused by the same integer RRF formula, cut to 10

@@ -345,8 +345,9 @@ object StreamOps {
     * delete rows tombstoned, all under one commit marker
     * (`Bm25Index.applyCdc` — append-then-delete with one batchId
     * cannot compose, and split partition writes would clobber each
-    * other). Deletes apply to previously committed docs (within a
-    * batch, delete wins); serving stays bit-exact over the live corpus
+    * other). Deletes apply FIRST, to previously committed docs — a
+    * batch carrying delete+insert of one id is an UPDATE (the CDC
+    * upsert encoding); serving stays bit-exact over the live corpus
     * at every batch boundary because df/(N,S) fold signed partials
     * exactly. Replay: a redelivered batch recomputes identical
     * partition content and skips once its marker is durable. */
@@ -378,8 +379,8 @@ object StreamOps {
     * forgotten at stream cadence: each micro-batch's insert docs are
     * signed and banded under the index's stored parameters, its delete
     * docs tombstoned out of candidate AND verify sides, one commit
-    * marker per batch (`Dedup.applyMinhashCdc` — delete wins within a
-    * batch, deletes otherwise apply to previously committed docs).
+    * marker per batch (`Dedup.applyMinhashCdc` — deletes apply first
+    * within a batch, so delete+insert of one id is an update).
     * After any prefix of the stream, a batch checked against the index
     * matches exactly the live corpus at that boundary. */
   def maintainMinhashCdcStream(cdc: DataFrame, opCol: String,

@@ -166,7 +166,7 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("applyCdc: insert+delete under one marker ≡ fresh over the net " +
-    "live corpus; same-batch overlap nets to the delete; replay skips") {
+    "live corpus; delete+insert of one id is an UPDATE; replay skips") {
     val dir = graft.sources.Scratch.dir("bm25-idx-cdc")
     val corpus = docs.filter(col("doc_id") % 29 =!= 0)
     Bm25Index.write(corpus.filter(col("doc_id") % 3 === 0), dir)
@@ -187,19 +187,36 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
       corpus.limit(0).select("doc_id"), batchId = 0L)
     assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5)) == fresh1,
       "replayed committed CDC batch was not skipped")
-    // batch 1: inserts the 3≡2 docs but ALSO tombstones the 7≡0 subset
-    // of them in the SAME batch — delete wins: the overlapped docs are
-    // neither indexed nor stat-counted
-    Bm25Index.applyCdc(spark, dir,
-      corpus.filter(col("doc_id") % 3 === 2),
-      corpus.filter(col("doc_id") % 3 === 2 && col("doc_id") % 7 === 0)
-        .select("doc_id"),
+    // batch 1: an UPDATE — delete the LIVE 3≡1 ∧ 7≡0 docs and insert
+    // new images of them (rewritten text) in the SAME batch. Deletes
+    // apply first (old stats retract), inserts land above the shadow:
+    // the board must serve the new images, bit-for-bit with a fresh
+    // build over live1 with those docs' text replaced
+    val updIds = corpus.filter(col("doc_id") % 3 === 1 &&
+      col("doc_id") % 7 === 0)
+    val updated = updIds.withColumn("text",
+      concat(lit("updated image entirely different words "), col("text")))
+    Bm25Index.applyCdc(spark, dir, updated, updIds.select("doc_id"),
       batchId = 1L)
-    val live2 = live1.unionByName(corpus.filter(col("doc_id") % 3 === 2 &&
-      col("doc_id") % 7 =!= 0))
+    val live2 = live1
+      .join(updIds.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(updated)
     assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5))
       == board(TextOps.bm25TopK(live2, queries, k = 5)),
-      "same-batch insert+delete overlap leaked into stats or boards")
+      "same-batch delete+insert did not serve the updated image exactly")
+    // batch 2: RE-INSERT of ids deleted back in batch 0 — the shadow
+    // tombstone spares later batches, so they serve (and re-count)
+    // without any rebuild
+    val backIds = corpus.filter(col("doc_id") % 3 === 0 &&
+      col("doc_id") % 5 === 1)
+    Bm25Index.applyCdc(spark, dir, backIds,
+      backIds.limit(0).select("doc_id"), batchId = 2L)
+    assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5))
+      == board(TextOps.bm25TopK(live2.unionByName(backIds), queries, k = 5)),
+      "cross-batch re-insert of deleted ids diverged from fresh net-live")
+    // stats stayed signed-exact through delete → update → re-insert
+    assert(Bm25Index.statsConsistency(spark, dir) == ((0L, 0L, 0L)),
+      "folded df/(N,S) partials diverged from the live recompute")
   }
 
   test("rebuild after delete: tombstones compact away, board frozen") {

@@ -7,29 +7,39 @@ import graft.operators.{Bm25Index, Dedup, IndexCdc, Similarity, SimJoin}
 
 /** The cross-family CDC contract, pinned as ONE law (VERDICT r15 ask
   * #6): the five persisted index families share the change-stream
-  * contract — one marker per batch, delete-wins in batch, counts
+  * contract — one marker per batch, deletes-apply-first in batch
+  * (delete+insert of one id = UPDATE), re-inserts of previously
+  * deleted ids serving (shadow tombstones — `Dedup.ShadowCol`), counts
   * netting to live, replay skipping — in five separate appliers, which
   * is exactly the shape that drifts as families evolve. `IndexCdc`
   * routes on the index's own `kind` metadata; this spec drives the SAME
-  * change history through every family via the façade and demands the
-  * same observable: the live id set equals the net of the history. */
+  * change history — including a cross-batch re-insert and a same-batch
+  * upsert — through every family via the façade and demands the same
+  * observable: the live id set equals the net of the history. */
 class IndexCdcSpec extends AnyFunSuite with SparkSpec {
 
   val base = "/root/testdata/sf0.001"
 
   // the shared change history, as id predicates: initial load is the
-  // evens; two CDC batches insert disjoint odd slices and tombstone
-  // even slices (disjoint from all inserts — re-inserting a committed
-  // tombstone is refused by contract, tested per-family elsewhere)
+  // evens. Batches 1-2 insert odd slices and tombstone even slices;
+  // batch 3 RE-INSERTS the slice batch 1 deleted (legal under shadow
+  // tombstones) while deleting part of batch 1's inserts; batch 4 is
+  // a same-batch UPSERT of part of batch 2's inserts (delete+insert
+  // of the same ids — net no-op on the live set, but only under the
+  // deletes-first ordering).
   private def initial(idc: String) = col(idc) % 2 === 0
   private val batches = Seq(
     (1L, (idc: String) => col(idc) % 10 === 3,
       (idc: String) => col(idc) % 20 === 4),
     (2L, (idc: String) => col(idc) % 10 === 7,
-      (idc: String) => col(idc) % 20 === 12))
+      (idc: String) => col(idc) % 20 === 12),
+    (3L, (idc: String) => col(idc) % 20 === 4,
+      (idc: String) => col(idc) % 10 === 3 && col(idc) % 3 === 0),
+    (4L, (idc: String) => col(idc) % 10 === 7 && col(idc) % 3 === 1,
+      (idc: String) => col(idc) % 10 === 7 && col(idc) % 3 === 1))
   private def netLive(idc: String) =
-    (initial(idc) && col(idc) % 20 =!= 4 && col(idc) % 20 =!= 12) ||
-      col(idc) % 10 === 3 || col(idc) % 10 === 7
+    (initial(idc) && col(idc) % 20 =!= 12) ||
+      (col(idc) % 10 === 3 && col(idc) % 3 =!= 0) || col(idc) % 10 === 7
 
   private def ids(df: DataFrame, idc: String): Set[Long] =
     df.select(col(idc).cast("long")).collect().map(_.getLong(0)).toSet
@@ -79,8 +89,9 @@ class IndexCdcSpec extends AnyFunSuite with SparkSpec {
     // replayed batch (same durable batchId): every family skips — the
     // live set is byte-identical, no family double-applies
     docDirs.foreach { d =>
-      IndexCdc.apply(spark, d, docs.filter(batches.last._2("doc_id")),
-        docs.filter(batches.last._3("doc_id")).select("doc_id"), 2L)
+      IndexCdc.apply(spark, d, docs.filter(batches.head._2("doc_id")),
+        docs.filter(batches.head._3("doc_id")).select("doc_id"),
+        batches.last._1)
       assert(ids(IndexCdc.liveIds(spark, d), "id") == expectDocs,
         s"replayed batch re-applied at $d")
     }
@@ -93,6 +104,37 @@ class IndexCdcSpec extends AnyFunSuite with SparkSpec {
         assert(ids(IndexCdc.liveIds(spark, d), "id") == want,
           s"compaction changed the live set at $d")
       }
+  }
+
+  test("crash mid-fanout heals on replay: a batch applied to SOME " +
+    "families before the driver dies converges everywhere when the " +
+    "whole fanout replays") {
+    // A composite pipeline fans one change batch into several indexes
+    // sequentially; a crash between family 2 and family 3 leaves them
+    // at different watermarks. The per-family durable batchId makes
+    // the whole fanout idempotent: replaying the SAME batch through
+    // every family skips the already-committed ones and applies the
+    // rest — convergence needs no coordinator, only the replay.
+    val docs = graft.sources.Tables.documents(spark, base)
+    val dirs = Seq("bm25", "mh", "pfx").map(k =>
+      graft.sources.Scratch.dir(s"cdcf-crash-$k"))
+    Bm25Index.write(docs.filter(initial("doc_id")), dirs(0))
+    Dedup.writeMinhashIndex(docs.filter(initial("doc_id")),
+      "doc_id", "text", dirs(1))
+    SimJoin.writePrefixIndex(docs.filter(initial("doc_id")),
+      "doc_id", "text", 1, 2, dirs(2))
+    val ins = docs.filter(col("doc_id") % 10 === 3)
+    val del = docs.filter(col("doc_id") % 20 === 4).select("doc_id")
+    // the fanout "crashes" after the first family
+    IndexCdc.apply(spark, dirs(0), ins, del, 1L)
+    // replay: the whole fanout runs again with the same batchId
+    dirs.foreach(d => IndexCdc.apply(spark, d, ins, del, 1L))
+    val want = ids(docs.filter((initial("doc_id") &&
+      col("doc_id") % 20 =!= 4) || col("doc_id") % 10 === 3), "doc_id")
+    dirs.foreach { d =>
+      assert(ids(IndexCdc.liveIds(spark, d), "id") == want,
+        s"post-replay live set diverged at $d")
+    }
   }
 
   test("routing refuses unknown kinds and non-index dirs by name") {

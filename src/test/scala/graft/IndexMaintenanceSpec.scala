@@ -385,21 +385,11 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("applyIvfCdc: insert+delete under one marker ≡ filtered twin; " +
-    "same-batch overlap nets to the delete") {
+    "deletes apply to the pre-batch state; re-insert serves") {
     val e = graft.sources.Tables.embeddings(spark, base)
     val q = e.filter(col("vec_id") < 5)
     val dir = graft.sources.Scratch.dir("ivf-cdc-law")
     Similarity.writeIvfIndex(e.filter(col("vec_id") % 4 =!= 1), dir)
-    // one batch: insert the held-out quarter, delete the base's 7≡2
-    // vectors AND (same-batch overlap) the quarter's 11≡3 subset
-    Similarity.applyIvfCdc(spark, dir,
-      e.filter(col("vec_id") % 4 === 1).select("vec_id", "embedding"),
-      e.filter((col("vec_id") % 4 =!= 1 && col("vec_id") % 7 === 2) ||
-          (col("vec_id") % 4 === 1 && col("vec_id") % 11 === 3))
-        .select("vec_id"),
-      batchId = 0L)
-    val got = canon(Similarity.ivfTopKIndexed(
-      Similarity.readIvfIndex(spark, dir), q, 10))
     // reference: the same quantizer (trained on the base) over exactly
     // the net live rows, via the untouched append-only twin + filter
     val twinDir = graft.sources.Scratch.dir("ivf-cdc-twin")
@@ -407,19 +397,49 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
     Similarity.appendIvfIndex(spark, twinDir,
       e.filter(col("vec_id") % 4 === 1), batchId = Some(0L))
     val twin = Similarity.readIvfIndex(spark, twinDir)
-    val expected = canon(Similarity.ivfTopKIndexed(
-      twin.copy(assigned = twin.assigned.filter(
-        !(col("vec_id") % 4 =!= 1 && col("vec_id") % 7 === 2) &&
-          !(col("vec_id") % 4 === 1 && col("vec_id") % 11 === 3))),
-      q, 10))
-    assert(got == expected,
-      "one-marker IVF CDC batch diverged from the filtered twin")
+    def expectedOver(liveFilter: org.apache.spark.sql.Column) =
+      canon(Similarity.ivfTopKIndexed(
+        twin.copy(assigned = twin.assigned.filter(liveFilter)), q, 10))
+    def served() = canon(Similarity.ivfTopKIndexed(
+      Similarity.readIvfIndex(spark, dir), q, 10))
+    // batch 0: insert the held-out quarter, delete the base's 7≡2
+    // vectors AND the quarter's 11≡3 subset in the SAME batch — the
+    // latter is a no-op: deletes apply to the PRE-batch state, so the
+    // batch's own inserts all serve (the upsert ordering)
+    Similarity.applyIvfCdc(spark, dir,
+      e.filter(col("vec_id") % 4 === 1).select("vec_id", "embedding"),
+      e.filter((col("vec_id") % 4 =!= 1 && col("vec_id") % 7 === 2) ||
+          (col("vec_id") % 4 === 1 && col("vec_id") % 11 === 3))
+        .select("vec_id"),
+      batchId = 0L)
+    val got0 = served()
+    assert(got0 == expectedOver(
+      !(col("vec_id") % 4 =!= 1 && col("vec_id") % 7 === 2)),
+      "batch-0 boards diverged (same-batch delete of own insert must " +
+        "be a no-op under deletes-first ordering)")
     // replay of the committed batch (different content) skips
     Similarity.applyIvfCdc(spark, dir, e.limit(3),
       e.limit(0).select("vec_id"), batchId = 0L)
-    assert(canon(Similarity.ivfTopKIndexed(
-      Similarity.readIvfIndex(spark, dir), q, 10)) == got,
+    assert(served() == got0,
       "replayed committed IVF CDC batch was not skipped")
+    // batch 1: NOW delete the quarter's 11≡3 — cross-batch, it lands
+    Similarity.applyIvfCdc(spark, dir, e.limit(0),
+      e.filter(col("vec_id") % 4 === 1 && col("vec_id") % 11 === 3)
+        .select("vec_id"),
+      batchId = 1L)
+    assert(served() == expectedOver(
+      !(col("vec_id") % 4 =!= 1 && col("vec_id") % 7 === 2) &&
+        !(col("vec_id") % 4 === 1 && col("vec_id") % 11 === 3)),
+      "cross-batch delete of previously inserted vectors diverged")
+    // batch 2: RE-INSERT the deleted quarter subset — the shadow
+    // tombstone spares later batches, so they serve again, no rebuild
+    Similarity.applyIvfCdc(spark, dir,
+      e.filter(col("vec_id") % 4 === 1 && col("vec_id") % 11 === 3)
+        .select("vec_id", "embedding"),
+      e.limit(0).select("vec_id"),
+      batchId = 2L)
+    assert(served() == got0,
+      "re-insert of deleted vec_ids did not restore the batch-0 boards")
   }
 
   test("IVF append drift sentinel: shifted batch refuses, " +
@@ -522,70 +542,86 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
       "replayed batch double-appended after rebuild")
   }
 
-  test("re-insert of a committed-tombstoned id refuses loudly in every " +
-    "family; rebuild clears the path") {
-    // The CDC shape masking cannot absorb: a tombstoned id re-inserted
-    // in a LATER batch would be indexed (and stat-counted where the
-    // family folds statistics) yet stay masked forever. Every
-    // append/applyCdc path must detect it against the committed tomb
-    // table and refuse naming the rebuild remedy — silent corruption
-    // (advisor r15) becomes a loud contract error.
+  test("re-insert of a deleted id: synchronous paths refuse loudly, " +
+    "batched paths serve the new image in every family") {
+    // Shadow tombstones (Dedup.ShadowCol) kill only rows from batches
+    // ≤ the marker at delete time, so a BATCHED re-insert lands above
+    // every shadow and serves — delete is not a one-way door and a
+    // CDC update is delete+insert (advisor r15's medium item). The one
+    // shape still impossible is the SYNCHRONOUS re-insert: its rows
+    // land in the base partition (-1), which every tombstone shadows —
+    // those paths must refuse loudly naming the batched remedy.
     val docs = graft.sources.Tables.documents(spark, base)
     val e = graft.sources.Tables.embeddings(spark, base)
     val held = docs.filter(col("doc_id") % 2 === 0)
     val deadDocs = docs.filter(col("doc_id") % 10 === 2)
-    val otherDocs = docs.filter(col("doc_id") % 10 === 5)
-    def refuses(body: => Unit): Unit = {
+    def refusesSync(body: => Unit): Unit = {
       val ex = intercept[IllegalArgumentException](body)
-      assert(ex.getMessage.contains("tombstoned id") &&
-        ex.getMessage.contains("Rebuild"),
-        s"refusal must name the cause and remedy, got: ${ex.getMessage}")
+      assert(ex.getMessage.contains("synchronous") &&
+        ex.getMessage.contains("batchId"),
+        s"sync refusal must name the cause and remedy, got: ${ex.getMessage}")
     }
 
-    // minhash: append AND cdc paths
+    // minhash: sync append refuses; batched append serves
     val mh = graft.sources.Scratch.dir("reins-mh")
     Dedup.writeMinhashIndex(held, "doc_id", "text", mh)
     Dedup.deleteFromMinhashIndex(spark, mh, deadDocs.select("doc_id"))
-    refuses(Dedup.appendToMinhashIndex(deadDocs, "doc_id", "text", mh))
-    refuses(Dedup.applyMinhashCdc(spark, mh, deadDocs,
-      docs.filter(lit(false)), batchId = 7L))
-    // a clean batch still lands (the check must not over-block)
-    Dedup.applyMinhashCdc(spark, mh, otherDocs, docs.filter(lit(false)),
-      batchId = 7L)
-    // rebuild physically drops the tombstones -> re-insert is legal
-    Dedup.rebuildMinhashIndex(spark, mh)
+    refusesSync(Dedup.appendToMinhashIndex(deadDocs, "doc_id", "text", mh))
+    assert(Dedup.readMinhashIndex(spark, mh).sets
+      .join(deadDocs, Seq("doc_id"), "left_semi").count() == 0)
     Dedup.appendToMinhashIndex(deadDocs, "doc_id", "text", mh,
-      batchId = Some(8L))
+      batchId = Some(0L))
+    assert(Dedup.readMinhashIndex(spark, mh).sets
+      .join(deadDocs, Seq("doc_id"), "left_semi").count()
+      == Dedup.shingleHashesFlat(deadDocs, "doc_id", "text")
+        .filter(size(col("hs")) > 0).count(),
+      "batched minhash re-insert did not serve")
 
-    // bm25: append and cdc
+    // bm25: sync append refuses; batched CDC re-insert serves exactly
     val bm = graft.sources.Scratch.dir("reins-bm")
     graft.operators.Bm25Index.write(held, bm)
     graft.operators.Bm25Index.delete(spark, bm, deadDocs.select("doc_id"))
-    refuses(graft.operators.Bm25Index.append(spark, bm, deadDocs))
-    refuses(graft.operators.Bm25Index.applyCdc(spark, bm, deadDocs,
-      docs.filter(lit(false)), batchId = 7L))
+    refusesSync(graft.operators.Bm25Index.append(spark, bm, deadDocs))
+    graft.operators.Bm25Index.applyCdc(spark, bm, deadDocs,
+      docs.filter(lit(false)), batchId = 0L)
+    assert(graft.operators.Bm25Index.statsConsistency(spark, bm)
+      == ((0L, 0L, 0L)),
+      "bm25 re-insert skewed the folded statistics")
 
-    // embedding LSH: cdc
+    // embedding LSH: sync append refuses; batched CDC serves
     val em = graft.sources.Scratch.dir("reins-em")
     val heldE = e.filter(col("vec_id") % 2 === 0)
     val deadE = e.filter(col("vec_id") % 10 === 2)
     Similarity.writeEmbeddingIndex(heldE, em)
     Similarity.deleteFromEmbeddingIndex(spark, em, deadE.select("vec_id"))
-    refuses(Similarity.applyEmbeddingCdc(spark, em, deadE,
-      e.filter(lit(false)), batchId = 7L))
+    refusesSync(Similarity.appendToEmbeddingIndex(deadE, em))
+    Similarity.applyEmbeddingCdc(spark, em, deadE,
+      e.filter(lit(false)).select("vec_id"), batchId = 0L)
+    assert(Similarity.readEmbeddingIndex(spark, em).vectors
+      .join(deadE, Seq("vec_id"), "left_semi").count() == deadE.count(),
+      "batched embedding re-insert did not serve")
 
-    // IVF: append
+    // IVF: sync append refuses; batched append serves
     val iv = graft.sources.Scratch.dir("reins-iv")
     Similarity.writeIvfIndex(heldE, iv)
     Similarity.deleteFromIvfIndex(spark, iv, deadE.select("vec_id"))
-    refuses(Similarity.appendIvfIndex(spark, iv, deadE))
+    refusesSync(Similarity.appendIvfIndex(spark, iv, deadE))
+    Similarity.appendIvfIndex(spark, iv, deadE, batchId = Some(0L))
+    assert(Similarity.readIvfIndex(spark, iv).assigned
+      .join(deadE, Seq("vec_id"), "left_semi").count() == deadE.count(),
+      "batched IVF re-insert did not serve")
 
-    // prefix: cdc
+    // prefix: sync append refuses; batched CDC serves
     val pf = graft.sources.Scratch.dir("reins-pf")
     graft.operators.SimJoin.writePrefixIndex(held, "doc_id", "text", 1, 2, pf)
     graft.operators.SimJoin.deleteFromPrefixIndex(spark, pf,
       deadDocs.select("doc_id"))
-    refuses(graft.operators.SimJoin.applyPrefixCdc(spark, pf, deadDocs,
-      docs.filter(lit(false)), batchId = 7L))
+    refusesSync(graft.operators.SimJoin.appendPrefixIndex(spark, pf,
+      deadDocs))
+    graft.operators.SimJoin.applyPrefixCdc(spark, pf, deadDocs,
+      docs.filter(lit(false)), batchId = 0L)
+    assert(graft.operators.SimJoin.crossPrefixJoin(spark, deadDocs, pf)
+      .filter(col("new_id") === col("matched_id")).count() > 0,
+      "batched prefix re-insert did not serve")
   }
 }

@@ -129,6 +129,51 @@ class PointerLeaseSpec extends AnyFunSuite with SparkSpec {
       "lease not released after the takeover writer completed")
   }
 
+  test("pinned-version reads: versionRoot serves an exact snapshot " +
+    "through later commits; retention is configurable; pruned versions " +
+    "refuse by name") {
+    val docs = graft.sources.Tables.documents(spark, base).limit(60)
+    val dir = graft.sources.Scratch.dir("ptr-pinned")
+    System.setProperty("graft.index.retain.versions", "3")
+    try {
+      Dedup.writeMinhashIndex(docs, "doc_id", "text", dir) // v1
+      val v1Sets = canon(Dedup.readMinhashIndex(spark, dir).sets)
+      assert(Dedup.listVersions(spark, dir) == Seq(1))
+      // a replacement commit FREEZES every older version: in-place
+      // maintenance only ever touches CURRENT, so once v2 exists, v1
+      // is immutable — the snapshot a pinned reader can trust
+      Dedup.rebuildMinhashIndex(spark, dir) // v2 (same content)
+      Dedup.deleteFromMinhashIndex(spark, dir,
+        docs.filter(col("doc_id") % 3 === 0).select("doc_id")) // v2 in place
+      assert(Dedup.listVersions(spark, dir) == Seq(1, 2))
+      val pinned = Dedup.readMinhashIndex(spark,
+        Dedup.versionRoot(spark, dir, 1))
+      assert(canon(pinned.sets) == v1Sets,
+        "pinned (frozen) v1 does not serve the pre-delete snapshot")
+      assert(canon(Dedup.readMinhashIndex(spark, dir).sets) != v1Sets,
+        "CURRENT still serves the pre-delete corpus — vacuous pin")
+      // raised retention keeps deeper history: with retain=3, the v3
+      // commit must leave v1 on disk (default 2 would prune it)
+      Dedup.compactMinhashIndex(spark, dir) // v3
+      assert(Dedup.listVersions(spark, dir) == Seq(1, 2, 3),
+        "retention=3 did not keep three versions")
+      assert(canon(Dedup.readMinhashIndex(spark,
+        Dedup.versionRoot(spark, dir, 1)).sets) == v1Sets,
+        "deep-retained v1 stopped serving")
+    } finally System.clearProperty("graft.index.retain.versions")
+    // back at the default, the next commit prunes to the newest two,
+    // and opening a pruned version refuses naming what IS on disk
+    Dedup.compactMinhashIndex(spark, dir) // v4 -> prune v1, v2
+    assert(Dedup.listVersions(spark, dir) == Seq(3, 4),
+      "default retention did not prune to the newest two")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.versionRoot(spark, dir, 1)
+    }
+    assert(ex.getMessage.contains("no version 1") &&
+      ex.getMessage.contains("v3"),
+      s"pruned-version refusal unhelpful: ${ex.getMessage}")
+  }
+
   test("a writer whose lease was taken over is FENCED at the commit " +
     "point — nothing is published") {
     val docs = graft.sources.Tables.documents(spark, base).limit(40)

@@ -128,8 +128,8 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
       "delete-compacting rebuild moved the pairs")
   }
 
-  test("minhash CDC: change batches ≡ fresh net-live index; same-batch " +
-    "overlap nets to delete; committed replay skips") {
+  test("minhash CDC: change batches ≡ fresh net-live index; delete+" +
+    "insert of one id is an update; committed replay skips") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val incoming = docs.filter(col("doc_id") % 2 === 1)
     val even = docs.filter(col("doc_id") % 2 === 0)
@@ -162,21 +162,45 @@ class SignatureIndexSpec extends AnyFunSuite with SparkSpec {
         .filter(size(col("hs")) > 0).count()
     assert(Dedup.readMeta(spark, idxRoot(idxDir))("n_docs").toLong == shingled(live),
       "n_docs did not net inserts against deletes")
-    // same-batch overlap: the overlapped doc is never indexed and the
-    // batch's net n_docs contribution counts only the clean insert
+    // same-batch delete+insert is an UPDATE: the old fingerprint falls
+    // under the shadow tombstone, the new image is signed and serves,
+    // and n_docs nets the upsert to ZERO (clean inserts still count)
     val overlapDir = graft.sources.Scratch.dir("sigidx-mhcdc-ov")
     Dedup.writeMinhashIndex(base, "doc_id", "text", overlapDir)
     val n0 = Dedup.readMeta(spark, idxRoot(overlapDir))("n_docs").toLong
-    val two = even.filter(col("doc_id") % 10 === 4).limit(2)
-    val ovId = two.select(min("doc_id")).head().getLong(0)
-    Dedup.applyMinhashCdc(spark, overlapDir, two,
-      two.filter(col("doc_id") === ovId).select("doc_id"), batchId = 0L)
-    assert(spark.read.parquet(s"${idxRoot(overlapDir)}/sets")
-      .filter(col("doc_id") === ovId).count() == 0,
-      "same-batch delete did not win over its own insert")
+    val updId = base.select(min("doc_id")).head().getLong(0)
+    val updNew = base.filter(col("doc_id") === updId)
+      .withColumn("text", concat(col("text"), lit(" fresh updated image")))
+    val clean = even.filter(col("doc_id") % 10 === 4).limit(1)
+    Dedup.applyMinhashCdc(spark, overlapDir, updNew.unionByName(clean),
+      updNew.select("doc_id"), batchId = 0L)
+    val liveSets = Dedup.readMinhashIndex(spark, overlapDir).sets
+    assert(liveSets.filter(col("doc_id") === updId).count() == 1,
+      "updated doc does not serve exactly one live fingerprint")
+    // the live fingerprint is the NEW image's shingle set, bit-for-bit
+    val newHs = Dedup.shingleHashesFlat(updNew, "doc_id", "text")
+      .head().getSeq[Int](1).toSet
+    assert(liveSets.filter(col("doc_id") === updId)
+      .head().getSeq[Int](1).toSet == newHs,
+      "update served the OLD fingerprint")
     assert(Dedup.readMeta(spark, idxRoot(overlapDir))("n_docs").toLong
-      == n0 + shingled(two.filter(col("doc_id") =!= ovId)),
-      "overlap batch mis-counted n_docs")
+      == n0 + shingled(clean),
+      "upsert did not net n_docs to zero")
+    // cross-batch re-insert of an id deleted in an earlier batch
+    // serves without a rebuild (delete is not a one-way door)
+    Dedup.applyMinhashCdc(spark, overlapDir, even.limit(0),
+      updNew.select("doc_id"), batchId = 1L)
+    assert(Dedup.readMinhashIndex(spark, overlapDir).sets
+      .filter(col("doc_id") === updId).count() == 0,
+      "batch-1 delete left the updated image serving")
+    Dedup.applyMinhashCdc(spark, overlapDir, updNew,
+      even.limit(0).select("doc_id"), batchId = 2L)
+    assert(Dedup.readMinhashIndex(spark, overlapDir).sets
+      .filter(col("doc_id") === updId).count() == 1,
+      "cross-batch re-insert of a deleted id did not serve")
+    assert(Dedup.readMeta(spark, idxRoot(overlapDir))("n_docs").toLong
+      == n0 + shingled(clean),
+      "delete+re-insert did not round-trip n_docs")
     // committed replay is skipped whole
     val setsBefore = spark.read.parquet(s"${idxRoot(idxDir)}/sets").count()
     Dedup.applyMinhashCdc(spark, idxDir,

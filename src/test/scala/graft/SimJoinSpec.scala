@@ -178,8 +178,8 @@ class SimJoinSpec extends AnyFunSuite with SparkSpec {
       "rebuild-after-delete changed the lossless result")
   }
 
-  test("CDC: change batches ≡ fresh net-live index; same-batch overlap " +
-    "nets to delete; committed replay skips") {
+  test("CDC: change batches ≡ fresh net-live index; delete+insert of " +
+    "one id is an update; committed replay skips") {
     val odd = docs.filter(col("doc_id") % 2 === 1)
     val even = docs.filter(col("doc_id") % 2 === 0)
     val base = even.filter(col("doc_id") % 10 =!= 4)
@@ -201,16 +201,35 @@ class SimJoinSpec extends AnyFunSuite with SparkSpec {
       .select("new_id", "matched_id", "inter", "un"))
     assert(expected.nonEmpty && got == expected,
       "CDC-maintained prefix index diverged from fresh net-live")
-    // same-batch overlap: delete wins, the doc is never indexed
+    // same-batch delete+insert is an UPDATE: the tombstone kills only
+    // pre-batch rows (here: the base image of ovId), and the batch's
+    // own insert — the new image — is indexed, matches, and verifies
     val ovDir = graft.sources.Scratch.dir("pfx-cdc-ov")
     SimJoin.writePrefixIndex(base, "doc_id", "text", 6, 10, ovDir)
-    val two = even.filter(col("doc_id") % 10 === 4).limit(2)
-    val ovId = two.select(min("doc_id")).head().getLong(0)
-    SimJoin.applyPrefixCdc(spark, ovDir, two,
-      two.filter(col("doc_id") === ovId).select("doc_id"), batchId = 0L)
-    assert(spark.read.parquet(s"${idxRoot(ovDir)}/sets")
-      .filter(col("doc_id") === ovId).count() == 0,
-      "same-batch delete did not win over its own insert")
+    val ovId = base.select(min("doc_id")).head().getLong(0)
+    val ovNew = base.filter(col("doc_id") === ovId)
+      .withColumn("text", concat(col("text"), lit(" updated image suffix")))
+    SimJoin.applyPrefixCdc(spark, ovDir, ovNew,
+      ovNew.select("doc_id"), batchId = 0L)
+    // probing with the NEW image must self-match at jaccard 1 — the
+    // stored set is the new image, not the base one
+    val self = SimJoin.crossPrefixJoin(spark, ovNew, ovDir)
+      .filter(col("matched_id") === ovId)
+    assert(self.count() == 1 &&
+      self.head().getAs[Double]("jaccard") == 1.0,
+      "same-batch delete+insert did not serve the updated image")
+    // cross-batch re-insert of an id deleted in an earlier batch
+    // serves too — delete is not a one-way door
+    SimJoin.applyPrefixCdc(spark, ovDir, even.limit(0),
+      ovNew.select("doc_id"), batchId = 1L)
+    assert(SimJoin.crossPrefixJoin(spark, ovNew, ovDir)
+      .filter(col("matched_id") === ovId).count() == 0,
+      "batch-1 delete left the updated image serving")
+    SimJoin.applyPrefixCdc(spark, ovDir, ovNew,
+      even.limit(0).select("doc_id"), batchId = 2L)
+    assert(SimJoin.crossPrefixJoin(spark, ovNew, ovDir)
+      .filter(col("matched_id") === ovId).count() == 1,
+      "cross-batch re-insert of a deleted id did not serve")
     // committed replay is skipped whole
     val setsBefore = spark.read.parquet(s"${idxRoot(idxDir)}/sets").count()
     SimJoin.applyPrefixCdc(spark, idxDir,
