@@ -220,10 +220,18 @@ object IndexAudit {
           if (tombsPresent && countChecks)
             Dedup.committedTombsAt(spark, s"$root/tomb", meta, idCol)
           else None
-        rows += (("tomb", "OK",
+        val legacyTombs = tombs.map(_.filter(
+          col(Dedup.ShadowCol) === Long.MaxValue)
+          .select(idCol).distinct().count()).getOrElse(0L)
+        rows += (("tomb",
+          if (legacyTombs > 0) "WARN" else "OK",
           if (!tombsPresent) "no tombstones"
           else tombs.fold("tombstones present")(t =>
-            s"tombstoned=${t.select(idCol).distinct().count()}")))
+            s"tombstoned=${t.select(idCol).distinct().count()}" +
+              (if (legacyTombs == 0) ""
+               else s" ($legacyTombs pre-shadow: no ordering column, " +
+                 "they mask ALL batches — re-inserting those ids " +
+                 "refuses until a rebuild folds them away)"))))
         def liveCount(table: String): Long =
           Dedup.maskShadowed(
             Dedup.committedOnly(spark.read.parquet(s"$root/$table"), meta),

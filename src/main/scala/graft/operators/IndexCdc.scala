@@ -58,6 +58,29 @@ object IndexCdc {
           "ivf_index, signlsh-v2")
     }
 
+  /** [[apply]] for an op-column change batch — the exact splitter the
+    * streaming twins (`StreamOps.cdcFoldStream`) use, for BATCH
+    * callers replaying a changelog: rows with `opCol = "insert"` are
+    * the inserts (an update's new image included), `"delete"` the
+    * tombstones; anything else refuses loudly. Deletes-apply-first
+    * semantics, so a changelog that encodes an update as delete+insert
+    * of one id lands as an update. */
+  def applyOps(spark: SparkSession, dir: String, changes: DataFrame,
+               batchId: Long, opCol: String = "op",
+               id: String = "doc_id", text: String = "text"): Unit = {
+    val unknown = changes.filter(col(opCol).isNull ||
+        !col(opCol).isin("insert", "delete"))
+      .limit(1).collect()
+    require(unknown.isEmpty,
+      s"IndexCdc.applyOps: unknown $opCol value " +
+        s"'${unknown.headOption.map(_.getAs[Any](opCol)).getOrElse("")}'" +
+        " — expected insert|delete")
+    apply(spark, dir,
+      changes.filter(col(opCol) === "insert").drop(opCol),
+      changes.filter(col(opCol) === "delete").drop(opCol),
+      batchId, id, text)
+  }
+
   /** Folds the per-batch partitions a CDC stream accretes back into
     * `targetFiles` files per table, whatever the family — rows (and
     * served results) preserved exactly. */

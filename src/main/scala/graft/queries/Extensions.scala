@@ -412,6 +412,14 @@ object Extensions {
           docs.filter(col("doc_id") % 10 === 8).select("doc_id"), 3L))
       graft.operators.IndexCdc.apply(s, s"$root/ivf", e.limit(0),
         e.filter(col("vec_id") % 10 === 8).select("vec_id"), 3L)
+      // the gate's batch-4 upsert wave (same history, same net state)
+      val updDocs = docs.filter(col("doc_id") % 10 === 2)
+      Seq("mh", "pfx", "bm").foreach(fam =>
+        graft.operators.IndexCdc.apply(s, s"$root/$fam", updDocs,
+          updDocs.select("doc_id"), 4L))
+      val updVecs = e.filter(col("vec_id") % 10 === 2)
+      graft.operators.IndexCdc.apply(s, s"$root/ivf",
+        updVecs.select("vec_id", "embedding"), updVecs.select("vec_id"), 4L)
       Seq("mh", "pfx", "bm", "ivf").foreach(fam =>
         graft.operators.IndexCdc.compact(s, s"$root/$fam"))
       root
@@ -1239,7 +1247,10 @@ object Extensions {
     // minhash + prefix + BM25 + IVF simultaneously — write on the even
     // corpus minus its %10=4 slice, three CDC batches inserting that
     // slice (%30 ∈ {4,14,24}) and deleting the %10=6 docs
-    // (%30 ∈ {6,16,26}), then a delete-only takedown batch (%10=8),
+    // (%30 ∈ {6,16,26}), then a delete-only takedown batch (%10=8), an
+    // UPSERT wave (batch 4: delete+insert of the live %10=2 rows with
+    // identical content — the CDC update encoding through every
+    // family; net-live unchanged, update machinery exercised),
     // compaction, and a full fsck — before ALL FOUR boards are served
     // from the stored artifacts and unioned under one schema. Net live
     // everywhere = even ∧ %10∉{6,8}; the oracle replays each family's
@@ -1282,6 +1293,19 @@ object Extensions {
           .select("doc_id"), 3L))
       graft.operators.IndexCdc.apply(s, ivf, e.limit(0),
         e.filter(col("vec_id") % 10 === 8).select("vec_id"), 3L)
+      // batch 4 is an UPSERT wave — delete+insert of the live %10=2
+      // rows in ONE batch through every family (the CDC update
+      // encoding, legal under shadow tombstones since r16). The
+      // re-images carry identical content, so the net-live oracle is
+      // untouched while the gate exercises the update machinery
+      // (retraction from live pre-batch state + re-index) everywhere.
+      val updDocs = docs.filter(col("doc_id") % 10 === 2)
+      docDirs.foreach(dir => graft.operators.IndexCdc.apply(s, dir,
+        updDocs, updDocs.select("doc_id"), 4L))
+      val updVecs = e.filter(col("vec_id") % 10 === 2)
+      graft.operators.IndexCdc.apply(s, ivf,
+        updVecs.select("vec_id", "embedding"),
+        updVecs.select("vec_id"), 4L)
       // hygiene + fsck before serving: fold the per-batch fragmentation,
       // then require a clean bill — IN the gate, so a cross-family
       // regression fails the correctness battery, not just a unit law

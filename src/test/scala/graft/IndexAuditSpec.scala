@@ -164,6 +164,41 @@ class IndexAuditSpec extends AnyFunSuite with SparkSpec {
     assert(si.contains("cell_hist"))
   }
 
+  test("pre-shadow (legacy) tombstones: tomb row WARNs naming the " +
+    "rebuild remedy; batched re-insert against them refuses") {
+    val dir = graft.sources.Scratch.dir("audit-legacytomb")
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir)
+    // a tombstone written by the pre-shadow engine: id column only —
+    // reads coalesce its ordering to MaxValue (masks ALL batches)
+    import spark.implicits._
+    val vid = docs.filter(col("doc_id") % 2 === 0)
+      .select(min("doc_id")).head().getLong(0)
+    Dedup.writeIndexTable(Seq(vid).toDF("doc_id"), -1L,
+      s"${idxRoot(dir)}/tomb")
+    assert(statuses(dir)("tomb") == "WARN")
+    assert(detailOf(dir, "tomb").contains("pre-shadow"))
+    // the re-insert a shadow tombstone would allow is refused against
+    // a legacy one, naming the rebuild remedy
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.applyMinhashCdc(spark, dir,
+        docs.filter(col("doc_id") === vid), docs.limit(0).select("doc_id"),
+        batchId = 0L)
+    }
+    assert(ex.getMessage.contains("PRE-SHADOW") &&
+      ex.getMessage.contains("Rebuild"),
+      s"legacy re-insert refusal unhelpful: ${ex.getMessage}")
+    // rebuild folds the legacy tombstones away; the re-insert then lands
+    Dedup.rebuildMinhashIndex(spark, dir)
+    assert(statuses(dir)("tomb") == "OK")
+    Dedup.applyMinhashCdc(spark, dir,
+      docs.filter(col("doc_id") === vid), docs.limit(0).select("doc_id"),
+      batchId = 0L)
+    assert(Dedup.readMinhashIndex(spark, dir).sets
+      .filter(col("doc_id") === vid).count() == 1,
+      "re-insert after legacy-tomb rebuild did not serve")
+  }
+
   test("non-index directory: loud, structured, no exception") {
     val dir = graft.sources.Scratch.dir("audit-nonidx")
     new java.io.File(dir).mkdirs()
