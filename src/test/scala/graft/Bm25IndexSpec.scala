@@ -219,6 +219,32 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
       "folded df/(N,S) partials diverged from the live recompute")
   }
 
+  test("torn UPSERT batch: a crash after the postings write leaves " +
+    "reads untouched; the replay heals to the clean-run state") {
+    val dir = graft.sources.Scratch.dir("bm25-idx-tornups")
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    Bm25Index.write(corpus, dir)
+    val before = board(Bm25Index.crossBm25TopK(spark, queries, dir, 5))
+    val upd = corpus.filter(col("doc_id") % 11 === 3)
+      .withColumn("text", concat(lit("torn upsert image "), col("text")))
+    // crash after the FIRST of the batch's five writes (postings; no
+    // tomb, no signed partials, no marker): the partition sits past
+    // the marker, so every read must exclude it whole
+    Dedup.writeIndexTable(TextOps.docTermFreqs(upd, "doc_id", "text"),
+      0L, s"${idxRoot(dir)}/postings")
+    assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5)) == before,
+      "torn upsert partition leaked into the served board")
+    // the replay dynamically overwrites its own partitions and commits
+    // — byte-identical to a run that never crashed
+    Bm25Index.applyCdc(spark, dir, upd, upd.select("doc_id"), batchId = 0L)
+    val live = corpus.filter(col("doc_id") % 11 =!= 3).unionByName(upd)
+    assert(board(Bm25Index.crossBm25TopK(spark, queries, dir, 5))
+      == board(TextOps.bm25TopK(live, queries, k = 5)),
+      "healed upsert replay diverged from the live-corpus one-shot")
+    assert(Bm25Index.statsConsistency(spark, dir) == ((0L, 0L, 0L)),
+      "healed upsert left skewed folded stats")
+  }
+
   test("rebuild after delete: tombstones compact away, board frozen") {
     val dir = graft.sources.Scratch.dir("bm25-idx-delreb")
     val corpus = docs.filter(col("doc_id") % 29 =!= 0)
