@@ -113,4 +113,86 @@ class ShadowModelSpec extends AnyFunSuite with SparkSpec {
         s"trial $trial: compaction skewed the BM25 stats")
     }
   }
+
+  // deterministic, version-dependent vectors: an upsert CHANGES the
+  // embedding, so the IVF re-assignment (possibly to a different cell)
+  // and the sign-LSH re-keying are both exercised — the stale image
+  // must fall under the shadow while the new one serves
+  private def vec(id: Long, v: Int): Array[Float] =
+    Array.tabulate(6)(d =>
+      (((id * 31 + v * 17 + d * 7) % 19) - 9).toFloat)
+
+  private def vecsDf(m: Iterable[(Long, Int)]): DataFrame = {
+    import spark.implicits._
+    m.toSeq.map { case (i, vv) => (i, vec(i, vv).toSeq) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+  }
+
+  private def vidsDf(ids: Iterable[Long]): DataFrame = {
+    import spark.implicits._
+    ids.toSeq.toDF("vec_id")
+  }
+
+  test("random CDC histories: façade-applied state ≡ the model fold " +
+    "in both vector families, served vectors the LATEST image") {
+    val rnd = new scala.util.Random(16081526L)
+    var model: Map[Long, Int] =
+      (idSpace.filter(_ => rnd.nextBoolean()).map(_ -> 0).toMap) +
+        (idSpace.head -> 0)
+    val everSeen = scala.collection.mutable.Map[Long, Int]() ++= model
+    val ivf = graft.sources.Scratch.dir("shadow-model-ivf")
+    val emb = graft.sources.Scratch.dir("shadow-model-emb")
+    graft.operators.Similarity.writeIvfIndex(vecsDf(model), ivf,
+      nCentroids = 3)
+    graft.operators.Similarity.writeEmbeddingIndex(vecsDf(model), emb)
+    (0L to 5L).foreach { b =>
+      val dels = idSpace.filter(_ => rnd.nextInt(4) == 0).toSet
+      val ins = idSpace
+        .filter(i => !model.contains(i) || dels.contains(i))
+        .filter(_ => rnd.nextInt(3) == 0)
+        .map { i =>
+          val v = everSeen.getOrElse(i, -1) + 1
+          everSeen(i) = v
+          i -> v
+        }.toMap
+      Seq(ivf, emb).foreach(d =>
+        IndexCdc.apply(spark, d, vecsDf(ins), vidsDf(dels), b))
+      model = (model -- dels) ++ ins
+    }
+    assert(model.nonEmpty, "vacuous vector trial — reseed")
+    Seq("ivf" -> ivf, "emb" -> emb).foreach { case (fam, d) =>
+      val live = IndexCdc.liveIds(spark, d)
+        .collect().map(_.getLong(0)).toSet
+      assert(live == model.keySet,
+        s"$fam: live=$live model=${model.keySet}")
+    }
+    // served vectors are the LATEST image, bit-exact (floats
+    // round-trip parquet): a stale pre-upsert assignment surviving in
+    // ANY cell would fail this
+    val ivfVecs = graft.operators.Similarity.readIvfIndex(spark, ivf)
+      .assigned.select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val embVecs = graft.operators.Similarity.readEmbeddingIndex(spark, emb)
+      .vectors.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    model.foreach { case (i, v) =>
+      assert(ivfVecs(i).sameElements(vec(i, v)),
+        s"ivf: vec $i serves a stale image (model v$v)")
+      assert(embVecs(i).sameElements(vec(i, v)),
+        s"emb: vec $i serves a stale image (model v$v)")
+    }
+    // occupancy metadata tracked the churn
+    assert(Dedup.readMeta(spark,
+      Dedup.indexRoot(spark, emb))("n_vectors").toLong == model.size.toLong,
+      "n_vectors drifted from the model live count")
+    // compaction preserves all of it
+    Seq(ivf, emb).foreach(d => IndexCdc.compact(spark, d))
+    Seq("ivf" -> ivf, "emb" -> emb).foreach { case (fam, d) =>
+      assert(IndexCdc.liveIds(spark, d)
+        .collect().map(_.getLong(0)).toSet == model.keySet,
+        s"$fam: compaction changed the live set")
+    }
+  }
 }
