@@ -528,7 +528,11 @@ object Dedup {
     * counts as absent ([[indexTableHasData]]). Pre-shadow tombstones
     * (no [[ShadowCol]] on disk) read as Long.MaxValue — mask
     * everything, their original semantics; mergeSchema keeps a table
-    * holding BOTH generations readable. */
+    * holding BOTH generations readable AND deterministic (without it,
+    * Spark types the table from one sampled footer — a mixed table
+    * would flip semantics with file order). Cost: one footer read per
+    * tomb file — bounded by the delete batches since the last
+    * compaction, which folds the table back to `targetFiles`. */
   private[graft] def committedTombsAt(spark: org.apache.spark.sql.SparkSession,
                                       path: String,
                                       meta: Map[String, String],
