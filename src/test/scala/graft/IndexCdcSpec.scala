@@ -137,6 +137,60 @@ class IndexCdcSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("applyOps: one op-column change frame ≡ the split form; a " +
+    "streamed upsert batch serves the new image; unknown ops refuse") {
+    val docs = graft.sources.Tables.documents(spark, base)
+    val held = docs.filter(initial("doc_id"))
+    // two identical indexes: one fed split frames, one the op-column
+    // form — an upsert batch (delete+insert of one live id, new text)
+    val a = graft.sources.Scratch.dir("cdcf-ops-a")
+    val b = graft.sources.Scratch.dir("cdcf-ops-b")
+    Dedup.writeMinhashIndex(held, "doc_id", "text", a)
+    Dedup.writeMinhashIndex(held, "doc_id", "text", b)
+    val updId = held.select(min("doc_id")).head().getLong(0)
+    val upd = held.filter(col("doc_id") === updId)
+      .withColumn("text", concat(col("text"), lit(" streamed new image")))
+    val fresh = docs.filter(col("doc_id") % 10 === 3).limit(2)
+    IndexCdc.apply(spark, a, upd.unionByName(fresh), upd.select("doc_id"),
+      1L)
+    IndexCdc.applyOps(spark, b,
+      upd.unionByName(fresh).select(col("doc_id"), col("text"))
+        .withColumn("op", lit("insert"))
+        .unionByName(upd.select(col("doc_id"),
+          lit(null).cast("string").as("text"))
+          .withColumn("op", lit("delete"))),
+      1L)
+    assert(ids(IndexCdc.liveIds(spark, a), "id")
+      == ids(IndexCdc.liveIds(spark, b), "id"),
+      "op-column form diverged from the split form")
+    val hs = (d: String) => Dedup.readMinhashIndex(spark, d).sets
+      .filter(col("doc_id") === updId).head().getSeq[Int](1).toSet
+    assert(hs(a) == hs(b), "upsert image diverged between the forms")
+    // the streaming twin: the same upsert batch as ONE micro-batch
+    // through maintainMinhashCdcStream — cdcFoldStream's op split must
+    // deliver deletes-first update semantics end to end
+    val c = graft.sources.Scratch.dir("cdcf-ops-c")
+    Dedup.writeMinhashIndex(held, "doc_id", "text", c)
+    val feed = graft.sources.Scratch.dir("cdcf-ops-feed")
+    upd.select(col("doc_id"), col("text")).withColumn("op", lit("insert"))
+      .unionByName(upd.select(col("doc_id"),
+        lit(null).cast("string").as("text")).withColumn("op", lit("delete")))
+      .coalesce(1).write.mode("overwrite").parquet(feed)
+    graft.streaming.StreamOps.maintainMinhashCdcStream(
+      spark.readStream.schema(spark.read.parquet(feed).schema)
+        .parquet(feed),
+      "op", c, graft.sources.Scratch.dir("cdcf-ops-ckpt")).stop()
+    assert(hs(c) == hs(a),
+      "streamed upsert batch did not serve the new image")
+    // unknown ops refuse loudly
+    val ex = intercept[IllegalArgumentException] {
+      IndexCdc.applyOps(spark, b,
+        upd.select(col("doc_id"), col("text"))
+          .withColumn("op", lit("upsert")), 2L)
+    }
+    assert(ex.getMessage.contains("insert|delete"))
+  }
+
   test("routing refuses unknown kinds and non-index dirs by name") {
     val stranger = graft.sources.Scratch.dir("cdcf-stranger")
     Dedup.writeMeta(spark, stranger, Map("kind" -> "not_an_index"))
