@@ -124,4 +124,85 @@ object Bpe {
     merges.foldLeft(initialSeg(wf)) { case (df, (l, r)) =>
       applyMerge(df, l, r)
     }
+
+  /** ---- Persisted vocabulary (the tokenizer artifact) ----
+    *
+    * A tokenizer vocabulary is the MOST-persisted artifact a training
+    * pipeline owns: trained once over the full corpus (the expensive
+    * op — every merge iteration is a vocabulary-table pass), then read
+    * by every downstream encode for the lifetime of the model family,
+    * across clusters and years. [[writeVocab]]/[[readVocab]] give the
+    * merge table the same storage discipline as the serving indexes:
+    *
+    *  - `merges/` parquet — (rk, l, r, cnt), rank-ordered: BPE merges
+    *    are a SEQUENCE, not a set (applying them out of order segments
+    *    differently), so the rank rides with the rows and the reader
+    *    sorts on it rather than trusting file order;
+    *  - metadata carrying `kind`, the merge count, and the
+    *    pretokenizer fingerprint ([[VocabScheme]]): a vocabulary
+    *    trained under a different word regex / lowercasing rule
+    *    segments text this engine never produced — load refuses it
+    *    instead of silently mis-tokenizing;
+    *  - version-pointer commit (`Dedup.swapInDir` + writer lease): a
+    *    RETRAIN over a live vocabulary directory is atomic, concurrent
+    *    retrains refuse, and in-flight encodes keep the snapshot they
+    *    opened. A vocabulary version is immutable once written — there
+    *    is no append/CDC surface, by design: merges are globally
+    *    order-coupled, so "incremental vocab" is a retrain.
+    *
+    * Cited shape: the reference pipeline persists nothing model-like;
+    * this is the `writeMinhashIndex` lifecycle applied to the
+    * tokenizer-training operator the curation suite already carries. */
+  private[graft] val VocabKind = "bpe_vocab"
+
+  /** Pretokenizer fingerprint persisted with the vocabulary: the merge
+    * table is only meaningful under the exact word-splitting rule it
+    * was trained with. */
+  private[graft] val VocabScheme = s"lower:$WordRegex:char-init"
+
+  /** Persist a trained merge table under `dir` (atomic version-pointer
+    * commit; a retrain over an existing vocabulary swaps whole). */
+  def writeVocab(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[Merge], dir: String): Unit = {
+    require(merges.nonEmpty, "writeVocab: empty merge table")
+    IndexLease.withLease(spark, dir, "Bpe.writeVocab") {
+      import spark.implicits._
+      Dedup.swapInDir(spark, dir) { tmp =>
+        Dedup.writeIndexTable(
+          merges.toDF("rk", "l", "r", "cnt").coalesce(1),
+          -1L, s"$tmp/merges", overwriteAll = true)
+        Dedup.writeMeta(spark, tmp, Map(
+          "kind" -> VocabKind,
+          "n_merges" -> merges.size.toString,
+          "scheme" -> VocabScheme))
+      }
+    }
+  }
+
+  /** Load a persisted vocabulary: the rank-ordered merge pairs, ready
+    * for [[segment]]. Refuses a directory that is not a vocabulary or
+    * was trained under a different pretokenizer scheme. */
+  def readVocab(spark: org.apache.spark.sql.SparkSession,
+                dir: String): Seq[(String, String)] = {
+    // version snapshot: resolve once, like every index reader
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
+    require(meta.get("kind").contains(VocabKind),
+      s"$dir is not a BPE vocabulary (kind=" +
+        s"${meta.getOrElse("kind", "<absent>")})")
+    require(meta.get("scheme").contains(VocabScheme),
+      s"vocabulary at $dir was trained under scheme " +
+        s"${meta.getOrElse("scheme", "<absent>")} but this engine " +
+        s"pretokenizes with $VocabScheme — its merges segment text " +
+        "differently; retrain with Bpe.train + writeVocab")
+    val rows = spark.read.parquet(s"$root/merges")
+      .select("rk", "l", "r").collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    require(rows.size == meta("n_merges").toInt,
+      s"vocabulary at $dir holds ${rows.size} merges but metadata " +
+        s"declares ${meta("n_merges")} — torn write or foreign edit; " +
+        "retrain with Bpe.train + writeVocab")
+    rows
+  }
 }

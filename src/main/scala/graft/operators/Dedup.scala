@@ -821,9 +821,12 @@ object Dedup {
     * [[recoverSwap]], survives as legacy compat for pre-pointer
     * crashes). A crash at ANY point before the pointer rename leaves a
     * partial `v<N+1>` the next attempt deletes; after it, the commit is
-    * complete. Retention: the PREVIOUS version is kept at commit (open
-    * readers may hold its file list) and pruned when the version after
-    * next commits — one-commit grace, driver-side listing cost only.
+    * complete. Retention: each commit keeps the newest
+    * [[retainVersions]] versions (default 2 — the new one plus its
+    * predecessor, whose file list open readers may hold) and prunes
+    * the rest; raise `-Dgraft.index.retain.versions` for pinned
+    * long-lived readers ([[versionRoot]]). Driver-side listing cost
+    * only.
     *
     * In-place ops (append/delete/applyCdc) mutate the CURRENT version
     * root under the marker protocol — additive partitions with the

@@ -80,4 +80,46 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
       s"pair frequency rose across merges: $cnts")
   }
+
+  test("persisted vocabulary: rank-ordered round trip, stored encode " +
+    "≡ fresh encode, retrain swaps atomically, foreign dirs refuse") {
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = sources.Scratch.dir("bpe-vocab")
+    val trained = Bpe.train(docs, "text", 5)
+    Bpe.writeVocab(spark, trained, dir)
+    // the merge SEQUENCE survives byte-for-byte, in rank order — file
+    // or row order must never matter
+    assert(Bpe.readVocab(spark, dir) == trained.map(m => (m.l, m.r)),
+      "stored merge table lost content or order")
+    // encoding from the stored vocabulary is bit-identical to encoding
+    // from the in-memory one
+    def enc(ms: Seq[(String, String)]): Set[(String, String)] =
+      Bpe.segment(Bpe.wordFreqs(docs, "text"), ms)
+        .select(col("word"), concat_ws(" ", col("seg")))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(enc(Bpe.readVocab(spark, dir))
+      == enc(trained.map(m => (m.l, m.r))))
+    // retrain over the same directory: atomic pointer swap, new table
+    val retrained = Bpe.train(docs, "text", 3)
+    Bpe.writeVocab(spark, retrained, dir)
+    assert(Bpe.readVocab(spark, dir) == retrained.map(m => (m.l, m.r)),
+      "retrain did not replace the vocabulary")
+    // a non-vocabulary index refuses by kind; a tampered scheme
+    // refuses naming the retrain remedy
+    val mh = sources.Scratch.dir("bpe-vocab-notavocab")
+    operators.Dedup.writeMinhashIndex(docs.limit(30), "doc_id", "text", mh)
+    val exKind = intercept[IllegalArgumentException] {
+      Bpe.readVocab(spark, mh)
+    }
+    assert(exKind.getMessage.contains("not a BPE vocabulary"))
+    val root = operators.Dedup.indexRoot(spark, dir)
+    operators.Dedup.writeMeta(spark, root,
+      operators.Dedup.readMeta(spark, root) + ("scheme" -> "upper:[A-Z]+"))
+    val exScheme = intercept[IllegalArgumentException] {
+      Bpe.readVocab(spark, dir)
+    }
+    assert(exScheme.getMessage.contains("scheme") &&
+      exScheme.getMessage.contains("retrain"),
+      s"scheme refusal unhelpful: ${exScheme.getMessage}")
+  }
 }

@@ -176,6 +176,7 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r15: shares text_bm25's integer-div oracle over corpus − deletes
     "retrieval_bm25_del",
     "retrieval_bm25_upsert",
+    "text_bpe_stored",
     // r15: ivfOracle's unrolled-kmeans CTEs with a live-rows corpus cut
     "sim_ivf_del",
     // r15: the serving-index CDC twins share the same dialect-bound
