@@ -284,6 +284,25 @@ object IndexAudit {
               if (meta.contains("cell_hist")) ""
               else "no stored cell histogram — the append drift " +
                 "sentinel cannot run; rebuild re-baselines it"))
+            // histogram staleness under churn (countChecks tier): the
+            // scan-free delete leg never decrements cell_hist, so its
+            // total runs ahead of the live count until a compact or
+            // rebuild re-baselines it — past 2x the sentinel is
+            // comparing batches against cells the index no longer holds
+            meta.get("cell_hist").filter(_ => countChecks).foreach { h =>
+              val histN = h.split(",").iterator.filter(_.nonEmpty)
+                .map(kv => kv.drop(kv.indexOf(':') + 1).toLong).sum
+              val liveN = IndexCdc.liveIds(spark, dir).count()
+              rows += (("hist_staleness",
+                if (histN <= 2 * liveN) "OK" else "WARN",
+                if (histN <= 2 * liveN)
+                  s"cell_hist total=$histN live=$liveN"
+                else s"cell_hist counts $histN vectors but only $liveN " +
+                  "are live — churn outran the histogram (deletes are " +
+                  "scan-free and never decrement it); run " +
+                  "compactIvfIndex or rebuildIvfIndex to re-baseline " +
+                  "the drift sentinel"))
+            }
             val bp = new org.apache.hadoop.fs.Path(s"$root/assigned_batches")
             val torn = uncommittedParts(fs, bp, marker)
             rows += (("uncommitted:assigned_batches",

@@ -657,16 +657,20 @@ object Similarity {
     * micro-batch cadence the two-level (ingest_batch, cent_id) tree
     * fragments into thousands of small files, and every probe pays
     * file-open (and driver listing) cost for them. LIVE rows, cell
-    * assignments, the quantizer, `cell_hist`, and
-    * `last_committed_batch` are preserved — served boards before ≡
-    * after; folded batches live on in the base so replayed batchIds
-    * still skip. Tombstoned vectors are folded away physically and
-    * the tombstone table dropped (squashing batches into the base
-    * would erase the shadow ordering — see `Dedup.compactTables`);
-    * cell re-cuts remain [[rebuildIvfIndex]]'s job — this is the
-    * cheap hygiene op (no k-means, one linear rewrite). The whole
-    * index swaps as ONE version, like rebuild. Offline single-writer
-    * maintenance. */
+    * assignments, the quantizer, and `last_committed_batch` are
+    * preserved — served boards before ≡ after; folded batches live on
+    * in the base so replayed batchIds still skip. Tombstoned vectors
+    * are folded away physically and the tombstone table dropped
+    * (squashing batches into the base would erase the shadow
+    * ordering — see `Dedup.compactTables`); `cell_hist` is
+    * RE-BASELINED from the live rows being rewritten (the scan-free
+    * delete leg never decrements it, so under churn the stored
+    * histogram drifts from what the index holds — compaction is the
+    * free refresh point; `IndexAudit` reports the drift between
+    * refreshes). Cell re-cuts remain [[rebuildIvfIndex]]'s job — this
+    * is the cheap hygiene op (no k-means, one linear rewrite). The
+    * whole index swaps as ONE version, like rebuild. Offline
+    * single-writer maintenance. */
   def compactIvfIndex(spark: SparkSession, dir: String): Unit =
     IndexLease.withLease(spark, dir, "compactIvfIndex") {
     val (root, meta) = ivfMeta(spark, dir)
@@ -686,7 +690,17 @@ object Similarity {
         .parquet(s"$tmp/centroids")
       live.write.mode("overwrite").partitionBy("cent_id")
         .parquet(s"$tmp/assigned")
-      Dedup.writeMeta(spark, tmp, meta)
+      // re-baseline the drift sentinel from the rows just rewritten:
+      // deletes never decrement cell_hist (the delete leg is
+      // deliberately scan-free), so under churn the stored histogram
+      // over-counts hollowed-out cells and the sentinel compares new
+      // batches against a distribution the index no longer holds —
+      // compaction scans the live rows anyway, so the refresh is free
+      Dedup.writeMeta(spark, tmp,
+        if (meta.contains("cell_hist"))
+          meta + ("cell_hist" ->
+            cellHistStr(cellCountsOf(spark, s"$tmp/assigned")))
+        else meta)
     }
   }
 

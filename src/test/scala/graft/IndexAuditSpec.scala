@@ -164,6 +164,28 @@ class IndexAuditSpec extends AnyFunSuite with SparkSpec {
     assert(si.contains("cell_hist"))
   }
 
+  test("IVF cell-hist staleness under churn: WARN naming the " +
+    "re-baseline ops; compact clears it") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = graft.sources.Scratch.dir("audit-histstale")
+    Similarity.writeIvfIndex(e, dir, nCentroids = 4)
+    assert(statuses(dir)("hist_staleness") == "OK")
+    // churn: delete ~2/3, re-insert half of them (hist only ever grows)
+    Similarity.deleteFromIvfIndex(spark, dir,
+      e.filter(col("vec_id") % 3 =!= 0).select("vec_id"), Some(0L))
+    Similarity.applyIvfCdc(spark, dir,
+      e.filter(col("vec_id") % 6 === 1).select("vec_id", "embedding"),
+      e.limit(0).select("vec_id"), batchId = 1L)
+    val s = statuses(dir)
+    assert(s("hist_staleness") == "WARN",
+      s"churned histogram not flagged: $s")
+    assert(detailOf(dir, "hist_staleness").contains("compactIvfIndex"))
+    // compaction re-baselines the histogram from the live rows
+    Similarity.compactIvfIndex(spark, dir)
+    assert(statuses(dir)("hist_staleness") == "OK",
+      "compaction did not re-baseline cell_hist")
+  }
+
   test("pre-shadow (legacy) tombstones: tomb row WARNs naming the " +
     "rebuild remedy; batched re-insert against them refuses") {
     val dir = graft.sources.Scratch.dir("audit-legacytomb")

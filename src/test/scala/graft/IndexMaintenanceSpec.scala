@@ -147,8 +147,17 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(!new java.io.File(s"${idxRoot(idxDir)}/assigned_batches").exists(),
       "compaction left the per-batch subtree behind")
     assert(board() == before, "IVF compaction changed served boards")
-    assert(Dedup.readMeta(spark, idxRoot(idxDir)) == metaBefore,
-      "compaction must preserve metadata (marker, cell_hist) exactly")
+    // metadata survives EXCEPT cell_hist, which compaction deliberately
+    // RE-BASELINES from the live rows it rewrites (the scan-free delete
+    // leg never decrements it — r16): totals must now equal live count
+    val metaAfter = Dedup.readMeta(spark, idxRoot(idxDir))
+    assert(metaAfter - "cell_hist" == metaBefore - "cell_hist",
+      "compaction must preserve metadata (marker, params) exactly")
+    val histN = metaAfter("cell_hist").split(",").iterator
+      .filter(_.nonEmpty).map(kv => kv.drop(kv.indexOf(':') + 1).toLong).sum
+    assert(histN ==
+      Similarity.readIvfIndex(spark, idxDir).assigned.count(),
+      "re-baselined cell_hist total diverges from the live count")
     // folded batches still skip on replay
     val nBefore = Similarity.readIvfIndex(spark, idxDir).assigned.count()
     Similarity.applyIvfCdc(spark, idxDir,
