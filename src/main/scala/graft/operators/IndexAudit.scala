@@ -53,7 +53,8 @@ object IndexAudit {
     "signlsh-v2" -> Seq("bands", "vectors"),
     "prefix_index" -> Seq("sets", "df", "prefix"),
     "bm25_index" -> Seq("postings", "df", "stats"),
-    "ivf_index" -> Seq("centroids", "assigned"))
+    "ivf_index" -> Seq("centroids", "assigned"),
+    "bpe_vocab" -> Seq("merges"))
 
   private val vecKinds = Set("signlsh-v2", "ivf_index")
 
@@ -213,7 +214,9 @@ object IndexAudit {
             if (n <= maxFilesPerTable) s"max $t=$n files"
             else s"$t holds $n data files (bound $maxFilesPerTable) — " +
               "micro-batch accretion is taxing every open; run " +
-              compactOp(kind) }))
+              compactOp.getOrElse(kind,
+                "a whole-artifact rewrite (this kind has no in-place " +
+                  "compaction)") }))
         val idCol = if (vecKinds(kind)) "vec_id" else "doc_id"
         val tombsPresent = Dedup.indexTableHasData(spark, s"$root/tomb")
         val tombs =
@@ -278,6 +281,15 @@ object IndexAudit {
                   s"(df terms off=$dfm, N off by ${-nd}, S off by " +
                   s"${-sd}) — a torn synchronous delete or a second " +
                   "writer; rebuild restores truth from the live rows" })))
+          case "bpe_vocab" if countChecks =>
+            val declared = meta("n_merges").toLong
+            val stored = spark.read.parquet(s"$root/merges").count()
+            rows += (("count",
+              if (declared == stored) "OK" else "ERROR",
+              if (declared == stored) s"n_merges=$declared"
+              else s"meta n_merges=$declared but the merge table holds " +
+                s"$stored — torn write or foreign edit; retrain with " +
+                "Bpe.train + writeVocab"))
           case "ivf_index" =>
             rows += (("cell_hist",
               if (meta.contains("cell_hist")) "OK" else "WARN",

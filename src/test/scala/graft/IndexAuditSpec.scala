@@ -221,6 +221,20 @@ class IndexAuditSpec extends AnyFunSuite with SparkSpec {
       "re-insert after legacy-tomb rebuild did not serve")
   }
 
+  test("bpe vocabulary audits clean; count drift is an ERROR naming " +
+    "the retrain") {
+    val dir = graft.sources.Scratch.dir("audit-bpevocab")
+    graft.operators.Bpe.writeVocab(spark,
+      graft.operators.Bpe.train(docs.limit(100), "text", 3), dir)
+    val s = statuses(dir)
+    assert(s.values.forall(v => v == "OK"), s"vocab not clean: $s")
+    assert(s.contains("count"))
+    val meta = Dedup.readMeta(spark, idxRoot(dir))
+    Dedup.writeMeta(spark, idxRoot(dir), meta + ("n_merges" -> "99"))
+    assert(statuses(dir)("count") == "ERROR")
+    assert(detailOf(dir, "count").contains("retrain"))
+  }
+
   test("non-index directory: loud, structured, no exception") {
     val dir = graft.sources.Scratch.dir("audit-nonidx")
     new java.io.File(dir).mkdirs()
