@@ -593,7 +593,13 @@ object Dedup {
     * batches too. Batched re-inserts against shadow-aware tombstones
     * are legal and not checked here. Costs one semi-join of the
     * batch-bounded insert ids against the single-column tomb side;
-    * `None` (no delete ever ran) costs nothing. */
+    * `None` (no delete ever ran) costs nothing. On the sync path a hit
+    * id may be tombstoned yet currently LIVE (re-inserted via a later
+    * batch) — there the batchId remedy would mint a SECOND live image
+    * of one id, the unchecked duplicate-id contract violation, so the
+    * refusal classifies the (≤3 collected) hits against the family's
+    * live set ([[IndexCdc.liveIds]], evaluated only on a hit) and
+    * points live ids at the delete+insert (update) encoding instead. */
   private[graft] def refuseShadowedInserts(inserts: DataFrame, idCol: String,
                                            tombs: Option[DataFrame],
                                            tombIdCol: String,
@@ -607,8 +613,26 @@ object Dedup {
         .join(blocking.select(col(tombIdCol).cast("long").as("__rid")),
           Seq("__rid"), "left_semi")
         .limit(3).collect().map(_.getLong(0))
+      lazy val liveHits: Set[Long] =
+        scala.util.Try(
+          IndexCdc.liveIds(inserts.sparkSession, dir)
+            .filter(col("id").isin(hits.map(Long.box): _*))
+            .collect().map(_.getLong(0)).toSet
+        ).getOrElse(Set.empty)
       require(hits.isEmpty,
-        if (syncPath)
+        if (syncPath && hits.exists(liveHits))
+          s"$op: insert re-uses id(s) " +
+            s"${hits.filter(liveHits).mkString("(", ", ", ")")} at $dir " +
+            "that are currently LIVE (deleted once, then re-inserted via " +
+            "a batch) — inserting again on ANY path would put a second " +
+            "live image of one id in the index, the duplicate-id " +
+            "contract violation. Encode an update as delete+insert of " +
+            "the id in ONE CDC batch (applyCdc), or delete the id first" +
+            (if (hits.exists(h => !liveHits(h)))
+              s"; id(s) ${hits.filterNot(liveHits).mkString("(", ", ", ")")}" +
+                " are deleted (not live) — route those through a batchId"
+             else "")
+        else if (syncPath)
           s"$op: synchronous (batchId=None) insert re-uses deleted id(s) " +
             s"${hits.mkString("(", ", ", ")")} at $dir — synchronous " +
             "inserts land in the base partition, which every tombstone " +
@@ -979,16 +1003,20 @@ object Dedup {
     build(target)
     IndexLease.verifyBeforeCommit(spark, dir)
     writePointer(spark, dir, next)
-    if (next >= retainVersions) {
+    if (next >= 2) {
       // prune everything but the newest `retainVersions` versions
       // (default 2: the new one + its predecessor, whose file lists
       // open readers may hold) and the control files; this is also
-      // where a migrated flat layout's legacy tables go away. Raising
+      // where a migrated flat layout's legacy tables (and any swap-era
+      // residue) go away — runs from the v2 commit on REGARDLESS of
+      // retainVersions, because a raised retention should keep more
+      // version DIRS, not let non-version garbage linger for
+      // retainVersions-1 commits. Raising
       // -Dgraft.index.retain.versions keeps deeper snapshot history
       // for pinned readers (see versionRoot).
       val keep =
         Set(PointerFile, PointerFile + ".tmp", LeaseFile) ++
-          (next - retainVersions + 1 to next).map(v => s"v$v")
+          (math.max(1, next - retainVersions + 1) to next).map(v => s"v$v")
       fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { s =>
         if (!keep.contains(s.getPath.getName)) fs.delete(s.getPath, true)
       }

@@ -302,18 +302,35 @@ object IndexAudit {
             // rebuild re-baselines it — past 2x the sentinel is
             // comparing batches against cells the index no longer holds
             meta.get("cell_hist").filter(_ => countChecks).foreach { h =>
-              val histN = h.split(",").iterator.filter(_.nonEmpty)
-                .map(kv => kv.drop(kv.indexOf(':') + 1).toLong).sum
-              val liveN = IndexCdc.liveIds(spark, dir).count()
-              rows += (("hist_staleness",
-                if (histN <= 2 * liveN) "OK" else "WARN",
-                if (histN <= 2 * liveN)
-                  s"cell_hist total=$histN live=$liveN"
-                else s"cell_hist counts $histN vectors but only $liveN " +
-                  "are live — churn outran the histogram (deletes are " +
-                  "scan-free and never decrement it); run " +
-                  "compactIvfIndex or rebuildIvfIndex to re-baseline " +
-                  "the drift sentinel"))
+              // a malformed entry must yield a diagnosis row, not crash
+              // the audit (fsck reports damage, it never dies of it) —
+              // same Try discipline as the other probes
+              scala.util.Try(h.split(",").iterator.filter(_.nonEmpty)
+                .map { kv =>
+                  val i = kv.indexOf(':')
+                  require(i >= 0, s"no ':' in cell_hist entry '$kv'")
+                  kv.drop(i + 1).toLong
+                }.sum) match {
+                case scala.util.Failure(e) =>
+                  rows += (("hist_staleness", "ERROR",
+                    s"cell_hist metadata is unparseable (${e.getMessage})" +
+                      " — foreign edit or torn meta write; run " +
+                      "compactIvfIndex or rebuildIvfIndex to rewrite it " +
+                      "from the live rows"))
+                case scala.util.Success(histN) =>
+                  val liveN = IndexCdc.liveIds(spark, dir).count()
+                  rows += (("hist_staleness",
+                    if (histN <= 2 * liveN) "OK" else "WARN",
+                    if (histN <= 2 * liveN)
+                      s"cell_hist total=$histN live=$liveN"
+                    else s"cell_hist counts $histN vectors but only $liveN " +
+                      "are live — churn outran the histogram (deletes are " +
+                      "scan-free and never decrement it); run " +
+                      "compactIvfIndex or rebuildIvfIndex to re-baseline " +
+                      "the drift sentinel (both refuse an ALL-deleted " +
+                      "index — nothing lives to re-baseline from; delete " +
+                      "the index directory instead)"))
+              }
             }
             val bp = new org.apache.hadoop.fs.Path(s"$root/assigned_batches")
             val torn = uncommittedParts(fs, bp, marker)

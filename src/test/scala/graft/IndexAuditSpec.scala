@@ -186,6 +186,27 @@ class IndexAuditSpec extends AnyFunSuite with SparkSpec {
       "compaction did not re-baseline cell_hist")
   }
 
+  test("malformed cell_hist metadata: hist_staleness reports ERROR " +
+    "instead of crashing the audit") {
+    // fsck reports damage, it never dies of it — a foreign edit that
+    // drops the ':' separators must yield a diagnosis row, not a
+    // NumberFormatException mid-report (advisor r16)
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = graft.sources.Scratch.dir("audit-histmalformed")
+    Similarity.writeIvfIndex(e, dir, nCentroids = 4)
+    val root = idxRoot(dir)
+    Dedup.writeMeta(spark, root,
+      Dedup.readMeta(spark, root) + ("cell_hist" -> "garbage"))
+    val s = statuses(dir)
+    assert(s("hist_staleness") == "ERROR",
+      s"malformed cell_hist not diagnosed: $s")
+    assert(detailOf(dir, "hist_staleness").contains("unparseable"))
+    // the named remedy rewrites the histogram from the live rows
+    Similarity.compactIvfIndex(spark, dir)
+    assert(statuses(dir)("hist_staleness") == "OK",
+      "compaction did not repair the malformed histogram")
+  }
+
   test("pre-shadow (legacy) tombstones: tomb row WARNs naming the " +
     "rebuild remedy; batched re-insert against them refuses") {
     val dir = graft.sources.Scratch.dir("audit-legacytomb")

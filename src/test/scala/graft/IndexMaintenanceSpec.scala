@@ -633,4 +633,43 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
       .filter(col("new_id") === col("matched_id")).count() > 0,
       "batched prefix re-insert did not serve")
   }
+
+  test("sync insert of a tombstoned-but-LIVE id: refusal names the live " +
+    "state and the update encoding, not the bare batchId remedy") {
+    // After delete + batched re-insert the id is LIVE again; its
+    // tombstone still blocks the always-shadowed sync path, but the
+    // old remedy text ('route through a batchId') would mint a SECOND
+    // live image — the unchecked duplicate-id contract violation
+    // (advisor r16). The refusal must classify the hit as live and
+    // point at the delete+insert (update) encoding instead.
+    val docs = graft.sources.Tables.documents(spark, base)
+    val held = docs.filter(col("doc_id") % 2 === 0)
+    val dead = docs.filter(col("doc_id") % 10 === 2)
+    val dir = graft.sources.Scratch.dir("reins-live")
+    Dedup.writeMinhashIndex(held, "doc_id", "text", dir)
+    Dedup.deleteFromMinhashIndex(spark, dir, dead.select("doc_id"))
+    Dedup.appendToMinhashIndex(dead, "doc_id", "text", dir,
+      batchId = Some(0L)) // live again
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(dead, "doc_id", "text", dir)
+    }
+    assert(ex.getMessage.contains("currently LIVE") &&
+      ex.getMessage.contains("delete+insert") &&
+      ex.getMessage.contains("applyCdc"),
+      s"live-id refusal must point at the update encoding: ${ex.getMessage}")
+    assert(!ex.getMessage.contains("invisible"),
+      "live-id case must not claim the row would merely be invisible: " +
+        ex.getMessage)
+    // the dead-id message is unchanged when no hit is live
+    val dir2 = graft.sources.Scratch.dir("reins-deadmsg")
+    Dedup.writeMinhashIndex(held, "doc_id", "text", dir2)
+    Dedup.deleteFromMinhashIndex(spark, dir2, dead.select("doc_id"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(dead, "doc_id", "text", dir2)
+    }
+    assert(ex2.getMessage.contains("synchronous") &&
+      ex2.getMessage.contains("batchId") &&
+      !ex2.getMessage.contains("currently LIVE"),
+      s"dead-id refusal regressed: ${ex2.getMessage}")
+  }
 }

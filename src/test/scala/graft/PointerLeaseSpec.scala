@@ -129,6 +129,46 @@ class PointerLeaseSpec extends AnyFunSuite with SparkSpec {
       "lease not released after the takeover writer completed")
   }
 
+  test("raised retention still prunes a migrated flat layout's legacy " +
+    "tables at the v2 commit") {
+    // retention keeps more version DIRS; it must not let the migrated
+    // flat layout's top-level tables (or swap residue) linger for
+    // retainVersions-1 commits (advisor r16)
+    val docs = graft.sources.Tables.documents(spark, base).limit(60)
+    val vdir = graft.sources.Scratch.dir("ptr-flat-src")
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", vdir) // v1 + CURRENT
+    // materialize a FLAT pre-pointer layout: v1's tables at top level,
+    // no CURRENT — what a pre-pointer engine left on disk
+    val dir = graft.sources.Scratch.dir("ptr-flat")
+    val conf = spark.sparkContext.hadoopConfiguration
+    fsOf(vdir).listStatus(new org.apache.hadoop.fs.Path(s"$vdir/v1"))
+      .foreach { s =>
+        org.apache.hadoop.fs.FileUtil.copy(fsOf(vdir), s.getPath,
+          fsOf(dir),
+          new org.apache.hadoop.fs.Path(dir, s.getPath.getName),
+          false, true, conf)
+      }
+    assert(Dedup.listVersions(spark, dir).isEmpty,
+      "flat fixture unexpectedly carries version dirs")
+    val before = canon(Dedup.readMinhashIndex(spark, dir).sets)
+    System.setProperty("graft.index.retain.versions", "4")
+    try {
+      Dedup.compactMinhashIndex(spark, dir) // migration commit: v1
+      Dedup.compactMinhashIndex(spark, dir) // v2 — the legacy prune point
+      assert(Dedup.listVersions(spark, dir) == Seq(1, 2))
+      val top = fsOf(dir)
+        .listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).toSet
+      val lingering = top.filterNot(n =>
+        n.matches("^v\\d+$") || n == Dedup.PointerFile ||
+          n == Dedup.PointerFile + ".tmp" || n == Dedup.LeaseFile)
+      assert(lingering.isEmpty,
+        s"legacy flat tables lingered under raised retention: $lingering")
+      assert(canon(Dedup.readMinhashIndex(spark, dir).sets) == before,
+        "migration + prune changed served content")
+    } finally System.clearProperty("graft.index.retain.versions")
+  }
+
   test("pinned-version reads: versionRoot serves an exact snapshot " +
     "through later commits; retention is configurable; pruned versions " +
     "refuse by name") {
