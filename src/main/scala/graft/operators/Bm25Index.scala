@@ -316,14 +316,47 @@ object Bm25Index {
   /** Exact global (N, S): Σ over committed per-batch signed stat
     * rows. */
   def foldedStats(spark: SparkSession, dir: String): (Long, Long) = {
+    val (n, s) = foldedStatsTolerant(spark, dir)
+    require(n > 0, s"BM25 index at $dir holds no committed documents")
+    (n, s)
+  }
+
+  /** [[foldedStats]] tolerating a zero-doc state — the per-shard leg of
+    * the sharded fold ([[ShardedIndex.crossBm25TopKSharded]]), where a
+    * takedown may empty ONE shard while the global index stays live;
+    * the n > 0 refusal belongs to whoever owns the global total. */
+  private[graft] def foldedStatsTolerant(spark: SparkSession,
+                                         dir: String): (Long, Long) = {
     val root = Dedup.indexRoot(spark, dir)
     val meta = Dedup.readMeta(spark, root)
     validate(meta, dir)
     val r = Dedup.committedOnly(spark.read.parquet(s"$root/stats"), meta)
       .agg(sum(col("n")).as("n"), sum(col("s")).as("s")).head()
-    require(!r.isNullAt(0) && r.getLong(0) > 0,
-      s"BM25 index at $dir holds no committed documents")
-    (r.getLong(0), r.getLong(1))
+    // an empty-corpus write lands one (n=0, s=NULL) partial — both
+    // folds null-coalesce so "zero docs" reads as (0, 0) here and the
+    // caller owns the refusal
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** The committed LIVE postings rows matching `probedKeys` (a
+    * broadcast-sized distinct-term frame): the query-term-bounded match
+    * stream both the single-directory serve ([[crossBm25TopK]]) and the
+    * sharded serve's per-shard legs read — semi-join to the probed
+    * terms FIRST (partition-pruned committed scan), then the
+    * tombstone shadow mask over the already-bounded stream. */
+  private[graft] def liveTermBoundedPostings(spark: SparkSession,
+                                             dir: String,
+                                             probedKeys: DataFrame): DataFrame = {
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
+    validate(meta, dir)
+    val matched = Dedup.committedOnly(
+      spark.read.parquet(s"$root/postings"), meta)
+      .join(probedKeys, Seq("term"), "left_semi")
+    Dedup.maskShadowed(matched, "doc_id",
+      committedTombs(spark, root, meta), "doc_id")
+      .select("doc_id", "term", "tf", "dl")
   }
 
   /** Serve a query batch from the stored index: top-k per query,
@@ -348,19 +381,11 @@ object Bm25Index {
     require(k > 0, s"crossBm25TopK: k must be positive, got $k")
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"crossBm25TopK: maxDfFrac must be in (0, 1], got $maxDfFrac")
-    val root = Dedup.indexRoot(spark, dir)
-    val meta = Dedup.readMeta(spark, root)
-    validate(meta, dir)
     val (nDocs, sTok) = foldedStats(spark, dir)
     val kept = TextOps.bm25KeptTerms(foldedDf(spark, dir), nDocs, maxDfFrac)
     val qterms = TextOps.bm25QueryTerms(queries, qid, qtext)
     val probedKeys = broadcast(qterms.select("term").distinct())
-    val matched = Dedup.committedOnly(
-      spark.read.parquet(s"$root/postings"), meta)
-      .join(probedKeys, Seq("term"), "left_semi")
-    val post = Dedup.maskShadowed(matched, "doc_id",
-      committedTombs(spark, root, meta), "doc_id")
-      .select("doc_id", "term", "tf", "dl")
+    val post = liveTermBoundedPostings(spark, dir, probedKeys)
     val scored = post
       .join(kept, Seq("term"))
       .join(qterms, Seq("term"))

@@ -48,7 +48,7 @@ object IndexAudit {
 
   /** Core tables per index kind (tomb/ and the IVF batch subtree are
     * optional and checked separately). */
-  private val layout: Map[String, Seq[String]] = Map(
+  private[graft] val layout: Map[String, Seq[String]] = Map(
     "minhash-v2" -> Seq("bands", "sets"),
     "signlsh-v2" -> Seq("bands", "vectors"),
     "prefix_index" -> Seq("sets", "df", "prefix"),
@@ -66,7 +66,7 @@ object IndexAudit {
     "bm25_index" -> "Bm25Index.compact",
     "ivf_index" -> "Similarity.compactIvfIndex")
 
-  private def countParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def countParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
                                 p: org.apache.hadoop.fs.Path): Long = {
     var n = 0L
     val it = fs.listFiles(p, true)
@@ -164,6 +164,69 @@ object IndexAudit {
           s"${IndexLease.ttlMs / 1000}s — holder presumed crashed; the " +
           "next writer takes over automatically")))
     val kind = meta.getOrElse("kind", "<absent>")
+    if (kind == ShardedIndex.Kind) {
+      // a sharded home is a manifest over S child homes: audit the
+      // manifest, the shard population, the cross-shard marker spread
+      // (a torn multi-shard batch heals by replay — WARN, not ERROR),
+      // any non-shard residue (a crashed staging write), then every
+      // shard through this same fsck, rows prefixed shard<i>:
+      rows += (("kind", "OK", kind))
+      val router = meta.getOrElse("router", "<absent>")
+      rows += (("router",
+        if (router == ShardedIndex.Router) "OK" else "ERROR",
+        if (router == ShardedIndex.Router) router
+        else s"manifest router '$router' is not this engine's " +
+          s"'${ShardedIndex.Router}' — probes would look ids up in the " +
+          "wrong shard; rebuild with this engine's writer"))
+      val nShards = meta.get("shards").flatMap(_.toIntOption).getOrElse(0)
+      val missing = (0 until nShards).filterNot(i =>
+        fs.exists(new org.apache.hadoop.fs.Path(
+          ShardedIndex.shardDir(dir, i))))
+      rows += (("shards",
+        if (nShards > 0 && missing.isEmpty) "OK" else "ERROR",
+        if (nShards <= 0) "manifest declares no shard count"
+        else if (missing.isEmpty) s"shards=$nShards"
+        else s"shard dir(s) ${missing.mkString(",")} of $nShards missing " +
+          "— manifest committed over an incomplete build or a shard was " +
+          "hand-deleted; re-run the sharded write"))
+      val residue = fs.listStatus(main).toSeq.map(_.getPath.getName)
+        .filterNot(n => n.matches("^shard=\\d+$") ||
+          n == Dedup.IndexMetaFile || n == Dedup.IndexMetaFile + ".tmp" ||
+          n == Dedup.LeaseFile)
+      rows += (("shard_residue",
+        if (residue.isEmpty) "OK" else "WARN",
+        if (residue.isEmpty) ""
+        else s"non-shard entries ${residue.mkString(",")} at the home — " +
+          "a crashed staging write's leftovers; safe to delete"))
+      val present = (0 until nShards).filterNot(missing.contains)
+      val markers = present.map(i => i -> scala.util.Try(
+          Dedup.lastCommittedBatch(Dedup.readMeta(spark,
+            Dedup.indexRoot(spark, ShardedIndex.shardDir(dir, i)))))
+        .getOrElse(Long.MinValue))
+      val homeMarker = Dedup.lastCommittedBatch(meta)
+      val ahead = markers.filter(_._2 > homeMarker)
+      rows += (("marker_spread",
+        if (ahead.isEmpty) "OK" else "WARN",
+        if (markers.isEmpty) "no shards to compare"
+        else {
+          val lo = markers.map(_._2).min
+          val hi = markers.map(_._2).max
+          s"home=$homeMarker shards=[$lo..$hi]" +
+            (if (ahead.isEmpty) ""
+             else s" — shard(s) ${ahead.map(_._1).mkString(",")} committed " +
+               "past the home marker: a multi-shard batch crashed " +
+               "mid-application; replay the batch (committed shards skip, " +
+               "the rest apply)")
+        }))
+      present.foreach { i =>
+        audit(spark, ShardedIndex.shardDir(dir, i), countChecks,
+          maxFilesPerTable).collect().foreach { r =>
+          rows += ((s"shard$i:${r.getString(0)}", r.getString(1),
+            r.getString(2)))
+        }
+      }
+      return done()
+    }
     layout.get(kind) match {
       case None =>
         rows += (("kind", "ERROR",

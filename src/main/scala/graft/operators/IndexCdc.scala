@@ -52,10 +52,15 @@ object IndexCdc {
         Similarity.applyIvfCdc(spark, dir, inserts, deletes, batchId)
       case Similarity.EmbeddingIndexKind =>
         Similarity.applyEmbeddingCdc(spark, dir, inserts, deletes, batchId)
+      // a sharded home routes the batch to its shards and recurses
+      // through this same façade per shard — a CDC feed targets a
+      // monolithic or sharded home through ONE entry point
+      case ShardedIndex.Kind =>
+        ShardedIndex.applyCdc(spark, dir, inserts, deletes, batchId, id, text)
       case other => throw new IllegalArgumentException(
         s"IndexCdc: index at $dir has kind '$other', which has no CDC " +
           "applier — supported: bm25_index, minhash-v2, prefix_index, " +
-          "ivf_index, signlsh-v2")
+          "ivf_index, signlsh-v2, sharded_index")
     }
 
   /** [[apply]] for an op-column change batch — the exact splitter the
@@ -94,6 +99,8 @@ object IndexCdc {
       case Similarity.IvfIndexKind => Similarity.compactIvfIndex(spark, dir)
       case Similarity.EmbeddingIndexKind =>
         Similarity.compactEmbeddingIndex(spark, dir, targetFiles)
+      case ShardedIndex.Kind =>
+        ShardedIndex.compact(spark, dir, targetFiles); ()
       case other => throw new IllegalArgumentException(
         s"IndexCdc: index at $dir has kind '$other', which has no " +
           "compaction")
@@ -133,6 +140,11 @@ object IndexCdc {
       case Similarity.EmbeddingIndexKind =>
         Similarity.readEmbeddingIndex(spark, dir).vectors
           .select(col("vec_id").as("id")).distinct()
+      case ShardedIndex.Kind =>
+        val m = ShardedIndex.manifest(spark, dir)
+        (0 until m("shards").toInt)
+          .map(i => liveIds(spark, ShardedIndex.shardDir(dir, i)))
+          .reduce(_.unionByName(_))
       case other => throw new IllegalArgumentException(
         s"IndexCdc: index at $dir has kind '$other', which has no live-id " +
           "reader")

@@ -175,6 +175,57 @@ object Extensions {
     })
   }
 
+  /** Sharded twin of [[gateBm25DelIndex]] — the SAME net live corpus
+    * (write on the 10-residue cut, append batch 0, takedown batch 1)
+    * under a 4-shard home, compacted — behind
+    * `retrieval_bm25_sharded`'s bench override: the perf row times the
+    * cross-shard gathered serve (global stat folds + unioned match
+    * stream), never the shard builds. */
+  private val gateBm25ShardMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gateBm25ShardedHome(s: SparkSession, d: String): String = {
+    val f = new java.io.File(s"$d/documents.parquet")
+    gateBm25ShardMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}", _ => {
+      val home = graft.sources.Scratch.dir(
+        s"bm25sh_bench_${java.util.UUID.randomUUID.toString.take(8)}")
+      val corpus = Tables.documents(s, d).filter(col("doc_id") % 29 =!= 0)
+      graft.operators.ShardedIndex.writeBm25(
+        corpus.filter(col("doc_id") % 10 =!= 3), home, shards = 4)
+      graft.operators.ShardedIndex.append(s, home,
+        corpus.filter(col("doc_id") % 10 === 3).select("doc_id", "text"),
+        batchId = 0L)
+      graft.operators.ShardedIndex.delete(s, home,
+        corpus.filter(col("doc_id") % 13 === 5).select("doc_id"),
+        batchId = 1L)
+      graft.operators.ShardedIndex.compact(s, home)
+      home
+    })
+  }
+
+  /** Sharded sign-LSH twin of [[gateBm25ShardedHome]] — the
+    * even-id corpus under a 4-shard home at the gate blocking, 5≡1
+    * tombstoned through the sharded takedown — behind
+    * `dedup_embedding_sharded`'s bench override: the perf row times
+    * the batch check against the shard-union handle. */
+  private val gateEmbShardMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gateEmbShardedHome(s: SparkSession, d: String): String = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    gateEmbShardMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}", _ => {
+      val home = graft.sources.Scratch.dir(
+        s"embsh_bench_${java.util.UUID.randomUUID.toString.take(8)}")
+      val e = Tables.embeddings(s, d)
+      graft.operators.ShardedIndex.writeEmbedding(
+        e.filter(col("vec_id") % 2 === 0), home, shards = 4,
+        bands = gateBands, rowBits = gateRowBits)
+      graft.operators.ShardedIndex.delete(s, home,
+        e.filter(col("vec_id") % 2 === 0 && col("vec_id") % 5 === 1)
+          .select("vec_id"),
+        batchId = 0L)
+      home
+    })
+  }
+
   /** Deletion-bearing twin of [[gateIvfIndex]] (full-corpus quantizer,
     * 7≡2 vec_ids tombstoned) behind `sim_ivf_del`'s bench override —
     * the timed work is the probe over the masked index. */
@@ -490,6 +541,34 @@ object Extensions {
       mhBoard.unionByName(pfxBoard).unionByName(bmBoard)
         .unionByName(ivfBoard)
     }),
+    // steady-state sharded serve: the cross-shard gather (global stat
+    // folds + unioned match stream) over the standing 4-shard fixture;
+    // shard builds + lifecycle are the registered gate's apparatus
+    "retrieval_bm25_sharded" -> ((s, d) =>
+      graft.operators.ShardedIndex.crossBm25TopKSharded(s,
+        Tables.documents(s, d).filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+              .as("query_text")),
+        gateBm25ShardedHome(s, d), k = 5)),
+    // the sharded stream twin serves the same shape: cross-shard
+    // gather over the standing sharded fixture (the CDC fanout + shard
+    // builds are gate apparatus)
+    "stream_bm25_sharded_cdc" -> ((s, d) =>
+      graft.operators.ShardedIndex.crossBm25TopKSharded(s,
+        Tables.documents(s, d).filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+              .as("query_text")),
+        gateBm25ShardedHome(s, d), k = 5)),
+    // sharded sign-LSH steady state: one batch check against the
+    // shard-union handle of the standing takedown fixture
+    "dedup_embedding_sharded" -> ((s, d) =>
+      Similarity.crossEmbeddingPairs(
+        Tables.embeddings(s, d).filter(col("vec_id") % 2 === 1),
+        graft.operators.ShardedIndex.readEmbeddingSharded(s,
+          gateEmbShardedHome(s, d)), 0.3,
+        graft.operators.Dedup.DefaultMaxBucket)),
     // dedup-index CDC serves over standing change-fed fixtures: the
     // timed work is one batch check against the net live state
     "stream_minhash_cdc" -> ((s, d) =>
@@ -735,6 +814,39 @@ object Extensions {
               .as("query_text")),
         dir, k = 5)
     }),
+    // the sharded form of the SAME takedown lifecycle: a 4-shard home
+    // (one complete BM25 index per shard, ids routed by
+    // pmod(xxhash64, 4)), fed the identical history through the
+    // sharded ops — append batch 0, takedown batch 1, then a
+    // whole-home compact — and served by the cross-shard gather
+    // (global df/(N,S) fold ACROSS shards + unioned query-term-bounded
+    // match stream). Shard count is an operational knob, never a
+    // semantics knob: the board must equal retrieval_bm25_del's — and
+    // the fresh-build oracle — bit for bit, which is exactly what the
+    // shared oracle checks. Sharding is what bounds the maintenance
+    // unit at 100 TB: compact/rebuild rewrite churned shards, not the
+    // corpus (the selective-compaction law lives in ShardedIndexSpec)
+    "retrieval_bm25_sharded" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+      val home = graft.sources.Scratch.dir(
+        s"bm25sh_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.ShardedIndex.writeBm25(
+        corpus.filter(col("doc_id") % 10 =!= 3), home, shards = 4)
+      graft.operators.ShardedIndex.append(s, home,
+        corpus.filter(col("doc_id") % 10 === 3).select("doc_id", "text"),
+        batchId = 0L)
+      graft.operators.ShardedIndex.delete(s, home,
+        corpus.filter(col("doc_id") % 13 === 5).select("doc_id"),
+        batchId = 1L)
+      graft.operators.ShardedIndex.compact(s, home)
+      graft.operators.ShardedIndex.crossBm25TopKSharded(s,
+        docs.filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+              .as("query_text")),
+        home, k = 5)
+    }),
     // the WHOLE BM25 lifecycle as one change stream: the index is
     // written on ~90% of the corpus, then a 3-micro-batch CDC feed
     // inserts the rest and deletes the base's 13≡5 docs — each batch
@@ -763,6 +875,41 @@ object Extensions {
       q.stop()
       graft.operators.Bm25Index.compact(s, s"$root/idx")
       graft.operators.Bm25Index.crossBm25TopK(s,
+        docs.filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+              .as("query_text")),
+        s"$root/idx", k = 5)
+    }),
+    // the sharded home under the SAME change stream: one CDC feed fans
+    // into 4 independent shard homes through the stream twin
+    // (ShardedIndex.applyCdc per micro-batch — routing, per-shard
+    // markers, home fast-skip), then a whole-home compact and the
+    // cross-shard gathered serve. Net live ≡ stream_bm25_cdc's, so its
+    // oracle replays verbatim — the stream × sharding composition adds
+    // no semantics, only bounded maintenance units
+    "stream_bm25_sharded_cdc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+      val root = graft.sources.Scratch.dir(
+        s"sbmshcdc_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.ShardedIndex.writeBm25(
+        corpus.filter(col("doc_id") % 10 =!= 3), s"$root/idx", shards = 4)
+      val ins = corpus.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), col("text")).withColumn("op", lit("insert"))
+      val dels = corpus.filter(col("doc_id") % 10 =!= 3 &&
+          col("doc_id") % 13 === 5)
+        .select(col("doc_id"), lit(null).cast("string").as("text"))
+        .withColumn("op", lit("delete"))
+      ins.unionByName(dels).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/cdc")
+      val q = graft.streaming.StreamOps.maintainShardedCdcStream(
+        s.readStream.schema(s.read.parquet(s"$root/cdc").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
+        "op", s"$root/idx", s"$root/ckpt")
+      q.stop()
+      graft.operators.ShardedIndex.compact(s, s"$root/idx")
+      graft.operators.ShardedIndex.crossBm25TopKSharded(s,
         docs.filter(col("doc_id") % 29 === 0)
           .select(col("doc_id").as("query_id"),
             concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
@@ -2126,6 +2273,29 @@ object Extensions {
         batchId = Some(0L))
       Similarity.crossEmbeddingPairs(e.filter(col("vec_id") % 2 === 1),
         Similarity.readEmbeddingIndex(s, idxDir), 0.3,
+        graft.operators.Dedup.DefaultMaxBucket)
+    }),
+    // the sharded form of the embedding takedown gate: the even-id
+    // corpus under a 4-shard sign-LSH home (ONE global blocking —
+    // rowBits pinned, so all shards cut keys in the same band space),
+    // the 5≡1 tombstones routed through the sharded takedown, then the
+    // incoming odds checked against the shard-union handle. Band keys
+    // are per-vector deterministic, so the union IS the monolithic
+    // index frame — candidates, occupancy diversion, and the cosine
+    // verify are bit-identical, which the shared oracle pins
+    "dedup_embedding_sharded" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val home = graft.sources.Scratch.dir(
+        s"embsh_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.ShardedIndex.writeEmbedding(
+        e.filter(col("vec_id") % 2 === 0), home, shards = 4,
+        bands = gateBands, rowBits = gateRowBits)
+      graft.operators.ShardedIndex.delete(s, home,
+        e.filter(col("vec_id") % 2 === 0 && col("vec_id") % 5 === 1)
+          .select("vec_id"),
+        batchId = 0L)
+      Similarity.crossEmbeddingPairs(e.filter(col("vec_id") % 2 === 1),
+        graft.operators.ShardedIndex.readEmbeddingSharded(s, home), 0.3,
         graft.operators.Dedup.DefaultMaxBucket)
     }),
     // CDC change-stream twin for the embedding index
@@ -4140,8 +4310,13 @@ object Extensions {
     "retrieval_bm25_incr" -> bm25Oracle,
     // write + append + delete ≡ fresh build over corpus − tombstones
     "retrieval_bm25_del" -> bm25DeletedOracle,
+    // shard count is an operational knob: the 4-shard home serves the
+    // SAME net live corpus, so the fresh-build oracle replays verbatim
+    "retrieval_bm25_sharded" -> bm25DeletedOracle,
     // 3-batch CDC drain ≡ fresh build over the net live corpus
     "stream_bm25_cdc" -> bm25CdcOracle,
+    // the sharded stream twin nets to the same live corpus
+    "stream_bm25_sharded_cdc" -> bm25CdcOracle,
     "retrieval_bm25_upsert" -> bm25UpsertOracle,
     // both legs replayed at fetch-20 (the bm25 micro-unit arithmetic and
     // the rounded-cosine rank are the text_bm25 / sim_topk oracles'),
@@ -4747,6 +4922,9 @@ object Extensions {
     "dedup_embedding_rebuild" -> embeddingIncrOracle,
     // masked embedding index ≡ fresh check against the live corpus
     "dedup_embedding_del" -> embeddingDelOracle,
+    // the 4-shard home serves the same live corpus under the same
+    // blocking — the takedown oracle replays verbatim
+    "dedup_embedding_sharded" -> embeddingDelOracle,
     "stream_embedding_cdc" -> embeddingDelOracle,
     // the streamed form checks micro-batches against the same persisted
     // blocking — streaming ≡ batch ≡ DuckDB

@@ -361,6 +361,24 @@ object StreamOps {
           inserts, deletes, batchId, id, text)
     }
 
+  /** CDC twin for a SHARDED index home (`ShardedIndex.applyCdc` per
+    * micro-batch): each batch routes to the shards it touches and
+    * applies through the child family's own `IndexCdc` applier under
+    * the batch's id — the home marker fast-skips replays, per-shard
+    * markers heal a trigger that crashed mid-fanout (the replay
+    * re-routes identically; committed shards skip). One stream feeds S
+    * independent writer domains without the caller naming any of
+    * them. */
+  def maintainShardedCdcStream(cdc: DataFrame, opCol: String,
+                               home: String, checkpointDir: String,
+                               id: String = "doc_id",
+                               text: String = "text"): StreamingQuery =
+    cdcFoldStream(cdc, opCol, checkpointDir, "maintainShardedCdcStream") {
+      (b, inserts, deletes, batchId) =>
+        graft.operators.ShardedIndex.applyCdc(b.sparkSession, home,
+          inserts, deletes, batchId, id, text)
+    }
+
   /** CDC twin for the IVF index — inserts assigned under the stored
     * quantizer (drift sentinel included), deletes tombstoned, one
     * marker per micro-batch (`Similarity.applyIvfCdc`). The served

@@ -659,6 +659,62 @@ object ScaleProbe {
     val (cfF, cfC, ctF, ctC) = compactEffect()
     println(f"[scaleprobe] compact effect: files $cfF->$cfC " +
       f"serve $ctF%5.2fs->$ctC%5.2fs speedup=${ctF / ctC}%4.2f")
+    // Sharded maintenance unit (r17): the monolithic home's compact
+    // rewrites the WHOLE artifact however concentrated the churn; the
+    // sharded home's selective compact folds only the shards past the
+    // file bound. Same base corpus, same CONCENTRATED churn (12 change
+    // batches whose ids all route to one of 8 shards), then each form's
+    // compaction — measured as bytes rewritten (the new serving version
+    // dir(s)) and wall. The ratio is the 100 TB claim in miniature:
+    // maintenance cost ∝ churned shards, not corpus.
+    def shardCompact(): (Long, Long, Double, Double, Int) = {
+      val docs = graft.sources.Tables.documents(spark, base)
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val hot = docs.filter(col("doc_id") % 2 === 1 &&
+        graft.operators.ShardedIndex.shardOf(col("doc_id"), 8) === 3)
+        .select("doc_id", "text")
+      val mono = graft.sources.Scratch.dir("probe-shcpt-mono")
+      val home = graft.sources.Scratch.dir("probe-shcpt-shard")
+      graft.operators.Bm25Index.write(corpus, mono)
+      graft.operators.ShardedIndex.writeBm25(corpus, home, shards = 8)
+      (0 until 12).foreach { b =>
+        val slice = hot.filter(col("doc_id") % 12 === b)
+        graft.operators.Bm25Index.append(spark, mono, slice,
+          batchId = Some(b.toLong))
+        graft.operators.ShardedIndex.append(spark, home, slice,
+          batchId = b.toLong)
+      }
+      def bytesOf(dir: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(
+          graft.operators.Dedup.indexRoot(spark, dir))
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      }
+      val t0 = System.nanoTime()
+      graft.operators.Bm25Index.compact(spark, mono)
+      val wallMono = (System.nanoTime() - t0) / 1e9
+      val bytesMono = bytesOf(mono) // the whole rewritten version
+      // bound = the quiet shards' file count: only the hot shard is past it
+      val quietFiles = (0 until 8).filter(_ != 3).map { i =>
+        val root = graft.operators.Dedup.indexRoot(spark,
+          graft.operators.ShardedIndex.shardDir(home, i))
+        val hp = new org.apache.hadoop.fs.Path(root)
+        graft.operators.IndexAudit.countParquetFiles(
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+      }.max
+      val t1 = System.nanoTime()
+      val compacted = graft.operators.ShardedIndex.compact(spark, home,
+        minFiles = quietFiles)
+      val wallShard = (System.nanoTime() - t1) / 1e9
+      val bytesShard = compacted
+        .map(i => bytesOf(graft.operators.ShardedIndex.shardDir(home, i)))
+        .sum
+      (bytesMono, bytesShard, wallMono, wallShard, compacted.size)
+    }
+    val (shBm, shBs, shWm, shWs, shN) = shardCompact()
+    println(f"[scaleprobe] shard compact: bytes mono=$shBm sharded=$shBs " +
+      f"(ratio ${shBs.toDouble / shBm}%4.2f) wall $shWm%5.2fs->$shWs%5.2fs " +
+      s"compactedShards=$shN/8")
     // Churn resilience for ANN serving (VERDICT r15 missing #3): the
     // delete-heavy twin of drift_recall. Tombstone ~50% of an IVF
     // index's vectors (batch-fragmented, like a real CDC feed), then
@@ -759,6 +815,10 @@ object ScaleProbe {
         f""""compact_effect":{"filesFrag":$cfF,"filesCompact":$cfC,""" +
         f""""serveFrag":$ctF%.3f,"serveCompact":$ctC%.3f,""" +
         f""""speedup":${ctF / ctC}%.3f},""" +
+        f""""shard_compact":{"bytesMono":$shBm,"bytesSharded":$shBs,""" +
+        f""""bytesRatio":${shBs.toDouble / shBm}%.3f,""" +
+        f""""wallMono":$shWm%.3f,"wallSharded":$shWs%.3f,""" +
+        s""""compactedShards":$shN,"shards":8},""" +
         f""""bm25_matches":{"c1":$bm1,"cN":$bmN,"perCopy":${bmN.toDouble / bm1 / copies}%.3f},""" +
         s""""sentinel":{"runs":[${sentinelTimes.map(t => f"$t%.3f").mkString(",")}],""" +
         f""""spread":$sentinelSpread%.3f,"contended":${sentinelSpread > 1.5}}}"""

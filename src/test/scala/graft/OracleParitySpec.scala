@@ -175,6 +175,9 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "stream_quantile_maintain_del",
     // r15: shares text_bm25's integer-div oracle over corpus − deletes
     "retrieval_bm25_del",
+    // r17: the sharded home serves the same net live corpus — shares
+    // retrieval_bm25_del's dialect-bound oracle text verbatim
+    "retrieval_bm25_sharded",
     "retrieval_bm25_upsert",
     "text_bpe_stored",
     // r15: ivfOracle's unrolled-kmeans CTEs with a live-rows corpus cut
@@ -182,9 +185,14 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r15: the serving-index CDC twins share the same dialect-bound
     // texts with net-live-corpus cuts
     "stream_bm25_cdc", "stream_ivf_cdc",
+    // r17: the sharded stream twin shares stream_bm25_cdc's oracle
+    "stream_bm25_sharded_cdc",
     // r15: signature-index takedown gates share the minhash / sign-LSH
     // CTE oracles with live-corpus cuts
     "dedup_incremental_del", "dedup_embedding_del",
+    // r17: the sharded sign-LSH home shares the takedown oracle (shard
+    // union ≡ monolithic index under one blocking)
+    "dedup_embedding_sharded",
     // r15: dedup-index CDC twins share the takedown oracles (the CDC
     // stream nets to the same live corpus by construction)
     "stream_minhash_cdc", "stream_embedding_cdc", "stream_prefix_cdc",

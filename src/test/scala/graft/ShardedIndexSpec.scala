@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Bm25Index, Dedup, IndexAudit, IndexCdc, ShardedIndex}
+
+/** The sharded-layout laws: shard count is an OPERATIONAL knob (boards
+  * are bit-identical to the monolithic home at any S, through any
+  * change history), routing puts every id in exactly one shard,
+  * selective compaction touches only the fragmented shards, a
+  * multi-shard batch that crashes mid-application heals by replay, and
+  * the audit diagnoses the sharded home end to end. */
+class ShardedIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private val base = "/root/testdata/sf0.001"
+  private def docs = graft.sources.Tables.documents(spark, base)
+
+  private def canon(df: DataFrame): Set[Seq[String]] =
+    df.collect().map(r =>
+      Seq.tabulate(r.length)(i =>
+        if (r.isNullAt(i)) "<NULL>" else r.get(i).toString)).toSet
+
+  private def queries(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ",
+          slice(graft.operators.TextOps.tokens(col("text")), 1, 6))
+          .as("query_text"))
+
+  private def fsOf(dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("BM25 shard invariance: S=1 and S=4 boards are bit-identical " +
+    "to the monolithic home, through a full CDC history") {
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    val held = corpus.filter(col("doc_id") % 10 =!= 3)
+    val ins = corpus.filter(col("doc_id") % 10 === 3)
+      .select("doc_id", "text")
+    val dels = corpus.filter(col("doc_id") % 13 === 5).select("doc_id")
+    // monolithic reference
+    val mono = graft.sources.Scratch.dir("shard-mono")
+    Bm25Index.write(held, mono)
+    Bm25Index.applyCdc(spark, mono, ins, dels, batchId = 0L)
+    val expect = canon(Bm25Index.crossBm25TopK(spark, queries(docs), mono,
+      k = 5))
+    Seq(1, 4).foreach { s =>
+      val home = graft.sources.Scratch.dir(s"shard-bm25-$s")
+      ShardedIndex.writeBm25(held, home, shards = s)
+      ShardedIndex.applyCdc(spark, home, ins, dels, batchId = 0L)
+      assert(canon(ShardedIndex.crossBm25TopKSharded(spark, queries(docs),
+        home, k = 5)) == expect,
+        s"sharded board at S=$s diverged from the monolithic board")
+    }
+  }
+
+  test("routing is a disjoint partition: every live id in exactly one " +
+    "shard, and the union is the corpus") {
+    val corpus = docs.filter(col("doc_id") < 200)
+    val home = graft.sources.Scratch.dir("shard-route")
+    ShardedIndex.writeMinhash(corpus, home, shards = 4)
+    val perShard = (0 until 4).map(i =>
+      IndexCdc.liveIds(spark, ShardedIndex.shardDir(home, i)))
+    val total = perShard.map(_.count()).sum
+    val distinctUnion = perShard.reduce(_.unionByName(_)).distinct().count()
+    assert(total == distinctUnion, "an id landed in more than one shard")
+    assert(distinctUnion == corpus.count(),
+      "the shard union is not the corpus")
+    // the sharded handle serves candidates exactly like the monolithic
+    val monoIdx = Dedup.buildMinhashIndex(corpus, "doc_id", "text")
+    val probe = docs.filter(col("doc_id") % 7 === 1 && col("doc_id") < 210)
+    assert(canon(Dedup.crossMinhashPairs(probe,
+        ShardedIndex.readMinhashSharded(spark, home), "doc_id", "text",
+        jaccardMin = 0.5)) ==
+      canon(Dedup.crossMinhashPairs(probe, monoIdx, "doc_id", "text",
+        jaccardMin = 0.5)),
+      "sharded minhash candidates diverged from the monolithic index")
+  }
+
+  test("the IndexCdc façade is seamless over a sharded home: apply " +
+    "routes per shard, liveIds unions, compact folds") {
+    val corpus = docs.filter(col("doc_id") < 150)
+    val extra = docs.filter(col("doc_id") >= 150 && col("doc_id") < 180)
+      .select("doc_id", "text")
+    val home = graft.sources.Scratch.dir("shard-facade")
+    graft.operators.ShardedIndex.writeMinhash(corpus, home, shards = 3)
+    IndexCdc.apply(spark, home, extra,
+      docs.filter(lit(false)).select("doc_id"), batchId = 0L)
+    val live = canon(IndexCdc.liveIds(spark, home))
+    assert(live == canon(corpus.select(col("doc_id").as("id"))
+      .unionByName(extra.select(col("doc_id").as("id")))),
+      "façade apply on a sharded home did not net to corpus + batch")
+    IndexCdc.compact(spark, home)
+    assert(canon(IndexCdc.liveIds(spark, home)) == live,
+      "façade compact on a sharded home changed the live set")
+  }
+
+  test("sharded sign-LSH: the shard-union handle is the monolithic " +
+    "index (one global blocking); per-shard auto-sizing refuses") {
+    val e = graft.sources.Tables.embeddings(spark, base)
+    val corpus = e.filter(col("vec_id") % 2 === 0)
+    val probe = e.filter(col("vec_id") % 2 === 1)
+    val home = graft.sources.Scratch.dir("shard-emb")
+    // ONE global blocking decision, sized off the GLOBAL corpus count
+    // (per-shard counts are smaller, so each shard's occupancy guard
+    // accepts it — the deployment rule writeEmbedding documents)
+    val rb = graft.operators.Similarity.autoRowBits(corpus.count())
+    graft.operators.ShardedIndex.writeEmbedding(corpus, home, shards = 4,
+      bands = 8, rowBits = rb)
+    val sharded = graft.operators.ShardedIndex.readEmbeddingSharded(
+      spark, home)
+    val mono = graft.operators.Similarity.buildEmbeddingIndex(corpus,
+      bands = 8, rowBits = rb)
+    assert(canon(graft.operators.Similarity.crossEmbeddingPairs(probe,
+        sharded, 0.3, Dedup.DefaultMaxBucket)) ==
+      canon(graft.operators.Similarity.crossEmbeddingPairs(probe, mono,
+        0.3, Dedup.DefaultMaxBucket)),
+      "sharded embedding candidates diverged from the monolithic index")
+    // the sharded takedown routes through IndexCdc and masks per shard
+    graft.operators.ShardedIndex.delete(spark, home,
+      corpus.filter(col("vec_id") % 5 === 1).select("vec_id"), batchId = 0L)
+    val liveIds = graft.operators.ShardedIndex.readEmbeddingSharded(
+      spark, home).vectors.select("vec_id").distinct()
+    assert(canon(liveIds) ==
+      canon(corpus.filter(col("vec_id") % 5 =!= 1)
+        .select("vec_id").distinct()),
+      "sharded takedown did not net to the live corpus")
+    // per-shard auto-sizing would cut keys in S different band spaces
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.ShardedIndex.writeEmbedding(corpus,
+        graft.sources.Scratch.dir("shard-emb-auto"), shards = 4,
+        bands = 8, rowBits = 0)
+    }
+    assert(ex.getMessage.contains("explicit rowBits"),
+      s"auto-sizing refusal unhelpful: ${ex.getMessage}")
+  }
+
+  test("selective compaction folds ONLY the fragmented shard; untouched " +
+    "shards' version pointers never move") {
+    val corpus = docs.filter(col("doc_id") < 240)
+    val home = graft.sources.Scratch.dir("shard-selcompact")
+    ShardedIndex.writeBm25(corpus, home, shards = 4)
+    // fragment exactly one shard: feed batches whose ids all route there
+    val extra = docs.filter(col("doc_id") >= 240)
+      .filter(ShardedIndex.shardOf(col("doc_id"), 4) === 2)
+      .select("doc_id", "text")
+    (0 until 3).foreach { b =>
+      ShardedIndex.append(spark, home,
+        extra.filter(col("doc_id") % 3 === b), batchId = b.toLong)
+    }
+    val versionsBefore = (0 until 4).map(i =>
+      Dedup.listVersions(spark, ShardedIndex.shardDir(home, i)))
+    val filesOf = (i: Int) => {
+      val root = ShardedIndex.shardDir(home, i)
+      IndexAudit.countParquetFiles(fsOf(root),
+        new org.apache.hadoop.fs.Path(Dedup.indexRoot(spark, root)))
+    }
+    val boundary = (0 until 4).filter(_ != 2).map(filesOf).max
+    val board = canon(ShardedIndex.crossBm25TopKSharded(spark,
+      queries(docs), home, k = 5))
+    val compacted = ShardedIndex.compact(spark, home, minFiles = boundary)
+    assert(compacted == Seq(2),
+      s"selective compact touched shards $compacted, expected only 2")
+    val versionsAfter = (0 until 4).map(i =>
+      Dedup.listVersions(spark, ShardedIndex.shardDir(home, i)))
+    (0 until 4).filter(_ != 2).foreach { i =>
+      assert(versionsAfter(i) == versionsBefore(i),
+        s"untouched shard $i's versions moved: " +
+          s"${versionsBefore(i)} -> ${versionsAfter(i)}")
+    }
+    assert(versionsAfter(2) != versionsBefore(2),
+      "the fragmented shard did not commit a new version")
+    assert(canon(ShardedIndex.crossBm25TopKSharded(spark, queries(docs),
+      home, k = 5)) == board, "selective compaction changed the board")
+  }
+
+  test("a multi-shard batch crashed mid-application: audit WARNs with " +
+    "the marker spread, replay heals to the clean state") {
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    val held = corpus.filter(col("doc_id") % 10 =!= 3)
+    val ins = corpus.filter(col("doc_id") % 10 === 3)
+      .select("doc_id", "text")
+    val dels = corpus.filter(col("doc_id") % 13 === 5).select("doc_id")
+    // clean single application = the reference state
+    val ref = graft.sources.Scratch.dir("shard-replay-ref")
+    ShardedIndex.writeBm25(held, ref, shards = 3)
+    ShardedIndex.applyCdc(spark, ref, ins, dels, batchId = 7L)
+    val expect = canon(ShardedIndex.crossBm25TopKSharded(spark,
+      queries(docs), ref, k = 5))
+    // crashed run: only shard 0's slice of the batch landed (the home
+    // marker never bumped)
+    val home = graft.sources.Scratch.dir("shard-replay")
+    ShardedIndex.writeBm25(held, home, shards = 3)
+    IndexCdc.apply(spark, ShardedIndex.shardDir(home, 0),
+      ins.filter(ShardedIndex.shardOf(col("doc_id"), 3) === 0),
+      dels.filter(ShardedIndex.shardOf(col("doc_id"), 3) === 0),
+      batchId = 7L)
+    val spread = IndexAudit.audit(spark, home)
+      .filter(col("chk") === "marker_spread").head()
+    assert(spread.getString(1) == "WARN",
+      s"torn multi-shard batch not flagged: ${spread.getString(2)}")
+    assert(spread.getString(2).contains("replay"),
+      s"marker_spread WARN must name the replay remedy: " +
+        spread.getString(2))
+    // the replay: committed shard skips, the rest apply
+    ShardedIndex.applyCdc(spark, home, ins, dels, batchId = 7L)
+    assert(canon(ShardedIndex.crossBm25TopKSharded(spark, queries(docs),
+      home, k = 5)) == expect, "replay did not heal to the clean state")
+    assert(IndexAudit.audit(spark, home)
+      .filter(col("chk") === "marker_spread").head().getString(1) == "OK")
+    // a second replay of the healed batch is a fast no-op
+    ShardedIndex.applyCdc(spark, home, ins, dels, batchId = 7L)
+    assert(canon(ShardedIndex.crossBm25TopKSharded(spark, queries(docs),
+      home, k = 5)) == expect, "replayed batch double-applied")
+  }
+
+  test("healthy sharded home audits clean, per-shard rows included; " +
+    "an impossible shard count refuses at write") {
+    val home = graft.sources.Scratch.dir("shard-audit")
+    ShardedIndex.writeBm25(docs.filter(col("doc_id") < 120), home, shards = 2)
+    val s = IndexAudit.audit(spark, home).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(s.values.forall(_ == "OK"), s"healthy sharded home not clean: $s")
+    assert(Set("kind", "router", "shards", "shard_residue", "marker_spread")
+      .subsetOf(s.keySet))
+    assert(s.keys.exists(_.startsWith("shard0:")) &&
+      s.keys.exists(_.startsWith("shard1:")),
+      "per-shard fsck rows missing")
+    val ex = intercept[IllegalArgumentException] {
+      ShardedIndex.writeBm25(docs.filter(col("doc_id") < 3),
+        graft.sources.Scratch.dir("shard-toomany"), shards = 64)
+    }
+    assert(ex.getMessage.contains("lower the shard count"),
+      s"empty-shard refusal unhelpful: ${ex.getMessage}")
+  }
+}
