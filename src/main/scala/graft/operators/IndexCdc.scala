@@ -106,6 +106,34 @@ object IndexCdc {
           "compaction")
     }
 
+  /** Whole-artifact rebuild, whatever the family — physical removal of
+    * tombstoned rows, per-batch partitions folded into the base, the
+    * tombstone table dropped, committed through each family's own
+    * version-pointer swap. Parameters come FROM the stored metadata
+    * (the quantizer size, blocking, hash family the artifact was built
+    * under), so the façade can never silently re-cut an index to
+    * different semantics — re-parameterizing is the family entry
+    * points' explicit job. On a sharded home, rebuilds every shard:
+    * the unit is the shard, and the shards are independent writer
+    * domains, so a deployment fans this loop out across a fleet. */
+  def rebuild(spark: SparkSession, dir: String): Unit =
+    kindOf(spark, dir) match {
+      case Bm25Index.Kind => Bm25Index.rebuild(spark, dir)
+      case Dedup.MinhashIndexKind => Dedup.rebuildMinhashIndex(spark, dir)
+      case SimJoin.PrefixIndexKind => SimJoin.rebuildPrefixIndex(spark, dir)
+      case Similarity.IvfIndexKind =>
+        val meta = Dedup.readMeta(spark, Dedup.indexRoot(spark, dir))
+        Similarity.rebuildIvfIndex(spark, dir,
+          meta.get("nCentroids").map(_.toInt).getOrElse(16),
+          meta.get("iters").map(_.toInt).getOrElse(5))
+      case Similarity.EmbeddingIndexKind =>
+        Similarity.rebuildEmbeddingIndex(spark, dir)
+      case ShardedIndex.Kind => ShardedIndex.rebuild(spark, dir)
+      case other => throw new IllegalArgumentException(
+        s"IndexCdc: index at $dir has kind '$other', which has no " +
+          "rebuild")
+    }
+
   /** The LIVE id set of the index at `dir` — committed rows minus
     * committed tombstones, one column named `id` — read through each
     * family's own masking choke point. This is the observable the

@@ -291,6 +291,27 @@ object ShardedIndex {
       }.map { i => IndexCdc.compact(spark, shardDir(home, i), targetFiles); i }
     }
 
+  /** Per-shard rebuild — the deep-hygiene twin of [[compact]]: every
+    * shard's tombstoned rows are removed physically, batch partitions
+    * fold into the base, and the shard commits its own new version
+    * (untouched READERS keep their snapshots, as ever). The loop here
+    * is sequential; at deployment scale each shard's rebuild is an
+    * independent leased job — fan the shard list across a fleet for
+    * the S-way speedup that is the layout's point. An all-deleted
+    * shard is left as-is (its child rebuild refuses on an empty live
+    * set; the masked shard serves empty boards correctly — physical
+    * reclamation of a fully-dead shard is a re-shard/rewrite
+    * decision). Returns the shard ids rebuilt. */
+  def rebuild(spark: SparkSession, home: String): Seq[Int] =
+    IndexLease.withLease(spark, home, "ShardedIndex.rebuild") {
+      val m = manifest(spark, home)
+      (0 until m("shards").toInt).filter { i =>
+        val dir = shardDir(home, i)
+        if (IndexCdc.liveIds(spark, dir).isEmpty) false
+        else { IndexCdc.rebuild(spark, dir); true }
+      }
+    }
+
   /** Serve a query batch from a sharded BM25 index — bit-identical to
     * [[Bm25Index.crossBm25TopK]] over one home holding the same live
     * corpus, at ANY shard count. Exactness argument: the shards

@@ -104,6 +104,33 @@ class IndexCdcSpec extends AnyFunSuite with SparkSpec {
         assert(ids(IndexCdc.liveIds(spark, d), "id") == want,
           s"compaction changed the live set at $d")
       }
+
+    // façade rebuild: one more takedown first (compaction already
+    // folded the earlier tombstones away, so rebuild must see fresh
+    // ones), then rebuild with parameters FROM the stored metadata —
+    // live set = net of the extended history, tombstones physically
+    // GONE in every family
+    val extraDel = (idc: String) => col(idc) % 20 === 16
+    docDirs.foreach(d => IndexCdc.apply(spark, d,
+      docs.filter(lit(false)),
+      docs.filter(extraDel("doc_id")).select("doc_id"), 5L))
+    vecDirs.foreach(d => IndexCdc.apply(spark, d,
+      embs.filter(lit(false)).select("vec_id", "embedding"),
+      embs.filter(extraDel("vec_id")).select("vec_id"), 5L))
+    val expectDocs2 =
+      ids(docs.filter(netLive("doc_id") && !extraDel("doc_id")), "doc_id")
+    val expectVecs2 =
+      ids(embs.filter(netLive("vec_id") && !extraDel("vec_id")), "vec_id")
+    assert(expectDocs2 != expectDocs && expectVecs2 != expectVecs,
+      "vacuous rebuild takedown")
+    (docDirs ++ vecDirs).foreach(d => IndexCdc.rebuild(spark, d))
+    (docDirs.map(_ -> expectDocs2) ++ vecDirs.map(_ -> expectVecs2))
+      .foreach { case (d, want) =>
+        assert(ids(IndexCdc.liveIds(spark, d), "id") == want,
+          s"rebuild changed the live set at $d")
+        assert(!Dedup.indexTableHasData(spark, s"${idxRoot(d)}/tomb"),
+          s"rebuild left tombstones on disk at $d")
+      }
   }
 
   test("crash mid-fanout heals on replay: a batch applied to SOME " +

@@ -94,6 +94,23 @@ class ShardedIndexSpec extends AnyFunSuite with SparkSpec {
     IndexCdc.compact(spark, home)
     assert(canon(IndexCdc.liveIds(spark, home)) == live,
       "façade compact on a sharded home changed the live set")
+    // façade rebuild walks every shard: live set preserved, the
+    // takedown's tombstones physically gone in each shard
+    IndexCdc.apply(spark, home,
+      docs.filter(lit(false)).select("doc_id", "text"),
+      corpus.filter(col("doc_id") % 10 === 4).select("doc_id"),
+      batchId = 1L)
+    val live2 = canon(IndexCdc.liveIds(spark, home))
+    assert(live2 != live, "vacuous sharded takedown")
+    IndexCdc.rebuild(spark, home)
+    assert(canon(IndexCdc.liveIds(spark, home)) == live2,
+      "sharded rebuild changed the live set")
+    (0 until 3).foreach { i =>
+      val root = idxRoot(
+        graft.operators.ShardedIndex.shardDir(home, i))
+      assert(!Dedup.indexTableHasData(spark, s"$root/tomb"),
+        s"sharded rebuild left tombstones in shard $i")
+    }
   }
 
   test("sharded sign-LSH: the shard-union handle is the monolithic " +
