@@ -395,6 +395,44 @@ object Bm25Index {
     TextOps.bm25Board(scored, k)
   }
 
+  /** The FULL committed live postings of the index — (doc_id, term,
+    * tf, dl), tombstones masked. The corpus-equivalent artifact a
+    * whole-index rewrite (rebuild, re-shard) works from: df and (N, S)
+    * recompute from it exactly, so an index written from these rows
+    * serves bit-identically without the original text. */
+  private[graft] def livePostings(spark: SparkSession,
+                                  dir: String): DataFrame = {
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
+    validate(meta, dir)
+    Dedup.maskShadowed(
+      Dedup.committedOnly(spark.read.parquet(s"$root/postings"), meta),
+      "doc_id", committedTombs(spark, root, meta), "doc_id")
+      .select("doc_id", "term", "tf", "dl")
+  }
+
+  /** [[write]] from an already-tokenized postings frame — the
+    * re-shard writer: a sharded home's new shards are built from LIVE
+    * postings slices (the original text is not stored), with df and
+    * (N, S) re-derived per slice, exact by distributivity. */
+  private[graft] def writeFromPostings(post: DataFrame, dir: String): Unit = {
+    val spark = post.sparkSession
+    IndexLease.withLease(spark, dir, "Bm25Index.writeFromPostings") {
+      val (p, release) = Dedup.materializeTracked(post)
+      try {
+        Dedup.swapInDir(spark, dir) { tmp =>
+          Dedup.writeIndexTable(p, -1L, s"$tmp/postings",
+            overwriteAll = true)
+          Dedup.writeIndexTable(dfPartials(p), -1L, s"$tmp/df",
+            overwriteAll = true)
+          Dedup.writeIndexTable(TextOps.bm25StatsPartials(p), -1L,
+            s"$tmp/stats", overwriteAll = true)
+          Dedup.writeMeta(spark, tmp, Map("kind" -> Kind))
+        }
+      } finally release()
+    }
+  }
+
   /** Recomputes df and (N, S) from the LIVE postings (committed minus
     * tombstoned) and diffs them against the folded signed partials —
     * the [[graft.operators.IndexAudit]] cross-check that makes a torn

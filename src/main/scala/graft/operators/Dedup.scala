@@ -439,6 +439,35 @@ object Dedup {
     }
   }
 
+  /** [[writeMinhashIndex]] from already-signed tables — the re-shard
+    * writer: a sharded home's new shards are built from LIVE
+    * bands/sets slices (signatures are per-document deterministic
+    * under the stored parameters, so routing the stored rows IS
+    * re-signing the corpus). Parameters ride in explicitly because the
+    * slices carry no metadata of their own. */
+  private[graft] def writeMinhashFromTables(bands: DataFrame,
+                                            sets: DataFrame,
+                                            numHashes: Int, nBands: Int,
+                                            dir: String): Unit = {
+    val spark = sets.sparkSession
+    IndexLease.withLease(spark, dir, "Dedup.writeMinhashFromTables") {
+      val (b, relB) = materializeTracked(bands)
+      val (s2, relS) = materializeTracked(sets)
+      try {
+        swapInDir(spark, dir) { tmp =>
+          writeIndexTable(b, -1L, s"$tmp/bands", overwriteAll = true)
+          writeIndexTable(s2, -1L, s"$tmp/sets", overwriteAll = true)
+          writeMeta(spark, tmp, Map(
+            "kind" -> MinhashIndexKind,
+            "numHashes" -> numHashes.toString,
+            "bands" -> nBands.toString,
+            "family" -> MinhashFamily,
+            "n_docs" -> s2.count().toString))
+        }
+      } finally { relB(); relS() }
+    }
+  }
+
   /** One index-table write under the v2 layout: rows land in the
     * `ingest_batch=<batch>` partition. `overwriteAll` replaces the whole
     * table (initial build); otherwise the write is scoped to the batch's

@@ -312,6 +312,91 @@ object ShardedIndex {
       }
     }
 
+  /** Revise the SIZING decision: build a `newShards`-way home at
+    * `newHome` from the LIVE rows of the index at `oldHome` — which
+    * may be a sharded home (re-shard: S was chosen too small and
+    * shards outgrew the maintenance window) or a monolithic home
+    * (first sharding of an index that grew past one rewrite unit).
+    * The original corpus is NOT needed:
+    *
+    *   - BM25 rebuilds each new shard from its live-postings slice
+    *     (df/(N, S) re-derive per slice, exact by distributivity);
+    *   - minhash routes the stored bands/sets rows (signatures are
+    *     per-document deterministic under the stored parameters);
+    *   - sign-LSH re-keys the stored vectors under the stored
+    *     (bands, rowBits) — the same global blocking, S' key spaces.
+    *
+    * The old home is READ-ONLY here and keeps serving; cut-over is
+    * the caller's pointer/path swap, and the old home's directory can
+    * be deleted after. Boards from the new home are bit-identical to
+    * the old one's — shard count stays an operational knob through
+    * the resize. */
+  def reshard(spark: SparkSession, oldHome: String, newHome: String,
+              newShards: Int): Unit = {
+    require(oldHome != newHome,
+      "ShardedIndex.reshard builds a NEW home beside the old one " +
+        "(the old home keeps serving until the caller cuts over) — " +
+        "pass a different newHome")
+    val meta = Dedup.readMeta(spark, Dedup.indexRoot(spark, oldHome))
+    val (childKind, olds) = meta.getOrElse("kind", "<absent>") match {
+      case Kind =>
+        val m = manifest(spark, oldHome)
+        (m("child_kind"), shardDirs(oldHome, m))
+      case k => (k, Seq(oldHome))
+    }
+    childKind match {
+      case Bm25Index.Kind =>
+        val post = olds.map(Bm25Index.livePostings(spark, _))
+          .reduce(_.unionByName(_))
+        write(post, newHome, newShards, Bm25Index.Kind, "doc_id")(
+          (df, dir) => Bm25Index.writeFromPostings(df, dir))
+      case Similarity.EmbeddingIndexKind =>
+        val idxs = olds.map(Similarity.readEmbeddingIndex(spark, _))
+        val params = idxs.map(i => (i.nBands, i.rowBits)).distinct
+        require(params.size == 1,
+          s"reshard: drifting per-shard (bands, rowBits) $params at " +
+            s"$oldHome; rebuild under one blocking first")
+        val vectors = idxs.map(_.vectors).reduce(_.unionByName(_))
+        write(vectors, newHome, newShards,
+          Similarity.EmbeddingIndexKind, "vec_id")(
+          (df, dir) => Similarity.writeEmbeddingIndex(df, dir,
+            params.head._1, params.head._2))
+      case Dedup.MinhashIndexKind =>
+        val idxs = olds.map(Dedup.readMinhashIndex(spark, _))
+        val params = idxs.map(i => (i.numHashes, i.nBands)).distinct
+        require(params.size == 1,
+          s"reshard: drifting per-shard (numHashes, bands) $params at " +
+            s"$oldHome; rebuild under one family first")
+        val bands = idxs.map(_.bands).reduce(_.unionByName(_))
+        val sets = idxs.map(_.sets).reduce(_.unionByName(_))
+        // two coupled tables: route both by the SAME key, then write
+        // each shard from its slices (the generic write routes one
+        // frame, so this family loops directly)
+        IndexLease.withLease(spark, newHome, "ShardedIndex.reshard") {
+          val (bSlice, _, cleanB) =
+            stageRouted(bands, newHome, newShards, "doc_id", "rs_bands")
+          val (sSlice, present, cleanS) =
+            stageRouted(sets, newHome, newShards, "doc_id", "rs_sets")
+          try {
+            val missing = (0 until newShards).filterNot(present.contains)
+            require(missing.isEmpty,
+              s"reshard: shard(s) ${missing.mkString(",")} of " +
+                s"$newShards would be empty — lower the shard count")
+            (0 until newShards).foreach(i =>
+              Dedup.writeMinhashFromTables(bSlice(i), sSlice(i),
+                params.head._1, params.head._2, shardDir(newHome, i)))
+            Dedup.writeMeta(spark, newHome, Map(
+              "kind" -> Kind, "child_kind" -> Dedup.MinhashIndexKind,
+              "shards" -> newShards.toString, "id_col" -> "doc_id",
+              "router" -> Router))
+          } finally { cleanB(); cleanS() }
+        }
+      case other => throw new IllegalArgumentException(
+        s"ShardedIndex.reshard: no live-row rewriter for child family " +
+          s"'$other' — supported: bm25_index, minhash-v2, signlsh-v2")
+    }
+  }
+
   /** Serve a query batch from a sharded BM25 index — bit-identical to
     * [[Bm25Index.crossBm25TopK]] over one home holding the same live
     * corpus, at ANY shard count. Exactness argument: the shards

@@ -226,6 +226,24 @@ object Extensions {
     })
   }
 
+  /** Resized twin of [[gateBm25ShardedHome]] (4 -> 2 shards via
+    * `ShardedIndex.reshard`) behind `retrieval_bm25_resharded`'s bench
+    * override — the timed work is the gathered serve from the resized
+    * home; the resize itself is a once-per-sizing-decision op. */
+  private val gateBm25ReshardMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gateBm25ReshardedHome(s: SparkSession, d: String): String = {
+    val f = new java.io.File(s"$d/documents.parquet")
+    gateBm25ReshardMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}",
+      _ => {
+        val home = graft.sources.Scratch.dir(
+          s"bm25rs_bench_${java.util.UUID.randomUUID.toString.take(8)}")
+        graft.operators.ShardedIndex.reshard(s,
+          gateBm25ShardedHome(s, d), home, 2)
+        home
+      })
+  }
+
   /** Deletion-bearing twin of [[gateIvfIndex]] (full-corpus quantizer,
     * 7≡2 vec_ids tombstoned) behind `sim_ivf_del`'s bench override —
     * the timed work is the probe over the masked index. */
@@ -541,6 +559,15 @@ object Extensions {
       mhBoard.unionByName(pfxBoard).unionByName(bmBoard)
         .unionByName(ivfBoard)
     }),
+    // resized-home steady serve: the same gather over the standing
+    // 2-shard resize of the sharded fixture
+    "retrieval_bm25_resharded" -> ((s, d) =>
+      graft.operators.ShardedIndex.crossBm25TopKSharded(s,
+        Tables.documents(s, d).filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+              .as("query_text")),
+        gateBm25ReshardedHome(s, d), k = 5)),
     // steady-state sharded serve: the cross-shard gather (global stat
     // folds + unioned match stream) over the standing 4-shard fixture;
     // shard builds + lifecycle are the registered gate's apparatus
@@ -846,6 +873,35 @@ object Extensions {
             concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
               .as("query_text")),
         home, k = 5)
+    }),
+    // the RESIZE leg: the same takedown lifecycle on a 2-shard home,
+    // then reshard to 3 — the new home is rebuilt from the old one's
+    // LIVE rows alone (postings; the text is gone), df/(N,S)
+    // re-derived per new shard, and the served board must STILL equal
+    // the fresh-build oracle bit for bit. At 100 TB this is the op
+    // that revises a too-small S without the original corpus
+    "retrieval_bm25_resharded" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+      val home = graft.sources.Scratch.dir(
+        s"bm25rs_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.ShardedIndex.writeBm25(
+        corpus.filter(col("doc_id") % 10 =!= 3), home, shards = 2)
+      graft.operators.ShardedIndex.append(s, home,
+        corpus.filter(col("doc_id") % 10 === 3).select("doc_id", "text"),
+        batchId = 0L)
+      graft.operators.ShardedIndex.delete(s, home,
+        corpus.filter(col("doc_id") % 13 === 5).select("doc_id"),
+        batchId = 1L)
+      val resized = graft.sources.Scratch.dir(
+        s"bm25rs2_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.ShardedIndex.reshard(s, home, resized, 3)
+      graft.operators.ShardedIndex.crossBm25TopKSharded(s,
+        docs.filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+              .as("query_text")),
+        resized, k = 5)
     }),
     // the WHOLE BM25 lifecycle as one change stream: the index is
     // written on ~90% of the corpus, then a 3-micro-batch CDC feed
@@ -4313,6 +4369,9 @@ object Extensions {
     // shard count is an operational knob: the 4-shard home serves the
     // SAME net live corpus, so the fresh-build oracle replays verbatim
     "retrieval_bm25_sharded" -> bm25DeletedOracle,
+    // ...and stays one through a resize: reshard rebuilds from live
+    // postings alone, same oracle
+    "retrieval_bm25_resharded" -> bm25DeletedOracle,
     // 3-batch CDC drain ≡ fresh build over the net live corpus
     "stream_bm25_cdc" -> bm25CdcOracle,
     // the sharded stream twin nets to the same live corpus

@@ -176,8 +176,9 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r15: shares text_bm25's integer-div oracle over corpus − deletes
     "retrieval_bm25_del",
     // r17: the sharded home serves the same net live corpus — shares
-    // retrieval_bm25_del's dialect-bound oracle text verbatim
-    "retrieval_bm25_sharded",
+    // retrieval_bm25_del's dialect-bound oracle text verbatim; the
+    // resharded home rebuilds from live postings to the same corpus
+    "retrieval_bm25_sharded", "retrieval_bm25_resharded",
     "retrieval_bm25_upsert",
     "text_bpe_stored",
     // r15: ivfOracle's unrolled-kmeans CTEs with a live-rows corpus cut

@@ -192,6 +192,51 @@ class ShardedIndexSpec extends AnyFunSuite with SparkSpec {
       home, k = 5)) == board, "selective compaction changed the board")
   }
 
+  test("reshard: the sizing decision is revisable from live rows alone " +
+    "— boards bit-identical across S changes and from a monolithic home") {
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    val held = corpus.filter(col("doc_id") % 10 =!= 3)
+    val ins = corpus.filter(col("doc_id") % 10 === 3)
+      .select("doc_id", "text")
+    val dels = corpus.filter(col("doc_id") % 13 === 5).select("doc_id")
+    // sharded 4 with a delete-bearing history (so the live-row
+    // extraction, not the raw tables, feeds the rewrite)
+    val home4 = graft.sources.Scratch.dir("rs-bm25-4")
+    graft.operators.ShardedIndex.writeBm25(held, home4, shards = 4)
+    graft.operators.ShardedIndex.applyCdc(spark, home4, ins, dels, 0L)
+    val board4 = canon(graft.operators.ShardedIndex.crossBm25TopKSharded(
+      spark, queries(docs), home4, k = 5))
+    val home2 = graft.sources.Scratch.dir("rs-bm25-2")
+    graft.operators.ShardedIndex.reshard(spark, home4, home2, 2)
+    assert(canon(graft.operators.ShardedIndex.crossBm25TopKSharded(
+      spark, queries(docs), home2, k = 5)) == board4,
+      "reshard 4->2 moved the board")
+    // first sharding of a MONOLITHIC home, same history
+    val mono = graft.sources.Scratch.dir("rs-bm25-mono")
+    Bm25Index.write(held, mono)
+    Bm25Index.applyCdc(spark, mono, ins, dels, batchId = 0L)
+    val home3 = graft.sources.Scratch.dir("rs-bm25-3")
+    graft.operators.ShardedIndex.reshard(spark, mono, home3, 3)
+    assert(canon(graft.operators.ShardedIndex.crossBm25TopKSharded(
+      spark, queries(docs), home3, k = 5)) ==
+      canon(Bm25Index.crossBm25TopK(spark, queries(docs), mono, k = 5)),
+      "sharding a monolithic home moved the board")
+    // minhash: stored-row routing preserves candidates exactly
+    val mh3 = graft.sources.Scratch.dir("rs-mh-3")
+    graft.operators.ShardedIndex.writeMinhash(
+      docs.filter(col("doc_id") < 200), mh3, shards = 3)
+    val probe = docs.filter(col("doc_id") % 7 === 1 && col("doc_id") < 210)
+    val want = canon(Dedup.crossMinhashPairs(probe,
+      graft.operators.ShardedIndex.readMinhashSharded(spark, mh3),
+      "doc_id", "text", jaccardMin = 0.5))
+    val mh2 = graft.sources.Scratch.dir("rs-mh-2")
+    graft.operators.ShardedIndex.reshard(spark, mh3, mh2, 2)
+    assert(canon(Dedup.crossMinhashPairs(probe,
+      graft.operators.ShardedIndex.readMinhashSharded(spark, mh2),
+      "doc_id", "text", jaccardMin = 0.5)) == want,
+      "minhash reshard moved the candidate/verify set")
+  }
+
   test("a multi-shard batch crashed mid-application: audit WARNs with " +
     "the marker spread, replay heals to the clean state") {
     val corpus = docs.filter(col("doc_id") % 29 =!= 0)
