@@ -559,6 +559,11 @@ object Extensions {
       mhBoard.unionByName(pfxBoard).unionByName(bmBoard)
         .unionByName(ivfBoard)
     }),
+    // steady sharded fsck: audit the STANDING 4-shard fixture (the
+    // page-cadence op); building a fresh home is the gate's apparatus
+    "q_shard_audit" -> ((s, d) =>
+      graft.operators.IndexAudit.audit(s, gateBm25ShardedHome(s, d))
+        .select("chk", "status")),
     // resized-home steady serve: the same gather over the standing
     // 2-shard resize of the sharded fixture
     "retrieval_bm25_resharded" -> ((s, d) =>
@@ -1445,6 +1450,25 @@ object Extensions {
     // delete — must audit to a FIXED scale-independent (chk, status)
     // set; any layout/marker/count drift in the write paths turns this
     // gate red. The unhealthy diagnoses are covered in IndexAuditSpec.
+    // the sharded-home fsck canary (q_index_audit's pattern one level
+    // up): a healthy 2-shard BM25 home through a takedown audits to a
+    // FIXED (chk, status) set — the 9 manifest-level rows (router,
+    // shard population, staging residue, cross-shard marker spread)
+    // plus each shard's full 15-row fsck under its shard<i>: prefix.
+    // Any write-path change that perturbs the sharded layout, routing
+    // fingerprint, marker discipline, or per-shard health turns this
+    // gate red against a literal oracle
+    "q_shard_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val home = graft.sources.Scratch.dir(
+        s"shaudit_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.ShardedIndex.writeBm25(
+        docs.filter(col("doc_id") % 2 === 0), home, shards = 2)
+      graft.operators.ShardedIndex.delete(s, home,
+        docs.filter(col("doc_id") % 10 === 2).select("doc_id"),
+        batchId = 0L)
+      graft.operators.IndexAudit.audit(s, home).select("chk", "status")
+    }),
     "q_index_audit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val idxDir = graft.sources.Scratch.dir(
@@ -4680,6 +4704,29 @@ object Extensions {
         ('table:sets', 'OK'), ('uncommitted:sets', 'OK'),
         ('fragmentation', 'OK'),
         ('tomb', 'OK'), ('count', 'OK')) AS t(chk, status)""",
+    // the sharded fsck canary: 9 manifest-level rows + 2 shards x the
+    // BM25 15-row fsck, every status OK — statuses are
+    // scale-independent, so the row set is literal
+    "q_shard_audit" -> ("""
+      SELECT chk, status FROM (VALUES
+        ('swap_residue', 'OK'), ('layout', 'OK'), ('versions', 'OK'),
+        ('lease', 'OK'), ('kind', 'OK'), ('router', 'OK'),
+        ('shards', 'OK'), ('shard_residue', 'OK'),
+        ('marker_spread', 'OK'),""" +
+      Seq(0, 1).map { i =>
+        s"""
+        ('shard$i:swap_residue', 'OK'), ('shard$i:layout', 'OK'),
+        ('shard$i:versions', 'OK'), ('shard$i:lease', 'OK'),
+        ('shard$i:kind', 'OK'),
+        ('shard$i:table:postings', 'OK'),
+        ('shard$i:uncommitted:postings', 'OK'),
+        ('shard$i:table:df', 'OK'), ('shard$i:uncommitted:df', 'OK'),
+        ('shard$i:table:stats', 'OK'),
+        ('shard$i:uncommitted:stats', 'OK'),
+        ('shard$i:fragmentation', 'OK'), ('shard$i:tomb', 'OK'),
+        ('shard$i:stats_fold', 'OK'),
+        ('shard$i:stats_consistency', 'OK')"""
+      }.mkString(",") + ") AS t(chk, status)"),
     // rebuild+compact must be lossless → same oracle as the fresh index
     "dedup_index_rebuild" -> incrementalOracle,
     // incremental (2 arrival chunks + no-op rerun) ≡ one-shot batch join:
