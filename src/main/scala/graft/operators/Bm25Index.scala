@@ -73,6 +73,48 @@ object Bm25Index {
 
   private[graft] val Kind = "bm25_index"
 
+  /** Fixed on-disk table schemas, passed EXPLICITLY to every read:
+    * parquet schema inference fires a footer-reading Spark job per
+    * `spark.read.parquet` call, and the sharded serve
+    * ([[ShardedIndex.crossBm25TopKSharded]]) opens 3 tables × S shards
+    * — at the S-in-the-hundreds sizing that is hundreds of tiny
+    * sequential driver jobs per serve, for schemas that never change
+    * (they are this writer's own fixed layout). Explicit schemas make
+    * every open job-free; the serve's job count is then provably
+    * independent of S (`PlanAuditSpec`). */
+  private val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tf",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField(Dedup.IngestBatchCol,
+      org.apache.spark.sql.types.LongType)))
+  private val dfSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("df",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField(Dedup.IngestBatchCol,
+      org.apache.spark.sql.types.LongType)))
+  private val statsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("s",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField(Dedup.IngestBatchCol,
+      org.apache.spark.sql.types.LongType)))
+
+  private def readPostings(spark: SparkSession, root: String): DataFrame =
+    spark.read.schema(postingsSchema).parquet(s"$root/postings")
+  private def readDfTable(spark: SparkSession, root: String): DataFrame =
+    spark.read.schema(dfSchema).parquet(s"$root/df")
+  private def readStatsTable(spark: SparkSession, root: String): DataFrame =
+    spark.read.schema(statsSchema).parquet(s"$root/stats")
+
   private def validate(meta: Map[String, String], dir: String): Unit =
     require(meta.get("kind").contains(Kind),
       s"$dir is not a BM25 index (kind=${meta.getOrElse("kind", "<absent>")})")
@@ -182,7 +224,7 @@ object Bm25Index {
     // LIVE postings only: a re-deleted id's earlier (already-shadowed,
     // already-retracted) postings must not retract again
     val livePost = Dedup.maskShadowed(
-      Dedup.committedOnly(spark.read.parquet(s"$root/postings"), meta),
+      Dedup.committedOnly(readPostings(spark, root), meta),
       "doc_id", tombs, "doc_id")
       .select("doc_id", "term", "tf", "dl")
     // materialized: the fresh-ids plan reads tomb/ (via the mask),
@@ -242,7 +284,7 @@ object Bm25Index {
     // LIVE pre-batch postings: the retraction must see exactly what
     // this batch's tombstones newly kill, never already-shadowed rows
     val livePost = Dedup.maskShadowed(
-      Dedup.committedOnly(spark.read.parquet(s"$root/postings"), meta),
+      Dedup.committedOnly(readPostings(spark, root), meta),
       "doc_id", priorTombs, "doc_id")
       .select("doc_id", "term", "tf", "dl")
     val (fresh, relT) = Dedup.materializeTracked(
@@ -308,7 +350,7 @@ object Bm25Index {
     val root = Dedup.indexRoot(spark, dir)
     val meta = Dedup.readMeta(spark, root)
     validate(meta, dir)
-    Dedup.committedOnly(spark.read.parquet(s"$root/df"), meta)
+    Dedup.committedOnly(readDfTable(spark, root), meta)
       .groupBy("term").agg(sum(col("df")).as("df"))
       .filter(col("df") > 0)
   }
@@ -330,13 +372,46 @@ object Bm25Index {
     val root = Dedup.indexRoot(spark, dir)
     val meta = Dedup.readMeta(spark, root)
     validate(meta, dir)
-    val r = Dedup.committedOnly(spark.read.parquet(s"$root/stats"), meta)
+    val r = Dedup.committedOnly(readStatsTable(spark, root), meta)
       .agg(sum(col("n")).as("n"), sum(col("s")).as("s")).head()
     // an empty-corpus write lands one (n=0, s=NULL) partial — both
     // folds null-coalesce so "zero docs" reads as (0, 0) here and the
     // caller owns the refusal
     (if (r.isNullAt(0)) 0L else r.getLong(0),
       if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** The committed signed (n, s) stat partials of the index at `dir`
+    * as a LAZY frame — the per-shard leg of the sharded serve's
+    * one-action global fold: [[ShardedIndex.crossBm25TopKSharded]]
+    * unions S of these and aggregates ONCE, instead of S sequential
+    * per-shard [[foldedStatsTolerant]] `.head()` jobs — at the
+    * S-in-the-hundreds sizing `docs/SCALING.md` recommends, the
+    * difference between one Spark job and hundreds of serve-latency
+    * driver round trips. (Per-shard metadata reads remain — driver-side
+    * filesystem property loads, not Spark jobs.) */
+  private[graft] def statsFrame(spark: SparkSession, dir: String): DataFrame = {
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
+    validate(meta, dir)
+    Dedup.committedOnly(readStatsTable(spark, root), meta)
+      .select("n", "s")
+  }
+
+  /** The committed signed df partials of the index at `dir`, RAW
+    * (un-aggregated) and lazy — the df twin of [[statsFrame]]: the
+    * sharded serve unions S of these and runs ONE global
+    * `groupBy(term).sum`, instead of per-shard [[foldedDf]] aggregates
+    * whose S shuffle stages each materialize as their own AQE job
+    * (df is distributive, so one fold over all partials ≡ the fold of
+    * per-shard folds; the df > 0 drop applies to the global sum). */
+  private[graft] def dfPartialsFrame(spark: SparkSession,
+                                     dir: String): DataFrame = {
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
+    validate(meta, dir)
+    Dedup.committedOnly(readDfTable(spark, root), meta)
+      .select("term", "df")
   }
 
   /** The committed LIVE postings rows matching `probedKeys` (a
@@ -352,7 +427,7 @@ object Bm25Index {
     val meta = Dedup.readMeta(spark, root)
     validate(meta, dir)
     val matched = Dedup.committedOnly(
-      spark.read.parquet(s"$root/postings"), meta)
+      readPostings(spark, root), meta)
       .join(probedKeys, Seq("term"), "left_semi")
     Dedup.maskShadowed(matched, "doc_id",
       committedTombs(spark, root, meta), "doc_id")
@@ -406,7 +481,7 @@ object Bm25Index {
     val meta = Dedup.readMeta(spark, root)
     validate(meta, dir)
     Dedup.maskShadowed(
-      Dedup.committedOnly(spark.read.parquet(s"$root/postings"), meta),
+      Dedup.committedOnly(readPostings(spark, root), meta),
       "doc_id", committedTombs(spark, root, meta), "doc_id")
       .select("doc_id", "term", "tf", "dl")
   }
@@ -452,7 +527,7 @@ object Bm25Index {
     val meta = Dedup.readMeta(spark, root)
     validate(meta, dir)
     val committed = Dedup.committedOnly(
-      spark.read.parquet(s"$root/postings"), meta)
+      readPostings(spark, root), meta)
     val live = Dedup.maskShadowed(committed, "doc_id",
       committedTombs(spark, root, meta), "doc_id")
       .select("doc_id", "term", "tf", "dl")
@@ -485,7 +560,7 @@ object Bm25Index {
     val meta = Dedup.readMeta(spark, root)
     validate(meta, dir)
     val committed = Dedup.committedOnly(
-      spark.read.parquet(s"$root/postings"), meta)
+      readPostings(spark, root), meta)
     val live = Dedup.maskShadowed(committed, "doc_id",
       committedTombs(spark, root, meta), "doc_id")
       .select("doc_id", "term", "tf", "dl")

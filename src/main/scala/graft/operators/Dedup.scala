@@ -567,12 +567,24 @@ object Dedup {
                                       meta: Map[String, String],
                                       idCol: String): Option[DataFrame] =
     if (indexTableHasData(spark, path)) {
-      val raw = spark.read.option("mergeSchema", "true").parquet(path)
-      val shadowed =
-        if (raw.columns.contains(ShadowCol))
-          raw.withColumn(ShadowCol,
-            coalesce(col(ShadowCol), lit(Long.MaxValue)))
-        else raw.withColumn(ShadowCol, lit(Long.MaxValue))
+      // EXPLICIT schema instead of mergeSchema=true: schema merging
+      // reads every footer through a Spark job per open — a sharded
+      // serve pays one per tomb-bearing shard — while the table's
+      // layout is this writer's own fixed (id, shadow_upto) shape.
+      // Legacy pre-shadow files simply lack the column; the parquet
+      // reader fills it with NULL under an explicit schema, and the
+      // coalesce below maps NULL -> mask-everything — exactly the
+      // semantics the mergeSchema branch produced.
+      val raw = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(ShadowCol,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(IngestBatchCol,
+            org.apache.spark.sql.types.LongType))))
+        .parquet(path)
+      val shadowed = raw.withColumn(ShadowCol,
+        coalesce(col(ShadowCol), lit(Long.MaxValue)))
       Some(committedOnly(shadowed, meta).select(idCol, ShadowCol))
     } else None
 
@@ -642,14 +654,33 @@ object Dedup {
         .join(blocking.select(col(tombIdCol).cast("long").as("__rid")),
           Seq("__rid"), "left_semi")
         .limit(3).collect().map(_.getLong(0))
-      lazy val liveHits: Set[Long] =
+      // None = the live/dead classification itself failed (e.g. a torn
+      // index whose liveIds read throws) — distinct from "all hits are
+      // dead": defaulting a LIVE id to the dead-id remedy ("route it
+      // through a batchId") would mint the duplicate-id violation this
+      // refusal exists to prevent, so an unclassifiable hit gets its
+      // own message pointing at the audit first
+      lazy val liveHitsOpt: Option[Set[Long]] =
         scala.util.Try(
           IndexCdc.liveIds(inserts.sparkSession, dir)
             .filter(col("id").isin(hits.map(Long.box): _*))
             .collect().map(_.getLong(0)).toSet
-        ).getOrElse(Set.empty)
+        ).toOption
+      lazy val liveHits: Set[Long] = liveHitsOpt.getOrElse(Set.empty)
       require(hits.isEmpty,
-        if (syncPath && hits.exists(liveHits))
+        if (syncPath && liveHitsOpt.isEmpty)
+          s"$op: insert re-uses tombstoned id(s) " +
+            s"${hits.mkString("(", ", ", ")")} at $dir, and whether they " +
+            "are currently live (re-inserted via a later batch) could " +
+            "not be determined — the index's live-id read failed, so " +
+            "the artifact may be torn. Do NOT blindly re-insert: if an " +
+            "id is live, inserting again on any path mints a second " +
+            "live image (the duplicate-id violation); if dead, the sync " +
+            "insert would be invisible under its tombstone. Run " +
+            "IndexAudit.audit first, then encode an update as " +
+            "delete+insert in ONE CDC batch (applyCdc) for live ids or " +
+            "route dead ids through a batchId"
+        else if (syncPath && hits.exists(liveHits))
           s"$op: insert re-uses id(s) " +
             s"${hits.filter(liveHits).mkString("(", ", ", ")")} at $dir " +
             "that are currently LIVE (deleted once, then re-inserted via " +

@@ -189,15 +189,30 @@ object IndexAudit {
         else s"shard dir(s) ${missing.mkString(",")} of $nShards missing " +
           "— manifest committed over an incomplete build or a shard was " +
           "hand-deleted; re-run the sharded write"))
-      val residue = fs.listStatus(main).toSeq.map(_.getPath.getName)
+      // residue in BOTH directions: non-shard entries (crashed staging
+      // leftovers) AND shard=<i> dirs at or past the manifest count —
+      // the orphans an in-place re-write at a smaller S leaves behind;
+      // the manifest never resolves them, but each is a full index copy
+      val names = fs.listStatus(main).toSeq.map(_.getPath.getName)
+      val residue = names
         .filterNot(n => n.matches("^shard=\\d+$") ||
           n == Dedup.IndexMetaFile || n == Dedup.IndexMetaFile + ".tmp" ||
           n == Dedup.LeaseFile)
+      val orphans = names.filter(n => n.matches("^shard=\\d+$") &&
+        n.stripPrefix("shard=").toIntOption.exists(_ >= nShards))
       rows += (("shard_residue",
-        if (residue.isEmpty) "OK" else "WARN",
-        if (residue.isEmpty) ""
-        else s"non-shard entries ${residue.mkString(",")} at the home — " +
-          "a crashed staging write's leftovers; safe to delete"))
+        if (residue.isEmpty && orphans.isEmpty) "OK" else "WARN",
+        if (residue.isEmpty && orphans.isEmpty) ""
+        else Seq(
+          if (residue.isEmpty) ""
+          else s"non-shard entries ${residue.mkString(",")} at the home " +
+            "— a crashed staging write's leftovers; safe to delete",
+          if (orphans.isEmpty) ""
+          else s"shard dir(s) ${orphans.mkString(",")} at/past the " +
+            s"manifest count $nShards — orphaned full index copies from " +
+            "an in-place re-write at a smaller shard count; never read, " +
+            "safe to delete"
+        ).filter(_.nonEmpty).mkString("; ")))
       val present = (0 until nShards).filterNot(missing.contains)
       val markers = present.map(i => i -> scala.util.Try(
           Dedup.lastCommittedBatch(Dedup.readMeta(spark,

@@ -123,9 +123,22 @@ object IndexCdc {
       case SimJoin.PrefixIndexKind => SimJoin.rebuildPrefixIndex(spark, dir)
       case Similarity.IvfIndexKind =>
         val meta = Dedup.readMeta(spark, Dedup.indexRoot(spark, dir))
-        Similarity.rebuildIvfIndex(spark, dir,
-          meta.get("nCentroids").map(_.toInt).getOrElse(16),
-          meta.get("iters").map(_.toInt).getOrElse(5))
+        // the quantizer hyperparameters come FROM the stored metadata,
+        // with no default fallback: writeIvfIndex always persists both
+        // keys, so their absence means a torn or foreign-edited meta —
+        // rebuilding at defaults would silently re-cut the index to
+        // different semantics, exactly what this façade promises never
+        // to do
+        def req(key: String): Int = meta.get(key).map(_.toInt).getOrElse(
+          throw new IllegalArgumentException(
+            s"IndexCdc.rebuild: IVF index at $dir has no '$key' in its " +
+              "metadata — writeIvfIndex always persists it, so this " +
+              "artifact's metadata is torn or foreign-edited; rebuilding " +
+              "at a default would silently change the quantizer. Repair " +
+              "the metadata, or re-cut explicitly with " +
+              "Similarity.rebuildIvfIndex(dir, nCentroids, iters)"))
+        Similarity.rebuildIvfIndex(spark, dir, req("nCentroids"),
+          req("iters"))
       case Similarity.EmbeddingIndexKind =>
         Similarity.rebuildEmbeddingIndex(spark, dir)
       case ShardedIndex.Kind => ShardedIndex.rebuild(spark, dir)

@@ -64,8 +64,12 @@ object ShardedIndex {
   private[graft] val Kind = "sharded_index"
   /** Router fingerprint persisted in the manifest — an index routed
     * under anything else must refuse at open, or probes would silently
-    * miss the shard that actually holds an id. */
-  private[graft] val Router = "xxhash64(seed=42):pmod"
+    * miss the shard that actually holds an id. The `long` notes the id
+    * NORMALIZATION inside [[shardOf]]: xxhash64 hashes INT 5 and
+    * BIGINT 5 to different values, so the routing convention includes
+    * the cast — and is fingerprinted so a home routed without it can
+    * never be silently mis-probed. */
+  private[graft] val Router = "xxhash64(long,seed=42):pmod"
 
   /** The child families this layout can shard: anything [[IndexCdc]]
     * can route a change batch to. */
@@ -77,9 +81,17 @@ object ShardedIndex {
     Similarity.EmbeddingIndexKind)
 
   /** The shard an id routes to — one deterministic integer in
-    * [0, shards). */
+    * [0, shards). The id is normalized to LONG before hashing:
+    * xxhash64 is type-sensitive (INT 5 and BIGINT 5 hash differently),
+    * so a CDC feed whose id column arrives as INT against an index
+    * built from BIGINT ids would otherwise silently route to the wrong
+    * shard — deletes missing, ids duplicating across shards — with
+    * nothing at open to catch it. The cast pins the one convention
+    * every id-typed caller already nets to ([[emptyInserts]]/
+    * [[emptyDeletes]] and the family tombstone writers all cast to
+    * long), and [[Router]] fingerprints it. */
   def shardOf(id: Column, shards: Int): Column =
-    pmod(xxhash64(id), lit(shards.toLong)).cast("int")
+    pmod(xxhash64(id.cast("long")), lit(shards.toLong)).cast("int")
 
   /** The home directory of shard `i`. */
   def shardDir(home: String, i: Int): String = s"$home/shard=$i"
@@ -167,8 +179,34 @@ object ShardedIndex {
           "kind" -> Kind, "child_kind" -> childKind,
           "shards" -> shards.toString, "id_col" -> idCol,
           "router" -> Router))
+        // re-running write in place with a SMALLER shard count must not
+        // orphan the old shard=<i> dirs beyond the new count: the new
+        // manifest says shards=S' so no reader resolves them, but each
+        // is a full index copy silently eating space (and the audit's
+        // residue check would whitelist anything matching shard=\d+).
+        // The manifest is already committed, so reclaiming them here is
+        // pure hygiene — a crash mid-delete leaves extra dirs the audit
+        // now flags (shard_residue counts dirs ≥ the manifest count)
+        dropOrphanShards(spark, home, shards)
       } finally cleanup()
     }
+  }
+
+  /** Deletes `shard=<i>` dirs with i >= `shards` — stale full-index
+    * copies left by an in-place re-write at a smaller shard count. */
+  private def dropOrphanShards(spark: SparkSession, home: String,
+                               shards: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(home)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { q =>
+        val n = q.getName
+        n.startsWith("shard=") &&
+          n.stripPrefix("shard=").toIntOption.exists(_ >= shards)
+      }
+      .foreach(fs.delete(_, true))
   }
 
   /** [[write]] with a BM25 child per shard. */
@@ -200,6 +238,61 @@ object ShardedIndex {
         "Similarity.autoRowBits)")
     write(corpus, home, shards, Similarity.EmbeddingIndexKind, "vec_id")(
       (df, dir) => Similarity.writeEmbeddingIndex(df, dir, bands, rowBits))
+  }
+
+  /** [[write]] with an IVF child per shard under ONE home-level
+    * quantizer: the model is trained ONCE on the full corpus
+    * ([[Similarity.trainCentroids]] — exact integer k-means, so any
+    * engine replays it bit-for-bit), then every shard persists the
+    * SAME centroids and cuts its vec_id-routed slice's cells under
+    * them ([[Similarity.writeIvfIndexWith]]). Cell membership is a
+    * pure function of the quantizer, so the shard-union probe
+    * ([[readIvfSharded]]) serves boards bit-identical to a monolithic
+    * index at ANY shard count — the same "one global decision" rule
+    * [[writeEmbedding]] enforces for rowBits. Per-shard training would
+    * cut S different cell geometries whose union no single-model probe
+    * (or oracle) can score; the global model keeps shard count an
+    * operational knob. What sharding buys is exactly the maintenance
+    * bound the family lacked: the ANN rebuild — k-means retrain + full
+    * re-cut, the most expensive maintenance op in the whole index
+    * family — becomes re-cut ∝ churned shards under a shared
+    * model-scale retrain ([[rebuild]]). */
+  def writeIvf(corpus: DataFrame, home: String, shards: Int,
+               nCentroids: Int = 16, iters: Int = 5): Unit = {
+    val cents = Similarity.trainCentroids(corpus, nCentroids, iters)
+    write(corpus, home, shards, Similarity.IvfIndexKind, "vec_id")(
+      (df, dir) => Similarity.writeIvfIndexWith(df, dir, cents,
+        nCentroids, iters))
+  }
+
+  /** [[write]] with a lossless prefix-filter child per shard under ONE
+    * GLOBAL df dictionary: shingle sets and document frequencies are
+    * computed once over the full corpus, each shard persists its
+    * doc_id-routed sets slice, a full copy of the shared dictionary
+    * (vocab-bounded — the price of shard self-containedness), and its
+    * prefixes cut under it ([[SimJoin.writePrefixFromSets]]). The
+    * PPJoin lemma needs both sides of any probe to share one fixed
+    * total order — the [[writeEmbedding]] rowBits rule again: one
+    * global decision, S identical dictionaries. (Losslessness would
+    * survive per-shard dictionaries — each shard's own prefixes and
+    * the batch's per-shard cut would still share an order — but the
+    * global dictionary lets a serve cut batch prefixes per shard from
+    * ONE shingling and keeps selectivity uniform across shards.) */
+  def writePrefix(corpus: DataFrame, home: String, shards: Int,
+                  thrNum: Int, thrDen: Int, shingleWidth: Int = 3,
+                  id: String = "doc_id", text: String = "text"): Unit = {
+    require(thrNum > 0 && thrDen > 0 && thrNum <= thrDen,
+      s"ShardedIndex.writePrefix: threshold must be in (0,1]: " +
+        s"$thrNum/$thrDen")
+    val sets = Dedup.materialize(
+      Dedup.shingleHashesFlat(corpus, id, text, shingleWidth)
+        .filter(size(col("hs")) > 0))
+    val dfreq = Dedup.materialize(
+      sets.select(col("doc_id"), explode(col("hs")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("df")))
+    write(sets, home, shards, SimJoin.PrefixIndexKind, "doc_id")(
+      (df, dir) => SimJoin.writePrefixFromSets(df, dfreq, thrNum, thrDen,
+        shingleWidth, dir))
   }
 
   /** One CDC change batch (inserts + deletes under a durable
@@ -256,8 +349,15 @@ object ShardedIndex {
   private def emptyInserts(spark: SparkSession, childKind: String,
                            id: String, text: String): DataFrame =
     if (vecKinds(childKind))
+      // NOT a literal empty array: the IVF appliers build
+      // dimension-checked expressions (cosine against the stored
+      // centroids) over this column, and Catalyst's ConstantFolding
+      // would EVALUATE them at plan time on a foldable 0-dim literal —
+      // crashing a delete-only batch that carries no insert rows at
+      // all. A column-dependent array is unfoldable, and with zero
+      // rows it is never evaluated at runtime either.
       spark.range(0).select(col("id").cast("long").as("vec_id"),
-        array().cast("array<float>").as("embedding"))
+        array(col("id").cast("float")).as("embedding"))
     else
       spark.range(0).select(col("id").cast("long").as(id),
         lit("").as(text))
@@ -305,12 +405,66 @@ object ShardedIndex {
   def rebuild(spark: SparkSession, home: String): Seq[Int] =
     IndexLease.withLease(spark, home, "ShardedIndex.rebuild") {
       val m = manifest(spark, home)
-      (0 until m("shards").toInt).filter { i =>
+      if (m("child_kind") == Similarity.IvfIndexKind)
+        rebuildIvfShards(spark, home, m)
+      else (0 until m("shards").toInt).filter { i =>
         val dir = shardDir(home, i)
         if (IndexCdc.liveIds(spark, dir).isEmpty) false
         else { IndexCdc.rebuild(spark, dir); true }
       }
     }
+
+  /** IVF shards rebuild under ONE retrained model: dispatching
+    * per-shard `rebuildIvfIndex` (the generic path) would retrain S
+    * independent quantizers — S cell geometries whose union no
+    * single-model probe can score, the drift [[readIvfSharded]]
+    * refuses — so the sharded rebuild keeps the retrain a HOME-level
+    * decision: train once on the union of live vectors, then re-cut
+    * each live shard under the shared model
+    * ([[Similarity.rebuildIvfIndexWith]] — markers preserved). The
+    * cross-shard part is ONLY the train (iters narrow scans netting to
+    * a driver-side nCentroids×dim model); the re-cuts stay
+    * shard-bounded and fleet-parallelizable, which is the sharding
+    * payoff for the family's most expensive maintenance op.
+    * Hyperparameters come from the shards' own stored metadata, no
+    * defaults (the [[IndexCdc.rebuild]] contract), pinned equal. */
+  private def rebuildIvfShards(spark: SparkSession, home: String,
+                               m: Map[String, String]): Seq[Int] = {
+    val liveShards = (0 until m("shards").toInt).filter(i =>
+      !IndexCdc.liveIds(spark, shardDir(home, i)).isEmpty)
+    if (liveShards.isEmpty) return Seq.empty
+    val params = liveShards.map { i =>
+      val sm = Dedup.readMeta(spark,
+        Dedup.indexRoot(spark, shardDir(home, i)))
+      (sm.get("nCentroids").map(_.toInt), sm.get("iters").map(_.toInt))
+    }.distinct
+    require(params.sizeIs == 1,
+      s"ShardedIndex.rebuild: drifting per-shard (nCentroids, iters) " +
+        s"$params at $home — shards were maintained by different " +
+        "writers; pick one parameterization and rebuild explicitly")
+    val (ncOpt, itOpt) = params.head
+    def req(v: Option[Int], key: String): Int = v.getOrElse(
+      throw new IllegalArgumentException(
+        s"ShardedIndex.rebuild: IVF shard metadata at $home has no " +
+          s"'$key' — the writer always persists it; the artifact is " +
+          "torn or foreign-edited, and rebuilding at a default would " +
+          "silently change the quantizer"))
+    val (nc, it) = (req(ncOpt, "nCentroids"), req(itOpt, "iters"))
+    // one global retrain from the live union — materialized because
+    // k-means scans it iters+1 times
+    val (cc, release) = Dedup.materializeTracked(
+      liveShards.map(i =>
+          Similarity.readIvfIndex(spark, shardDir(home, i)).assigned
+            .select(col("vec_id"), col("v").as("embedding")))
+        .reduce(_.unionByName(_)))
+    try {
+      val cents = Similarity.trainCentroids(cc, nc, it)
+      liveShards.foreach(i =>
+        Similarity.rebuildIvfIndexWith(spark, shardDir(home, i), cents,
+          nc, it))
+    } finally release()
+    liveShards
+  }
 
   /** Revise the SIZING decision: build a `newShards`-way home at
     * `newHome` from the LIVE rows of the index at `oldHome` — which
@@ -324,12 +478,26 @@ object ShardedIndex {
     *   - minhash routes the stored bands/sets rows (signatures are
     *     per-document deterministic under the stored parameters);
     *   - sign-LSH re-keys the stored vectors under the stored
-    *     (bands, rowBits) — the same global blocking, S' key spaces.
+    *     (bands, rowBits) — the same global blocking, S' key spaces;
+    *   - IVF routes the stored vectors and re-cuts each new shard
+    *     under the OLD home's (shared, unchanged) quantizer — cell
+    *     membership is a pure function of the model, so boards are
+    *     untouched by the move;
+    *   - prefix routes the stored live sets and re-derives ONE global
+    *     dictionary from them (a rebuild-quality resize: the df order
+    *     regains the pruning power appends eroded; recall is
+    *     order-invariant, so the refresh cannot change any result).
     *
-    * The old home is READ-ONLY here and keeps serving; cut-over is
-    * the caller's pointer/path swap, and the old home's directory can
-    * be deleted after. Boards from the new home are bit-identical to
-    * the old one's — shard count stays an operational knob through
+    * The old home's read-only-ness is ENFORCED, not just documented:
+    * reshard holds the OLD home's writer lease for the whole read+build
+    * — a CDC batch applied mid-reshard would otherwise be silently
+    * absent from the new home at cut-over, so a concurrent writer now
+    * refuses loudly, naming this resharder (and symmetrically, reshard
+    * refuses to start while a writer holds the old home). Readers take
+    * no lease ever, so the old home KEEPS SERVING throughout; cut-over
+    * is the caller's pointer/path swap, and the old home's directory
+    * can be deleted after. Boards from the new home are bit-identical
+    * to the old one's — shard count stays an operational knob through
     * the resize. */
   def reshard(spark: SparkSession, oldHome: String, newHome: String,
               newShards: Int): Unit = {
@@ -337,6 +505,7 @@ object ShardedIndex {
       "ShardedIndex.reshard builds a NEW home beside the old one " +
         "(the old home keeps serving until the caller cuts over) — " +
         "pass a different newHome")
+    IndexLease.withLease(spark, oldHome, "ShardedIndex.reshard") {
     val meta = Dedup.readMeta(spark, Dedup.indexRoot(spark, oldHome))
     val (childKind, olds) = meta.getOrElse("kind", "<absent>") match {
       case Kind =>
@@ -391,9 +560,60 @@ object ShardedIndex {
               "router" -> Router))
           } finally { cleanB(); cleanS() }
         }
+      case Similarity.IvfIndexKind =>
+        val idxs = olds.map(Similarity.readIvfIndex(spark, _))
+        val models = idxs.map(_.cents.map { case (c, v) => (c, v.toSeq) })
+          .distinct
+        require(models.sizeIs == 1,
+          s"reshard: drifting per-shard quantizers at $oldHome — cell " +
+            "geometry differs between shards; rebuild the home under " +
+            "one model first (ShardedIndex.rebuild)")
+        val hp = olds.map { o =>
+          val sm = Dedup.readMeta(spark, Dedup.indexRoot(spark, o))
+          (sm.get("nCentroids").map(_.toInt), sm.get("iters").map(_.toInt))
+        }.distinct
+        require(hp.sizeIs == 1 && hp.head._1.isDefined && hp.head._2.isDefined,
+          s"reshard: inconsistent or missing (nCentroids, iters) $hp at " +
+            s"$oldHome — the writer always persists both; the artifact " +
+            "is torn or was maintained by different writers")
+        // the quantizer MOVES UNCHANGED: assignment is a pure function
+        // of the model, so re-cutting routed slices under it preserves
+        // every cell — and every board — bit for bit
+        val vectors = idxs.map(_.assigned
+            .select(col("vec_id"), col("v").as("embedding")))
+          .reduce(_.unionByName(_))
+        write(vectors, newHome, newShards, Similarity.IvfIndexKind,
+          "vec_id")(
+          (df, dir) => Similarity.writeIvfIndexWith(df, dir,
+            idxs.head.cents, hp.head._1.get, hp.head._2.get))
+      case SimJoin.PrefixIndexKind =>
+        val params = olds.map(SimJoin.prefixParams(spark, _)).distinct
+        require(params.sizeIs == 1,
+          s"reshard: drifting per-shard (num, den, width) $params at " +
+            s"$oldHome — shards were maintained by different writers; " +
+            "rebuild under one parameterization first")
+        val (num, den, w) = params.head
+        // rebuild-quality resize: ONE dictionary re-derived from the
+        // live union (stale-df pruning debt cleared for free; recall is
+        // order-invariant so no result can change), every new shard cut
+        // under it. Materialized: the df fold and the staged routing
+        // both consume the union.
+        val (sets, release) = Dedup.materializeTracked(
+          olds.map(SimJoin.liveSets(spark, _)).reduce(_.unionByName(_)))
+        try {
+          val dfreq = Dedup.materialize(
+            sets.select(col("doc_id"), explode(col("hs")).as("h"))
+              .groupBy("h").agg(count(lit(1)).as("df")))
+          write(sets, newHome, newShards, SimJoin.PrefixIndexKind,
+            "doc_id")(
+            (df, dir) => SimJoin.writePrefixFromSets(df, dfreq, num, den,
+              w, dir))
+        } finally release()
       case other => throw new IllegalArgumentException(
         s"ShardedIndex.reshard: no live-row rewriter for child family " +
-          s"'$other' — supported: bm25_index, minhash-v2, signlsh-v2")
+          s"'$other' — supported: bm25_index, minhash-v2, signlsh-v2, " +
+          "ivf_index, prefix_index")
+    }
     }
   }
 
@@ -419,16 +639,28 @@ object ShardedIndex {
     require(m("child_kind") == Bm25Index.Kind,
       s"sharded index at $home holds ${m("child_kind")}, not BM25")
     val dirs = shardDirs(home, m)
-    // global (N, S): Σ of per-shard folds — tolerant per shard (a
-    // takedown may have emptied one), refused only on the global total
-    val stats = dirs.map(Bm25Index.foldedStatsTolerant(spark, _))
-    val nDocs = stats.map(_._1).sum
-    val sTok = stats.map(_._2).sum
+    // global (N, S): the S per-shard signed-partial frames union
+    // LAZILY and fold in ONE aggregate job — per-shard `.head()` folds
+    // would be S sequential driver round trips before the serve even
+    // starts. Emptied shards (a takedown may have drained one)
+    // contribute (0, NULL) partials that the null-coalescing sum
+    // absorbs; only the GLOBAL total is refused.
+    val st = dirs.map(Bm25Index.statsFrame(spark, _))
+      .reduce(_.unionByName(_))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s")).head()
+    val nDocs = if (st.isNullAt(0)) 0L else st.getLong(0)
+    val sTok = if (st.isNullAt(1)) 0L else st.getLong(1)
     require(nDocs > 0,
       s"sharded BM25 index at $home holds no committed documents")
-    val globalDf = dirs.map(Bm25Index.foldedDf(spark, _))
+    // RAW signed partials unioned, ONE global fold: per-shard foldedDf
+    // aggregates would put S shuffle stages in the plan (one AQE job
+    // each); df is distributive over the partials, so a single
+    // groupBy over the union — with the net-zero drop applied to the
+    // GLOBAL sum — is the same statistic in one stage
+    val globalDf = dirs.map(Bm25Index.dfPartialsFrame(spark, _))
       .reduce(_.unionByName(_))
       .groupBy("term").agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
     val kept = TextOps.bm25KeptTerms(globalDf, nDocs, maxDfFrac)
     val qterms = TextOps.bm25QueryTerms(queries, qid, qtext)
     val probedKeys = broadcast(qterms.select("term").distinct())
@@ -491,5 +723,73 @@ object ShardedIndex {
       idxs.map(_.bands).reduce(_.unionByName(_)),
       idxs.map(_.vectors).reduce(_.unionByName(_)),
       params.head._1, params.head._2)
+  }
+
+  /** Open a sharded IVF home as ONE [[Similarity.IvfIndex]] handle:
+    * the shared quantizer (pinned bit-identical across shards — floats
+    * round-trip parquet exactly, so equality is exact, not
+    * approximate) plus the lazy union of the per-shard live `assigned`
+    * views. Cell membership is a pure function of the quantizer, so
+    * the union IS the monolithic index frame and every existing
+    * consumer — [[Similarity.ivfTopKIndexed]]'s cell-pruned probe,
+    * [[Similarity.ivfTopKQuantized]]'s codes-column serving — works on
+    * a sharded home unchanged, boards bit-identical at any shard
+    * count. Per-shard model drift (possible only through a foreign
+    * writer — [[writeIvf]]/[[rebuild]]/[[reshard]] all force one
+    * shared model) refuses: a cell-key probe is meaningless across two
+    * different cell geometries. */
+  def readIvfSharded(spark: SparkSession,
+                     home: String): Similarity.IvfIndex = {
+    val m = manifest(spark, home)
+    require(m("child_kind") == Similarity.IvfIndexKind,
+      s"sharded index at $home holds ${m("child_kind")}, not IVF")
+    val idxs = shardDirs(home, m).map(Similarity.readIvfIndex(spark, _))
+    val models = idxs.map(_.cents.map { case (c, v) => (c, v.toSeq) })
+      .distinct
+    require(models.sizeIs == 1,
+      s"sharded IVF at $home has drifting per-shard quantizers — the " +
+        "shards' cells live in different geometries and a cell-key " +
+        "probe cannot span them; rebuild the HOME " +
+        "(ShardedIndex.rebuild retrains ONE model and re-cuts every " +
+        "shard under it)")
+    Similarity.IvfIndex(idxs.head.cents,
+      idxs.map(_.assigned).reduce(_.unionByName(_)))
+  }
+
+  /** EXACT bipartite similarity join of an incoming batch against a
+    * sharded prefix home — [[SimJoin.crossPrefixJoin]] at any shard
+    * count: the batch is shingled ONCE, then each shard runs the
+    * standard lossless probe through [[SimJoin.crossPrefixJoinSets]]
+    * (prefixes cut under THAT shard's stored dictionary — always the
+    * order its own prefixes were cut under, so the PPJoin lemma holds
+    * per shard and hence for the union; [[writePrefix]] makes the
+    * dictionaries identical, per-shard rebuilds may refresh them
+    * independently without costing recall). The S result frames union
+    * LAZILY — one job, not S — and the shards partition the corpus
+    * disjointly, so the union carries no duplicate (new, matched)
+    * pairs and equals the monolithic join bit for bit. Per-shard cost
+    * is batch-bounded (the batch's prefix cut) plus the query-bounded
+    * candidate/verify joins against that shard's slice. */
+  def crossPrefixJoinSharded(spark: SparkSession, newDocs: DataFrame,
+                             home: String, id: String = "doc_id",
+                             text: String = "text"): DataFrame = {
+    val m = manifest(spark, home)
+    require(m("child_kind") == SimJoin.PrefixIndexKind,
+      s"sharded index at $home holds ${m("child_kind")}, not prefix")
+    val dirs = shardDirs(home, m)
+    // one shingling serves all shards — width pinned equal (threshold
+    // may in principle drift per shard without breaking losslessness,
+    // but the shingle width changes the SETS, which must match the
+    // stored verify sides)
+    val ws = dirs.map(SimJoin.prefixParams(spark, _)._3).distinct
+    require(ws.sizeIs == 1,
+      s"sharded prefix home at $home has drifting per-shard shingle " +
+        s"widths $ws — batch sets cut at one width cannot verify " +
+        "against sets stored at another; rebuild under one width")
+    val newSets = Dedup.materialize(
+      Dedup.shingleHashesFlat(newDocs, id, text, ws.head)
+        .filter(size(col("hs")) > 0))
+    dirs.map(SimJoin.crossPrefixJoinSets(spark, newSets, _))
+      .reduce(_.unionByName(_))
   }
 }

@@ -171,10 +171,26 @@ object SimJoin {
     val posting = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val dfreq = Dedup.materialize(
       posting.groupBy("h").agg(count(lit(1)).as("df")))
-    val spark = df.sparkSession
+    writePrefixFromSets(sets, dfreq, thrNum, thrDen, shingleWidth, dir)
+  }
+
+  /** Writes a complete prefix-index home at `dir` from precomputed
+    * shingle SETS under a GIVEN dictionary — the shared layout writer
+    * behind [[writePrefixIndex]] (df derived from the corpus itself)
+    * and the per-shard writer of the sharded family
+    * ([[graft.operators.ShardedIndex.writePrefix]]), where the
+    * dictionary is ONE home-level decision: the PPJoin lemma needs both
+    * sides of any future probe to cut prefixes under one fixed total
+    * order, so every shard persists the same `df` table (vocab-bounded
+    * — the redundancy is the price of shard self-containedness) and
+    * cuts its slice's prefixes under it. Pointer commit: replaces
+    * everything atomically; readers of the old index keep serving. */
+  private[graft] def writePrefixFromSets(sets: DataFrame, dfreq: DataFrame,
+                                         thrNum: Int, thrDen: Int,
+                                         shingleWidth: Int,
+                                         dir: String): Unit = {
+    val spark = sets.sparkSession
     IndexLease.withLease(spark, dir, "writePrefixIndex") {
-      // pointer commit: replaces everything atomically; readers of the
-      // old index keep serving it
       Dedup.swapInDir(spark, dir) { tmp =>
         Dedup.writeIndexTable(sets, -1L, s"$tmp/sets", overwriteAll = true)
         Dedup.writeIndexTable(dfreq, -1L, s"$tmp/df", overwriteAll = true)
@@ -185,6 +201,34 @@ object SimJoin {
           "pj_den" -> thrDen.toString, "pj_w" -> shingleWidth.toString))
       }
     }
+  }
+
+  /** The index's live (doc_id, hs) sets — committed rows, tombstones
+    * masked: the verify-side content a reshard rebuilds new shards
+    * from ([[graft.operators.ShardedIndex.reshard]]). */
+  private[graft] def liveSets(spark: SparkSession, dir: String): DataFrame = {
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
+    validatePrefixMeta(meta, dir)
+    liveOnly(spark, root, meta)(
+      Dedup.committedOnly(spark.read.parquet(s"$root/sets"), meta))
+      .select("doc_id", "hs")
+  }
+
+  /** (thrNum, thrDen, shingleWidth) from the stored metadata — no
+    * defaults: a prefix index always persists all three, so absence
+    * means a torn artifact and re-cutting at defaults would silently
+    * change the join's semantics. */
+  private[graft] def prefixParams(spark: SparkSession,
+                                  dir: String): (Int, Int, Int) = {
+    val meta = Dedup.readMeta(spark, Dedup.indexRoot(spark, dir))
+    validatePrefixMeta(meta, dir)
+    def req(key: String): Int = meta.get(key).map(_.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"prefix index at $dir has no '$key' in its metadata — " +
+          "writePrefixIndex always persists it; the artifact is torn " +
+          "or foreign-edited"))
+    (req("pj_num"), req("pj_den"), req("pj_w"))
   }
 
   /** (doc_id, sz, h) prefix postings of `sets` under the (df, h) order
@@ -215,16 +259,30 @@ object SimJoin {
   def crossPrefixJoin(spark: SparkSession, newDocs: DataFrame, dir: String,
                       id: String = "doc_id",
                       text: String = "text"): DataFrame = {
+    val w = prefixParams(spark, dir)._3
+    crossPrefixJoinSets(spark,
+      Dedup.materialize(
+        Dedup.shingleHashesFlat(newDocs, id, text, w)
+          .filter(size(col("hs")) > 0)),
+      dir)
+  }
+
+  /** [[crossPrefixJoin]] from PRECOMPUTED batch shingle sets (doc_id,
+    * hs — the [[graft.operators.Dedup.shingleHashesFlat]] shape,
+    * materialized by the caller) — the shared core that lets the
+    * sharded serve ([[graft.operators.ShardedIndex.crossPrefixJoinSharded]])
+    * shingle the batch ONCE and probe S shards: per-shard work is then
+    * only the batch's prefix cut under THAT shard's stored dictionary
+    * (batch-bounded) plus the query-bounded candidate/verify joins. */
+  private[graft] def crossPrefixJoinSets(spark: SparkSession,
+                                         newSets: DataFrame,
+                                         dir: String): DataFrame = {
     // version snapshot: resolve once — this probe keeps reading the
     // resolved version even while a rebuild commits the next one
     val root = Dedup.indexRoot(spark, dir)
     val meta = Dedup.readMeta(spark, root)
     validatePrefixMeta(meta, dir)
     val (thrNum, thrDen) = (meta("pj_num").toInt, meta("pj_den").toInt)
-    val w = meta("pj_w").toInt
-    val newSets = Dedup.materialize(
-      Dedup.shingleHashesFlat(newDocs, id, text, w)
-        .filter(size(col("hs")) > 0))
     val dfreq = Dedup.committedOnly(
       spark.read.parquet(s"$root/df"), meta).select("h", "df")
     val newPref = Dedup.materialize(

@@ -356,39 +356,95 @@ object Similarity {
         .as("codes"),
       nearestCentroid(col("embedding"), cents).as("cent_id"))
 
-  def writeIvfIndex(corpus: DataFrame, dir: String, nCentroids: Int = 16,
-                    iters: Int = 5): Unit = {
-    val spark = corpus.sparkSession
-    IndexLease.withLease(spark, dir, "writeIvfIndex") {
-    val cents = trainCentroids(corpus, nCentroids, iters)
+  /** Writes the whole IVF layout (centroids + cell-partitioned +
+    * codes-bearing `assigned` + metadata) at `dir` under a GIVEN
+    * quantizer, via ONE directory swap — the shared body of
+    * [[writeIvfIndex]] (fresh train), [[writeIvfIndexWith]] /
+    * [[rebuildIvfIndexWith]] (shard slices under a home-level model,
+    * see [[graft.operators.ShardedIndex.writeIvf]]) and
+    * [[rebuildIvfIndex]] (retrain from live rows). The directory swap,
+    * for two reasons: (a) writing OVER an existing index with
+    * per-table overwrites would replace centroids/assigned/meta but
+    * leave a prior assigned_batches/ subtree in place — fresh meta has
+    * no marker so batch ≥ 0 leftovers are excluded, but a prior
+    * synchronous append lives in the always-committed ingest_batch=-1
+    * partition and would silently ride into the new index carrying
+    * cent_ids from the OLD quantizer; (b) the swap closes the
+    * torn-initial-write window for free (mid-build crash leaves no
+    * half-index at `dir`). The packed int8 codes ride along in their
+    * own column: parquet column pruning lets [[ivfTopKQuantized]]'s
+    * scoring scan read the 1 byte/dim codes without touching the
+    * 4 byte/dim floats — the 4× I/O cut exactly where the 100 TB ANN
+    * scan spends its time. */
+  private def writeIvfLayout(spark: SparkSession, dir: String,
+                             vectors: DataFrame,
+                             cents: Seq[(Int, Array[Float])],
+                             nCentroids: Int, iters: Int,
+                             baseMeta: Map[String, String]): Unit = {
     import spark.implicits._
-    // the whole layout lands via a directory swap, for two reasons: (a)
-    // writing OVER an existing index with per-table overwrites would
-    // replace centroids/assigned/meta but leave a prior assigned_batches/
-    // subtree in place — fresh meta has no marker so batch ≥ 0 leftovers
-    // are excluded, but a prior synchronous append lives in the
-    // always-committed ingest_batch=-1 partition and would silently ride
-    // into the new index carrying cent_ids from the OLD quantizer; (b)
-    // the swap closes the torn-initial-write window for free (mid-build
-    // crash leaves no half-index at `dir`)
     Dedup.swapInDir(spark, dir) { tmp =>
       cents.map { case (cid, v) => (cid, v.toSeq) }
         .toDF("cent_id", "embedding")
         .repartition(1).write.mode("overwrite").parquet(s"$tmp/centroids")
-      // the packed int8 codes ride along in their own column: parquet
-      // column pruning lets [[ivfTopKQuantized]]'s scoring scan read the
-      // 1 byte/dim codes without touching the 4 byte/dim floats — the 4×
-      // I/O cut exactly where the 100 TB ANN scan spends its time
-      ivfAssignedRows(corpus, cents)
+      ivfAssignedRows(vectors, cents)
         .write.mode("overwrite").partitionBy("cent_id")
         .parquet(s"$tmp/assigned")
-      Dedup.writeMeta(spark, tmp, Map(
+      Dedup.writeMeta(spark, tmp, baseMeta ++ Map(
         "kind" -> IvfIndexKind, "nCentroids" -> nCentroids.toString,
         "iters" -> iters.toString,
         "cell_hist" -> cellHistStr(cellCountsOf(spark, s"$tmp/assigned"))))
     }
+  }
+
+  def writeIvfIndex(corpus: DataFrame, dir: String, nCentroids: Int = 16,
+                    iters: Int = 5): Unit = {
+    val spark = corpus.sparkSession
+    IndexLease.withLease(spark, dir, "writeIvfIndex") {
+      val cents = trainCentroids(corpus, nCentroids, iters)
+      writeIvfLayout(spark, dir, corpus, cents, nCentroids, iters, Map.empty)
     }
   }
+
+  /** [[writeIvfIndex]] under a PRE-TRAINED quantizer — the per-shard
+    * writer of [[graft.operators.ShardedIndex.writeIvf]]: every shard
+    * persists the SAME home-level model and cuts its slice's cells
+    * under it, so cell membership (a pure function of the quantizer)
+    * is identical however rows are routed, and the shard union serves
+    * boards bit-identical to a monolithic index. `nCentroids`/`iters`
+    * record the model's training provenance in each shard's metadata
+    * (the [[IndexCdc.rebuild]] no-silent-defaults contract). */
+  private[graft] def writeIvfIndexWith(vectors: DataFrame, dir: String,
+                                       cents: Seq[(Int, Array[Float])],
+                                       nCentroids: Int, iters: Int): Unit = {
+    val spark = vectors.sparkSession
+    IndexLease.withLease(spark, dir, "writeIvfIndexWith") {
+      writeIvfLayout(spark, dir, vectors, cents, nCentroids, iters, Map.empty)
+    }
+  }
+
+  /** Re-cut the index at `dir` from its LIVE rows under a GIVEN
+    * quantizer, preserving its metadata — commit marker included, so
+    * replayed batchIds still skip — the per-shard leg of a
+    * sharded-home rebuild, where the retrain is ONE home-level
+    * decision and every shard must re-cut under the same model
+    * ([[graft.operators.ShardedIndex.rebuild]]). */
+  private[graft] def rebuildIvfIndexWith(spark: SparkSession, dir: String,
+                                         cents: Seq[(Int, Array[Float])],
+                                         nCentroids: Int,
+                                         iters: Int): Unit =
+    IndexLease.withLease(spark, dir, "rebuildIvfIndexWith") {
+      val (_, meta) = ivfMeta(spark, dir)
+      val (vectors, release) = Dedup.materializeTracked(
+        readIvfIndex(spark, dir).assigned
+          .select(col("vec_id"), col("v").as("embedding")))
+      try {
+        require(vectors.head(1).nonEmpty,
+          s"rebuildIvfIndexWith: every vector in $dir is deleted — " +
+            "nothing to re-cut; delete the index directory instead")
+        writeIvfLayout(spark, dir, vectors, cents, nCentroids, iters,
+          meta - "cell_hist")
+      } finally release()
+    }
 
   private def validateIvfMeta(meta: Map[String, String],
                               dir: String): Unit =
@@ -627,27 +683,17 @@ object Similarity {
         s"rebuildIvfIndex: every vector in $dir is deleted — " +
           "nothing to rebuild; delete the index directory instead")
       val cents = trainCentroids(vectors, nCentroids, iters)
-      import spark.implicits._
-      // the WHOLE index swaps as one directory: a per-table swap has
-      // two readable-but-wrong crash windows (new centroids over old
-      // cells; batch partitions surviving their fold into the base and
-      // double-counting under the preserved marker) — the directory
-      // swap's only crash window is loudly unreadable instead
-      Dedup.swapInDir(spark, dir) { tmp =>
-        cents.map { case (cid, v) => (cid, v.toSeq) }
-          .toDF("cent_id", "embedding")
-          .repartition(1).write.mode("overwrite").parquet(s"$tmp/centroids")
-        ivfAssignedRows(vectors, cents)
-          .write.mode("overwrite").partitionBy("cent_id")
-          .parquet(s"$tmp/assigned")
-        // marker survives inside the new layout: folded batches live on
-        // in the base, so replayed batchIds ≤ marker still skip; the
-        // drift baseline re-cuts from the retrained quantizer, and any
-        // tombstones are gone — the new layout holds only live vectors
-        Dedup.writeMeta(spark, tmp, meta - "cell_hist" ++ Map(
-          "nCentroids" -> nCentroids.toString, "iters" -> iters.toString,
-          "cell_hist" -> cellHistStr(cellCountsOf(spark, s"$tmp/assigned"))))
-      }
+      // the WHOLE index swaps as one directory (writeIvfLayout): a
+      // per-table swap has two readable-but-wrong crash windows (new
+      // centroids over old cells; batch partitions surviving their fold
+      // into the base and double-counting under the preserved marker) —
+      // the directory swap's only crash window is loudly unreadable.
+      // The marker survives inside the new layout (baseMeta): folded
+      // batches live on in the base, so replayed batchIds ≤ marker
+      // still skip; the drift baseline re-cuts from the retrained
+      // quantizer, and any tombstones are gone — live vectors only
+      writeIvfLayout(spark, dir, vectors, cents, nCentroids, iters,
+        meta - "cell_hist")
     } finally release()
   }
 

@@ -226,6 +226,97 @@ object Extensions {
     })
   }
 
+  /** Sharded IVF twin of [[gateIvfDelIndex]] — the full corpus under a
+    * 4-shard home cut by ONE home-level quantizer, 7≡2 vec_ids
+    * tombstoned through the sharded takedown — behind
+    * `sim_ivf_sharded`'s bench override: the perf row times the probe
+    * over the shard-union handle, never the shard builds. */
+  private val gateIvfShardMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gateIvfShardedHome(s: SparkSession, d: String): String = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    gateIvfShardMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}", _ => {
+      val home = graft.sources.Scratch.dir(
+        s"ivfsh_bench_${java.util.UUID.randomUUID.toString.take(8)}")
+      val e = Tables.embeddings(s, d)
+      graft.operators.ShardedIndex.writeIvf(e, home, shards = 4)
+      graft.operators.ShardedIndex.delete(s, home,
+        e.filter(col("vec_id") % 7 === 2).select("vec_id"),
+        batchId = 0L)
+      home
+    })
+  }
+
+  /** Sharded prefix twin of [[gatePrefixDelIndex]] — the even corpus
+    * under a 4-shard home cut under ONE global dictionary, 5≡1
+    * tombstoned — behind `dedup_prefix_sharded`'s bench override: the
+    * perf row times the batch check (one shingling, S query-bounded
+    * probes, lazy union), never the shard builds. */
+  private val gatePfxShardMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gatePrefixShardedHome(s: SparkSession, d: String): String = {
+    val f = new java.io.File(s"$d/documents.parquet")
+    gatePfxShardMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}", _ => {
+      val home = graft.sources.Scratch.dir(
+        s"pfxsh_bench_${java.util.UUID.randomUUID.toString.take(8)}")
+      val even = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+      graft.operators.ShardedIndex.writePrefix(even, home, 4, 6, 10)
+      graft.operators.ShardedIndex.delete(s, home,
+        even.filter(col("doc_id") % 5 === 1).select("doc_id"),
+        batchId = 0L)
+      home
+    })
+  }
+
+  /** Sharded CDC-net twins of [[gateMinhashCdcIndex]] /
+    * [[gateEmbeddingCdcIndex]] for the sharded stream gates' bench
+    * overrides — the same net state the gates build (sharded write +
+    * change batches through the façade + whole-home compact). */
+  private val gateMhShardCdcMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gateMinhashShardedCdcHome(s: SparkSession, d: String): String = {
+    val f = new java.io.File(s"$d/documents.parquet")
+    gateMhShardCdcMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}", _ => {
+      val home = graft.sources.Scratch.dir(
+        s"mhshcdc_bench_${java.util.UUID.randomUUID.toString.take(8)}")
+      val even = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+      graft.operators.ShardedIndex.writeMinhash(
+        even.filter(col("doc_id") % 10 =!= 4), home, shards = 4)
+      graft.operators.ShardedIndex.applyCdc(s, home,
+        even.filter(col("doc_id") % 10 === 4).select("doc_id", "text"),
+        even.limit(0).select("doc_id"), batchId = 0L)
+      graft.operators.ShardedIndex.applyCdc(s, home,
+        even.limit(0).select("doc_id", "text"),
+        even.filter(col("doc_id") % 5 === 1).select("doc_id"), batchId = 1L)
+      graft.operators.ShardedIndex.compact(s, home)
+      home
+    })
+  }
+
+  private val gateEmbShardCdcMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gateEmbeddingShardedCdcHome(s: SparkSession,
+                                          d: String): String = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    gateEmbShardCdcMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}", _ => {
+      val home = graft.sources.Scratch.dir(
+        s"embshcdc_bench_${java.util.UUID.randomUUID.toString.take(8)}")
+      val even = Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0)
+      graft.operators.ShardedIndex.writeEmbedding(
+        even.filter(col("vec_id") % 10 =!= 4), home, shards = 4,
+        bands = gateBands, rowBits = gateRowBits)
+      graft.operators.ShardedIndex.applyCdc(s, home,
+        even.filter(col("vec_id") % 10 === 4)
+          .select("vec_id", "embedding"),
+        even.limit(0).select("vec_id"), batchId = 0L)
+      graft.operators.ShardedIndex.applyCdc(s, home,
+        even.limit(0).select("vec_id", "embedding"),
+        even.filter(col("vec_id") % 5 === 1).select("vec_id"), batchId = 1L)
+      graft.operators.ShardedIndex.compact(s, home)
+      home
+    })
+  }
+
   /** Resized twin of [[gateBm25ShardedHome]] (4 -> 2 shards via
     * `ShardedIndex.reshard`) behind `retrieval_bm25_resharded`'s bench
     * override — the timed work is the gathered serve from the resized
@@ -601,6 +692,34 @@ object Extensions {
         graft.operators.ShardedIndex.readEmbeddingSharded(s,
           gateEmbShardedHome(s, d)), 0.3,
         graft.operators.Dedup.DefaultMaxBucket)),
+    // sharded IVF steady state: the cell-pruned probe over the
+    // shard-union handle of the standing takedown fixture — the shard
+    // builds (and the home-level train) are the gate's apparatus
+    "sim_ivf_sharded" -> ((s, d) =>
+      Similarity.ivfTopKIndexed(
+        graft.operators.ShardedIndex.readIvfSharded(s,
+          gateIvfShardedHome(s, d)),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10)),
+    // sharded lossless-prefix steady state: one shingling, S
+    // query-bounded probes, lazy union — over the standing fixture
+    "dedup_prefix_sharded" -> ((s, d) =>
+      graft.operators.ShardedIndex.crossPrefixJoinSharded(s,
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 1),
+        gatePrefixShardedHome(s, d))),
+    // sharded dedup-index CDC twins: the per-batch check against the
+    // standing change-fed shard union (stream lifecycle = apparatus)
+    "stream_minhash_sharded_cdc" -> ((s, d) =>
+      Dedup.crossMinhashPairs(
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 1),
+        graft.operators.ShardedIndex.readMinhashSharded(s,
+          gateMinhashShardedCdcHome(s, d)),
+        "doc_id", "text", 0.5)),
+    "stream_embedding_sharded_cdc" -> ((s, d) =>
+      Similarity.crossEmbeddingPairs(
+        Tables.embeddings(s, d).filter(col("vec_id") % 2 === 1),
+        graft.operators.ShardedIndex.readEmbeddingSharded(s,
+          gateEmbeddingShardedCdcHome(s, d)),
+        0.3, graft.operators.Dedup.DefaultMaxBucket)),
     // dedup-index CDC serves over standing change-fed fixtures: the
     // timed work is one batch check against the net live state
     "stream_minhash_cdc" -> ((s, d) =>
@@ -1515,6 +1634,38 @@ object Extensions {
       Dedup.crossMinhashPairs(docs.filter(col("doc_id") % 2 === 1),
         Dedup.readMinhashIndex(s, s"$root/idx"), "doc_id", "text", 0.5)
     }),
+    // the SAME change stream against a 4-shard minhash home, through
+    // the ONE sharded stream entry point (maintainShardedCdcStream —
+    // per-trigger fanout to the touched shards, per-shard markers, home
+    // fast-skip): nets to the same live corpus, so stream_minhash_cdc's
+    // oracle replays verbatim. With stream_bm25_sharded_cdc and the
+    // embedding twin this pins that one stream entry point covers every
+    // family × layout cell — the stream × sharding composition adds no
+    // semantics, only bounded maintenance units
+    "stream_minhash_sharded_cdc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val root = graft.sources.Scratch.dir(
+        s"smhshcdc_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.ShardedIndex.writeMinhash(
+        even.filter(col("doc_id") % 10 =!= 4), s"$root/idx", shards = 4)
+      val ins = even.filter(col("doc_id") % 10 === 4)
+        .select(col("doc_id"), col("text")).withColumn("op", lit("insert"))
+      val dels = even.filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), lit(null).cast("string").as("text"))
+        .withColumn("op", lit("delete"))
+      ins.unionByName(dels).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/cdc")
+      val q = graft.streaming.StreamOps.maintainShardedCdcStream(
+        s.readStream.schema(s.read.parquet(s"$root/cdc").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
+        "op", s"$root/idx", s"$root/ckpt")
+      q.stop()
+      graft.operators.ShardedIndex.compact(s, s"$root/idx")
+      Dedup.crossMinhashPairs(docs.filter(col("doc_id") % 2 === 1),
+        graft.operators.ShardedIndex.readMinhashSharded(s, s"$root/idx"),
+        "doc_id", "text", 0.5)
+    }),
     // END-TO-END lifecycle composite (one gate, four families): ONE
     // change history fans through the IndexCdc façade into
     // minhash + prefix + BM25 + IVF simultaneously — write on the even
@@ -2408,6 +2559,39 @@ object Extensions {
         Similarity.readEmbeddingIndex(s, s"$root/idx"), 0.3,
         graft.operators.Dedup.DefaultMaxBucket)
     }),
+    // the SAME change stream against a 4-shard sign-LSH home through
+    // the ONE sharded stream entry point (vec_id routing, per-shard
+    // (bands, rowBits) all cut in the shared band space by the pinned
+    // global rowBits): nets to the same live corpus, so the takedown
+    // oracle replays verbatim — the third family × layout cell the
+    // façade dispatch pins (BM25 and minhash twins beside it)
+    "stream_embedding_sharded_cdc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val even = e.filter(col("vec_id") % 2 === 0)
+      val root = graft.sources.Scratch.dir(
+        s"sembshcdc_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.ShardedIndex.writeEmbedding(
+        even.filter(col("vec_id") % 10 =!= 4), s"$root/idx", shards = 4,
+        bands = gateBands, rowBits = gateRowBits)
+      val ins = even.filter(col("vec_id") % 10 === 4)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("op", lit("insert"))
+      val dels = even.filter(col("vec_id") % 5 === 1)
+        .select(col("vec_id"),
+          lit(null).cast("array<float>").as("embedding"))
+        .withColumn("op", lit("delete"))
+      ins.unionByName(dels).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/cdc")
+      val q = graft.streaming.StreamOps.maintainShardedCdcStream(
+        s.readStream.schema(s.read.parquet(s"$root/cdc").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
+        "op", s"$root/idx", s"$root/ckpt")
+      q.stop()
+      graft.operators.ShardedIndex.compact(s, s"$root/idx")
+      Similarity.crossEmbeddingPairs(e.filter(col("vec_id") % 2 === 1),
+        graft.operators.ShardedIndex.readEmbeddingSharded(s, s"$root/idx"),
+        0.3, graft.operators.Dedup.DefaultMaxBucket)
+    }),
     // dedup_embedding_incr's deployment form (mirrors
     // stream_incremental_dedup on the text side): corpus band keys cut
     // once into a persisted EmbeddingIndex, incoming vectors streamed
@@ -2503,6 +2687,27 @@ object Extensions {
         batchId = Some(0L))
       graft.operators.SimJoin.crossPrefixJoin(s,
         docs.filter(col("doc_id") % 2 === 1), dir)
+    }),
+    // the sharded form of the SAME lossless takedown: the even corpus
+    // under a 4-shard prefix home cut under ONE global df dictionary
+    // (the PPJoin fixed-common-order decision, made once at the home
+    // level), the 5≡1 tombstones routed through the sharded takedown,
+    // the odd batch shingled ONCE and probed per shard — the S result
+    // frames union into one job and, because shards partition the
+    // corpus disjointly and the verify is exact, the pair set equals
+    // dedup_prefix_del's (and its live-corpus oracle) bit for bit
+    "dedup_prefix_sharded" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val home = graft.sources.Scratch.dir(
+        s"pfxsh_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.ShardedIndex.writePrefix(
+        docs.filter(col("doc_id") % 2 === 0), home, 4, 6, 10)
+      graft.operators.ShardedIndex.delete(s, home,
+        docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 5 === 1)
+          .select("doc_id"),
+        batchId = 0L)
+      graft.operators.ShardedIndex.crossPrefixJoinSharded(s,
+        docs.filter(col("doc_id") % 2 === 1), home)
     }),
     // CDC change-stream twin for the LOSSLESS prefix index
     // (stream_minhash_cdc's exact sibling — same disjoint split, net
@@ -2641,6 +2846,29 @@ object Extensions {
         e.filter(col("vec_id") % 7 === 2).select("vec_id"),
         batchId = Some(0L))
       Similarity.ivfTopKIndexed(Similarity.readIvfIndex(s, dir),
+        e.filter(col("vec_id") < 5), 10)
+    }),
+    // the sharded form of the SAME takedown lifecycle: a 4-shard IVF
+    // home under ONE home-level quantizer (trained once on the full
+    // corpus; every shard persists the same model and cuts its
+    // vec_id-routed slice under it — cell membership is a pure
+    // function of the quantizer, so routing can't move any vector's
+    // cell), the 7≡2 tombstones routed through the sharded takedown,
+    // then the probe over the shard-union handle. The board must equal
+    // sim_ivf_del's — and its unrolled-k-means oracle — bit for bit:
+    // shard count is an operational knob for the family whose rebuild
+    // (retrain + full re-cut) is the most expensive maintenance op in
+    // the whole index stack
+    "sim_ivf_sharded" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val home = graft.sources.Scratch.dir(
+        s"ivfsh_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.ShardedIndex.writeIvf(e, home, shards = 4)
+      graft.operators.ShardedIndex.delete(s, home,
+        e.filter(col("vec_id") % 7 === 2).select("vec_id"),
+        batchId = 0L)
+      Similarity.ivfTopKIndexed(
+        graft.operators.ShardedIndex.readIvfSharded(s, home),
         e.filter(col("vec_id") < 5), 10)
     }),
     // the IVF lifecycle as one change stream: write on the 3/4 base,
@@ -4694,6 +4922,9 @@ object Extensions {
     // and deletes %5=1 are disjoint on evens) — shares the takedown
     // oracle; the stream path must be indistinguishable from it
     "stream_minhash_cdc" -> incrementalDelOracle,
+    // the 4-shard home under the same stream nets to the same live
+    // corpus — shard count is an operational knob through the façade
+    "stream_minhash_sharded_cdc" -> incrementalDelOracle,
     // canary: a healthy index's audit row set is literal and
     // scale-independent (counts live in the unselected detail column)
     "q_index_audit" -> """
@@ -4994,6 +5225,9 @@ object Extensions {
     // to the masked-index result by order-invariance of verified recall
     "dedup_prefix_del" -> prefixDelOracle,
     "stream_prefix_cdc" -> prefixDelOracle,
+    // the 4-shard home partitions the corpus disjointly and the verify
+    // is exact, so the shard-union pair set shares the takedown oracle
+    "dedup_prefix_sharded" -> prefixDelOracle,
     // append + rebuild must restore the fresh-index blocking exactly
     "dedup_prefix_rebuild" -> prefixIncrOracle,
     // micro-batched check against the same index ≡ one-shot bipartite
@@ -5006,6 +5240,10 @@ object Extensions {
     // full-corpus quantizer, live-rows-only boards (deletes mask, never
     // retrain)
     "sim_ivf_del" -> ivfDeletedOracle,
+    // the 4-shard home under ONE home-level quantizer serves the same
+    // live rows through the same model — the takedown oracle's unrolled
+    // k-means replays verbatim (routing can't move a vector's cell)
+    "sim_ivf_sharded" -> ivfDeletedOracle,
     // base-trained quantizer, net live rows after the CDC drain
     "stream_ivf_cdc" -> ivfCdcOracle,
     "lifecycle_composite" -> lifecycleCompositeOracle,
@@ -5032,6 +5270,9 @@ object Extensions {
     // blocking — the takedown oracle replays verbatim
     "dedup_embedding_sharded" -> embeddingDelOracle,
     "stream_embedding_cdc" -> embeddingDelOracle,
+    // the sharded stream twin nets to the same live corpus under the
+    // same pinned global blocking
+    "stream_embedding_sharded_cdc" -> embeddingDelOracle,
     // the streamed form checks micro-batches against the same persisted
     // blocking — streaming ≡ batch ≡ DuckDB
     "stream_embedding_incr" -> embeddingIncrOracle,

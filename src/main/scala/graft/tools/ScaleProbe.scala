@@ -725,52 +725,109 @@ object ScaleProbe {
     // semantics claim (masking serves the live board exactly as cut
     // cells allow); the serve walls price what masking costs and what
     // compact/rebuild each reclaim.
-    def churnRecall(): (Seq[Double], Seq[Double]) = {
+    // MULTI-SAMPLED (VERDICT r17 #6): the masked-vs-rebuilt recall gap's
+    // sign flipped between single-draw runs (≈0 in r16, +0.20 in r17),
+    // so the operational claim "masking is recall-safe under churn" now
+    // rests on a DISTRIBUTION — 3 deterministic ~50% churn draws ×
+    // nprobe ∈ {1, 2, 4}, each cell measuring masked and rebuilt recall
+    // against the same live-corpus brute-force truth — reported per
+    // cell plus min/median per station. Seed 0 keeps the historical
+    // odd-residue draw and the full station walk (fresh → deleted →
+    // compacted → rebuilt with serve walls) for trend continuity.
+    def churnRecall(): (Seq[Double], Seq[Double],
+                        Seq[(Int, Int, Double, Double)]) = {
       val e = graft.sources.Tables.embeddings(spark, base)
-      val idxDir = graft.sources.Scratch.dir("probe-churnrec")
-      graft.operators.Similarity.writeIvfIndex(e, idxDir)
       val queries = e.filter(col("vec_id") < 5)
       def pairs(df: DataFrame): Set[(Long, Long)] =
         df.select(col("qid"), col("vec_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-      def station(): (Double, Double) = {
-        val idx = graft.operators.Similarity.readIvfIndex(spark, idxDir)
-        val corpus = idx.assigned
-          .select(col("vec_id"), col("v").as("embedding"))
-        val truth = pairs(graft.operators.Similarity
-          .bruteForceTopK(corpus, queries, 10))
-        val board = graft.operators.Similarity.ivfTopKIndexed(idx,
-          queries, 10)
-        val rec = pairs(board).intersect(truth).size.toDouble /
-          math.max(1, truth.size)
-        board.write.format("noop").mode("overwrite").save() // warm
-        System.gc()
-        val t0 = System.nanoTime()
-        graft.operators.Similarity.ivfTopKIndexed(
-          graft.operators.Similarity.readIvfIndex(spark, idxDir),
-          queries, 10).write.format("noop").mode("overwrite").save()
-        (rec, (System.nanoTime() - t0) / 1e9)
+      val cells =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double, Double)]
+      var legacy: (Seq[Double], Seq[Double]) = (Nil, Nil)
+      (0 until 3).foreach { seed =>
+        val idxDir = graft.sources.Scratch.dir(s"probe-churnrec-$seed")
+        graft.operators.Similarity.writeIvfIndex(e, idxDir)
+        def recallAt(np: Int, truth: Set[(Long, Long)]): Double = {
+          val idx = graft.operators.Similarity.readIvfIndex(spark, idxDir)
+          pairs(graft.operators.Similarity.ivfTopKIndexed(idx, queries,
+            10, nprobe = np))
+            .intersect(truth).size.toDouble / math.max(1, truth.size)
+        }
+        def truthNow(): Set[(Long, Long)] = {
+          val idx = graft.operators.Similarity.readIvfIndex(spark, idxDir)
+          pairs(graft.operators.Similarity.bruteForceTopK(
+            idx.assigned.select(col("vec_id"), col("v").as("embedding")),
+            queries, 10))
+        }
+        def serveWall(): Double = {
+          graft.operators.Similarity.ivfTopKIndexed(
+            graft.operators.Similarity.readIvfIndex(spark, idxDir),
+            queries, 10).write.format("noop").mode("overwrite").save()
+          System.gc()
+          val t0 = System.nanoTime()
+          graft.operators.Similarity.ivfTopKIndexed(
+            graft.operators.Similarity.readIvfIndex(spark, idxDir),
+            queries, 10).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        // the churn draw: seed 0 = the historical odd residues; seeds
+        // 1-2 = hash-selected ~50% (deterministic — xxhash64's fixed
+        // seed — but a different membership per multiplier)
+        val doomed =
+          if (seed == 0) e.filter(col("vec_id") % 8 === 1 ||
+            col("vec_id") % 8 === 3 || col("vec_id") % 8 === 5 ||
+            col("vec_id") % 8 === 7)
+          else e.filter(pmod(xxhash64(
+            col("vec_id") * lit(seed * 2654435761L + 1L)), lit(2L)) === 0)
+        // fresh station (seed 0 only, for trend continuity): recall at
+        // the historical nprobe=2 vs the full-corpus truth + serve wall
+        val freshStation =
+          if (seed == 0) Some((recallAt(2, truthNow()), serveWall()))
+          else None
+        // fragmented across 4 tombstone batches, the way a delete-heavy
+        // CDC feed lands it
+        (0 until 4).foreach { b =>
+          graft.operators.Similarity.deleteFromIvfIndex(spark, idxDir,
+            doomed.filter(col("vec_id") % 4 === b).select("vec_id"),
+            batchId = Some(b.toLong))
+        }
+        val truth = truthNow()
+        val masked = Seq(1, 2, 4).map(np => np -> recallAt(np, truth)).toMap
+        val (serveDel, serveComp) =
+          if (seed == 0) {
+            val sd = serveWall()
+            graft.operators.Similarity.compactIvfIndex(spark, idxDir)
+            (sd, Some(serveWall()))
+          } else (0.0, None)
+        graft.operators.Similarity.rebuildIvfIndex(spark, idxDir)
+        Seq(1, 2, 4).foreach { np =>
+          cells += ((seed, np, masked(np), recallAt(np, truth)))
+        }
+        if (seed == 0) {
+          val (freshRec, freshServe) = freshStation.get
+          // legacy stations at the historical nprobe=2. Compaction is
+          // row-preserving with the quantizer untouched, so its board —
+          // and recall — EQUALS the deleted station's by construction
+          // (the law IvfIndexSpec pins); its serve wall is what changes.
+          legacy = (Seq(freshRec, masked(2), masked(2),
+            cells.find(c => c._1 == 0 && c._2 == 2).get._4),
+            Seq(freshServe, serveDel, serveComp.get, serveWall()))
+        }
       }
-      val fresh = station()
-      // ~50% churn, fragmented across 4 tombstone batches the way a
-      // delete-heavy CDC feed lands it
-      (0 until 4).foreach { b =>
-        graft.operators.Similarity.deleteFromIvfIndex(spark, idxDir,
-          e.filter(col("vec_id") % 8 === 2 * b + 1).select("vec_id"),
-          batchId = Some(b.toLong))
-      }
-      val deleted = station()
-      graft.operators.Similarity.compactIvfIndex(spark, idxDir)
-      val compacted = station()
-      graft.operators.Similarity.rebuildIvfIndex(spark, idxDir)
-      val rebuilt = station()
-      (Seq(fresh._1, deleted._1, compacted._1, rebuilt._1),
-        Seq(fresh._2, deleted._2, compacted._2, rebuilt._2))
+      (legacy._1, legacy._2, cells.toSeq)
     }
-    val (chRec, chServe) = churnRecall()
+    val (chRec, chServe, chCells) = churnRecall()
+    val chMasked = chCells.map(_._3).sorted
+    val chRebuilt = chCells.map(_._4).sorted
+    def median(xs: Seq[Double]): Double = xs(xs.size / 2)
     println(f"[scaleprobe] churn recall (fresh/del/compact/rebuild): " +
       s"recall ${chRec.map(r => f"$r%.2f").mkString("/")} " +
-      s"serve ${chServe.map(t => f"$t%.2f").mkString("/")}s")
+      s"serve ${chServe.map(t => f"$t%.2f").mkString("/")}s; " +
+      s"cells (seed,np,masked,rebuilt): " +
+      chCells.map(c => f"(${c._1},${c._2},${c._3}%.2f,${c._4}%.2f)")
+        .mkString(" ") +
+      f"; masked min/med ${chMasked.min}%.2f/${median(chMasked)}%.2f " +
+      f"rebuilt min/med ${chRebuilt.min}%.2f/${median(chRebuilt)}%.2f")
     sentinel("end")
     val sentinelSpread = sentinelTimes.max / sentinelTimes.min
     println(f"[scaleprobe] sentinel spread=${sentinelSpread}%4.2f " +
@@ -811,7 +868,14 @@ object ScaleProbe {
         f""""recallRebuilt":${chRec(3)}%.3f,""" +
         f""""serveFresh":${chServe(0)}%.3f,"serveDeleted":${chServe(1)}%.3f,""" +
         f""""serveCompacted":${chServe(2)}%.3f,""" +
-        f""""serveRebuilt":${chServe(3)}%.3f},""" +
+        f""""serveRebuilt":${chServe(3)}%.3f,""" +
+        s""""cells":[${chCells.map(c =>
+          f"""{"seed":${c._1},"nprobe":${c._2},"masked":${c._3}%.3f,""" +
+            f""""rebuilt":${c._4}%.3f}""").mkString(",")}],""" +
+        f""""maskedMin":${chMasked.min}%.3f,""" +
+        f""""maskedMedian":${median(chMasked)}%.3f,""" +
+        f""""rebuiltMin":${chRebuilt.min}%.3f,""" +
+        f""""rebuiltMedian":${median(chRebuilt)}%.3f},""" +
         f""""compact_effect":{"filesFrag":$cfF,"filesCompact":$cfC,""" +
         f""""serveFrag":$ctF%.3f,"serveCompact":$ctC%.3f,""" +
         f""""speedup":${ctF / ctC}%.3f},""" +

@@ -27,6 +27,12 @@ object ColumnBridge {
   def cloneSession(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
     s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 
+  /** Block until the listener bus has delivered every queued event
+    * (`waitUntilEmpty` is private[spark]) — lets a test count jobs via
+    * a SparkListener deterministically instead of sleep-polling. */
+  def drainListenerBus(s: org.apache.spark.sql.SparkSession): Unit =
+    s.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Rebind a DataFrame's logical plan onto another session of the same
     * SparkContext (`Dataset.ofRows` is private[sql]) — lets a caller run
     * a plan under different SQL conf (e.g. fewer shuffle partitions for

@@ -197,6 +197,14 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r15: dedup-index CDC twins share the takedown oracles (the CDC
     // stream nets to the same live corpus by construction)
     "stream_minhash_cdc", "stream_embedding_cdc", "stream_prefix_cdc",
+    // r18: the sharded stream twins share the same takedown oracles
+    // (one stream entry point, every family × layout cell)
+    "stream_minhash_sharded_cdc", "stream_embedding_sharded_cdc",
+    // r18: the sharded IVF home under ONE home-level quantizer shares
+    // sim_ivf_del's unrolled-kmeans oracle; the sharded prefix home
+    // shares the lossless takedown oracle (disjoint shard partition,
+    // exact verify)
+    "sim_ivf_sharded", "dedup_prefix_sharded",
     // r16: the four-family union embeds the minhash/prefix/bm25/ivf
     // dialect-bound oracle texts with composite live-corpus cuts
     "lifecycle_composite",

@@ -271,6 +271,47 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sharded BM25 serve: driver job count is independent of the " +
+    "shard count (global stats fold is ONE union-aggregate job, " +
+    "never S sequential per-shard head()s)") {
+    // at the S-in-the-hundreds sizing SCALING.md recommends, a
+    // per-shard driver action before the serve is hundreds of
+    // sequential tiny Spark jobs of pure latency — the serve must
+    // launch the SAME number of jobs at any S
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") < 240)
+    val qs = docs.filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ",
+          slice(graft.operators.TextOps.tokens(col("text")), 1, 6))
+          .as("query_text"))
+    def jobsFor(s: Int): Int = {
+      val home = graft.sources.Scratch.dir(s"jobcount-$s")
+      graft.operators.ShardedIndex.writeBm25(corpus, home, shards = s)
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        graft.operators.ShardedIndex.crossBm25TopKSharded(spark, qs,
+          home, k = 5).collect()
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .drainListenerBus(spark)
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    val j2 = jobsFor(2)
+    val j8 = jobsFor(8)
+    assert(j2 == j8,
+      s"sharded serve job count scales with S: S=2 -> $j2 jobs, " +
+        s"S=8 -> $j8 — a per-shard driver action crept back in")
+  }
+
   test("dimension joins broadcast the small side") {
     // queries whose plans join region/nation/supplier dims must show a
     // broadcast join (AQE or hint) — a shuffle on a 25-row dim is wrong.

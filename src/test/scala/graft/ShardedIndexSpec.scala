@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Bm25Index, Dedup, IndexAudit, IndexCdc, ShardedIndex}
+import graft.operators.{Bm25Index, Dedup, IndexAudit, IndexCdc, ShardedIndex, SimJoin, Similarity}
 
 /** The sharded-layout laws: shard count is an OPERATIONAL knob (boards
   * are bit-identical to the monolithic home at any S, through any
@@ -275,6 +275,169 @@ class ShardedIndexSpec extends AnyFunSuite with SparkSpec {
     ShardedIndex.applyCdc(spark, home, ins, dels, batchId = 7L)
     assert(canon(ShardedIndex.crossBm25TopKSharded(spark, queries(docs),
       home, k = 5)) == expect, "replayed batch double-applied")
+  }
+
+  test("sharded IVF under ONE home-level quantizer: boards bit-identical " +
+    "to the monolithic index at any S through deletes; quantized serving " +
+    "works on the union; HOME rebuild retrains one shared model; reshard " +
+    "moves nothing") {
+    val e = graft.sources.Tables.embeddings(spark, base)
+    val dels = e.filter(col("vec_id") % 7 === 2).select("vec_id")
+    val qs = e.filter(col("vec_id") < 5)
+    // monolithic reference with the same takedown history
+    val mono = graft.sources.Scratch.dir("ivfsh-mono")
+    Similarity.writeIvfIndex(e, mono)
+    Similarity.deleteFromIvfIndex(spark, mono, dels, batchId = Some(0L))
+    val monoIdx = Similarity.readIvfIndex(spark, mono)
+    val expect = canon(Similarity.ivfTopKIndexed(monoIdx, qs, 10))
+    val expectQ = canon(Similarity.ivfTopKQuantized(monoIdx, qs, 10))
+    val homes = Seq(1, 4).map { s =>
+      val home = graft.sources.Scratch.dir(s"ivfsh-$s")
+      ShardedIndex.writeIvf(e, home, shards = s)
+      ShardedIndex.delete(spark, home, dels, batchId = 0L)
+      val idx = ShardedIndex.readIvfSharded(spark, home)
+      assert(canon(Similarity.ivfTopKIndexed(idx, qs, 10)) == expect,
+        s"sharded IVF board at S=$s diverged from the monolithic board")
+      // the IVF × int8 serving path reads the same union unchanged
+      assert(canon(Similarity.ivfTopKQuantized(idx, qs, 10)) == expectQ,
+        s"sharded quantized board at S=$s diverged")
+      home
+    }
+    val home4 = homes.last
+    // HOME rebuild: ONE retrained model (per-shard rebuilds would cut 4
+    // incompatible geometries and the reader would refuse). Live set is
+    // the post-takedown corpus, so the retrained model — and the board —
+    // equals a FRESH index over the live rows: exact integer k-means is
+    // corpus-set-determined, not layout-determined.
+    val rebuilt = ShardedIndex.rebuild(spark, home4)
+    assert(rebuilt.nonEmpty, "sharded IVF rebuild touched no shards")
+    val freshLive = graft.sources.Scratch.dir("ivfsh-freshlive")
+    Similarity.writeIvfIndex(e.filter(col("vec_id") % 7 =!= 2), freshLive)
+    val wantRebuilt = canon(Similarity.ivfTopKIndexed(
+      Similarity.readIvfIndex(spark, freshLive), qs, 10))
+    assert(canon(Similarity.ivfTopKIndexed(
+      ShardedIndex.readIvfSharded(spark, home4), qs, 10)) == wantRebuilt,
+      "sharded IVF rebuild diverged from a fresh index over the live rows")
+    // tombstones physically gone per shard
+    (0 until 4).foreach { i =>
+      val root = idxRoot(ShardedIndex.shardDir(home4, i))
+      assert(!Dedup.indexTableHasData(spark, s"$root/tomb"),
+        s"sharded IVF rebuild left tombstones in shard $i")
+    }
+    // reshard 4 -> 2 under the (unchanged) stored model: boards unmoved
+    val home2 = graft.sources.Scratch.dir("ivfsh-rs2")
+    ShardedIndex.reshard(spark, home4, home2, 2)
+    assert(canon(Similarity.ivfTopKIndexed(
+      ShardedIndex.readIvfSharded(spark, home2), qs, 10)) == wantRebuilt,
+      "IVF reshard 4->2 moved the board")
+    // first sharding of a monolithic IVF home, same law
+    val homeM = graft.sources.Scratch.dir("ivfsh-rsmono")
+    ShardedIndex.reshard(spark, mono, homeM, 3)
+    assert(canon(Similarity.ivfTopKIndexed(
+      ShardedIndex.readIvfSharded(spark, homeM), qs, 10)) == expect,
+      "sharding a monolithic IVF home moved the board")
+  }
+
+  test("sharded prefix under ONE global dictionary: the shard-union " +
+    "lossless join equals the monolithic one through a CDC history; " +
+    "reshard re-derives the dictionary and moves nothing") {
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val probe = docs.filter(col("doc_id") % 2 === 1)
+    val ins = even.filter(col("doc_id") % 10 === 4).select("doc_id", "text")
+    val dels = even.filter(col("doc_id") % 5 === 1).select("doc_id")
+    val held = even.filter(col("doc_id") % 10 =!= 4)
+    // monolithic reference with the same history
+    val mono = graft.sources.Scratch.dir("pfxsh-mono")
+    SimJoin.writePrefixIndex(held, "doc_id", "text", 6, 10, mono)
+    SimJoin.applyPrefixCdc(spark, mono, ins, dels, batchId = 0L)
+    val expect = canon(SimJoin.crossPrefixJoin(spark, probe, mono))
+    Seq(1, 4).foreach { s =>
+      val home = graft.sources.Scratch.dir(s"pfxsh-$s")
+      ShardedIndex.writePrefix(held, home, s, 6, 10)
+      ShardedIndex.applyCdc(spark, home, ins, dels, batchId = 0L)
+      assert(canon(ShardedIndex.crossPrefixJoinSharded(spark, probe,
+        home)) == expect,
+        s"sharded lossless join at S=$s diverged from the monolithic one")
+    }
+    // reshard 4 -> 2 (rebuild-quality: the dictionary re-derives from
+    // the live union; recall is order-invariant so nothing can move)
+    val home4 = graft.sources.Scratch.dir("pfxsh-rs4")
+    ShardedIndex.writePrefix(held, home4, 4, 6, 10)
+    ShardedIndex.applyCdc(spark, home4, ins, dels, batchId = 0L)
+    val home2 = graft.sources.Scratch.dir("pfxsh-rs2")
+    ShardedIndex.reshard(spark, home4, home2, 2)
+    assert(canon(ShardedIndex.crossPrefixJoinSharded(spark, probe,
+      home2)) == expect, "prefix reshard 4->2 moved the pair set")
+    // first sharding of a monolithic prefix home
+    val homeM = graft.sources.Scratch.dir("pfxsh-rsmono")
+    ShardedIndex.reshard(spark, mono, homeM, 3)
+    assert(canon(ShardedIndex.crossPrefixJoinSharded(spark, probe,
+      homeM)) == expect, "sharding a monolithic prefix home moved pairs")
+  }
+
+  test("reshard FREEZES the old home: a CDC batch refuses while the " +
+    "resharder holds the lease, and reshard refuses while a writer does") {
+    val corpus = docs.filter(col("doc_id") < 200)
+    val home = graft.sources.Scratch.dir("rs-freeze")
+    ShardedIndex.writeBm25(corpus, home, shards = 2)
+    def plantLease(dir: String, op: String): Unit = {
+      val out = fsOf(dir).create(
+        new org.apache.hadoop.fs.Path(dir, Dedup.LeaseFile), false)
+      val props = new java.util.Properties()
+      props.setProperty("token", java.util.UUID.randomUUID().toString)
+      props.setProperty("op", op)
+      props.setProperty("ts", System.currentTimeMillis().toString)
+      try props.store(out, "spec lease") finally out.close()
+    }
+    def dropLease(dir: String): Unit =
+      fsOf(dir).delete(
+        new org.apache.hadoop.fs.Path(dir, Dedup.LeaseFile), false)
+    // a resharder holds the old home: change application must refuse,
+    // NAMING the resharder — the hours-long read phase cannot silently
+    // lose a batch at cut-over
+    plantLease(home, "ShardedIndex.reshard")
+    val ex = intercept[IllegalArgumentException] {
+      ShardedIndex.applyCdc(spark, home,
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 220)
+          .select("doc_id", "text"),
+        docs.filter(lit(false)).select("doc_id"), batchId = 0L)
+    }
+    assert(ex.getMessage.contains("ShardedIndex.reshard"),
+      s"CDC-during-reshard refusal must name the resharder: " +
+        ex.getMessage)
+    dropLease(home)
+    // and symmetrically: reshard refuses to START while a writer holds
+    // the old home (it would read a moving corpus)
+    plantLease(home, "ShardedIndex.applyCdc")
+    val ex2 = intercept[IllegalArgumentException] {
+      ShardedIndex.reshard(spark, home,
+        graft.sources.Scratch.dir("rs-freeze-new"), 3)
+    }
+    assert(ex2.getMessage.contains("ShardedIndex.applyCdc"),
+      s"reshard-during-writer refusal must name the writer: " +
+        ex2.getMessage)
+    dropLease(home)
+    // with the lease free, both proceed — the freeze is the lease, not
+    // a permanent lock
+    ShardedIndex.reshard(spark, home,
+      graft.sources.Scratch.dir("rs-freeze-ok"), 1)
+  }
+
+  test("in-place re-write at a smaller shard count reclaims the " +
+    "orphaned shard dirs (no silent full-index copies left behind)") {
+    val corpus = docs.filter(col("doc_id") < 240)
+    val home = graft.sources.Scratch.dir("shard-shrink")
+    ShardedIndex.writeBm25(corpus, home, shards = 4)
+    ShardedIndex.writeBm25(corpus, home, shards = 2)
+    val names = fsOf(home).listStatus(
+        new org.apache.hadoop.fs.Path(home))
+      .map(_.getPath.getName).filter(_.startsWith("shard=")).sorted.toSeq
+    assert(names == Seq("shard=0", "shard=1"),
+      s"orphaned shard dirs survived the shrink: $names")
+    // and the shrunk home still serves the full corpus
+    assert(canon(IndexCdc.liveIds(spark, home)) ==
+      canon(corpus.select(col("doc_id").as("id"))),
+      "shrunk home lost rows")
   }
 
   test("healthy sharded home audits clean, per-shard rows included; " +
