@@ -317,6 +317,53 @@ object Extensions {
     })
   }
 
+  /** Sharded CDC-net twins of [[gatePrefixCdcIndex]] /
+    * [[gateIvfCdcIndex]] for the remaining two family × layout stream
+    * cells — same net state as the gates' stream lifecycles. */
+  private val gatePfxShardCdcMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gatePrefixShardedCdcHome(s: SparkSession,
+                                       d: String): String = {
+    val f = new java.io.File(s"$d/documents.parquet")
+    gatePfxShardCdcMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}", _ => {
+      val home = graft.sources.Scratch.dir(
+        s"pfxshcdc_bench_${java.util.UUID.randomUUID.toString.take(8)}")
+      val even = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+      graft.operators.ShardedIndex.writePrefix(
+        even.filter(col("doc_id") % 10 =!= 4), home, 4, 6, 10)
+      graft.operators.ShardedIndex.applyCdc(s, home,
+        even.filter(col("doc_id") % 10 === 4).select("doc_id", "text"),
+        even.limit(0).select("doc_id"), batchId = 0L)
+      graft.operators.ShardedIndex.applyCdc(s, home,
+        even.limit(0).select("doc_id", "text"),
+        even.filter(col("doc_id") % 5 === 1).select("doc_id"), batchId = 1L)
+      graft.operators.ShardedIndex.compact(s, home)
+      home
+    })
+  }
+
+  private val gateIvfShardCdcMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gateIvfShardedCdcHome(s: SparkSession, d: String): String = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    gateIvfShardCdcMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}", _ => {
+      val home = graft.sources.Scratch.dir(
+        s"ivfshcdc_bench_${java.util.UUID.randomUUID.toString.take(8)}")
+      val e = Tables.embeddings(s, d)
+      graft.operators.ShardedIndex.writeIvf(
+        e.filter(col("vec_id") % 4 =!= 1), home, shards = 4)
+      graft.operators.ShardedIndex.applyCdc(s, home,
+        e.filter(col("vec_id") % 4 === 1).select("vec_id", "embedding"),
+        e.limit(0).select("vec_id"), batchId = 0L)
+      graft.operators.ShardedIndex.applyCdc(s, home,
+        e.limit(0).select("vec_id", "embedding"),
+        e.filter(col("vec_id") % 4 =!= 1 && col("vec_id") % 7 === 2)
+          .select("vec_id"), batchId = 1L)
+      graft.operators.ShardedIndex.compact(s, home)
+      home
+    })
+  }
+
   /** Resized twin of [[gateBm25ShardedHome]] (4 -> 2 shards via
     * `ShardedIndex.reshard`) behind `retrieval_bm25_resharded`'s bench
     * override — the timed work is the gathered serve from the resized
@@ -720,6 +767,15 @@ object Extensions {
         graft.operators.ShardedIndex.readEmbeddingSharded(s,
           gateEmbeddingShardedCdcHome(s, d)),
         0.3, graft.operators.Dedup.DefaultMaxBucket)),
+    "stream_prefix_sharded_cdc" -> ((s, d) =>
+      graft.operators.ShardedIndex.crossPrefixJoinSharded(s,
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 1),
+        gatePrefixShardedCdcHome(s, d))),
+    "stream_ivf_sharded_cdc" -> ((s, d) =>
+      Similarity.ivfTopKIndexed(
+        graft.operators.ShardedIndex.readIvfSharded(s,
+          gateIvfShardedCdcHome(s, d)),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10)),
     // dedup-index CDC serves over standing change-fed fixtures: the
     // timed work is one batch check against the net live state
     "stream_minhash_cdc" -> ((s, d) =>
@@ -2591,6 +2647,66 @@ object Extensions {
       Similarity.crossEmbeddingPairs(e.filter(col("vec_id") % 2 === 1),
         graft.operators.ShardedIndex.readEmbeddingSharded(s, s"$root/idx"),
         0.3, graft.operators.Dedup.DefaultMaxBucket)
+    }),
+    // the remaining two family × layout stream cells: the SAME change
+    // histories as stream_prefix_cdc / stream_ivf_cdc fanned into
+    // 4-shard homes through the ONE sharded stream entry point
+    // (maintainShardedCdcStream) — each nets to the identical live
+    // state, so the monolithic oracles replay verbatim and the matrix
+    // (5 CDC families × {monolithic, sharded}) is CLOSED: the stream ×
+    // sharding composition adds no semantics anywhere, only the
+    // bounded per-shard maintenance unit. Prefix inserts are cut under
+    // each shard's STORED dictionary (stale-dictionary recall
+    // losslessness — the SimJoinSpec law); IVF inserts are assigned
+    // under the ONE home-level quantizer every shard persists.
+    "stream_prefix_sharded_cdc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val root = graft.sources.Scratch.dir(
+        s"spfxshcdc_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.ShardedIndex.writePrefix(
+        even.filter(col("doc_id") % 10 =!= 4), s"$root/idx", 4, 6, 10)
+      val ins = even.filter(col("doc_id") % 10 === 4)
+        .select(col("doc_id"), col("text")).withColumn("op", lit("insert"))
+      val dels = even.filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), lit(null).cast("string").as("text"))
+        .withColumn("op", lit("delete"))
+      ins.unionByName(dels).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/cdc")
+      val q = graft.streaming.StreamOps.maintainShardedCdcStream(
+        s.readStream.schema(s.read.parquet(s"$root/cdc").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
+        "op", s"$root/idx", s"$root/ckpt")
+      q.stop()
+      graft.operators.ShardedIndex.compact(s, s"$root/idx")
+      graft.operators.ShardedIndex.crossPrefixJoinSharded(s,
+        docs.filter(col("doc_id") % 2 === 1), s"$root/idx")
+    }),
+    "stream_ivf_sharded_cdc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val root = graft.sources.Scratch.dir(
+        s"sivfshcdc_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.ShardedIndex.writeIvf(
+        e.filter(col("vec_id") % 4 =!= 1), s"$root/idx", shards = 4)
+      val ins = e.filter(col("vec_id") % 4 === 1)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("op", lit("insert"))
+      val dels = e.filter(col("vec_id") % 4 =!= 1 &&
+          col("vec_id") % 7 === 2)
+        .select(col("vec_id"),
+          lit(null).cast("array<float>").as("embedding"))
+        .withColumn("op", lit("delete"))
+      ins.unionByName(dels).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/cdc")
+      val q = graft.streaming.StreamOps.maintainShardedCdcStream(
+        s.readStream.schema(s.read.parquet(s"$root/cdc").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/cdc"),
+        "op", s"$root/idx", s"$root/ckpt")
+      q.stop()
+      graft.operators.ShardedIndex.compact(s, s"$root/idx")
+      Similarity.ivfTopKIndexed(
+        graft.operators.ShardedIndex.readIvfSharded(s, s"$root/idx"),
+        e.filter(col("vec_id") < 5), 10)
     }),
     // dedup_embedding_incr's deployment form (mirrors
     // stream_incremental_dedup on the text side): corpus band keys cut
@@ -5228,6 +5344,10 @@ object Extensions {
     // the 4-shard home partitions the corpus disjointly and the verify
     // is exact, so the shard-union pair set shares the takedown oracle
     "dedup_prefix_sharded" -> prefixDelOracle,
+    // the sharded stream twin nets to the same live corpus; batch
+    // prefixes cut under stale per-shard dictionaries cost no recall
+    // (order-invariance of verified recall)
+    "stream_prefix_sharded_cdc" -> prefixDelOracle,
     // append + rebuild must restore the fresh-index blocking exactly
     "dedup_prefix_rebuild" -> prefixIncrOracle,
     // micro-batched check against the same index ≡ one-shot bipartite
@@ -5246,6 +5366,9 @@ object Extensions {
     "sim_ivf_sharded" -> ivfDeletedOracle,
     // base-trained quantizer, net live rows after the CDC drain
     "stream_ivf_cdc" -> ivfCdcOracle,
+    // the sharded stream twin: same base-trained (now home-level)
+    // quantizer, same net live rows — routing can't move a cell
+    "stream_ivf_sharded_cdc" -> ivfCdcOracle,
     "lifecycle_composite" -> lifecycleCompositeOracle,
     "sim_ivf_quantized" -> ivfQuantizedOracle,
     "sim_ivf_appended" -> ivfAppendedOracle,
