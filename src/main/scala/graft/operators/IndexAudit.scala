@@ -422,4 +422,67 @@ object IndexAudit {
     }
     done()
   }
+
+  /** The action and priority a non-OK check maps to. Priorities: 1 =
+    * serving or truth is damaged (page now), 2 = durability hygiene
+    * (replay/fold soon), 3 = drift hygiene (re-baseline at the next
+    * window), 4 = reclaimable residue (whenever). */
+  private def actionFor(chk: String, status: String): Option[(String, Long)] =
+    if (status == "OK") None
+    else if (status == "ERROR") chk match {
+      case "layout" => Some(("repair", 1L))
+      case _ => Some(("rebuild", 1L))
+    } else chk match {
+      case "fragmentation" => Some(("compact", 2L))
+      case "hist_staleness" => Some(("compact", 3L))
+      case "marker_spread" => Some(("replay", 2L))
+      case c if c.startsWith("uncommitted") => Some(("replay", 2L))
+      case "tomb" => Some(("rebuild", 2L))
+      case "lease" => Some(("takeover_check", 2L))
+      case "swap_residue" | "shard_residue" => Some(("reclaim", 4L))
+      case _ => Some(("inspect", 4L))
+    }
+
+  /** FLEET maintenance planner — the op that turns a page-cadence fsck
+    * sweep over every index home a deployment serves into a RANKED,
+    * BOUNDED work list: one row per triggered check, (home, unit,
+    * action, reason, priority), plus a `none` row per healthy home so
+    * the plan proves coverage (an empty plan is indistinguishable from
+    * a sweep that never ran). `unit` localizes the work to a shard
+    * (`shard=i`) where the home is sharded — the selective-maintenance
+    * contract: a fleet runs `compact` on the two fragmented shards the
+    * plan names, never on the other 998.
+    *
+    * Scale shape: with `countChecks = false` (the default — the
+    * metadata-only fsck tier) the sweep is O(files listed) per home
+    * and never O(rows); the per-home audits are independent, so a
+    * fleet parallelizes the sweep by home and unions the row sets.
+    * Output size is bounded by homes × shards × checks — operator
+    * rows, not data rows. Actions name this engine's own remedies
+    * (the audit details carry the exact op), priorities are fixed by
+    * [[actionFor]] so two sweeps over the same state rank identically.
+    * Read-only, like the audit it folds. */
+  def maintenancePlan(spark: SparkSession, homes: Seq[(String, String)],
+                      countChecks: Boolean = false,
+                      maxFilesPerTable: Int = 512): DataFrame = {
+    import spark.implicits._
+    val rows = homes.flatMap { case (label, dir) =>
+      val triggered = audit(spark, dir, countChecks, maxFilesPerTable)
+        .collect().toSeq
+        .flatMap { r =>
+          val (chk, status) = (r.getString(0), r.getString(1))
+          val (unit, base) = chk.split(":", 2) match {
+            case Array(s, rest) if s.matches("^shard\\d+$") =>
+              (s"shard=${s.stripPrefix("shard")}", rest)
+            case _ => ("-", chk)
+          }
+          actionFor(base, status).map { case (action, prio) =>
+            (label, unit, action, base, prio)
+          }
+        }
+      if (triggered.isEmpty) Seq((label, "-", "none", "", 9L))
+      else triggered.distinct
+    }
+    rows.toDF("home", "unit", "action", "reason", "priority")
+  }
 }

@@ -802,6 +802,12 @@ object Extensions {
     "q_index_audit" -> ((s, d) =>
       graft.operators.IndexAudit.audit(s, gateMinhashCdcIndex(s, d))
         .select("chk", "status")),
+    // the fleet sweep IS the recurring op — plan over standing homes
+    // at the metadata-only tier (the 100 TB cadence form)
+    "q_maintenance_plan" -> ((s, d) =>
+      graft.operators.IndexAudit.maintenancePlan(s,
+        Seq("mh" -> gateMinhashCdcIndex(s, d),
+          "bm_sh" -> gateBm25ShardedHome(s, d)))),
     // serving-index CDC twins: the per-query serve over the standing
     // change-fed state, not the stream lifecycle
     "stream_bm25_cdc" -> ((s, d) => {
@@ -1643,6 +1649,31 @@ object Extensions {
         docs.filter(col("doc_id") % 10 === 2).select("doc_id"),
         batchId = 0L)
       graft.operators.IndexAudit.audit(s, home).select("chk", "status")
+    }),
+    // FLEET maintenance-plan canary: three homes in three health
+    // states — a healthy 2-shard BM25 lifecycle (plans to `none`: the
+    // coverage proof), a mono IVF churned past the drift-sentinel
+    // bound (60% deleted ⇒ cell_hist counts 2.5× the live rows ⇒ the
+    // plan names the compact re-baseline), and a home no writer ever
+    // created (layout ERROR ⇒ `repair` at priority 1). Statuses are
+    // scale-independent, so the ranked work list is a FIXED literal
+    // set — the q_shard_audit canary pattern applied to the sweep a
+    // 100 TB fleet runs at page cadence.
+    "q_maintenance_plan" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val e = Tables.embeddings(s, d)
+      val root = graft.sources.Scratch.dir(
+        s"mplan_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.ShardedIndex.writeBm25(
+        docs.filter(col("doc_id") % 2 === 0), s"$root/bm", shards = 2)
+      Similarity.writeIvfIndex(e, s"$root/ivf")
+      Similarity.deleteFromIvfIndex(s, s"$root/ivf",
+        e.filter(col("vec_id") % 5 < 3).select("vec_id"),
+        batchId = Some(0L))
+      graft.operators.IndexAudit.maintenancePlan(s,
+        Seq("bm" -> s"$root/bm", "ivf" -> s"$root/ivf",
+          "gone" -> s"$root/gone"),
+        countChecks = true)
     }),
     "q_index_audit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -5074,6 +5105,15 @@ object Extensions {
         ('shard$i:stats_fold', 'OK'),
         ('shard$i:stats_consistency', 'OK')"""
       }.mkString(",") + ") AS t(chk, status)"),
+    // the planner canary: the three-health-state fixture folds to a
+    // FIXED ranked work list (statuses are scale-independent, actions
+    // and priorities a pure function of them)
+    "q_maintenance_plan" -> """
+      SELECT * FROM (VALUES
+        ('bm', '-', 'none', '', CAST(9 AS BIGINT)),
+        ('ivf', '-', 'compact', 'hist_staleness', CAST(3 AS BIGINT)),
+        ('gone', '-', 'repair', 'layout', CAST(1 AS BIGINT))
+      ) AS t(home, unit, action, reason, priority)""",
     // rebuild+compact must be lossless → same oracle as the fresh index
     "dedup_index_rebuild" -> incrementalOracle,
     // incremental (2 arrival chunks + no-op rerun) ≡ one-shot batch join:

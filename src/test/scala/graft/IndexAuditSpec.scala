@@ -264,4 +264,36 @@ class IndexAuditSpec extends AnyFunSuite with SparkSpec {
     val missing = graft.sources.Scratch.dir("audit-missing-never-made")
     assert(statuses(missing)("layout") == "ERROR")
   }
+
+  test("maintenance plan: healthy → none, damage → ranked actions, " +
+      "read-only") {
+    val healthy = graft.sources.Scratch.dir("mplan-healthy")
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", healthy)
+    val gone = graft.sources.Scratch.dir("mplan-never-made")
+    val metaBefore = Dedup.readMeta(spark, idxRoot(healthy))
+    val plan = IndexAudit.maintenancePlan(spark,
+      Seq("h" -> healthy, "g" -> gone), countChecks = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(plan == Set(("h", "-", "none", "", 9L),
+      ("g", "-", "repair", "layout", 1L)), s"unexpected plan: $plan")
+    assert(Dedup.readMeta(spark, idxRoot(healthy)) == metaBefore,
+      "the planner mutated a home it swept")
+  }
+
+  test("maintenance plan localizes work to the triggering shard") {
+    val home = graft.sources.Scratch.dir("mplan-sharded")
+    graft.operators.ShardedIndex.writeBm25(
+      docs.filter(col("doc_id") % 2 === 0), home, shards = 2)
+    // force the fragmentation bound below any real file count: every
+    // shard trips it, and the plan must name each shard's unit — the
+    // selective-maintenance contract (compact THESE two, not the home)
+    val plan = IndexAudit.maintenancePlan(spark, Seq("sh" -> home),
+      maxFilesPerTable = 0)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(plan == Set(("shard=0", "compact", "fragmentation"),
+      ("shard=1", "compact", "fragmentation")), s"unexpected plan: $plan")
+  }
 }
