@@ -141,4 +141,38 @@ object Curation {
         when(col("__h") < 8, "train")
           .when(col("__h") < 9, "val")
           .otherwise("test").as("split"))
+
+  /** Quality-aware duplicate-cluster survivor selection — the policy
+    * step after near-dup detection: per cluster keep the member with
+    * the HIGHEST `scoreCol` (ties break to the smallest id, so the
+    * draw is deterministic), not the arbitrary component-minimum the
+    * plain canonical rule keeps. The curation pass that discards a
+    * well-formatted original because a mangled scrape of it happened
+    * to carry the smaller id is throwing away exactly the copy a
+    * training run wants.
+    *
+    * `scored` carries the id and whatever columns the caller wants to
+    * survive (the score among them); `clusters` is (doc_id, cluster)
+    * from [[Dedup.duplicateClusters]] — duplicate-graph-sized, only
+    * docs with at least one near-dup edge. Scale shape: singletons
+    * (the overwhelming mass at 100 TB) take the left-anti short path —
+    * one scan against the broadcast-sized cluster frame, never
+    * shuffled; only cluster MEMBERS shuffle, on the cluster key, into
+    * a partial-aggregating `max_by` (each map task forwards one
+    * candidate struct per cluster it saw — no per-cluster row
+    * explosion crosses the exchange). Scored rows absent from
+    * `scored` (e.g. empty-token docs the scorer dropped) simply don't
+    * compete; a cluster whose every member was dropped keeps nothing. */
+  def keepBest(scored: DataFrame, clusters: DataFrame,
+               id: String = "doc_id",
+               scoreCol: String = "score"): DataFrame = {
+    val cl = clusters.select(col("doc_id").as(id), col("cluster"))
+    val payload = struct(scored.columns.map(col): _*)
+    val winners = scored.join(cl, Seq(id))
+      .groupBy(col("cluster"))
+      .agg(max_by(payload, struct(col(scoreCol), col(id) * -1)).as("w"))
+      .select(col("w.*"))
+    scored.join(cl.select(col(id)), Seq(id), "left_anti")
+      .unionByName(winners)
+  }
 }

@@ -1905,6 +1905,20 @@ object Extensions {
     "dedup_clusters" -> ((s, d) =>
       Dedup.duplicateClusters(
         Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text"))),
+    // quality-aware survivor selection: per near-dup cluster keep the
+    // HIGHEST-quality member (ties to the smallest id), not the
+    // arbitrary min-id canonical — singletons pass the anti-join short
+    // path untouched, members compete through one partial-aggregating
+    // max_by on the cluster key
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = docs.withColumn("__t", TextOps.tokens(col("text")))
+        .filter(size(col("__t")) > 0)
+        .select(col("doc_id"), TextOps.qualityScore(col("__t")).as("score"))
+      graft.operators.Curation.keepBest(scored,
+        Dedup.duplicateClusters(
+          Dedup.minhashPairs(docs, "doc_id", "text")))
+    }),
     // leakage-safe splits: the 80/10/10 md5 draw keyed on the near-dup
     // CLUSTER representative, so paraphrased copies can't straddle
     // train/test (the eval-contamination bug the per-doc draw has)
@@ -4110,6 +4124,33 @@ object Extensions {
                           AND clust.cluster <> q.doc_id)"""
   }
 
+  /** Same component labels + the curation-quality score; per cluster
+    * the (score DESC, doc_id ASC) head survives, singletons survive
+    * unconditionally. Empty-token docs never enter `q`, so they
+    * neither survive nor compete — mirroring the operator's scored
+    * frame. */
+  private val keepBestOracle: String = {
+    val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""
+      WITH RECURSIVE $clusterCtes,
+      q AS (SELECT doc_id,
+              round(least(CAST(1.0 AS DOUBLE), len(t) / CAST(100 AS DOUBLE)) *
+                    (1.0 - CAST(len(list_filter(t, x -> x IN ($stop))) AS DOUBLE)
+                          / len(t)), 6) AS score
+            FROM tok WHERE len(t) > 0),
+      m AS (SELECT q.doc_id, q.score, c.cluster
+            FROM q JOIN clust c ON c.doc_id = q.doc_id),
+      w AS (SELECT doc_id, score FROM (
+              SELECT doc_id, score,
+                row_number() OVER (PARTITION BY cluster
+                                   ORDER BY score DESC, doc_id ASC) AS rn
+              FROM m) WHERE rn = 1)
+      SELECT doc_id, score FROM q
+      WHERE NOT EXISTS (SELECT 1 FROM clust WHERE clust.doc_id = q.doc_id)
+      UNION ALL
+      SELECT doc_id, score FROM w"""
+  }
+
   private val simhashOracle: String = {
     val sums = (0 until 32).map(j =>
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -5327,6 +5368,7 @@ object Extensions {
     // result set is identical by construction, so the oracle is shared
     "stream_incremental_dedup" -> incrementalOracle,
     "dedup_clusters" -> clustersOracle,
+    "dedup_keep_best" -> keepBestOracle,
     "q_split_safe" -> splitSafeOracle,
     "curation_pipeline" -> curationOracle,
     "dedup_ngram" -> ngramOracle,

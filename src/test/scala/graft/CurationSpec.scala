@@ -62,4 +62,30 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       assert(byDoc(i) == ((i, perDocSplit(i))))
     }
   }
+
+  test("keepBest: per-cluster quality argmax, min-id ties, singleton " +
+      "pass-through, dropped members don't compete") {
+    val scored = Seq(
+      // cluster 1: doc 3 has the best score — the min-id canonical (1)
+      // must LOSE to it
+      (1L, 0.2), (2L, 0.5), (3L, 0.9),
+      // cluster 10: tie on score — the smaller id (10) survives
+      (10L, 0.7), (11L, 0.7),
+      // singletons: survive untouched
+      (20L, 0.1), (21L, 0.0)
+      // doc 31 (cluster 30) is absent from `scored` — see clusters
+    ).toDF("doc_id", "score")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L),
+      // cluster 30: member 31 was dropped by the scorer (e.g. empty
+      // tokens), member 30 still competes — and wins by default
+      (30L, 30L), (31L, 30L)
+    ).toDF("doc_id", "cluster")
+    val withThirty = scored.unionByName(Seq((30L, 0.3)).toDF("doc_id", "score"))
+    val out = Curation.keepBest(withThirty, clusters)
+      .as[(Long, Double)].collect().toMap
+    assert(out == Map(3L -> 0.9, 10L -> 0.7, 20L -> 0.1, 21L -> 0.0,
+      30L -> 0.3), s"unexpected survivors: $out")
+  }
 }

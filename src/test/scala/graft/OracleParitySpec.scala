@@ -109,6 +109,12 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     * constants instead (see the class doc). */
   val expectedSkips: Set[String] = Set(
     "curation_pipeline", "decontam_bloom", "decontam_ngram", "dedup_clusters",
+    // r18: shares dedup_clusters' recursive component CTEs + the
+    // curation-quality list_filter score
+    "dedup_keep_best",
+    // r18: the sharded stream twins share their monolithic gates'
+    // dialect-bound oracles (prefixDelOracle / ivfCdcOracle)
+    "stream_prefix_sharded_cdc", "stream_ivf_sharded_cdc",
     "dedup_containment", "dedup_embedding", "dedup_embedding_incr",
     "dedup_incremental", "dedup_minhash", "dedup_ngram", "dedup_norm",
     "dedup_semantic", "dedup_simhash", "dedup_substring",
