@@ -234,4 +234,38 @@ object Sampling {
         expr(s"(__n * ${num}L + ${den - 1}L) div ${den}L"))
       .select(col("__id").as(idCol), col("__st").as(strataCol))
   }
+
+  /** Deterministic seeded training-order shuffle — the assignment a
+    * 100 TB export needs BEFORE [[graft.sources.Sinks.writeRangeShards]]
+    * lays the bytes out: every row gets `(shard, pos)` under a
+    * reproducible pseudo-random permutation keyed on
+    * md5("shuffle:seed:id"), so training order is (a) statistically
+    * shuffled — adjacent source rows land in unrelated shards/offsets,
+    * breaking the crawl-order/domain runs an IID loss estimate can't
+    * tolerate — and (b) a pure FUNCTION of (seed, id): re-running the
+    * export, resuming a crashed one, or re-deriving the order on a
+    * different engine yields the identical permutation (rand() gives
+    * none of that), and changing the seed re-deals every epoch.
+    *
+    * Scale shape: shard = hash mod nShards spreads rows uniformly; pos
+    * is a per-shard `row_number` ordered by (hash, id) — each shard is
+    * one window partition, so size nShards to the export unit (a few
+    * million rows: exactly [[graft.sources.Sinks.writeRangeShards]]'s
+    * `targetRowsPerShard`) and the sort parallelism IS the shard
+    * count. One shuffle total; no global sort, no single-task window.
+    * The 60-bit hash keeps mod-nShards bias ≤ 2⁻²⁸ at any corpus
+    * size; ties are impossible (id breaks them). */
+  def seededShuffle(df: DataFrame, idCol: String, seed: Long,
+                    nShards: Int): DataFrame = {
+    require(nShards > 0, s"seededShuffle: nShards must be positive, " +
+      s"got $nShards")
+    val h = Dedup.md5Hash60(
+      concat(lit(s"shuffle:$seed:"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("__h", idCol)
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

@@ -3588,6 +3588,13 @@ object Extensions {
     // deterministic train/val/test assignment: md5-range split (80/10/10)
     // — reproducible across engines, runs, and partitionings; the
     // counts-per-split shape every dataset card reports
+    // deterministic seeded training-order shuffle: every doc gets a
+    // (shard, pos) under a reproducible md5 permutation — the
+    // assignment writeRangeShards lays out; re-runs/resumes/other
+    // engines re-derive the identical order, a new seed re-deals it
+    "q_train_shuffle" -> ((s, d) =>
+      graft.operators.Sampling.seededShuffle(
+        Tables.documents(s, d).select("doc_id"), "doc_id", 7L, 4)),
     "q_split_assign" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("__h", Dedup.md5Hash32(
@@ -5923,6 +5930,17 @@ object Extensions {
                   ELSE 'test' END AS split,
              COUNT(1) AS n, MIN(doc_id) AS first_doc
       FROM a GROUP BY 1""",
+    // the identical 60-bit md5 permutation, shard = h mod 4, pos = the
+    // within-shard (h, id) rank — bit-for-bit the training order
+    "q_train_shuffle" -> """
+      WITH k AS (SELECT doc_id,
+               ('0x' || substr(md5('shuffle:7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 AS h
+             FROM documents)
+      SELECT doc_id, h % 4 AS shard,
+             CAST(row_number() OVER (PARTITION BY h % 4
+                                     ORDER BY h, doc_id) AS BIGINT) AS pos
+      FROM k""",
     "q_json_parse" -> """
       SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
              COUNT(1) AS n,

@@ -115,6 +115,9 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r18: the sharded stream twins share their monolithic gates'
     // dialect-bound oracles (prefixDelOracle / ivfCdcOracle)
     "stream_prefix_sharded_cdc", "stream_ivf_sharded_cdc",
+    // r18: '0x'||md5 60-bit permutation draw (the q_split_assign
+    // dialect family)
+    "q_train_shuffle",
     "dedup_containment", "dedup_embedding", "dedup_embedding_incr",
     "dedup_incremental", "dedup_minhash", "dedup_ngram", "dedup_norm",
     "dedup_semantic", "dedup_simhash", "dedup_substring",

@@ -167,4 +167,29 @@ class DiversitySampleSpec extends AnyFunSuite with SparkSpec {
       assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
     }
   }
+
+  test("seededShuffle: a dense deterministic permutation — " +
+      "partitioning-invariant, seed-sensitive, and actually shuffled") {
+    import spark.implicits._
+    val docs = (1L to 400L).toDF("doc_id")
+    def run(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      graft.operators.Sampling.seededShuffle(df, "doc_id", seed, 4)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run(docs, 7L)
+    // every doc assigned exactly once; within each shard pos is dense 1..n
+    assert(a.map(_._1) == (1L to 400L))
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // pure function of (seed, id): any input partitioning gives the
+    // same assignment (rand()-based shuffles fail exactly this)
+    assert(run(docs.repartition(13), 7L) == a)
+    // a different seed re-deals the permutation
+    assert(run(docs, 8L) != a)
+    // actually shuffled: consecutive source ids must not ride together
+    // in shard-order (crawl-order runs are what the op breaks up)
+    val orderInShard0 = a.filter(_._2 == 0L).sortBy(_._3).map(_._1)
+    assert(orderInShard0 != orderInShard0.sorted,
+      "shard 0 preserved source order — not a shuffle")
+  }
 }
