@@ -190,4 +190,81 @@ object IndexCdc {
         s"IndexCdc: index at $dir has kind '$other', which has no live-id " +
           "reader")
     }
+
+  /** Committed ids of one committed primary table, tombstone masks NOT
+    * applied — the PHYSICAL presence [[physicalIds]] reads. */
+  private def committedPrimary(spark: SparkSession, dir: String,
+                               table: String, idCol: String): DataFrame = {
+    val root = Dedup.indexRoot(spark, dir)
+    val meta = Dedup.readMeta(spark, root)
+    Dedup.committedOnly(spark.read.parquet(s"$root/$table"), meta)
+      .select(col(idCol).as("id")).distinct()
+  }
+
+  /** The PHYSICAL id set of the index at `dir` — every id with a
+    * committed row in the family's primary table, tombstone masks
+    * deliberately NOT applied. [[liveIds]] answers "what does this
+    * index serve"; this answers "whose bytes does this artifact still
+    * hold" — the question a retention/right-to-be-forgotten audit
+    * asks, because a masked delete stops SERVING a document while its
+    * rows persist until a rebuild (or shard compact) physically drops
+    * them. physical \ live = masked-but-not-yet-purged. */
+  def physicalIds(spark: SparkSession, dir: String): DataFrame =
+    kindOf(spark, dir) match {
+      case Bm25Index.Kind => committedPrimary(spark, dir, "postings", "doc_id")
+      case Dedup.MinhashIndexKind =>
+        committedPrimary(spark, dir, "sets", "doc_id")
+      case SimJoin.PrefixIndexKind =>
+        committedPrimary(spark, dir, "sets", "doc_id")
+      case Similarity.EmbeddingIndexKind =>
+        committedPrimary(spark, dir, "vectors", "vec_id")
+      case Similarity.IvfIndexKind =>
+        val root = Dedup.indexRoot(spark, dir)
+        val meta = Dedup.readMeta(spark, root)
+        val base = spark.read.parquet(s"$root/assigned").select(col("vec_id"))
+        val all =
+          if (Dedup.indexTableHasData(spark, s"$root/assigned_batches"))
+            base.unionByName(Dedup.committedOnly(
+              spark.read.parquet(s"$root/assigned_batches"), meta)
+              .select(col("vec_id")))
+          else base
+        all.select(col("vec_id").as("id")).distinct()
+      case ShardedIndex.Kind =>
+        val m = ShardedIndex.manifest(spark, dir)
+        (0 until m("shards").toInt)
+          .map(i => physicalIds(spark, ShardedIndex.shardDir(dir, i)))
+          .reduce(_.unionByName(_))
+      case other => throw new IllegalArgumentException(
+        s"IndexCdc: index at $dir has kind '$other', which has no " +
+          "physical-id reader")
+    }
+
+  /** Snapshot diff between two PINNED versions of one index home —
+    * (op ∈ added|removed, id) over [[physicalIds]], the artifact-level
+    * answer to "what changed between v_old and v_new, and is doc X's
+    * takedown actually PURGED or merely masked?". Physical presence is
+    * the right observable here: versions freeze at the replacement
+    * commit (appends/tombstones mutate only the CURRENT version's
+    * root), so the frozen old version still holds a masked document's
+    * bytes and the diff certifies the rebuild dropped them — the
+    * retention-window truth a compliance audit needs, per snapshot,
+    * without replaying any CDC history. Cost: two committed-primary
+    * scans + two id-width anti-joins; nothing else is read.
+    *
+    * Sharded homes refuse: their versions are PER-SHARD artifacts
+    * (shards commit independently, so "version N of the home" does not
+    * exist) — diff the shard homes individually. */
+  def versionDiff(spark: SparkSession, dir: String,
+                  vOld: Int, vNew: Int): DataFrame = {
+    require(kindOf(spark, dir) != ShardedIndex.Kind,
+      s"IndexCdc.versionDiff: $dir is a sharded home — versions are " +
+        "per-shard artifacts (shards commit independently); diff the " +
+        "shard homes (ShardedIndex.shardDir(home, i)) individually")
+    val a = physicalIds(spark, Dedup.versionRoot(spark, dir, vOld))
+    val b = physicalIds(spark, Dedup.versionRoot(spark, dir, vNew))
+    b.join(a, Seq("id"), "left_anti")
+      .select(lit("added").as("op"), col("id"))
+      .unionByName(a.join(b, Seq("id"), "left_anti")
+        .select(lit("removed").as("op"), col("id")))
+  }
 }

@@ -808,6 +808,14 @@ object Extensions {
       graft.operators.IndexAudit.maintenancePlan(s,
         Seq("mh" -> gateMinhashCdcIndex(s, d),
           "bm_sh" -> gateBm25ShardedHome(s, d)))),
+    // the per-audit recurring op is the diff itself — run it over the
+    // standing CDC fixture's two newest pinned versions
+    "q_version_diff" -> ((s, d) => {
+      val dir = gateMinhashCdcIndex(s, d)
+      val vs = Dedup.listVersions(s, dir)
+      graft.operators.IndexCdc.versionDiff(s, dir, vs.init.last, vs.last)
+        .select(col("op"), col("id").as("doc_id"))
+    }),
     // serving-index CDC twins: the per-query serve over the standing
     // change-fed state, not the stream lifecycle
     "stream_bm25_cdc" -> ((s, d) => {
@@ -1674,6 +1682,29 @@ object Extensions {
         Seq("bm" -> s"$root/bm", "ivf" -> s"$root/ivf",
           "gone" -> s"$root/gone"),
         countChecks = true)
+    }),
+    // takedown-purge certification: versions freeze at the replacement
+    // commit, so diffing PHYSICAL presence (masks off) between the
+    // frozen pre-rebuild version and the rebuilt one proves the bytes
+    // left — masked-but-unpurged ids would still show in the old
+    // version and absent from the diff's `removed` side only if the
+    // rebuild failed to drop them
+    "q_version_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.sources.Scratch.dir(
+        s"vdiff_${java.util.UUID.randomUUID.toString.take(8)}")
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir)
+      Dedup.deleteFromMinhashIndex(s, dir,
+        docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 === 2)
+          .select("doc_id"), batchId = Some(0L))
+      Dedup.rebuildMinhashIndex(s, dir)
+      Dedup.appendToMinhashIndex(
+        docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 10 === 5),
+        "doc_id", "text", dir, batchId = Some(1L))
+      val vs = Dedup.listVersions(s, dir)
+      graft.operators.IndexCdc.versionDiff(s, dir, vs.init.last, vs.last)
+        .select(col("op"), col("id").as("doc_id"))
     }),
     "q_index_audit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -5153,6 +5184,15 @@ object Extensions {
         ('shard$i:stats_fold', 'OK'),
         ('shard$i:stats_consistency', 'OK')"""
       }.mkString(",") + ") AS t(chk, status)"),
+    // the diff between the frozen pre-rebuild version and the rebuilt
+    // one: exactly the takedown ids leave, exactly the post-rebuild
+    // appends (which land in the NEW current root) arrive
+    "q_version_diff" -> """
+      SELECT 'removed' AS op, doc_id FROM documents
+      WHERE doc_id % 2 = 0 AND doc_id % 10 = 2
+      UNION ALL
+      SELECT 'added' AS op, doc_id FROM documents
+      WHERE doc_id % 2 = 1 AND doc_id % 10 = 5""",
     // the planner canary: the three-health-state fixture folds to a
     // FIXED ranked work list (statuses are scale-independent, actions
     // and priorities a pure function of them)

@@ -232,4 +232,39 @@ class IndexCdcSpec extends AnyFunSuite with SparkSpec {
       IndexCdc.liveIds(spark, graft.sources.Scratch.dir("cdcf-void"))
     }
   }
+
+  test("physicalIds vs liveIds: a masked delete stops serving but its " +
+      "bytes persist until rebuild; versionDiff certifies the purge") {
+    val docs = graft.sources.Tables.documents(spark, base)
+    val dir = graft.sources.Scratch.dir("cdcf-vdiff")
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir)
+    val doomed = docs.filter(col("doc_id") % 2 === 0 &&
+      col("doc_id") % 10 === 2)
+    Dedup.deleteFromMinhashIndex(spark, dir, doomed.select("doc_id"),
+      batchId = Some(0L))
+    val doomedIds = ids(doomed, "doc_id")
+    // masked, not purged: live excludes the takedown, physical holds it
+    assert(ids(IndexCdc.liveIds(spark, dir), "id")
+      .intersect(doomedIds).isEmpty)
+    assert(doomedIds.subsetOf(ids(IndexCdc.physicalIds(spark, dir), "id")),
+      "tombstoned rows must still be physically present pre-rebuild")
+    Dedup.rebuildMinhashIndex(spark, dir)
+    // purged now — and the version diff is exactly the takedown set
+    assert(ids(IndexCdc.physicalIds(spark, dir), "id")
+      .intersect(doomedIds).isEmpty)
+    val vs = Dedup.listVersions(spark, dir)
+    assert(vs.size >= 2, s"rebuild must leave >= 2 pinned versions: $vs")
+    val diff = IndexCdc.versionDiff(spark, dir, vs.init.last, vs.last)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(diff == doomedIds.map(("removed", _)), s"unexpected diff: $diff")
+    // sharded homes refuse by name: versions are per-shard artifacts
+    val home = graft.sources.Scratch.dir("cdcf-vdiff-sh")
+    graft.operators.ShardedIndex.writeBm25(
+      docs.filter(col("doc_id") % 2 === 0), home, shards = 2)
+    val ex = intercept[IllegalArgumentException] {
+      IndexCdc.versionDiff(spark, home, 1, 2)
+    }
+    assert(ex.getMessage.contains("per-shard"))
+  }
 }
