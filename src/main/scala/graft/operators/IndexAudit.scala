@@ -485,4 +485,37 @@ object IndexAudit {
     }
     rows.toDF("home", "unit", "action", "reason", "priority")
   }
+
+  /** Executes a [[maintenancePlan]]'s SAFE tier and reports what it
+    * did: `compact` rows run through the [[IndexCdc.compact]] façade
+    * (row-preserving by each family's own law, under its own lease and
+    * version-pointer commit — the one action that can never change
+    * what an index serves), everything else is deliberately SKIPPED:
+    * repair/rebuild decisions belong to a human reading the audit
+    * detail, `replay` needs the change feed the executor doesn't have,
+    * and `reclaim` deletes files — never automatic. A shard-localized
+    * row compacts ONLY that shard (its dir is a complete child home),
+    * so the executed work stays ∝ the churn the plan found. Returns
+    * (home, unit, action, outcome ∈ applied|skipped), one row per
+    * distinct planned action, deterministically ordered — feed it
+    * back to [[maintenancePlan]] and the re-sweep must come back
+    * clean at the bound that triggered it. */
+  def applyPlan(spark: SparkSession, plan: DataFrame,
+                homes: Map[String, String],
+                targetFiles: Int = 4): DataFrame = {
+    import spark.implicits._
+    val rows = plan.select("home", "unit", "action").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq.sorted
+    rows.map { case (label, unit, action) =>
+      val outcome = (action, homes.get(label)) match {
+        case ("compact", Some(home)) =>
+          val dir = if (unit == "-") home else s"$home/$unit"
+          IndexCdc.compact(spark, dir, targetFiles)
+          "applied"
+        case _ => "skipped"
+      }
+      (label, unit, action, outcome)
+    }.toDF("home", "unit", "action", "outcome")
+  }
 }

@@ -808,6 +808,14 @@ object Extensions {
       graft.operators.IndexAudit.maintenancePlan(s,
         Seq("mh" -> gateMinhashCdcIndex(s, d),
           "bm_sh" -> gateBm25ShardedHome(s, d)))),
+    // steady state of the closed loop: sweep + apply over a healthy
+    // standing home — all-skip, which is what a fleet pays nightly
+    "q_maintenance_apply" -> ((s, d) => {
+      val dir = gateMinhashCdcIndex(s, d)
+      graft.operators.IndexAudit.applyPlan(s,
+        graft.operators.IndexAudit.maintenancePlan(s, Seq("mh" -> dir)),
+        Map("mh" -> dir))
+    }),
     // the per-audit recurring op is the diff itself — run it over the
     // standing CDC fixture's two newest pinned versions
     "q_version_diff" -> ((s, d) => {
@@ -1682,6 +1690,28 @@ object Extensions {
         Seq("bm" -> s"$root/bm", "ivf" -> s"$root/ivf",
           "gone" -> s"$root/gone"),
         countChecks = true)
+    }),
+    // the planner's closed loop: execute the SAFE tier (compact —
+    // row-preserving under each family's own lease + pointer commit),
+    // skip everything that needs a human, the change feed, or delete
+    // rights. The fragmented 2-shard home compacts shard-by-shard; the
+    // healthy home and the damaged one are skipped — a FIXED outcome
+    // set, the canary pattern on the executor
+    "q_maintenance_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val root = graft.sources.Scratch.dir(
+        s"mapply_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.ShardedIndex.writeBm25(
+        docs.filter(col("doc_id") % 2 === 0), s"$root/bm", shards = 2)
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", s"$root/mh")
+      val homes = Map("bm" -> s"$root/bm", "mh" -> s"$root/mh",
+        "gone" -> s"$root/gone")
+      val plan = graft.operators.IndexAudit.maintenancePlan(s,
+        Seq("bm" -> s"$root/bm"), maxFilesPerTable = 0)
+        .unionByName(graft.operators.IndexAudit.maintenancePlan(s,
+          Seq("mh" -> s"$root/mh", "gone" -> s"$root/gone")))
+      graft.operators.IndexAudit.applyPlan(s, plan, homes)
     }),
     // takedown-purge certification: versions freeze at the replacement
     // commit, so diffing PHYSICAL presence (masks off) between the
@@ -5202,6 +5232,15 @@ object Extensions {
         ('ivf', '-', 'compact', 'hist_staleness', CAST(3 AS BIGINT)),
         ('gone', '-', 'repair', 'layout', CAST(1 AS BIGINT))
       ) AS t(home, unit, action, reason, priority)""",
+    // the executor's outcome canary: compacts land, everything that
+    // needs a human / the feed / delete rights is skipped
+    "q_maintenance_apply" -> """
+      SELECT * FROM (VALUES
+        ('bm', 'shard=0', 'compact', 'applied'),
+        ('bm', 'shard=1', 'compact', 'applied'),
+        ('gone', '-', 'repair', 'skipped'),
+        ('mh', '-', 'none', 'skipped')
+      ) AS t(home, unit, action, outcome)""",
     // rebuild+compact must be lossless → same oracle as the fresh index
     "dedup_index_rebuild" -> incrementalOracle,
     // incremental (2 arrival chunks + no-op rerun) ≡ one-shot batch join:

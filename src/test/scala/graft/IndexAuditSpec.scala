@@ -296,4 +296,43 @@ class IndexAuditSpec extends AnyFunSuite with SparkSpec {
     assert(plan == Set(("shard=0", "compact", "fragmentation"),
       ("shard=1", "compact", "fragmentation")), s"unexpected plan: $plan")
   }
+
+  test("applyPlan closes the loop: compacts land, boards stay put, " +
+      "the re-sweep comes back clean; unsafe tiers never execute") {
+    val home = graft.sources.Scratch.dir("mapply-loop")
+    graft.operators.ShardedIndex.writeBm25(
+      docs.filter(col("doc_id") % 2 === 0), home, shards = 2)
+    // fragment past a tight bound via two CDC batches
+    graft.operators.ShardedIndex.append(spark, home,
+      docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 3 === 0)
+        .select("doc_id", "text"), batchId = 0L)
+    graft.operators.ShardedIndex.delete(spark, home,
+      docs.filter(col("doc_id") % 10 === 2).select("doc_id"), batchId = 1L)
+    def board() = graft.operators.ShardedIndex.crossBm25TopKSharded(
+      spark, docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("query_id"),
+          col("text").as("query_text")), home, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val before = board()
+    val gone = graft.sources.Scratch.dir("mapply-never-made")
+    val plan = IndexAudit.maintenancePlan(spark,
+      Seq("sh" -> home, "g" -> gone), maxFilesPerTable = 2)
+    val did = IndexAudit.applyPlan(spark, plan,
+      Map("sh" -> home, "g" -> gone), targetFiles = 1)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3)))
+      .toSeq
+    // every compact applied, the repair row skipped (never executed —
+    // the `gone` path must still not exist)
+    assert(did.filter(_._2 == "compact").forall(_._3 == "applied"))
+    assert(did.contains(("g", "repair", "skipped")))
+    assert(Option(new java.io.File(gone).list()).forall(_.isEmpty),
+      "applyPlan must not touch an unsafe-tier target")
+    // compaction is row-preserving: the served board is bit-identical
+    assert(board() == before, "applyPlan moved a served board")
+    // and the re-sweep is clean at the bound that triggered the work
+    val again = IndexAudit.maintenancePlan(spark, Seq("sh" -> home),
+      maxFilesPerTable = 2)
+      .collect().map(r => (r.getString(2), r.getString(3))).toSet
+    assert(again == Set(("none", "")), s"re-sweep not clean: $again")
+  }
 }
