@@ -224,7 +224,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // G-row moment groupBy is the only exchange; the stats attach is
       // an explicit broadcast and z is scan-side — a 2nd exchange
       // would mean the window form crept back in
-      "q_group_zscore" -> 1)
+      "q_group_zscore" -> 1,
+      // r18: hash → shard route → per-shard rank window. ONE exchange
+      // (hashpartitioning on shard); a 2nd would mean a global sort or
+      // an extra repartition crept into the training-order shuffle
+      "q_train_shuffle" -> 1)
     val byName = planOnly.toMap
     budgets.foreach { case (name, budget) =>
       val n = collectNodes(byName(name).queryExecution.executedPlan)
