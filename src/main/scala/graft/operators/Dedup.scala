@@ -987,6 +987,39 @@ object Dedup {
     root
   }
 
+  /** EXPLICIT retention pass — deletes every version at `dir` except
+    * the newest `keep` (the serving version is always kept, whatever
+    * `keep` says). Commit-time retention ([[retainVersions]], applied
+    * inside [[swapInDir]]) bounds history passively: an old version
+    * lingers until the NEXT replacement commit, which may be days
+    * away. That lag is exactly the compliance window a right-to-be-
+    * forgotten deadline cannot tolerate — after a rebuild physically
+    * purges a takedown (certified by `IndexCdc.versionDiff`), the
+    * frozen predecessor still HOLDS the bytes. This op closes that
+    * window on demand, under the home's writer lease (pinned readers
+    * of a pruned version fail loudly at their next open — the same
+    * contract commit-time pruning already imposes; `keep = 1` is the
+    * compliance form, serving-version-only). Deliberate-delete by
+    * design: never called by any maintenance path automatically. */
+  def pruneVersions(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, keep: Int = 1): Unit =
+    IndexLease.withLease(spark, dir, "Dedup.pruneVersions") {
+      require(keep >= 1, s"Dedup.pruneVersions: keep must be >= 1, " +
+        s"got $keep")
+      val serving = pointerVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"Dedup.pruneVersions: $dir has no version-pointer layout — " +
+            "nothing to prune (flat layouts migrate on their first " +
+            "replacement op)"))
+      val vs = listVersions(spark, dir)
+      val keepSet = vs.takeRight(keep).toSet + serving
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      vs.filterNot(keepSet).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v"), true)
+      }
+    }
+
   /** The committed version number at `dir`, or None for a flat
     * pre-pointer layout (or a not-yet-written index). */
   private[graft] def pointerVersion(spark: org.apache.spark.sql.SparkSession,

@@ -414,6 +414,21 @@ object ShardedIndex {
       }
     }
 
+  /** [[Dedup.pruneVersions]] across every shard — the compliance
+    * retention pass at the sharded layout: each shard prunes under its
+    * OWN writer lease (fleet-parallelizable like every per-shard op),
+    * and only shards that have re-versioned since the takedown hold
+    * anything to prune — untouched shards keep their single serving
+    * version and the pass skips them for free. */
+  def pruneVersions(spark: SparkSession, home: String,
+                    keep: Int = 1): Unit = {
+    val m = manifest(spark, home)
+    shardDirs(home, m).foreach { d =>
+      if (Dedup.listVersions(spark, d).size > keep)
+        Dedup.pruneVersions(spark, d, keep)
+    }
+  }
+
   /** IVF shards rebuild under ONE retrained model: dispatching
     * per-shard `rebuildIvfIndex` (the generic path) would retrain S
     * independent quantizers — S cell geometries whose union no

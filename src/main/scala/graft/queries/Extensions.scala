@@ -1736,6 +1736,32 @@ object Extensions {
       graft.operators.IndexCdc.versionDiff(s, dir, vs.init.last, vs.last)
         .select(col("op"), col("id").as("doc_id"))
     }),
+    // the compliance story's last leg: after the rebuild purges the
+    // takedown from the NEW version, the frozen predecessor still
+    // holds the bytes until retention — pruneVersions(keep=1) closes
+    // that window ON the deadline, and the canary proves nothing
+    // anywhere in the home still holds a doomed row
+    "q_version_prune" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val dir = graft.sources.Scratch.dir(
+        s"vprune_${java.util.UUID.randomUUID.toString.take(8)}")
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir)
+      val doomed = docs.filter(col("doc_id") % 2 === 0 &&
+        col("doc_id") % 10 === 2).select(col("doc_id").as("id"))
+      Dedup.deleteFromMinhashIndex(s, dir,
+        doomed.select(col("id").as("doc_id")), batchId = Some(0L))
+      Dedup.rebuildMinhashIndex(s, dir)
+      Dedup.pruneVersions(s, dir, keep = 1)
+      val left = Dedup.listVersions(s, dir).map { v =>
+        graft.operators.IndexCdc.physicalIds(s,
+          Dedup.versionRoot(s, dir, v)).join(doomed, Seq("id")).count()
+      }
+      Seq(("versions_after", Dedup.listVersions(s, dir).size.toLong),
+        ("doomed_rows_left", left.sum))
+        .toDF("chk", "n")
+    }),
     "q_index_audit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val idxDir = graft.sources.Scratch.dir(
@@ -5232,6 +5258,12 @@ object Extensions {
         ('ivf', '-', 'compact', 'hist_staleness', CAST(3 AS BIGINT)),
         ('gone', '-', 'repair', 'layout', CAST(1 AS BIGINT))
       ) AS t(home, unit, action, reason, priority)""",
+    // post-prune truth: one version left, zero doomed rows anywhere
+    "q_version_prune" -> """
+      SELECT * FROM (VALUES
+        ('versions_after', CAST(1 AS BIGINT)),
+        ('doomed_rows_left', CAST(0 AS BIGINT))
+      ) AS t(chk, n)""",
     // the executor's outcome canary: compacts land, everything that
     // needs a human / the feed / delete rights is skipped
     "q_maintenance_apply" -> """

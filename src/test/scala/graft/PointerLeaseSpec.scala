@@ -247,4 +247,53 @@ class PointerLeaseSpec extends AnyFunSuite with SparkSpec {
       .exists(_.op == "takeoverWriter.rebuild"),
       "the fenced writer's cleanup released the new holder's lease")
   }
+
+  test("explicit pruneVersions: the compliance retention pass — " +
+      "serving version always survives, pruned pins refuse, bad args " +
+      "refuse, sharded walk skips single-version shards") {
+    val docs = graft.sources.Tables.documents(spark, base)
+    val dir = graft.sources.Scratch.dir("prune-explicit")
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir)
+    Dedup.deleteFromMinhashIndex(spark, dir,
+      docs.filter(col("doc_id") % 10 === 2).select("doc_id"),
+      batchId = Some(0L))
+    Dedup.rebuildMinhashIndex(spark, dir)
+    val vs = Dedup.listVersions(spark, dir)
+    assert(vs.size >= 2)
+    val servedBefore = canon(Dedup.readMinhashIndex(spark, dir).sets)
+    Dedup.pruneVersions(spark, dir, keep = 1)
+    // exactly the serving version remains, content unmoved
+    assert(Dedup.listVersions(spark, dir) == Seq(vs.last))
+    assert(canon(Dedup.readMinhashIndex(spark, dir).sets) == servedBefore,
+      "pruning old versions moved the served content")
+    // the pinned read of a pruned version refuses by name
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.versionRoot(spark, dir, vs.head)
+    }
+    assert(ex.getMessage.contains("pruned by retention"))
+    // bad args refuse loudly
+    intercept[IllegalArgumentException] {
+      Dedup.pruneVersions(spark, dir, keep = 0)
+    }
+    val flat = graft.sources.Scratch.dir("prune-flat")
+    intercept[IllegalArgumentException] {
+      Dedup.pruneVersions(spark, flat)
+    }
+    // sharded walk: only the compacted (re-versioned) shard prunes;
+    // single-version shards are untouched
+    val home = graft.sources.Scratch.dir("prune-sharded")
+    graft.operators.ShardedIndex.writeBm25(
+      docs.filter(col("doc_id") % 2 === 0), home, shards = 2)
+    graft.operators.IndexCdc.compact(spark,
+      graft.operators.ShardedIndex.shardDir(home, 0))
+    assert(Dedup.listVersions(spark,
+      graft.operators.ShardedIndex.shardDir(home, 0)).size == 2)
+    graft.operators.ShardedIndex.pruneVersions(spark, home)
+    (0 to 1).foreach { i =>
+      assert(Dedup.listVersions(spark,
+        graft.operators.ShardedIndex.shardDir(home, i)).size == 1,
+        s"shard $i not at a single version after the sharded prune")
+    }
+  }
 }
