@@ -235,6 +235,145 @@ object Sampling {
       .select(col("__id").as(idCol), col("__st").as(strataCol))
   }
 
+  /** Per-domain token budgets at temperature T=2 — the companion that
+    * turns "give me `totalBudget` training tokens at the square-root
+    * mixture" into the explicit (domain, budget) table
+    * [[tokenBudgetMix]] consumes: budget_d = ⌊total·√S_d / Σ_e √S_e⌋
+    * where S_d is domain d's TOKEN mass (not its document count — the
+    * unit a pretraining mixture is actually specified in; a
+    * doc-count mixture over-serves domains with short documents).
+    * Same determinism contract as [[temperatureMix]]: `sqrt` is
+    * IEEE-correctly rounded in both the JVM and DuckDB, the divisions
+    * associate in ONE fixed order (total · w / wsum), and the floor
+    * lands on a long — bit-identical across engines.
+    *
+    * Scale: one partial-aggregated shuffle on the domain key (G rows
+    * out) + a 1-row frame combine — metadata at any corpus size. */
+  def temperatureTokenBudgets(df: DataFrame, domainCol: String,
+                              tokCol: String, totalBudget: Long): DataFrame = {
+    require(totalBudget > 0,
+      s"temperatureTokenBudgets: totalBudget must be positive, got $totalBudget")
+    val c = df.groupBy(col(domainCol))
+      .agg(sum(col(tokCol).cast("long")).as("__sd"))
+      .withColumn("__w", sqrt(col("__sd").cast("double")))
+    val norm = c.agg(sum(col("__w")).as("__wsum"))
+    c.crossJoin(norm) // 1-row frame combine
+      .select(col(domainCol),
+        floor(lit(totalBudget.toDouble) * col("__w") / col("__wsum"))
+          .cast("long").as("budget"))
+  }
+
+  /** Token-budgeted mixture construction — the op a pretraining data
+    * recipe is actually written in: every document gets a COPY COUNT
+    * such that domain d delivers (as close as whole documents allow)
+    * exactly `budget_d` tokens:
+    *
+    *   n_copies = budget_d div S_d                (full epochs)
+    *            + [start < budget_d mod S_d]      (partial-epoch fill)
+    *
+    * where S_d is the domain's total token mass and `start` is the
+    * document's EXCLUSIVE prefix token sum within its domain in
+    * md5("tag:id")-shuffled order — so the partial epoch is a
+    * deterministic pseudo-random prefix of the domain, reproducible
+    * across engines/partitionings/reruns (which is what makes a DuckDB
+    * oracle possible), and Σ n_copies·tok lands within one document of
+    * the budget. Budgets below S_d select a subset (n_copies ∈ {0,1} —
+    * the downsampling fill); budgets above S_d repeat documents (the
+    * small-domain multi-epoch upsample); domains absent from `budgets`
+    * get 0. This subsumes the separate "fill" and "repeat schedule"
+    * ops a mixture pipeline otherwise needs.
+    *
+    * `budgets` is a 2-column (domain, budget) frame — pass a literal
+    * table or compose with [[temperatureTokenBudgets]]; it is
+    * domain-bounded metadata either way and broadcasts.
+    *
+    * Scale shape (the [[stratifiedSample]] exact-global-rank
+    * machinery, summing tokens instead of counting rows): a
+    * per-domain `SUM OVER (ORDER BY h)` window would make G reducers
+    * sort the corpus — instead `repartitionByRange(domain, h, id)`
+    * gives partition-local sorted runs, the per-(partition, domain)
+    * token totals (a metadata table bounded by partitions × domains,
+    * collected) turn local window sums into exact global prefix sums,
+    * and the within-partition window is bounded by the partition. One
+    * range shuffle + one window-clustering exchange of the corpus, a
+    * G-row broadcast join, no global sort. Domains must be CATEGORICAL
+    * — the driver-side count table is the scale guard. Returns every
+    * input document: (idCol, domainCol, tokCol, tok_start, n_copies). */
+  def tokenBudgetMix(df: DataFrame, idCol: String, domainCol: String,
+                     tokCol: String, budgets: DataFrame,
+                     seedTag: String = "tbmix"): DataFrame = {
+    val spark = df.sparkSession
+    require(budgets.columns.length == 2,
+      s"tokenBudgetMix: budgets must be a 2-column (domain, budget) " +
+        s"frame, got ${budgets.columns.mkString("(", ", ", ")")}")
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val t = df.select(col(domainCol).cast("string").as("__dom"),
+      col(idCol).cast("long").as("__id"),
+      col(tokCol).cast("long").as("__tok"))
+    val s0 = t.agg(
+      count(when(col("__dom").isNull || col("__id").isNull ||
+        col("__tok").isNull, lit(1))).as("n_bad"),
+      count(when(col("__tok") < 0, lit(1))).as("n_neg")).head()
+    require(s0.getLong(0) == 0L,
+      s"tokenBudgetMix: ${s0.getLong(0)} rows have a null " +
+        s"'$domainCol'/'$idCol'/'$tokCol' — the fill order needs all three")
+    require(s0.getLong(1) == 0L,
+      s"tokenBudgetMix: ${s0.getLong(1)} rows have a negative '$tokCol' — " +
+        "a token count can't be negative")
+    val b = budgets.toDF("__bdom", "__budget")
+      .select(col("__bdom").cast("string").as("__bdom"),
+        col("__budget").cast("long").as("__budget"))
+    val b0 = b.agg(count(when(col("__budget") < 0L ||
+        col("__budget").isNull || col("__bdom").isNull, lit(1))),
+      count(lit(1)) - countDistinct(col("__bdom"))).head()
+    require(b0.getLong(0) == 0L,
+      "tokenBudgetMix: budgets frame has null or negative entries")
+    require(b0.getLong(1) == 0L,
+      "tokenBudgetMix: budgets frame repeats a domain — one budget per " +
+        "domain (the join back would duplicate every document in it)")
+    val sorted = Dedup.materialize(
+      t.withColumn("__h", Dedup.md5Hash60(
+          concat(lit(s"$seedTag:"), col("__id").cast("string"))))
+        .repartitionByRange(nPart, col("__dom"), col("__h"), col("__id"))
+        .sortWithinPartitions("__dom", "__h", "__id")
+        .withColumn("__pid", spark_partition_id()))
+    val counts = sorted.groupBy("__pid", "__dom")
+      .agg(sum("__tok").as("c"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    require(counts.length <= 4 * nPart + 100000,
+      s"tokenBudgetMix: ${counts.length} (partition, domain) groups — " +
+        s"'$domainCol' looks high-cardinality; a mixture domain should be " +
+        "categorical (languages, sources, quality tiers)")
+    // per-domain exclusive token offsets in partition order + totals —
+    // driver-side over the bounded count table only
+    val offRows = counts.groupBy(_._2).iterator.flatMap { case (dm, rows) =>
+      val ordered = rows.sortBy(_._1)
+      val offs = ordered.scanLeft(0L)(_ + _._3)
+      val total = offs.last
+      ordered.zip(offs).map { case ((pid, _, _), off) =>
+        (pid, dm, off, total)
+      }
+    }.toSeq
+    import spark.implicits._
+    val offDf = offRows.toDF("__pid", "__dom", "__off", "__total")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid", "__dom").orderBy("__h", "__id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sorted.join(broadcast(offDf), Seq("__pid", "__dom"))
+      .withColumn("__start",
+        coalesce(sum(col("__tok")).over(w), lit(0L)) + col("__off"))
+      .join(broadcast(b), col("__dom") === col("__bdom"), "left")
+      .withColumn("__bud", coalesce(col("__budget"), lit(0L)))
+      .withColumn("n_copies",
+        when(col("__total") === 0L, lit(0L)).otherwise(
+          expr("__bud div __total") +
+            when(col("__start") < col("__bud") % col("__total"), lit(1L))
+              .otherwise(lit(0L))))
+      .select(col("__id").as(idCol), col("__dom").as(domainCol),
+        col("__tok").as(tokCol), col("__start").as("tok_start"),
+        col("n_copies"))
+  }
+
   /** Deterministic seeded training-order shuffle — the assignment a
     * 100 TB export needs BEFORE [[graft.sources.Sinks.writeRangeShards]]
     * lays the bytes out: every row gets `(shard, pos)` under a

@@ -1454,6 +1454,31 @@ object Extensions {
       graft.operators.Sampling.temperatureMix(
         Tables.documents(s, d), "doc_id", "source", tmixBudget)),
 
+    // token-budgeted mixture construction: per-domain TOKEN budgets →
+    // per-doc copy counts (full epochs + a deterministic md5-shuffled
+    // partial-epoch prefix) — the unit a pretraining recipe is written
+    // in; the budget table here is a literal covering all three
+    // regimes: sub-epoch fill (en), multi-epoch upsample (de at
+    // sf0.01), zero (zh), and an absent domain (fr → 0 copies)
+    "q_token_budget_mix" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.Sampling.tokenBudgetMix(
+        Tables.documents(s, d), "doc_id", "lang", "n_chars",
+        Seq(("en", 30000L), ("de", 40000L), ("zh", 0L), ("es", 65268L))
+          .toDF("lang", "budget"))
+    }),
+    // the same fill under budgets COMPUTED from the data at T=2 over
+    // token mass (not document counts): √-mixture budgets compose with
+    // the fill in one plan — the full "total budget + temperature →
+    // copy counts" recipe
+    "q_token_budget_temp" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Sampling.tokenBudgetMix(
+        docs, "doc_id", "lang", "n_chars",
+        graft.operators.Sampling.temperatureTokenBudgets(
+          docs, "lang", "n_chars", ttbBudget))
+    }),
+
     // ---- frequent items (heavy hitters) ----
     // one-pass bounded-state Misra–Gries sketch; the gate SELECTS by
     // exact counts (deterministic across engines) and uses the sketch
@@ -4323,6 +4348,11 @@ object Extensions {
     * corpus, so the thin/oversample split is visible on both sides. */
   private val tmixBudget = 1000L
 
+  /** Total token budget for the `q_token_budget_temp` gate — 2× the
+    * sf0.01 corpus token mass, so the √-mixture hands rare domains
+    * multi-epoch budgets while common ones stay sub-epoch. */
+  private val ttbBudget = 300000L
+
   // BPE oracle fragments — mirror graft.operators.Bpe exactly: the same
   // [a-z]+ pretokenizer, occurrence-weighted distinct-word table,
   // greedy left-to-right merge fold (DuckDB folds the symbol list into
@@ -5703,6 +5733,63 @@ object Extensions {
                  CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT < r.thr
                THEN 1 ELSE 0 END AS n_copies
       FROM documents d JOIN r ON d.source = r.dom""",
+    // the identical md5-shuffled order, the identical exclusive
+    // per-domain token prefix sum (a plain window here — the engine's
+    // two-phase global-rank machinery must be bit-identical to it for
+    // EVERY partitioning), integer div/mod against literal budgets
+    "q_token_budget_mix" -> """
+      WITH k AS (SELECT doc_id, lang, n_chars,
+              ('0x' || substr(md5('tbmix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                AS h
+            FROM documents),
+      c AS (SELECT doc_id, lang, n_chars,
+              COALESCE(CAST(SUM(n_chars) OVER (PARTITION BY lang
+                ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                0) AS strt
+            FROM k),
+      t AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total
+            FROM documents GROUP BY lang),
+      b AS (SELECT * FROM (VALUES ('en', 30000), ('de', 40000),
+                                  ('zh', 0), ('es', 65268)) x(lang, budget))
+      SELECT c.doc_id, c.lang, CAST(c.n_chars AS BIGINT) AS n_chars,
+             c.strt AS tok_start,
+             CASE WHEN t.total = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(COALESCE(b.budget, 0) AS BIGINT) // t.total
+                       + CASE WHEN c.strt <
+                           CAST(COALESCE(b.budget, 0) AS BIGINT) % t.total
+                         THEN 1 ELSE 0 END
+             END AS n_copies
+      FROM c JOIN t USING (lang) LEFT JOIN b USING (lang)""",
+    // same fill, budgets derived at T=2 over token mass: sqrt
+    // (IEEE-exact both engines) + ONE fixed division order + floor to
+    // BIGINT — then the identical div/mod copy-count arithmetic
+    "q_token_budget_temp" -> s"""
+      WITH t AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total,
+                        sqrt(CAST(SUM(n_chars) AS DOUBLE)) AS w
+                 FROM documents GROUP BY lang),
+      n AS (SELECT SUM(w) AS wsum FROM t),
+      b AS (SELECT lang, CAST(floor($ttbBudget * w / wsum) AS BIGINT)
+                     AS budget
+            FROM t, n),
+      k AS (SELECT doc_id, lang, n_chars,
+              ('0x' || substr(md5('tbmix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                AS h
+            FROM documents),
+      c AS (SELECT doc_id, lang, n_chars,
+              COALESCE(CAST(SUM(n_chars) OVER (PARTITION BY lang
+                ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                0) AS strt
+            FROM k)
+      SELECT c.doc_id, c.lang, CAST(c.n_chars AS BIGINT) AS n_chars,
+             c.strt AS tok_start,
+             CASE WHEN t.total = 0 THEN CAST(0 AS BIGINT)
+                  ELSE b.budget // t.total
+                       + CASE WHEN c.strt < b.budget % t.total
+                         THEN 1 ELSE 0 END
+             END AS n_copies
+      FROM c JOIN t USING (lang) JOIN b USING (lang)""",
     // the oracle rebuilds the full CMS cell table from the same md5
     // bucket family and reads the row-wise minimum — exact, not a bound
     "q_countmin" -> s"""

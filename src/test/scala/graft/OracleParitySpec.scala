@@ -118,6 +118,9 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // r18: '0x'||md5 60-bit permutation draw (the q_split_assign
     // dialect family)
     "q_train_shuffle",
+    // r18: '0x'||md5 order + `//` integer division in the copy-count
+    // arithmetic (token-budgeted mixture)
+    "q_token_budget_mix", "q_token_budget_temp",
     "dedup_containment", "dedup_embedding", "dedup_embedding_incr",
     "dedup_incremental", "dedup_minhash", "dedup_ngram", "dedup_norm",
     "dedup_semantic", "dedup_simhash", "dedup_substring",

@@ -192,4 +192,118 @@ class DiversitySampleSpec extends AnyFunSuite with SparkSpec {
     assert(orderInShard0 != orderInShard0.sorted,
       "shard 0 preserved source order — not a shuffle")
   }
+
+  private def mixCorpus = {
+    val r = new scala.util.Random(11)
+    (0L until 360L).map { i =>
+      val dom = if (i % 6 == 0) "b" else if (i % 90 == 3) "c" else "a"
+      val tok = if (i % 40 == 7) 0L else r.nextInt(20).toLong + 1L
+      (i * 2 + 5, dom, tok)
+    }.toDF("id", "dom", "tok")
+  }
+
+  test("tokenBudgetMix: two-phase prefix == single-window oracle for " +
+      "any input partitioning; copy counts replay the div/mod formula") {
+    val docs = mixCorpus
+    val budgets = Seq(("a", 900L), ("b", 10000L), ("c", 0L))
+      .toDF("dom", "budget")
+    val oracle = {
+      val h = graft.operators.Dedup.md5Hash60(
+        concat(lit("tbmix:"), col("id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("dom").orderBy("__h", "id")
+        .rowsBetween(Long.MinValue, -1)
+      docs.withColumn("__h", h)
+        .withColumn("tok_start", coalesce(sum("tok").over(w), lit(0L)))
+        .select("id", "dom", "tok", "tok_start")
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    }
+    val totals = docs.groupBy("dom").agg(sum("tok")).as[(String, Long)]
+      .collect().toMap
+    val bud = Map("a" -> 900L, "b" -> 10000L, "c" -> 0L)
+    for (parts <- Seq(1, 13)) {
+      val got = Sampling
+        .tokenBudgetMix(docs.repartition(parts), "id", "dom", "tok", budgets)
+        .as[(Long, String, Long, Long, Long)].collect()
+      assert(got.length == 360, "every input document comes back")
+      got.foreach { case (id, dom, tok, start, n) =>
+        assert(start == oracle((id, dom, tok)),
+          s"prefix sum drifted for id=$id at parts=$parts")
+        val (s, b) = (totals(dom), bud(dom))
+        val expect = b / s + (if (start < b % s) 1L else 0L)
+        assert(n == expect, s"copy count drifted for id=$id")
+      }
+    }
+  }
+
+  test("tokenBudgetMix: delivered tokens land within one document of " +
+      "each budget; regimes (fill / multi-epoch / zero / absent) hold") {
+    val docs = mixCorpus
+    val budgets = Seq(("a", 900L), ("b", 1500L)).toDF("dom", "budget")
+    val got = Sampling.tokenBudgetMix(docs, "id", "dom", "tok", budgets)
+      .as[(Long, String, Long, Long, Long)].collect()
+    val totals = docs.groupBy("dom").agg(sum("tok")).as[(String, Long)]
+      .collect().toMap
+    val bud = Map("a" -> 900L, "b" -> 1500L, "c" -> 0L)
+    for (dom <- Seq("a", "b", "c")) {
+      val rows = got.filter(_._2 == dom)
+      val delivered = rows.map(r => r._3 * r._5).sum
+      val maxTok = rows.map(_._3).max
+      val b = bud(dom)
+      if (b % totals(dom) == 0L) assert(delivered == b)
+      else assert(delivered >= b && delivered < b + maxTok,
+        s"$dom delivered $delivered for budget $b (maxTok $maxTok)")
+    }
+    // fill regime: a's budget is sub-epoch → copies ∈ {0, 1}, both seen
+    val aCopies = got.filter(_._2 == "a").map(_._5).toSet
+    assert(aCopies == Set(0L, 1L))
+    // multi-epoch regime: b's budget exceeds its mass → every doc ≥ base
+    val bBase = 1500L / totals("b")
+    assert(bBase >= 1L && got.filter(_._2 == "b").forall(_._5 >= bBase))
+    // absent domain: c is not in the budget table → 0 copies everywhere
+    assert(got.filter(_._2 == "c").forall(_._5 == 0L))
+  }
+
+  test("tokenBudgetMix: loud failures — null domain, negative tokens, " +
+      "duplicated budget domain") {
+    val budgets = Seq(("a", 10L)).toDF("dom", "budget")
+    val nullDom = Seq((1L, "a", 3L), (2L, null: String, 4L))
+      .toDF("id", "dom", "tok")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetMix(nullDom, "id", "dom", "tok", budgets).collect()
+    }
+    assert(e1.getMessage.contains("null"))
+    val negTok = Seq((1L, "a", 3L), (2L, "a", -4L)).toDF("id", "dom", "tok")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetMix(negTok, "id", "dom", "tok", budgets).collect()
+    }
+    assert(e2.getMessage.contains("negative"))
+    val ok = Seq((1L, "a", 3L)).toDF("id", "dom", "tok")
+    val dup = Seq(("a", 10L), ("a", 20L)).toDF("dom", "budget")
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetMix(ok, "id", "dom", "tok", dup).collect()
+    }
+    assert(e3.getMessage.contains("repeats a domain"))
+  }
+
+  test("temperatureTokenBudgets: √-mixture formula replays exactly; " +
+      "rare domains gain share, common domains lose it") {
+    val docs = mixCorpus
+    val total = 5000L
+    val got = Sampling.temperatureTokenBudgets(docs, "dom", "tok", total)
+      .as[(String, Long)].collect().toMap
+    val masses = docs.groupBy("dom").agg(sum("tok")).as[(String, Long)]
+      .collect().toMap
+    val wsum = masses.values.toSeq.map(s => math.sqrt(s.toDouble)).sum
+    for ((dom, s) <- masses) {
+      val expect = math.floor(
+        total.toDouble * math.sqrt(s.toDouble) / wsum).toLong
+      assert(got(dom) == expect, s"budget formula drifted for $dom")
+    }
+    // rebalance direction: epochs = budget / mass grows as mass shrinks
+    val epochs = masses.map { case (d, s) => d -> got(d).toDouble / s }
+    assert(epochs("c") > epochs("b") && epochs("b") > epochs("a"),
+      s"√-mixture must favor rare domains, got $epochs")
+  }
 }
