@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.HadoopBridge
+
+/** Disaster recovery for persisted index homes — the lifecycle piece
+  * every other piece assumes exists: leases fence concurrent writers,
+  * pointer commits survive crashes, fsck finds torn state, but none of
+  * them survives the STORAGE failing (a deleted bucket prefix, a bad
+  * retention script, an operator `rm`). A backup is a byte-for-byte,
+  * checksummed copy of the home tree; a restore is the inverse, gated
+  * on every checksum re-verifying — so "restore serves bit-exactly
+  * what the home served at backup time" is a mechanical consequence,
+  * not a hope.
+  *
+  * Works on ANY home layout this engine writes — flat legacy,
+  * version-pointer ([[Dedup]] doc at `PointerFile`), and sharded
+  * ([[ShardedIndex]]) homes, whose shard children are themselves
+  * pointer homes — because it copies the TREE rather than
+  * re-serializing tables through a reader (which would need per-kind
+  * code and could silently normalize exactly the torn state a backup
+  * must preserve evidence of). Two exclusions: the home's `LEASE`
+  * file (it is OUR lease during the copy — restoring it would wedge
+  * the restored home until the TTL) and `_staging_*` scratch trees
+  * (CDC routing residue, never part of served state).
+  *
+  * Backup layout (all under `backupDir`):
+  *   - `data/<relpath>` — the copied tree;
+  *   - `_manifest/` — parquet (relpath, length, md5): the integrity
+  *     contract, written from checksums computed DURING the copy;
+  *   - `_BACKUP_META` — provenance (source home, file/byte counts);
+  *   - `_COMMITTED` — the marker, strictly last: a backup without it
+  *     is torn and [[restore]] refuses it by name.
+  *
+  * Consistency: the copy runs under the home's writer lease
+  * ([[IndexLease.withLease]]) — the same single-writer fence every
+  * maintenance op takes — so no append/CDC/compact can move markers or
+  * swing pointers mid-copy; the backup is a frozen, openable snapshot.
+  *
+  * Scale: the copy is file-granular and runs ON EXECUTORS
+  * ([[HadoopBridge.mapWithConf]] ships the driver's filesystem conf),
+  * one stream per file with the MD5 folded into the same pass — cost
+  * ∝ home bytes with cluster-wide IO parallelism, never a driver
+  * bottleneck; driver-side state is the FILE LIST (metadata-scale,
+  * the same bound every maintenance op already accepts). For a
+  * sharded home, backing up shard children individually (each is a
+  * complete home) bounds the unit further — this op doesn't special-
+  * case it because `backup(shardDir)` already IS that. */
+object IndexBackup {
+
+  private[graft] val MetaFile = "_BACKUP_META"
+  private[graft] val MarkerFile = "_COMMITTED"
+  private val DataDir = "data"
+  private val ManifestDir = "_manifest"
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Recursive relative file list under `root`, excluding the lease
+    * file and `_staging_*` scratch trees. Driver-side, bounded by the
+    * home's file count. */
+  private def listRel(fs: FileSystem, root: Path): Seq[String] = {
+    def walk(p: Path, rel: String): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        val childRel = if (rel.isEmpty) name else s"$rel/$name"
+        if (name.startsWith("_staging_")) Seq.empty
+        else if (st.isDirectory) walk(st.getPath, childRel)
+        else if (name == Dedup.LeaseFile) Seq.empty
+        else Seq(childRel)
+      }
+    walk(root, "")
+  }
+
+  /** Copy ONE file `srcRoot/rel` → `dstRoot/rel`, streaming the bytes
+    * through MD5 in the same pass. Static + conf-parameterized so it
+    * serializes into executor tasks. Returns (rel, length, md5hex). */
+  private def copyWithMd5(conf: Configuration, srcRoot: String,
+                          dstRoot: String, rel: String)
+      : (String, Long, String) = {
+    val src = new Path(s"$srcRoot/$rel")
+    val dst = new Path(s"$dstRoot/$rel")
+    val sfs = src.getFileSystem(conf)
+    val dfs = dst.getFileSystem(conf)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = sfs.open(src)
+    val out = dfs.create(dst, true)
+    var n = 0L
+    try {
+      val buf = new Array[Byte](1 << 20)
+      var read = in.read(buf)
+      while (read >= 0) {
+        if (read > 0) { md.update(buf, 0, read); out.write(buf, 0, read); n += read }
+        read = in.read(buf)
+      }
+    } finally { in.close(); out.close() }
+    (rel, n, md.digest().map("%02x".format(_)).mkString)
+  }
+
+  /** MD5 + length of ONE existing file — the read-only verify twin of
+    * [[copyWithMd5]]. */
+  private def md5Of(conf: Configuration, root: String, rel: String)
+      : (String, Long, String) = {
+    val p = new Path(s"$root/$rel")
+    val fs = p.getFileSystem(conf)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = fs.open(p)
+    var n = 0L
+    try {
+      val buf = new Array[Byte](1 << 20)
+      var read = in.read(buf)
+      while (read >= 0) {
+        if (read > 0) { md.update(buf, 0, read); n += read }
+        read = in.read(buf)
+      }
+    } finally in.close()
+    (rel, n, md.digest().map("%02x".format(_)).mkString)
+  }
+
+  private def writeSmall(fs: FileSystem, p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def parallelism(spark: SparkSession): Int =
+    spark.sparkContext.defaultParallelism
+
+  /** Back up the index home at `dir` into `backupDir`. Refuses a
+    * COMMITTED backup already at `backupDir` (overwriting the last
+    * good backup is a deliberate-delete decision — remove it
+    * explicitly); a torn one (no marker — a crashed prior attempt,
+    * which nothing ever reads) is cleared and redone. Returns the
+    * manifest (relpath, length, md5). */
+  def backup(spark: SparkSession, dir: String,
+             backupDir: String): DataFrame = {
+    val bfs = fsOf(spark, backupDir)
+    val broot = new Path(backupDir)
+    if (bfs.exists(new Path(broot, MarkerFile)))
+      throw new IllegalArgumentException(
+        s"IndexBackup.backup: $backupDir already holds a COMMITTED " +
+          "backup — overwriting the last good copy is a deliberate " +
+          "delete; remove the directory explicitly and re-run")
+    if (bfs.exists(broot)) bfs.delete(broot, true) // torn prior attempt
+    IndexLease.withLease(spark, dir, "IndexBackup.backup") {
+      val sfs = fsOf(spark, dir)
+      require(sfs.exists(new Path(dir)),
+        s"IndexBackup.backup: no index home at $dir")
+      val rels = listRel(sfs, new Path(dir)).sorted
+      require(rels.nonEmpty,
+        s"IndexBackup.backup: $dir holds no files — not an index home")
+      val dataRoot = s"$backupDir/$DataDir"
+      val copied = HadoopBridge.mapWithConf(spark, rels,
+        parallelism(spark))(copyWithMd5(_, dir, dataRoot, _))
+      import spark.implicits._
+      val manifest = copied.toDF("relpath", "length", "md5")
+        .repartition(1).sortWithinPartitions("relpath")
+      manifest.write.mode("overwrite")
+        .parquet(s"$backupDir/$ManifestDir")
+      writeSmall(bfs, new Path(broot, MetaFile),
+        s"source=$dir\nfiles=${copied.length}\n" +
+          s"bytes=${copied.map(_._2).sum}\n")
+      // marker strictly last: everything above can crash and leave a
+      // tree restore refuses by name
+      writeSmall(bfs, new Path(broot, MarkerFile), "committed\n")
+      spark.read.parquet(s"$backupDir/$ManifestDir")
+    }
+  }
+
+  /** Integrity report for the backup at `backupDir` — (check, status,
+    * detail) rows in the [[IndexAudit.audit]] style: `marker`,
+    * `manifest`, `files` (missing/extra vs the manifest), `bytes` and
+    * `checksum` (every file re-hashed, on executors). Read-only; ends
+    * with a `verdict` row. */
+  def verify(spark: SparkSession, backupDir: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, backupDir)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val committed = fs.exists(new Path(backupDir, MarkerFile))
+    rows += (("marker", if (committed) "OK" else "ERROR",
+      if (committed) "backup is committed"
+      else s"no $MarkerFile — the backup writer crashed before commit; " +
+        "delete this tree and re-run IndexBackup.backup"))
+    val manifest: Seq[(String, Long, String)] =
+      scala.util.Try(
+        spark.read.parquet(s"$backupDir/$ManifestDir")
+          .select("relpath", "length", "md5")
+          .as[(String, Long, String)].collect().toSeq
+      ).getOrElse(Seq.empty)
+    rows += (("manifest",
+      if (manifest.nonEmpty) "OK" else "ERROR",
+      if (manifest.nonEmpty) s"${manifest.length} files manifested"
+      else "manifest missing or unreadable"))
+    if (manifest.nonEmpty) {
+      val dataRoot = s"$backupDir/$DataDir"
+      val present =
+        if (fs.exists(new Path(dataRoot)))
+          listRel(fs, new Path(dataRoot)).toSet
+        else Set.empty[String]
+      val wanted = manifest.map(_._1).toSet
+      val missing = (wanted -- present).toSeq.sorted
+      val extra = (present -- wanted).toSeq.sorted
+      rows += (("files",
+        if (missing.isEmpty && extra.isEmpty) "OK" else "ERROR",
+        if (missing.isEmpty && extra.isEmpty)
+          s"${present.size} files present, none extra"
+        else s"${missing.length} missing ${missing.take(3).mkString("(", ", ", ")")}, " +
+          s"${extra.length} extra ${extra.take(3).mkString("(", ", ", ")")}"))
+      val toCheck = manifest.filter(m => present(m._1))
+      val got = HadoopBridge.mapWithConf(spark, toCheck.map(_._1),
+        parallelism(spark))(md5Of(_, dataRoot, _))
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val badLen = toCheck.filter(m => got(m._1)._1 != m._2).map(_._1)
+      val badSum = toCheck.filter(m =>
+        got(m._1)._1 == m._2 && got(m._1)._2 != m._3).map(_._1)
+      rows += (("bytes", if (badLen.isEmpty) "OK" else "ERROR",
+        if (badLen.isEmpty) "every length matches"
+        else s"${badLen.length} length mismatches " +
+          badLen.take(3).mkString("(", ", ", ")")))
+      rows += (("checksum", if (badSum.isEmpty) "OK" else "ERROR",
+        if (badSum.isEmpty) "every md5 matches"
+        else s"${badSum.length} checksum mismatches " +
+          badSum.take(3).mkString("(", ", ", ")")))
+    }
+    val bad = rows.count(_._2 == "ERROR")
+    rows += (("verdict", if (bad == 0) "OK" else "ERROR",
+      if (bad == 0) "backup is restorable" else s"$bad checks failed"))
+    rows.toSeq.toDF("check", "status", "detail")
+  }
+
+  /** Restore the backup at `backupDir` into a FRESH home at `dest`.
+    * Refuses a torn backup (no marker), any integrity failure (every
+    * file re-checksummed against the manifest BEFORE a byte lands),
+    * and a non-empty `dest` (restoring over live state is what
+    * takedowns and leases exist to prevent — point serving at the
+    * restored home by path instead). Control files (`CURRENT`
+    * pointers, `_graft_index_meta.properties` commit markers) land
+    * strictly AFTER the data files, so a crashed restore leaves a
+    * home that fails loudly at open instead of serving a torn tree —
+    * delete it and re-run. */
+  def restore(spark: SparkSession, backupDir: String,
+              dest: String): Unit = {
+    val fs = fsOf(spark, backupDir)
+    require(fs.exists(new Path(backupDir, MarkerFile)),
+      s"IndexBackup.restore: $backupDir has no $MarkerFile — the backup " +
+        "is torn (its writer crashed before commit); it must not be " +
+        "restored. Use a committed backup, or re-run IndexBackup.backup")
+    val report = verify(spark, backupDir)
+      .filter(col("status") === "ERROR").collect()
+    require(report.isEmpty,
+      s"IndexBackup.restore: backup at $backupDir fails integrity: " +
+        report.map(r => s"${r.getString(0)}: ${r.getString(2)}")
+          .mkString("; ") + " — restoring it would serve corrupt state")
+    val dfs = fsOf(spark, dest)
+    require(!dfs.exists(new Path(dest)) ||
+        dfs.listStatus(new Path(dest)).isEmpty,
+      s"IndexBackup.restore: $dest already exists and is non-empty — " +
+        "a restore only targets a fresh home (retire or remove the " +
+        "existing one explicitly, or restore beside it and repoint)")
+    import spark.implicits._
+    val rels = spark.read.parquet(s"$backupDir/$ManifestDir")
+      .select("relpath").as[String].collect().toSeq.sorted
+    def isControl(rel: String): Boolean = {
+      val name = rel.substring(rel.lastIndexOf('/') + 1)
+      name == Dedup.PointerFile || name == Dedup.IndexMetaFile
+    }
+    val dataRoot = s"$backupDir/$DataDir"
+    val (control, plain) = rels.partition(isControl)
+    HadoopBridge.mapWithConf(spark, plain,
+      parallelism(spark))(copyWithMd5(_, dataRoot, dest, _))
+    // control files last — the restored home only becomes openable
+    // once every data byte is down
+    HadoopBridge.mapWithConf(spark, control,
+      parallelism(spark))(copyWithMd5(_, dataRoot, dest, _))
+    ()
+  }
+}

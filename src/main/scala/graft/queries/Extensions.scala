@@ -151,6 +151,26 @@ object Extensions {
     })
   }
 
+  /** Restored twin of [[gateBm25Index]]: one memoized backup + restore
+    * of the standing BM25 fixture — the artifact behind
+    * `q_index_backup`'s bench override, so the perf row times the
+    * serve from a RESTORED home (identical to serving the original by
+    * the byte-exact copy law), not the copy apparatus. */
+  private val gateRestoredBm25Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gateRestoredBm25Index(s: SparkSession, d: String): String = {
+    val f = new java.io.File(s"$d/documents.parquet")
+    gateRestoredBm25Memo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}", _ => {
+      val tag = java.util.UUID.randomUUID.toString.take(8)
+      val src = gateBm25Index(s, d)
+      val bk = graft.sources.Scratch.dir(s"bm25bk_bench_$tag")
+      val dest = graft.sources.Scratch.dir(s"bm25rs_bench_$tag")
+      graft.operators.IndexBackup.backup(s, src, bk)
+      graft.operators.IndexBackup.restore(s, bk, dest)
+      dest
+    })
+  }
+
   /** Deletion-bearing twin of [[gateBm25Index]]: the same committed
     * content MINUS the 13≡5 tombstones — the standing artifact behind
     * `retrieval_bm25_del`'s bench override, so the perf row times the
@@ -915,6 +935,20 @@ object Extensions {
               .as("query_text")),
         gateBm25Index(s, d), k = 5)
     }),
+    // steady disaster-recovery serve: the standing RESTORED home (one
+    // memoized backup+restore of the standing BM25 fixture) — the
+    // timed work is the serve from the restored artifact, proving a
+    // restore costs nothing at query time; the backup+restore copy
+    // itself is the registered gate's apparatus
+    "q_index_backup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Bm25Index.crossBm25TopK(s,
+        docs.filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+              .as("query_text")),
+        gateRestoredBm25Index(s, d), k = 5)
+    }),
     // the same serve over a standing tombstoned index: the timed delta
     // vs retrieval_bm25_incr is the match-stream anti-join — what
     // un-rebuilt deletions honestly cost per query batch
@@ -1015,6 +1049,32 @@ object Extensions {
             concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
               .as("query_text")),
         dir, k = 5)
+    }),
+    // disaster recovery as a first-class lifecycle op: the SAME home
+    // as retrieval_bm25_incr, backed up (lease-frozen, per-file
+    // checksummed, marker-last) and restored into a fresh home — the
+    // board served from the RESTORED home must equal the original's
+    // fresh-build oracle bit for bit, the mechanical consequence of a
+    // byte-exact verified copy (refusal laws live in IndexBackupSpec)
+    "q_index_backup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+      val tag = java.util.UUID.randomUUID.toString.take(8)
+      val dir = graft.sources.Scratch.dir(s"bk_src_$tag")
+      graft.operators.Bm25Index.write(
+        corpus.filter(col("doc_id") % 10 =!= 3), dir)
+      graft.operators.Bm25Index.append(s, dir,
+        corpus.filter(col("doc_id") % 10 === 3), batchId = Some(0L))
+      val bk = graft.sources.Scratch.dir(s"bk_copy_$tag")
+      val dest = graft.sources.Scratch.dir(s"bk_dest_$tag")
+      graft.operators.IndexBackup.backup(s, dir, bk)
+      graft.operators.IndexBackup.restore(s, bk, dest)
+      graft.operators.Bm25Index.crossBm25TopK(s,
+        docs.filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+              .as("query_text")),
+        dest, k = 5)
     }),
     // the takedown leg of the persisted-BM25 lifecycle: build on ~90%
     // of the corpus, append the rest (batch 0), then DELETE every
@@ -4928,6 +4988,9 @@ object Extensions {
     // stored ≡ fresh: the persisted-index serve folds df/(N,S) exactly,
     // so it replays the same one-shot oracle text
     "retrieval_bm25_incr" -> bm25Oracle,
+    // the restored home serves the SAME content — backup/restore is
+    // byte-exact by construction, so the oracle is shared verbatim
+    "q_index_backup" -> bm25Oracle,
     // write + append + delete ≡ fresh build over corpus − tombstones
     "retrieval_bm25_del" -> bm25DeletedOracle,
     // shard count is an operational knob: the 4-shard home serves the

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, IndexBackup, IndexLease, ShardedIndex}
+
+/** Disaster-recovery laws for [[graft.operators.IndexBackup]]: the
+  * backup→restore roundtrip serves bit-exactly (monolithic AND sharded
+  * homes), every refusal is loud and names its remedy (torn backup,
+  * tampered bytes, committed-backup overwrite, non-empty destination),
+  * the copy runs under the home's writer lease, and the lease file
+  * itself never travels (a restored home must not be born wedged). */
+class IndexBackupSpec extends AnyFunSuite with SparkSpec {
+
+  val base = "/root/testdata/sf0.001"
+
+  private def canon(df: DataFrame): Set[Seq[String]] =
+    df.collect().map(r =>
+      Seq.tabulate(r.length)(i =>
+        if (r.isNullAt(i)) "<NULL>" else r.get(i).toString)).toSet
+
+  private def fsOf(dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def sets(dir: String): DataFrame =
+    Dedup.readMinhashIndex(spark, dir).sets
+
+  test("roundtrip: a restored monolithic home serves bit-exactly; " +
+      "verify is clean; the lease file never travels") {
+    val docs = graft.sources.Tables.documents(spark, base).limit(60)
+    val home = graft.sources.Scratch.dir("bk-mono")
+    val bk = graft.sources.Scratch.dir("bk-mono-copy")
+    val dest = graft.sources.Scratch.dir("bk-mono-restored")
+    fsOf(dest).delete(new org.apache.hadoop.fs.Path(dest), true)
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", home)
+    // exercise the in-place surface too, so the tree carries batches
+    Dedup.appendToMinhashIndex(docs.limit(5)
+      .withColumn("doc_id", col("doc_id") + 100000L),
+      "doc_id", "text", home, batchId = Some(1L))
+    val before = canon(sets(home))
+    val manifest = IndexBackup.backup(spark, home, bk)
+    import spark.implicits._
+    val rels = manifest.select("relpath").as[String].collect()
+    assert(rels.nonEmpty)
+    assert(!rels.exists(_.endsWith(Dedup.LeaseFile)),
+      "the backup must not carry the writer lease")
+    val report = IndexBackup.verify(spark, bk)
+    assert(report.filter(col("status") =!= "OK").isEmpty,
+      "fresh backup must verify clean")
+    IndexBackup.restore(spark, bk, dest)
+    assert(canon(sets(dest)) == before,
+      "restored home drifted from the original")
+    // the restored home is a NORMAL home: maintenance works on it
+    Dedup.compactMinhashIndex(spark, dest)
+    assert(canon(sets(dest)) == before, "compact after restore drifted")
+  }
+
+  test("roundtrip: a sharded home restores whole — manifest, shards, " +
+      "and serving all intact") {
+    val docs = graft.sources.Tables.documents(spark, base).limit(80)
+    val home = graft.sources.Scratch.dir("bk-shard")
+    val bk = graft.sources.Scratch.dir("bk-shard-copy")
+    val dest = graft.sources.Scratch.dir("bk-shard-restored")
+    fsOf(dest).delete(new org.apache.hadoop.fs.Path(dest), true)
+    ShardedIndex.writeMinhash(docs, home, shards = 2,
+      id = "doc_id", text = "text")
+    val before = canon(ShardedIndex.readMinhashSharded(spark, home).sets)
+    IndexBackup.backup(spark, home, bk)
+    IndexBackup.restore(spark, bk, dest)
+    assert(canon(ShardedIndex.readMinhashSharded(spark, dest).sets)
+      == before, "restored sharded home drifted")
+  }
+
+  test("refusals: torn backup, tampered bytes, committed overwrite, " +
+      "non-empty destination — each loud, each naming the problem") {
+    val docs = graft.sources.Tables.documents(spark, base).limit(40)
+    val home = graft.sources.Scratch.dir("bk-refuse")
+    val bk = graft.sources.Scratch.dir("bk-refuse-copy")
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", home)
+    IndexBackup.backup(spark, home, bk)
+    // 1. a second backup onto a committed one refuses (deliberate-delete)
+    val e1 = intercept[IllegalArgumentException] {
+      IndexBackup.backup(spark, home, bk)
+    }
+    assert(e1.getMessage.contains("COMMITTED") &&
+      e1.getMessage.contains("deliberate"))
+    // 2. tamper with one copied byte → verify flags it, restore refuses
+    import spark.implicits._
+    val rel = spark.read.parquet(s"$bk/_manifest")
+      .filter(col("relpath").endsWith(".parquet"))
+      .select("relpath").as[String].head()
+    val victim = new org.apache.hadoop.fs.Path(s"$bk/data/$rel")
+    val fs = fsOf(bk)
+    val bytes = {
+      val in = fs.open(victim)
+      try {
+        val os = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, os, 4096, false)
+        os.toByteArray
+      } finally in.close()
+    }
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x5a).toByte
+    val out = fs.create(victim, true)
+    try out.write(bytes) finally out.close()
+    val flagged = IndexBackup.verify(spark, bk)
+      .filter(col("status") === "ERROR").select("check")
+      .as[String].collect().toSet
+    assert(flagged.contains("checksum"), s"tamper not flagged: $flagged")
+    val destT = graft.sources.Scratch.dir("bk-refuse-restored")
+    fsOf(destT).delete(new org.apache.hadoop.fs.Path(destT), true)
+    val e2 = intercept[IllegalArgumentException] {
+      IndexBackup.restore(spark, bk, destT)
+    }
+    assert(e2.getMessage.contains("integrity"))
+    // 3. torn backup (marker gone) refuses by the marker's name
+    fs.delete(new org.apache.hadoop.fs.Path(bk, IndexBackup.MarkerFile),
+      false)
+    val e3 = intercept[IllegalArgumentException] {
+      IndexBackup.restore(spark, bk, destT)
+    }
+    assert(e3.getMessage.contains(IndexBackup.MarkerFile))
+    // 4. a fresh good backup refuses a NON-EMPTY destination
+    val bk2 = graft.sources.Scratch.dir("bk-refuse-copy2")
+    fsOf(bk2).delete(new org.apache.hadoop.fs.Path(bk2), true)
+    IndexBackup.backup(spark, home, bk2)
+    val e4 = intercept[IllegalArgumentException] {
+      IndexBackup.restore(spark, bk2, home)
+    }
+    assert(e4.getMessage.contains("non-empty"))
+  }
+
+  test("backup runs under the home's writer lease: a live foreign " +
+      "lease refuses; our lease is gone afterwards") {
+    val docs = graft.sources.Tables.documents(spark, base).limit(30)
+    val home = graft.sources.Scratch.dir("bk-lease")
+    val bk = graft.sources.Scratch.dir("bk-lease-copy")
+    fsOf(bk).delete(new org.apache.hadoop.fs.Path(bk), true)
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", home)
+    // plant a FRESH foreign lease (withLease is call-chain-reentrant,
+    // so a real second writer is simulated the way PointerLeaseSpec
+    // does: a lease file this chain does not hold)
+    val lp = new org.apache.hadoop.fs.Path(home, Dedup.LeaseFile)
+    val out = fsOf(home).create(lp, true)
+    val props = new java.util.Properties()
+    props.setProperty("token", "11112222-3333-4444-5555-666677778888")
+    props.setProperty("op", "other-writer")
+    props.setProperty("ts", System.currentTimeMillis().toString)
+    try props.store(out, "test") finally out.close()
+    val e = intercept[IllegalArgumentException] {
+      IndexBackup.backup(spark, home, bk)
+    }
+    assert(e.getMessage.contains("other-writer"))
+    fsOf(home).delete(lp, false)
+    IndexBackup.backup(spark, home, bk)
+    assert(IndexLease.status(spark, home).isEmpty,
+      "backup leaked its lease")
+  }
+}
