@@ -1539,6 +1539,26 @@ object Extensions {
           docs, "lang", "n_chars", ttbBudget))
     }),
 
+    // the full epoch build END TO END: token budgets → per-doc copy
+    // counts → exploded copies → reproducible training-order shuffle →
+    // (shard, pos) layout — one composite proving the mixture ops
+    // COMPOSE, and that the entire epoch is a pure function of
+    // (budgets, seed, ids): the oracle re-derives every row in DuckDB
+    "q_epoch_compose" -> ((s, d) => {
+      import s.implicits._
+      val mix = graft.operators.Sampling.tokenBudgetMix(
+        Tables.documents(s, d), "doc_id", "lang", "n_chars",
+        Seq(("en", 30000L), ("de", 40000L), ("es", 21756L))
+          .toDF("lang", "budget"))
+      val copies = mix.filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+        .withColumn("uid", col("copy_idx") * 10000000L + col("doc_id"))
+      graft.operators.Sampling.seededShuffle(copies, "uid", 5L, 4)
+        .select(col("doc_id"), col("lang"), col("copy_idx"),
+          col("shard"), col("pos"))
+    }),
+
     // ---- frequent items (heavy hitters) ----
     // one-pass bounded-state Misra–Gries sketch; the gate SELECTS by
     // exact counts (deterministic across engines) and uses the sketch
@@ -5853,6 +5873,46 @@ object Extensions {
                          THEN 1 ELSE 0 END
              END AS n_copies
       FROM c JOIN t USING (lang) JOIN b USING (lang)""",
+    // the whole epoch replayed: mixture CTEs → unnest(generate_series)
+    // copy explosion → the identical md5 permutation per COPY — every
+    // (doc, copy, shard, pos) row re-derived from scratch
+    "q_epoch_compose" -> """
+      WITH k AS (SELECT doc_id, lang, n_chars,
+              ('0x' || substr(md5('tbmix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                AS h
+            FROM documents),
+      c AS (SELECT doc_id, lang, n_chars,
+              COALESCE(CAST(SUM(n_chars) OVER (PARTITION BY lang
+                ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                0) AS strt
+            FROM k),
+      t AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total
+            FROM documents GROUP BY lang),
+      b AS (SELECT * FROM (VALUES ('en', 30000), ('de', 40000),
+                                  ('es', 21756)) x(lang, budget)),
+      m AS (SELECT c.doc_id, c.lang,
+              CASE WHEN t.total = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(COALESCE(b.budget, 0) AS BIGINT) // t.total
+                        + CASE WHEN c.strt <
+                            CAST(COALESCE(b.budget, 0) AS BIGINT) % t.total
+                          THEN 1 ELSE 0 END
+              END AS n_copies
+            FROM c JOIN t USING (lang) LEFT JOIN b USING (lang)),
+      e0 AS (SELECT doc_id, lang,
+               unnest(generate_series(CAST(1 AS BIGINT), n_copies))
+                 AS copy_idx
+             FROM m WHERE n_copies > 0),
+      e AS (SELECT doc_id, lang, copy_idx,
+              copy_idx * 10000000 + doc_id AS uid FROM e0),
+      hh AS (SELECT doc_id, lang, copy_idx, uid,
+               ('0x' || substr(md5('shuffle:5:' || CAST(uid AS VARCHAR)), 1, 15))::BIGINT
+                 AS h
+             FROM e)
+      SELECT doc_id, lang, copy_idx, h % 4 AS shard,
+             CAST(row_number() OVER (PARTITION BY h % 4
+                                     ORDER BY h, uid) AS BIGINT) AS pos
+      FROM hh""",
     // the oracle rebuilds the full CMS cell table from the same md5
     // bucket family and reads the row-wise minimum — exact, not a bound
     "q_countmin" -> s"""

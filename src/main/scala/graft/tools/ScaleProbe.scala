@@ -36,7 +36,13 @@ object ScaleProbe {
     // the hot-key-safe two-phase window forms: replication grows the
     // per-key frames (copies share the custkey range), so these measure
     // exactly the hot-key growth the bucket split exists for
-    "q_window_running_2p", "q_window_trailing_2p")
+    "q_window_running_2p", "q_window_trailing_2p",
+    // r18: token-budgeted mixture + the full epoch composite. The
+    // budgets are gate-fixed literals, so at N× corpus the selected
+    // copy mass stays ~constant while the scan + the single window
+    // exchange grow — the ratio must track the scan, never a
+    // per-domain global sort
+    "q_token_budget_mix", "q_epoch_compose")
 
   /** Dedup-family probes over the replicated document/embedding tables.
     * `dedup_ngram` runs the registered query; the embedding path calls

@@ -119,8 +119,11 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // dialect family)
     "q_train_shuffle",
     // r18: '0x'||md5 order + `//` integer division in the copy-count
-    // arithmetic (token-budgeted mixture)
-    "q_token_budget_mix", "q_token_budget_temp",
+    // arithmetic (token-budgeted mixture); the epoch composite adds
+    // unnest(generate_series) copy explosion
+    "q_token_budget_mix", "q_token_budget_temp", "q_epoch_compose",
+    // r18: shares retrieval_bm25_incr's dialect-bound bm25Oracle
+    "q_index_backup",
     "dedup_containment", "dedup_embedding", "dedup_embedding_incr",
     "dedup_incremental", "dedup_minhash", "dedup_ngram", "dedup_norm",
     "dedup_semantic", "dedup_simhash", "dedup_substring",

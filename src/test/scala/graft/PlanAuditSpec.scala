@@ -228,7 +228,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // r18: hash → shard route → per-shard rank window. ONE exchange
       // (hashpartitioning on shard); a 2nd would mean a global sort or
       // an extra repartition crept into the training-order shuffle
-      "q_train_shuffle" -> 1)
+      "q_train_shuffle" -> 1,
+      // r18: the returned mixture plan's only corpus exchange is the
+      // window's (pid, domain) clustering over the materialized range
+      // pass; budgets/offsets attach as broadcasts — a 2nd exchange
+      // would mean a per-domain global sort crept back in
+      "q_token_budget_mix" -> 1,
+      // r18: + the in-plan budget derivation (domain-mass agg, 1-row
+      // normalizer combine, G-row budget fold) — all metadata-scale;
+      // the corpus still crosses only the window exchange
+      "q_token_budget_temp" -> 4)
     val byName = planOnly.toMap
     budgets.foreach { case (name, budget) =>
       val n = collectNodes(byName(name).queryExecution.executedPlan)
