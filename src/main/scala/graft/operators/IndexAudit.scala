@@ -464,7 +464,9 @@ object IndexAudit {
     * Read-only, like the audit it folds. */
   def maintenancePlan(spark: SparkSession, homes: Seq[(String, String)],
                       countChecks: Boolean = false,
-                      maxFilesPerTable: Int = 512): DataFrame = {
+                      maxFilesPerTable: Int = 512,
+                      backups: Map[String, String] = Map.empty,
+                      maxBackupAgeMs: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val rows = homes.flatMap { case (label, dir) =>
       val triggered = audit(spark, dir, countChecks, maxFilesPerTable)
@@ -480,8 +482,24 @@ object IndexAudit {
             (label, unit, action, base, prio)
           }
         }
-      if (triggered.isEmpty) Seq((label, "-", "none", "", 9L))
-      else triggered.distinct
+      // disaster-recovery coverage rides the same sweep: a home whose
+      // designated backup location holds no committed generation, or
+      // only one older than the cadence bound, gets a `backup` row —
+      // priority 4 alongside the other safe-deferred actions. The
+      // reason is a FIXED token (never the age itself) so plan frames
+      // stay deterministic for the literal-oracle gates.
+      val backupRows = backups.get(label).toSeq.flatMap { bh =>
+        IndexBackup.latestAgeMs(spark, bh) match {
+          case None =>
+            Seq((label, "-", "backup", "backup_missing", 4L))
+          case Some(age) if age > maxBackupAgeMs =>
+            Seq((label, "-", "backup", "backup_stale", 4L))
+          case _ => Seq.empty
+        }
+      }
+      val all = triggered ++ backupRows
+      if (all.isEmpty) Seq((label, "-", "none", "", 9L))
+      else all.distinct
     }
     rows.toDF("home", "unit", "action", "reason", "priority")
   }
@@ -493,16 +511,25 @@ object IndexAudit {
     * what an index serves), everything else is deliberately SKIPPED:
     * repair/rebuild decisions belong to a human reading the audit
     * detail, `replay` needs the change feed the executor doesn't have,
-    * and `reclaim` deletes files — never automatic. A shard-localized
-    * row compacts ONLY that shard (its dir is a complete child home),
-    * so the executed work stays ∝ the churn the plan found. Returns
-    * (home, unit, action, outcome ∈ applied|skipped), one row per
-    * distinct planned action, deterministically ordered — feed it
-    * back to [[maintenancePlan]] and the re-sweep must come back
-    * clean at the bound that triggered it. */
+    * and `reclaim` deletes files — never automatic. `backup` rows
+    * (planned when a home's designated backup location is missing or
+    * stale) execute through [[IndexBackup.rotate]] — also safe: the
+    * home is only READ, under its own lease, and the rotation's prune
+    * never drops below the previous committed-generation count — when
+    * the caller supplies the home's backup location in `backups`;
+    * without one the row is skipped like any other unexecutable
+    * action. A shard-localized row compacts ONLY that shard (its dir
+    * is a complete child home), so the executed work stays ∝ the
+    * churn the plan found. Returns (home, unit, action,
+    * outcome ∈ applied|skipped), one row per distinct planned action,
+    * deterministically ordered — feed it back to [[maintenancePlan]]
+    * and the re-sweep must come back clean at the bound that
+    * triggered it. */
   def applyPlan(spark: SparkSession, plan: DataFrame,
                 homes: Map[String, String],
-                targetFiles: Int = 4): DataFrame = {
+                targetFiles: Int = 4,
+                backups: Map[String, String] = Map.empty,
+                backupKeep: Int = 2): DataFrame = {
     import spark.implicits._
     val rows = plan.select("home", "unit", "action").distinct().collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
@@ -512,6 +539,9 @@ object IndexAudit {
         case ("compact", Some(home)) =>
           val dir = if (unit == "-") home else s"$home/$unit"
           IndexCdc.compact(spark, dir, targetFiles)
+          "applied"
+        case ("backup", Some(home)) if backups.contains(label) =>
+          IndexBackup.rotate(spark, home, backups(label), backupKeep)
           "applied"
         case _ => "skipped"
       }

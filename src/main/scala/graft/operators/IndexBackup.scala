@@ -276,4 +276,86 @@ object IndexBackup {
       parallelism(spark))(copyWithMd5(_, dataRoot, dest, _))
     ()
   }
+
+  // ---- scheduled rotation: generations b1, b2, … under one backup
+  // home, newest `keep` committed generations retained ----
+
+  private val GenRe = "^b(\\d+)$".r
+
+  private def genDirs(spark: SparkSession, backupHome: String)
+      : Seq[(Int, Boolean)] = {
+    val fs = fsOf(spark, backupHome)
+    val p = new Path(backupHome)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.collect {
+      case st if st.isDirectory => st.getPath.getName
+    }.collect { case GenRe(n) =>
+      (n.toInt,
+        fs.exists(new Path(s"$backupHome/b$n", MarkerFile)))
+    }.sortBy(_._1)
+  }
+
+  /** COMMITTED backup generation numbers at `backupHome`, ascending —
+    * torn generations (a crashed [[rotate]], cleaned by the next one)
+    * are not restorable and not listed. */
+  def generations(spark: SparkSession, backupHome: String): Seq[Int] =
+    genDirs(spark, backupHome).collect { case (n, true) => n }
+
+  /** The newest committed generation's path, or None — the artifact
+    * [[restoreLatest]] restores. A newer TORN generation never shadows
+    * a committed one. */
+  def latest(spark: SparkSession, backupHome: String): Option[String] =
+    generations(spark, backupHome).lastOption
+      .map(n => s"$backupHome/b$n")
+
+  /** Scheduled-backup rotation — the form a maintenance cadence
+    * actually runs ([[IndexAudit.applyPlan]] executes `backup` rows
+    * through here): writes generation `b<N+1>` (N = the newest
+    * existing number, committed or torn, so numbering is monotonic),
+    * then prunes — torn generations always (nothing can restore them),
+    * committed ones beyond the newest `keep`. The prune runs AFTER the
+    * new generation commits, so there is never a moment with fewer
+    * committed backups than before the rotation. Returns the new
+    * generation's path. */
+  def rotate(spark: SparkSession, dir: String, backupHome: String,
+             keep: Int = 2): String = {
+    require(keep >= 1,
+      s"IndexBackup.rotate: keep must be >= 1, got $keep")
+    val before = genDirs(spark, backupHome)
+    val next = (0 +: before.map(_._1)).max + 1
+    val target = s"$backupHome/b$next"
+    backup(spark, dir, target)
+    val fs = fsOf(spark, backupHome)
+    val torn = before.collect { case (n, false) => n }
+    val committed = before.collect { case (n, true) => n } :+ next
+    val doomed = torn ++ committed.dropRight(keep)
+    doomed.foreach { n =>
+      fs.delete(new Path(s"$backupHome/b$n"), true)
+    }
+    target
+  }
+
+  /** [[restore]] from the newest committed generation at `backupHome`;
+    * returns the generation path restored from. */
+  def restoreLatest(spark: SparkSession, backupHome: String,
+                    dest: String): String = {
+    val g = latest(spark, backupHome).getOrElse(
+      throw new IllegalArgumentException(
+        s"IndexBackup.restoreLatest: no committed backup generation at " +
+          s"$backupHome — run IndexBackup.rotate (a torn generation, if " +
+          "present, is a crashed backup and cannot be restored)"))
+    restore(spark, g, dest)
+    g
+  }
+
+  /** Backup-staleness probe for the fleet planner: Some(ageMs) of the
+    * newest committed generation's marker, or None when no committed
+    * generation exists. */
+  private[graft] def latestAgeMs(spark: SparkSession,
+                                 backupHome: String): Option[Long] =
+    latest(spark, backupHome).map { g =>
+      val fs = fsOf(spark, g)
+      System.currentTimeMillis() -
+        fs.getFileStatus(new Path(g, MarkerFile)).getModificationTime
+    }
 }

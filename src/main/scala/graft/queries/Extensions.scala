@@ -1818,6 +1818,52 @@ object Extensions {
           Seq("mh" -> s"$root/mh", "gone" -> s"$root/gone")))
       graft.operators.IndexAudit.applyPlan(s, plan, homes)
     }),
+    // disaster-recovery cadence, closed loop: the planner flags a home
+    // with NO committed backup (backup_missing @4), the executor takes
+    // one through the rotation (IndexBackup.rotate), the re-sweep
+    // comes back `none`; two more rotations prove generation numbering
+    // is monotonic and retention keeps exactly the newest 2; the
+    // LATEST generation restores into a fresh home that serves — a
+    // FIXED literal canary end to end
+    "q_backup_rotate" -> ((s, d) => {
+      import s.implicits._
+      val tag = java.util.UUID.randomUUID.toString.take(8)
+      val home = graft.sources.Scratch.dir(s"bkr_home_$tag")
+      val bh = graft.sources.Scratch.dir(s"bkr_gens_$tag")
+      Dedup.writeMinhashIndex(
+        Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", home)
+      val homes = Seq("docs_idx" -> home)
+      val bks = Map("docs_idx" -> bh)
+      val plan1 = graft.operators.IndexAudit.maintenancePlan(s, homes,
+        backups = bks, maxBackupAgeMs = 3600000L)
+      val planned = plan1.filter(col("action") === "backup" &&
+        col("reason") === "backup_missing").count()
+      val applied = graft.operators.IndexAudit.applyPlan(s, plan1,
+        homes.toMap, backups = bks)
+        .filter(col("action") === "backup" &&
+          col("outcome") === "applied").count()
+      val replanNone = graft.operators.IndexAudit.maintenancePlan(s,
+        homes, backups = bks, maxBackupAgeMs = 3600000L)
+        .filter(col("action") === "none").count()
+      graft.operators.IndexBackup.rotate(s, home, bh)
+      graft.operators.IndexBackup.rotate(s, home, bh)
+      val gens = graft.operators.IndexBackup.generations(s, bh)
+      val latest = graft.operators.IndexBackup.latest(s, bh)
+        .map(_.split('/').last).getOrElse("-")
+      val dest = graft.sources.Scratch.dir(s"bkr_dest_$tag")
+      graft.operators.IndexBackup.restoreLatest(s, bh, dest)
+      val served =
+        Dedup.readMinhashIndex(s, dest).sets.count() > 0
+      Seq(
+        ("planned_backup", planned.toString),
+        ("applied_backup", applied.toString),
+        ("replan_none", replanNone.toString),
+        ("generations", gens.mkString("b", ",b", "")),
+        ("latest", latest),
+        ("restored_serves", if (served) "OK" else "ERROR"))
+        .toDF("chk", "value")
+    }),
     // takedown-purge certification: versions freeze at the replacement
     // commit, so diffing PHYSICAL presence (masks off) between the
     // frozen pre-rebuild version and the rebuilt one proves the bytes
@@ -5386,6 +5432,19 @@ object Extensions {
         ('gone', '-', 'repair', 'skipped'),
         ('mh', '-', 'none', 'skipped')
       ) AS t(home, unit, action, outcome)""",
+    // the disaster-recovery loop's literal truth: missing backup
+    // planned once, executed once, re-sweep clean; after 3 rotations
+    // retention holds exactly b2+b3, latest = b3, and the restored
+    // home serves
+    "q_backup_rotate" -> """
+      SELECT * FROM (VALUES
+        ('planned_backup', '1'),
+        ('applied_backup', '1'),
+        ('replan_none', '1'),
+        ('generations', 'b2,b3'),
+        ('latest', 'b3'),
+        ('restored_serves', 'OK')
+      ) AS t(chk, value)""",
     // rebuild+compact must be lossless → same oracle as the fresh index
     "dedup_index_rebuild" -> incrementalOracle,
     // incremental (2 arrival chunks + no-op rerun) ≡ one-shot batch join:

@@ -157,4 +157,65 @@ class IndexBackupSpec extends AnyFunSuite with SparkSpec {
     assert(IndexLease.status(spark, home).isEmpty,
       "backup leaked its lease")
   }
+
+  test("rotation: monotonic numbering across torn generations, " +
+      "retention keeps the newest 2, latest never points at a torn " +
+      "generation; the planner flags stale backups and the executor " +
+      "closes the loop") {
+    val docs = graft.sources.Tables.documents(spark, base).limit(30)
+    val home = graft.sources.Scratch.dir("bk-rot")
+    val bh = graft.sources.Scratch.dir("bk-rot-gens")
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", home)
+    val before = canon(sets(home))
+    val g1 = IndexBackup.rotate(spark, home, bh)
+    assert(g1.endsWith("/b1") &&
+      IndexBackup.generations(spark, bh) == Seq(1))
+    // a crashed rotation leaves a TORN b2 (no marker): latest must
+    // keep pointing at b1, and the next rotation must number PAST the
+    // torn generation (monotonic) while cleaning it up
+    fsOf(bh).mkdirs(new org.apache.hadoop.fs.Path(s"$bh/b2"))
+    assert(IndexBackup.latest(spark, bh).contains(g1),
+      "a torn generation shadowed a committed one")
+    val g3 = IndexBackup.rotate(spark, home, bh)
+    assert(g3.endsWith("/b3"), s"numbering not monotonic: $g3")
+    assert(IndexBackup.generations(spark, bh) == Seq(1, 3))
+    assert(!fsOf(bh).exists(new org.apache.hadoop.fs.Path(s"$bh/b2")),
+      "torn generation survived a rotation")
+    // retention: the 3rd committed generation prunes b1 (keep = 2)
+    IndexBackup.rotate(spark, home, bh)
+    assert(IndexBackup.generations(spark, bh) == Seq(3, 4))
+    // restoreLatest restores b4 and the content round-trips
+    val dest = graft.sources.Scratch.dir("bk-rot-restored")
+    fsOf(dest).delete(new org.apache.hadoop.fs.Path(dest), true)
+    assert(IndexBackup.restoreLatest(spark, bh, dest).endsWith("/b4"))
+    assert(canon(sets(dest)) == before, "restored latest drifted")
+    // planner: age b4's marker past the cadence bound → backup_stale
+    // @4; the executor rotates (b5) and the re-sweep is clean
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$bh/b4", IndexBackup.MarkerFile)
+    fsOf(bh).setTimes(marker,
+      System.currentTimeMillis() - 7200000L, -1L)
+    val homes = Seq("h" -> home)
+    val bks = Map("h" -> bh)
+    val plan = graft.operators.IndexAudit.maintenancePlan(spark, homes,
+      backups = bks, maxBackupAgeMs = 3600000L)
+    val row = plan.filter(col("action") === "backup").collect()
+    assert(row.length == 1 && row(0).getString(3) == "backup_stale" &&
+      row(0).getLong(4) == 4L, s"stale backup not planned: ${row.toSeq}")
+    val outcome = graft.operators.IndexAudit.applyPlan(spark, plan,
+      homes.toMap, backups = bks)
+      .filter(col("action") === "backup").collect()
+    assert(outcome.length == 1 && outcome(0).getString(3) == "applied")
+    assert(IndexBackup.generations(spark, bh) == Seq(4, 5))
+    val replan = graft.operators.IndexAudit.maintenancePlan(spark,
+      homes, backups = bks, maxBackupAgeMs = 3600000L)
+    assert(replan.filter(col("action") === "none").count() == 1L,
+      "re-sweep after the executed backup is not clean")
+    // without a backup location the executor SKIPS the row — never
+    // invents a destination
+    val skipped = graft.operators.IndexAudit.applyPlan(spark, plan,
+      homes.toMap)
+      .filter(col("action") === "backup").collect()
+    assert(skipped.length == 1 && skipped(0).getString(3) == "skipped")
+  }
 }
