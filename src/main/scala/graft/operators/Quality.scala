@@ -138,4 +138,73 @@ object Quality {
           .otherwise(col("violations")))
       .orderBy("constraint_name")
   }
+
+  /** Snapshot-over-snapshot drift report — the dataset-shift alarm an
+    * ingest pipeline needs BETWEEN loads: the constraint audit above
+    * answers "is this table sane", this answers "is this table still
+    * the SAME table" (an upstream dump that silently lost a language,
+    * truncated a text field, or re-encoded a column passes every
+    * row-local constraint while shifting the distribution a training
+    * run inherits). Compares one profile row per snapshot:
+    *
+    *   - table level: `rows`;
+    *   - per NUMERIC column: `nulls`, `min`, `max`, `sum` (cast to
+    *     long — the drift signal is magnitude, and integer metrics
+    *     keep the report engine-exact);
+    *   - per STRING column: `nulls`, `bytes` (total `octet_length` —
+    *     byte-exact across engines where character semantics differ,
+    *     and the truncation/re-encoding tell).
+    *
+    * Every metric row carries `delta_permille =
+    * |new−old|·1000 div max(|old|, 1)` (pure integer — no float
+    * tolerance to argue about) and `status = WARN` past
+    * `tolPermille`, else OK. Empty-snapshot metrics coalesce to 0.
+    *
+    * Scale: ONE conditional-sum scan per snapshot — the same
+    * one-pass shape as [[rowChecks]] — then a driver-side assembly of
+    * the (2 + 4·numCols + 2·strCols)-row report; nothing corpus-sized
+    * moves, no joins, no windows. */
+  def profileDrift(oldDf: DataFrame, newDf: DataFrame,
+                   numCols: Seq[String], strCols: Seq[String] = Nil,
+                   tolPermille: Long = 100L): DataFrame = {
+    require(numCols.nonEmpty || strCols.nonEmpty,
+      "profileDrift: need at least one column to profile")
+    require(tolPermille >= 0,
+      s"profileDrift: tolPermille must be >= 0, got $tolPermille")
+    val spark = oldDf.sparkSession
+    def profile(df: DataFrame): Map[(String, String), Long] = {
+      val aggs: Seq[Column] =
+        Seq(count(lit(1)).as("rows__n")) ++
+          numCols.flatMap(c => Seq(
+            count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
+            coalesce(min(col(c).cast("long")), lit(0L)).as(s"${c}__min"),
+            coalesce(max(col(c).cast("long")), lit(0L)).as(s"${c}__max"),
+            coalesce(sum(col(c).cast("long")), lit(0L)).as(s"${c}__sum"))) ++
+          strCols.flatMap(c => Seq(
+            count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
+            coalesce(sum(octet_length(col(c)).cast("long")), lit(0L))
+              .as(s"${c}__bytes")))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      r.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+        val Array(c, m) = f.split("__", 2)
+        (c, m) -> r.getLong(i)
+      }.toMap
+    }
+    val (o, n) = (profile(oldDf), profile(newDf))
+    val metrics: Seq[(String, String)] =
+      Seq(("rows", "n")) ++
+        numCols.flatMap(c =>
+          Seq("nulls", "min", "max", "sum").map(c -> _)) ++
+        strCols.flatMap(c => Seq("nulls", "bytes").map(c -> _))
+    import spark.implicits._
+    metrics.map { case (c, m) =>
+      val (ov, nv) = (o((c, m)), n((c, m)))
+      val dpm = math.abs(nv - ov) * 1000L / math.max(math.abs(ov), 1L)
+      val colName = if (c == "rows") "__table__" else c
+      val metric = if (c == "rows") "rows" else m
+      (colName, metric, ov, nv, dpm,
+        if (dpm > tolPermille) "WARN" else "OK")
+    }.toDF("col_name", "metric", "old_v", "new_v",
+      "delta_permille", "status")
+  }
 }

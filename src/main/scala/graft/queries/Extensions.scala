@@ -1818,6 +1818,19 @@ object Extensions {
           Seq("mh" -> s"$root/mh", "gone" -> s"$root/gone")))
       graft.operators.IndexAudit.applyPlan(s, plan, homes)
     }),
+    // snapshot-over-snapshot drift: the dataset-shift alarm between
+    // loads — the NEW snapshot here drops every 17th doc and nulls one
+    // language, and the report must flag exactly the shifted metrics
+    // (lang nulls/bytes WARN) while the proportional ones stay OK;
+    // integer metrics + per-mille integer arithmetic, engine-exact
+    "q_profile_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val newSnap = docs.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("lang",
+          when(col("lang") === "zh", lit(null)).otherwise(col("lang")))
+      graft.operators.Quality.profileDrift(docs, newSnap,
+        numCols = Seq("n_chars"), strCols = Seq("lang", "text"))
+    }),
     // disaster-recovery cadence, closed loop: the planner flags a home
     // with NO committed backup (backup_missing @4), the executor takes
     // one through the rotation (IndexBackup.rotate), the re-sweep
@@ -5432,6 +5445,52 @@ object Extensions {
         ('gone', '-', 'repair', 'skipped'),
         ('mh', '-', 'none', 'skipped')
       ) AS t(home, unit, action, outcome)""",
+    // both profiles re-derived from scratch, the same integer
+    // per-mille arithmetic — strlen is DuckDB's byte length, matching
+    // Spark's octet_length exactly
+    "q_profile_drift" -> """
+      WITH newsnap AS (SELECT doc_id,
+              CASE WHEN lang = 'zh' THEN NULL ELSE lang END AS lang,
+              text, n_chars
+            FROM documents WHERE doc_id % 17 <> 0),
+      o AS (SELECT CAST(COUNT(1) AS BIGINT) AS rows_n,
+              CAST(COUNT(CASE WHEN n_chars IS NULL THEN 1 END) AS BIGINT) AS nc_nulls,
+              CAST(COALESCE(MIN(n_chars), 0) AS BIGINT) AS nc_min,
+              CAST(COALESCE(MAX(n_chars), 0) AS BIGINT) AS nc_max,
+              CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS nc_sum,
+              CAST(COUNT(CASE WHEN lang IS NULL THEN 1 END) AS BIGINT) AS lg_nulls,
+              CAST(COALESCE(SUM(strlen(lang)), 0) AS BIGINT) AS lg_bytes,
+              CAST(COUNT(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) AS tx_nulls,
+              CAST(COALESCE(SUM(strlen(text)), 0) AS BIGINT) AS tx_bytes
+            FROM documents),
+      n AS (SELECT CAST(COUNT(1) AS BIGINT) AS rows_n,
+              CAST(COUNT(CASE WHEN n_chars IS NULL THEN 1 END) AS BIGINT) AS nc_nulls,
+              CAST(COALESCE(MIN(n_chars), 0) AS BIGINT) AS nc_min,
+              CAST(COALESCE(MAX(n_chars), 0) AS BIGINT) AS nc_max,
+              CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS nc_sum,
+              CAST(COUNT(CASE WHEN lang IS NULL THEN 1 END) AS BIGINT) AS lg_nulls,
+              CAST(COALESCE(SUM(strlen(lang)), 0) AS BIGINT) AS lg_bytes,
+              CAST(COUNT(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) AS tx_nulls,
+              CAST(COALESCE(SUM(strlen(text)), 0) AS BIGINT) AS tx_bytes
+            FROM newsnap),
+      m AS (
+        SELECT '__table__' AS col_name, 'rows' AS metric,
+               o.rows_n AS old_v, n.rows_n AS new_v FROM o, n
+        UNION ALL SELECT 'n_chars', 'nulls', o.nc_nulls, n.nc_nulls FROM o, n
+        UNION ALL SELECT 'n_chars', 'min', o.nc_min, n.nc_min FROM o, n
+        UNION ALL SELECT 'n_chars', 'max', o.nc_max, n.nc_max FROM o, n
+        UNION ALL SELECT 'n_chars', 'sum', o.nc_sum, n.nc_sum FROM o, n
+        UNION ALL SELECT 'lang', 'nulls', o.lg_nulls, n.lg_nulls FROM o, n
+        UNION ALL SELECT 'lang', 'bytes', o.lg_bytes, n.lg_bytes FROM o, n
+        UNION ALL SELECT 'text', 'nulls', o.tx_nulls, n.tx_nulls FROM o, n
+        UNION ALL SELECT 'text', 'bytes', o.tx_bytes, n.tx_bytes FROM o, n)
+      SELECT col_name, metric, old_v, new_v,
+             abs(new_v - old_v) * 1000 // greatest(abs(old_v), 1)
+               AS delta_permille,
+             CASE WHEN abs(new_v - old_v) * 1000 //
+                       greatest(abs(old_v), 1) > 100
+                  THEN 'WARN' ELSE 'OK' END AS status
+      FROM m""",
     // the disaster-recovery loop's literal truth: missing backup
     // planned once, executed once, re-sweep clean; after 3 rotations
     // retention holds exactly b2+b3, latest = b3, and the restored

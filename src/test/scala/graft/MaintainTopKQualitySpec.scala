@@ -295,4 +295,39 @@ class QualityAuditSpec extends AnyFunSuite with SparkSpec {
     assert(rep == Map("not_null:tag" -> 0L, "in_range:id" -> 0L,
       "unique:id" -> 0L))
   }
+
+  test("profileDrift: identical snapshots are all-OK with zero deltas; " +
+      "a planted shift flags exactly the moved metrics; empty new " +
+      "snapshot coalesces, never NPEs") {
+    import spark.implicits._
+    val old = Seq((1L, 10L, "aa"), (2L, 20L, "bb"), (3L, 30L, "cc"),
+      (4L, 40L, "dd")).toDF("id", "v", "s")
+    // law 1: self-drift is identically zero, every row OK
+    val self = Quality.profileDrift(old, old, Seq("v"), Seq("s"))
+      .collect()
+    assert(self.length == 1 + 4 + 2)
+    assert(self.forall(r => r.getLong(4) == 0L && r.getString(5) == "OK"))
+    // law 2: a planted shift (drop half the rows, null one string)
+    // flags rows/sum/bytes/nulls and leaves min untouched
+    val shifted = old.filter(col("id") <= 2)
+      .withColumn("s", when(col("id") === 2L, lit(null))
+        .otherwise(col("s")))
+    val rep = Quality.profileDrift(old, shifted, Seq("v"), Seq("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(rep(("__table__", "rows")) == (4L, 2L, 500L, "WARN"))
+    assert(rep(("v", "min")) == (10L, 10L, 0L, "OK"))
+    assert(rep(("v", "max")) == (40L, 20L, 500L, "WARN"))
+    assert(rep(("v", "sum")) == (100L, 30L, 700L, "WARN"))
+    // a null count rising from 0 divides by max(|old|,1) = 1
+    assert(rep(("s", "nulls")) == (0L, 1L, 1000L, "WARN"))
+    assert(rep(("s", "bytes")) == (8L, 2L, 750L, "WARN"))
+    // law 3: an EMPTY new snapshot reports zeros (coalesced), loudly
+    // WARN on rows, and never throws on null min/max/sum
+    val gone = Quality.profileDrift(old, old.limit(0), Seq("v"), Seq("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(gone.values.forall(_ == 0L))
+  }
 }

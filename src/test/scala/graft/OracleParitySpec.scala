@@ -124,6 +124,8 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "q_token_budget_mix", "q_token_budget_temp", "q_epoch_compose",
     // r18: shares retrieval_bm25_incr's dialect-bound bm25Oracle
     "q_index_backup",
+    // r18: strlen + `//` per-mille arithmetic (snapshot drift report)
+    "q_profile_drift",
     "dedup_containment", "dedup_embedding", "dedup_embedding_incr",
     "dedup_incremental", "dedup_minhash", "dedup_ngram", "dedup_norm",
     "dedup_semantic", "dedup_simhash", "dedup_substring",
