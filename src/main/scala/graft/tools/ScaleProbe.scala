@@ -193,6 +193,17 @@ object ScaleProbe {
       sentinelTimes += t
       println(f"[scaleprobe] sentinel($label) $t%5.2fs")
     }
+    // warm the sentinel's OWN path untimed first: three consecutive
+    // r18 probe runs showed the start sentinel 1.6–1.8× the later two
+    // (0.76–0.87s vs 0.44–0.51s) with the later pair agreeing tightly
+    // in every run — codegen/JIT of the range→hash→noop pipeline, not
+    // contention. Billing the instrument's warm-up to the spread turns
+    // the contention detector into a JIT detector and false-flags
+    // quiet boxes; the general warm-up queries above don't cover this
+    // exact pipeline.
+    spark.range(0L, 200000000L, 1L, cpus.toInt)
+      .select(sum(pmod(xxhash64(col("id")), lit(1000L))).as("h"))
+      .write.format("noop").mode("overwrite").save()
     sentinel("start")
 
     def keep(n: String): Boolean = only.isEmpty || only(n)
