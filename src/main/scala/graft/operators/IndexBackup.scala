@@ -78,47 +78,42 @@ object IndexBackup {
   /** Copy ONE file `srcRoot/rel` → `dstRoot/rel`, streaming the bytes
     * through MD5 in the same pass. Static + conf-parameterized so it
     * serializes into executor tasks. Returns (rel, length, md5hex). */
-  private def copyWithMd5(conf: Configuration, srcRoot: String,
-                          dstRoot: String, rel: String)
-      : (String, Long, String) = {
+  private def streamDigest(conf: Configuration, srcRoot: String, rel: String,
+                           dst: Option[Path]): (String, Long, String) = {
     val src = new Path(s"$srcRoot/$rel")
-    val dst = new Path(s"$dstRoot/$rel")
-    val sfs = src.getFileSystem(conf)
-    val dfs = dst.getFileSystem(conf)
     val md = java.security.MessageDigest.getInstance("MD5")
-    val in = sfs.open(src)
-    val out = dfs.create(dst, true)
+    val in = src.getFileSystem(conf).open(src)
+    val out = dst.map(p => p.getFileSystem(conf).create(p, true))
     var n = 0L
     try {
       val buf = new Array[Byte](1 << 20)
       var read = in.read(buf)
       while (read >= 0) {
-        if (read > 0) { md.update(buf, 0, read); out.write(buf, 0, read); n += read }
+        if (read > 0) {
+          md.update(buf, 0, read)
+          out.foreach(_.write(buf, 0, read))
+          n += read
+        }
         read = in.read(buf)
       }
-    } finally { in.close(); out.close() }
+    } finally {
+      // close the SINK first: if in.close() threw first, the output
+      // stream (and a partially-written dest file handle) would leak
+      try out.foreach(_.close()) finally in.close()
+    }
     (rel, n, md.digest().map("%02x".format(_)).mkString)
   }
+
+  private def copyWithMd5(conf: Configuration, srcRoot: String,
+                          dstRoot: String, rel: String)
+      : (String, Long, String) =
+    streamDigest(conf, srcRoot, rel, Some(new Path(s"$dstRoot/$rel")))
 
   /** MD5 + length of ONE existing file — the read-only verify twin of
     * [[copyWithMd5]]. */
   private def md5Of(conf: Configuration, root: String, rel: String)
-      : (String, Long, String) = {
-    val p = new Path(s"$root/$rel")
-    val fs = p.getFileSystem(conf)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val in = fs.open(p)
-    var n = 0L
-    try {
-      val buf = new Array[Byte](1 << 20)
-      var read = in.read(buf)
-      while (read >= 0) {
-        if (read > 0) { md.update(buf, 0, read); n += read }
-        read = in.read(buf)
-      }
-    } finally in.close()
-    (rel, n, md.digest().map("%02x".format(_)).mkString)
-  }
+      : (String, Long, String) =
+    streamDigest(conf, root, rel, None)
 
   private def writeSmall(fs: FileSystem, p: Path, content: String): Unit = {
     val out = fs.create(p, true)
@@ -136,18 +131,47 @@ object IndexBackup {
     * manifest (relpath, length, md5). */
   def backup(spark: SparkSession, dir: String,
              backupDir: String): DataFrame = {
+    val sfs = fsOf(spark, dir)
+    // source existence BEFORE the lease: IndexLease.acquire mkdirs the
+    // dir it leases (first-write-on-a-new-home behavior), so checking
+    // inside the lease could never fail — and a typo'd source path
+    // would be silently CREATED by its own refusal path
+    require(sfs.exists(new Path(dir)),
+      s"IndexBackup.backup: no index home at $dir")
     val bfs = fsOf(spark, backupDir)
     val broot = new Path(backupDir)
+    // a backup location inside the home would make every later backup
+    // re-copy the earlier ones (listRel excludes only LEASE and
+    // _staging_*) — geometric growth and stale backup trees inside a
+    // restore; refuse the nesting outright
+    val qDir = sfs.makeQualified(new Path(dir)).toString
+    val qBk = bfs.makeQualified(broot).toString
+    require(qBk != qDir && !qBk.startsWith(qDir + "/"),
+      s"IndexBackup.backup: backup location $backupDir is INSIDE the " +
+        s"home $dir — each backup would re-copy all previous ones; " +
+        "back up beside the home, never under it")
     if (bfs.exists(new Path(broot, MarkerFile)))
       throw new IllegalArgumentException(
         s"IndexBackup.backup: $backupDir already holds a COMMITTED " +
           "backup — overwriting the last good copy is a deliberate " +
           "delete; remove the directory explicitly and re-run")
     if (bfs.exists(broot)) bfs.delete(broot, true) // torn prior attempt
-    IndexLease.withLease(spark, dir, "IndexBackup.backup") {
-      val sfs = fsOf(spark, dir)
-      require(sfs.exists(new Path(dir)),
-        s"IndexBackup.backup: no index home at $dir")
+    // a sharded home's SHARD-LOCALIZED maintenance (a plan row
+    // compacting home/shard=3) leases only the child dir, so the
+    // home-level lease alone would not freeze it mid-copy — take the
+    // children's leases too, innermost-last, for the whole copy
+    val leaseDirs = dir +: (scala.util.Try(Dedup.readMeta(spark, dir))
+      .toOption.filter(_.get("kind").contains(ShardedIndex.Kind))
+      .map(m => (0 until m("shards").toInt)
+        .map(ShardedIndex.shardDir(dir, _)))
+      .getOrElse(Seq.empty))
+    def withAll[T](ds: Seq[String])(body: => T): T = ds match {
+      case Seq() => body
+      case head +: tail =>
+        IndexLease.withLease(spark, head, "IndexBackup.backup")(
+          withAll(tail)(body))
+    }
+    withAll(leaseDirs) {
       val rels = listRel(sfs, new Path(dir)).sorted
       require(rels.nonEmpty,
         s"IndexBackup.backup: $dir holds no files — not an index home")
@@ -260,21 +284,42 @@ object IndexBackup {
         "a restore only targets a fresh home (retire or remove the " +
         "existing one explicitly, or restore beside it and repoint)")
     import spark.implicits._
-    val rels = spark.read.parquet(s"$backupDir/$ManifestDir")
-      .select("relpath").as[String].collect().toSeq.sorted
+    val manifest = spark.read.parquet(s"$backupDir/$ManifestDir")
+      .select("relpath", "length", "md5")
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
     def isControl(rel: String): Boolean = {
       val name = rel.substring(rel.lastIndexOf('/') + 1)
       name == Dedup.PointerFile || name == Dedup.IndexMetaFile
     }
     val dataRoot = s"$backupDir/$DataDir"
-    val (control, plain) = rels.partition(isControl)
-    HadoopBridge.mapWithConf(spark, plain,
-      parallelism(spark))(copyWithMd5(_, dataRoot, dest, _))
+    val (control, plain) = manifest.keys.toSeq.sorted.partition(isControl)
+    // the copy streams every byte through MD5 anyway — CHECK it
+    // against the manifest, so corruption introduced by the restore
+    // copy itself (not just by backup-at-rest damage, which the
+    // verify pass above catches) is refused instead of served
+    def copyChecked(rels: Seq[String]): Unit = {
+      val copied = HadoopBridge.mapWithConf(spark, rels,
+        parallelism(spark))(copyWithMd5(_, dataRoot, dest, _))
+      val bad = copied.filter { case (rel, n, sum) =>
+        manifest(rel) != ((n, sum))
+      }
+      if (bad.nonEmpty) {
+        fsOf(spark, dest).delete(new Path(dest), true)
+        throw new IllegalStateException(
+          s"IndexBackup.restore: ${bad.length} file(s) hashed " +
+            s"differently DURING the restore copy than the manifest " +
+            s"records ${bad.take(3).map(_._1).mkString("(", ", ", ")")} " +
+            s"— the copy path itself corrupted bytes (backup-at-rest " +
+            "verified clean); the partial restore at " + dest +
+            " was deleted. Re-run, and if it repeats, distrust the " +
+            "transport between the backup store and " + dest)
+      }
+    }
+    copyChecked(plain)
     // control files last — the restored home only becomes openable
     // once every data byte is down
-    HadoopBridge.mapWithConf(spark, control,
-      parallelism(spark))(copyWithMd5(_, dataRoot, dest, _))
-    ()
+    copyChecked(control)
   }
 
   // ---- scheduled rotation: generations b1, b2, … under one backup

@@ -172,38 +172,34 @@ object Quality {
     require(tolPermille >= 0,
       s"profileDrift: tolPermille must be >= 0, got $tolPermille")
     val spark = oldDf.sparkSession
-    def profile(df: DataFrame): Map[(String, String), Long] = {
-      val aggs: Seq[Column] =
-        Seq(count(lit(1)).as("rows__n")) ++
-          numCols.flatMap(c => Seq(
-            count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
-            coalesce(min(col(c).cast("long")), lit(0L)).as(s"${c}__min"),
-            coalesce(max(col(c).cast("long")), lit(0L)).as(s"${c}__max"),
-            coalesce(sum(col(c).cast("long")), lit(0L)).as(s"${c}__sum"))) ++
-          strCols.flatMap(c => Seq(
-            count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
-            coalesce(sum(octet_length(col(c)).cast("long")), lit(0L))
-              .as(s"${c}__bytes")))
+    // metric labels and aggregate expressions are built from the SAME
+    // list and read back BY POSITION — no name round-trip, so a column
+    // name containing the separator (or literally named "rows") can
+    // never mis-key the report
+    val metrics: Seq[(String, String, Column)] =
+      Seq(("__table__", "rows", count(lit(1)))) ++
+        numCols.flatMap(c => Seq(
+          (c, "nulls", count(when(col(c).isNull, lit(1)))),
+          (c, "min", coalesce(min(col(c).cast("long")), lit(0L))),
+          (c, "max", coalesce(max(col(c).cast("long")), lit(0L))),
+          (c, "sum", coalesce(sum(col(c).cast("long")), lit(0L))))) ++
+        strCols.flatMap(c => Seq(
+          (c, "nulls", count(when(col(c).isNull, lit(1)))),
+          (c, "bytes",
+            coalesce(sum(octet_length(col(c)).cast("long")), lit(0L)))))
+    def profile(df: DataFrame): Seq[Long] = {
+      val aggs = metrics.zipWithIndex.map { case ((_, _, e), i) =>
+        e.as(s"m$i")
+      }
       val r = df.agg(aggs.head, aggs.tail: _*).head()
-      r.schema.fieldNames.zipWithIndex.map { case (f, i) =>
-        val Array(c, m) = f.split("__", 2)
-        (c, m) -> r.getLong(i)
-      }.toMap
+      metrics.indices.map(r.getLong)
     }
     val (o, n) = (profile(oldDf), profile(newDf))
-    val metrics: Seq[(String, String)] =
-      Seq(("rows", "n")) ++
-        numCols.flatMap(c =>
-          Seq("nulls", "min", "max", "sum").map(c -> _)) ++
-        strCols.flatMap(c => Seq("nulls", "bytes").map(c -> _))
     import spark.implicits._
-    metrics.map { case (c, m) =>
-      val (ov, nv) = (o((c, m)), n((c, m)))
+    metrics.zipWithIndex.map { case ((c, m, _), i) =>
+      val (ov, nv) = (o(i), n(i))
       val dpm = math.abs(nv - ov) * 1000L / math.max(math.abs(ov), 1L)
-      val colName = if (c == "rows") "__table__" else c
-      val metric = if (c == "rows") "rows" else m
-      (colName, metric, ov, nv, dpm,
-        if (dpm > tolPermille) "WARN" else "OK")
+      (c, m, ov, nv, dpm, if (dpm > tolPermille) "WARN" else "OK")
     }.toDF("col_name", "metric", "old_v", "new_v",
       "delta_permille", "status")
   }

@@ -214,15 +214,7 @@ object Sampling {
         "a categorical stratum (use hash sampling for per-row draws)")
     // per-stratum exclusive offsets in (pid) order + per-stratum totals
     // — driver-side over the bounded count table only
-    val byStratum = counts.groupBy(_._2)
-    val offRows = byStratum.iterator.flatMap { case (st, rows) =>
-      val ordered = rows.sortBy(_._1)
-      val offs = ordered.scanLeft(0L)(_ + _._3)
-      val total = offs.last
-      ordered.zip(offs).map { case ((pid, _, _), off) =>
-        (pid, st, off, total)
-      }
-    }.toSeq
+    val offRows = partitionOffsetsByKey(counts.toSeq)
     import spark.implicits._
     val offDf = offRows.toDF("__pid", "__st", "__off", "__n")
     val w = org.apache.spark.sql.expressions.Window
@@ -234,6 +226,24 @@ object Sampling {
         expr(s"(__n * ${num}L + ${den - 1}L) div ${den}L"))
       .select(col("__id").as(idCol), col("__st").as(strataCol))
   }
+
+  /** Driver-side second phase of the exact-global-rank machinery shared
+    * by [[stratifiedSample]] (counting rows) and [[tokenBudgetMix]]
+    * (summing tokens): turn the collected per-(partition, key) measures
+    * into each key's exclusive offsets in partition order plus its
+    * total. Bounded by the count table, never by rows — and ONE
+    * implementation, so a fix to the offset arithmetic can't silently
+    * diverge between the two ops. */
+  private def partitionOffsetsByKey(
+      counts: Seq[(Int, String, Long)]): Seq[(Int, String, Long, Long)] =
+    counts.groupBy(_._2).iterator.flatMap { case (key, rows) =>
+      val ordered = rows.sortBy(_._1)
+      val offs = ordered.scanLeft(0L)(_ + _._3)
+      val total = offs.last
+      ordered.zip(offs).map { case ((pid, _, _), off) =>
+        (pid, key, off, total)
+      }
+    }.toSeq
 
   /** Per-domain token budgets at temperature T=2 — the companion that
     * turns "give me `totalBudget` training tokens at the square-root
@@ -255,9 +265,20 @@ object Sampling {
       s"temperatureTokenBudgets: totalBudget must be positive, got $totalBudget")
     val c = df.groupBy(col(domainCol))
       .agg(sum(col(tokCol).cast("long")).as("__sd"))
-      .withColumn("__w", sqrt(col("__sd").cast("double")))
-    val norm = c.agg(sum(col("__w")).as("__wsum"))
-    c.crossJoin(norm) // 1-row frame combine
+    // same input guard as [[tokenBudgetMix]]: a negative token mass
+    // (bad upstream sentinel values) would flow through sqrt as NaN
+    // and surface as an opaque cast error (ANSI) or silent zeros; an
+    // all-null mass would land a null budget the mix op then blames on
+    // the BUDGETS table. Fail here, naming the data column. The check
+    // is one action over the G-row domain aggregate.
+    val bad = c.agg(count(when(col("__sd").isNull || col("__sd") < 0L,
+      lit(1)))).head().getLong(0)
+    require(bad == 0L,
+      s"temperatureTokenBudgets: $bad domain(s) have a null or negative " +
+        s"total '$tokCol' — token masses must be non-null and >= 0")
+    val w = c.withColumn("__w", sqrt(col("__sd").cast("double")))
+    val norm = w.agg(sum(col("__w")).as("__wsum"))
+    w.crossJoin(norm) // 1-row frame combine
       .select(col(domainCol),
         floor(lit(totalBudget.toDouble) * col("__w") / col("__wsum"))
           .cast("long").as("budget"))
@@ -346,14 +367,7 @@ object Sampling {
         "categorical (languages, sources, quality tiers)")
     // per-domain exclusive token offsets in partition order + totals —
     // driver-side over the bounded count table only
-    val offRows = counts.groupBy(_._2).iterator.flatMap { case (dm, rows) =>
-      val ordered = rows.sortBy(_._1)
-      val offs = ordered.scanLeft(0L)(_ + _._3)
-      val total = offs.last
-      ordered.zip(offs).map { case ((pid, _, _), off) =>
-        (pid, dm, off, total)
-      }
-    }.toSeq
+    val offRows = partitionOffsetsByKey(counts.toSeq)
     import spark.implicits._
     val offDf = offRows.toDF("__pid", "__dom", "__off", "__total")
     val w = org.apache.spark.sql.expressions.Window

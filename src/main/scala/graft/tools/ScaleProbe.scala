@@ -181,14 +181,19 @@ object ScaleProbe {
     // a busy box; PROBE_r13b's q3 ratio 33.15 at identical candidate
     // counts would have self-flagged on both.
     val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def sentinel(label: String): Unit = {
-      System.gc()
-      val t0 = System.nanoTime()
+    // ONE pipeline definition for the timed runs AND the warm-up — the
+    // warm-up exists to pre-JIT exactly this pipeline, so a second
+    // hand-written copy could silently stop covering it
+    def sentinelRun(): Unit =
       spark.range(0L, 200000000L, 1L, cpus.toInt)
         // bounded summand: a raw Σ xxhash64 overflows long (ANSI) at
         // 2·10⁸ full-range terms; the mod keeps the hash work intact
         .select(sum(pmod(xxhash64(col("id")), lit(1000L))).as("h"))
         .write.format("noop").mode("overwrite").save()
+    def sentinel(label: String): Unit = {
+      System.gc()
+      val t0 = System.nanoTime()
+      sentinelRun()
       val t = (System.nanoTime() - t0) / 1e9
       sentinelTimes += t
       println(f"[scaleprobe] sentinel($label) $t%5.2fs")
@@ -201,9 +206,7 @@ object ScaleProbe {
     // the contention detector into a JIT detector and false-flags
     // quiet boxes; the general warm-up queries above don't cover this
     // exact pipeline.
-    spark.range(0L, 200000000L, 1L, cpus.toInt)
-      .select(sum(pmod(xxhash64(col("id")), lit(1000L))).as("h"))
-      .write.format("noop").mode("overwrite").save()
+    sentinelRun()
     sentinel("start")
 
     def keep(n: String): Boolean = only.isEmpty || only(n)

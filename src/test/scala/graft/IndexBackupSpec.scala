@@ -158,6 +158,58 @@ class IndexBackupSpec extends AnyFunSuite with SparkSpec {
       "backup leaked its lease")
   }
 
+  test("refusals 2: a typo'd source path refuses WITHOUT creating the " +
+      "directory; a backup location inside the home refuses; a lease " +
+      "on a SHARD of a sharded home blocks the whole-home backup") {
+    val docs = graft.sources.Tables.documents(spark, base).limit(40)
+    // 1. nonexistent source: the old order let IndexLease.acquire
+    // mkdirs the typo'd path before the existence check could run
+    val ghost = graft.sources.Scratch.dir("bk-ghost") + "-nope"
+    val e1 = intercept[IllegalArgumentException] {
+      IndexBackup.backup(spark, ghost,
+        graft.sources.Scratch.dir("bk-ghost-copy"))
+    }
+    assert(e1.getMessage.contains("no index home"))
+    assert(!fsOf(ghost).exists(new org.apache.hadoop.fs.Path(ghost)),
+      "a refused backup created its typo'd source path")
+    // 2. backup location nested inside the home: every later backup
+    // would re-copy the earlier ones
+    val home = graft.sources.Scratch.dir("bk-nest")
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", home)
+    val e2 = intercept[IllegalArgumentException] {
+      IndexBackup.backup(spark, home, s"$home/backups")
+    }
+    assert(e2.getMessage.contains("INSIDE the"))
+    // 3. sharded home: shard-localized maintenance leases only the
+    // child dir, so the backup takes the children's leases too — a
+    // live lease on ONE shard must refuse the whole-home copy
+    val shHome = graft.sources.Scratch.dir("bk-shlease")
+    ShardedIndex.writeMinhash(docs, shHome, shards = 2,
+      id = "doc_id", text = "text")
+    val shardLease = new org.apache.hadoop.fs.Path(
+      ShardedIndex.shardDir(shHome, 1), Dedup.LeaseFile)
+    val out = fsOf(shHome).create(shardLease, true)
+    val props = new java.util.Properties()
+    props.setProperty("token", "99998888-7777-6666-5555-444433332222")
+    props.setProperty("op", "shard-compactor")
+    props.setProperty("ts", System.currentTimeMillis().toString)
+    try props.store(out, "test") finally out.close()
+    val e3 = intercept[IllegalArgumentException] {
+      IndexBackup.backup(spark, shHome,
+        graft.sources.Scratch.dir("bk-shlease-copy"))
+    }
+    assert(e3.getMessage.contains("shard-compactor"),
+      s"shard lease did not block the home backup: ${e3.getMessage}")
+    fsOf(shHome).delete(shardLease, false)
+    // with the shard lease gone the backup completes, and NO lease —
+    // home or shard — is left behind
+    IndexBackup.backup(spark, shHome,
+      graft.sources.Scratch.dir("bk-shlease-copy2"))
+    assert(IndexLease.status(spark, shHome).isEmpty &&
+      IndexLease.status(spark, ShardedIndex.shardDir(shHome, 1)).isEmpty,
+      "backup leaked a lease on the home or a shard")
+  }
+
   test("rotation: monotonic numbering across torn generations, " +
       "retention keeps the newest 2, latest never points at a torn " +
       "generation; the planner flags stale backups and the executor " +

@@ -329,5 +329,16 @@ class QualityAuditSpec extends AnyFunSuite with SparkSpec {
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
     assert(gone.values.forall(_ == 0L))
+    // law 4: metric mapping is positional, never name-parsed — a
+    // column containing the old separator, or literally named "rows",
+    // keys its own report rows correctly
+    val odd = Seq((1L, 7L, 3L), (2L, 9L, 4L))
+      .toDF("id", "my__col", "rows")
+    val oddRep = Quality.profileDrift(odd, odd,
+      Seq("my__col", "rows")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(oddRep(("my__col", "sum")) == 16L)
+    assert(oddRep(("rows", "sum")) == 7L)
+    assert(oddRep(("__table__", "rows")) == 2L)
   }
 }

@@ -305,5 +305,33 @@ class DiversitySampleSpec extends AnyFunSuite with SparkSpec {
     val epochs = masses.map { case (d, s) => d -> got(d).toDouble / s }
     assert(epochs("c") > epochs("b") && epochs("b") > epochs("a"),
       s"√-mixture must favor rare domains, got $epochs")
+    // negative token mass fails loudly naming the DATA column, before
+    // sqrt can turn it into NaN budgets or a misleading budgets-table
+    // refusal downstream
+    val bad = Seq((1L, "a", 5L), (2L, "a", -9L)).toDF("id", "dom", "tok")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureTokenBudgets(bad, "dom", "tok", 100L).collect()
+    }
+    assert(e.getMessage.contains("negative total 'tok'"))
+  }
+
+  test("stratifiedSample: exactly ceil(num*n_s/den) rows per stratum, " +
+      "deterministic membership, invariant to input partitioning") {
+    val docs = mixCorpus // (id, dom, tok) — dom is the stratum
+    val perStratum = docs.groupBy("dom").count()
+      .as[(String, Long)].collect().toMap
+    def run(parts: Int): Map[String, Set[Long]] =
+      Sampling.stratifiedSample(docs.repartition(parts), "dom", "id",
+          num = 1, den = 3)
+        .as[(Long, String)].collect()
+        .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val a = run(1)
+    // exact integer allocation per stratum, never rounded down
+    for ((dom, n) <- perStratum)
+      assert(a(dom).size == (n + 2) / 3,
+        s"$dom drew ${a(dom).size} of $n at 1/3")
+    // the draw is a pure function of (seed tag, ids): any partitioning
+    // selects the SAME documents, not merely the same counts
+    assert(run(13) == a, "stratified membership moved with partitioning")
   }
 }
