@@ -198,7 +198,14 @@ object Quality {
     import spark.implicits._
     metrics.zipWithIndex.map { case ((c, m, _), i) =>
       val (ov, nv) = (o(i), n(i))
-      val dpm = math.abs(nv - ov) * 1000L / math.max(math.abs(ov), 1L)
+      // the delta in BigInt: |nv - ov| * 1000 overflows Long once a
+      // metric passes ~9.2e15 (total text BYTES at large scale gets
+      // there), and the wrapped negative would silently report OK on
+      // a catastrophic shift. Clamp the (already astronomically
+      // off-tolerance) quotient at Long.MaxValue.
+      val dpmB = (BigInt(nv) - BigInt(ov)).abs * 1000 /
+        BigInt(math.max(math.abs(ov), 1L))
+      val dpm = if (dpmB > Long.MaxValue) Long.MaxValue else dpmB.toLong
       (c, m, ov, nv, dpm, if (dpm > tolPermille) "WARN" else "OK")
     }.toDF("col_name", "metric", "old_v", "new_v",
       "delta_permille", "status")

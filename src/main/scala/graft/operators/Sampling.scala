@@ -334,13 +334,23 @@ object Sampling {
     val s0 = t.agg(
       count(when(col("__dom").isNull || col("__id").isNull ||
         col("__tok").isNull, lit(1))).as("n_bad"),
-      count(when(col("__tok") < 0, lit(1))).as("n_neg")).head()
+      count(when(col("__tok") < 0, lit(1))).as("n_neg"),
+      (count(lit(1)) - countDistinct(col("__id"))).as("n_dup")).head()
     require(s0.getLong(0) == 0L,
       s"tokenBudgetMix: ${s0.getLong(0)} rows have a null " +
         s"'$domainCol'/'$idCol'/'$tokCol' — the fill order needs all three")
     require(s0.getLong(1) == 0L,
       s"tokenBudgetMix: ${s0.getLong(1)} rows have a negative '$tokCol' — " +
         "a token count can't be negative")
+    // duplicate ids share one md5 draw, so they TIE in the (__h, __id)
+    // fill order — with different token counts their tok_start /
+    // n_copies would depend on which tie the sort visits first,
+    // breaking the op's reproducibility (and DuckDB-parity) contract.
+    // Same uniqueness stance as the budgets-domain dup check above.
+    require(s0.getLong(2) == 0L,
+      s"tokenBudgetMix: ${s0.getLong(2)} duplicate '$idCol' value(s) — " +
+        "the deterministic fill order needs distinct ids (duplicates " +
+        "tie in the shuffled order and make tok_start nondeterministic)")
     val b = budgets.toDF("__bdom", "__budget")
       .select(col("__bdom").cast("string").as("__bdom"),
         col("__budget").cast("long").as("__budget"))

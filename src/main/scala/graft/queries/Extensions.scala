@@ -1860,7 +1860,19 @@ object Extensions {
         homes, backups = bks, maxBackupAgeMs = 3600000L)
         .filter(col("action") === "none").count()
       graft.operators.IndexBackup.rotate(s, home, bh)
-      graft.operators.IndexBackup.rotate(s, home, bh)
+      // generations are INCREMENTAL (manifest-delta over a shared
+      // content-addressed store): a steady-state tick over an
+      // unchanged home copies ZERO bytes…
+      val steady = graft.operators.IndexBackup
+        .backupMeta(s, graft.operators.IndexBackup.rotate(s, home, bh))
+      // …and after a small CDC batch the tick copies ≈ the batch (new
+      // partition files + rewritten control files), never the home
+      Dedup.appendToMinhashIndex(
+        Tables.documents(s, d).filter(col("doc_id") % 3 === 1).limit(7)
+          .withColumn("doc_id", col("doc_id") + 900000L),
+        "doc_id", "text", home, batchId = Some(11L))
+      val churn = graft.operators.IndexBackup
+        .backupMeta(s, graft.operators.IndexBackup.rotate(s, home, bh))
       val gens = graft.operators.IndexBackup.generations(s, bh)
       val latest = graft.operators.IndexBackup.latest(s, bh)
         .map(_.split('/').last).getOrElse("-")
@@ -1872,6 +1884,10 @@ object Extensions {
         ("planned_backup", planned.toString),
         ("applied_backup", applied.toString),
         ("replan_none", replanNone.toString),
+        ("steady_rotation_copied_bytes", steady("copied_bytes")),
+        ("churn_rotation_bounded",
+          if (churn("copied_bytes").toLong * 2 < churn("bytes").toLong &&
+            churn("reused_files").toLong > 0L) "OK" else "ERROR"),
         ("generations", gens.mkString("b", ",b", "")),
         ("latest", latest),
         ("restored_serves", if (served) "OK" else "ERROR"))
@@ -5492,16 +5508,20 @@ object Extensions {
                   THEN 'WARN' ELSE 'OK' END AS status
       FROM m""",
     // the disaster-recovery loop's literal truth: missing backup
-    // planned once, executed once, re-sweep clean; after 3 rotations
-    // retention holds exactly b2+b3, latest = b3, and the restored
+    // planned once, executed once, re-sweep clean; generations are
+    // manifest-delta increments (a steady tick copies ZERO bytes, a
+    // churn tick copies batch-bounded bytes); after 4 rotations
+    // retention holds exactly b3+b4, latest = b4, and the restored
     // home serves
     "q_backup_rotate" -> """
       SELECT * FROM (VALUES
         ('planned_backup', '1'),
         ('applied_backup', '1'),
         ('replan_none', '1'),
-        ('generations', 'b2,b3'),
-        ('latest', 'b3'),
+        ('steady_rotation_copied_bytes', '0'),
+        ('churn_rotation_bounded', 'OK'),
+        ('generations', 'b3,b4'),
+        ('latest', 'b4'),
         ('restored_serves', 'OK')
       ) AS t(chk, value)""",
     // rebuild+compact must be lossless → same oracle as the fresh index

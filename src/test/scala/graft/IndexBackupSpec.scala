@@ -210,6 +210,149 @@ class IndexBackupSpec extends AnyFunSuite with SparkSpec {
       "backup leaked a lease on the home or a shard")
   }
 
+  test("refusals 3: swapped/typo'd arguments can never recursively " +
+      "delete live data — home-inside-backupDir refuses, and a " +
+      "marker-less directory that does not LOOK like a torn backup " +
+      "refuses to be auto-cleared") {
+    val docs = graft.sources.Tables.documents(spark, base).limit(30)
+    // 1. home nested under the backup location: backup(home, parent)
+    // — before the guard, 'clear the torn prior attempt' at parent
+    // recursively deleted the live home before a byte was copied
+    val parent = graft.sources.Scratch.dir("bk-swap")
+    val home = s"$parent/live_home"
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", home)
+    val e1 = intercept[IllegalArgumentException] {
+      IndexBackup.backup(spark, home, parent)
+    }
+    assert(e1.getMessage.contains("swapped"), e1.getMessage)
+    assert(fsOf(home).exists(new org.apache.hadoop.fs.Path(home)) &&
+      sets(home).count() > 0, "the live home was damaged by a refusal")
+    // 2. an existing marker-less directory holding anything BEYOND the
+    // torn-backup shape (data/, _manifest/, _BACKUP_META) is NOT a
+    // crashed prior attempt — a disjoint live tree mis-pointed at must
+    // survive the refusal
+    val victim = graft.sources.Scratch.dir("bk-victim")
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", victim)
+    val src = graft.sources.Scratch.dir("bk-swap-src")
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", src)
+    val e2 = intercept[IllegalArgumentException] {
+      IndexBackup.backup(spark, src, victim)
+    }
+    assert(e2.getMessage.contains("non-backup entries"), e2.getMessage)
+    assert(sets(victim).count() > 0,
+      "a live directory was auto-cleared as a 'torn backup'")
+    // 3. a genuinely torn prior attempt (data/ + meta, NO marker) IS
+    // cleared and the backup redone — the recovery path still works
+    val torn = graft.sources.Scratch.dir("bk-torn")
+    val tfs = fsOf(torn)
+    tfs.delete(new org.apache.hadoop.fs.Path(torn), true)
+    tfs.mkdirs(new org.apache.hadoop.fs.Path(s"$torn/data"))
+    val out = tfs.create(
+      new org.apache.hadoop.fs.Path(torn, IndexBackup.MetaFile), true)
+    try out.write("source=crashed\n".getBytes("UTF-8"))
+    finally out.close()
+    IndexBackup.backup(spark, src, torn)
+    assert(IndexBackup.verify(spark, torn)
+      .filter(org.apache.spark.sql.functions.col("status") =!= "OK")
+      .isEmpty, "redo over a torn prior attempt must verify clean")
+  }
+
+  test("incremental generations: an unchanged home re-copies ZERO " +
+      "bytes, a small CDC batch copies churn-sized bytes (never the " +
+      "home), restoreLatest serves bit-exact, a tampered SHARED object " +
+      "fails every referencing generation's verify, and the prune GC " +
+      "reclaims exactly the unreferenced objects") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, base).limit(60)
+    val home = graft.sources.Scratch.dir("bk-incr")
+    val bh = graft.sources.Scratch.dir("bk-incr-gens")
+    fsOf(bh).delete(new org.apache.hadoop.fs.Path(bh), true)
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", home)
+    def stats(g: String): Map[String, Long] =
+      IndexBackup.backupMeta(spark, g).collect {
+        case (k, v) if v.forall(_.isDigit) => k -> v.toLong
+      }
+    val g1 = IndexBackup.rotate(spark, home, bh, keep = 3)
+    val s1 = stats(g1)
+    assert(s1("copied_files") == s1("files") && s1("reused_files") == 0L,
+      s"first generation must ingest everything: $s1")
+    // law 1: an UNCHANGED home re-copies nothing — the tick is free
+    val g2 = IndexBackup.rotate(spark, home, bh, keep = 3)
+    val s2 = stats(g2)
+    assert(s2("copied_bytes") == 0L && s2("copied_files") == 0L,
+      s"unchanged home re-copied bytes: $s2")
+    assert(s2("files") == s1("files") && s2("bytes") == s1("bytes"))
+    // law 2: after a SMALL CDC batch the rotation copies ≈ the batch
+    // (new partition files + rewritten control files), never the home
+    Dedup.appendToMinhashIndex(docs.limit(5)
+      .withColumn("doc_id", col("doc_id") + 500000L),
+      "doc_id", "text", home, batchId = Some(7L))
+    val before = canon(sets(home))
+    val g3 = IndexBackup.rotate(spark, home, bh, keep = 3)
+    val s3 = stats(g3)
+    assert(s3("reused_files") > 0L && s3("copied_files") < s3("files"),
+      s"churn rotation re-ingested the home: $s3")
+    assert(s3("copied_bytes") * 2 < s3("bytes"),
+      s"churn rotation copied more than half the home bytes: $s3")
+    // law 3: the latest incremental generation restores bit-exact
+    val dest = graft.sources.Scratch.dir("bk-incr-restored")
+    fsOf(dest).delete(new org.apache.hadoop.fs.Path(dest), true)
+    assert(IndexBackup.restoreLatest(spark, bh, dest) == g3)
+    assert(canon(sets(dest)) == before,
+      "restored incremental generation drifted")
+    // law 4: GC — rotating past retention prunes g1's dir AND drops
+    // every object only g1 referenced; what remains is exactly the
+    // union of the surviving manifests' content keys, no tmp residue
+    val g4 = IndexBackup.rotate(spark, home, bh, keep = 2)
+    assert(IndexBackup.generations(spark, bh).size == 2)
+    import spark.implicits._
+    val surviving = IndexBackup.generations(spark, bh).flatMap { n =>
+      spark.read.parquet(s"$bh/b$n/_manifest")
+        .select("md5", "length").as[(String, Long)].collect()
+        .map { case (m, l) => s"$m-$l" }
+    }.toSet
+    val objs = fsOf(bh).listStatus(
+      new org.apache.hadoop.fs.Path(s"$bh/objects")).toSeq
+      .map(_.getPath.getName)
+    assert(objs.toSet == surviving,
+      s"object store != surviving references: extra=" +
+        s"${objs.toSet -- surviving}, missing=${surviving -- objs.toSet}")
+    assert(!objs.exists(_.startsWith(".tmp-")), "tmp residue survived GC")
+    // law 5: tamper with ONE shared object both survivors reference —
+    // BOTH generations' verifies must flag it, and restoreLatest must
+    // refuse rather than serve corrupt state
+    val shared = spark.read.parquet(s"$bh/b${IndexBackup
+      .generations(spark, bh).head}/_manifest")
+      .select("md5", "length").as[(String, Long)].collect()
+      .map { case (m, l) => s"$m-$l" }
+      .find(k => surviving(k)).get
+    val victim = new org.apache.hadoop.fs.Path(s"$bh/objects/$shared")
+    val fs = fsOf(bh)
+    val bytes = {
+      val in = fs.open(victim)
+      try {
+        val os = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, os, 4096, false)
+        os.toByteArray
+      } finally in.close()
+    }
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x5a).toByte
+    val out = fs.create(victim, true)
+    try out.write(bytes) finally out.close()
+    IndexBackup.generations(spark, bh).foreach { n =>
+      val bad = IndexBackup.verify(spark, s"$bh/b$n")
+        .filter(col("status") === "ERROR").count()
+      assert(bad > 0,
+        s"generation b$n references the tampered object but verified clean")
+    }
+    val dest2 = graft.sources.Scratch.dir("bk-incr-refuse")
+    fsOf(dest2).delete(new org.apache.hadoop.fs.Path(dest2), true)
+    val e = intercept[IllegalArgumentException] {
+      IndexBackup.restoreLatest(spark, bh, dest2)
+    }
+    assert(e.getMessage.contains("integrity"))
+  }
+
   test("rotation: monotonic numbering across torn generations, " +
       "retention keeps the newest 2, latest never points at a torn " +
       "generation; the planner flags stale backups and the executor " +

@@ -341,4 +341,24 @@ class QualityAuditSpec extends AnyFunSuite with SparkSpec {
     assert(oddRep(("rows", "sum")) == 7L)
     assert(oddRep(("__table__", "rows")) == 2L)
   }
+
+  test("profileDrift: a metric past ~9.2e15 cannot overflow the " +
+      "per-mille delta into a silent OK — the delta clamps and WARNs") {
+    import spark.implicits._
+    // |new−old|·1000 = 9.3e18 > Long.MaxValue: the pre-fix Long
+    // arithmetic wrapped negative and reported OK on a catastrophic
+    // shift (advisor r18); BigInt math clamps to Long.MaxValue
+    val old = Seq((1L, 1L)).toDF("id", "bytes_total")
+    val nw = Seq((1L, 9300000000000000L)).toDF("id", "bytes_total")
+    val rep = Quality.profileDrift(old, nw, Seq("bytes_total"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getString(5))).toMap
+    val (dpm, status) = rep(("bytes_total", "sum"))
+    assert(status == "WARN", s"overflowed delta reported $status")
+    assert(dpm == Long.MaxValue || dpm > 0L, s"delta wrapped: $dpm")
+    // and far past the clamp threshold too (max metric vs old 0 → /1)
+    val (dpmMax, stMax) = rep(("bytes_total", "max"))
+    assert(stMax == "WARN" && dpmMax > 0L)
+  }
 }

@@ -285,6 +285,16 @@ class DiversitySampleSpec extends AnyFunSuite with SparkSpec {
       Sampling.tokenBudgetMix(ok, "id", "dom", "tok", dup).collect()
     }
     assert(e3.getMessage.contains("repeats a domain"))
+    // duplicate document ids tie on the md5 draw — their fill order
+    // (hence tok_start / n_copies when token counts differ) would be
+    // partitioning-dependent; the op refuses rather than losing its
+    // reproducibility contract (advisor r18)
+    val dupId = Seq((1L, "a", 3L), (1L, "a", 7L)).toDF("id", "dom", "tok")
+    val e4 = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetMix(dupId, "id", "dom", "tok", budgets).collect()
+    }
+    assert(e4.getMessage.contains("duplicate") &&
+      e4.getMessage.contains("distinct ids"))
   }
 
   test("temperatureTokenBudgets: √-mixture formula replays exactly; " +
