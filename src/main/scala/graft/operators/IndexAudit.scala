@@ -462,11 +462,34 @@ object IndexAudit {
     * (the audit details carry the exact op), priorities are fixed by
     * [[actionFor]] so two sweeps over the same state rank identically.
     * Read-only, like the audit it folds. */
+  /** Shard count when `dir` is a sharded home, else None. */
+  private def shardCountOf(spark: SparkSession, dir: String): Option[Int] =
+    scala.util.Try(Dedup.readMeta(spark, dir)).toOption
+      .filter(_.get("kind").contains(ShardedIndex.Kind))
+      .flatMap(_.get("shards")).flatMap(_.toIntOption)
+
+  /** The DR units of one home: `"-"` → whole home for a monolithic
+    * one; for a sharded home the home-level SHELL (`_home` — manifest
+    * metadata, bytes-tiny) plus one unit per `shard=<i>` (each shard
+    * dir is a complete child home), each with its own generation home
+    * under the label's backup location — so the backup cadence, like
+    * compaction, is churn-bounded per shard, never a whole-home copy
+    * for one hot shard's churn. */
+  private def backupUnits(spark: SparkSession, dir: String,
+                          bh: String): Seq[(String, String)] =
+    shardCountOf(spark, dir) match {
+      case Some(nS) =>
+        ("_home" -> s"$bh/_home") +:
+          (0 until nS).map(i => s"shard=$i" -> s"$bh/shard=$i")
+      case None => Seq("-" -> bh)
+    }
+
   def maintenancePlan(spark: SparkSession, homes: Seq[(String, String)],
                       countChecks: Boolean = false,
                       maxFilesPerTable: Int = 512,
                       backups: Map[String, String] = Map.empty,
-                      maxBackupAgeMs: Long = Long.MaxValue): DataFrame = {
+                      maxBackupAgeMs: Long = Long.MaxValue,
+                      verifySample: Int = 0): DataFrame = {
     import spark.implicits._
     val rows = homes.flatMap { case (label, dir) =>
       val triggered = audit(spark, dir, countChecks, maxFilesPerTable)
@@ -482,22 +505,52 @@ object IndexAudit {
             (label, unit, action, base, prio)
           }
         }
-      // disaster-recovery coverage rides the same sweep: a home whose
-      // designated backup location holds no committed generation, or
-      // only one older than the cadence bound, gets a `backup` row —
-      // priority 4 alongside the other safe-deferred actions. The
-      // reason is a FIXED token (never the age itself) so plan frames
-      // stay deterministic for the literal-oracle gates.
-      val backupRows = backups.get(label).toSeq.flatMap { bh =>
-        IndexBackup.latestAgeMs(spark, bh) match {
+      // disaster-recovery coverage rides the same sweep: a DR unit
+      // whose designated backup location holds no committed
+      // generation, or only one older than the cadence bound, gets a
+      // `backup` row — priority 4 alongside the other safe-deferred
+      // actions. Units are SHARD-LOCALIZED for sharded homes (plus
+      // the `_home` shell), so the planned copy work is ∝ the churny
+      // shards, the selective-maintenance contract compact already
+      // follows. The reason is a FIXED token (never the age itself)
+      // so plan frames stay deterministic for the literal-oracle
+      // gates.
+      val units = backups.get(label).toSeq
+        .flatMap(bh => backupUnits(spark, dir, bh))
+      val backupRows = units.flatMap { case (unit, ubh) =>
+        IndexBackup.latestAgeMs(spark, ubh) match {
           case None =>
-            Seq((label, "-", "backup", "backup_missing", 4L))
+            Seq((label, unit, "backup", "backup_missing", 4L))
           case Some(age) if age > maxBackupAgeMs =>
-            Seq((label, "-", "backup", "backup_stale", 4L))
+            Seq((label, unit, "backup", "backup_stale", 4L))
           case _ => Seq.empty
         }
       }
-      val all = triggered ++ backupRows
+      // bit-rot probe: `verifySample > 0` additionally plans a BOUNDED
+      // sample of existing backups for a full re-checksum
+      // ([[IndexBackup.verify]] — the staleness probe above only reads
+      // the marker's mtime, so at-rest damage would otherwise surface
+      // only at restore time, which is exactly when it's too late).
+      // The sample rotates deterministically with the generation
+      // counter, so successive cadence ticks sweep different units
+      // while two sweeps over the SAME state pick the same rows.
+      val verifyRows =
+        if (verifySample <= 0) Seq.empty
+        else {
+          val cands = units.flatMap { case (unit, ubh) =>
+            IndexBackup.generations(spark, ubh).lastOption
+              .map(g => (unit, g))
+          }
+          if (cands.isEmpty) Seq.empty
+          else {
+            val start = (cands.map(_._2.toLong).sum % cands.size).toInt
+            (0 until math.min(verifySample, cands.size)).map { j =>
+              (label, cands((start + j) % cands.size)._1,
+                "verify_backup", "backup_probe", 4L)
+            }
+          }
+        }
+      val all = triggered ++ backupRows ++ verifyRows
       if (all.isEmpty) Seq((label, "-", "none", "", 9L))
       else all.distinct
     }
@@ -508,32 +561,45 @@ object IndexAudit {
     * did: `compact` rows run through the [[IndexCdc.compact]] façade
     * (row-preserving by each family's own law, under its own lease and
     * version-pointer commit — the one action that can never change
-    * what an index serves), everything else is deliberately SKIPPED:
-    * repair/rebuild decisions belong to a human reading the audit
-    * detail, `replay` needs the change feed the executor doesn't have,
-    * and `reclaim` deletes files — never automatic. `backup` rows
-    * (planned when a home's designated backup location is missing or
-    * stale) execute through [[IndexBackup.rotate]] — also safe: the
-    * home is only READ, under its own lease, and the rotation's prune
-    * never drops below the previous committed-generation count — when
-    * the caller supplies the home's backup location in `backups`;
-    * without one the row is skipped like any other unexecutable
-    * action. A shard-localized row compacts ONLY that shard (its dir
-    * is a complete child home), so the executed work stays ∝ the
+    * what an index serves); `backup` rows execute through
+    * [[IndexBackup.rotate]] (shard-localized rows rotate only that
+    * shard's generation home; `_home` rows rotate the sharded home's
+    * shell) — also safe: the home is only READ, under its own lease,
+    * and the rotation's prune never drops below the previous
+    * committed-generation count; `verify_backup` rows re-checksum the
+    * unit's newest committed generation (read-only — a failure pages
+    * through the outcome row, it is never auto-healed); `replay` rows
+    * execute ONLY when the caller supplies the home's changelog in
+    * `replayFeeds` (op/batch_id rows — re-applied through the
+    * replay-idempotent family façade, so committed batches skip and
+    * torn partitions overwrite), because without the feed the
+    * executor would have to invent history. Everything else is
+    * deliberately SKIPPED: repair/rebuild decisions belong to a human
+    * reading the audit detail, and `reclaim` deletes files — never
+    * automatic. A shard-localized row compacts ONLY that shard (its
+    * dir is a complete child home), so the executed work stays ∝ the
     * churn the plan found. Returns (home, unit, action,
-    * outcome ∈ applied|skipped), one row per distinct planned action,
-    * deterministically ordered — feed it back to [[maintenancePlan]]
-    * and the re-sweep must come back clean at the bound that
-    * triggered it. */
+    * outcome ∈ applied|skipped|verify_failed), one row per distinct
+    * planned action, deterministically ordered — feed it back to
+    * [[maintenancePlan]] and the re-sweep must come back clean at the
+    * bound that triggered it. */
   def applyPlan(spark: SparkSession, plan: DataFrame,
                 homes: Map[String, String],
                 targetFiles: Int = 4,
                 backups: Map[String, String] = Map.empty,
-                backupKeep: Int = 2): DataFrame = {
+                backupKeep: Int = 2,
+                replayFeeds: Map[String, DataFrame] = Map.empty): DataFrame = {
     import spark.implicits._
     val rows = plan.select("home", "unit", "action").distinct().collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
       .toSeq.sorted
+    def unitBackupHome(label: String, unit: String): String =
+      if (unit == "-") backups(label) else s"${backups(label)}/$unit"
+    // a torn multi-shard batch plans replay rows on several units, but
+    // the feed is ONE changelog for the home and the façade routes
+    // shards itself (committed units skip by batch marker) — replay
+    // once per home, report every row as covered by that replay
+    val replayed = scala.collection.mutable.Set.empty[String]
     rows.map { case (label, unit, action) =>
       val outcome = (action, homes.get(label)) match {
         case ("compact", Some(home)) =>
@@ -541,7 +607,51 @@ object IndexAudit {
           IndexCdc.compact(spark, dir, targetFiles)
           "applied"
         case ("backup", Some(home)) if backups.contains(label) =>
-          IndexBackup.rotate(spark, home, backups(label), backupKeep)
+          unit match {
+            case "-" =>
+              IndexBackup.rotate(spark, home, backups(label), backupKeep)
+            case "_home" =>
+              IndexBackup.rotateShell(spark, home,
+                unitBackupHome(label, unit), backupKeep)
+            case u =>
+              IndexBackup.rotate(spark, s"$home/$u",
+                unitBackupHome(label, unit), backupKeep)
+          }
+          "applied"
+        // the bit-rot probe: full re-checksum of the unit's newest
+        // committed generation. Read-only; a failure is REPORTED, not
+        // healed (the remedy — re-rotate over a fresh generation, or
+        // distrust the store — is a human call the outcome row pages)
+        case ("verify_backup", Some(_)) if backups.contains(label) =>
+          IndexBackup.latest(spark, unitBackupHome(label, unit)) match {
+            case None => "skipped"
+            case Some(g) =>
+              if (IndexBackup.verify(spark, g)
+                .filter(col("status") === "ERROR").isEmpty) "applied"
+              else "verify_failed"
+          }
+        // the replay tier runs ONLY when the caller supplies the
+        // home's change feed — (op ∈ insert|delete, batch_id, payload)
+        // rows, the applyOps changelog shape: the executor re-applies
+        // each distinct batch_id in order through the family façade,
+        // which is replay-idempotent (committed batches skip, torn
+        // partitions overwrite dynamically), healing torn appends in
+        // the same sweep that found them. Without a feed the row
+        // stays skipped — the executor never invents history.
+        case ("replay", Some(home)) if replayFeeds.contains(label) =>
+          if (!replayed(label)) {
+            replayed += label
+            val feed = replayFeeds(label)
+            require(feed.columns.contains("batch_id"),
+              s"applyPlan: replay feed for '$label' must carry a " +
+                "batch_id column (the durable batch ids to re-apply)")
+            val batches = feed.select("batch_id").distinct().collect()
+              .map(_.getLong(0)).sorted
+            batches.foreach { b =>
+              IndexCdc.applyOps(spark, home,
+                feed.filter(col("batch_id") === b).drop("batch_id"), b)
+            }
+          }
           "applied"
         case _ => "skipped"
       }

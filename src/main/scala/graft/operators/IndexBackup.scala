@@ -738,6 +738,49 @@ object IndexBackup {
     g
   }
 
+  /** Reassemble a SHARDED home from its per-shard DR units — the
+    * inverse of the planner's shard-localized rotations: restore the
+    * `_home` shell's newest committed generation into `dest` (the
+    * manifest metadata naming the shard count and router), then every
+    * `shard=<i>`'s newest generation into `dest/shard=<i>`. Refuses —
+    * before any shard byte lands — when the shell is missing, names a
+    * non-sharded kind, or any shard lacks a committed generation: a
+    * partially-assembled home would serve a silently smaller corpus.
+    * Returns unit → restored generation path. */
+  def restoreShardedLatest(spark: SparkSession, backupHome: String,
+                           dest: String): Map[String, String] = {
+    val shell = latest(spark, s"$backupHome/_home").getOrElse(
+      throw new IllegalArgumentException(
+        s"IndexBackup.restoreShardedLatest: no committed _home shell " +
+          s"generation at $backupHome — this is not a per-shard backup " +
+          "home (for a whole-home backup use restoreLatest)"))
+    restore(spark, shell, dest)
+    val meta = Dedup.readMeta(spark, dest)
+    require(meta.get("kind").contains(ShardedIndex.Kind),
+      s"IndexBackup.restoreShardedLatest: the restored shell at $dest " +
+        s"names kind '${meta.getOrElse("kind", "<absent>")}', not a " +
+        "sharded home")
+    val nS = meta("shards").toInt
+    val gens = (0 until nS).map { i =>
+      i -> latest(spark, s"$backupHome/shard=$i").getOrElse {
+        // the shell landed but a shard can't: remove the partial
+        // assembly so nothing ever opens it
+        fsOf(spark, dest).delete(new Path(dest), true)
+        throw new IllegalArgumentException(
+          s"IndexBackup.restoreShardedLatest: shard $i of $nS has no " +
+            s"committed generation at $backupHome/shard=$i — a " +
+            "partially-restored home would serve a smaller corpus; " +
+            "rotate that shard's backup first")
+      }
+    }
+    gens.foreach { case (i, g) =>
+      restore(spark, g, ShardedIndex.shardDir(dest, i))
+    }
+    (("_home" -> shell) +: gens.map { case (i, g) =>
+      s"shard=$i" -> g
+    }).toMap
+  }
+
   /** Backup-staleness probe for the fleet planner: Some(ageMs) of the
     * newest committed generation's marker, or None when no committed
     * generation exists. The age compares the DRIVER's clock against the

@@ -1893,6 +1893,132 @@ object Extensions {
         ("restored_serves", if (served) "OK" else "ERROR"))
         .toDF("chk", "value")
     }),
+    // shard-localized disaster recovery, closed loop: a 2-shard home
+    // plans per-unit backup rows (the `_home` shell + one per shard —
+    // the DR unit is the SHARD, churn-bounded like compact), the
+    // executor rotates exactly those units into their own generation
+    // homes, the re-sweep is clean, and restoreShardedLatest
+    // reassembles a home whose served sets equal the original's
+    // bit for bit
+    "q_backup_sharded" -> ((s, d) => {
+      import s.implicits._
+      val tag = java.util.UUID.randomUUID.toString.take(8)
+      val home = graft.sources.Scratch.dir(s"bksh_home_$tag")
+      val bh = graft.sources.Scratch.dir(s"bksh_gens_$tag")
+      graft.operators.ShardedIndex.writeMinhash(
+        Tables.documents(s, d).filter(col("doc_id") % 3 === 0), home,
+        shards = 2, id = "doc_id", text = "text")
+      val homes = Seq("sh" -> home)
+      val bks = Map("sh" -> bh)
+      val plan = graft.operators.IndexAudit.maintenancePlan(s, homes,
+        backups = bks)
+      val planned = plan.filter(col("action") === "backup")
+        .select("unit").collect().map(_.getString(0)).sorted
+        .mkString(",")
+      val applied = graft.operators.IndexAudit.applyPlan(s, plan,
+        homes.toMap, backups = bks)
+        .filter(col("action") === "backup" &&
+          col("outcome") === "applied").count()
+      val replanNone = graft.operators.IndexAudit.maintenancePlan(s,
+        homes, backups = bks).filter(col("action") === "none").count()
+      val dest = graft.sources.Scratch.dir(s"bksh_dest_$tag")
+      graft.operators.IndexBackup.restoreShardedLatest(s, bh, dest)
+      val a = graft.operators.ShardedIndex.readMinhashSharded(s, home)
+        .sets
+      val b = graft.operators.ShardedIndex.readMinhashSharded(s, dest)
+        .sets
+      val bitExact = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      Seq(
+        ("planned_units", planned),
+        ("applied_units", applied.toString),
+        ("replan_none", replanNone.toString),
+        ("restored_serves_bitexact", if (bitExact) "OK" else "ERROR"))
+        .toDF("chk", "value")
+    }),
+    // the replay tier's closed loop as a DATA oracle: a torn batch-5
+    // append (partition written, marker never advanced — fabricated
+    // the way a crash leaves it) is planned for replay; the executor,
+    // GIVEN the changelog, re-applies the batch through the
+    // replay-idempotent façade (the torn partition overwrites
+    // dynamically), and the healed index must serve exactly
+    // base ∪ batch0 ∪ batch5 — the corpus DuckDB recomputes from the
+    // same predicates
+    "q_plan_replay" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val home = graft.sources.Scratch.dir(
+        s"replayg_${java.util.UUID.randomUUID.toString.take(8)}")
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", home)
+      Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 4 === 1),
+        "doc_id", "text", home, batchId = Some(0L))
+      val root = Dedup.indexRoot(s, home)
+      val src = new java.io.File(s"$root/sets/ingest_batch=0")
+      val dst = new java.io.File(s"$root/sets/ingest_batch=5")
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(dst, f.getName).toPath)
+      }
+      val plan = graft.operators.IndexAudit.maintenancePlan(s,
+        Seq("mh" -> home))
+      val feed = docs.filter(col("doc_id") % 4 === 3)
+        .select(lit("insert").as("op"), lit(5L).as("batch_id"),
+          col("doc_id"), col("text"))
+      graft.operators.IndexAudit.applyPlan(s, plan, Map("mh" -> home),
+        replayFeeds = Map("mh" -> feed))
+      Dedup.readMinhashIndex(s, home).sets.select("doc_id")
+    }),
+    // the bit-rot probe canary: with a committed generation present
+    // the sweep plans ONE bounded verify_backup row @4, a clean
+    // backup re-checksums to `applied`, and a flipped byte in a
+    // stored object surfaces as `verify_failed` (read-only — the
+    // executor reports, never heals or deletes)
+    "q_backup_verify_probe" -> ((s, d) => {
+      import s.implicits._
+      val tag = java.util.UUID.randomUUID.toString.take(8)
+      val home = graft.sources.Scratch.dir(s"bkvp_home_$tag")
+      val bh = graft.sources.Scratch.dir(s"bkvp_gens_$tag")
+      Dedup.writeMinhashIndex(
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", home)
+      graft.operators.IndexBackup.rotate(s, home, bh)
+      val homes = Seq("mh" -> home)
+      val bks = Map("mh" -> bh)
+      val plan = graft.operators.IndexAudit.maintenancePlan(s, homes,
+        backups = bks, verifySample = 1)
+      val vrows = plan.filter(col("action") === "verify_backup" &&
+        col("reason") === "backup_probe" && col("priority") === 4L)
+        .count()
+      val clean = graft.operators.IndexAudit.applyPlan(s, plan,
+        homes.toMap, backups = bks)
+        .filter(col("action") === "verify_backup")
+        .select("outcome").head().getString(0)
+      val fs = new org.apache.hadoop.fs.Path(bh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val obj = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$bh/objects"))
+        .filter(_.getLen > 0).maxBy(_.getLen).getPath
+      val bytes = {
+        val in = fs.open(obj)
+        try {
+          val os = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, os, 4096, false)
+          os.toByteArray
+        } finally in.close()
+      }
+      bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x5a).toByte
+      val out = fs.create(obj, true)
+      try out.write(bytes) finally out.close()
+      val tampered = graft.operators.IndexAudit.applyPlan(s, plan,
+        homes.toMap, backups = bks)
+        .filter(col("action") === "verify_backup")
+        .select("outcome").head().getString(0)
+      Seq(
+        ("probe_planned", vrows.toString),
+        ("clean_probe", clean),
+        ("tampered_probe", tampered))
+        .toDF("chk", "value")
+    }),
     // takedown-purge certification: versions freeze at the replacement
     // commit, so diffing PHYSICAL presence (masks off) between the
     // frozen pre-rebuild version and the rebuilt one proves the bytes
@@ -5523,6 +5649,27 @@ object Extensions {
         ('generations', 'b3,b4'),
         ('latest', 'b4'),
         ('restored_serves', 'OK')
+      ) AS t(chk, value)""",
+    // per-shard DR: three units planned (shell + 2 shards), three
+    // rotations applied, clean re-sweep, bit-exact reassembly
+    "q_backup_sharded" -> """
+      SELECT * FROM (VALUES
+        ('planned_units', '_home,shard=0,shard=1'),
+        ('applied_units', '3'),
+        ('replan_none', '1'),
+        ('restored_serves_bitexact', 'OK')
+      ) AS t(chk, value)""",
+    // the healed index serves exactly base ∪ batch0 ∪ batch5
+    "q_plan_replay" -> """
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 0 OR doc_id % 4 = 1 OR doc_id % 4 = 3""",
+    // bit-rot probe truth: one bounded row planned, clean backup
+    // applied, flipped byte surfaced
+    "q_backup_verify_probe" -> """
+      SELECT * FROM (VALUES
+        ('probe_planned', '1'),
+        ('clean_probe', 'applied'),
+        ('tampered_probe', 'verify_failed')
       ) AS t(chk, value)""",
     // rebuild+compact must be lossless → same oracle as the fresh index
     "dedup_index_rebuild" -> incrementalOracle,

@@ -335,4 +335,105 @@ class IndexAuditSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getString(2), r.getString(3))).toSet
     assert(again == Set(("none", "")), s"re-sweep not clean: $again")
   }
+
+  test("applyPlan replay tier: a torn append heals in the same sweep " +
+      "that found it WHEN the caller supplies the changelog — without " +
+      "a feed the row stays skipped, with one the batch re-applies " +
+      "idempotently and the re-sweep is clean") {
+    import spark.implicits._
+    val home = graft.sources.Scratch.dir("mapply-replay")
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", home)
+    Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 4 === 1),
+      "doc_id", "text", home, batchId = Some(0L))
+    // crash mid-append of batch 5: partition written, marker never
+    // advanced (the IndexAuditSpec torn-append fabrication)
+    val src = new java.io.File(s"${idxRoot(home)}/sets/ingest_batch=0")
+    val dst = new java.io.File(s"${idxRoot(home)}/sets/ingest_batch=5")
+    dst.mkdirs()
+    src.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(dst, f.getName).toPath)
+    }
+    val homes = Map("mh" -> home)
+    val plan = IndexAudit.maintenancePlan(spark, Seq("mh" -> home))
+    val planned = plan.collect()
+      .map(r => (r.getString(2), r.getString(3))).toSet
+    assert(planned.contains(("replay", "uncommitted:sets")),
+      s"torn append not planned for replay: $planned")
+    // 1. no feed → skipped, home untouched (marker still at 0)
+    val dry = IndexAudit.applyPlan(spark, plan, homes)
+      .filter(col("action") === "replay").collect()
+    assert(dry.nonEmpty && dry.forall(_.getString(3) == "skipped"))
+    assert(Dedup.lastCommittedBatch(
+      Dedup.readMeta(spark, idxRoot(home))) == 0L)
+    // 2. the actual batch-5 changelog → applied; the torn partition
+    // is OVERWRITTEN by the replay (exactly-once), the marker
+    // advances, the docs serve, and the re-sweep comes back clean
+    val feed = docs.filter(col("doc_id") % 4 === 3)
+      .select(lit("insert").as("op"), lit(5L).as("batch_id"),
+        col("doc_id"), col("text"))
+    val wet = IndexAudit.applyPlan(spark, plan, homes,
+      replayFeeds = Map("mh" -> feed))
+      .filter(col("action") === "replay").collect()
+    assert(wet.nonEmpty && wet.forall(_.getString(3) == "applied"))
+    assert(Dedup.lastCommittedBatch(
+      Dedup.readMeta(spark, idxRoot(home))) == 5L)
+    val served = Dedup.readMinhashIndex(spark, home).sets
+      .select("doc_id").as[Long].collect().toSet
+    val want = docs.filter(col("doc_id") % 2 === 0 ||
+        col("doc_id") % 4 === 1 || col("doc_id") % 4 === 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(served == want, "replayed home serves the wrong corpus")
+    val again = IndexAudit.maintenancePlan(spark, Seq("mh" -> home))
+      .collect().map(r => (r.getString(2), r.getString(3))).toSet
+    assert(again == Set(("none", "")), s"re-sweep not clean: $again")
+  }
+
+  test("verify_backup probe: the sweep plans a bounded sample of " +
+      "existing backups for a full re-checksum; a clean backup " +
+      "applies, at-rest tamper surfaces as verify_failed") {
+    val home = graft.sources.Scratch.dir("mverify-home")
+    val bh = graft.sources.Scratch.dir("mverify-gens")
+    Dedup.writeMinhashIndex(docs.limit(40), "doc_id", "text", home)
+    val homes = Seq("mh" -> home)
+    val bks = Map("mh" -> bh)
+    // no backup yet: verifySample plans NOTHING (there is nothing to
+    // probe), the missing backup itself is planned
+    val p0 = IndexAudit.maintenancePlan(spark, homes, backups = bks,
+      verifySample = 1).collect()
+      .map(r => (r.getString(2), r.getString(3))).toSet
+    assert(p0.contains(("backup", "backup_missing")) &&
+      !p0.exists(_._1 == "verify_backup"))
+    graft.operators.IndexBackup.rotate(spark, home, bh)
+    val p1 = IndexAudit.maintenancePlan(spark, homes, backups = bks,
+      verifySample = 1)
+    val vrows = p1.filter(col("action") === "verify_backup").collect()
+    assert(vrows.length == 1 && vrows(0).getString(3) == "backup_probe" &&
+      vrows(0).getLong(4) == 4L, s"probe not planned: ${vrows.toSeq}")
+    val ok = IndexAudit.applyPlan(spark, p1, homes.toMap, backups = bks)
+      .filter(col("action") === "verify_backup").collect()
+    assert(ok.length == 1 && ok(0).getString(3) == "applied")
+    // flip one byte in one shared object → the SAME plan's probe now
+    // reports verify_failed (read-only: nothing is healed or deleted)
+    val fs = new org.apache.hadoop.fs.Path(bh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val obj = fs.listStatus(new org.apache.hadoop.fs.Path(s"$bh/objects"))
+      .filter(_.getLen > 0).maxBy(_.getLen).getPath
+    val bytes = {
+      val in = fs.open(obj)
+      try {
+        val os = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, os, 4096, false)
+        os.toByteArray
+      } finally in.close()
+    }
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x5a).toByte
+    val out = fs.create(obj, true)
+    try out.write(bytes) finally out.close()
+    val bad = IndexAudit.applyPlan(spark, p1, homes.toMap, backups = bks)
+      .filter(col("action") === "verify_backup").collect()
+    assert(bad.length == 1 && bad(0).getString(3) == "verify_failed",
+      s"at-rest tamper not surfaced: ${bad.toSeq}")
+  }
 }

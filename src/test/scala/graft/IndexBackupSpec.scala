@@ -353,6 +353,63 @@ class IndexBackupSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("integrity"))
   }
 
+  test("shard-localized DR units: the sweep plans per-shard backup " +
+      "rows plus the _home shell, the executor rotates exactly those " +
+      "units, and restoreShardedLatest reassembles a home that serves " +
+      "bit-exact; a missing shard generation refuses the assembly") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, base).limit(80)
+    val home = graft.sources.Scratch.dir("bk-shu")
+    val bh = graft.sources.Scratch.dir("bk-shu-gens")
+    fsOf(bh).delete(new org.apache.hadoop.fs.Path(bh), true)
+    ShardedIndex.writeMinhash(docs, home, shards = 2,
+      id = "doc_id", text = "text")
+    val before = canon(ShardedIndex.readMinhashSharded(spark, home).sets)
+    val homes = Seq("sh" -> home)
+    val bks = Map("sh" -> bh)
+    val plan = graft.operators.IndexAudit.maintenancePlan(spark, homes,
+      backups = bks)
+    val planned = plan.filter(col("action") === "backup").collect()
+      .map(r => (r.getString(1), r.getString(3))).toSet
+    assert(planned == Set(("_home", "backup_missing"),
+      ("shard=0", "backup_missing"), ("shard=1", "backup_missing")),
+      s"DR units not shard-localized: $planned")
+    val did = graft.operators.IndexAudit.applyPlan(spark, plan,
+      homes.toMap, backups = bks)
+      .filter(col("action") === "backup").collect()
+      .map(r => (r.getString(1), r.getString(3))).toSet
+    assert(did.forall(_._2 == "applied") && did.size == 3, s"$did")
+    // each unit rotated into ITS OWN generation home
+    assert(IndexBackup.generations(spark, s"$bh/_home") == Seq(1))
+    assert(IndexBackup.generations(spark, s"$bh/shard=0") == Seq(1))
+    assert(IndexBackup.generations(spark, s"$bh/shard=1") == Seq(1))
+    // the re-sweep is clean
+    val again = graft.operators.IndexAudit.maintenancePlan(spark, homes,
+      backups = bks).filter(col("action") === "none").count()
+    assert(again == 1L, "re-sweep after per-shard rotations not clean")
+    // reassembly: shell + shards → a home that serves bit-exact and
+    // still takes maintenance
+    val dest = graft.sources.Scratch.dir("bk-shu-restored")
+    fsOf(dest).delete(new org.apache.hadoop.fs.Path(dest), true)
+    val restored = IndexBackup.restoreShardedLatest(spark, bh, dest)
+    assert(restored.keySet == Set("_home", "shard=0", "shard=1"))
+    assert(canon(ShardedIndex.readMinhashSharded(spark, dest).sets)
+      == before, "reassembled sharded home drifted")
+    // a missing shard generation refuses BEFORE serving a smaller
+    // corpus, and removes the partial assembly
+    fsOf(bh).delete(new org.apache.hadoop.fs.Path(s"$bh/shard=1"), true)
+    val dest2 = graft.sources.Scratch.dir("bk-shu-partial")
+    fsOf(dest2).delete(new org.apache.hadoop.fs.Path(dest2), true)
+    val e = intercept[IllegalArgumentException] {
+      IndexBackup.restoreShardedLatest(spark, bh, dest2)
+    }
+    assert(e.getMessage.contains("shard 1"), e.getMessage)
+    assert(!fsOf(dest2).exists(new org.apache.hadoop.fs.Path(dest2)) ||
+      fsOf(dest2).listStatus(
+        new org.apache.hadoop.fs.Path(dest2)).isEmpty,
+      "a refused assembly left a partial home behind")
+  }
+
   test("rotation: monotonic numbering across torn generations, " +
       "retention keeps the newest 2, latest never points at a torn " +
       "generation; the planner flags stale backups and the executor " +
