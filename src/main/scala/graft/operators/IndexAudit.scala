@@ -407,7 +407,11 @@ object IndexAudit {
                       "compactIvfIndex or rebuildIvfIndex to re-baseline " +
                       "the drift sentinel (both refuse an ALL-deleted " +
                       "index — nothing lives to re-baseline from; delete " +
-                      "the index directory instead)"))
+                      "the index directory instead). NOTE a rebuild over " +
+                      "the shrunken live set re-balances cells and can " +
+                      "LOWER recall at a fixed nprobe — size serving " +
+                      "afterwards with Similarity.recommendNprobe on a " +
+                      "held-out sample"))
               }
             }
             val bp = new org.apache.hadoop.fs.Path(s"$root/assigned_batches")

@@ -803,6 +803,79 @@ object Similarity {
                      nprobe: Int = 2): DataFrame =
     probeAssigned(index.assigned, queries, index.cents, k, nprobe)
 
+  /** Recall-vs-nprobe curve for the stored index at `dir`, measured on
+    * a held-out query sample — the knob a churned or rebuilt-on-live
+    * home needs: the r18 churn grid showed a rebuild over a shrunken
+    * live set serves LOWER recall at a fixed nprobe (the retrained
+    * cells re-balance, so a query's true neighbors spread over more
+    * cells), and "rebuild" alone silently ships that regression. The
+    * curve quantifies exactly what raising nprobe buys back.
+    *
+    * Method — one exact pass, every nprobe read off it: ground truth
+    * is [[bruteForceTopK]] over the LIVE vectors (one corpus scan
+    * against the broadcast sample; the sample bounds the cost — hold
+    * out tens-to-hundreds of queries, never the corpus); each true
+    * neighbor's cell is ranked in its query's centroid probe order
+    * (the same (csim desc, cent_id asc) total order the serve
+    * explodes), and recall@nprobe=p is the fraction of true neighbors
+    * whose cell ranks ≤ p — because [[probeAssigned]] scores EXACT
+    * cosine inside probed cells, a true neighbor is recalled iff its
+    * cell is probed. One brute pass + one nCentroids-bounded
+    * driver-side cumulative sum, instead of nCentroids serve sweeps.
+    *
+    * Returns (nprobe, hits, total, recall), one row per 1..nCentroids,
+    * recall non-decreasing by construction (recall@nCentroids = 1 —
+    * probing every cell IS the brute pass). */
+  def nprobeRecallCurve(spark: SparkSession, dir: String,
+                        queries: DataFrame, k: Int = 10): DataFrame = {
+    val idx = readIvfIndex(spark, dir)
+    val nC = idx.cents.size
+    val live = idx.assigned.select(col("vec_id"), col("v").as("embedding"))
+    val truth = Dedup.materialize(bruteForceTopK(live, queries, k))
+    val total = truth.count()
+    require(total > 0,
+      "nprobeRecallCurve: the held-out sample produced no true " +
+        "neighbors — empty sample, or an empty (all-deleted) index")
+    val ranked = queries
+      .select(col("vec_id").as("qid"),
+        reverse(array_sort(
+          array(centroidScores(col("embedding"), idx.cents): _*)))
+          .as("order"))
+      .select(col("qid"), posexplode(col("order")).as(Seq("pos", "c")))
+      .select(col("qid"), (col("pos") + 1).as("probe_rank"),
+        col("c.cid").as("cent_id"))
+    val cellOf = idx.assigned.select(col("vec_id"), col("cent_id"))
+    val perRank = truth.join(cellOf, Seq("vec_id"))
+      .join(ranked, Seq("qid", "cent_id"))
+      .groupBy("probe_rank").agg(count(lit(1)).as("hits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // nCentroids-bounded cumulative sum — driver-side metadata work
+    import spark.implicits._
+    (1 to nC).scanLeft((0, 0L)) { case ((_, acc), p) =>
+      (p, acc + perRank.getOrElse(p, 0L))
+    }.tail.map { case (p, cum) =>
+      (p, cum, total, cum.toDouble / total)
+    }.toDF("nprobe", "hits", "total", "recall")
+  }
+
+  /** The smallest nprobe whose measured recall@k on the held-out
+    * sample reaches `targetRecall` — what an operator sets after the
+    * audit's `hist_staleness`/rebuild path, instead of discovering the
+    * recall regression in production. nCentroids when even full
+    * probing misses the target (can't happen for targetRecall ≤ 1:
+    * probing every cell is exact). */
+  def recommendNprobe(spark: SparkSession, dir: String,
+                      queries: DataFrame, targetRecall: Double,
+                      k: Int = 10): Int = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"recommendNprobe: targetRecall must be in (0, 1], got $targetRecall")
+    val curve = nprobeRecallCurve(spark, dir, queries, k)
+      .select("nprobe", "recall").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    curve.find(_._2 >= targetRecall).map(_._1)
+      .getOrElse(curve.last._1)
+  }
+
   /** IVF × int8 combined serving path — the two levers composed where
     * the 100 TB ANN budget is actually spent: the candidate-scoring
     * scan reads ONLY the packed-codes column (1 byte/dim, a 4× I/O cut

@@ -1559,6 +1559,77 @@ object Extensions {
           col("shard"), col("pos"))
     }),
 
+    // the CORPUS-RELEASE composite — the data-path twin of
+    // lifecycle_composite: one gate chaining everything a pretraining
+    // data release actually runs, in order — quality scoring + floor →
+    // near-dup clusters → quality-aware survivor selection (keepBest)
+    // → benchmark decontamination → leakage-safe split (train leg) →
+    // T=2 token budgets over the SURVIVING train mass → token-budgeted
+    // copy counts → copy explosion → seeded training-order shuffle →
+    // range-sharded export + manifest + drift report vs the unmixed
+    // train corpus. Every op is individually gated; THIS gate pins the
+    // cross-op interactions (survivor selection feeding mixture
+    // budgets, split keyed on the same clusters dedup used) with a
+    // full DuckDB replay of the final training order, read back from
+    // the exported shards — so the export round-trip is part of the
+    // oracle surface. The manifest row-total and drift-report shape
+    // are enforced in-gate (a mismatch fails the gate at runtime).
+    "corpus_release_composite" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.materialize(Dedup.duplicateClusters(
+        Dedup.minhashPairs(docs, "doc_id", "text")))
+      val scored = docs.withColumn("__t", TextOps.tokens(col("text")))
+        .filter(size(col("__t")) > 0)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          TextOps.qualityScore(col("__t")).as("score"))
+        .filter(col("score") >= 0.3)
+      val best = graft.operators.Curation.keepBest(scored, clusters)
+      val contam = graft.operators.Curation.contaminatedDocs(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+        .select("doc_id")
+      val splitTrain = graft.operators.Curation
+        .leakageSafeSplit(docs, "doc_id", clusters)
+        .filter(col("split") === "train").select("doc_id")
+      val train = Dedup.materialize(
+        best.filter(col("doc_id") % 97 =!= 0)
+          .join(contam, Seq("doc_id"), "left_anti")
+          .join(splitTrain, Seq("doc_id")))
+      val budgets = graft.operators.Sampling.temperatureTokenBudgets(
+        train, "lang", "n_chars", relBudget)
+      val mix = graft.operators.Sampling.tokenBudgetMix(
+        train, "doc_id", "lang", "n_chars", budgets)
+      val copies = mix.filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+        .withColumn("uid", col("copy_idx") * 10000000L + col("doc_id"))
+      val ordered = graft.operators.Sampling
+        .seededShuffle(copies, "uid", 5L, 4)
+        .withColumn("ord", col("shard") * 1000000000L + col("pos"))
+      val out = graft.sources.Scratch.dir(
+        s"relc_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.sources.Sinks.writeRangeShards(ordered, out, "ord",
+        nShards = 4)
+      graft.sources.Sinks.writeShardManifest(s, out, "ord")
+      val back = s.read.parquet(out)
+      val manifestRows = graft.sources.Sinks.readShardManifest(s, out)
+        .agg(sum("rows")).head().getLong(0)
+      require(manifestRows == back.count(),
+        "corpus_release_composite: manifest row total diverges from " +
+          "the exported shards")
+      val drift = graft.operators.Quality.profileDrift(
+        train.select(col("doc_id"), col("n_chars")),
+        back.select("doc_id")
+          .join(docs.select(col("doc_id"),
+            col("n_chars").cast("long").as("n_chars")), Seq("doc_id")),
+        numCols = Seq("n_chars"))
+      require(drift.count() == 5 &&
+          drift.filter(col("status").isNull).isEmpty,
+        "corpus_release_composite: drift report malformed")
+      back.select("doc_id", "lang", "copy_idx", "shard", "pos")
+    }),
+
     // ---- frequent items (heavy hitters) ----
     // one-pass bounded-state Misra–Gries sketch; the gate SELECTS by
     // exact counts (deterministic across engines) and uses the sketch
@@ -1967,6 +2038,56 @@ object Extensions {
       graft.operators.IndexAudit.applyPlan(s, plan, Map("mh" -> home),
         replayFeeds = Map("mh" -> feed))
       Dedup.readMinhashIndex(s, home).sets.select("doc_id")
+    }),
+    // the serving knob for churned/rebuilt IVF homes: after a 60%
+    // takedown and a rebuild, the retrained cells re-balance over the
+    // shrunken live set and recall at a FIXED nprobe regresses (r18
+    // churn grid: masked 0.88 vs rebuilt 0.72). nprobeRecallCurve
+    // measures exactly what raising nprobe buys back — one brute pass,
+    // every nprobe read off it — and recommendNprobe turns a target
+    // recall into the smallest sufficient setting. The canary pins
+    // the curve's laws: monotone, exact at full probing, EQUAL to the
+    // actually-served recall at a mid curve point (the curve is the
+    // serve, not a model of it), and the recommendation restores the
+    // target
+    "q_nprobe_recommend" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.dir(
+        s"nprec_${java.util.UUID.randomUUID.toString.take(8)}")
+      Similarity.writeIvfIndex(emb, dir)
+      Similarity.deleteFromIvfIndex(s, dir,
+        emb.filter(col("vec_id") % 5 < 3).select("vec_id"),
+        batchId = Some(0L))
+      Similarity.rebuildIvfIndex(s, dir)
+      val sample = emb.filter(col("vec_id") % 7 === 0)
+        .select("vec_id", "embedding")
+      val curve = Similarity.nprobeRecallCurve(s, dir, sample, k = 5)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(_._1)
+      val monotone = curve.iterator.sliding(2).withPartial(false)
+        .forall(w => w(0)._4 <= w(1)._4)
+      val fullExact = curve.last._4 == 1.0
+      val p = math.max(1, curve.length / 4)
+      val idx = Similarity.readIvfIndex(s, dir)
+      val truth = Similarity.bruteForceTopK(
+        idx.assigned.select(col("vec_id"), col("v").as("embedding")),
+        sample, 5)
+      val served = Similarity.ivfTopKIndexed(idx, sample, 5, nprobe = p)
+      val hitsServe = truth.select("qid", "vec_id")
+        .intersect(served.select("qid", "vec_id")).count()
+      val matches = hitsServe == curve(p - 1)._2
+      val target = 0.9
+      val rec = Similarity.recommendNprobe(s, dir, sample, target, k = 5)
+      val restores = curve(rec - 1)._4 >= target
+      def ok(b: Boolean) = if (b) "OK" else "ERROR"
+      Seq(
+        ("curve_monotone", ok(monotone)),
+        ("full_probe_exact", ok(fullExact)),
+        ("curve_matches_serve", ok(matches)),
+        ("recommended_restores_target", ok(restores)))
+        .toDF("chk", "value")
     }),
     // the bit-rot probe canary: with a committed generation present
     // the sweep plans ONE bounded verify_backup row @4, a clean
@@ -4551,6 +4672,90 @@ object Extensions {
       SELECT doc_id, score FROM w"""
   }
 
+  /** The corpus-release composite, re-derived end to end in DuckDB —
+    * quality floor, per-cluster survivor, decontam, split, √-budgets
+    * over the SURVIVING train mass, fill, explosion, permutation. */
+  // lazy: interpolates relBudget, defined later in this object — a
+  // strict val would capture the uninitialized 0 (the hhOracle lesson)
+  private lazy val corpusReleaseOracle: String = {
+    val stop = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""
+      WITH RECURSIVE $clusterCtes,
+      q AS (SELECT doc_id,
+              round(least(CAST(1.0 AS DOUBLE), len(t) / CAST(100 AS DOUBLE)) *
+                    (1.0 - CAST(len(list_filter(t, x -> x IN ($stop))) AS DOUBLE)
+                          / len(t)), 6) AS score
+            FROM tok WHERE len(t) > 0),
+      qf AS (SELECT doc_id, score FROM q WHERE score >= 0.3),
+      mq AS (SELECT qf.doc_id, qf.score, c.cluster
+             FROM qf JOIN clust c ON c.doc_id = qf.doc_id),
+      wq AS (SELECT doc_id FROM (
+               SELECT doc_id,
+                 row_number() OVER (PARTITION BY cluster
+                                    ORDER BY score DESC, doc_id ASC) AS rn
+               FROM mq) WHERE rn = 1),
+      best AS (SELECT doc_id FROM qf
+               WHERE NOT EXISTS (SELECT 1 FROM clust
+                                 WHERE clust.doc_id = qf.doc_id)
+               UNION ALL
+               SELECT doc_id FROM wq),
+      posting AS (SELECT doc_id, unnest(hs) AS h FROM hsx),
+      bench AS (SELECT DISTINCT h FROM posting WHERE doc_id % 97 = 0),
+      contam AS (SELECT DISTINCT doc_id FROM posting JOIN bench USING (h)
+                 WHERE doc_id % 97 <> 0),
+      r AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS rep
+            FROM documents d LEFT JOIN clust c ON d.doc_id = c.doc_id),
+      sp AS (SELECT doc_id FROM (
+               SELECT doc_id,
+                 ('0x' || substr(md5('split:' || CAST(rep AS VARCHAR)), 1, 8))::BIGINT
+                   % 10 AS hh
+               FROM r) WHERE hh < 8),
+      train AS (SELECT d.doc_id, d.lang, d.n_chars
+                FROM documents d
+                JOIN best USING (doc_id) JOIN sp USING (doc_id)
+                WHERE d.doc_id % 97 <> 0
+                  AND NOT EXISTS (SELECT 1 FROM contam
+                                  WHERE contam.doc_id = d.doc_id)),
+      tt AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total,
+                    sqrt(CAST(SUM(n_chars) AS DOUBLE)) AS w
+             FROM train GROUP BY lang),
+      nn AS (SELECT SUM(w) AS wsum FROM tt),
+      bb AS (SELECT lang, CAST(floor($relBudget * w / wsum) AS BIGINT)
+                      AS budget
+             FROM tt, nn),
+      k2 AS (SELECT doc_id, lang, n_chars,
+               ('0x' || substr(md5('tbmix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 AS h
+             FROM train),
+      c2 AS (SELECT doc_id, lang, n_chars,
+               COALESCE(CAST(SUM(n_chars) OVER (PARTITION BY lang
+                 ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                 0) AS strt
+             FROM k2),
+      mm AS (SELECT c2.doc_id, c2.lang,
+               CASE WHEN tt.total = 0 THEN CAST(0 AS BIGINT)
+                    ELSE bb.budget // tt.total
+                         + CASE WHEN c2.strt < bb.budget % tt.total
+                           THEN 1 ELSE 0 END
+               END AS n_copies
+             FROM c2 JOIN tt USING (lang) JOIN bb USING (lang)),
+      e0 AS (SELECT doc_id, lang,
+               unnest(generate_series(CAST(1 AS BIGINT), n_copies))
+                 AS copy_idx
+             FROM mm WHERE n_copies > 0),
+      e AS (SELECT doc_id, lang, copy_idx,
+              copy_idx * 10000000 + doc_id AS uid FROM e0),
+      hh2 AS (SELECT doc_id, lang, copy_idx, uid,
+                ('0x' || substr(md5('shuffle:5:' || CAST(uid AS VARCHAR)), 1, 15))::BIGINT
+                  AS h
+              FROM e)
+      SELECT doc_id, lang, copy_idx, h % 4 AS shard,
+             CAST(row_number() OVER (PARTITION BY h % 4
+                                     ORDER BY h, uid) AS BIGINT) AS pos
+      FROM hh2"""
+  }
+
   private val simhashOracle: String = {
     val sums = (0 until 32).map(j =>
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -4582,6 +4787,11 @@ object Extensions {
 
   /** Sample points for the `q_weighted_sample` gate and its oracle. */
   private val wsGatePoints = 64
+
+  /** Total token budget for the `corpus_release_composite` gate and
+    * its oracle — sized so the T=2 budgets land all three fill
+    * regimes (sub-epoch, near-epoch, multi-epoch) at the gate sf. */
+  private val relBudget = 90000L
 
   /** Misra–Gries counter budget for the `q_heavy_hitters` gate. The
     * gate's in-sketch verdict is a THEOREM only for items with true
@@ -5663,6 +5873,16 @@ object Extensions {
     "q_plan_replay" -> """
       SELECT doc_id FROM documents
       WHERE doc_id % 2 = 0 OR doc_id % 4 = 1 OR doc_id % 4 = 3""",
+    // the nprobe knob's laws: curve monotone, exact at full probing,
+    // equal to the served recall mid-curve, recommendation restores
+    // the target
+    "q_nprobe_recommend" -> """
+      SELECT * FROM (VALUES
+        ('curve_monotone', 'OK'),
+        ('full_probe_exact', 'OK'),
+        ('curve_matches_serve', 'OK'),
+        ('recommended_restores_target', 'OK')
+      ) AS t(chk, value)""",
     // bit-rot probe truth: one bounded row planned, clean backup
     // applied, flipped byte surfaced
     "q_backup_verify_probe" -> """
@@ -6198,6 +6418,15 @@ object Extensions {
              CAST(row_number() OVER (PARTITION BY h % 4
                                      ORDER BY h, uid) AS BIGINT) AS pos
       FROM hh""",
+    // the whole RELEASE replayed from scratch: quality floor →
+    // recursive near-dup components → per-cluster best survivor →
+    // shingle-overlap decontamination → md5 split draw on the cluster
+    // rep → √-mixture budgets over the surviving train mass → div/mod
+    // copy counts → unnest explosion → the identical md5 permutation.
+    // The Spark side reads its result back from the exported range
+    // shards, so a row here certifies the full path INCLUDING the
+    // export round-trip.
+    "corpus_release_composite" -> corpusReleaseOracle,
     // the oracle rebuilds the full CMS cell table from the same md5
     // bucket family and reads the row-wise minimum — exact, not a bound
     "q_countmin" -> s"""

@@ -122,6 +122,11 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // arithmetic (token-budgeted mixture); the epoch composite adds
     // unnest(generate_series) copy explosion
     "q_token_budget_mix", "q_token_budget_temp", "q_epoch_compose",
+    // r19: the corpus-release composite chains the recursive cluster
+    // CTEs, list_filter quality score, `//` copy-count arithmetic and
+    // unnest(generate_series) explosion — every dialect family above
+    // in one replay
+    "corpus_release_composite",
     // r18: shares retrieval_bm25_incr's dialect-bound bm25Oracle
     "q_index_backup",
     // r18: strlen + `//` per-mille arithmetic (snapshot drift report)
