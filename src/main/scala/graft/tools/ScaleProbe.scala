@@ -190,13 +190,24 @@ object ScaleProbe {
         // 2·10⁸ full-range terms; the mod keeps the hash work intact
         .select(sum(pmod(xxhash64(col("id")), lit(1000L))).as("h"))
         .write.format("noop").mode("overwrite").save()
+    // each label is the MEDIAN of three back-to-back runs (r19): the
+    // detector exists to flag SUSTAINED box contention that would bias
+    // the growth ratios measured over minutes — a single transient
+    // spike (one scheduler hiccup during one 0.5 s run) flagged the
+    // whole r18 artifact as contended while every later re-run was
+    // quiet. The median keeps sustained contention fully visible (all
+    // three runs slow → the median is slow) and discards the one-run
+    // spike that measures nothing about the surrounding ratios.
     def sentinel(label: String): Unit = {
-      System.gc()
-      val t0 = System.nanoTime()
-      sentinelRun()
-      val t = (System.nanoTime() - t0) / 1e9
-      sentinelTimes += t
-      println(f"[scaleprobe] sentinel($label) $t%5.2fs")
+      val ts = (0 until 3).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        sentinelRun()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      sentinelTimes += ts(1)
+      println(f"[scaleprobe] sentinel($label) ${ts(1)}%5.2fs " +
+        s"(3 runs ${ts.map(t => f"$t%.2f").mkString(", ")}s)")
     }
     // warm the sentinel's OWN path untimed first: three consecutive
     // r18 probe runs showed the start sentinel 1.6–1.8× the later two
@@ -755,7 +766,8 @@ object ScaleProbe {
     // odd-residue draw and the full station walk (fresh → deleted →
     // compacted → rebuilt with serve walls) for trend continuity.
     def churnRecall(): (Seq[Double], Seq[Double],
-                        Seq[(Int, Int, Double, Double)]) = {
+                        Seq[(Int, Int, Double, Double)],
+                        Seq[(Int, Int, Double)], Double) = {
       val e = graft.sources.Tables.embeddings(spark, base)
       val queries = e.filter(col("vec_id") < 5)
       def pairs(df: DataFrame): Set[(Long, Long)] =
@@ -763,6 +775,13 @@ object ScaleProbe {
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       val cells =
         scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double, Double)]
+      // (seed, recommended nprobe, recall at it) per rebuilt station —
+      // the operator answer to the masked-vs-rebuilt gap (r19):
+      // recommendNprobe(freshRecall) names the setting that restores
+      // the pre-churn recall on the rebuilt home
+      val recCells =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+      var freshRec2 = 0.0
       var legacy: (Seq[Double], Seq[Double]) = (Nil, Nil)
       (0 until 3).foreach { seed =>
         val idxDir = graft.sources.Scratch.dir(s"probe-churnrec-$seed")
@@ -823,6 +842,13 @@ object ScaleProbe {
         Seq(1, 2, 4).foreach { np =>
           cells += ((seed, np, masked(np), recallAt(np, truth)))
         }
+        if (seed == 0) freshRec2 = freshStation.get._1
+        // the knob on the REBUILT station: the recommendation targets
+        // the fresh (pre-churn) recall at the historical nprobe=2, and
+        // the cell records the recall it actually restores
+        val recNp = graft.operators.Similarity.recommendNprobe(
+          spark, idxDir, queries, freshRec2, k = 10)
+        recCells += ((seed, recNp, recallAt(recNp, truth)))
         if (seed == 0) {
           val (freshRec, freshServe) = freshStation.get
           // legacy stations at the historical nprobe=2. Compaction is
@@ -834,9 +860,9 @@ object ScaleProbe {
             Seq(freshServe, serveDel, serveComp.get, serveWall()))
         }
       }
-      (legacy._1, legacy._2, cells.toSeq)
+      (legacy._1, legacy._2, cells.toSeq, recCells.toSeq, freshRec2)
     }
-    val (chRec, chServe, chCells) = churnRecall()
+    val (chRec, chServe, chCells, chRecCells, chFresh) = churnRecall()
     val chMasked = chCells.map(_._3).sorted
     val chRebuilt = chCells.map(_._4).sorted
     def median(xs: Seq[Double]): Double = xs(xs.size / 2)
@@ -848,6 +874,37 @@ object ScaleProbe {
         .mkString(" ") +
       f"; masked min/med ${chMasked.min}%.2f/${median(chMasked)}%.2f " +
       f"rebuilt min/med ${chRebuilt.min}%.2f/${median(chRebuilt)}%.2f")
+    println(f"[scaleprobe] recommended nprobe on rebuilt stations " +
+      f"(target=fresh $chFresh%.2f): " +
+      chRecCells.map(c => f"(seed=${c._1},np=${c._2},recall=${c._3}%.2f)")
+        .mkString(" "))
+    // backup incrementality (r19): the rotation tick's copied bytes
+    // must be ∝ churn, never ∝ home bytes — a ratio within ONE home,
+    // so the base corpus is the right scale. steady tick = 0 copied;
+    // churn tick ≈ the batch's partition files + rewritten control
+    val (bkHome, bkSteady, bkChurn) = {
+      val docs = graft.sources.Tables.documents(spark, base)
+      val home = graft.sources.Scratch.dir("probe-bkdelta")
+      val bh = graft.sources.Scratch.dir("probe-bkdelta-gens")
+      graft.operators.Dedup.writeMinhashIndex(docs, "doc_id", "text", home)
+      def copied(g: String): (Long, Long) = {
+        val m = graft.operators.IndexBackup.backupMeta(spark, g)
+        (m("copied_bytes").toLong, m("bytes").toLong)
+      }
+      graft.operators.IndexBackup.rotate(spark, home, bh, keep = 3)
+      val s2 = copied(
+        graft.operators.IndexBackup.rotate(spark, home, bh, keep = 3))
+      graft.operators.Dedup.appendToMinhashIndex(
+        docs.limit(200).withColumn("doc_id",
+          col("doc_id") + 900000000L),
+        "doc_id", "text", home, batchId = Some(3L))
+      val s3 = copied(
+        graft.operators.IndexBackup.rotate(spark, home, bh, keep = 3))
+      (s3._2, s2._1, s3._1)
+    }
+    println(f"[scaleprobe] backup delta: home=$bkHome%d bytes, " +
+      f"steady tick copied=$bkSteady%d, churn tick copied=$bkChurn%d " +
+      f"(${100.0 * bkChurn / bkHome}%.1f%% of the home)")
     sentinel("end")
     val sentinelSpread = sentinelTimes.max / sentinelTimes.min
     println(f"[scaleprobe] sentinel spread=${sentinelSpread}%4.2f " +
@@ -895,7 +952,15 @@ object ScaleProbe {
         f""""maskedMin":${chMasked.min}%.3f,""" +
         f""""maskedMedian":${median(chMasked)}%.3f,""" +
         f""""rebuiltMin":${chRebuilt.min}%.3f,""" +
-        f""""rebuiltMedian":${median(chRebuilt)}%.3f},""" +
+        f""""rebuiltMedian":${median(chRebuilt)}%.3f,""" +
+        f""""freshTarget":$chFresh%.3f,""" +
+        s""""recommended":[${chRecCells.map(c =>
+          f"""{"seed":${c._1},"nprobe":${c._2},"recall":${c._3}%.3f}""")
+          .mkString(",")}],""" +
+        f""""recommendedMinRecall":${chRecCells.map(_._3).min}%.3f},""" +
+        f""""backup_delta":{"homeBytes":$bkHome,""" +
+        f""""steadyCopiedBytes":$bkSteady,"churnCopiedBytes":$bkChurn,""" +
+        f""""churnFraction":${bkChurn.toDouble / bkHome}%.4f},""" +
         f""""compact_effect":{"filesFrag":$cfF,"filesCompact":$cfC,""" +
         f""""serveFrag":$ctF%.3f,"serveCompact":$ctC%.3f,""" +
         f""""speedup":${ctF / ctC}%.3f},""" +
