@@ -33,7 +33,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main(outdir: str, sfdir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        # driver sf dirs hold one flat file per table; derived scaled
+        # dirs (graft.tools.BuildScaled) hold Spark part-file DIRECTORIES
+        p = Path(sfdir, f"{t}.parquet")
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.loads(Path(outdir, "oracle_sql.json").read_text())
     n_pass = n_fail = n_noracle = 0
     for d in sorted(Path(outdir).iterdir()):
