@@ -3644,12 +3644,13 @@ object Extensions {
       val e = Tables.embeddings(s, d)
       val stats = graft.operators.Pca.collectStats(e, "embedding")
       val model = graft.operators.Pca.fitFromStats(stats, 8)
+      // emitted as a DECIMAL STRING (r19): the exact integer trace
+      // outgrows Long one decade above the bench scale (~4e20 at 10×),
+      // and a BIGINT fixture would either wrap (Spark longValue) or
+      // error (DuckDB CAST) right where the scale sweep needs it —
+      // HUGEINT arithmetic on the oracle side, BigInt.toString here,
+      // string-compared exactly at any scale
       val traceNum = graft.operators.Pca.traceNumerator(stats)
-      // the oracle CASTs to BIGINT and errors loudly past the range;
-      // BigInt.longValue would silently WRAP — refuse first
-      require(traceNum.isValidLong,
-        s"q_pca_project: trace numerator $traceNum exceeds Long range " +
-          "— emit it as a decimal string instead of widening the fixture")
       val orthoOk = {
         val v = model.components
         val worst = (for (a <- v.indices; b <- v.indices) yield {
@@ -3665,7 +3666,7 @@ object Extensions {
         .select(posexplode(col("pca")).as(Seq("comp", "v")))
         .groupBy("comp").agg(sum(col("v") * col("v")).as("ss"))
         .select(col("comp"),
-          lit(traceNum.longValue).as("trace_num"),
+          lit(traceNum.toString).as("trace_num"),
           (abs(col("ss") / (model.n - 1.0)
             - element_at(lamLit, col("comp") + 1))
             <= lit(1e-4 * model.totalVariance)).cast("int").as("var_ok"),
@@ -6251,10 +6252,11 @@ object Extensions {
       d1 AS (SELECT ii.i AS i, qv[CAST(ii.i AS INT) + 1] AS x
              FROM q,
                   LATERAL unnest(generate_series(0, len(qv) - 1)) AS ii(i)),
-      agg AS (SELECT i, CAST(COUNT(1) AS BIGINT) AS n,
-                     SUM(x) AS s, SUM(x * x) AS p
+      agg AS (SELECT i, CAST(COUNT(1) AS HUGEINT) AS n,
+                     CAST(SUM(x) AS HUGEINT) AS s,
+                     CAST(SUM(x * x) AS HUGEINT) AS p
               FROM d1 GROUP BY i),
-      tn AS (SELECT CAST(SUM(n * p - s * s) AS BIGINT) AS trace_num
+      tn AS (SELECT CAST(SUM(n * p - s * s) AS VARCHAR) AS trace_num
              FROM agg)
       SELECT CAST(g.comp AS INT) AS comp, tn.trace_num,
              1 AS var_ok, 1 AS ortho_ok, 1 AS desc_ok

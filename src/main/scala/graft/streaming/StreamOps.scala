@@ -14,6 +14,25 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
+  /** File-stream reader for ONE table under a testdata-style dir,
+    * layout-aware (r19): the driver's sf dirs hold a FLAT file per
+    * table (`$dir/<t>.parquet`), which a file-stream source can only
+    * reach as `load(dir)` + a leaf-name glob (its basePath must be a
+    * directory); a real deployment's table is a part-file DIRECTORY,
+    * where that same leaf glob matches NOTHING (part files are named
+    * `part-*`) and the stream silently processes zero batches — the
+    * bug the sf1-derived sweep caught. One driver-side stat call picks
+    * the right form. */
+  private def tableStream(spark: SparkSession, dir: String, table: String,
+                          schema: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rd = spark.readStream.schema(schema).format("parquet")
+    if (fs.getFileStatus(p).isDirectory) rd.load(p.toString)
+    else rd.option("pathGlobFilter", s"$table.parquet").load(dir)
+  }
+
   /** Streaming source over the events table directory: one file = one
     * micro-batch replay. Streams cannot sniff-and-retry, so the on-disk
     * `ts` unit is resolved ONCE batch-side (`Tables.eventsReadPlan` reads
@@ -22,14 +41,7 @@ object StreamOps {
     * when the driver regenerates testdata with a different unit. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val plan = graft.sources.Tables.eventsReadPlan(spark, dir)
-    // file stream sources require a directory; select the single events
-    // file out of the testdata dir with a glob filter
-    plan.finish(
-      spark.readStream
-        .schema(plan.schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(dir))
+    plan.finish(tableStream(spark, dir, "events", plan.schema))
   }
 
   /** Tumbling 1-hour counts per event type; late data beyond the
@@ -519,11 +531,7 @@ object StreamOps {
   /** Streaming source over the documents table directory: one file = one
     * micro-batch replay, mirroring [[eventsStream]]. */
   def documentsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(documentsSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "documents.parquet")
-      .load(dir)
+    tableStream(spark, dir, "documents", documentsSchema)
 
   /** Ingestion-time dedup as a stream — the §2.8×§2.9 composition the
     * "daily ingestion" story implies: each micro-batch of documents is
@@ -762,11 +770,7 @@ object StreamOps {
   /** Streaming source over the embeddings table directory, mirroring
     * [[documentsStream]]. */
   def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(embeddingsSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "embeddings.parquet")
-      .load(dir)
+    tableStream(spark, dir, "embeddings", embeddingsSchema)
 
   /** Embedding twin of [[incrementalDedupStream]]: each micro-batch of
     * vectors is checked against a persisted corpus-side
