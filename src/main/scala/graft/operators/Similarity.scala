@@ -803,6 +803,45 @@ object Similarity {
                      nprobe: Int = 2): DataFrame =
     probeAssigned(index.assigned, queries, index.cents, k, nprobe)
 
+  /** Metadata-FILTERED ANN serving — "top-k nearest WHERE <predicate>",
+    * the retrieval shape every production vector store serves (tenant /
+    * language / license / date filters on the corpus). The predicate
+    * arrives as `allowed`: a (`vec_id`) key set computed from ANY
+    * metadata table by ordinary pushed-down Spark filters — the index
+    * stays metadata-free, so one stored home serves every filter.
+    *
+    * Semantics: PRE-filtering (the industry-standard form) — the board
+    * is the exact probed-cell top-k over `assigned ⋉ allowed`, never a
+    * post-hoc cut of an unfiltered board, so k survivors come back
+    * whenever the probed cells hold k matches. Filtering masks only the
+    * SCORING scan; cell membership is a pure function of the stored
+    * quantizer, so the result equals an IVF serve over a corpus that
+    * never held the excluded vectors (the same masking law the
+    * takedown/tombstone path proves — `sim_ivf_filtered` shares that
+    * oracle family).
+    *
+    * Scale shape: the semi-join keys are ids-only (no vector payload)
+    * and a selective filter's key set is small → broadcast semi-join
+    * INSIDE the probed cells; the probe otherwise keeps ivfTopKIndexed's
+    * plan — dynamic pruning to nprobe cells, exact cosine, bounded
+    * top-k. Recall caveat: a highly selective filter thins each probed
+    * cell, so recall@fixed-nprobe drops as selectivity rises — raise
+    * `nprobe` (at nprobe = nCentroids the board is exactly
+    * [[bruteForceTopK]] over the filtered live set — the law in
+    * `IndexMaintenanceSpec`), or size it with [[recommendNprobe]] measured on
+    * a filtered sample. */
+  def ivfTopKFiltered(index: IvfIndex, queries: DataFrame, k: Int,
+                      allowed: DataFrame, nprobe: Int = 2): DataFrame = {
+    val cols = allowed.columns.toSeq
+    require(cols == Seq("vec_id"),
+      s"ivfTopKFiltered: `allowed` must be a single vec_id key column " +
+        s"(got ${cols.mkString(", ")}) — compute it by filtering any " +
+        "metadata table and selecting the id")
+    probeAssigned(
+      index.assigned.join(allowed, Seq("vec_id"), "left_semi"),
+      queries, index.cents, k, nprobe)
+  }
+
   /** Recall-vs-nprobe curve for the stored index at `dir`, measured on
     * a held-out query sample — the knob a churned or rebuilt-on-live
     * home needs: the r18 churn grid showed a rebuild over a shrunken

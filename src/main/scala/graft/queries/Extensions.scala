@@ -3442,6 +3442,22 @@ object Extensions {
       Similarity.ivfTopKIndexed(Similarity.readIvfIndex(s, dir),
         e.filter(col("vec_id") < 5), 10)
     }),
+    // metadata-FILTERED serving over the same stored home: "top-k
+    // nearest WHERE label is even" — the filter arrives as an id key
+    // set computed by an ordinary pushed-down scan of the metadata
+    // table, semi-joined inside the probed cells (ids only, broadcast-
+    // sized); the index itself stays metadata-free, so one home serves
+    // every filter. Pre-filter semantics: the board is the exact
+    // probed-cell top-k over the allowed rows, never a post-hoc cut
+    "sim_ivf_filtered" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = graft.sources.Scratch.dir(
+        s"ivfflt_${java.util.UUID.randomUUID.toString.take(8)}")
+      Similarity.writeIvfIndex(e, dir)
+      Similarity.ivfTopKFiltered(Similarity.readIvfIndex(s, dir),
+        e.filter(col("vec_id") < 5), 10,
+        allowed = e.filter(col("label") % 2 === 0).select("vec_id"))
+    }),
     // IVF index APPEND lifecycle: train + write on the 3/4 base,
     // append the held-out quarter under the STORED quantizer (batch 0,
     // marker-committed), probe the folded index — cell membership is a
@@ -4484,6 +4500,12 @@ object Extensions {
     * what write + deleteFromIvfIndex + tombstone-masked read serves. */
   private val ivfDeletedOracle: String =
     ivfOracleFor("", corpusWhere = "vec_id % 7 <> 2")
+
+  /** Metadata pre-filter leg: full-corpus quantizer, scoring scan
+    * masked to the even-label vectors — filtering, like deletion, is
+    * pure masking under an unchanged quantizer. */
+  private val ivfFilteredOracle: String =
+    ivfOracleFor("", corpusWhere = "label % 2 = 0")
 
   /** IVF CDC stream: quantizer trained on the 3/4 base, live rows =
     * everything minus the base's 7≡2 tombstones. */
@@ -6174,6 +6196,11 @@ object Extensions {
     "sim_ivf" -> ivfOracle,
     // stored-index probe must equal the fresh-train probe bit-for-bit
     "sim_ivf_persisted" -> ivfOracle,
+    // metadata pre-filter masks only the scoring scan (cell membership
+    // is a pure function of the stored full-corpus quantizer), so the
+    // board equals an IVF serve over a corpus holding only even-label
+    // vectors — the same masking law as the takedown oracle
+    "sim_ivf_filtered" -> ivfFilteredOracle,
     // rebuilt-from-own-vectors index ≡ fresh full-corpus index
     "sim_ivf_rebuilt" -> ivfOracle,
     // full-corpus quantizer, live-rows-only boards (deletes mask, never

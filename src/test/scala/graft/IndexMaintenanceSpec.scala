@@ -266,6 +266,47 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkSpec {
       "probe plan shows no cent_id partition pruning")
   }
 
+  test("ivfTopKFiltered: full probe == brute force over the allowed " +
+    "set; filter masks scoring only; wrong key shape refuses") {
+    val e = graft.sources.Tables.embeddings(spark, base)
+    val queries = e.filter(col("vec_id") < 3)
+    val dir = graft.sources.Scratch.dir("maint-ivf-filtered")
+    Similarity.writeIvfIndex(e, dir, nCentroids = 8, iters = 3)
+    val idx = Similarity.readIvfIndex(spark, dir)
+    val allowed = e.filter(col("label") % 2 === 0).select("vec_id")
+    // exactness law: probing EVERY cell makes the filtered serve the
+    // exact filtered search — it must equal brute force over a corpus
+    // that never held the excluded vectors
+    val full = canon(Similarity.ivfTopKFiltered(idx, queries, 5,
+      allowed, nprobe = 8))
+    val brute = canon(Similarity.bruteForceTopK(
+      e.join(allowed, Seq("vec_id"), "left_semi"), queries, 5))
+    assert(full.nonEmpty && full == brute,
+      "filtered full-probe board diverges from brute force over the " +
+        "allowed set")
+    // pre-filter semantics at a partial probe: every served row is an
+    // allowed vector, and the board is NOT just a post-hoc cut of the
+    // unfiltered board (the filter competes inside the probed cells)
+    val part = Similarity.ivfTopKFiltered(idx, queries, 5, allowed)
+    val servedIds = part.select("vec_id").distinct()
+    assert(servedIds.join(allowed, Seq("vec_id"), "left_anti").isEmpty,
+      "partial-probe filtered board served a disallowed vector")
+    // the filter may not thin the index handle itself — a second serve
+    // with a different filter off the SAME handle sees everything
+    val odd = e.filter(col("label") % 2 === 1).select("vec_id")
+    val oddIds = Similarity.ivfTopKFiltered(idx, queries, 5, odd, nprobe = 8)
+      .select("vec_id").distinct()
+    assert(oddIds.join(odd, Seq("vec_id"), "left_anti").isEmpty &&
+      !oddIds.isEmpty,
+      "same handle did not serve a second, disjoint filter")
+    // key-shape guard: anything but a single vec_id column refuses
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFiltered(idx, queries, 5,
+        e.select("vec_id", "label"))
+    }
+    assert(err.getMessage.contains("vec_id"))
+  }
+
   test("rebuildEmbeddingIndex clears occupancy drift without the corpus") {
     val e = graft.sources.Tables.embeddings(spark, base)
     val corpus = e.filter(col("vec_id") % 2 === 0)

@@ -177,6 +177,9 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     "ref_insert_literal",
     // r13: shares sim_ivf's unrolled-kmeans CTE oracle
     "sim_ivf_persisted",
+    // r19: the same kmeans CTEs, scoring scan masked to even-label rows
+    // (metadata-filtered serving)
+    "sim_ivf_filtered",
     // r14: shares text_bm25's integer-div (`//`) oracle — the persisted
     // index folds are exact, stored ≡ fresh replays one oracle text
     "retrieval_bm25_incr",
