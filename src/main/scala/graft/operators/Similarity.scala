@@ -1102,7 +1102,7 @@ object Similarity {
     * pass an explicit rowBits to pin the blocking. The correctness gate
     * pins rowBits to its static DuckDB oracle's value and asserts
     * `autoRowBits` still agrees, so a grown gate corpus fails loudly
-    * instead of silently diverging (see `Extensions.gateRowBits`). */
+    * instead of silently diverging (see `Extensions.gateRowBitsEven`). */
   def embeddingPairs(df: DataFrame, bands: Int = DefaultBands, rowBits: Int = 0,
                      cosMin: Double = 0.3,
                      assertAutoAgrees: Boolean = false,

@@ -93,9 +93,10 @@ object Extensions {
   }
 
   /** Embedding twin of [[gateMinhashIndex]]: the persisted corpus-side
-    * index behind `stream_embedding_incr`, built at the PINNED gate
-    * blocking ([[gateBands]] × [[gateRowBits]] — the static oracle's
-    * parameters) and memoized on the embeddings file identity. */
+    * index behind `stream_embedding_incr`, built at the family gate
+    * blocking ([[gateBands]] × [[gateRowBitsEven]] — the count-derived
+    * value the oracle's `__rb` CTE replicates) and memoized on the
+    * embeddings file identity. */
   private val gateEmbIdxMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def gateEmbeddingIndex(s: SparkSession, d: String): String = {
@@ -105,7 +106,7 @@ object Extensions {
         s"embidx_${java.util.UUID.randomUUID.toString.take(8)}")
       Similarity.writeEmbeddingIndex(
         Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0),
-        idxDir, bands = gateBands, rowBits = gateRowBits)
+        idxDir, bands = gateBands, rowBits = gateRowBitsEven(s, d))
       idxDir
     })
   }
@@ -237,7 +238,7 @@ object Extensions {
       val e = Tables.embeddings(s, d)
       graft.operators.ShardedIndex.writeEmbedding(
         e.filter(col("vec_id") % 2 === 0), home, shards = 4,
-        bands = gateBands, rowBits = gateRowBits)
+        bands = gateBands, rowBits = gateRowBitsEven(s, d))
       graft.operators.ShardedIndex.delete(s, home,
         e.filter(col("vec_id") % 2 === 0 && col("vec_id") % 5 === 1)
           .select("vec_id"),
@@ -324,7 +325,7 @@ object Extensions {
       val even = Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0)
       graft.operators.ShardedIndex.writeEmbedding(
         even.filter(col("vec_id") % 10 =!= 4), home, shards = 4,
-        bands = gateBands, rowBits = gateRowBits)
+        bands = gateBands, rowBits = gateRowBitsEven(s, d))
       graft.operators.ShardedIndex.applyCdc(s, home,
         even.filter(col("vec_id") % 10 === 4)
           .select("vec_id", "embedding"),
@@ -474,7 +475,7 @@ object Extensions {
         s"embcdc_bench_${java.util.UUID.randomUUID.toString.take(8)}")
       val even = Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0)
       Similarity.writeEmbeddingIndex(even.filter(col("vec_id") % 10 =!= 4),
-        idx, bands = gateBands, rowBits = gateRowBits)
+        idx, bands = gateBands, rowBits = gateRowBitsEven(s, d))
       Similarity.applyEmbeddingCdc(s, idx,
         even.filter(col("vec_id") % 10 === 4),
         even.limit(0).select("vec_id"), batchId = 0L)
@@ -3075,14 +3076,16 @@ object Extensions {
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))),
     // embedding-side incremental dedup (mirrors dedup_incremental): odd
     // vec_ids are the incoming batch, even the existing corpus; rowBits
-    // pinned to the static oracle's value like the self-join gate, with
-    // the same fail-loud autoRowBits growth tripwire on the corpus side
+    // pinned to the count-derived family blocking (gateRowBitsEven —
+    // the oracle's __rb counts the same even half); assertAutoAgrees
+    // keeps the operator's own sizing rule as a tripwire on the helper
     "dedup_embedding_incr" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.crossEmbeddingPairs(
         e.filter(col("vec_id") % 2 === 1),
         e.filter(col("vec_id") % 2 === 0),
-        bands = gateBands, rowBits = gateRowBits, assertAutoAgrees = true)
+        bands = gateBands, rowBits = gateRowBitsEven(s, d),
+        assertAutoAgrees = true)
     }),
     // embedding index maintenance gate (dedup_index_rebuild's vector
     // twin): the corpus side is written at a deliberately WRONG blocking
@@ -3095,9 +3098,9 @@ object Extensions {
       val idxDir = graft.sources.Scratch.dir(
         s"embreb_${java.util.UUID.randomUUID.toString.take(8)}")
       Similarity.writeEmbeddingIndex(e.filter(col("vec_id") % 2 === 0),
-        idxDir, bands = gateBands, rowBits = gateRowBits + 2)
+        idxDir, bands = gateBands, rowBits = gateRowBitsEven(s, d) + 2)
       Similarity.rebuildEmbeddingIndex(s, idxDir,
-        bands = gateBands, rowBits = gateRowBits)
+        bands = gateBands, rowBits = gateRowBitsEven(s, d))
       Similarity.compactEmbeddingIndex(s, idxDir)
       Similarity.crossEmbeddingPairs(e.filter(col("vec_id") % 2 === 1),
         Similarity.readEmbeddingIndex(s, idxDir), 0.3,
@@ -3112,7 +3115,7 @@ object Extensions {
       val idxDir = graft.sources.Scratch.dir(
         s"embdel_${java.util.UUID.randomUUID.toString.take(8)}")
       Similarity.writeEmbeddingIndex(e.filter(col("vec_id") % 2 === 0),
-        idxDir, bands = gateBands, rowBits = gateRowBits)
+        idxDir, bands = gateBands, rowBits = gateRowBitsEven(s, d))
       Similarity.deleteFromEmbeddingIndex(s, idxDir,
         e.filter(col("vec_id") % 2 === 0 && col("vec_id") % 5 === 1)
           .select("vec_id"),
@@ -3135,7 +3138,7 @@ object Extensions {
         s"embsh_${java.util.UUID.randomUUID.toString.take(8)}")
       graft.operators.ShardedIndex.writeEmbedding(
         e.filter(col("vec_id") % 2 === 0), home, shards = 4,
-        bands = gateBands, rowBits = gateRowBits)
+        bands = gateBands, rowBits = gateRowBitsEven(s, d))
       graft.operators.ShardedIndex.delete(s, home,
         e.filter(col("vec_id") % 2 === 0 && col("vec_id") % 5 === 1)
           .select("vec_id"),
@@ -3154,7 +3157,7 @@ object Extensions {
       val root = graft.sources.Scratch.dir(
         s"sembcdc_${java.util.UUID.randomUUID.toString.take(8)}")
       Similarity.writeEmbeddingIndex(even.filter(col("vec_id") % 10 =!= 4),
-        s"$root/idx", bands = gateBands, rowBits = gateRowBits)
+        s"$root/idx", bands = gateBands, rowBits = gateRowBitsEven(s, d))
       val ins = even.filter(col("vec_id") % 10 === 4)
         .select(col("vec_id"), col("embedding"))
         .withColumn("op", lit("insert"))
@@ -3187,7 +3190,7 @@ object Extensions {
         s"sembshcdc_${java.util.UUID.randomUUID.toString.take(8)}")
       graft.operators.ShardedIndex.writeEmbedding(
         even.filter(col("vec_id") % 10 =!= 4), s"$root/idx", shards = 4,
-        bands = gateBands, rowBits = gateRowBits)
+        bands = gateBands, rowBits = gateRowBitsEven(s, d))
       val ins = even.filter(col("vec_id") % 10 === 4)
         .select(col("vec_id"), col("embedding"))
         .withColumn("op", lit("insert"))
@@ -4961,41 +4964,83 @@ object Extensions {
       s"(CASE WHEN ($proj) >= 0 THEN ${1L << r} ELSE 0 END)"
     }.mkString(" + ")
 
-  /** The static DuckDB banding oracle below is GENERATED at fixed
-    * parameters; the Spark gate query must run at exactly these. One
-    * shared constant + the fail-loud check in [[gateEmbeddingPairs]]
-    * keep the pair coupled — the silent-divergence hazard was that
-    * `Similarity.autoRowBits` grows with the corpus while the oracle
-    * text does not. */
+  /** The DuckDB banding oracles below were once GENERATED at a fixed
+    * rowBits (8) with a fail-loud autoRowBits tripwire on the gate side
+    * — which the r19 scale-decade sweep tripped exactly as designed
+    * (10× corpus → autoRowBits 11/12 ≠ the pinned 8). The cure removes
+    * the hazard instead of re-pinning per scale: both sides now DERIVE
+    * rowBits from the corpus count — the gates via
+    * `Similarity.autoRowBits` (the operators' own sizing rule), the
+    * oracles via [[duckRbCte]], a SQL transliteration of the same
+    * least-r-with-8·2^r≥n loop — so the gate battery verifies the
+    * auto-sizing path itself at every scale factor, and a grown corpus
+    * changes both sides in lockstep. */
   private[graft] val gateBands = Similarity.DefaultBands
-  private[graft] val gateRowBits = 8
 
-  /** Gate wrapper for [[Similarity.embeddingPairs]]: pins `rowBits` to
-    * the oracle's generated value and (via `assertAutoAgrees`, checked
-    * against the operator's already-materialized corpus — no extra
-    * source scan) fails loudly if the auto-sizing would no longer pick
-    * it, so a gate corpus grown past `targetOccupancy << 8` vectors
-    * aborts the run instead of hash-mismatching mysteriously (or worse,
-    * passing against a mis-parameterized oracle). */
-  private def gateEmbeddingPairs(e: DataFrame): DataFrame =
-    Similarity.embeddingPairs(e, bands = gateBands, rowBits = gateRowBits,
-      assertAutoAgrees = true)
-
-  // (vec_id, band_idx, band_key) at the gate parameters (gateBands ×
-  // gateRowBits — pinned and checked against Similarity.autoRowBits by
-  // gateEmbeddingPairs above); the band key is a per-vector function, so
-  // the self-join and bipartite oracles share this stage and differ only
-  // in their candidate join.
-  private val duckBandedSigCtes: String = {
-    val selects = (0 until gateBands).map { b =>
-      s"SELECT vec_id, $b AS band_idx, " +
-        s"CAST(${duckBandKey(b, gateRowBits)} AS BIGINT) AS band_key FROM embeddings"
-    }.mkString("\n        UNION ALL ")
-    s"banded AS ($selects)"
+  /** Per-dir memo of `autoRowBits(count of even-vec_id embeddings)` —
+    * the blocking every BIPARTITE embedding gate (incr/rebuild/del/
+    * sharded/CDC — all write their index over the even half or a
+    * subset of it) pins explicitly, so the whole family keeps sharing
+    * its two oracle texts at any scale: the oracle's `__rb` counts the
+    * same even half. Subsets of the even half (the CDC bases) are cut
+    * at this rb too — over-provisioned blocking never trips the
+    * occupancy guards (live ⊆ even ⇒ autoRowBits(live) ≤ this). */
+  private val gateRbMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def gateRowBitsEven(s: SparkSession, d: String): Int = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    gateRbMemo.computeIfAbsent(s"$d#${f.length}#${f.lastModified}", _ =>
+      Similarity.autoRowBits(
+        Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0).count())
+    ).intValue()
   }
 
+  /** Gate wrapper for [[Similarity.embeddingPairs]] (the self-join
+    * form): `rowBits = 0` = the operator's own auto-sizing — the
+    * oracle's `__rb` CTE replicates it from the same full-corpus
+    * count, so the pair stays coupled BY CONSTRUCTION at any scale. */
+  private def gateEmbeddingPairs(e: DataFrame): DataFrame =
+    Similarity.embeddingPairs(e, bands = gateBands, rowBits = 0)
+
+  /** `__rb` CTE: DuckDB transliteration of [[Similarity.autoRowBits]]
+    * (least r in [8,32] with 8·2^r ≥ n, n = the corpus the operator
+    * sizes from — exact integer arithmetic, no float log2 edge). */
+  private def duckRbCte(countWhere: String): String = {
+    val w = if (countWhere.isEmpty) "" else s" WHERE $countWhere"
+    s"""__rb AS (SELECT COALESCE(MIN(r), 32) AS rb
+              FROM (SELECT unnest(generate_series(8, 32)) AS r)
+              CROSS JOIN (SELECT COUNT(*) AS n FROM embeddings$w) __n
+              WHERE (CAST(8 AS BIGINT) << r) >= n)"""
+  }
+
+  /** The [[duckBandKey]] bit-pack with rowBits as a RUNTIME column
+    * (`rb` from the [[duckRbCte]] cross join, `band_idx` from the band
+    * series): plane j = band_idx·rb + (t−1) for bit t in 1..rb, the
+    * same `bandWeight` lattice — verified term-for-term equal to the
+    * statically generated key at rb ∈ {8, 11, 12}. */
+  private val duckDynBandKey: String =
+    """CAST(list_aggregate(list_transform(generate_series(1, rb), t ->
+        CASE WHEN list_aggregate(list_transform(generate_series(1, len(embedding)),
+          i -> CAST(embedding[i] AS DOUBLE) *
+               CAST((CAST(i AS BIGINT) * (band_idx * rb + t) * 7919
+                     + (i-1) * 31 + (band_idx * rb + t - 1) * 17) % 1009 - 504 AS DOUBLE)),
+          'sum') >= 0
+        THEN (CAST(1 AS BIGINT) << (t - 1)) ELSE CAST(0 AS BIGINT) END),
+      'sum') AS BIGINT)"""
+
+  // (vec_id, band_idx, band_key) at gateBands × the count-derived rb;
+  // the band key is a per-vector function, so the self-join and
+  // bipartite oracles share this stage and differ only in their
+  // candidate join — and in which corpus subset sizes rb (countWhere).
+  private def duckBandedSigCtes(countWhere: String): String =
+    s"""${duckRbCte(countWhere)},
+      banded AS (SELECT vec_id, band_idx, $duckDynBandKey AS band_key
+                 FROM embeddings
+                 CROSS JOIN (SELECT unnest(generate_series(0, ${gateBands - 1})) AS band_idx)
+                 CROSS JOIN __rb)"""
+
   private val duckBandedCtes: String =
-    s"""$duckBandedSigCtes,
+    s"""${duckBandedSigCtes("")},
       cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
                FROM banded x JOIN banded y
                  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
@@ -5005,9 +5050,10 @@ object Extensions {
     * by `dedup_embedding_incr` (batch) and `stream_embedding_incr` (the
     * same check streamed against the persisted index — identical
     * blocking, identical verify). Parametrized on the corpus predicate
-    * for the takedown gate (`dedup_embedding_del`). */
+    * for the takedown gate (`dedup_embedding_del`). rb sizes from the
+    * even half — the corpus side every gate in this family indexes. */
   private def embeddingIncrOracleFor(corpusPred: String): String = s"""
-      WITH $duckBandedSigCtes,
+      WITH ${duckBandedSigCtes("vec_id % 2 = 0")},
       cand AS (SELECT DISTINCT x.vec_id AS new_id, y.vec_id AS matched_id
                FROM banded x JOIN banded y
                  ON x.band_idx = y.band_idx AND x.band_key = y.band_key

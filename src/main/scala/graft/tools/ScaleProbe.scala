@@ -47,9 +47,9 @@ object ScaleProbe {
   /** Dedup-family probes over the replicated document/embedding tables.
     * `dedup_ngram` runs the registered query; the embedding path calls
     * [[graft.operators.Similarity.embeddingPairs]] with AUTO rowBits
-    * directly — the registered gate query pins rowBits = 8 and
-    * (correctly) refuses corpora past 2048 vectors, while the probe's
-    * whole point is to let auto-scaling re-block the grown corpus. */
+    * directly — the same sizing the gate query now uses (since r19 the
+    * gates derive rowBits from the corpus count and the oracle's __rb
+    * CTE replicates the rule, so grown corpora re-block in lockstep). */
   val dedupProbed: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dedup_ngram" -> graft.SparkEntry.queries("dedup_ngram"),
     // post-cap banded minhash: content-disjoint copies replicate each
