@@ -5072,19 +5072,37 @@ object Extensions {
 
   /** Shared by `q_session_window` (batch) and `stream_session_window`:
     * both truncate event time to seconds before the 30-minute-gap
-    * sessionization, so one oracle covers the pair. */
+    * sessionization, so one oracle covers the pair.
+    *
+    * Session STRUCTURE is computed over DISTINCT (user, t) — ORDER BY t
+    * is then tie-free, so the break row and the prefix-sum see the same
+    * total order — and event rows join back by timestamp for the
+    * per-session aggregates. The previous form ran lag and the prefix
+    * sum as two separately-sorted row-level windows: with DUPLICATE
+    * (user, tsec) rows (none at the driver scales; 10 copies deep in
+    * the derived scale-decade events) each window resolves ties in its
+    * own arbitrary order, so a brk=1 row could land mid-tie-group in
+    * the sum's order and leak a spurious sid=0 level — the oracle's
+    * row count drifted BETWEEN RUNS at sf1d. Session semantics are
+    * timestamp-level anyway (Spark's session_window merges same-t
+    * events by construction), so the distinct form is the honest one.
+    *
+    * brk strictly greater: Spark's session_window MERGES sessions that
+    * touch exactly at gap distance (verified at sf0.1, where one exact
+    * 30-minute gap exists). */
   private val sessionWindowOracle: String = """
       WITH e AS (SELECT user_id, date_trunc('second', ts) AS t, value FROM events),
-      m AS (SELECT user_id, t, value,
-              -- strictly greater: Spark's session_window MERGES sessions
-              -- that touch exactly at gap distance (verified at sf0.1,
-              -- where one exact 30-minute gap exists)
+      d AS (SELECT DISTINCT user_id, t FROM e),
+      m AS (SELECT user_id, t,
               CASE WHEN lag(t) OVER w IS NULL
                      OR t - lag(t) OVER w > INTERVAL 30 MINUTE
                    THEN 1 ELSE 0 END AS brk
-            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
-      g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
-                                     ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+            FROM d WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      s AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                                              ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m),
+      g AS (SELECT e.user_id, e.t, e.value, s.sid
+            FROM e JOIN s ON e.user_id = s.user_id AND e.t = s.t)
       SELECT user_id,
              strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS session_start,
              strftime(MAX(t) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,

@@ -7,7 +7,7 @@ Reads each <name>/ parquet result written by graft.Verify, runs the
 matching SQL from oracle_sql.json in DuckDB over the sf parquet tables,
 sorts columns by name and rows by all columns, and diffs values.
 """
-import json, sys, math
+import json, os, sys, math
 from pathlib import Path
 
 import duckdb
@@ -32,6 +32,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(outdir: str, sfdir: str) -> int:
     con = duckdb.connect()
+    # optional caps for runs sharing the box with a Spark JVM: an
+    # uncapped DuckDB OOMs outright under memory pressure (seen on the
+    # sf1-derived sweep's IVF oracles), while a capped one spills.
+    mem = os.environ.get("ORACLE_DUCK_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    thr = os.environ.get("ORACLE_DUCK_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
     for t in TABLES:
         # driver sf dirs hold one flat file per table; derived scaled
         # dirs (graft.tools.BuildScaled) hold Spark part-file DIRECTORIES
