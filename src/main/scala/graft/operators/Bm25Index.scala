@@ -470,6 +470,109 @@ object Bm25Index {
     TextOps.bm25Board(scored, k)
   }
 
+  /** Statistics scope for [[crossBm25TopKFiltered]] — the ONE real
+    * semantic fork in filtered lexical retrieval, so it is a typed
+    * knob, never a silent default. */
+  sealed trait FilterScope
+  /** df/N/S recomputed over the FILTERED live corpus: the board a
+    * dedicated per-tenant index would serve (idf reflects the corpus
+    * the caller can actually retrieve from). Serving pays one
+    * df/stats fold over the allowed docs' postings — ∝ the FILTER's
+    * corpus, never the home. */
+  case object FilteredStats extends FilterScope
+  /** Home-level df/N/S with only the match stream masked — the
+    * Lucene/Elasticsearch `filter` convention (idf is an index-wide
+    * constant, so the same doc scores identically under every
+    * filter). Serving cost is [[crossBm25TopK]]'s match stream plus
+    * an ids-only semi-join. */
+  case object HomeStats extends FilterScope
+
+  /** Metadata-FILTERED serving over the stored index — "top-k
+    * matching WHERE <predicate>", the lexical twin of
+    * [[Similarity.ivfTopKFiltered]] (tenant / language / license /
+    * date filters on the retrieval corpus). The predicate arrives as
+    * `allowed`: a (`doc_id`) key set computed from ANY metadata table
+    * by ordinary pushed-down Spark filters — the index stays
+    * metadata-free, so ONE stored home serves every filter with no
+    * per-filter builds.
+    *
+    * Semantics are PRE-filter in both scopes (k survivors come back
+    * whenever the live index holds k allowed matches — never a
+    * post-hoc cut of an unfiltered board); the scopes differ only in
+    * where idf/length-normalization statistics come from:
+    *
+    *  - [[FilteredStats]] (default): bit-identical to
+    *    [[TextOps.bm25TopK]] over the filtered live corpus — the
+    *    exactness law a per-tenant index would give, by the same
+    *    distributivity argument [[writeFromPostings]] rests on
+    *    (df/N/S recompute exactly from any live-postings slice).
+    *  - [[HomeStats]]: bit-identical to [[crossBm25TopK]]'s match
+    *    stream restricted to allowed docs — every surviving (query,
+    *    doc) pair keeps its unfiltered score.
+    *
+    * Scale shape: the allowed keys are ids-only (no text payload) —
+    * selective filters broadcast into the semi-join; HomeStats adds
+    * nothing else to the serve. FilteredStats additionally folds
+    * df/(N, S) over the allowed docs' postings — one scan bounded by
+    * the filtered corpus (a tenant's postings, not the home's), the
+    * honest price of tenant-local idf. */
+  def crossBm25TopKFiltered(spark: SparkSession, queries: DataFrame,
+                            dir: String, allowed: DataFrame, k: Int = 5,
+                            qid: String = "query_id",
+                            qtext: String = "query_text",
+                            maxDfFrac: Double = 1.0,
+                            scope: FilterScope = FilteredStats): DataFrame = {
+    require(k > 0, s"crossBm25TopKFiltered: k must be positive, got $k")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"crossBm25TopKFiltered: maxDfFrac must be in (0, 1], got $maxDfFrac")
+    val cols = allowed.columns.toSeq
+    require(cols == Seq("doc_id"),
+      s"crossBm25TopKFiltered: `allowed` must be a single doc_id key " +
+        s"column (got ${cols.mkString(", ")}) — compute it by filtering " +
+        "any metadata table and selecting the id")
+    val qterms = TextOps.bm25QueryTerms(queries, qid, qtext)
+    scope match {
+      case HomeStats =>
+        val (nDocs, sTok) = foldedStats(spark, dir)
+        val kept = TextOps.bm25KeptTerms(foldedDf(spark, dir), nDocs,
+          maxDfFrac)
+        val probedKeys = broadcast(qterms.select("term").distinct())
+        val scored = liveTermBoundedPostings(spark, dir, probedKeys)
+          .join(allowed.select(col("doc_id").cast("long").as("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .join(kept, Seq("term"))
+          .join(qterms, Seq("term"))
+          .transform(TextOps.withBm25Score(nDocs, sTok))
+          .groupBy("query_id", "doc_id")
+          .agg(sum(col("__sc")).as("score_micro"))
+        TextOps.bm25Board(scored, k)
+      case FilteredStats =>
+        // the allowed docs' live postings, materialized once: the
+        // stats fold (eager head), the df fold and the match scan all
+        // read this ONE slice — never the home's full postings twice
+        val post = Dedup.materialize(
+          livePostings(spark, dir)
+            .join(allowed.select(col("doc_id").cast("long").as("doc_id")),
+              Seq("doc_id"), "left_semi"))
+        val stats = TextOps.bm25StatsPartials(post).head()
+        val nDocs = stats.getLong(0)
+        require(nDocs > 0,
+          s"crossBm25TopKFiltered: the filter excludes every live " +
+            s"document of $dir — an empty tenant corpus has no idf; " +
+            "widen the filter or serve HomeStats over an empty board")
+        val sTok = stats.getLong(1)
+        val dft = post.groupBy("term").agg(count(lit(1)).as("df"))
+        val kept = TextOps.bm25KeptTerms(dft, nDocs, maxDfFrac)
+        val scored = post
+          .join(kept, Seq("term"))
+          .join(qterms, Seq("term"))
+          .transform(TextOps.withBm25Score(nDocs, sTok))
+          .groupBy("query_id", "doc_id")
+          .agg(sum(col("__sc")).as("score_micro"))
+        TextOps.bm25Board(scored, k)
+    }
+  }
+
   /** The FULL committed live postings of the index — (doc_id, term,
     * tf, dl), tombstones masked. The corpus-equivalent artifact a
     * whole-index rewrite (rebuild, re-shard) works from: df and (N, S)

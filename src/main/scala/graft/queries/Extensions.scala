@@ -950,6 +950,28 @@ object Extensions {
               .as("query_text")),
         gateRestoredBm25Index(s, d), k = 5)
     }),
+    // filtered serving from the STANDING home: the timed work is the
+    // two scope serves — home = match stream + ids-only semi-join,
+    // tenant = the same plus one df/stats fold over the tenant's
+    // postings slice (the honest price of tenant-local idf); the
+    // index build is the memoized fixture, as in deployment
+    "retrieval_bm25_filtered" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+            .as("query_text"))
+      val allowed = docs.filter(col("lang") =!= "en").select("doc_id")
+      val dir = gateBm25Index(s, d)
+      graft.operators.Bm25Index.crossBm25TopKFiltered(s, queries, dir,
+          allowed, k = 5, scope = graft.operators.Bm25Index.FilteredStats)
+        .withColumn("scope", lit("tenant"))
+        .unionByName(
+          graft.operators.Bm25Index.crossBm25TopKFiltered(s, queries, dir,
+            allowed, k = 5, scope = graft.operators.Bm25Index.HomeStats)
+            .withColumn("scope", lit("home")))
+        .select("scope", "query_id", "rk", "doc_id", "score_micro")
+    }),
     // the same serve over a standing tombstoned index: the timed delta
     // vs retrieval_bm25_incr is the match-stream anti-join — what
     // un-rebuilt deletions honestly cost per query batch
@@ -980,6 +1002,31 @@ object Extensions {
       val annLeg = Similarity.ivfTopK(
         emb.filter(col("vec_id") % 29 =!= 0),
         emb.filter(col("vec_id") % 29 === 0), 20)
+        .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
+          col("rk"))
+      graft.operators.Retrieval.rrfFuse(Seq(bmLeg, annLeg), k = 10)
+    }),
+    // filtered fusion from STANDING homes: lexical leg = HomeStats
+    // masked serve off the memoized BM25 fixture (match stream +
+    // ids-only semi-join), dense leg = filtered probe of the stored
+    // IVF home (probed cells thinned to the allowed ids) — the timed
+    // work is two filtered serves + the k-bounded fusion, no builds
+    "retrieval_rrf_filtered" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val queries = docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+            .as("query_text"))
+      val allowed = docs.filter(col("lang") =!= "en").select("doc_id")
+      val bmLeg = graft.operators.Bm25Index.crossBm25TopKFiltered(
+          s, queries, gateBm25Index(s, d), allowed, k = 20,
+          scope = graft.operators.Bm25Index.HomeStats)
+        .select("query_id", "doc_id", "rk")
+      val annLeg = Similarity.ivfTopKFiltered(
+        Similarity.readIvfIndex(s, gateIvfIndex(s, d)),
+        emb.filter(col("vec_id") % 29 === 0), 20,
+        allowed = allowed.select(col("doc_id").as("vec_id")))
         .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
           col("rk"))
       graft.operators.Retrieval.rrfFuse(Seq(bmLeg, annLeg), k = 10)
@@ -1103,6 +1150,41 @@ object Extensions {
             concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
               .as("query_text")),
         dir, k = 5)
+    }),
+    // metadata-FILTERED serving over ONE stored home — the lexical
+    // twin of sim_ivf_filtered: "top-k matching WHERE lang <> 'en'"
+    // (the minority-language tenant), the filter computed from the
+    // metadata table by an ordinary pushed-down scan and arriving as
+    // an ids-only key set; the index stays metadata-free, so one home
+    // serves every filter. BOTH statistics scopes on one board: the
+    // tenant leg recomputes df/N/S over the filtered corpus (what a
+    // dedicated per-tenant index would serve — bit-equal to a fresh
+    // build over the tenant slice), the home leg keeps index-wide
+    // stats and masks only the match stream (the Lucene/Elasticsearch
+    // `filter` convention — surviving pairs keep their unfiltered
+    // scores). Pre-filter semantics in both: never a post-hoc board cut
+    "retrieval_bm25_filtered" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+      val dir = graft.sources.Scratch.dir(
+        s"bm25flt_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Bm25Index.write(
+        corpus.filter(col("doc_id") % 10 =!= 3), dir)
+      graft.operators.Bm25Index.append(s, dir,
+        corpus.filter(col("doc_id") % 10 === 3), batchId = Some(0L))
+      val queries = docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+            .as("query_text"))
+      val allowed = docs.filter(col("lang") =!= "en").select("doc_id")
+      graft.operators.Bm25Index.crossBm25TopKFiltered(s, queries, dir,
+          allowed, k = 5, scope = graft.operators.Bm25Index.FilteredStats)
+        .withColumn("scope", lit("tenant"))
+        .unionByName(
+          graft.operators.Bm25Index.crossBm25TopKFiltered(s, queries, dir,
+            allowed, k = 5, scope = graft.operators.Bm25Index.HomeStats)
+            .withColumn("scope", lit("home")))
+        .select("scope", "query_id", "rk", "doc_id", "score_micro")
     }),
     // the sharded form of the SAME takedown lifecycle: a 4-shard home
     // (one complete BM25 index per shard, ids routed by
@@ -1295,6 +1377,39 @@ object Extensions {
         .select("query_id", "doc_id", "rk")
       val annLeg = Similarity.bruteForceTopK(
         emb.filter(col("vec_id") % 29 =!= 0),
+        emb.filter(col("vec_id") % 29 === 0), 20)
+        .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
+          col("rk"))
+      graft.operators.Retrieval.rrfFuse(Seq(bmLeg, annLeg), k = 10)
+    }),
+    // the fused board under a metadata filter — the last cell of the
+    // filter × retrieval matrix (lexical, dense, fused): the lexical
+    // leg serves HomeStats-masked from a persisted home (index-wide
+    // stats — cross-leg score comparability is exactly the argument
+    // for that scope in a fusion), the dense leg is brute-exact over
+    // the allowed vectors (pre-filtering by construction), and the
+    // fusion is the same k-bounded rrfFuse — filters compose through
+    // fusion with no new machinery
+    "retrieval_rrf_filtered" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val queries = docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+            .as("query_text"))
+      val allowed = docs.filter(col("lang") =!= "en").select("doc_id")
+      val dir = graft.sources.Scratch.dir(
+        s"rrfflt_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.Bm25Index.write(
+        docs.filter(col("doc_id") % 29 =!= 0), dir)
+      val bmLeg = graft.operators.Bm25Index.crossBm25TopKFiltered(
+          s, queries, dir, allowed, k = 20,
+          scope = graft.operators.Bm25Index.HomeStats)
+        .select("query_id", "doc_id", "rk")
+      val annLeg = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 29 =!= 0)
+          .join(allowed.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi"),
         emb.filter(col("vec_id") % 29 === 0), 20)
         .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
           col("rk"))
@@ -5161,7 +5276,8 @@ object Extensions {
     * relation — so the deletion gate replays the identical arithmetic
     * over corpus − tombstones and the upsert gate over a corpus whose
     * updated docs carry their NEW text. */
-  private def bm25OracleOver(corpusSelect: String): String = s"""
+  private def bm25OracleOver(corpusSelect: String,
+                             allowedJoin: String = ""): String = s"""
       WITH corpus AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
                       FROM (SELECT doc_id, $duckTokens AS t
                             FROM ($corpusSelect) src) z
@@ -5188,6 +5304,7 @@ object Extensions {
                        + 9 * dl * (SELECT n FROM stats)))
                  // CAST(1000000 AS BIGINT)) AS BIGINT) AS score_micro
              FROM post JOIN dfreq USING (term) JOIN q USING (term)
+             $allowedJoin
              GROUP BY q.query_id, post.doc_id)
       SELECT query_id, CAST(rk AS INT) AS rk, doc_id, score_micro FROM (
         SELECT query_id, doc_id, score_micro,
@@ -5205,6 +5322,27 @@ object Extensions {
     * docs out exactly, the tombstone anti-join hides their postings. */
   private val bm25DeletedOracle: String =
     bm25OracleFor("doc_id % 29 <> 0 AND doc_id % 13 <> 5")
+
+  /** Metadata-filtered serving (`retrieval_bm25_filtered`), both
+    * statistics scopes over ONE stored home. The tenant leg is
+    * byte-for-byte the plain oracle over the filtered corpus (a
+    * dedicated per-tenant index's board — df/N/S recomputed); the
+    * home leg keeps the full live corpus's statistics and masks only
+    * the match stream (the Lucene/Elasticsearch `filter` convention),
+    * which in SQL is exactly one ids-only join inside the scoring
+    * CTE. The filter is a REAL metadata predicate (lang <> 'en' — the
+    * minority-language tenant, ~13% of docs), computed from the
+    * documents table the way a deployment computes it from any
+    * metadata sidecar. */
+  private val bm25FilteredOracle: String = s"""
+      SELECT 'tenant' AS scope, query_id, rk, doc_id, score_micro
+      FROM (${bm25OracleFor("doc_id % 29 <> 0 AND lang <> 'en'")}) t
+      UNION ALL
+      SELECT 'home' AS scope, query_id, rk, doc_id, score_micro
+      FROM (${bm25OracleOver(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 29 <> 0",
+        "JOIN (SELECT doc_id FROM documents WHERE lang <> 'en') alw " +
+          "USING (doc_id)")}) h"""
 
   /** CDC stream: base (%10≠3) minus its 13≡5 deletes, plus the
     * inserted %10=3 batch — the net live corpus after the change
@@ -5253,8 +5391,14 @@ object Extensions {
   }
 
   /** Shared by `retrieval_rrf` and `stream_retrieval_rrf` (batch-wise
-    * serving composes exactly over independent per-query boards). */
-  private val rrfOracle: String = s"""
+    * serving composes exactly over independent per-query boards), and
+    * — with the two filter hooks bound — by `retrieval_rrf_filtered`:
+    * `bmJoin` masks the lexical scoring stream (the HomeStats
+    * convention: index-wide df/N/S, matches masked), `annWhere` masks
+    * the dense corpus scan (exact pre-filtering — brute force over
+    * the allowed set IS the filtered-dense semantics). */
+  private def rrfOracleOver(bmJoin: String = "",
+                            annWhere: String = ""): String = s"""
       WITH corpus AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
                       FROM (SELECT doc_id, $duckTokens AS t FROM documents
                             WHERE doc_id % 29 <> 0) z
@@ -5281,6 +5425,7 @@ object Extensions {
                        + 9 * dl * (SELECT n FROM stats)))
                  // CAST(1000000 AS BIGINT)) AS BIGINT) AS score_micro
              FROM post JOIN dfreq USING (term) JOIN q USING (term)
+             $bmJoin
              GROUP BY q.query_id, post.doc_id),
       bm AS (SELECT query_id, doc_id, rk FROM (
                SELECT query_id, doc_id,
@@ -5290,7 +5435,8 @@ object Extensions {
       eq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
              WHERE vec_id % 29 = 0),
       esc AS (SELECT qid, vec_id, ${duckCos("qv", "embedding")} AS sim
-              FROM embeddings CROSS JOIN eq WHERE vec_id % 29 <> 0),
+              FROM embeddings CROSS JOIN eq
+              WHERE vec_id % 29 <> 0$annWhere),
       el AS (SELECT qid AS query_id, vec_id AS doc_id, rk FROM (
                SELECT qid, vec_id,
                       ROW_NUMBER() OVER (PARTITION BY qid
@@ -5311,6 +5457,17 @@ object Extensions {
                      ORDER BY rrf_micro DESC, doc_id ASC) AS rk
             FROM f) t
       WHERE rk <= 10"""
+
+  private val rrfOracle: String = rrfOracleOver()
+
+  /** `retrieval_rrf_filtered`: the fused board under the tenant
+    * filter — lexical leg masked HomeStats-style (cross-leg score
+    * comparability is exactly the argument for index-wide stats in a
+    * fusion), dense leg exact over the allowed vectors. */
+  private val rrfFilteredOracle: String = rrfOracleOver(
+    "JOIN (SELECT doc_id FROM documents WHERE lang <> 'en') alw " +
+      "USING (doc_id)",
+    " AND vec_id IN (SELECT doc_id FROM documents WHERE lang <> 'en')")
 
   val oracles: Map[String, String] = Map(
     "q_attribution" -> attributionOracle,
@@ -5511,6 +5668,7 @@ object Extensions {
     "q_index_backup" -> bm25Oracle,
     // write + append + delete ≡ fresh build over corpus − tombstones
     "retrieval_bm25_del" -> bm25DeletedOracle,
+    "retrieval_bm25_filtered" -> bm25FilteredOracle,
     // shard count is an operational knob: the 4-shard home serves the
     // SAME net live corpus, so the fresh-build oracle replays verbatim
     "retrieval_bm25_sharded" -> bm25DeletedOracle,
@@ -5526,6 +5684,7 @@ object Extensions {
     // the rounded-cosine rank are the text_bm25 / sim_topk oracles'),
     // fused by the same integer RRF formula, cut to 10
     "retrieval_rrf" -> rrfOracle,
+    "retrieval_rrf_filtered" -> rrfFilteredOracle,
     // per-query boards are independent: the batch-accreted streaming
     // table equals the one-shot fusion, so it replays the same oracle
     "stream_retrieval_rrf" -> rrfOracle,

@@ -303,4 +303,75 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("LeftSemi"),
       "stored postings must reduce to the query-term sliver via a semi-join")
   }
+
+  test("filtered serve, FilteredStats: ≡ inline bm25TopK over the " +
+    "tenant corpus; all-ids filter degenerates to the unfiltered serve") {
+    val dir = graft.sources.Scratch.dir("bm25-flt-tenant")
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    Bm25Index.write(corpus, dir)
+    val allowed = docs.filter(col("lang") =!= "en").select("doc_id")
+    val served = board(Bm25Index.crossBm25TopKFiltered(
+      spark, queries, dir, allowed, k = 5))
+    val fresh = board(TextOps.bm25TopK(
+      corpus.filter(col("lang") =!= "en"), queries, k = 5))
+    assert(served == fresh,
+      "tenant-scope filtered serve diverged from a fresh per-tenant build")
+    assert(served.nonEmpty, "tenant fixture produced an empty board")
+    // the tenant board must actually differ from the unfiltered one —
+    // otherwise the fixture never exercises the filter
+    val unfiltered = board(Bm25Index.crossBm25TopK(spark, queries, dir, 5))
+    assert(served != unfiltered,
+      "fixture filter is vacuous — tenant board equals the unfiltered one")
+    val all = board(Bm25Index.crossBm25TopKFiltered(
+      spark, queries, dir, corpus.select("doc_id"), k = 5))
+    assert(all == unfiltered,
+      "an all-ids filter must serve exactly the unfiltered board")
+  }
+
+  test("filtered serve, HomeStats: pre-filter over the complete match " +
+    "stream — surviving pairs keep their unfiltered scores") {
+    val dir = graft.sources.Scratch.dir("bm25-flt-home")
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    Bm25Index.write(corpus, dir)
+    val allowed = docs.filter(col("lang") =!= "en").select("doc_id")
+    val served = board(Bm25Index.crossBm25TopKFiltered(
+      spark, queries, dir, allowed, k = 5, scope = Bm25Index.HomeStats))
+    assert(served.nonEmpty, "home-scope fixture produced an empty board")
+    // reference: the FULL unfiltered match stream (k = corpus size so
+    // nothing is cut), post-hoc masked to allowed docs and re-ranked —
+    // identical to pre-filtering ONLY because k exhausts the stream;
+    // at serving k the post-hoc cut would lose survivors, which is
+    // exactly why the operator pre-filters
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    val recut = board(Bm25Index.crossBm25TopK(
+        spark, queries, dir, k = 1000000))
+      .filter(r => allowedIds.contains(r._3))
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(r => (-r._4, r._3)).take(5).zipWithIndex
+          .map { case ((q, _, d, sc), i) => (q, i + 1, d, sc) }
+      }.sorted
+    assert(served == recut,
+      "home-scope board must equal the exhaustively-recut unfiltered " +
+        "stream (same stats, matches masked)")
+  }
+
+  test("filtered serve refusals: key shape; empty tenant refuses " +
+    "FilteredStats and serves an empty HomeStats board") {
+    val dir = graft.sources.Scratch.dir("bm25-flt-refuse")
+    Bm25Index.write(docs.filter(col("doc_id") % 29 =!= 0), dir)
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.crossBm25TopKFiltered(spark, queries, dir,
+        docs.select("doc_id", "lang"), k = 5)
+    }
+    assert(e.getMessage.contains("single doc_id key"))
+    val none = docs.filter(lit(false)).select("doc_id")
+    val e2 = intercept[IllegalArgumentException] {
+      Bm25Index.crossBm25TopKFiltered(spark, queries, dir, none, k = 5)
+    }
+    assert(e2.getMessage.contains("excludes every live document"))
+    assert(board(Bm25Index.crossBm25TopKFiltered(spark, queries, dir,
+      none, k = 5, scope = Bm25Index.HomeStats)).isEmpty,
+      "home scope over an empty filter must serve an empty board, " +
+        "not refuse — index-wide stats need no tenant corpus")
+  }
 }

@@ -205,6 +205,10 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // resharded home rebuilds from live postings to the same corpus
     "retrieval_bm25_sharded", "retrieval_bm25_resharded",
     "retrieval_bm25_upsert",
+    // r19: the metadata-filtered serves share the BM25 / RRF
+    // dialect-bound texts (tenant leg = the plain oracle over the
+    // filtered corpus; home/fused legs add one ids-only join / IN cut)
+    "retrieval_bm25_filtered", "retrieval_rrf_filtered",
     "text_bpe_stored",
     // r15: ivfOracle's unrolled-kmeans CTEs with a live-rows corpus cut
     "sim_ivf_del",
