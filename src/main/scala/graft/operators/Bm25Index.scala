@@ -525,11 +525,7 @@ object Bm25Index {
     require(k > 0, s"crossBm25TopKFiltered: k must be positive, got $k")
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"crossBm25TopKFiltered: maxDfFrac must be in (0, 1], got $maxDfFrac")
-    val cols = allowed.columns.toSeq
-    require(cols == Seq("doc_id"),
-      s"crossBm25TopKFiltered: `allowed` must be a single doc_id key " +
-        s"column (got ${cols.mkString(", ")}) — compute it by filtering " +
-        "any metadata table and selecting the id")
+    val allowedKeys = allowedDocKeys(allowed, "crossBm25TopKFiltered")
     val qterms = TextOps.bm25QueryTerms(queries, qid, qtext)
     scope match {
       case HomeStats =>
@@ -538,8 +534,7 @@ object Bm25Index {
           maxDfFrac)
         val probedKeys = broadcast(qterms.select("term").distinct())
         val scored = liveTermBoundedPostings(spark, dir, probedKeys)
-          .join(allowed.select(col("doc_id").cast("long").as("doc_id")),
-            Seq("doc_id"), "left_semi")
+          .join(allowedKeys, Seq("doc_id"), "left_semi")
           .join(kept, Seq("term"))
           .join(qterms, Seq("term"))
           .transform(TextOps.withBm25Score(nDocs, sTok))
@@ -547,30 +542,54 @@ object Bm25Index {
           .agg(sum(col("__sc")).as("score_micro"))
         TextOps.bm25Board(scored, k)
       case FilteredStats =>
-        // the allowed docs' live postings, materialized once: the
-        // stats fold (eager head), the df fold and the match scan all
-        // read this ONE slice — never the home's full postings twice
-        val post = Dedup.materialize(
+        tenantBoard(
           livePostings(spark, dir)
-            .join(allowed.select(col("doc_id").cast("long").as("doc_id")),
-              Seq("doc_id"), "left_semi"))
-        val stats = TextOps.bm25StatsPartials(post).head()
-        val nDocs = stats.getLong(0)
-        require(nDocs > 0,
+            .join(allowedKeys, Seq("doc_id"), "left_semi"),
+          qterms, k, maxDfFrac,
           s"crossBm25TopKFiltered: the filter excludes every live " +
-            s"document of $dir — an empty tenant corpus has no idf; " +
-            "widen the filter or serve HomeStats over an empty board")
-        val sTok = stats.getLong(1)
-        val dft = post.groupBy("term").agg(count(lit(1)).as("df"))
-        val kept = TextOps.bm25KeptTerms(dft, nDocs, maxDfFrac)
-        val scored = post
-          .join(kept, Seq("term"))
-          .join(qterms, Seq("term"))
-          .transform(TextOps.withBm25Score(nDocs, sTok))
-          .groupBy("query_id", "doc_id")
-          .agg(sum(col("__sc")).as("score_micro"))
-        TextOps.bm25Board(scored, k)
+            s"document of $dir")
     }
+  }
+
+  /** The `allowed` key-set shape contract shared by every filtered
+    * serve: exactly one `doc_id` column, cast to the postings' key
+    * type. */
+  private[operators] def allowedDocKeys(allowed: DataFrame,
+                                        what: String): DataFrame = {
+    val cols = allowed.columns.toSeq
+    require(cols == Seq("doc_id"),
+      s"$what: `allowed` must be a single doc_id key " +
+        s"column (got ${cols.mkString(", ")}) — compute it by filtering " +
+        "any metadata table and selecting the id")
+    allowed.select(col("doc_id").cast("long").as("doc_id"))
+  }
+
+  /** [[FilteredStats]]-scope board off an ALREADY-FILTERED live
+    * postings slice — the per-tenant-index arithmetic shared by the
+    * monolithic and sharded filtered serves (a sharded home's live
+    * postings union IS the monolithic home's, so sharding stays an
+    * operational knob under filters too). Materializes the slice
+    * once: the stats fold (eager head), the df fold and the match
+    * scan all read it — never the home's full postings twice. */
+  private[operators] def tenantBoard(post0: DataFrame, qterms: DataFrame,
+                                     k: Int, maxDfFrac: Double,
+                                     emptyMsg: String): DataFrame = {
+    val post = Dedup.materialize(post0)
+    val stats = TextOps.bm25StatsPartials(post).head()
+    val nDocs = stats.getLong(0)
+    require(nDocs > 0,
+      s"$emptyMsg — an empty tenant corpus has no idf; " +
+        "widen the filter or serve HomeStats over an empty board")
+    val sTok = stats.getLong(1)
+    val dft = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val kept = TextOps.bm25KeptTerms(dft, nDocs, maxDfFrac)
+    val scored = post
+      .join(kept, Seq("term"))
+      .join(qterms, Seq("term"))
+      .transform(TextOps.withBm25Score(nDocs, sTok))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__sc")).as("score_micro"))
+    TextOps.bm25Board(scored, k)
   }
 
   /** The FULL committed live postings of the index — (doc_id, term,

@@ -691,6 +691,81 @@ object ShardedIndex {
     TextOps.bm25Board(scored, k)
   }
 
+  /** Metadata-filtered serve over a SHARDED BM25 home — the filter ×
+    * layout cell: [[Bm25Index.crossBm25TopKFiltered]]'s contract
+    * (ids-only `allowed` key set, typed [[Bm25Index.FilterScope]]
+    * statistics knob, pre-filter semantics) over the cross-shard
+    * gather. Shard routing partitions docs disjointly, so the union
+    * of per-shard live postings IS the monolithic home's live
+    * postings — both scopes therefore serve BIT-IDENTICALLY to the
+    * monolithic filtered serve over the same content (the law in
+    * `ShardedIndexSpec`), and sharding stays an operational knob
+    * under filters too:
+    *
+    *  - [[Bm25Index.HomeStats]]: the global (N, S)/df folds are the
+    *    unchanged cross-shard gathers (one aggregate job each, never
+    *    S driver round trips); the filter adds ONE ids-only semi-join
+    *    to the unioned query-term-bounded match stream.
+    *  - [[Bm25Index.FilteredStats]]: the allowed docs' live postings
+    *    (per-shard unions, one slice) feed the shared
+    *    [[Bm25Index.tenantBoard]] arithmetic — df/N/S recomputed over
+    *    the tenant's slice exactly as a fresh per-tenant build would,
+    *    cost bounded by the TENANT's postings across shards, never
+    *    the home's. */
+  def crossBm25TopKShardedFiltered(spark: SparkSession, queries: DataFrame,
+                                   home: String, allowed: DataFrame,
+                                   k: Int = 5, qid: String = "query_id",
+                                   qtext: String = "query_text",
+                                   maxDfFrac: Double = 1.0,
+                                   scope: Bm25Index.FilterScope =
+                                     Bm25Index.FilteredStats): DataFrame = {
+    require(k > 0, s"crossBm25TopKShardedFiltered: k must be positive, got $k")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"crossBm25TopKShardedFiltered: maxDfFrac must be in (0, 1], " +
+        s"got $maxDfFrac")
+    val m = manifest(spark, home)
+    require(m("child_kind") == Bm25Index.Kind,
+      s"sharded index at $home holds ${m("child_kind")}, not BM25")
+    val allowedKeys = Bm25Index.allowedDocKeys(
+      allowed, "crossBm25TopKShardedFiltered")
+    val dirs = shardDirs(home, m)
+    val qterms = TextOps.bm25QueryTerms(queries, qid, qtext)
+    scope match {
+      case Bm25Index.HomeStats =>
+        val st = dirs.map(Bm25Index.statsFrame(spark, _))
+          .reduce(_.unionByName(_))
+          .agg(sum(col("n")).as("n"), sum(col("s")).as("s")).head()
+        val nDocs = if (st.isNullAt(0)) 0L else st.getLong(0)
+        val sTok = if (st.isNullAt(1)) 0L else st.getLong(1)
+        require(nDocs > 0,
+          s"sharded BM25 index at $home holds no committed documents")
+        val globalDf = dirs.map(Bm25Index.dfPartialsFrame(spark, _))
+          .reduce(_.unionByName(_))
+          .groupBy("term").agg(sum(col("df")).as("df"))
+          .filter(col("df") > 0)
+        val kept = TextOps.bm25KeptTerms(globalDf, nDocs, maxDfFrac)
+        val probedKeys = broadcast(qterms.select("term").distinct())
+        val scored = dirs
+          .map(Bm25Index.liveTermBoundedPostings(spark, _, probedKeys))
+          .reduce(_.unionByName(_))
+          .join(allowedKeys, Seq("doc_id"), "left_semi")
+          .join(kept, Seq("term"))
+          .join(qterms, Seq("term"))
+          .transform(TextOps.withBm25Score(nDocs, sTok))
+          .groupBy("query_id", "doc_id")
+          .agg(sum(col("__sc")).as("score_micro"))
+        TextOps.bm25Board(scored, k)
+      case Bm25Index.FilteredStats =>
+        Bm25Index.tenantBoard(
+          dirs.map(Bm25Index.livePostings(spark, _))
+            .reduce(_.unionByName(_))
+            .join(allowedKeys, Seq("doc_id"), "left_semi"),
+          qterms, k, maxDfFrac,
+          s"crossBm25TopKShardedFiltered: the filter excludes every " +
+            s"live document of $home")
+    }
+  }
+
   /** Open a sharded minhash index as ONE [[Dedup.MinhashIndex]] handle:
     * bands/sets are the lazy union of the per-shard live views (each
     * already tombstone-masked at its own choke point), parameters

@@ -742,6 +742,28 @@ object Extensions {
             concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
               .as("query_text")),
         gateBm25ShardedHome(s, d), k = 5)),
+    // filtered serving from the STANDING sharded home: the timed work
+    // is the two scope serves over the cross-shard gather (the shard
+    // builds + takedown lifecycle are gate apparatus)
+    "retrieval_bm25_filtered_sharded" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+            .as("query_text"))
+      val allowed = docs.filter(col("lang") =!= "en").select("doc_id")
+      val home = gateBm25ShardedHome(s, d)
+      graft.operators.ShardedIndex.crossBm25TopKShardedFiltered(
+          s, queries, home, allowed, k = 5,
+          scope = graft.operators.Bm25Index.FilteredStats)
+        .withColumn("scope", lit("tenant"))
+        .unionByName(
+          graft.operators.ShardedIndex.crossBm25TopKShardedFiltered(
+            s, queries, home, allowed, k = 5,
+            scope = graft.operators.Bm25Index.HomeStats)
+            .withColumn("scope", lit("home")))
+        .select("scope", "query_id", "rk", "doc_id", "score_micro")
+    }),
     // the sharded stream twin serves the same shape: cross-shard
     // gather over the standing sharded fixture (the CDC fanout + shard
     // builds are gate apparatus)
@@ -1218,6 +1240,43 @@ object Extensions {
             concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
               .as("query_text")),
         home, k = 5)
+    }),
+    // the filter × layout cell: BOTH filtered-statistics scopes
+    // served from a 4-shard home carrying the takedown lifecycle.
+    // Shard routing partitions docs disjointly, so the union of
+    // per-shard live postings IS the monolithic home's — each scope
+    // must serve bit-identically to the monolithic filtered serve
+    // over the net live corpus, which is exactly what the shared
+    // filtered oracle pair (with the deletes cut) checks
+    "retrieval_bm25_filtered_sharded" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+      val home = graft.sources.Scratch.dir(
+        s"bm25fltsh_${java.util.UUID.randomUUID.toString.take(8)}")
+      graft.operators.ShardedIndex.writeBm25(
+        corpus.filter(col("doc_id") % 10 =!= 3), home, shards = 4)
+      graft.operators.ShardedIndex.append(s, home,
+        corpus.filter(col("doc_id") % 10 === 3).select("doc_id", "text"),
+        batchId = 0L)
+      graft.operators.ShardedIndex.delete(s, home,
+        corpus.filter(col("doc_id") % 13 === 5).select("doc_id"),
+        batchId = 1L)
+      graft.operators.ShardedIndex.compact(s, home)
+      val queries = docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6))
+            .as("query_text"))
+      val allowed = docs.filter(col("lang") =!= "en").select("doc_id")
+      graft.operators.ShardedIndex.crossBm25TopKShardedFiltered(
+          s, queries, home, allowed, k = 5,
+          scope = graft.operators.Bm25Index.FilteredStats)
+        .withColumn("scope", lit("tenant"))
+        .unionByName(
+          graft.operators.ShardedIndex.crossBm25TopKShardedFiltered(
+            s, queries, home, allowed, k = 5,
+            scope = graft.operators.Bm25Index.HomeStats)
+            .withColumn("scope", lit("home")))
+        .select("scope", "query_id", "rk", "doc_id", "score_micro")
     }),
     // the RESIZE leg: the same takedown lifecycle on a 2-shard home,
     // then reshard to 3 — the new home is rebuilt from the old one's
@@ -5344,6 +5403,24 @@ object Extensions {
         "JOIN (SELECT doc_id FROM documents WHERE lang <> 'en') alw " +
           "USING (doc_id)")}) h"""
 
+  /** `retrieval_bm25_filtered_sharded` — the filter × layout cell:
+    * the SAME two statistics scopes served from a 4-shard home that
+    * carries the takedown lifecycle (append batch 0, delete the 13≡5
+    * slice, compact). Shard count and layout are operational knobs
+    * under filters too, so the oracle is just the filtered oracle
+    * pair over the net LIVE corpus (corpus − deletes). */
+  private val bm25FilteredShardedOracle: String = s"""
+      SELECT 'tenant' AS scope, query_id, rk, doc_id, score_micro
+      FROM (${bm25OracleFor(
+        "doc_id % 29 <> 0 AND doc_id % 13 <> 5 AND lang <> 'en'")}) t
+      UNION ALL
+      SELECT 'home' AS scope, query_id, rk, doc_id, score_micro
+      FROM (${bm25OracleOver(
+        "SELECT doc_id, text FROM documents " +
+          "WHERE doc_id % 29 <> 0 AND doc_id % 13 <> 5",
+        "JOIN (SELECT doc_id FROM documents WHERE lang <> 'en') alw " +
+          "USING (doc_id)")}) h"""
+
   /** CDC stream: base (%10≠3) minus its 13≡5 deletes, plus the
     * inserted %10=3 batch — the net live corpus after the change
     * stream drains. */
@@ -5669,6 +5746,7 @@ object Extensions {
     // write + append + delete ≡ fresh build over corpus − tombstones
     "retrieval_bm25_del" -> bm25DeletedOracle,
     "retrieval_bm25_filtered" -> bm25FilteredOracle,
+    "retrieval_bm25_filtered_sharded" -> bm25FilteredShardedOracle,
     // shard count is an operational knob: the 4-shard home serves the
     // SAME net live corpus, so the fresh-build oracle replays verbatim
     "retrieval_bm25_sharded" -> bm25DeletedOracle,

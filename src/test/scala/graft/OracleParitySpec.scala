@@ -209,6 +209,7 @@ class OracleParitySpec extends AnyFunSuite with SparkSpec {
     // dialect-bound texts (tenant leg = the plain oracle over the
     // filtered corpus; home/fused legs add one ids-only join / IN cut)
     "retrieval_bm25_filtered", "retrieval_rrf_filtered",
+    "retrieval_bm25_filtered_sharded",
     "text_bpe_stored",
     // r15: ivfOracle's unrolled-kmeans CTEs with a live-rows corpus cut
     "sim_ivf_del",

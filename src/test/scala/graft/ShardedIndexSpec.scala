@@ -55,6 +55,36 @@ class ShardedIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("filtered serve over a sharded home: both statistics scopes " +
+    "bit-identical to the monolithic filtered serve, through a CDC history") {
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    val held = corpus.filter(col("doc_id") % 10 =!= 3)
+    val ins = corpus.filter(col("doc_id") % 10 === 3)
+      .select("doc_id", "text")
+    val dels = corpus.filter(col("doc_id") % 13 === 5).select("doc_id")
+    val allowed = docs.filter(col("lang") =!= "en").select("doc_id")
+    val mono = graft.sources.Scratch.dir("shard-flt-mono")
+    Bm25Index.write(held, mono)
+    Bm25Index.applyCdc(spark, mono, ins, dels, batchId = 0L)
+    val home = graft.sources.Scratch.dir("shard-flt-4")
+    ShardedIndex.writeBm25(held, home, shards = 4)
+    ShardedIndex.applyCdc(spark, home, ins, dels, batchId = 0L)
+    Seq(Bm25Index.FilteredStats, Bm25Index.HomeStats).foreach { scope =>
+      val expect = canon(Bm25Index.crossBm25TopKFiltered(spark,
+        queries(docs), mono, allowed, k = 5, scope = scope))
+      assert(expect.nonEmpty, s"$scope monolithic fixture board is empty")
+      assert(canon(ShardedIndex.crossBm25TopKShardedFiltered(spark,
+        queries(docs), home, allowed, k = 5, scope = scope)) == expect,
+        s"sharded $scope filtered board diverged from the monolithic one")
+    }
+    // the wrong-key refusal carries over the shared contract
+    val e = intercept[IllegalArgumentException] {
+      ShardedIndex.crossBm25TopKShardedFiltered(spark, queries(docs),
+        home, docs.select("doc_id", "lang"), k = 5)
+    }
+    assert(e.getMessage.contains("single doc_id key"))
+  }
+
   test("routing is a disjoint partition: every live id in exactly one " +
     "shard, and the union is the corpus") {
     val corpus = docs.filter(col("doc_id") < 200)
