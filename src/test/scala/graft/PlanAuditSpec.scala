@@ -325,6 +325,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         s"S=8 -> $j8 — a per-shard driver action crept back in")
   }
 
+  test("filtered BM25 serve (HomeStats) adds no shuffle exchange over " +
+    "the unfiltered serve — the ids-only allowed keys broadcast") {
+    // the whole point of the ids-only `allowed` contract is that a
+    // selective filter's key set is broadcast-sized: if the semi-join
+    // ever plans a shuffle of the match stream, the filter has turned
+    // the term-bounded serve into an extra corpus-keyed exchange —
+    // the 100 TB regression this pin exists for
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    val idx = graft.sources.Scratch.dir("plan-bm25-flt")
+    graft.operators.Bm25Index.write(corpus, idx)
+    val qs = docs.filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ",
+          slice(graft.operators.TextOps.tokens(col("text")), 1, 6))
+          .as("query_text"))
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      collectNodes(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    val unfiltered = exchanges(
+      graft.operators.Bm25Index.crossBm25TopK(spark, qs, idx, 5))
+    val filtered = exchanges(
+      graft.operators.Bm25Index.crossBm25TopKFiltered(spark, qs, idx,
+        docs.filter(col("lang") =!= "en").select("doc_id"), 5,
+        scope = graft.operators.Bm25Index.HomeStats))
+    assert(filtered == unfiltered,
+      s"HomeStats filtered serve plans $filtered shuffle exchanges vs " +
+        s"$unfiltered unfiltered — the allowed-keys semi-join stopped " +
+        "broadcasting")
+  }
+
   test("dimension joins broadcast the small side") {
     // queries whose plans join region/nation/supplier dims must show a
     // broadcast join (AQE or hint) — a shuffle on a 25-row dim is wrong.
