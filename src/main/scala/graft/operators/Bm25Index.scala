@@ -552,8 +552,16 @@ object Bm25Index {
   }
 
   /** The `allowed` key-set shape contract shared by every filtered
-    * serve: exactly one `doc_id` column, cast to the postings' key
-    * type. */
+    * serve: exactly one `doc_id` column of an INTEGRAL type, cast to
+    * the postings' key type. Non-integral key sets (string/UUID ids)
+    * are refused loudly — a silent cast would turn every key to NULL,
+    * drop every row, and serve an empty/misleading board. The returned
+    * frame carries an explicit broadcast hint: the ids-only contract
+    * IS the broadcast-sized contract, and relying on AQE size
+    * estimation instead lets a poorly-estimated key set silently add a
+    * corpus-keyed shuffle of the match stream in deployment (the exact
+    * regression `PlanAuditSpec`'s no-extra-exchange pin documents, but
+    * that pin only runs at fixture scale). */
   private[operators] def allowedDocKeys(allowed: DataFrame,
                                         what: String): DataFrame = {
     val cols = allowed.columns.toSeq
@@ -561,20 +569,40 @@ object Bm25Index {
       s"$what: `allowed` must be a single doc_id key " +
         s"column (got ${cols.mkString(", ")}) — compute it by filtering " +
         "any metadata table and selecting the id")
-    allowed.select(col("doc_id").cast("long").as("doc_id"))
+    val dt = allowed.schema("doc_id").dataType
+    val integral = dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"$what: `allowed` doc_id must be an integral key (got $dt) — " +
+        "a non-numeric key set would cast to NULL and silently exclude " +
+        "every document")
+    broadcast(allowed.select(col("doc_id").cast("long").as("doc_id")))
   }
 
   /** [[FilteredStats]]-scope board off an ALREADY-FILTERED live
     * postings slice — the per-tenant-index arithmetic shared by the
     * monolithic and sharded filtered serves (a sharded home's live
     * postings union IS the monolithic home's, so sharding stays an
-    * operational knob under filters too). Materializes the slice
-    * once: the stats fold (eager head), the df fold and the match
-    * scan all read it — never the home's full postings twice. */
+    * operational knob under filters too). PERSISTS (never checkpoints)
+    * the slice: the stats fold's eager head() computes it once, then
+    * the df fold and the match scan read the cached blocks — never the
+    * home's full postings twice. A reliable checkpoint here would leak
+    * one on-disk copy of the tenant slice per serve call (checkpoint
+    * files are not reclaimed without `cleanCheckpoints`, and this is a
+    * per-query-batch SERVING path, unlike the one-shot build/probe
+    * callers of `materializeTracked`); persisted blocks are instead
+    * reclaimed by the ContextCleaner once the served board frame goes
+    * unreachable. */
   private[operators] def tenantBoard(post0: DataFrame, qterms: DataFrame,
                                      k: Int, maxDfFrac: Double,
                                      emptyMsg: String): DataFrame = {
-    val post = Dedup.materialize(post0)
+    val post = post0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = TextOps.bm25StatsPartials(post).head()
     val nDocs = stats.getLong(0)
     require(nDocs > 0,

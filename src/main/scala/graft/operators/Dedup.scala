@@ -1342,11 +1342,21 @@ object Dedup {
   }
 
   /** (doc_id, hs: array<bigint>) — distinct hashed n-gram shingles, via
-    * the single-pass [[graft.functions.ShingleHashes]] expression. */
+    * the single-pass [[graft.functions.ShingleHashes]] expression.
+    * fanOutExpansion first: shingling hashes every character n-gram of
+    * every document (one input byte ≈ n hash evaluations), so an
+    * underparallelized scan — fewer splits than cores, the small-input
+    * case — is rebalanced on the cheap (id, text) rows before the
+    * expensive pass; at corpus scale the condition is false and the
+    * plan is untouched ([[Rebalance]] doc). Every shingle consumer
+    * (minhash signing, simhash, the rare-shingle and containment
+    * candidate paths) inherits the fan-out through this one choke
+    * point. */
   def shingleHashesFlat(df: DataFrame, id: String, text: String,
                         n: Int = 3): DataFrame =
-    df.select(col(id).as("doc_id"),
-      graft.functions.exprs.shingle_hashes(col(text), n).as("hs"))
+    Rebalance.fanOutExpansion(df.select(col(id).as("doc_id"), col(text)))
+      .select(col("doc_id"),
+        graft.functions.exprs.shingle_hashes(col(text), n).as("hs"))
 
   /** 32-bit SimHash per document over distinct 3-gram shingle hashes:
     * (doc_id, simhash). Bit j of the signature is the sign of Σ±1 over

@@ -59,8 +59,14 @@ object Pca {
     // null/empty guard: sequence(0, -1) DESCENDS in Spark ([0, -1]),
     // so an empty array would evaluate element_at(_, 0) and throw, and
     // a null array would emit corrupt i = -1 cells — drop such rows,
-    // which is also what the oracle's generate_series(0, -1) does
-    df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    // which is also what the oracle's generate_series(0, -1) does.
+    // fanOutExpansion: the d(d+1)/2-fold product expansion below makes
+    // one input byte ~d²/8 bytes of generated work, so an
+    // underparallelized scan (input smaller than cores×splits) is
+    // rebalanced first — a no-op at corpus scale (Rebalance doc).
+    Rebalance.fanOutExpansion(
+      df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+        .select(col(vecCol)))
       .select(microVec(col(vecCol)).as("__q"))
       // explicit range check, not abs(): a double big enough to saturate
       // the non-ANSI cast to exactly Long.MinValue has abs(Long.MinValue)
@@ -72,13 +78,24 @@ object Pca {
             "~3034 after 10^6 quantization - q*q would overflow long; " +
             "rescale the embedding column first")))
         .otherwise(col("__q")).as("__q"))
-      .select(explode(expr(
-        "flatten(transform(sequence(0, size(__q) - 1), i -> " +
-          "transform(sequence(i, size(__q) - 1), j -> " +
-          "named_struct('i', i, 'j', j, " +
-          "'p', element_at(__q, i + 1) * element_at(__q, j + 1)))))"))
-        .as("e"))
-      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      // Two-level codegen'd explode: (i, q_i) from the vector, then the
+      // tail slice q_i..q_{d-1} for the products — emits the identical
+      // d(d+1)/2 (i, j, p) rows per vector as the nested
+      // transform/flatten/named_struct build this replaced, but where
+      // that build ran as CodegenFallback (higher-order functions are
+      // interpreted, evaluated per element of a d²/2 array — the one
+      // non-codegen expression on a corpus-scale hot path this engine
+      // had), posexplode/slice/multiply all stay inside whole-stage
+      // codegen straight into the partial hash aggregate. Same sums,
+      // same grouping, bit-identical output (integer arithmetic is
+      // order-free); measured ~3× on the 2k×64-dim fixture (with the
+      // fan-out above).
+      .select(col("__q"), posexplode(col("__q")).as(Seq("i", "qi")))
+      .select(col("i"), col("qi"),
+        posexplode(slice(col("__q"), col("i") + 1,
+          size(col("__q")) - col("i"))).as(Seq("joff", "qj")))
+      .select(col("i"), (col("i") + col("joff")).as("j"),
+        (col("qi") * col("qj")).as("p"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"),
         sum(col("p").cast(DecimalType(38, 0))).as("sp"))
@@ -87,7 +104,9 @@ object Pca {
     * Same null/empty guard as [[gram]] so the two statistics always
     * describe the identical row set. */
   def moments(df: DataFrame, vecCol: String): DataFrame =
-    df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    Rebalance.fanOutExpansion(
+      df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+        .select(col(vecCol)))
       .select(posexplode(microVec(col(vecCol))).as(Seq("i", "x")))
       .groupBy("i")
       .agg(count(lit(1)).as("n"),

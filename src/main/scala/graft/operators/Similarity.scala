@@ -53,7 +53,12 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"),
       col("embedding").as("qv")))
-    val scored = corpus.select(col("vec_id"), col("embedding").as("v"))
+    // fanOutExpansion: the broadcast join expands every corpus row
+    // |queries|-fold (a cosine per pair), so a small corpus source —
+    // e.g. the recall curve's checkpointed live set — fans out before
+    // the scoring scan; no-op at corpus scale ([[Rebalance]] doc).
+    val scored = Rebalance.fanOutExpansion(
+      corpus.select(col("vec_id"), col("embedding").as("v")))
       .join(q, col("qid") =!= col("vec_id"))
       .withColumn("sim", round(cosine("qv", "v"), 6))
     topKReduce(scored, k)
@@ -194,8 +199,15 @@ object Similarity {
     // nearestCentroid, or as a silently degenerate quantizer
     require(cents.nonEmpty,
       s"trainCentroids: corpus has no vec_id < $nCentroids to seed from")
+    // scale-adaptive iteration parallelism: assignment costs
+    // ~nCentroids·d per vector and the (cell, dim) fold another d, so
+    // a small source (fewer scan splits than cores — e.g. a rebuild's
+    // single-partition checkpointed live set) fans out once per
+    // iteration on the cheap embedding rows; no-op at corpus scale
+    // ([[Rebalance]] doc — each iteration stays ONE narrow scan there).
+    val itCorpus = Rebalance.fanOutExpansion(corpus.select(col("embedding")))
     for (_ <- 0 until iters) {
-      val means = corpus
+      val means = itCorpus
         // assignment is a pure narrow expression over the driver-side
         // model ([[nearestCentroid]]) — no nCentroids× row blowup, no
         // per-vector shuffle; the only exchange per iteration is the
@@ -329,6 +341,31 @@ object Similarity {
     spark.read.parquet(path).groupBy("cent_id").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
 
+  /** Writes an (…, cent_id) frame as the cell-partitioned `assigned`
+    * layout at `path` and returns its per-cell occupancy, counted by an
+    * [[org.apache.spark.sql.Observation]] riding the write job itself —
+    * replacing the footer-scan read-back job every fresh layout
+    * previously paid on top of its write (one job instead of two per
+    * write/rebuild/compact; the counts are the same rows the write
+    * streams through, so the histogram can never diverge from the files
+    * it describes). `cids` is the stored quantizer's cell id list —
+    * model-scale, so the observation is ≤ nCentroids counter columns
+    * folded map-side. */
+  private def writeAssignedWithHist(rows: DataFrame, cids: Seq[Int],
+                                    path: String): Map[Int, Long] = {
+    val obs = org.apache.spark.sql.Observation()
+    val counted = rows.observe(obs,
+      sum(when(col("cent_id") === cids.head, 1L).otherwise(0L))
+        .as(s"c_${cids.head}"),
+      cids.tail.map(cid =>
+        sum(when(col("cent_id") === cid, 1L).otherwise(0L)).as(s"c_$cid")): _*)
+    counted.write.mode("overwrite").partitionBy("cent_id").parquet(path)
+    cids.flatMap { cid =>
+      obs.get.get(s"c_$cid").map(_.asInstanceOf[Long]).filter(_ > 0)
+        .map(cid -> _)
+    }.toMap
+  }
+
   /** Drift sentinel floor: batches below 20 rows/cell are too small
     * for their empirical cell shares to mean anything — a single
     * vector lands in one cell and would read as "total drift". Small
@@ -382,17 +419,30 @@ object Similarity {
                              nCentroids: Int, iters: Int,
                              baseMeta: Map[String, String]): Unit = {
     import spark.implicits._
+    // scale-adaptive build parallelism: assignment + int8 quantization
+    // cost ~nCentroids·d + d work per input byte, so when the vector
+    // source would scan in fewer splits than cores the cheap (id,
+    // vector) rows fan out first, then cluster back by cell so the
+    // partitioned write keeps ONE file per cell instead of tasks×cells
+    // shards (the small-files trap every later probe would pay for).
+    // At corpus scale neither exchange plans ([[Rebalance]] doc) and
+    // the write keeps its scan-shaped layout.
+    val assigned =
+      if (Rebalance.underparallelized(vectors))
+        ivfAssignedRows(
+          vectors.repartition(spark.sparkContext.defaultParallelism), cents)
+          .repartition(col("cent_id"))
+      else ivfAssignedRows(vectors, cents)
     Dedup.swapInDir(spark, dir) { tmp =>
       cents.map { case (cid, v) => (cid, v.toSeq) }
         .toDF("cent_id", "embedding")
         .repartition(1).write.mode("overwrite").parquet(s"$tmp/centroids")
-      ivfAssignedRows(vectors, cents)
-        .write.mode("overwrite").partitionBy("cent_id")
-        .parquet(s"$tmp/assigned")
+      val hist = writeAssignedWithHist(assigned, cents.map(_._1),
+        s"$tmp/assigned")
       Dedup.writeMeta(spark, tmp, baseMeta ++ Map(
         "kind" -> IvfIndexKind, "nCentroids" -> nCentroids.toString,
         "iters" -> iters.toString,
-        "cell_hist" -> cellHistStr(cellCountsOf(spark, s"$tmp/assigned"))))
+        "cell_hist" -> cellHistStr(hist)))
     }
   }
 
@@ -728,24 +778,24 @@ object Similarity {
       s"compactIvfIndex: every vector in $dir is deleted — nothing to " +
         "fold; delete the index directory instead")
     val cents = spark.read.parquet(s"$root/centroids")
+    val cids = readIvfCentroids(spark, root).map(_._1)
     // pointer commit: the serving version is read LAZILY while the
     // replacement builds beside it — nothing to pre-materialize, the
     // old version is untouched until two commits later
     Dedup.swapInDir(spark, dir) { tmp =>
       cents.repartition(1).write.mode("overwrite")
         .parquet(s"$tmp/centroids")
-      live.write.mode("overwrite").partitionBy("cent_id")
-        .parquet(s"$tmp/assigned")
       // re-baseline the drift sentinel from the rows just rewritten:
       // deletes never decrement cell_hist (the delete leg is
       // deliberately scan-free), so under churn the stored histogram
       // over-counts hollowed-out cells and the sentinel compares new
       // batches against a distribution the index no longer holds —
-      // compaction scans the live rows anyway, so the refresh is free
+      // compaction streams the live rows anyway, so the refresh rides
+      // the write's own Observation (writeAssignedWithHist) for free
+      val hist = writeAssignedWithHist(live, cids, s"$tmp/assigned")
       Dedup.writeMeta(spark, tmp,
         if (meta.contains("cell_hist"))
-          meta + ("cell_hist" ->
-            cellHistStr(cellCountsOf(spark, s"$tmp/assigned")))
+          meta + ("cell_hist" -> cellHistStr(hist))
         else meta)
     }
   }
@@ -866,7 +916,20 @@ object Similarity {
     * recall non-decreasing by construction (recall@nCentroids = 1 —
     * probing every cell IS the brute pass). */
   def nprobeRecallCurve(spark: SparkSession, dir: String,
-                        queries: DataFrame, k: Int = 10): DataFrame = {
+                        queries: DataFrame, k: Int = 10): DataFrame =
+    nprobeRecallCurveWithTruth(spark, dir, queries, k)._1
+
+  /** [[nprobeRecallCurve]] plus the materialized brute-force ground
+    * truth it was measured against — for callers (audits, gates) that
+    * would otherwise re-run the exact pass a second time to compare a
+    * served board against it: the brute scan is the single expensive
+    * leg of the curve (one corpus pass per call), so handing the truth
+    * back turns "curve + independent truth check" from two corpus
+    * passes into one. The truth frame is the [[bruteForceTopK]] board
+    * over the index's LIVE vectors, already materialized. */
+  private[graft] def nprobeRecallCurveWithTruth(
+      spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 10): (DataFrame, DataFrame) = {
     val idx = readIvfIndex(spark, dir)
     val nC = idx.cents.size
     val live = idx.assigned.select(col("vec_id"), col("v").as("embedding"))
@@ -890,11 +953,27 @@ object Similarity {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     // nCentroids-bounded cumulative sum — driver-side metadata work
     import spark.implicits._
-    (1 to nC).scanLeft((0, 0L)) { case ((_, acc), p) =>
+    val curve = (1 to nC).scanLeft((0, 0L)) { case ((_, acc), p) =>
       (p, acc + perRank.getOrElse(p, 0L))
     }.tail.map { case (p, cum) =>
       (p, cum, total, cum.toDouble / total)
     }.toDF("nprobe", "hits", "total", "recall")
+    (curve, truth)
+  }
+
+  /** The smallest nprobe on an already-measured curve whose recall
+    * reaches `targetRecall` (last point when none does) — the
+    * selection arithmetic of [[recommendNprobe]], split out so a
+    * caller holding the collected curve (the audit gate measures it
+    * anyway) does not pay a second full curve pass — i.e. a second
+    * brute-force corpus scan — just to pick a point off it. */
+  def recommendFromCurve(curve: Seq[(Int, Double)],
+                         targetRecall: Double): Int = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"recommendFromCurve: targetRecall must be in (0, 1], got $targetRecall")
+    require(curve.nonEmpty, "recommendFromCurve: empty curve")
+    val sorted = curve.sortBy(_._1)
+    sorted.find(_._2 >= targetRecall).map(_._1).getOrElse(sorted.last._1)
   }
 
   /** The smallest nprobe whose measured recall@k on the held-out
@@ -910,9 +989,8 @@ object Similarity {
       s"recommendNprobe: targetRecall must be in (0, 1], got $targetRecall")
     val curve = nprobeRecallCurve(spark, dir, queries, k)
       .select("nprobe", "recall").collect()
-      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
-    curve.find(_._2 >= targetRecall).map(_._1)
-      .getOrElse(curve.last._1)
+      .map(r => r.getInt(0) -> r.getDouble(1)).toSeq
+    recommendFromCurve(curve, targetRecall)
   }
 
   /** IVF × int8 combined serving path — the two levers composed where

@@ -514,8 +514,15 @@ object TextOps {
     * semantics. */
   private[graft] def docTermFreqs(corpus: DataFrame, id: String,
                                   text: String): DataFrame =
-    corpus
-      .select(col(id).cast("long").as("doc_id"), tokens(col(text)).as("__t"))
+    // fanOutExpansion: tokenize+explode emits one row per TOKEN (one
+    // input byte ≈ a row of downstream groupBy work), so a small-input
+    // scan (fewer splits than cores) is rebalanced on the cheap
+    // (id, text) rows first; a no-op at corpus scale (Rebalance doc).
+    // Every postings build (Bm25Index write/append/CDC, inline bm25TopK)
+    // inherits the fan-out through this one choke point.
+    Rebalance.fanOutExpansion(
+      corpus.select(col(id).cast("long").as("doc_id"), col(text)))
+      .select(col("doc_id"), tokens(col(text)).as("__t"))
       .filter(size(col("__t")) > 0)
       .withColumn("dl", size(col("__t")).cast("long"))
       .select(col("doc_id"), col("dl"), explode(col("__t")).as("term"))

@@ -619,6 +619,24 @@ object Extensions {
     })
   }
 
+  /** Runs independent lifecycle/fixture chains concurrently on a small
+    * dedicated pool — guide §2.6 ("overlap independent jobs"): Spark's
+    * scheduler happily runs several jobs at once, FIFO back-fills one
+    * chain's straggler tail with the next chain's tasks, and the four
+    * index families write DISJOINT directories (per-dir leases, no
+    * shared mutable state beyond the thread-safe session). Any chain's
+    * exception propagates to the caller — a parallel build can never
+    * pass where the sequential one would have failed. */
+  private def inParallel(tasks: Seq[() => Unit]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+      tasks.map(t => scala.concurrent.Future(t())(ec))
+        .foreach(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   /** The four-family lifecycle fixture behind `lifecycle_composite`'s
     * bench override: the SAME history as the registered gate (write on
     * even ∧ %10≠4, three façade CDC batches, delete-only takedown,
@@ -635,39 +653,55 @@ object Extensions {
       val e = Tables.embeddings(s, d)
       val baseDocs = docs.filter(col("doc_id") % 2 === 0 &&
         col("doc_id") % 10 =!= 4)
-      Dedup.writeMinhashIndex(baseDocs, "doc_id", "text", s"$root/mh")
-      graft.operators.SimJoin.writePrefixIndex(baseDocs, "doc_id", "text",
-        6, 10, s"$root/pfx")
-      graft.operators.Bm25Index.write(baseDocs, s"$root/bm")
-      Similarity.writeIvfIndex(e.filter(col("vec_id") % 2 === 0 &&
-        col("vec_id") % 10 =!= 4), s"$root/ivf")
-      (0 to 2).foreach { b =>
-        val ins = docs.filter(col("doc_id") % 30 === 10 * b + 4)
-        val del = docs.filter(col("doc_id") % 30 === 10 * b + 6)
-          .select("doc_id")
-        Seq("mh", "pfx", "bm").foreach(fam =>
-          graft.operators.IndexCdc.apply(s, s"$root/$fam", ins, del,
-            b.toLong))
-        graft.operators.IndexCdc.apply(s, s"$root/ivf",
-          e.filter(col("vec_id") % 30 === 10 * b + 4),
-          e.filter(col("vec_id") % 30 === 10 * b + 6).select("vec_id"),
-          b.toLong)
+      // per-family chains are INDEPENDENT (disjoint dirs, same history
+      // per family as before — batch order preserved WITHIN each
+      // chain), so the four run concurrently (inParallel, guide §2.6);
+      // the built fixture is bit-identical to the sequential build
+      def docChain(fam: String,
+                   write: String => Unit): () => Unit = () => {
+        val dir = s"$root/$fam"
+        write(dir)
+        (0 to 2).foreach { b =>
+          graft.operators.IndexCdc.apply(s, dir,
+            docs.filter(col("doc_id") % 30 === 10 * b + 4),
+            docs.filter(col("doc_id") % 30 === 10 * b + 6)
+              .select("doc_id"),
+            b.toLong)
+        }
+        graft.operators.IndexCdc.apply(s, dir, docs.limit(0),
+          docs.filter(col("doc_id") % 10 === 8).select("doc_id"), 3L)
+        // the gate's batch-4 upsert wave (same history, same net state)
+        val updDocs = docs.filter(col("doc_id") % 10 === 2)
+        graft.operators.IndexCdc.apply(s, dir, updDocs,
+          updDocs.select("doc_id"), 4L)
+        graft.operators.IndexCdc.compact(s, dir)
       }
-      Seq("mh", "pfx", "bm").foreach(fam =>
-        graft.operators.IndexCdc.apply(s, s"$root/$fam", docs.limit(0),
-          docs.filter(col("doc_id") % 10 === 8).select("doc_id"), 3L))
-      graft.operators.IndexCdc.apply(s, s"$root/ivf", e.limit(0),
-        e.filter(col("vec_id") % 10 === 8).select("vec_id"), 3L)
-      // the gate's batch-4 upsert wave (same history, same net state)
-      val updDocs = docs.filter(col("doc_id") % 10 === 2)
-      Seq("mh", "pfx", "bm").foreach(fam =>
-        graft.operators.IndexCdc.apply(s, s"$root/$fam", updDocs,
-          updDocs.select("doc_id"), 4L))
-      val updVecs = e.filter(col("vec_id") % 10 === 2)
-      graft.operators.IndexCdc.apply(s, s"$root/ivf",
-        updVecs.select("vec_id", "embedding"), updVecs.select("vec_id"), 4L)
-      Seq("mh", "pfx", "bm", "ivf").foreach(fam =>
-        graft.operators.IndexCdc.compact(s, s"$root/$fam"))
+      val ivfChain: () => Unit = () => {
+        val dir = s"$root/ivf"
+        Similarity.writeIvfIndex(e.filter(col("vec_id") % 2 === 0 &&
+          col("vec_id") % 10 =!= 4), dir)
+        (0 to 2).foreach { b =>
+          graft.operators.IndexCdc.apply(s, dir,
+            e.filter(col("vec_id") % 30 === 10 * b + 4),
+            e.filter(col("vec_id") % 30 === 10 * b + 6).select("vec_id"),
+            b.toLong)
+        }
+        graft.operators.IndexCdc.apply(s, dir, e.limit(0),
+          e.filter(col("vec_id") % 10 === 8).select("vec_id"), 3L)
+        val updVecs = e.filter(col("vec_id") % 10 === 2)
+        graft.operators.IndexCdc.apply(s, dir,
+          updVecs.select("vec_id", "embedding"), updVecs.select("vec_id"),
+          4L)
+        graft.operators.IndexCdc.compact(s, dir)
+      }
+      inParallel(Seq(
+        docChain("mh",
+          d0 => Dedup.writeMinhashIndex(baseDocs, "doc_id", "text", d0)),
+        docChain("pfx",
+          d0 => graft.operators.SimJoin.writePrefixIndex(baseDocs,
+            "doc_id", "text", 6, 10, d0)),
+        docChain("bm", d0 => graft.operators.Bm25Index.write(baseDocs, d0)),
+        ivfChain))
       root
     })
   }
@@ -2237,8 +2271,16 @@ object Extensions {
       Similarity.rebuildIvfIndex(s, dir)
       val sample = emb.filter(col("vec_id") % 7 === 0)
         .select("vec_id", "embedding")
-      val curve = Similarity.nprobeRecallCurve(s, dir, sample, k = 5)
-        .collect()
+      // ONE curve pass feeds every law below: the curve call hands back
+      // the brute-force truth it measured against (re-running
+      // bruteForceTopK here would be a second identical corpus scan —
+      // the curve is deterministic), and the recommendation is read off
+      // the already-collected curve instead of paying recommendNprobe's
+      // full second curve pass (same selection arithmetic —
+      // Similarity.recommendFromCurve IS recommendNprobe's picker)
+      val (curveDf, truth) =
+        Similarity.nprobeRecallCurveWithTruth(s, dir, sample, k = 5)
+      val curve = curveDf.collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
           r.getDouble(3))).sortBy(_._1)
       val monotone = curve.iterator.sliding(2).withPartial(false)
@@ -2246,15 +2288,13 @@ object Extensions {
       val fullExact = curve.last._4 == 1.0
       val p = math.max(1, curve.length / 4)
       val idx = Similarity.readIvfIndex(s, dir)
-      val truth = Similarity.bruteForceTopK(
-        idx.assigned.select(col("vec_id"), col("v").as("embedding")),
-        sample, 5)
       val served = Similarity.ivfTopKIndexed(idx, sample, 5, nprobe = p)
       val hitsServe = truth.select("qid", "vec_id")
         .intersect(served.select("qid", "vec_id")).count()
       val matches = hitsServe == curve(p - 1)._2
       val target = 0.9
-      val rec = Similarity.recommendNprobe(s, dir, sample, target, k = 5)
+      val rec = Similarity.recommendFromCurve(
+        curve.map(c => (c._1, c._4)).toSeq, target)
       val restores = curve(rec - 1)._4 >= target
       def ok(b: Boolean) = if (b) "OK" else "ERROR"
       Seq(
@@ -2468,55 +2508,73 @@ object Extensions {
         (s"$root/mh", s"$root/pfx", s"$root/bm", s"$root/ivf")
       val baseDocs = docs.filter(col("doc_id") % 2 === 0 &&
         col("doc_id") % 10 =!= 4)
-      Dedup.writeMinhashIndex(baseDocs, "doc_id", "text", mh)
-      graft.operators.SimJoin.writePrefixIndex(baseDocs, "doc_id", "text",
-        6, 10, pfx)
-      graft.operators.Bm25Index.write(baseDocs, bm)
-      Similarity.writeIvfIndex(e.filter(col("vec_id") % 2 === 0 &&
-        col("vec_id") % 10 =!= 4), ivf)
-      val docDirs = Seq(mh, pfx, bm)
-      (0 to 2).foreach { b =>
-        val ins = docs.filter(col("doc_id") % 30 === 10 * b + 4)
-        val del = docs.filter(col("doc_id") % 30 === 10 * b + 6)
-          .select("doc_id")
-        docDirs.foreach(dir =>
-          graft.operators.IndexCdc.apply(s, dir, ins, del, b.toLong))
+      // per-family lifecycle chains — write, CDC batches 0..2, the
+      // delete-only takedown (3), the UPSERT wave (4: delete+insert of
+      // the live %10=2 rows in ONE batch, the CDC update encoding,
+      // legal under shadow tombstones since r16 — identical re-images,
+      // so the net-live oracle is untouched while the gate exercises
+      // retraction-from-live + re-index everywhere), then compaction
+      // hygiene + fsck — run CONCURRENTLY across the four families
+      // (inParallel, guide §2.6): each family owns a disjoint dir and
+      // its batch order is preserved within its chain, so the built
+      // history (and every board below) is bit-identical to the
+      // sequential build this replaces.
+      def docChain(dir: String, write: String => Unit): () => Unit =
+        () => {
+          write(dir)
+          (0 to 2).foreach { b =>
+            graft.operators.IndexCdc.apply(s, dir,
+              docs.filter(col("doc_id") % 30 === 10 * b + 4),
+              docs.filter(col("doc_id") % 30 === 10 * b + 6)
+                .select("doc_id"),
+              b.toLong)
+          }
+          // the takedown is itself a CDC batch — delete-only, empty
+          // insert side (the born-empty shape index readers must absorb)
+          graft.operators.IndexCdc.apply(s, dir, docs.limit(0),
+            docs.filter(col("doc_id") % 10 === 8).select("doc_id"), 3L)
+          val updDocs = docs.filter(col("doc_id") % 10 === 2)
+          graft.operators.IndexCdc.apply(s, dir, updDocs,
+            updDocs.select("doc_id"), 4L)
+          graft.operators.IndexCdc.compact(s, dir)
+          // fsck before serving — IN the gate, so a cross-family
+          // regression fails the correctness battery, not just a law
+          val errs = graft.operators.IndexAudit.audit(s, dir)
+            .filter(col("status") === "ERROR")
+            .select("chk").limit(3).collect().map(_.getString(0))
+          require(errs.isEmpty,
+            s"lifecycle_composite: fsck found ${errs.mkString(", ")} at $dir")
+        }
+      val ivfChain: () => Unit = () => {
+        Similarity.writeIvfIndex(e.filter(col("vec_id") % 2 === 0 &&
+          col("vec_id") % 10 =!= 4), ivf)
+        (0 to 2).foreach { b =>
+          graft.operators.IndexCdc.apply(s, ivf,
+            e.filter(col("vec_id") % 30 === 10 * b + 4),
+            e.filter(col("vec_id") % 30 === 10 * b + 6).select("vec_id"),
+            b.toLong)
+        }
+        graft.operators.IndexCdc.apply(s, ivf, e.limit(0),
+          e.filter(col("vec_id") % 10 === 8).select("vec_id"), 3L)
+        val updVecs = e.filter(col("vec_id") % 10 === 2)
         graft.operators.IndexCdc.apply(s, ivf,
-          e.filter(col("vec_id") % 30 === 10 * b + 4),
-          e.filter(col("vec_id") % 30 === 10 * b + 6).select("vec_id"),
-          b.toLong)
-      }
-      // the takedown is itself a CDC batch — delete-only, empty insert
-      // side (the born-empty shape the index readers must absorb)
-      docDirs.foreach(dir => graft.operators.IndexCdc.apply(s, dir,
-        docs.limit(0), docs.filter(col("doc_id") % 10 === 8)
-          .select("doc_id"), 3L))
-      graft.operators.IndexCdc.apply(s, ivf, e.limit(0),
-        e.filter(col("vec_id") % 10 === 8).select("vec_id"), 3L)
-      // batch 4 is an UPSERT wave — delete+insert of the live %10=2
-      // rows in ONE batch through every family (the CDC update
-      // encoding, legal under shadow tombstones since r16). The
-      // re-images carry identical content, so the net-live oracle is
-      // untouched while the gate exercises the update machinery
-      // (retraction from live pre-batch state + re-index) everywhere.
-      val updDocs = docs.filter(col("doc_id") % 10 === 2)
-      docDirs.foreach(dir => graft.operators.IndexCdc.apply(s, dir,
-        updDocs, updDocs.select("doc_id"), 4L))
-      val updVecs = e.filter(col("vec_id") % 10 === 2)
-      graft.operators.IndexCdc.apply(s, ivf,
-        updVecs.select("vec_id", "embedding"),
-        updVecs.select("vec_id"), 4L)
-      // hygiene + fsck before serving: fold the per-batch fragmentation,
-      // then require a clean bill — IN the gate, so a cross-family
-      // regression fails the correctness battery, not just a unit law
-      (docDirs :+ ivf).foreach { dir =>
-        graft.operators.IndexCdc.compact(s, dir)
-        val errs = graft.operators.IndexAudit.audit(s, dir)
+          updVecs.select("vec_id", "embedding"),
+          updVecs.select("vec_id"), 4L)
+        graft.operators.IndexCdc.compact(s, ivf)
+        val errs = graft.operators.IndexAudit.audit(s, ivf)
           .filter(col("status") === "ERROR")
           .select("chk").limit(3).collect().map(_.getString(0))
         require(errs.isEmpty,
-          s"lifecycle_composite: fsck found ${errs.mkString(", ")} at $dir")
+          s"lifecycle_composite: fsck found ${errs.mkString(", ")} at $ivf")
       }
+      inParallel(Seq(
+        docChain(mh,
+          d0 => Dedup.writeMinhashIndex(baseDocs, "doc_id", "text", d0)),
+        docChain(pfx,
+          d0 => graft.operators.SimJoin.writePrefixIndex(baseDocs,
+            "doc_id", "text", 6, 10, d0)),
+        docChain(bm, d0 => graft.operators.Bm25Index.write(baseDocs, d0)),
+        ivfChain))
       val probe = docs.filter(col("doc_id") % 2 === 1)
       val nullRk = lit(null).cast("int").as("rk")
       val mhBoard = Dedup.crossMinhashPairs(probe,

@@ -102,7 +102,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "ref_users_enriched" -> 0,
       "q_topk" -> 0,               // TakeOrderedAndProject, no sort shuffle
       "q5_region_revenue" -> 1,    // broadcast dims + one agg shuffle
-      "decontam_ngram" -> 2,       // bench-set distinct + per-doc count
+      // bench-set distinct + per-doc count, +2 (r20) for the
+      // conditional shingle fan-out (Rebalance.fanOutExpansion) on each
+      // of the two shingled legs — fixture-scale only, absent at corpus
+      // scale
+      "decontam_ngram" -> 4,
       // candidate-sliver ⋈ exact-set exchanges + final per-doc count;
       // the confirm join is deliberately unhinted (the exact set need
       // not fit executor memory), so the static plan may shuffle both
@@ -130,7 +134,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // global-order single-window form this replaces would sort the
       // corpus in one task
       "text_pack" -> 1,
-      "sim_topk" -> 1,             // broadcast queries + top-k agg
+      // broadcast queries + top-k agg, +1 (r20) for bruteForceTopK's
+      // conditional corpus fan-out — fixture-scale only
+      "sim_topk" -> 2,
       "sim_ann" -> 1,              // LSH bucket join + top-k agg
       "q_histogram" -> 1,          // bin groupBy
       "q_merge_upsert" -> 2,       // full outer shuffles both sides
@@ -180,8 +186,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "q_countmin" -> 3,
       // per-(group, pos) signature min + the G·k-row pairwise compare
       // sides + final per-pair agg — everything after the first
-      // exchange is metadata-scale
-      "q_corpus_overlap" -> 3,
+      // exchange is metadata-scale; +2 (r20) for the conditional
+      // shingle fan-out on each corpus leg — fixture-scale only
+      "q_corpus_overlap" -> 5,
       // the rank machinery (range exchange + partition offsets) runs
       // eagerly behind materialize; the returned plan is the bucketed
       // neighborhood self-join, which may shuffle both checkpointed
@@ -203,16 +210,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // count
       "q_temperature_mix" -> 3,
       // r13 additions, pinned from the audited shapes:
-      // one exploded-triangle hash agg — the d²-bounded Gram fold
-      "q_pca_gram" -> 1,
+      // one exploded-triangle hash agg — the d²-bounded Gram fold —
+      // plus (r20) Rebalance.fanOutExpansion's conditional input
+      // fan-out, which only plans when the scan yields fewer splits
+      // than cores (always true at fixture scale, never at corpus
+      // scale — the shuffled rows are the SMALL pre-expansion vectors)
+      "q_pca_gram" -> 2,
       // stats + eigensolve ran eagerly at construction; the returned
       // projection plan is scan + posexplode + one per-comp agg
       "q_pca_project" -> 1,
       // k-bounded state ∪ delta re-cut through one partial top-k agg
       "q_topk_maintain" -> 1,
       // bm25 leg's postings/df/score exchanges + the fused bounded
-      // top-k; the dense leg broadcasts its query side
-      "retrieval_rrf" -> 4,
+      // top-k; the dense leg broadcasts its query side; +1 (r20) for
+      // Rebalance.fanOutExpansion's conditional tokenize fan-out in
+      // docTermFreqs — plans only when the corpus scans in fewer
+      // splits than cores (fixture scale), never at corpus scale
+      "retrieval_rrf" -> 5,
       // shingle-df fold + per-doc (df,h) re-sort + candidate distinct
       // + verify attach; a 5th exchange would mean the lossless join
       // regressed to a global-rank sort
