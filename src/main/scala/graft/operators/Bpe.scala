@@ -39,7 +39,11 @@ object Bpe {
   /** (word, f): the distinct-word frequency table — the ONLY pass over
     * the corpus; all merge iterations run on this. */
   def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(
+    // fanOutExpansion: the regex word explode emits ~|words| rows per
+    // doc — a small-input scan rebalances on the cheap text rows first;
+    // no-op at corpus scale (Rebalance doc)
+    Rebalance.fanOutExpansion(docs.select(col(textCol)))
+      .select(explode(
         regexp_extract_all(lower(col(textCol)), lit(WordRegex), lit(0)))
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as("f"))
@@ -195,7 +199,7 @@ object Bpe {
         s"${meta.getOrElse("scheme", "<absent>")} but this engine " +
         s"pretokenizes with $VocabScheme — its merges segment text " +
         "differently; retrain with Bpe.train + writeVocab")
-    val rows = spark.read.parquet(s"$root/merges")
+    val rows = Dedup.readPq(spark, s"$root/merges")
       .select("rk", "l", "r").collect()
       .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq

@@ -107,6 +107,29 @@ object Dedup {
     }
   }
 
+  /** Schema-memoized parquet read for the engine's own fixed-layout
+    * tables. A bare `readPq(spark, path)` runs a footer-reading
+    * Spark job PER CALL to infer the schema — ~50-80 ms of job
+    * scheduling even warm, and the serve/fold paths read 2-4 tables
+    * per invocation (the [[Bm25Index]] explicit-schema rationale,
+    * generalized). Every table this engine writes has a schema that is
+    * FIXED for the lifetime of its path (version roots are new `vN`
+    * paths, scratch dirs are UUID-fresh), so the first read's inferred
+    * schema is memoized by path and every later read of that path is
+    * inference-job-free. The memo holds only StructTypes — a few
+    * hundred bytes per distinct path, bounded by the number of index
+    * tables a session touches. NOT for foreign/unknown inputs, whose
+    * schema the footer must stay authoritative for. */
+  private val pqSchemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+  private[graft] def readPq(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame = {
+    val sch = pqSchemaMemo.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
   /** Aggressive text normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace. */
   def normalizeText(c: Column): Column =
@@ -744,7 +767,7 @@ object Dedup {
     // write below appends to — and the n_docs count reuses it
     val (fresh, relT) = materializeTracked(
       liveAmong(ids, "doc_id",
-        maskShadowed(committedOnly(spark.read.parquet(s"$root/sets"), meta),
+        maskShadowed(committedOnly(readPq(spark, s"$root/sets"), meta),
           "doc_id", tombs, "doc_id"), "doc_id"))
     try {
       val nDel = fresh.count()
@@ -791,7 +814,7 @@ object Dedup {
     // which the write below appends to — and the n_docs count reuses it
     val (fresh, relT) = materializeTracked(
       liveAmong(ids, "doc_id",
-        maskShadowed(committedOnly(spark.read.parquet(s"$root/sets"), meta),
+        maskShadowed(committedOnly(readPq(spark, s"$root/sets"), meta),
           "doc_id", priorTombs, "doc_id"), "doc_id"))
     try {
       val nh = meta("numHashes").toInt
@@ -832,9 +855,9 @@ object Dedup {
     def live(df: DataFrame): DataFrame =
       maskShadowed(df, "doc_id", tombs, "doc_id")
     MinhashIndex(
-      live(committedOnly(spark.read.parquet(s"$root/bands"), meta))
+      live(committedOnly(readPq(spark, s"$root/bands"), meta))
         .select("doc_id", "band_idx", "band_key"),
-      live(committedOnly(spark.read.parquet(s"$root/sets"), meta))
+      live(committedOnly(readPq(spark, s"$root/sets"), meta))
         .select("doc_id", "hs"),
       meta("numHashes").toInt, meta("bands").toInt)
   }
@@ -1168,7 +1191,7 @@ object Dedup {
     val tombs = committedTombsAt(spark, s"$root/tomb", meta, idCol)
     def liveOf(t: String, cols: Seq[String]): DataFrame =
       maskShadowed(
-        committedOnly(spark.read.parquet(s"$root/$t"), meta),
+        committedOnly(readPq(spark, s"$root/$t"), meta),
         idCol, tombs, idCol)
         .select(cols.map(col): _*)
     // an all-deleted index would compact to empty-born tables no
@@ -1185,7 +1208,7 @@ object Dedup {
       }
       unmasked.foreach { case (t, cols) =>
         writeIndexTable(
-          committedOnly(spark.read.parquet(s"$root/$t"), meta)
+          committedOnly(readPq(spark, s"$root/$t"), meta)
             .select(cols.map(col): _*).coalesce(targetFiles),
           -1L, s"$tmp/$t", overwriteAll = true)
       }
@@ -1243,7 +1266,7 @@ object Dedup {
     val nb = if (bands > 0) bands else meta("bands").toInt
     require(nh % nb == 0,
       s"rebuildMinhashIndex: numHashes=$nh not divisible by bands=$nb")
-    val held = committedOnly(spark.read.parquet(s"$root/sets"), meta)
+    val held = committedOnly(readPq(spark, s"$root/sets"), meta)
     val liveSets = maskShadowed(held, "doc_id",
       committedTombsAt(spark, s"$root/tomb", meta, "doc_id"), "doc_id")
     // materialized: both derived tables and the count reuse it

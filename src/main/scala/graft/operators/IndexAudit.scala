@@ -315,7 +315,7 @@ object IndexAudit {
                  "refuses until a rebuild folds them away)"))))
         def liveCount(table: String): Long =
           Dedup.maskShadowed(
-            Dedup.committedOnly(spark.read.parquet(s"$root/$table"), meta),
+            Dedup.committedOnly(Dedup.readPq(spark, s"$root/$table"), meta),
             idCol, tombs, idCol)
             .select(idCol).count()
         kind match {
@@ -361,7 +361,7 @@ object IndexAudit {
                   "writer; rebuild restores truth from the live rows" })))
           case "bpe_vocab" if countChecks =>
             val declared = meta("n_merges").toLong
-            val stored = spark.read.parquet(s"$root/merges").count()
+            val stored = Dedup.readPq(spark, s"$root/merges").count()
             rows += (("count",
               if (declared == stored) "OK" else "ERROR",
               if (declared == stored) s"n_merges=$declared"

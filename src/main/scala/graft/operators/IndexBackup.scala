@@ -233,7 +233,7 @@ object IndexBackup {
       // marker strictly last: everything above can crash and leave a
       // tree restore refuses by name
       writeSmall(bfs, new Path(broot, MarkerFile), "committed\n")
-      spark.read.parquet(s"$backupDir/$ManifestDir")
+      Dedup.readPq(spark, s"$backupDir/$ManifestDir")
     }
   }
 
@@ -255,7 +255,7 @@ object IndexBackup {
         "delete this tree and re-run IndexBackup.backup"))
     val manifest: Seq[(String, Long, String)] =
       scala.util.Try(
-        spark.read.parquet(s"$backupDir/$ManifestDir")
+        Dedup.readPq(spark, s"$backupDir/$ManifestDir")
           .select("relpath", "length", "md5")
           .as[(String, Long, String)].collect().toSeq
       ).getOrElse(Seq.empty)
@@ -330,7 +330,7 @@ object IndexBackup {
         "a restore only targets a fresh home (retire or remove the " +
         "existing one explicitly, or restore beside it and repoint)")
     import spark.implicits._
-    val manifest = spark.read.parquet(s"$backupDir/$ManifestDir")
+    val manifest = Dedup.readPq(spark, s"$backupDir/$ManifestDir")
       .select("relpath", "length", "md5")
       .as[(String, Long, String)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
@@ -557,7 +557,7 @@ object IndexBackup {
         "the next rotation clears this generation"))
     val manifest: Seq[(String, Long, String)] =
       scala.util.Try(
-        spark.read.parquet(s"$backupDir/$ManifestDir")
+        Dedup.readPq(spark, s"$backupDir/$ManifestDir")
           .select("relpath", "length", "md5")
           .as[(String, Long, String)].collect().toSeq
       ).getOrElse(Seq.empty)
@@ -618,7 +618,7 @@ object IndexBackup {
     val referenced = generations(spark, backupHome).flatMap { n =>
       val gd = s"$backupHome/b$n"
       if (!isObjectLayout(spark, gd)) Seq.empty
-      else spark.read.parquet(s"$gd/$ManifestDir")
+      else Dedup.readPq(spark, s"$gd/$ManifestDir")
         .select("md5", "length").as[(String, Long)].collect()
         .map { case (m, l) => objKey(m, l) }
     }.toSet
@@ -705,7 +705,7 @@ object IndexBackup {
         if (!isObjectLayout(spark, gd))
           Map.empty[String, (Long, String, Long)]
         else {
-          val m = spark.read.parquet(s"$gd/$ManifestDir")
+          val m = Dedup.readPq(spark, s"$gd/$ManifestDir")
           if (!m.columns.contains("mtime"))
             Map.empty[String, (Long, String, Long)]
           else m.select("relpath", "length", "md5", "mtime").collect()

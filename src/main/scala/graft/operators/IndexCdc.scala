@@ -158,7 +158,7 @@ object IndexCdc {
         val root = Dedup.indexRoot(spark, dir)
         val meta = Dedup.readMeta(spark, root)
         Dedup.maskShadowed(
-          Dedup.committedOnly(spark.read.parquet(s"$root/postings"), meta),
+          Dedup.committedOnly(Dedup.readPq(spark, s"$root/postings"), meta),
           "doc_id",
           Dedup.committedTombsAt(spark, s"$root/tomb", meta, "doc_id"),
           "doc_id")
@@ -170,7 +170,7 @@ object IndexCdc {
         val root = Dedup.indexRoot(spark, dir)
         val meta = Dedup.readMeta(spark, root)
         Dedup.maskShadowed(
-          Dedup.committedOnly(spark.read.parquet(s"$root/sets"), meta),
+          Dedup.committedOnly(Dedup.readPq(spark, s"$root/sets"), meta),
           "doc_id",
           Dedup.committedTombsAt(spark, s"$root/tomb", meta, "doc_id"),
           "doc_id")
@@ -197,7 +197,7 @@ object IndexCdc {
                                table: String, idCol: String): DataFrame = {
     val root = Dedup.indexRoot(spark, dir)
     val meta = Dedup.readMeta(spark, root)
-    Dedup.committedOnly(spark.read.parquet(s"$root/$table"), meta)
+    Dedup.committedOnly(Dedup.readPq(spark, s"$root/$table"), meta)
       .select(col(idCol).as("id")).distinct()
   }
 
@@ -221,11 +221,11 @@ object IndexCdc {
       case Similarity.IvfIndexKind =>
         val root = Dedup.indexRoot(spark, dir)
         val meta = Dedup.readMeta(spark, root)
-        val base = spark.read.parquet(s"$root/assigned").select(col("vec_id"))
+        val base = Dedup.readPq(spark, s"$root/assigned").select(col("vec_id"))
         val all =
           if (Dedup.indexTableHasData(spark, s"$root/assigned_batches"))
             base.unionByName(Dedup.committedOnly(
-              spark.read.parquet(s"$root/assigned_batches"), meta)
+              Dedup.readPq(spark, s"$root/assigned_batches"), meta)
               .select(col("vec_id")))
           else base
         all.select(col("vec_id").as("id")).distinct()

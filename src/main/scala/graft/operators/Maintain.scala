@@ -47,7 +47,7 @@ object Maintain {
     * associative). */
   def mergeAggState(spark: SparkSession, dir: String, delta: DataFrame,
                     keyCol: String, valCol: String): DataFrame = {
-    val state = spark.read.parquet(dir)
+    val state = Dedup.readPq(spark, dir)
     state.unionByName(aggPartials(delta, keyCol, valCol))
       .groupBy(col(keyCol))
       .agg(sum(col("cnt")).as("cnt"),
@@ -67,7 +67,7 @@ object Maintain {
   def mergeAggStateWithDeletes(spark: SparkSession, dir: String,
                                delta: DataFrame, deletes: DataFrame,
                                keyCol: String, valCol: String): DataFrame =
-    foldSignedAgg(spark.read.parquet(dir), delta, deletes, keyCol, valCol)
+    foldSignedAgg(Dedup.readPq(spark, dir), delta, deletes, keyCol, valCol)
 
   /** The signed fold shared by [[mergeAggStateWithDeletes]] (read-only
     * refresh over the flat layout) and [[foldAggStateWithDeletes]]
@@ -139,7 +139,7 @@ object Maintain {
     requireAggCdcState(meta, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
     val (folded, release) = Dedup.materializeTracked(
-      foldSignedAgg(spark.read.parquet(s"$root/state"), delta, deletes,
+      foldSignedAgg(Dedup.readPq(spark, s"$root/state"), delta, deletes,
         keyCol, valCol))
     try {
       Dedup.swapInDir(spark, dir) { tmp =>
@@ -156,7 +156,7 @@ object Maintain {
     val root = Dedup.indexRoot(spark, dir)
     val meta = Dedup.readMeta(spark, root)
     requireAggCdcState(meta, dir)
-    spark.read.parquet(s"$root/state")
+    Dedup.readPq(spark, s"$root/state")
   }
 
   /** Streaming refresh layout: base partials at `$dir/base` plus one
@@ -177,13 +177,13 @@ object Maintain {
     * size. Works before any batch arrives (base alone). */
   def readAggRefreshed(spark: SparkSession, dir: String,
                        keyCol: String): DataFrame = {
-    val base = spark.read.parquet(s"$dir/base")
+    val base = Dedup.readPq(spark, s"$dir/base")
     val batchesPath = new org.apache.hadoop.fs.Path(s"$dir/batches")
     val fs = batchesPath.getFileSystem(spark.sessionState.newHadoopConf())
     val all =
       if (fs.exists(batchesPath))
         base.unionByName(
-          spark.read.parquet(s"$dir/batches").drop("ingest_batch"))
+          Dedup.readPq(spark, s"$dir/batches").drop("ingest_batch"))
       else base
     all.groupBy(col(keyCol))
       .agg(sum(col("cnt")).as("cnt"),
@@ -212,7 +212,7 @@ object Maintain {
     * the estimate, a property plain counters lack). */
   def mergeDistinctState(spark: SparkSession, dir: String, delta: DataFrame,
                          keyCol: String, valCol: String): DataFrame =
-    spark.read.parquet(dir)
+    Dedup.readPq(spark, dir)
       .unionByName(delta.groupBy(col(keyCol))
         .agg(hll_sketch_agg(col(valCol)).as("hll")))
       .groupBy(col(keyCol))
@@ -260,7 +260,7 @@ object Maintain {
     // refusal instead of a missing-path read error
     val deltaPartials =
       quantileDeltaPartials(spark, dir, delta, keyCol, valCol)
-    spark.read.parquet(s"${Dedup.indexRoot(spark, dir)}/state")
+    Dedup.readPq(spark, s"${Dedup.indexRoot(spark, dir)}/state")
       .unionByName(deltaPartials)
       .groupBy(col(keyCol), col("bin"))
       .agg(sum(col("cnt")).as("cnt"))
@@ -334,7 +334,7 @@ object Maintain {
     val meta = Dedup.readMeta(spark, root)
     require(meta.get("kind").contains("quantile_hist"),
       s"$dir is not quantile-histogram state (kind=${meta.get("kind")})")
-    spark.read.parquet(s"$root/state")
+    Dedup.readPq(spark, s"$root/state")
   }
 
   /** The (lo, hi, bins) domain a quantile state was created with — the
@@ -373,13 +373,13 @@ object Maintain {
     val meta = Dedup.readMeta(spark, root)
     require(meta.get("kind").contains("quantile_hist"),
       s"$dir is not quantile-histogram state (kind=${meta.get("kind")})")
-    val base = spark.read.parquet(s"$root/state")
+    val base = Dedup.readPq(spark, s"$root/state")
     val batchesPath = new org.apache.hadoop.fs.Path(s"$dir/batches")
     val fs = batchesPath.getFileSystem(spark.sessionState.newHadoopConf())
     val all =
       if (fs.exists(batchesPath))
         base.unionByName(
-          spark.read.parquet(s"$dir/batches").drop("ingest_batch"))
+          Dedup.readPq(spark, s"$dir/batches").drop("ingest_batch"))
       else base
     all.groupBy(all.columns.filterNot(Set("cnt", "bin")).map(col) :+
         col("bin"): _*)
@@ -454,7 +454,7 @@ object Maintain {
     require(meta.get("kind").contains("topk"),
       s"$dir is not top-k state (kind=${meta.get("kind")})")
     val k = meta("topk_k").toInt
-    val state = spark.read.parquet(s"$dir/state")
+    val state = Dedup.readPq(spark, s"$dir/state")
     TopK.topKPerGroup(
       state.unionByName(
         delta.select(col(keyCol), col(idCol),
@@ -489,13 +489,13 @@ object Maintain {
     val meta = Dedup.readMeta(spark, dir)
     require(meta.get("kind").contains("topk"),
       s"$dir is not top-k state (kind=${meta.get("kind")})")
-    val base = spark.read.parquet(s"$dir/state")
+    val base = Dedup.readPq(spark, s"$dir/state")
     val batchesPath = new org.apache.hadoop.fs.Path(s"$dir/batches")
     val fs = batchesPath.getFileSystem(spark.sessionState.newHadoopConf())
     val all =
       if (fs.exists(batchesPath))
         base.unionByName(
-          spark.read.parquet(s"$dir/batches").drop("ingest_batch"))
+          Dedup.readPq(spark, s"$dir/batches").drop("ingest_batch"))
       else base
     TopK.topKPerGroup(all, keyCol, idCol, scoreCol, meta("topk_k").toInt)
   }
@@ -597,8 +597,8 @@ object Maintain {
     val (k, slack) = requireSlackState(meta, dir)
     if (batchId.exists(_ <= Dedup.lastCommittedBatch(meta))) return
     val cap = k + slack
-    val state = spark.read.parquet(s"$root/state")
-    val caps = spark.read.parquet(s"$root/caps")
+    val state = Dedup.readPq(spark, s"$root/state")
+    val caps = Dedup.readPq(spark, s"$root/caps")
     val tomb = deletes.select(col(keyCol), col(idCol)).distinct()
     val live = state.join(tomb, Seq(keyCol, idCol), "left_anti")
     val hits = state.join(tomb, Seq(keyCol, idCol), "left_semi")
@@ -653,9 +653,9 @@ object Maintain {
     val root = Dedup.indexRoot(spark, dir)
     val meta = Dedup.readMeta(spark, root)
     val (k, _) = requireSlackState(meta, dir)
-    val board = TopK.topKPerGroup(spark.read.parquet(s"$root/state"),
+    val board = TopK.topKPerGroup(Dedup.readPq(spark, s"$root/state"),
       keyCol, idCol, scoreCol, k)
-    board.join(spark.read.parquet(s"$root/caps"), Seq(keyCol), "left")
+    board.join(Dedup.readPq(spark, s"$root/caps"), Seq(keyCol), "left")
       .withColumn("__d", guardDepth(col("depth"), keyCol, k))
       // tautological by construction (guardDepth already raised for
       // any depth < k) — its job is to REFERENCE __d so Catalyst

@@ -289,7 +289,7 @@ object Pca {
   def mergeGramState(spark: SparkSession, dir: String, delta: DataFrame,
                      vecCol: String): DataFrame = {
     requireStatsState(spark, dir)
-    spark.read.parquet(s"$dir/gram")
+    Dedup.readPq(spark, s"$dir/gram")
       .unionByName(gram(delta, vecCol))
       .groupBy("i", "j")
       .agg(sum(col("n")).as("n"),
@@ -300,7 +300,7 @@ object Pca {
   def mergeMomentState(spark: SparkSession, dir: String, delta: DataFrame,
                        vecCol: String): DataFrame = {
     requireStatsState(spark, dir)
-    spark.read.parquet(s"$dir/moments")
+    Dedup.readPq(spark, s"$dir/moments")
       .unionByName(moments(delta, vecCol))
       .groupBy("i")
       .agg(sum(col("n")).as("n"),
@@ -347,12 +347,12 @@ object Pca {
   private def foldWithBatches(spark: SparkSession, basePath: String,
                               batchesPath: String, keys: Seq[String],
                               agg: (String, String)): DataFrame = {
-    val base = spark.read.parquet(basePath)
+    val base = Dedup.readPq(spark, basePath)
     val bp = new org.apache.hadoop.fs.Path(batchesPath)
     val fs = bp.getFileSystem(spark.sessionState.newHadoopConf())
     val all =
       if (fs.exists(bp))
-        base.unionByName(spark.read.parquet(batchesPath).drop("ingest_batch"))
+        base.unionByName(Dedup.readPq(spark, batchesPath).drop("ingest_batch"))
       else base
     val (nCol, sCol) = agg
     all.groupBy(keys.map(col): _*)

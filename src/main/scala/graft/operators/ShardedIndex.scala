@@ -136,7 +136,7 @@ object ShardedIndex {
       val dir = s"$home/_staging_$tag"
       df.withColumn("g_shard", shardOf(col(idCol), shards))
         .write.mode("overwrite").partitionBy("g_shard").parquet(dir)
-      val staged = spark.read.parquet(dir)
+      val staged = Dedup.readPq(spark, dir)
       val present = staged.select("g_shard").distinct()
         .collect().map(_.getInt(0)).sorted.toSeq
       val fs = new org.apache.hadoop.fs.Path(dir)
@@ -174,7 +174,10 @@ object ShardedIndex {
           s"ShardedIndex.write: shard(s) ${missing.mkString(",")} of " +
             s"$shards would be empty — the corpus cannot fill this many " +
             "shards; lower the shard count")
-        (0 until shards).foreach(i => writeShard(slice(i), shardDir(home, i)))
+        // disjoint shard dirs, each a complete child home under its own
+        // lease — built concurrently (Par.run, guide §2.6)
+        Par.run((0 until shards).map(i =>
+          () => writeShard(slice(i), shardDir(home, i))))
         Dedup.writeMeta(spark, home, Map(
           "kind" -> Kind, "child_kind" -> childKind,
           "shards" -> shards.toString, "id_col" -> idCol,
@@ -316,10 +319,14 @@ object ShardedIndex {
       val (delSlice, delShards, cleanD) =
         stageRouted(deletes, home, shards, rid, s"del_$batchId")
       try {
-        (insShards ++ delShards).distinct.sorted.foreach { i =>
-          IndexCdc.apply(spark, shardDir(home, i), insSlice(i), delSlice(i),
-            batchId, id, text)
-        }
+        // per-shard batch application is independent (disjoint dirs,
+        // per-shard markers) — concurrent (Par.run); a crash mid-wave
+        // leaves the same partially-applied-but-replayable state the
+        // sequential loop could (home marker lands only after ALL)
+        Par.run((insShards ++ delShards).distinct.sorted.map { i =>
+          () => IndexCdc.apply(spark, shardDir(home, i), insSlice(i),
+            delSlice(i), batchId, id, text)
+        })
         Dedup.writeMeta(spark, home,
           m + ("last_committed_batch" -> batchId.toString))
       } finally { cleanI(); cleanD() }
@@ -385,10 +392,15 @@ object ShardedIndex {
     IndexLease.withLease(spark, home, "ShardedIndex.compact") {
       val m = manifest(spark, home)
       val childKind = m("child_kind")
-      (0 until m("shards").toInt).filter { i =>
+      val picked = (0 until m("shards").toInt).filter { i =>
         minFiles <= 0L ||
           shardFiles(spark, shardDir(home, i), childKind) > minFiles
-      }.map { i => IndexCdc.compact(spark, shardDir(home, i), targetFiles); i }
+      }
+      // selected shards compact concurrently (Par.run — disjoint dirs,
+      // per-shard pointer commits); returned ids unchanged
+      Par.run(picked.map(i =>
+        () => IndexCdc.compact(spark, shardDir(home, i), targetFiles)))
+      picked
     }
 
   /** Per-shard rebuild — the deep-hygiene twin of [[compact]]: every
@@ -407,11 +419,14 @@ object ShardedIndex {
       val m = manifest(spark, home)
       if (m("child_kind") == Similarity.IvfIndexKind)
         rebuildIvfShards(spark, home, m)
-      else (0 until m("shards").toInt).filter { i =>
-        val dir = shardDir(home, i)
-        if (IndexCdc.liveIds(spark, dir).isEmpty) false
-        else { IndexCdc.rebuild(spark, dir); true }
-      }
+      else
+        // per-shard rebuilds run concurrently (Par.run) — the local
+        // form of the fleet fan-out the doc above describes
+        Par.run((0 until m("shards").toInt).map { i => () =>
+          val dir = shardDir(home, i)
+          if (IndexCdc.liveIds(spark, dir).isEmpty) None
+          else { IndexCdc.rebuild(spark, dir); Some(i) }
+        }).flatten
     }
 
   /** [[Dedup.pruneVersions]] across every shard — the compliance
@@ -474,9 +489,11 @@ object ShardedIndex {
         .reduce(_.unionByName(_)))
     try {
       val cents = Similarity.trainCentroids(cc, nc, it)
-      liveShards.foreach(i =>
-        Similarity.rebuildIvfIndexWith(spark, shardDir(home, i), cents,
-          nc, it))
+      // shard re-cuts under the ONE shared model run concurrently
+      // (Par.run) — the fleet-parallelizable leg the doc describes
+      Par.run(liveShards.map(i =>
+        () => Similarity.rebuildIvfIndexWith(spark, shardDir(home, i),
+          cents, nc, it)))
     } finally release()
     liveShards
   }
@@ -566,9 +583,10 @@ object ShardedIndex {
             require(missing.isEmpty,
               s"reshard: shard(s) ${missing.mkString(",")} of " +
                 s"$newShards would be empty — lower the shard count")
-            (0 until newShards).foreach(i =>
-              Dedup.writeMinhashFromTables(bSlice(i), sSlice(i),
-                params.head._1, params.head._2, shardDir(newHome, i)))
+            // disjoint new-shard dirs — built concurrently (Par.run)
+            Par.run((0 until newShards).map(i =>
+              () => Dedup.writeMinhashFromTables(bSlice(i), sSlice(i),
+                params.head._1, params.head._2, shardDir(newHome, i))))
             Dedup.writeMeta(spark, newHome, Map(
               "kind" -> Kind, "child_kind" -> Dedup.MinhashIndexKind,
               "shards" -> newShards.toString, "id_col" -> "doc_id",

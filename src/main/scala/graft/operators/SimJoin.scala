@@ -211,7 +211,7 @@ object SimJoin {
     val meta = Dedup.readMeta(spark, root)
     validatePrefixMeta(meta, dir)
     liveOnly(spark, root, meta)(
-      Dedup.committedOnly(spark.read.parquet(s"$root/sets"), meta))
+      Dedup.committedOnly(Dedup.readPq(spark, s"$root/sets"), meta))
       .select("doc_id", "hs")
   }
 
@@ -284,7 +284,7 @@ object SimJoin {
     validatePrefixMeta(meta, dir)
     val (thrNum, thrDen) = (meta("pj_num").toInt, meta("pj_den").toInt)
     val dfreq = Dedup.committedOnly(
-      spark.read.parquet(s"$root/df"), meta).select("h", "df")
+      Dedup.readPq(spark, s"$root/df"), meta).select("h", "df")
     val newPref = Dedup.materialize(
       prefixPostings(newSets, dfreq, thrNum, thrDen))
     // batch-scoped index slice: the candidate join only ever needs
@@ -300,7 +300,7 @@ object SimJoin {
     val live = liveOnly(spark, root, meta) _
     val probedKeys = broadcast(newPref.select("h").distinct())
     val idxPref = live(Dedup.committedOnly(
-      spark.read.parquet(s"$root/prefix"), meta))
+      Dedup.readPq(spark, s"$root/prefix"), meta))
       .select("doc_id", "sz", "h")
       .join(probedKeys, Seq("h"), "left_semi")
     val cand = newPref.as("x").join(idxPref.as("y"),
@@ -312,7 +312,7 @@ object SimJoin {
     cand
       .join(newSets.select(col("doc_id").as("new_id"), col("hs").as("ha")),
         Seq("new_id"))
-      .join(live(Dedup.committedOnly(spark.read.parquet(s"$root/sets"),
+      .join(live(Dedup.committedOnly(Dedup.readPq(spark, s"$root/sets"),
           meta))
         .select(col("doc_id").as("matched_id"), col("hs").as("hb")),
         Seq("matched_id"))
@@ -351,7 +351,7 @@ object SimJoin {
       Dedup.shingleHashesFlat(newDocs, id, text, w)
         .filter(size(col("hs")) > 0))
     val dfreq = Dedup.committedOnly(
-      spark.read.parquet(s"$root/df"), meta).select("h", "df")
+      Dedup.readPq(spark, s"$root/df"), meta).select("h", "df")
     val part = batchId.getOrElse(-1L)
     Dedup.writeIndexTable(newSets, part, s"$root/sets")
     Dedup.writeIndexTable(prefixPostings(newSets, dfreq, thrNum, thrDen),
@@ -394,7 +394,7 @@ object SimJoin {
       Dedup.shingleHashesFlat(newDocs, id, text, w)
         .filter(size(col("hs")) > 0))
     val dfreq = Dedup.committedOnly(
-      spark.read.parquet(s"$root/df"), meta).select("h", "df")
+      Dedup.readPq(spark, s"$root/df"), meta).select("h", "df")
     Dedup.writeIndexTable(newSets, batchId, s"$root/sets")
     Dedup.writeIndexTable(prefixPostings(newSets, dfreq, thrNum, thrDen),
       batchId, s"$root/prefix")
@@ -443,7 +443,7 @@ object SimJoin {
     // materialized: three derived tables reuse it
     val (sets, release) = Dedup.materializeTracked(
       liveOnly(spark, root, meta)(
-        Dedup.committedOnly(spark.read.parquet(s"$root/sets"), meta))
+        Dedup.committedOnly(Dedup.readPq(spark, s"$root/sets"), meta))
         .select("doc_id", "hs"))
     try {
       // an all-deleted corpus would rebuild to empty-born tables that

@@ -338,7 +338,7 @@ object Similarity {
     * cent_id is the partition column, so this reads directory names +
     * parquet footers, never vector data. */
   private def cellCountsOf(spark: SparkSession, path: String): Map[Int, Long] =
-    spark.read.parquet(path).groupBy("cent_id").count().collect()
+    Dedup.readPq(spark, path).groupBy("cent_id").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
 
   /** Writes an (…, cent_id) frame as the cell-partitioned `assigned`
@@ -777,7 +777,7 @@ object Similarity {
     require(live.head(1).nonEmpty,
       s"compactIvfIndex: every vector in $dir is deleted — nothing to " +
         "fold; delete the index directory instead")
-    val cents = spark.read.parquet(s"$root/centroids")
+    val cents = Dedup.readPq(spark, s"$root/centroids")
     val cids = readIvfCentroids(spark, root).map(_._1)
     // pointer commit: the serving version is read LAZILY while the
     // replacement builds beside it — nothing to pre-materialize, the
@@ -803,7 +803,7 @@ object Similarity {
   /** `dir` is the RESOLVED version root. */
   private def readIvfCentroids(spark: SparkSession,
                                dir: String): Seq[(Int, Array[Float])] = {
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val cents = Dedup.readPq(spark, s"$dir/centroids")
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
@@ -827,13 +827,13 @@ object Similarity {
     // indexTableHasData, not a bare exists: a delete-only CDC batch
     // appends zero assigned rows, which can create the directory with
     // no partition subdirs — reading that is an analysis error
-    val base = spark.read.parquet(s"$root/assigned")
+    val base = Dedup.readPq(spark, s"$root/assigned")
       .withColumn(Dedup.IngestBatchCol, lit(-1L))
     val unioned =
       if (Dedup.indexTableHasData(spark, s"$root/assigned_batches"))
         base.unionByName(
           Dedup.committedOnly(
-            spark.read.parquet(s"$root/assigned_batches"), meta))
+            Dedup.readPq(spark, s"$root/assigned_batches"), meta))
       else base
     // shadow-tombstone mask LAST, over base ∪ batches: every
     // downstream consumer (indexed probe, quantized serving, rebuild's
@@ -1335,9 +1335,9 @@ object Similarity {
     def live(df: DataFrame): DataFrame =
       Dedup.maskShadowed(df, "vec_id", tombs, "vec_id")
     EmbeddingIndex(
-      live(Dedup.committedOnly(spark.read.parquet(s"$root/bands"), meta))
+      live(Dedup.committedOnly(Dedup.readPq(spark, s"$root/bands"), meta))
         .select("vec_id", "band_idx", "band_key"),
-      live(Dedup.committedOnly(spark.read.parquet(s"$root/vectors"), meta))
+      live(Dedup.committedOnly(Dedup.readPq(spark, s"$root/vectors"), meta))
         .select("vec_id", "embedding"),
       meta("bands").toInt, meta("rowBits").toInt)
   }
@@ -1367,7 +1367,7 @@ object Similarity {
     val (fresh, relT) = Dedup.materializeTracked(
       Dedup.liveAmong(ids, "vec_id",
         Dedup.maskShadowed(
-          Dedup.committedOnly(spark.read.parquet(s"$root/vectors"), meta),
+          Dedup.committedOnly(Dedup.readPq(spark, s"$root/vectors"), meta),
           "vec_id", tombs, "vec_id"), "vec_id"))
     try {
       val nDel = fresh.count()
@@ -1458,7 +1458,7 @@ object Similarity {
     val (fresh, relT) = Dedup.materializeTracked(
       Dedup.liveAmong(ids, "vec_id",
         Dedup.maskShadowed(
-          Dedup.committedOnly(spark.read.parquet(s"$root/vectors"), meta),
+          Dedup.committedOnly(Dedup.readPq(spark, s"$root/vectors"), meta),
           "vec_id", priorTombs, "vec_id"), "vec_id"))
     try {
       val bands = meta("bands").toInt
@@ -1530,7 +1530,7 @@ object Similarity {
     IndexLease.withLease(spark, dir, "rebuildEmbeddingIndex") {
     val (root, meta) = embMeta(spark, dir)
     val nb = if (bands > 0) bands else meta("bands").toInt
-    val held = Dedup.committedOnly(spark.read.parquet(s"$root/vectors"), meta)
+    val held = Dedup.committedOnly(Dedup.readPq(spark, s"$root/vectors"), meta)
     // LIVE set only: tombstoned vectors are physically dropped and the
     // tombstone table vanishes with the old layout (pointer commit —
     // the new version simply has no tomb table)

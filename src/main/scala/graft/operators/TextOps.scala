@@ -161,8 +161,11 @@ object TextOps {
   def bigramFamiliarity(docs: DataFrame, id: String = "doc_id",
                         text: String = "text",
                         minCount: Int = DefaultFamiliarityMinCount): DataFrame = {
+    // fanOutExpansion on the (id, text) rows before the bigram explode
+    // — no-op at corpus scale (Rebalance doc)
     val perDoc = graft.operators.Dedup.materialize(
-      docs.withColumn("__t", tokens(col(text)))
+      Rebalance.fanOutExpansion(docs.select(col(id), col(text)))
+        .withColumn("__t", tokens(col(text)))
         .filter(size(col("__t")) >= 2)
         .select(col(id).as("doc_id"), explode(bigrams(col("__t"))).as("bg"))
         .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k")))
@@ -226,16 +229,21 @@ object TextOps {
     // attach join — without the persist the count action and the join
     // each run the full scan+explode+aggregate (the keyTerms lesson:
     // branch expression ids differ, so no exchange reuse saves you)
-    val uni = train.select(explode(tokens(col(text))).as("w1"))
+    // fanOutExpansion on each tokenized scan (train ×2, target) — the
+    // token/bigram explodes multiply work per input byte; no-op at
+    // corpus scale (Rebalance doc)
+    val trainFan = Rebalance.fanOutExpansion(train.select(col(text)))
+    val uni = trainFan.select(explode(tokens(col(text))).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val v = uni.count() // |V|: one scalar to the driver — model-scale
     require(v > 0, "lmScore: training corpus has no tokens")
-    val big = train.withColumn("__t", tokens(col(text)))
+    val big = trainFan.withColumn("__t", tokens(col(text)))
       .filter(size(col("__t")) >= 2)
       .select(explode(bigrams(col("__t"))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c2"))
-    target.withColumn("__t", tokens(col(text)))
+    Rebalance.fanOutExpansion(target.select(col(id), col(text)))
+      .withColumn("__t", tokens(col(text)))
       .filter(size(col("__t")) >= 2)
       .select(col(id).as("doc_id"), explode(bigrams(col("__t"))).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
@@ -298,9 +306,13 @@ object TextOps {
     require(bad == 0L,
       s"keyTerms: $bad rows have a null/non-numeric '$id' — a numeric, " +
         "non-null document id is required")
-    val tf = docs
-      .select(col(id).cast("long").as("doc_id"),
-        explode(tokens(col(text))).as("term"))
+    // fanOutExpansion: the token explode emits ~|tokens| rows per doc
+    // into the (doc, term) aggregate — a small-input scan (fewer splits
+    // than cores) rebalances on the cheap (id, text) rows first; no-op
+    // at corpus scale (Rebalance doc)
+    val tf = Rebalance.fanOutExpansion(
+      docs.select(col(id).cast("long").as("doc_id"), col(text)))
+      .select(col("doc_id"), explode(tokens(col(text))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))

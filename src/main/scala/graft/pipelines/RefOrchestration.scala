@@ -68,11 +68,14 @@ object RefOrchestration {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val part = s"$outDir/orders/ingest_batch=$batchId"
-        writeSorted(RefPipeline.ordersEnriched(batch, products, usersFinal),
-          payloadCols, part)
+        // row count rides the write job itself (Observation) — the
+        // footer-count read-back this replaces was one extra Spark job
+        // per micro-batch, counting rows the write had just streamed
+        val obs = org.apache.spark.sql.Observation()
+        writeSorted(RefPipeline.ordersEnriched(batch, products, usersFinal)
+          .observe(obs, count(lit(1)).as("n")), payloadCols, part)
         batches.incrementAndGet()
-        // footer-only row count of what this batch landed (no re-scan)
-        rows.addAndGet(spark.read.parquet(part).count())
+        rows.addAndGet(obs.get("n").asInstanceOf[Long])
         ()
       }
       .start()

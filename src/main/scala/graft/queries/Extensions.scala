@@ -619,22 +619,12 @@ object Extensions {
     })
   }
 
-  /** Runs independent lifecycle/fixture chains concurrently on a small
-    * dedicated pool — guide §2.6 ("overlap independent jobs"): Spark's
-    * scheduler happily runs several jobs at once, FIFO back-fills one
-    * chain's straggler tail with the next chain's tasks, and the four
+  /** Runs independent lifecycle/fixture chains concurrently — the four
     * index families write DISJOINT directories (per-dir leases, no
-    * shared mutable state beyond the thread-safe session). Any chain's
-    * exception propagates to the caller — a parallel build can never
-    * pass where the sequential one would have failed. */
+    * shared mutable state beyond the thread-safe session); see
+    * [[graft.operators.Par]]. */
   private def inParallel(tasks: Seq[() => Unit]): Unit = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
-    try {
-      val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-      tasks.map(t => scala.concurrent.Future(t())(ec))
-        .foreach(f => scala.concurrent.Await.result(f,
-          scala.concurrent.duration.Duration.Inf))
-    } finally pool.shutdown()
+    graft.operators.Par.run(tasks); ()
   }
 
   /** The four-family lifecycle fixture behind `lifecycle_composite`'s

@@ -13,8 +13,25 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
-  def parquet(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema memo for the driver testdata tables: a bare
+    * `spark.read.parquet` runs a footer-reading schema-inference job
+    * per call, and a full battery run reads the same few static tables
+    * hundreds of times — the first read of each (dir, table) infers
+    * and memoizes, every later read is inference-job-free. Keyed on
+    * the file's length+mtime (the gate-fixture memo convention), so a
+    * regenerated table yields a fresh inference, never a stale
+    * schema. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  def parquet(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val f = new java.io.File(path)
+    val sch = schemaMemo.computeIfAbsent(
+      s"$path#${f.length}#${f.lastModified}",
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = parquet(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = parquet(s, d, "nation")
@@ -131,7 +148,11 @@ object Tables {
         // and matches the oracle's naive reading. Pin the inferred
         // schema so the streaming source (which requires an explicit
         // schema) reads identically.
-        val schema = spark.read.parquet(s"$dir/events.parquet").schema
+        val p0 = s"$dir/events.parquet"
+        val f0 = new java.io.File(p0)
+        val schema = schemaMemo.computeIfAbsent(
+          s"$p0#${f0.length}#${f0.lastModified}",
+          _ => spark.read.parquet(p0).schema)
         val needsCast = schema.fields.exists(f =>
           f.name == "ts" && f.dataType == TimestampNTZType)
         EventsReadPlan(schema,

@@ -151,8 +151,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // re-attach stage (the count IS the verify), so no 5th exchange
       "dedup_substring" -> 4,
       // stats agg + stats-for-prefix agg + prefix agg + final doc agg;
-      // both attach joins broadcast the bigram-bounded stats tables
-      "text_familiarity" -> 4,
+      // both attach joins broadcast the bigram-bounded stats tables;
+      // +1 (r20) for the conditional tokenize fan-out — fixture-scale
+      // only, absent at corpus scale
+      "text_familiarity" -> 5,
       // bipartite band join + distinct fold into one exchange, same as
       // the dedup_minhash self-join it shares its blocking stage with.
       // The r11 mega-bucket occupancy guard does NOT appear here: its
